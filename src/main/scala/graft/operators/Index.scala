@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.query.QueryLanguage
+
+/** The riemann index: latest event per [host, service] with TTL expiry
+  * (reference src/riemann/index.clj:58-126; pkey at
+  * src/riemann/common.clj:114-117). Batch form: a deduplicating window
+  * over the event relation. Streaming form (keyed state +
+  * event-time timeouts): [[graft.streaming.StreamingIndex]].
+  *
+  * Scale note: `row_number over (partition by host,service)` is a single
+  * hash exchange on the pkey and no global sort — at 100 TB the snapshot
+  * is shuffle-bound on exactly the index key, which is optimal. The
+  * reference's O(1) host+service query fast path (index.clj:44-56)
+  * corresponds to predicate pushdown through the window (Catalyst pushes
+  * partition-key filters below the window operator).
+  */
+object Index {
+
+  /** Latest (by time, tie-broken by event_id) event per [host,service]. */
+  def snapshot(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("host"), col("service"))
+      .orderBy(col("time_s").desc, col("event_id").desc)
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Snapshot minus entries whose TTL lapsed by `nowS` — the reaper's
+    * view (reference src/riemann/core.clj:276-309). Expired entries are
+    * returned separately by [[expiredAt]] (the reaper re-streams them as
+    * state="expired" events, index.clj:73-87). */
+  def liveAt(events: DataFrame, nowS: Column): DataFrame =
+    snapshot(events).filter(!Streams.expiredPred(nowS))
+
+  def expiredAt(events: DataFrame, nowS: Column): DataFrame =
+    snapshot(events).filter(Streams.expiredPred(nowS))
+      .withColumn("state", lit("expired"))
+      .withColumn("time_s", nowS)
+
+  /** `index/search` (reference src/riemann/index.clj:89-95): run a query
+    * language predicate against the snapshot. */
+  def search(snapshot: DataFrame, query: String): DataFrame =
+    snapshot.filter(QueryLanguage.predicate(query, snapshot.schema))
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Riemann's stateless stream combinators, re-expressed as declarative
+  * DataFrame transforms. A riemann "stream" is `fn [event] -> children`
+  * (reference src/riemann/streams.clj:1-26); here every combinator is a
+  * `DataFrame => DataFrame` so Catalyst sees one logical plan and can
+  * fuse/pushdown/codegen the whole chain — the Spark-native reading of
+  * the closure DAG.
+  *
+  * Filters: where/over/under/tagged* (streams.clj:1661-1810, 1284-1330).
+  * Projections: with/default/adjust/scale/tag/untag/smap
+  * (streams.clj:154-204, 1346-1488). Routing: split/splitp/dual
+  * (streams.clj:127-152, 1812-1916).
+  */
+object Streams {
+
+  implicit class EventOps(val df: DataFrame) extends AnyVal {
+
+    /** `where` (streams.clj:1765-1810): keep events matching pred. */
+    def where(pred: Column): DataFrame = df.filter(pred)
+
+    /** `where` with `(else ...)`: (matching, non-matching) branches off
+      * one upstream plan. Null predicate → else branch, as in the
+      * reference's truthiness test. */
+    def whereElse(pred: Column): (DataFrame, DataFrame) =
+      (df.filter(pred), df.filter(!coalesce(pred, lit(false))))
+
+    /** `over` / `under` (streams.clj:1661-1675). */
+    def over(x: Double): DataFrame = df.filter(col("metric") > x)
+    def under(x: Double): DataFrame = df.filter(col("metric") < x)
+
+    /** `tagged-all` (streams.clj:1284-1310): all tags present. */
+    def taggedAll(tags: Seq[String]): DataFrame =
+      df.filter(tags.map(t => array_contains(col("tags"), t)).reduce(_ && _))
+
+    /** `tagged-any` (streams.clj:1312-1330): any tag present. */
+    def taggedAny(tags: Seq[String]): DataFrame =
+      df.filter(arrays_overlap(col("tags"), lit(tags.toArray)))
+
+    /** `expired?` (streams.clj:52-61): state=="expired" or the event's
+      * ttl has lapsed relative to `nowS` (unix seconds). Deterministic
+      * `now` is a parameter — in streaming it's the watermark clock. */
+    def expired(nowS: Column): DataFrame =
+      df.filter(Streams.expiredPred(nowS))
+    def notExpired(nowS: Column): DataFrame =
+      df.filter(!Streams.expiredPred(nowS))
+
+    /** `with` (streams.clj:1346-1391): set/overwrite fields. */
+    def withFields(fields: (String, Column)*): DataFrame =
+      fields.foldLeft(df) { case (d, (k, v)) => d.withColumn(k, v) }
+
+    /** `default` (streams.clj:1393-1417): set only-if-null. */
+    def defaultFields(fields: (String, Column)*): DataFrame =
+      fields.foldLeft(df) { case (d, (k, v)) =>
+        if (d.columns.contains(k)) d.withColumn(k, coalesce(col(k), v))
+        else d.withColumn(k, v)
+      }
+
+    /** `adjust` (streams.clj:1419-1448): update one field through f. */
+    def adjust(field: String, f: Column => Column): DataFrame =
+      df.withColumn(field, f(col(field)))
+
+    /** `scale` (streams.clj:1450-1461): metric × factor. */
+    def scale(factor: Double): DataFrame =
+      df.withColumn("metric", col("metric") * factor)
+
+    /** `tag` (streams.clj:1463-1476): add tags, distinct-preserving. */
+    def tag(tags: String*): DataFrame =
+      df.withColumn("tags",
+        array_union(coalesce(col("tags"), array()), lit(tags.toArray)))
+
+    /** `untag` (streams.clj:1478-1488): remove tags. */
+    def untag(tags: String*): DataFrame =
+      df.withColumn("tags", array_except(col("tags"), lit(tags.toArray)))
+
+    /** `smap` (streams.clj:163-175): project, dropping null results.
+      * The projection is a set of column rewrites; rows where `keep`
+      * evaluates null/false are dropped (nil-result semantics). */
+    def smap(keep: Column, fields: (String, Column)*): DataFrame =
+      withFields(fields: _*).filter(coalesce(keep, lit(false)))
+
+    /** `split` (streams.clj:1812-1853): first-matching-predicate
+      * routing, materialized as a route label (single pass; branch =
+      * filter on the label). */
+    def splitRoutes(routes: Seq[(Column, String)], fallback: String): DataFrame = {
+      val route = routes.foldRight(lit(fallback)) { case ((p, name), acc) =>
+        when(coalesce(p, lit(false)), lit(name)).otherwise(acc)
+      }
+      df.withColumn("route", route)
+    }
+
+    /** `splitp` (streams.clj:1855-1916): routing on one extracted
+      * expression compared against constants. */
+    def splitp(extract: Column, cases: Seq[(Any, String)], fallback: String): DataFrame = {
+      val route = cases.foldRight(lit(fallback)) { case ((v, name), acc) =>
+        when(extract <=> lit(v), lit(name)).otherwise(acc)
+      }
+      df.withColumn("route", route)
+    }
+
+    /** `dual` (streams.clj:127-152): events matching pred flow on
+      * unchanged; the complement is mirrored as expired copies. */
+    def dual(pred: Column): (DataFrame, DataFrame) = {
+      val (t, f) = whereElse(pred)
+      (t, f.withColumn("state", lit("expired")))
+    }
+  }
+
+  def expiredPred(nowS: Column): Column =
+    col("state") === "expired" ||
+      (col("ttl").isNotNull && nowS - col("time_s") > col("ttl"))
+}

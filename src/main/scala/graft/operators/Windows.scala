@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Riemann's temporal/windowed operators (reference
+  * src/riemann/streams.clj:292-1241, 2032-2248) as batch-relational
+  * plans over the event view. Every operator partitions by its key
+  * columns, so on a cluster the shuffle is exactly one exchange on the
+  * key — the reference's `by`-substream (streams.clj:1556-1612) is our
+  * partitioning. Ordering ties are always broken by `event_id` so plans
+  * are deterministic under any parallelism.
+  *
+  * Streaming equivalents of the stateful members live in
+  * [[graft.streaming]]; these batch forms are the oracle-checkable
+  * semantics.
+  */
+object Windows {
+
+  private val D = DecimalType(18, 6)
+  private def keyW(keys: Seq[String]) =
+    Window.partitionBy(keys.map(col): _*).orderBy(col("time_s"), col("event_id"))
+
+  /** `fixed-offset-time-window n` (streams.clj:420-431): epoch-aligned
+    * tumbling buckets; here each bucket aggregates instead of emitting a
+    * vector (the vector form is `collect_list` over the same grouping). */
+  def fixedOffsetTimeWindow(df: DataFrame, seconds: Long, keys: Seq[String]): DataFrame =
+    df.withColumn("window_start", (col("time_s") - (col("time_s") % seconds)))
+      .groupBy((keys.map(col) :+ col("window_start")): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("metric").cast(D)).cast("double").as("sum_metric"))
+
+  /** `fixed-event-window n` (streams.clj:305-320): tumbling count
+    * windows per key; batch id = ordinal div n. */
+  def fixedEventWindow(df: DataFrame, n: Int, keys: Seq[String]): DataFrame =
+    df.withColumn("batch_id", ((row_number().over(keyW(keys)) - 1) / n).cast("long"))
+      .groupBy((keys.map(col) :+ col("batch_id")): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("metric").cast(D)).cast("double").as("sum_metric"),
+        max("time_s").as("last_time"))
+
+  /** `moving-event-window n` (streams.clj:292-303): sliding last-n
+    * events, one emission per event. */
+  def movingEventWindow(df: DataFrame, n: Int, keys: Seq[String]): DataFrame =
+    df.withColumn("moving_sum",
+      sum(col("metric").cast(D)).over(keyW(keys).rowsBetween(-(n - 1), 0))
+        .cast("double"))
+      .withColumn("moving_n", count(lit(1)).over(keyW(keys).rowsBetween(-(n - 1), 0)))
+
+  /** `moving-time-window n` (streams.clj:322-353): all events within the
+    * last n seconds of each event. */
+  def movingTimeWindow(df: DataFrame, seconds: Long, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("time_s")).rangeBetween(-(seconds - 1), 0)
+    df.withColumn("window_sum", sum(col("metric").cast(D)).over(w).cast("double"))
+      .withColumn("window_n", count(lit(1)).over(w))
+  }
+
+  /** `rate interval` (streams.clj:841-883): sum(metric)/interval per
+    * interval bucket. */
+  def rate(df: DataFrame, seconds: Long, keys: Seq[String]): DataFrame =
+    fixedOffsetTimeWindow(df, seconds, keys)
+      .withColumn("rate", col("sum_metric") / seconds)
+      .drop("sum_metric", "n_events")
+
+  /** `percentiles interval points` (streams.clj:885-898 +
+    * folds.clj:16-49 sorted-sample): one row per (interval, point),
+    * service renamed `"svc p"`; nearest-rank over actual metrics. */
+  def percentiles(df: DataFrame, seconds: Long, points: Seq[Double]): DataFrame = {
+    val bucketed = df
+      .withColumn("window_start", col("time_s") - (col("time_s") % seconds))
+      .groupBy(col("service"), col("window_start"))
+      .agg(sort_array(collect_list("metric")).as("ms"))
+    val pts = array(points.map(lit): _*)
+    // nearest-rank (folds.clj:16-49 sorted-sample-extract): element at
+    // (min (floor (* p count)) (dec count)) of the sorted sample
+    bucketed
+      .select(col("service"), col("window_start"), col("ms"), explode(pts).as("point"))
+      .withColumn("idx",
+        least(floor(col("point") * size(col("ms"))), size(col("ms")) - 1).cast("int"))
+      .select(
+        concat(col("service"), lit(" "), col("point").cast("string")).as("service_pt"),
+        col("window_start"), col("point"),
+        element_at(col("ms"), col("idx") + 1).as("metric"))
+  }
+
+  /** `apdex` (streams.clj:2103-2157): (satisfied + tolerated/2) / total
+    * per interval. */
+  def apdex(df: DataFrame, seconds: Long, satisfied: Column, tolerated: Column,
+      keys: Seq[String]): DataFrame =
+    df.withColumn("window_start", col("time_s") - (col("time_s") % seconds))
+      .groupBy((keys.map(col) :+ col("window_start")): _*)
+      .agg(((sum(when(satisfied, 1).otherwise(0)) +
+        sum(when(tolerated, 1).otherwise(0)) / lit(2.0)) /
+        count(lit(1))).as("apdex"))
+
+  /** `ddt` (streams.clj:776-839): d(metric)/dt between successive
+    * events per key. */
+  def ddt(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = keyW(keys)
+    df.withColumn("prev_metric", lag("metric", 1).over(w))
+      .withColumn("prev_time", lag("time_s", 1).over(w))
+      .filter(col("prev_time").isNotNull && col("time_s") =!= col("prev_time"))
+      .withColumn("ddt", (col("metric") - col("prev_metric")) /
+        (col("time_s") - col("prev_time")))
+  }
+
+  /** `counter` (streams.clj:900-932): running sum per key; 'reset' tag
+    * zeroes the accumulator (via segment ids). */
+  def counter(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = keyW(keys)
+    val seg = sum(when(array_contains(col("tags"), "reset"), 1).otherwise(0))
+      .over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val segW = Window.partitionBy((keys.map(col) :+ col("segment")): _*)
+      .orderBy(col("time_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("segment", seg)
+      .withColumn("running_sum", sum(col("metric").cast(D)).over(segW).cast("double"))
+  }
+
+  /** `ewma-timeless r` (streams.clj:961-977): s₀=x₀, sᵢ=r·xᵢ+(1−r)·sᵢ₋₁.
+    * Batch closed form: sₙ = Σ wᵢxᵢ with wᵢ = r(1−r)^(n−i) (w₁=(1−r)^(n−1)),
+    * so one window pass instead of a sequential scan. Streaming form:
+    * [[graft.streaming.StatefulOps.ewmaTimeless]]. */
+  def ewmaTimeless(df: DataFrame, r: Double, keys: Seq[String]): DataFrame = {
+    val w = keyW(keys)
+    val cnt = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("idx", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .withColumn("weight",
+        when(col("idx") === 1, pow(lit(1 - r), col("n") - 1))
+          .otherwise(lit(r) * pow(lit(1 - r), col("n") - col("idx"))))
+      .groupBy(keys.map(col): _*)
+      .agg(round(sum(col("weight") * col("metric")), 4).as("ewma"))
+  }
+
+  /** `top k f` (streams.clj:1015-1100), batch form: rank keys by a
+    * grouped metric, keep top k. Deterministic tie-break on the key. */
+  def topK(df: DataFrame, k: Int, keys: Seq[String]): DataFrame = {
+    val grouped = df.groupBy(keys.map(col): _*)
+      .agg(sum(col("metric").cast(D)).cast("double").as("total_metric"))
+    val w = Window.orderBy(col("total_metric").desc, keys.map(col): _*)
+    grouped.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** `throttle n dt` (streams.clj:1102-1118): ≤ n events per key per dt
+    * bucket. */
+  def throttle(df: DataFrame, n: Int, seconds: Long, keys: Seq[String]): DataFrame = {
+    val w = Window
+      .partitionBy((keys.map(col) :+ col("window_start")): _*)
+      .orderBy(col("time_s"), col("event_id"))
+    df.withColumn("window_start", col("time_s") - (col("time_s") % seconds))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .drop("rn")
+  }
+
+  /** `rollup n dt` (streams.clj:1120-1156): pass n per bucket, summarize
+    * the overflow as one aggregate row count. */
+  def rollup(df: DataFrame, n: Int, seconds: Long, keys: Seq[String]): DataFrame = {
+    val w = Window
+      .partitionBy((keys.map(col) :+ col("window_start")): _*)
+      .orderBy(col("time_s"), col("event_id"))
+    df.withColumn("window_start", col("time_s") - (col("time_s") % seconds))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rolled_up", col("rn") > n)
+      .groupBy((keys.map(col) :+ col("window_start")): _*)
+      .agg(sum(when(!col("rolled_up"), 1).otherwise(0)).as("passed"),
+        sum(when(col("rolled_up"), 1).otherwise(0)).as("rolled"))
+  }
+
+  /** `changed f` / `changed-state` (streams.clj:1614-1659): pass only
+    * when the extracted value differs from the previous one per key. */
+  def changed(df: DataFrame, field: String, keys: Seq[String],
+      init: Option[String] = None): DataFrame = {
+    val w = keyW(keys)
+    val prev = lag(col(field), 1, init.orNull).over(w)
+    df.withColumn("prev_value", prev)
+      .filter(!(col(field) <=> col("prev_value")))
+  }
+
+  /** `runs n field` (streams.clj:1918-1934): newest event after n
+    * consecutive equal values of `field`. */
+  def runs(df: DataFrame, n: Int, field: String, keys: Seq[String]): DataFrame = {
+    val w = keyW(keys)
+    val changedFlag = when(col(field) <=> lag(col(field), 1).over(w), 0).otherwise(1)
+    val seg = sum(changedFlag).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val segW = Window.partitionBy((keys.map(col) :+ col("segment")): _*)
+      .orderBy(col("time_s"), col("event_id"))
+    df.withColumn("segment", seg)
+      .withColumn("run_len", row_number().over(segW))
+      .filter(col("run_len") >= n)
+  }
+
+  /** `stable dt f` (streams.clj:1936-2030): de-flapping — pass events
+    * whose `field` value has persisted ≥ dt seconds (segment start +
+    * dt ≤ event time). */
+  def stable(df: DataFrame, dtSeconds: Long, field: String, keys: Seq[String]): DataFrame = {
+    val w = keyW(keys)
+    val changedFlag = when(col(field) <=> lag(col(field), 1).over(w), 0).otherwise(1)
+    val seg = sum(changedFlag).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val segW = Window.partitionBy((keys.map(col) :+ col("segment")): _*)
+      .orderBy(col("time_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("segment", seg)
+      .withColumn("segment_start", min("time_s").over(segW))
+      .filter(col("time_s") - col("segment_start") >= dtSeconds)
+  }
+
+  /** `predict-linear n s` (streams.clj:2197-2248): OLS over each key's
+    * events, predict metric s seconds past the newest event. */
+  def predictLinear(df: DataFrame, aheadSeconds: Long, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        expr("regr_slope(metric, time_s)").as("slope"),
+        expr("regr_intercept(metric, time_s)").as("intercept"),
+        max("time_s").as("last_time"))
+      .withColumn("predicted",
+        round(col("intercept") + col("slope") * (col("last_time") + aheadSeconds), 4))
+      .drop("slope", "intercept")
+
+  /** `clock-skew` (streams.clj:2159-2195): each host's latest clock vs
+    * the median of all hosts' latest clocks. */
+  def clockSkew(df: DataFrame): DataFrame = {
+    val latest = df.groupBy("host").agg(max("time_s").as("host_time"))
+    val median = latest.agg(expr("percentile(host_time, 0.5)").as("median_time"))
+    latest.crossJoin(median)
+      .withColumn("skew_s", round(col("host_time") - col("median_time"), 1))
+      .drop("median_time")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing: media as opaque
+  * `binary` columns plus typed metadata, with decode / feature-extract /
+  * frame-sample as partition-local transforms.
+  *
+  * The actual codecs are STUBBED (this container has no image/audio
+  * libraries): [[decodeStub]] derives a deterministic fake feature
+  * vector from the bytes. Everything around the stub — schema, batch
+  * iteration via `mapPartitions`, partition sizing, output shape — is
+  * the real 100 TB plumbing: media rows are large, so operators must
+  * stream partition iterators (never materialize a partition) and
+  * repartition by size, not row count.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema: content-addressed binary + metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("modality", StringType), // image | audio | video
+    StructField("bytes", BinaryType),
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("meta", MapType(StringType, StringType))
+  ))
+
+  case class MediaFeature(media_id: Long, modality: String, n_bytes: Long,
+      checksum: Long, feature: Array[Float])
+
+  /** STUB decode: a real implementation hands `bytes` to a codec; this
+    * one emits a deterministic pseudo-feature (dim-d) from a rolling
+    * byte checksum so tests can assert exact values. The mapPartitions
+    * shape (iterator-in/iterator-out, no materialization) is the real
+    * contract a codec UDF must follow. */
+  def decodeStub(media: DataFrame, dim: Int = 8): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "modality", "bytes").as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, modality, bytes) =>
+          val n = if (bytes == null) 0 else bytes.length
+          var sum = 0L
+          var i = 0
+          while (i < n) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
+          val feat = Array.tabulate(dim) { d =>
+            // ??? real codec goes here; deterministic fake:
+            (((sum >>> (d * 7)) & 0xff).toFloat / 255.0f)
+          }
+          MediaFeature(id, modality, n.toLong, sum, feat)
+        }
+      }
+  }
+
+  /** Frame sampling plan for video rows: every `everyMs` milliseconds,
+    * emit (media_id, frame_ts) rows — the downstream decode fan-out.
+    * Pure plan, no codec needed. */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
+    media.filter(col("modality") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("duration_ms"), lit(everyMs)))
+          .as("frame_ts"))
+
+  /** Size-aware repartitioning: media rows are heavily skewed by byte
+    * size; range-partition on cumulative size so each task gets a
+    * similar byte budget (row-count partitioning would OOM on video
+    * partitions at scale). */
+  def repartitionBySize(media: DataFrame, targetPartitions: Int): DataFrame =
+    media.withColumn("_sz", length(col("bytes")))
+      .repartitionByRange(targetPartitions, col("_sz"), col("media_id"))
+      .drop("_sz")
+}

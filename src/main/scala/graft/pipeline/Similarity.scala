@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Baseline: brute-force cosine top-k with the query
+  * side broadcast (one pass over the corpus, no shuffle of the big
+  * side). Scale path: random-hyperplane LSH bucketing so candidate
+  * generation is a bucket-equijoin.
+  *
+  * Dot products use `zip_with`/`aggregate` higher-order functions —
+  * codegen-friendly Catalyst expressions, no UDF.
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** L2-normalized copy (cast to double once, normalize once — cosine
+    * then reduces to a dot product in the join). */
+  def normalized(a: Column): Column = {
+    val d = transform(a, x => x.cast("double"))
+    val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    transform(d, x => x / n)
+  }
+
+  /** Brute-force cosine top-k: for each query vector (small set,
+    * broadcast), rank the whole corpus. Ties broken by vec_id; cosine
+    * rounded so ranking is stable across engines and partitionings. */
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), normalized(col("embedding")).as("unit"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("qunit"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("unit"), col("qunit")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a splitmix64-style integer mix mapped to [-0.5, 0.5). Pure column
+    * arithmetic — identical on any engine, no RNG state. */
+  private def planeComponent(plane: Column, dim: Column): Column = {
+    val x = (plane * 1000003 + dim * 7919 + 12345).cast("long")
+    val h = xxhash64(x)
+    (h % 100000).cast("double") / 200000.0
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of `planes` dot
+    * products packed into one long. Docs hashing to the same bucket are
+    * cosine-close with high probability. */
+  def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      normalized(col("embedding")).as("unit"))
+    val withPlane = e.crossJoin(
+      e.sparkSession.range(planes).toDF("plane"))
+    val proj = withPlane.withColumn("proj",
+      aggregate(
+        zip_with(col("unit"),
+          transform(sequence(lit(0), size(col("unit")) - 1),
+            d => planeComponent(col("plane"), d)),
+          (x, p) => x * p),
+        lit(0.0d), (acc, x) => acc + x))
+    proj.groupBy("vec_id", "label")
+      .agg(sum(when(col("proj") >= 0,
+        pow(lit(2.0), col("plane")).cast("long")).otherwise(0L)).as("bucket"))
+  }
+
+  /** LSH-bucketed ANN top-k: candidates share a bucket; exact cosine
+    * only within buckets. Recall/cost tuned by `planes`. */
+  def lshTopK(embeddings: DataFrame, k: Int, planes: Int = 8): DataFrame = {
+    val buckets = lshBuckets(embeddings, planes)
+    val e = embeddings.select(col("vec_id"), normalized(col("embedding")).as("unit"))
+      .join(buckets.select("vec_id", "bucket"), "vec_id")
+    val a = e.as("a")
+    val b = e.as("b")
+    val scored = a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
+        round(dot(col("a.unit"), col("b.unit")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Corpus-level embedding stats — norms and per-label centroids
+    * (IVF coarse quantizer seed; centroid = mean of unit vectors). */
+  def labelCentroids(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("label"), normalized(col("embedding")).as("unit"))
+    val dims = e.select(col("label"), posexplode(col("unit")).as(Seq("dim", "v")))
+    dims.groupBy("label", "dim")
+      .agg(avg("v").as("c"))
+      .groupBy("label")
+      .agg(round(sqrt(sum(col("c") * col("c"))), 4).as("centroid_norm"),
+        count(lit(1)).as("dims"))
+  }
+}
