@@ -46,13 +46,21 @@ object Folds {
     * positive metrics; general variant needs an Aggregator. */
   def productLog(c: Column): Column = exp(sum(log(c)))
 
-  /** Exact interpolated percentile (reference sorted-sample is
-    * nearest-rank over actual events; `percentile` is Spark's exact
-    * sort-based agg — use [[nearestRank]] for bit-parity). */
+  /** Exact interpolated percentile — Spark's sort-based `percentile`
+    * aggregate (NOT approx). The reference's sorted-sample is
+    * nearest-rank over actual events; use [[nearestRank]] where
+    * bit-parity with folds.clj:16-49 matters. */
   def percentileExact(c: Column, p: Double): Column =
-    percentile_approx(c, lit(p), lit(Int.MaxValue))
+    call_function("percentile", c, lit(p))
 
-  def medianExact(c: Column): Column = expr("percentile(metric, 0.5)")
+  /** Nearest-rank percentile (folds.clj:16-49 sorted-sample-extract):
+    * element at min(floor(p·n), n−1) of the sorted sample. */
+  def nearestRank(c: Column, p: Double): Column = {
+    val ms = sort_array(collect_list(c))
+    element_at(ms, (least(floor(lit(p) * size(ms)), size(ms) - 1) + 1).cast("int"))
+  }
+
+  def medianExact(c: Column): Column = percentileExact(c, 0.5)
 
   /** `difference` (folds.clj:115-126): first metric minus the rest, in
     * `ord` order == 2*first − sum. */

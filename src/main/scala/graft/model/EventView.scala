@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, types}
 import org.apache.spark.sql.functions._
 
 /** Maps the driver's `events` parquet table (event_id, ts, user_id,
@@ -8,26 +8,34 @@ import org.apache.spark.sql.functions._
   * deterministic derivation so the DuckDB oracle can reproduce it
   * bit-for-bit (see [[EventView.oracleCte]]).
   *
+  * The driver writes `ts` as parquet TIMESTAMP(NANOS), which Spark 4.x
+  * rejects at scan time unless `spark.sql.legacy.parquet.nanosAsLong`
+  * is set — then `ts` arrives as a LONG of epoch nanoseconds. We set
+  * that conf defensively on the session here (it is runtime-settable)
+  * and derive `time_s = ts div 1e9` with *integer* division: epoch-ns
+  * magnitudes (~1.7e18) exceed double's 53-bit mantissa, so a
+  * floating-point path could mis-floor at second boundaries.
+  *
   * Derived columns:
   *   - host    = user_id as string
   *   - service = event_type
   *   - state   = 'critical' for errors, 'warning' when value>150, else 'ok'
   *   - metric  = value
   *   - tags    = [service] plus 'big' when value>100
-  *   - time_s  = floor(unix seconds of ts)  (bigint; ns-safe vs DuckDB)
+  *   - time_s  = epoch seconds (bigint)
+  *   - time    = time_s as a real timestamp (for streaming watermarks)
   *   - ttl     = 60 + (user_id % 10) * 30 seconds
-  *
-  * `time_s` (not the raw timestamp) is what oracle-checked queries expose:
-  * Spark truncates parquet ns-timestamps to micros while DuckDB keeps ns,
-  * so raw timestamps would never hash-match.
+  *   - attributes = parsed props JSON as map<string,string>
   */
 object EventView {
 
-  def events(spark: SparkSession, sfDir: String): DataFrame =
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
+  }
 
   /** The riemann-shaped event relation. Keeps event_id for deterministic
-    * ordering and `time` (timestamp) for streaming/watermark use. */
+    * ordering. */
   def apply(spark: SparkSession, sfDir: String): DataFrame = {
     val df = events(spark, sfDir)
     df.select(
@@ -40,14 +48,17 @@ object EventView {
       col("value").as("metric"),
       when(col("value") > 100, array(col("event_type"), lit("big")))
         .otherwise(array(col("event_type"))).as("tags"),
-      unix_timestamp(col("ts")).as("time_s"),
-      col("ts").as("time"),
+      expr("ts div 1000000000").as("time_s"),
+      timestamp_seconds(expr("ts div 1000000000")).as("time"),
       (lit(60) + (col("user_id") % 10) * 30).cast("double").as("ttl"),
-      col("props"))
+      from_json(col("props"), types.MapType(types.StringType, types.StringType))
+        .as("attributes"))
   }
 
   /** DuckDB CTE producing the identical relation from the raw parquet
-    * `events` table — prefix for every event-based oracle query. */
+    * `events` table — prefix for every event-based oracle query.
+    * `epoch_ns // 1e9` is integer arithmetic for the same reason as the
+    * Spark side (double can't represent epoch-ns exactly). */
   val oracleCte: String =
     """WITH ev AS (SELECT event_id, CAST(user_id AS VARCHAR) AS host,
       | event_type AS service,
@@ -55,7 +66,7 @@ object EventView {
       |      WHEN value>150 THEN 'warning' ELSE 'ok' END AS state,
       | value AS metric,
       | CASE WHEN value>100 THEN [event_type,'big'] ELSE [event_type] END AS tags,
-      | CAST(FLOOR(epoch(ts)) AS BIGINT) AS time_s,
-      | CAST(60 + (user_id%10)*30 AS DOUBLE) AS ttl,
-      | props FROM events)""".stripMargin.replace("\n", "")
+      | epoch_ns(ts) // 1000000000 AS time_s,
+      | CAST(60 + (user_id%10)*30 AS DOUBLE) AS ttl
+      | FROM events)""".stripMargin.replace("\n", "")
 }

@@ -120,30 +120,34 @@ object Windows {
       .withColumn("running_sum", sum(col("metric").cast(D)).over(segW).cast("double"))
   }
 
-  /** `ewma-timeless r` (streams.clj:961-977): s₀=x₀, sᵢ=r·xᵢ+(1−r)·sᵢ₋₁.
-    * Batch closed form: sₙ = Σ wᵢxᵢ with wᵢ = r(1−r)^(n−i) (w₁=(1−r)^(n−1)),
-    * so one window pass instead of a sequential scan. Streaming form:
-    * [[graft.streaming.StatefulOps.ewmaTimeless]]. */
+  /** `ewma-timeless r` (streams.clj:961-977): the accumulator starts at
+    * **0** (`(atom 0)`), update m ← (1−r)·m + r·x, so after n events
+    * sₙ = Σ r(1−r)^(n−i)·xᵢ — every event weighted r(1−r)^(n−i),
+    * including the first. Batch closed form = one weighted sum instead
+    * of a sequential scan. Null metrics are skipped (reference
+    * `when-let`) without consuming a decay step, matching the filter. */
   def ewmaTimeless(df: DataFrame, r: Double, keys: Seq[String]): DataFrame = {
-    val w = keyW(keys)
+    val nn = df.filter(col("metric").isNotNull)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("time_s"), col("event_id"))
     val cnt = Window.partitionBy(keys.map(col): _*)
-    df.withColumn("idx", row_number().over(w))
+    nn.withColumn("idx", row_number().over(w))
       .withColumn("n", count(lit(1)).over(cnt))
-      .withColumn("weight",
-        when(col("idx") === 1, pow(lit(1 - r), col("n") - 1))
-          .otherwise(lit(r) * pow(lit(1 - r), col("n") - col("idx"))))
+      .withColumn("weight", lit(r) * pow(lit(1 - r), col("n") - col("idx")))
       .groupBy(keys.map(col): _*)
       .agg(round(sum(col("weight") * col("metric")), 4).as("ewma"))
   }
 
   /** `top k f` (streams.clj:1015-1100), batch form: rank keys by a
-    * grouped metric, keep top k. Deterministic tie-break on the key. */
-  def topK(df: DataFrame, k: Int, keys: Seq[String]): DataFrame = {
-    val grouped = df.groupBy(keys.map(col): _*)
+    * grouped metric, keep top k. Deterministic tie-break on the key.
+    * Plan note: `orderBy().limit(k)` compiles to TakeOrderedAndProject
+    * (per-partition top-k, driver merges k·p rows) — no global
+    * single-partition Window sort, so it survives high key cardinality. */
+  def topK(df: DataFrame, k: Int, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
       .agg(sum(col("metric").cast(D)).cast("double").as("total_metric"))
-    val w = Window.orderBy(col("total_metric").desc, keys.map(col): _*)
-    grouped.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-  }
+      .orderBy((col("total_metric").desc +: keys.map(col)): _*)
+      .limit(k)
 
   /** `throttle n dt` (streams.clj:1102-1118): ≤ n events per key per dt
     * bucket. */

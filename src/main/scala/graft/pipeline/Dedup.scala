@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * Designed shuffle-first: every variant reduces to a single hash
   * exchange on a bucket key (content hash, LSH band bucket, or blocking
   * key), so at 100 TB the cost is one shuffle of (key, doc_id) pairs —
-  * never an all-pairs comparison.
+  * never an all-pairs comparison. Hashes are md5-derived so the DuckDB
+  * oracle reproduces every signature bit-for-bit.
   */
 object Dedup {
 
@@ -27,40 +28,48 @@ object Dedup {
           s"i -> concat_ws(' ', slice(words, i+1, $w))))"))
       .drop("words")
 
-  /** MinHash signatures: k independent permutations simulated with
-    * md5(seed || shingle); the signature element for seed i is the
-    * lexicographic min hash. Portable (md5 is engine-independent, so the
-    * DuckDB oracle reproduces it exactly) and one narrow pass per doc. */
+  /** MinHash signature as ONE narrow pass per document — no explode, no
+    * join, no shuffle: for each of k seeds, the signature element is the
+    * min over shingles of md5(seed || '|' || shingle), computed with
+    * nested higher-order array functions entirely inside codegen.
+    * (The k independent permutations of classic MinHash are simulated by
+    * salting the hash with the seed.) Output: (doc_id, sig array<string>). */
   def minhashSignature(docs: DataFrame, k: Int = 16, w: Int = 3): DataFrame =
-    shingles(docs, w)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .crossJoin(spark_range_df(docs, k))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh"))))
-        .as("minhash"))
+    shingles(docs, w).select(col("doc_id"),
+      expr(s"transform(sequence(0, ${k - 1}), seed -> " +
+        "array_min(transform(shingles, s -> " +
+        "md5(concat(cast(seed as string), '|', s)))))").as("sig"))
 
-  private def spark_range_df(docs: DataFrame, k: Int): DataFrame =
-    docs.sparkSession.range(k).toDF("seed")
-
-  /** MinHash-LSH near-dup pairs: band the signature (b bands × r rows),
-    * bucket-join on (band, band-hash), then estimate Jaccard as the
-    * fraction of equal signature elements. Only bucket-colliding pairs
-    * are compared — the scale path. */
-  def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, w: Int = 3): DataFrame = {
+  /** LSH banding of a signature: b bands of r = k/b rows; bucket id =
+    * md5 of the band's slice. Docs sharing any (band, bucket) are
+    * candidates. One row per (doc, band). */
+  def lshBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
-    val sig = minhashSignature(docs, k, w)
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("seed"), col("minhash"))))
-        .as("sig"))
-      .withColumn("sig", expr("transform(sig, s -> s.minhash)"))
-    val banded = sig.select(col("doc_id"), col("sig"),
+    sig.select(col("doc_id"), col("sig"),
       explode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> named_struct('band', b, 'bucket', " +
         s"md5(concat_ws(',', slice(sig, b*$r+1, $r)))))")).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val a = banded.as("a")
-    val b = banded.as("b")
+  }
+
+  /** MinHash-LSH near-dup pairs: band the signature, bucket-join on
+    * (band, band-hash), then estimate Jaccard as the fraction of equal
+    * signature elements. Only bucket-colliding pairs are compared — the
+    * scale path. `maxBucket` drops pathological hot buckets (boilerplate
+    * docs) that would go quadratic; default keeps everything. */
+  def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, w: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val banded = lshBands(minhashSignature(docs, k, w), k, bands)
+    val capped =
+      if (maxBucket == Int.MaxValue) banded
+      else {
+        val sizes = banded.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucket)
+        banded.join(sizes.select("band", "bucket"), Seq("band", "bucket"))
+      }
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -71,55 +80,83 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** Exact n-gram Jaccard within a blocking key (default: lang) — the
-    * verification pass after LSH candidate generation, or standalone on
-    * small blocks. Jaccard on distinct shingle sets is exact rational
-    * arithmetic, so it's oracle-checkable. */
-  def ngramJaccardPairs(docs: DataFrame, w: Int = 3, threshold: Double = 0.3,
-      blockCol: String = "lang"): DataFrame = {
-    val sh = shingles(docs, w).select(col("doc_id"), col(blockCol).as("block"),
-      col("shingles"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    a.join(b, col("a.block") === col("b.block") &&
+  /** LSH candidate pairs (no similarity filter): the blocking stage that
+    * exact verification passes consume. */
+  def lshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      w: Int = 3): DataFrame = {
+    val banded = lshBands(minhashSignature(docs, k, w), k, bands)
+      .select("doc_id", "band", "bucket")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
-      .withColumn("inter",
-        size(array_intersect(col("a.shingles"), col("b.shingles"))))
-      .withColumn("uni", size(array_union(col("a.shingles"), col("b.shingles"))))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard over a candidate-pair relation (doc_a, doc_b)
+    * — the verification pass after LSH candidate generation. Joining the
+    * shingle sets onto the (small) candidate relation keeps the work
+    * linear in candidates, never all-pairs. */
+  def exactJaccard(docs: DataFrame, candidates: DataFrame, w: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    val sh = shingles(docs, w).select(col("doc_id"), col("shingles"))
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash fingerprint (64-bit) from token counts: per-token md5-derived
-    * bits, weighted-majority per bit position. Near-dups = fingerprints
-    * within a small Hamming distance; pairs found by exact-match on
-    * rotated fingerprint blocks (4×16-bit block index). */
-  def simhash(docs: DataFrame, bits: Int = 32): DataFrame = {
+  /** n-gram Jaccard near-dup pairs at scale: LSH blocking → exact
+    * verification. (A lang/label blocking key would leave one block
+    * O(n²) at scale; LSH buckets stay small by construction.) */
+  def ngramJaccardPairs(docs: DataFrame, w: Int = 3, threshold: Double = 0.3,
+      k: Int = 16, bands: Int = 8): DataFrame =
+    exactJaccard(docs, lshCandidates(docs, k, bands, w), w, threshold)
+
+  /** SimHash fingerprint from token counts: per-token md5-derived bits,
+    * weighted-majority per bit position. Near-dups = fingerprints within
+    * a small Hamming distance; pairs found by exact-match on fingerprint
+    * blocks (bits/16 × 16-bit block index). Default 64-bit. */
+  def simhash(docs: DataFrame, bits: Int = 64): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      // token hash: first 16 hex chars of md5 → long via conv
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      // token hash: first 15 hex chars of md5 → 60-bit long via conv;
+      // bit b of the fingerprint uses hash bit (b mod 60)  XOR'd with a
+      // second hash for b >= 60 — with the default 64 bits we take bits
+      // 0..59 from h1 and 60..63 from h2 so all bits are independent.
+      .withColumn("h1", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(md5(col("tok")), 16, 15), 16, 10).cast("long"))
     val bitCols = (0 until bits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$b")
+      val h = if (b < 60) shiftright(col("h1"), b) else shiftright(col("h2"), b - 60)
+      sum(when(h.bitwiseAND(1) === 1, col("cnt")).otherwise(-col("cnt"))).as(s"b$b")
     }
     val agg = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    // pack sign bits; bit 63 via signed min-long to stay in Long range
     val fp = (0 until bits).map { b =>
-      when(col(s"b$b") > 0, lit(1L) * math.pow(2, b).toLong).otherwise(0L)
+      val w = if (b == 63) Long.MinValue else 1L << b
+      when(col(s"b$b") > 0, lit(w)).otherwise(0L)
     }.reduce(_ + _)
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** Embedding-cosine near-dup pairs within a blocking key (label):
-    * exact cosine over candidate pairs. For global scale use
-    * [[Similarity.lshBuckets]] as the blocking stage instead. */
-  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.99): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"),
+  /** Embedding-cosine near-dup pairs with LSH-bucket blocking: exact
+    * cosine only within random-hyperplane buckets (one equijoin on the
+    * bucket id — a label/category blocking key would be quadratic in the
+    * biggest label at scale). */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.99,
+      planes: Int = 8): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
       Similarity.normalized(col("embedding")).as("unit"))
+      .withColumn("bucket", Similarity.bucketExpr(col("unit"), planes))
     val a = e.as("a")
     val b = e.as("b")
-    a.join(b, col("a.label") === col("b.label") &&
+    a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         Similarity.dot(col("a.unit"), col("b.unit")).as("cosine"))

@@ -67,11 +67,14 @@ object Multimodal {
           .as("frame_ts"))
 
   /** Size-aware repartitioning: media rows are heavily skewed by byte
-    * size; range-partition on cumulative size so each task gets a
-    * similar byte budget (row-count partitioning would OOM on video
-    * partitions at scale). */
+    * size. Range-partitioning on size would co-locate all the biggest
+    * rows in one task — the exact OOM it should prevent. Instead,
+    * round-robin *within size tiers*: hash on (tier, media_id) spreads
+    * each tier uniformly, so every task draws the same size mix and
+    * gets a similar byte budget. */
   def repartitionBySize(media: DataFrame, targetPartitions: Int): DataFrame =
-    media.withColumn("_sz", length(col("bytes")))
-      .repartitionByRange(targetPartitions, col("_sz"), col("media_id"))
-      .drop("_sz")
+    media.withColumn("_tier",
+      floor(log2(greatest(length(col("bytes")).cast("double"), lit(1.0)))))
+      .repartition(targetPartitions, col("_tier"), col("media_id"))
+      .drop("_tier")
 }

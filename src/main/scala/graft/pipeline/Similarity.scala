@@ -45,7 +45,7 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a splitmix64-style integer mix mapped to [-0.5, 0.5). Pure column
+    * an xxhash64 integer mix mapped to [-0.25, 0.25). Pure column
     * arithmetic — identical on any engine, no RNG state. */
   private def planeComponent(plane: Column, dim: Column): Column = {
     val x = (plane * 1000003 + dim * 7919 + 12345).cast("long")
@@ -53,25 +53,28 @@ object Similarity {
     (h % 100000).cast("double") / 200000.0
   }
 
-  /** Random-hyperplane LSH bucket id: sign bits of `planes` dot
-    * products packed into one long. Docs hashing to the same bucket are
-    * cosine-close with high probability. */
-  def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"),
-      normalized(col("embedding")).as("unit"))
-    val withPlane = e.crossJoin(
-      e.sparkSession.range(planes).toDF("plane"))
-    val proj = withPlane.withColumn("proj",
+  /** Random-hyperplane LSH bucket id as ONE codegen'd expression per
+    * row — no crossJoin row blowup, no shuffle: for each plane p, the
+    * projection is an `aggregate` over (component, dim) pairs; the sign
+    * bits pack into a long. */
+  def bucketExpr(unit: Column, planes: Int): Column = {
+    def proj(p: Column): Column =
       aggregate(
-        zip_with(col("unit"),
-          transform(sequence(lit(0), size(col("unit")) - 1),
-            d => planeComponent(col("plane"), d)),
-          (x, p) => x * p),
-        lit(0.0d), (acc, x) => acc + x))
-    proj.groupBy("vec_id", "label")
-      .agg(sum(when(col("proj") >= 0,
-        pow(lit(2.0), col("plane")).cast("long")).otherwise(0L)).as("bucket"))
+        zip_with(unit, sequence(lit(0), size(unit) - 1),
+          (x, d) => x * planeComponent(p, d)),
+        lit(0.0d), (acc, x) => acc + x)
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)),
+        p => when(proj(p) >= 0, pow(lit(2.0), p).cast("long")).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
   }
+
+  /** Random-hyperplane LSH bucket id per vector: docs hashing to the
+    * same bucket are cosine-close with high probability. Narrow one-pass
+    * projection — scales as a pure map. */
+  def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+      bucketExpr(normalized(col("embedding")), planes).as("bucket"))
 
   /** LSH-bucketed ANN top-k: candidates share a bucket; exact cosine
     * only within buckets. Recall/cost tuned by `planes`. */

@@ -224,6 +224,7 @@ object QueryLanguage {
       case LongLit(v) => lit(v)
       case DoubleLit(v) => lit(v)
       case BigLit(v) => lit(v.toDouble)
+      case StrLit(v) => lit(v).try_cast(DoubleType)
       case FieldRef(f) => fieldType(f) match {
         case Some(dt) if isNumericType(dt) => col(f)
         case Some(TimestampType) => unix_timestamp(col(f))
