@@ -1,19 +1,424 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.EventView
+import graft.operators.{Combine, Index, Streams, Windows}
+import graft.operators.Streams.EventOps
+import graft.functions.Folds
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql` where
+  * SQL-expressible) per implemented operator from SURVEY.md §2.
+  *
+  * Conventions that make the oracle hash-match:
+  *  - identical column names on both sides (every computed column
+  *    aliased the same),
+  *  - a deterministic ORDER BY on both sides,
+  *  - anything summed goes through DECIMAL so the result is independent
+  *    of partition merge order and engine,
+  *  - DuckDB arithmetic always has an explicit DOUBLE operand (bare
+  *    numeric literals are DECIMAL there, unlike Spark).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * End-to-end slice: events parquet → riemann event view → index
     * snapshot (latest per [host,service]) → query-language search. */
   def entry(spark: SparkSession): DataFrame = {
-    val ev = graft.model.EventView(spark, "/root/testdata/sf0.001")
-    graft.operators.Index.search(
-      graft.operators.Index.snapshot(ev),
+    val ev = EventView(spark, "/root/testdata/sf0.001")
+    Index.search(Index.snapshot(ev),
       """state = "critical" or (metric > 120 and tagged "big")""")
   }
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val D = DecimalType(18, 6)
+  private def ev(s: SparkSession, dir: String): DataFrame = EventView(s, dir)
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // --------------------------------------------------------------- queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.3 filters / routing
+    "q_where" -> ((s, d) => ev(s, d)
+      .where(col("metric") > 100 && col("service") === "purchase")
+      .select("event_id", "host", "service", "metric").orderBy("event_id")),
+    "q_over_under" -> ((s, d) => ev(s, d).over(50).under(150)
+      .select("event_id", "metric").orderBy("event_id")),
+    "q_tagged_any" -> ((s, d) => ev(s, d).taggedAny(Seq("big"))
+      .select("event_id", "service", "metric").orderBy("event_id")),
+    "q_tagged_all" -> ((s, d) => ev(s, d).taggedAll(Seq("purchase", "big"))
+      .select("event_id", "metric").orderBy("event_id")),
+    "q_expired" -> ((s, d) => ev(s, d).expired(lit(1706620000L))
+      .select("event_id", "host", "service", "time_s", "ttl")
+      .orderBy("event_id")),
+    "q_split" -> ((s, d) => ev(s, d)
+      .splitRoutes(Seq((col("metric") > 150, "high"),
+        (col("metric") > 50, "mid")), "low")
+      .select("event_id", "route").orderBy("event_id")),
+    "q_splitp" -> ((s, d) => ev(s, d)
+      .splitp(col("state"), Seq(("critical", "page"), ("warning", "notify")),
+        "ignore")
+      .select("event_id", "route").orderBy("event_id")),
+    "q_dual" -> ((s, d) => ev(s, d).dual(col("metric") > 50)._2
+      .select("event_id", "state").orderBy("event_id")),
+    "q_match" -> ((s, d) => ev(s, d)
+      .matching("service", "purchase|signup".r)
+      .select("event_id", "service").orderBy("event_id")),
+
+    // ---- §2.4 projections
+    "q_project_fields" -> ((s, d) => ev(s, d)
+      .withFields("description" -> lit("evt")).scale(0.5)
+      .select("event_id", "description", "metric").orderBy("event_id")),
+    "q_default" -> ((s, d) => ev(s, d)
+      .defaultFields("state" -> lit("ok"), "site" -> lit("dc1"))
+      .select("event_id", "state", "site").orderBy("event_id")),
+    "q_tag_untag" -> ((s, d) => ev(s, d).tag("x").untag("big")
+      .select(col("event_id"), array_sort(col("tags")).as("tags"))
+      .orderBy("event_id")),
+    "q_smap" -> ((s, d) => ev(s, d)
+      .smap(col("metric") > 10, "metric" -> (col("metric") / 10))
+      .select("event_id", "metric").orderBy("event_id")),
+    "q_smapcat" -> ((s, d) => ev(s, d).smapcat(col("tags"), "tag")
+      .select("event_id", "tag").orderBy("event_id", "tag")),
+
+    // ---- §2.8 query language + index
+    "q_query_search" -> ((s, d) =>
+      Index.search(Index.snapshot(ev(s, d)),
+        """state = "critical" or (metric > 120 and tagged "big")""")
+        .select("event_id", "host", "service", "state", "metric", "time_s")
+        .orderBy("event_id")),
+    "q_query_attrs" -> ((s, d) =>
+      Index.search(Index.snapshot(ev(s, d)), """k > 50 and metric < 100""")
+        .select("event_id", "host", "service", "metric").orderBy("event_id")),
+    "q_index_snapshot" -> ((s, d) => Index.snapshot(ev(s, d))
+      .select("event_id", "host", "service", "state", "metric", "time_s")
+      .orderBy("host", "service")),
+    "q_index_expired" -> ((s, d) => Index.expiredAt(ev(s, d), lit(1706620000L))
+      .select("host", "service", "state", "time_s").orderBy("host", "service")),
+
+    // ---- §2.5 grouping / combine
+    "q_coalesce" -> ((s, d) => Combine.coalesce(ev(s, d))
+      .select("service", "host", "time_s", "event_id", "metric", "state")
+      .orderBy("service", "host")),
+    "q_coalesce_fold" -> ((s, d) => Combine.coalesceFold(ev(s, d),
+      "n_hosts" -> count(lit(1)),
+      "mean_latest" -> Folds.meanExact(col("metric")))
+      .orderBy("service")),
+    "q_project_quotient" -> ((s, d) => Combine.projectQuotient(ev(s, d),
+      col("service") === "purchase", col("service") === "error", Seq("host"))
+      .orderBy("host")),
+
+    // ---- §2.6 windows / temporal
+    "q_fixed_offset_window" -> ((s, d) =>
+      Windows.fixedOffsetTimeWindow(ev(s, d), 3600, Seq("service"))
+        .orderBy("service", "window_start")),
+    "q_fixed_event_window" -> ((s, d) =>
+      Windows.fixedEventWindow(ev(s, d), 5, Seq("host"))
+        .orderBy("host", "batch_id")),
+    "q_moving_event_window" -> ((s, d) =>
+      Windows.movingEventWindow(ev(s, d), 3, Seq("host"))
+        .select("event_id", "moving_sum", "moving_n").orderBy("event_id")),
+    "q_moving_time_window" -> ((s, d) =>
+      Windows.movingTimeWindow(ev(s, d), 3600, Seq("host"))
+        .select("event_id", "window_sum", "window_n").orderBy("event_id")),
+    "q_fixed_time_window" -> ((s, d) =>
+      Windows.fixedTimeWindow(ev(s, d), 7200, Seq("host"))
+        .orderBy("host", "window_id")),
+    "q_rate" -> ((s, d) => Windows.rate(ev(s, d), 3600, Seq("service"))
+      .orderBy("service", "window_start")),
+    "q_percentiles" -> ((s, d) =>
+      Windows.percentiles(ev(s, d), 86400, Seq(0.5, 0.9, 0.99))
+        .orderBy("service_pt", "window_start")),
+    "q_apdex" -> ((s, d) => Windows.apdex(ev(s, d), 86400,
+      col("metric") <= 50, col("metric") > 50 && col("metric") <= 150,
+      Seq("service")).orderBy("service", "window_start")),
+    "q_ddt" -> ((s, d) => Windows.ddt(ev(s, d), Seq("host"))
+      .select("event_id", "ddt").orderBy("event_id")),
+    "q_counter" -> ((s, d) => Windows.counter(ev(s, d), Seq("host"), "big")
+      .select("event_id", "running_sum").orderBy("event_id")),
+    "q_ewma_timeless" -> ((s, d) =>
+      Windows.ewmaTimeless(ev(s, d), 0.3, Seq("host")).orderBy("host")),
+    "q_ewma" -> ((s, d) =>
+      Windows.ewma(ev(s, d), 3600.0, Seq("host")).orderBy("host")),
+    "q_top_k" -> ((s, d) => Windows.topK(ev(s, d), 5, Seq("host", "service"))
+      .orderBy(col("total_metric").desc, col("host"), col("service"))),
+    "q_throttle" -> ((s, d) => Windows.throttle(ev(s, d), 2, 3600, Seq("host"))
+      .select("event_id").orderBy("event_id")),
+    "q_rollup" -> ((s, d) => Windows.rollup(ev(s, d), 2, 3600, Seq("service"))
+      .orderBy("service", "window_start")),
+    "q_changed" -> ((s, d) => Windows.changed(ev(s, d), "state", Seq("host"))
+      .select("event_id", "state", "prev_value").orderBy("event_id")),
+    "q_runs" -> ((s, d) => Windows.runs(ev(s, d), 2, "state", Seq("host"))
+      .select("event_id").orderBy("event_id")),
+    "q_stable" -> ((s, d) => Windows.stable(ev(s, d), 7200, "state", Seq("host"))
+      .select("event_id").orderBy("event_id")),
+    "q_predict_linear" -> ((s, d) =>
+      Windows.predictLinear(ev(s, d), 3600, Seq("host")).orderBy("host")),
+    "q_clock_skew" -> ((s, d) => Windows.clockSkew(ev(s, d)).orderBy("host")),
+    "q_fold_interval" -> ((s, d) => Windows.foldInterval(ev(s, d), 86400,
+      Seq("service"),
+      "sum_m" -> Folds.sumExact(col("metric")),
+      "mean_m" -> Folds.meanExact(col("metric")),
+      "min_m" -> min(col("metric")),
+      "max_m" -> max(col("metric")),
+      "sd_m" -> Folds.stddevPopExact(col("metric")),
+      "n" -> count(lit(1))).orderBy("service", "window_start")),
+    "q_batch" -> ((s, d) => Windows.batchNDt(ev(s, d), 3, 3600, Seq("host"))
+      .orderBy("host", "window_start", "batch_seq")),
+    "q_fill_in" -> ((s, d) => Windows.fillIn(ev(s, d), 3600, Seq("service"), 0.0)
+      .orderBy("service", "window_start")),
+    "q_fill_in_last" -> ((s, d) =>
+      Windows.fillInLast(ev(s, d), 3600, Seq("service"))
+        .orderBy("service", "window_start")),
+    "q_sreduce" -> ((s, d) => Windows.sreduceRunning(ev(s, d), Seq("host"),
+      "running_max" -> max(col("metric")),
+      "running_sum" -> sum(col("metric").cast(D)))
+      .withColumn("running_sum", col("running_sum").cast("double"))
+      .select("event_id", "running_max", "running_sum").orderBy("event_id")),
+    "q_mode" -> ((s, d) =>
+      Folds.modeDeterministic(ev(s, d), "metric", Seq("service"))
+        .orderBy("service")),
+
+    // ---- LLM pipeline: dedup
+    "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))
+      .orderBy("content_hash")),
+    "q_minhash_sig" -> ((s, d) => Dedup.minhashSignature(docs(s, d), 8, 3)
+      .orderBy("doc_id")),
+    "q_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(docs(s, d), 16, 4, 0.5, 3)
+      .orderBy("doc_a", "doc_b")),
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), 3, 0.3, 16, 8)
+        .orderBy("doc_a", "doc_b")),
+    "q_simhash" -> ((s, d) => Dedup.simhash(docs(s, d), 64).orderBy("doc_id")),
+    "q_embedding_neardups" -> ((s, d) =>
+      Dedup.embeddingNearDups(emb(s, d), 0.9, 8).orderBy("vec_a", "vec_b")),
+
+    // ---- LLM pipeline: similarity
+    "q_ann_brute" -> ((s, d) =>
+      Similarity.bruteForceTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)
+        .orderBy("query_id", "rk")),
+    "q_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(emb(s, d), 8)
+      .orderBy("vec_id")),
+    "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d))
+      .orderBy("label")),
+
+    // ---- LLM pipeline: text analysis
+    "q_text_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))
+      .orderBy("doc_id")),
+    "q_quality" -> ((s, d) => TextAnalysis.qualityScores(docs(s, d))
+      .orderBy("doc_id")),
+    "q_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
+    "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))
+      .orderBy("doc_id"))
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+  /** Shared DuckDB prefix (see EventView.oracleCte). */
+  private val cte = EventView.oracleCte
+  /** DuckDB snapshot-of-latest CTE built on `ev`. */
+  private val snapCte =
+    s"""$cte, snap AS (SELECT *, row_number() OVER (PARTITION BY host, service
+       | ORDER BY time_s DESC, event_id DESC) AS rn FROM ev)"""
+      .stripMargin.replace("\n", "")
+  /** DuckDB shingles CTE on `documents` (w=3, matching Dedup.shingles). */
+  private val shCte =
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      | sh AS (SELECT doc_id, list_distinct(list_transform(
+      |   generate_series(0, GREATEST(len(words)-3, 0)),
+      |   i -> array_to_string(words[i+1:i+3], ' '))) AS shingles FROM s)"""
+      .stripMargin.replace("\n", "")
+  /** DuckDB unit-normalized embeddings CTE (matches Similarity.normalized). */
+  private val unitCte =
+    """WITH e AS (SELECT vec_id, label,
+      |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings),
+      | nn AS (SELECT vec_id, label, dv, sqrt(CAST(list_sum(list_transform(dv,
+      |   x -> CAST(x*x AS DECIMAL(38,18)))) AS DOUBLE)) AS nrm FROM e),
+      | u AS (SELECT vec_id, label, list_transform(dv, x -> x/nrm) AS unit FROM nn)"""
+      .stripMargin.replace("\n", "")
+  private val stopList =
+    TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  private def minhashSigSql(k: Int): String =
+    s"list_transform(generate_series(0, ${k - 1}), seed -> " +
+      "list_min(list_transform(shingles, x -> " +
+      "md5(CAST(seed AS VARCHAR) || '|' || x))))"
+
+  /** DuckDB replica of Similarity.bucketExpr/planeComponent. */
+  private def bucketSql(planes: Int): String = {
+    val comp = "(CAST(('0x'||substr(md5(CAST(p AS VARCHAR)||'_'||" +
+      "CAST(z[2] AS VARCHAR)),1,15)) AS BIGINT) % 100000 - 50000)/100000.0"
+    val proj = "CAST(list_sum(list_transform(list_zip(unit, " +
+      s"generate_series(0, len(unit)-1)), z -> CAST(z[1]*($comp) " +
+      "AS DECIMAL(38,18)))) AS DOUBLE)"
+    s"CAST(list_sum(list_transform(generate_series(0, ${planes - 1}), " +
+      s"p -> CASE WHEN ($proj) >= 0 THEN CAST(pow(2, p) AS BIGINT) " +
+      "ELSE 0 END)) AS BIGINT)"
+  }
+
+  private val simhashSql: String = {
+    val bitSums = (0 until 64).map { b =>
+      val h = if (b < 60) s"(h1 >> $b)" else s"(h2 >> ${b - 60})"
+      s"SUM(CASE WHEN $h & 1 = 1 THEN cnt ELSE -cnt END) AS b$b"
+    }.mkString(", ")
+    val pack = (0 until 64).map { b =>
+      val w = if (b == 63) "(-9223372036854775807 - 1)" else s"CAST(${1L << b} AS BIGINT)"
+      s"CASE WHEN b$b > 0 THEN $w ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    "WITH toks AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt, " +
+      "CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS h1, " +
+      "CAST(('0x'||substr(md5(tok),16,15)) AS BIGINT) AS h2 " +
+      "FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents) " +
+      s"GROUP BY doc_id, tok, h1, h2), agg AS (SELECT doc_id, $bitSums " +
+      s"FROM toks GROUP BY doc_id) SELECT doc_id, $pack AS simhash " +
+      "FROM agg ORDER BY doc_id"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_where" -> s"$cte SELECT event_id, host, service, metric FROM ev WHERE metric > 100 AND service = 'purchase' ORDER BY event_id",
+    "q_over_under" -> s"$cte SELECT event_id, metric FROM ev WHERE metric > 50 AND metric < 150 ORDER BY event_id",
+    "q_tagged_any" -> s"$cte SELECT event_id, service, metric FROM ev WHERE list_has_any(tags, ['big']) ORDER BY event_id",
+    "q_tagged_all" -> s"$cte SELECT event_id, metric FROM ev WHERE list_has_all(tags, ['purchase','big']) ORDER BY event_id",
+    "q_expired" -> s"$cte SELECT event_id, host, service, time_s, ttl FROM ev WHERE state = 'expired' OR (ttl IS NOT NULL AND 1706620000 - time_s > ttl) ORDER BY event_id",
+    "q_split" -> s"$cte SELECT event_id, CASE WHEN metric > 150 THEN 'high' WHEN metric > 50 THEN 'mid' ELSE 'low' END AS route FROM ev ORDER BY event_id",
+    "q_splitp" -> s"$cte SELECT event_id, CASE WHEN state = 'critical' THEN 'page' WHEN state = 'warning' THEN 'notify' ELSE 'ignore' END AS route FROM ev ORDER BY event_id",
+    "q_dual" -> s"$cte SELECT event_id, 'expired' AS state FROM ev WHERE NOT coalesce(metric > 50, false) ORDER BY event_id",
+    "q_match" -> s"$cte SELECT event_id, service FROM ev WHERE regexp_matches(service, 'purchase|signup') ORDER BY event_id",
+    "q_project_fields" -> s"$cte SELECT event_id, 'evt' AS description, metric * CAST(0.5 AS DOUBLE) AS metric FROM ev ORDER BY event_id",
+    "q_default" -> s"$cte SELECT event_id, coalesce(state, 'ok') AS state, 'dc1' AS site FROM ev ORDER BY event_id",
+    "q_tag_untag" -> s"$cte SELECT event_id, list_sort(list_distinct(list_filter(list_concat(tags, ['x']), t -> t <> 'big'))) AS tags FROM ev ORDER BY event_id",
+    "q_smap" -> s"$cte, m AS (SELECT event_id, metric / CAST(10 AS DOUBLE) AS metric FROM ev) SELECT event_id, metric FROM m WHERE metric > 10 ORDER BY event_id",
+    "q_smapcat" -> s"$cte SELECT event_id, unnest(tags) AS tag FROM ev ORDER BY event_id, tag",
+    "q_query_search" -> s"$snapCte SELECT event_id, host, service, state, metric, time_s FROM snap WHERE rn = 1 AND (state = 'critical' OR (metric > 120 AND list_contains(tags, 'big'))) ORDER BY event_id",
+    "q_query_attrs" -> (s"WITH ev AS (SELECT event_id, CAST(user_id AS VARCHAR) AS host, event_type AS service, value AS metric, epoch_ns(ts) // 1000000000 AS time_s, CAST(regexp_extract(props, '([0-9]+)', 1) AS DOUBLE) AS kval FROM events), " +
+      "snap AS (SELECT *, row_number() OVER (PARTITION BY host, service ORDER BY time_s DESC, event_id DESC) AS rn FROM ev) " +
+      "SELECT event_id, host, service, metric FROM snap WHERE rn = 1 AND kval > 50 AND metric < 100 ORDER BY event_id"),
+    "q_index_snapshot" -> s"$snapCte SELECT event_id, host, service, state, metric, time_s FROM snap WHERE rn = 1 ORDER BY host, service",
+    "q_index_expired" -> s"$snapCte SELECT host, service, 'expired' AS state, CAST(1706620000 AS BIGINT) AS time_s FROM snap WHERE rn = 1 AND (state = 'expired' OR (ttl IS NOT NULL AND 1706620000 - time_s > ttl)) ORDER BY host, service",
+    "q_coalesce" -> s"$snapCte SELECT service, host, time_s, event_id, metric, state FROM snap WHERE rn = 1 ORDER BY service, host",
+    "q_coalesce_fold" -> s"$snapCte SELECT service, count(*) AS n_hosts, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) / count(metric) AS mean_latest FROM snap WHERE rn = 1 GROUP BY service ORDER BY service",
+    "q_project_quotient" -> (s"$cte, hosts AS (SELECT DISTINCT host FROM ev), " +
+      "r AS (SELECT host, service, metric, row_number() OVER (PARTITION BY host, service ORDER BY time_s DESC, event_id DESC) AS rn FROM ev WHERE service IN ('purchase', 'error')) " +
+      "SELECT hosts.host, a.metric AS metric_a, b.metric AS metric_b, round(a.metric / b.metric, 6) AS quotient FROM hosts " +
+      "LEFT JOIN (SELECT host, metric FROM r WHERE rn = 1 AND service = 'purchase') a ON hosts.host = a.host " +
+      "LEFT JOIN (SELECT host, metric FROM r WHERE rn = 1 AND service = 'error') b ON hosts.host = b.host ORDER BY hosts.host"),
+    "q_fixed_offset_window" -> s"$cte SELECT service, time_s - time_s % 3600 AS window_start, count(*) AS n_events, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric FROM ev GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_fixed_event_window" -> (s"$cte, r AS (SELECT *, (row_number() OVER (PARTITION BY host ORDER BY time_s, event_id) - 1) // 5 AS batch_id FROM ev) " +
+      "SELECT host, batch_id, count(*) AS n_events, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric, max(time_s) AS last_time FROM r GROUP BY host, batch_id ORDER BY host, batch_id"),
+    "q_moving_event_window" -> (s"$cte SELECT event_id, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER w AS DOUBLE) AS moving_sum, count(*) OVER w AS moving_n FROM ev " +
+      "WINDOW w AS (PARTITION BY host ORDER BY time_s, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    "q_moving_time_window" -> (s"$cte SELECT event_id, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER w AS DOUBLE) AS window_sum, count(*) OVER w AS window_n FROM ev " +
+      "WINDOW w AS (PARTITION BY host ORDER BY time_s RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    "q_fixed_time_window" -> (s"$cte, t AS (SELECT *, min(time_s) OVER (PARTITION BY host) AS t0 FROM ev) " +
+      "SELECT host, (time_s - t0) // 7200 AS window_id, count(*) AS n_events, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric, min(time_s) AS window_min_time " +
+      "FROM t GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_rate" -> s"$cte SELECT service, time_s - time_s % 3600 AS window_start, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) / CAST(3600 AS DOUBLE) AS rate FROM ev GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_percentiles" -> (s"$cte, b AS (SELECT service, time_s - time_s % 86400 AS window_start, list(metric ORDER BY metric) AS ms FROM ev GROUP BY 1, 2), " +
+      "p AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS point) " +
+      "SELECT service || ' ' || CAST(point AS VARCHAR) AS service_pt, window_start, point, ms[CAST(LEAST(FLOOR(point * len(ms)), len(ms) - 1) AS INT) + 1] AS metric " +
+      "FROM b, p ORDER BY service_pt, window_start"),
+    "q_apdex" -> (s"$cte SELECT service, time_s - time_s % 86400 AS window_start, " +
+      "(CAST(SUM(CASE WHEN metric <= 50 THEN 1 ELSE 0 END) AS BIGINT) + CAST(SUM(CASE WHEN metric > 50 AND metric <= 150 THEN 1 ELSE 0 END) AS BIGINT) / CAST(2.0 AS DOUBLE)) / count(*) AS apdex " +
+      "FROM ev GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_ddt" -> (s"$cte, l AS (SELECT event_id, time_s, metric, lag(metric) OVER w AS prev_metric, lag(time_s) OVER w AS prev_time FROM ev " +
+      "WINDOW w AS (PARTITION BY host ORDER BY time_s, event_id)) " +
+      "SELECT event_id, (metric - prev_metric) / (time_s - prev_time) AS ddt FROM l WHERE prev_time IS NOT NULL AND time_s <> prev_time ORDER BY event_id"),
+    "q_counter" -> (s"$cte, seg AS (SELECT *, SUM(CASE WHEN list_contains(tags, 'big') THEN 1 ELSE 0 END) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS segment FROM ev) " +
+      "SELECT event_id, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER (PARTITION BY host, segment ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum FROM seg ORDER BY event_id"),
+    "q_ewma_timeless" -> (s"$cte, o AS (SELECT host, metric, row_number() OVER (PARTITION BY host ORDER BY time_s, event_id) AS idx, count(*) OVER (PARTITION BY host) AS n FROM ev WHERE metric IS NOT NULL) " +
+      "SELECT host, round(CAST(SUM(CAST(CAST(0.3 AS DOUBLE) * pow(CAST(0.7 AS DOUBLE), n - idx) * metric AS DECIMAL(38,18))) AS DOUBLE), 4) AS ewma FROM o GROUP BY host ORDER BY host"),
+    "q_ewma" -> {
+      // embed the exact Scala-computed decay constants; Double.toString
+      // round-trips, so DuckDB parses the identical double
+      val r = math.pow(2.0, -1.0 / 3600.0)
+      s"$cte, o AS (SELECT host, metric, time_s, max(time_s) OVER (PARTITION BY host) AS t_max FROM ev WHERE metric IS NOT NULL) " +
+        s"SELECT host, round(CAST(SUM(CAST(CAST(${1 - r} AS DOUBLE) * metric * pow(CAST($r AS DOUBLE), t_max - time_s) AS DECIMAL(38,18))) AS DOUBLE), 4) AS ewma FROM o GROUP BY host ORDER BY host"
+    },
+    "q_top_k" -> s"$cte SELECT host, service, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS total_metric FROM ev GROUP BY 1, 2 ORDER BY total_metric DESC, host, service LIMIT 5",
+    "q_throttle" -> (s"$cte, r AS (SELECT *, row_number() OVER (PARTITION BY host, time_s - time_s % 3600 ORDER BY time_s, event_id) AS rnk FROM ev) " +
+      "SELECT event_id FROM r WHERE rnk <= 2 ORDER BY event_id"),
+    "q_rollup" -> (s"$cte, r AS (SELECT *, time_s - time_s % 3600 AS window_start, row_number() OVER (PARTITION BY service, time_s - time_s % 3600 ORDER BY time_s, event_id) AS rnk FROM ev) " +
+      "SELECT service, window_start, CAST(SUM(CASE WHEN rnk <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS passed, CAST(SUM(CASE WHEN rnk > 2 THEN 1 ELSE 0 END) AS BIGINT) AS rolled FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_changed" -> (s"$cte, l AS (SELECT event_id, state, lag(state) OVER (PARTITION BY host ORDER BY time_s, event_id) AS prev_value FROM ev) " +
+      "SELECT event_id, state, prev_value FROM l WHERE state IS DISTINCT FROM prev_value ORDER BY event_id"),
+    "q_runs" -> (s"$cte, c AS (SELECT *, CASE WHEN state IS NOT DISTINCT FROM lag(state) OVER (PARTITION BY host ORDER BY time_s, event_id) THEN 0 ELSE 1 END AS chg FROM ev), " +
+      "g AS (SELECT *, SUM(chg) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS segment FROM c), " +
+      "rl AS (SELECT *, row_number() OVER (PARTITION BY host, segment ORDER BY time_s, event_id) AS run_len FROM g) " +
+      "SELECT event_id FROM rl WHERE run_len >= 2 ORDER BY event_id"),
+    "q_stable" -> (s"$cte, c AS (SELECT *, CASE WHEN state IS NOT DISTINCT FROM lag(state) OVER (PARTITION BY host ORDER BY time_s, event_id) THEN 0 ELSE 1 END AS chg FROM ev), " +
+      "g AS (SELECT *, SUM(chg) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS segment FROM c), " +
+      "ss AS (SELECT *, min(time_s) OVER (PARTITION BY host, segment ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS segment_start FROM g) " +
+      "SELECT event_id FROM ss WHERE time_s - segment_start >= 7200 ORDER BY event_id"),
+    "q_predict_linear" -> (s"$cte, x AS (SELECT host, metric, time_s, CAST(time_s - min(time_s) OVER (PARTITION BY host) AS DECIMAL(38,6)) AS xv FROM ev WHERE metric IS NOT NULL), " +
+      "m AS (SELECT host, CAST(count(*) AS DOUBLE) AS n, CAST(SUM(xv) AS DOUBLE) AS sx, CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS sy, CAST(SUM(xv * CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS sxy, CAST(SUM(xv * xv) AS DOUBLE) AS sxx, max(time_s) AS last_time, CAST(max(xv) AS DOUBLE) AS x_last FROM x GROUP BY host), " +
+      "sl AS (SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM m) " +
+      "SELECT host, last_time, round((sy - slope * sx) / n + slope * (x_last + 3600), 4) AS predicted FROM sl ORDER BY host"),
+    "q_clock_skew" -> (s"$cte, latest AS (SELECT host, max(time_s) AS host_time FROM ev GROUP BY host), " +
+      "med AS (SELECT quantile_cont(host_time, 0.5) AS median_time FROM latest) " +
+      "SELECT host, host_time, round(host_time - median_time, 1) AS skew_s FROM latest, med ORDER BY host"),
+    "q_fold_interval" -> (s"$cte SELECT service, time_s - time_s % 86400 AS window_start, " +
+      "CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_m, " +
+      "CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) / count(metric) AS mean_m, " +
+      "min(metric) AS min_m, max(metric) AS max_m, " +
+      "sqrt(CAST(SUM(CAST(metric AS DECIMAL(18,6)) * CAST(metric AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(metric) AS DOUBLE) - (CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(metric) AS DOUBLE)) * (CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(metric) AS DOUBLE))) AS sd_m, " +
+      "count(*) AS n FROM ev GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_batch" -> (s"$cte, r AS (SELECT *, time_s - time_s % 3600 AS window_start, (row_number() OVER (PARTITION BY host, time_s - time_s % 3600 ORDER BY time_s, event_id) - 1) // 3 AS batch_seq FROM ev) " +
+      "SELECT host, window_start, batch_seq, count(*) AS n_events, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric, max(time_s) AS flush_time FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_fill_in" -> (s"$cte, obs AS (SELECT service, time_s - time_s % 3600 AS window_start, count(*) AS n_events, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric FROM ev GROUP BY 1, 2), " +
+      "spans AS (SELECT service, min(window_start) AS w0, max(window_start) AS w1 FROM obs GROUP BY service), " +
+      "al AS (SELECT service, unnest(generate_series(w0, w1, 3600)) AS window_start FROM spans) " +
+      "SELECT al.service, al.window_start, coalesce(obs.n_events, 0) AS n_events, coalesce(obs.sum_metric, CAST(0 AS DOUBLE)) AS sum_metric FROM al LEFT JOIN obs ON al.service = obs.service AND al.window_start = obs.window_start ORDER BY 1, 2"),
+    "q_fill_in_last" -> (s"$cte, obs AS (SELECT service, time_s - time_s % 3600 AS window_start, count(*) AS n_events, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric FROM ev GROUP BY 1, 2), " +
+      "spans AS (SELECT service, min(window_start) AS w0, max(window_start) AS w1 FROM obs GROUP BY service), " +
+      "al AS (SELECT service, unnest(generate_series(w0, w1, 3600)) AS window_start FROM spans), " +
+      "j AS (SELECT al.service, al.window_start, coalesce(obs.n_events, 0) AS n_events, coalesce(obs.sum_metric, CAST(0 AS DOUBLE)) AS sum_metric FROM al LEFT JOIN obs ON al.service = obs.service AND al.window_start = obs.window_start) " +
+      "SELECT service, window_start, n_events, CASE WHEN n_events > 0 THEN sum_metric ELSE last_value(CASE WHEN n_events > 0 THEN sum_metric END IGNORE NULLS) OVER (PARTITION BY service ORDER BY window_start ROWS UNBOUNDED PRECEDING) END AS sum_metric FROM j ORDER BY 1, 2"),
+    "q_sreduce" -> (s"$cte SELECT event_id, max(metric) OVER w AS running_max, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_sum FROM ev " +
+      "WINDOW w AS (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) ORDER BY event_id"),
+    "q_mode" -> (s"$cte, c AS (SELECT service, metric, count(*) AS cnt FROM ev WHERE metric IS NOT NULL GROUP BY 1, 2), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY service ORDER BY cnt DESC, metric ASC) AS rk FROM c) " +
+      "SELECT service, metric AS mode, cnt AS mode_count FROM r WHERE rk = 1 ORDER BY service"),
+    "q_dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1",
+    "q_minhash_sig" -> s"$shCte SELECT doc_id, ${minhashSigSql(8)} AS sig FROM sh ORDER BY doc_id",
+    "q_minhash_pairs" -> (s"$shCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM sh), " +
+      "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM sg), " +
+      "bk AS (SELECT doc_id, sig, band, md5(array_to_string(sig[band*4+1:band*4+4], ',')) AS bucket FROM banded), " +
+      "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2])) AS DOUBLE) / 16 AS est_jaccard " +
+      "FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id) " +
+      "SELECT doc_a, doc_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b"),
+    "q_ngram_jaccard" -> (s"$shCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM sh), " +
+      "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 7)) AS band FROM sg), " +
+      "bk AS (SELECT doc_id, band, md5(array_to_string(sig[band*2+1:band*2+2], ',')) AS bucket FROM banded), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+      "jj AS (SELECT doc_a, doc_b, CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard " +
+      "FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id) " +
+      "SELECT doc_a, doc_b, jaccard FROM jj WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"),
+    "q_simhash" -> simhashSql,
+    "q_embedding_neardups" -> (s"$unitCte SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+      "round(CAST(list_sum(list_transform(list_zip(a.unit, b.unit), z -> CAST(z[1]*z[2] AS DECIMAL(38,18)))) AS DOUBLE), 6) AS cosine " +
+      s"FROM (SELECT vec_id, unit, ${bucketSql(8)} AS bucket FROM u) a JOIN (SELECT vec_id, unit, ${bucketSql(8)} AS bucket FROM u) b " +
+      "ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
+      "WHERE round(CAST(list_sum(list_transform(list_zip(a.unit, b.unit), z -> CAST(z[1]*z[2] AS DECIMAL(38,18)))) AS DOUBLE), 6) >= 0.9 ORDER BY vec_a, vec_b"),
+    "q_ann_brute" -> (s"$unitCte, q AS (SELECT vec_id AS query_id, unit AS qunit FROM u WHERE vec_id IN (0,1,2,3,4)), " +
+      "scored AS (SELECT query_id, vec_id, round(CAST(list_sum(list_transform(list_zip(unit, qunit), z -> CAST(z[1]*z[2] AS DECIMAL(38,18)))) AS DOUBLE), 6) AS cosine FROM u, q WHERE vec_id <> query_id), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM scored) " +
+      "SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 10 ORDER BY query_id, rk"),
+    "q_lsh_buckets" -> s"$unitCte SELECT vec_id, label, ${bucketSql(8)} AS bucket FROM u ORDER BY vec_id",
+    "q_label_centroids" -> (s"$unitCte, dims AS (SELECT label, unnest(unit) AS v, unnest(generate_series(0, len(unit)-1)) AS dim FROM u), " +
+      "cc AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c FROM dims GROUP BY 1, 2) " +
+      "SELECT label, round(sqrt(CAST(SUM(CAST(c*c AS DECIMAL(38,18))) AS DOUBLE)), 4) AS centroid_norm, count(*) AS dims FROM cc GROUP BY label ORDER BY label"),
+    "q_text_stats" -> ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+      "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens, CAST(length(text) AS BIGINT) // 4 AS est_bpe_tokens " +
+      "FROM documents ORDER BY doc_id"),
+    "q_quality" -> (s"WITH t AS (SELECT doc_id, length(text) AS nch, string_split(text, ' ') AS toks FROM documents), " +
+      s"m AS (SELECT doc_id, CAST(nch AS DOUBLE) AS nchars, CAST(len(toks) AS DOUBLE) AS ntok, CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) AS nstop, CAST(len(list_distinct(toks)) AS DOUBLE) AS ndis FROM t) " +
+      "SELECT doc_id, round(nchars / ntok, 4) AS mean_token_len, round(ndis / ntok, 4) AS type_token_ratio, round(nstop / ntok, 4) AS stopword_ratio, round(CAST(1.0 AS DOUBLE) - ndis / ntok, 4) AS repetition FROM m ORDER BY doc_id"),
+    "q_langid" -> (s"WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents), " +
+      s"m AS (SELECT doc_id, lang, CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks) AS sc FROM t) " +
+      "SELECT doc_id, lang AS declared_lang, round(sc, 4) AS en_score, CASE WHEN sc >= 0.05 THEN 'en' ELSE 'other' END AS predicted_lang FROM m ORDER BY doc_id"),
+    "q_fingerprint" -> ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fingerprint, md5(text) AS exact_fingerprint FROM documents ORDER BY doc_id")
+  )
 }

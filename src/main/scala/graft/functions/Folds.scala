@@ -79,7 +79,18 @@ object Folds {
 
   /** Deterministic mode (folds.clj:166-184 `modes`/`mode`): most
     * frequent value; ties broken by smallest value so distributed runs
-    * and the oracle agree. Use over a pre-aggregated (value,count)
-    * relation: see queries. */
+    * and the oracle agree. One aggregation pass: count per value, then
+    * lexicographic struct max over (count, −value). */
+  def modeDeterministic(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val counted = df.filter(col(valueCol).isNotNull)
+      .groupBy((keys.map(col) :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("cnt"))
+    counted.groupBy(keys.map(col): _*)
+      .agg(max(struct(col("cnt").as("cnt"), (-col(valueCol)).as("negv"))).as("m"))
+      .select((keys.map(col) :+ (-col("m.negv")).as("mode") :+
+        col("m.cnt").as("mode_count")): _*)
+  }
+
   def countNonNil(c: Column): Column = count(c)
 }

@@ -107,6 +107,40 @@ object Streams {
       val (t, f) = whereElse(pred)
       (t, f.withColumn("state", lit("expired")))
     }
+
+    /** `smapcat f` (streams.clj:177-197): 1→N projection — f yields an
+      * array column whose elements become rows. */
+    def smapcat(arr: Column, as: String): DataFrame =
+      df.withColumn(as, explode(arr))
+
+    /** `sflatten` (streams.clj:199-204): flatten a vector-of-events
+      * column back to individual event rows (the inverse of the
+      * window operators' collect_list emission). */
+    def sflatten(eventsCol: String): DataFrame = {
+      val exploded = df.withColumn("_e", explode(col(eventsCol)))
+      exploded.select(col("_e.*"))
+    }
+
+    /** `match` via [[Streams.matches]] on one field. */
+    def matching(field: String, pattern: Any): DataFrame =
+      df.filter(Streams.matches(col(field), pattern))
+  }
+
+  /** `riemann.common/match` (common.clj:181-212, used by streams.clj
+    * `match`:1263-1282): polymorphic matcher — a Regex pattern does a
+    * regex find, a Map requires every (field → pattern) to match, a Seq
+    * means any-of, `null` matches null, anything else is value
+    * equality. */
+  def matches(target: Column, pattern: Any): Column = pattern match {
+    case null => target.isNull
+    case r: scala.util.matching.Regex => target.rlike(r.regex)
+    case m: Map[_, _] =>
+      m.map { case (k, v) => matches(col(k.toString), v) }
+        .reduceOption(_ && _).getOrElse(lit(true))
+    case s: Seq[_] =>
+      s.map(v => matches(target, v)).reduceOption(_ || _).getOrElse(lit(false))
+    case c: Column => target <=> c
+    case v => target <=> lit(v)
   }
 
   def expiredPred(nowS: Column): Column =

@@ -107,11 +107,12 @@ object Windows {
         (col("time_s") - col("prev_time")))
   }
 
-  /** `counter` (streams.clj:900-932): running sum per key; 'reset' tag
-    * zeroes the accumulator (via segment ids). */
-  def counter(df: DataFrame, keys: Seq[String]): DataFrame = {
+  /** `counter` (streams.clj:900-932): running sum per key; the reset
+    * tag (reference: "reset") zeroes the accumulator (via segment ids). */
+  def counter(df: DataFrame, keys: Seq[String],
+      resetTag: String = "reset"): DataFrame = {
     val w = keyW(keys)
-    val seg = sum(when(array_contains(col("tags"), "reset"), 1).otherwise(0))
+    val seg = sum(when(array_contains(col("tags"), resetTag), 1).otherwise(0))
       .over(w.rowsBetween(Window.unboundedPreceding, 0))
     val segW = Window.partitionBy((keys.map(col) :+ col("segment")): _*)
       .orderBy(col("time_s"), col("event_id"))
@@ -135,7 +136,118 @@ object Windows {
       .withColumn("n", count(lit(1)).over(cnt))
       .withColumn("weight", lit(r) * pow(lit(1 - r), col("n") - col("idx")))
       .groupBy(keys.map(col): _*)
-      .agg(round(sum(col("weight") * col("metric")), 4).as("ewma"))
+      .agg(round(sum((col("weight") * col("metric"))
+        .cast(DecimalType(38, 18))).cast("double"), 4).as("ewma"))
+  }
+
+  /** `ewma halflife` (streams.clj:979-1013): time-aware EWMA with
+    * r = 2^(−1/halflife), update m ← (1−r)·x + m·r^Δt (zero-init,
+    * out-of-order handled by additive correction). All three reference
+    * branches (pos/neg/zero Δt) collapse to the closed form
+    * m = Σ (1−r)·xᵢ·r^(t_max − t_i), which is what we aggregate — the
+    * non-positive exponents also make every term ≤ xᵢ, so no overflow.
+    * Emits the final ewma per key. */
+  def ewma(df: DataFrame, halflife: Double, keys: Seq[String]): DataFrame = {
+    val r = math.pow(2.0, -1.0 / halflife)
+    val nn = df.filter(col("metric").isNotNull)
+    val tmax = Window.partitionBy(keys.map(col): _*)
+    nn.withColumn("t_max", max("time_s").over(tmax))
+      .groupBy(keys.map(col): _*)
+      .agg(round(sum((lit(1 - r) * col("metric") *
+        pow(lit(r), col("t_max") - col("time_s")))
+        .cast(DecimalType(38, 18))).cast("double"), 4).as("ewma"))
+  }
+
+  /** `fixed-time-window n` (streams.clj:355-418): tumbling windows
+    * anchored at the FIRST event's time (not epoch-aligned) — window k
+    * spans [t₀+k·n, t₀+(k+1)·n). Per key, t₀ = min event time; the
+    * reference's late-drop (events older than the current window start)
+    * cannot occur in batch where t₀ is the true minimum. */
+  def fixedTimeWindow(df: DataFrame, seconds: Long, keys: Seq[String]): DataFrame = {
+    val t0 = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("t0", min("time_s").over(t0))
+      .withColumn("window_id", expr(s"(time_s - t0) div $seconds"))
+      .groupBy((keys.map(col) :+ col("window_id")): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("metric").cast(D)).cast("double").as("sum_metric"),
+        min("time_s").as("window_min_time"))
+  }
+
+  /** `fold-interval interval f` (streams.clj:663-681): apply any fold
+    * (an aggregate Column from [[graft.functions.Folds]]) to each
+    * epoch-aligned interval's events. */
+  def foldInterval(df: DataFrame, seconds: Long, keys: Seq[String],
+      folds: (String, Column)*): DataFrame =
+    df.withColumn("window_start", col("time_s") - (col("time_s") % seconds))
+      .groupBy((keys.map(col) :+ col("window_start")): _*)
+      .agg(folds.head._2.as(folds.head._1),
+        folds.tail.map { case (n, c) => c.as(n) }: _*)
+
+  /** `batch n dt` (streams.clj:1158-1185): size-or-time bounded
+    * batches. Batch-relational analog: split each dt bucket into runs
+    * of ≤ n events (reference anchors dt at the first event of each
+    * batch; epoch-aligned buckets are the deterministic batch reading —
+    * every emitted batch still spans ≤ dt seconds and ≤ n events). */
+  def batchNDt(df: DataFrame, n: Int, seconds: Long, keys: Seq[String]): DataFrame = {
+    val w = Window
+      .partitionBy((keys.map(col) :+ col("window_start")): _*)
+      .orderBy(col("time_s"), col("event_id"))
+    df.withColumn("window_start", col("time_s") - (col("time_s") % seconds))
+      .withColumn("batch_seq", ((row_number().over(w) - 1) / n).cast("long"))
+      .groupBy((keys.map(col) :+ col("window_start") :+ col("batch_seq")): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("metric").cast(D)).cast("double").as("sum_metric"),
+        max("time_s").as("flush_time"))
+  }
+
+  /** `fill-in interval filler` / `interpolate-constant`
+    * (streams.clj:683-774): synthesize one event per empty interval so
+    * downstream rates see continuous data. Batch form: per key, emit the
+    * observed interval aggregates PLUS a filler row for every
+    * epoch-aligned interval between the key's first and last event that
+    * saw no events (metric = `fillMetric`, n_events = 0). Generated via
+    * `sequence()` + anti-join — no driver-side loop, scales as one
+    * shuffle on (key, window_start). */
+  def fillIn(df: DataFrame, seconds: Long, keys: Seq[String],
+      fillMetric: Double): DataFrame = {
+    val observed = df
+      .withColumn("window_start", col("time_s") - (col("time_s") % seconds))
+      .groupBy((keys.map(col) :+ col("window_start")): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("metric").cast(D)).cast("double").as("sum_metric"))
+    val spans = observed.groupBy(keys.map(col): _*)
+      .agg(min("window_start").as("w0"), max("window_start").as("w1"))
+    val all = spans.select(keys.map(col) :+
+      explode(sequence(col("w0"), col("w1"), lit(seconds))).as("window_start"): _*)
+    all.join(observed, keys :+ "window_start", "left")
+      .select((keys.map(col) :+ col("window_start") :+
+        coalesce(col("n_events"), lit(0L)).as("n_events") :+
+        coalesce(col("sum_metric"), lit(fillMetric)).as("sum_metric")): _*)
+  }
+
+  /** `fill-in-last interval` (streams.clj:720-741): like fill-in but
+    * the filler copies the last seen value forward. */
+  def fillInLast(df: DataFrame, seconds: Long, keys: Seq[String]): DataFrame = {
+    val filled = fillIn(df, seconds, keys, 0.0)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("window_start"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    filled.withColumn("sum_metric",
+      when(col("n_events") > 0, col("sum_metric"))
+        .otherwise(last(when(col("n_events") > 0, col("sum_metric")),
+          ignoreNulls = true).over(w)))
+  }
+
+  /** `sreduce f` (streams.clj:206-250): running reduce with visible
+    * intermediates. Batch form for the associative folds: a running
+    * window aggregate per key (one value per event, in time order).
+    * Each fold is an aggregate expression (e.g. `sum(col("metric"))`);
+    * the running frame is applied here. */
+  def sreduceRunning(df: DataFrame, keys: Seq[String],
+      folds: (String, Column)*): DataFrame = {
+    val w = keyW(keys).rowsBetween(Window.unboundedPreceding, 0)
+    folds.foldLeft(df) { case (d, (name, agg)) =>
+      d.withColumn(name, agg.over(w))
+    }
   }
 
   /** `top k f` (streams.clj:1015-1100), batch form: rank keys by a
@@ -214,16 +326,31 @@ object Windows {
   }
 
   /** `predict-linear n s` (streams.clj:2197-2248): OLS over each key's
-    * events, predict metric s seconds past the newest event. */
-  def predictLinear(df: DataFrame, aheadSeconds: Long, keys: Seq[String]): DataFrame =
-    df.groupBy(keys.map(col): _*)
+    * events, predict metric s seconds past the newest event. OLS from
+    * decimal-exact moments over x rebased to the key's min time (keeps
+    * magnitudes small and makes the result independent of partition
+    * merge order — `regr_slope` over raw epoch seconds is neither). */
+  def predictLinear(df: DataFrame, aheadSeconds: Long, keys: Seq[String]): DataFrame = {
+    val D38 = DecimalType(38, 6)
+    val kw = Window.partitionBy(keys.map(col): _*)
+    df.filter(col("metric").isNotNull)
+      .withColumn("x", (col("time_s") - min("time_s").over(kw)).cast(D38))
+      .groupBy(keys.map(col): _*)
       .agg(
-        expr("regr_slope(metric, time_s)").as("slope"),
-        expr("regr_intercept(metric, time_s)").as("intercept"),
-        max("time_s").as("last_time"))
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("metric").cast(D38)).cast("double").as("sy"),
+        sum(col("x") * col("metric").cast(D38)).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        max("time_s").as("last_time"),
+        max(col("x")).cast("double").as("x_last"))
+      .withColumn("slope", (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n"))
       .withColumn("predicted",
-        round(col("intercept") + col("slope") * (col("last_time") + aheadSeconds), 4))
-      .drop("slope", "intercept")
+        round(col("intercept") + col("slope") * (col("x_last") + aheadSeconds), 4))
+      .select((keys.map(col) :+ col("last_time") :+ col("predicted")): _*)
+  }
 
   /** `clock-skew` (streams.clj:2159-2195): each host's latest clock vs
     * the median of all hosts' latest clocks. */

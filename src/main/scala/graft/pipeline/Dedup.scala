@@ -159,7 +159,7 @@ object Dedup {
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Similarity.dot(col("a.unit"), col("b.unit")).as("cosine"))
+        round(Similarity.dotExact(col("a.unit"), col("b.unit")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
