@@ -134,8 +134,9 @@ object QueryLanguage {
   def parse(input: String): Ast = {
     var toks = tokenize(input)
     def peek: Option[Tok] = toks.headOption
-    def next(): Tok = {
-      val t = toks.head; toks = toks.tail; t
+    def next(): Tok = toks match {
+      case t :: rest => toks = rest; t
+      case Nil => throw ParseException("unexpected end of input")
     }
     def expect(sym: String): Unit = next() match {
       case TSym(`sym`) => ()
