@@ -195,7 +195,7 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
     "q_simhash" -> ((s, d) => Dedup.simhash(docs(s, d), 64).orderBy("doc_id")),
     "q_embedding_neardups" -> ((s, d) =>
-      Dedup.embeddingNearDups(emb(s, d), 0.9, 8).orderBy("vec_a", "vec_b")),
+      Dedup.embeddingNearDups(emb(s, d), 0.9, 16).orderBy("vec_a", "vec_b")),
 
     // ---- LLM pipeline: similarity
     "q_ann_brute" -> ((s, d) =>
@@ -237,7 +237,7 @@ object SparkEntry {
       |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings),
       | nn AS (SELECT vec_id, label, dv, sqrt(CAST(list_sum(list_transform(dv,
       |   x -> CAST(x*x AS DECIMAL(38,18)))) AS DOUBLE)) AS nrm FROM e),
-      | u AS (SELECT vec_id, label, list_transform(dv, x -> x/nrm) AS unit FROM nn)"""
+      | u AS (SELECT vec_id, label, dv, list_transform(dv, x -> x/nrm) AS unit FROM nn)"""
       .stripMargin.replace("\n", "")
   private val stopList =
     TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
@@ -247,16 +247,18 @@ object SparkEntry {
       "list_min(list_transform(shingles, x -> " +
       "md5(CAST(seed AS VARCHAR) || '|' || x))))"
 
-  /** DuckDB replica of Similarity.bucketExpr/planeComponent. */
-  private def bucketSql(planes: Int): String = {
-    val comp = "(CAST(('0x'||substr(md5(CAST(p AS VARCHAR)||'_'||" +
-      "CAST(z[2] AS VARCHAR)),1,15)) AS BIGINT) % 100000 - 50000)/100000.0"
-    val proj = "CAST(list_sum(list_transform(list_zip(unit, " +
-      s"generate_series(0, len(unit)-1)), z -> CAST(z[1]*($comp) " +
-      "AS DECIMAL(38,18)))) AS DOUBLE)"
-    s"CAST(list_sum(list_transform(generate_series(0, ${planes - 1}), " +
-      s"p -> CASE WHEN ($proj) >= 0 THEN CAST(pow(2, p) AS BIGINT) " +
-      "ELSE 0 END)) AS BIGINT)"
+  /** DuckDB replica of Similarity.bucketExpr: the same driver-computed
+    * hyperplane constants are embedded as list literals on both sides
+    * (Double.toString round-trips, and every constant is an exact
+    * multiple of 1e-5, so the parsed doubles are identical). */
+  private def bucketSql(planes: Int, src: String = "dv"): String = {
+    val hp = Similarity.hyperplanes(planes, 64)
+    (0 until planes).map { p =>
+      val arr = hp(p).mkString("[", ",", "]")
+      s"(CASE WHEN CAST(list_sum(list_transform(list_zip($src, CAST($arr AS DOUBLE[]))," +
+        s" z -> CAST(z[1]*z[2] AS DECIMAL(38,18)))) AS DOUBLE) >= 0" +
+        s" THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
   }
 
   private val simhashSql: String = {
@@ -399,7 +401,7 @@ object SparkEntry {
     "q_simhash" -> simhashSql,
     "q_embedding_neardups" -> (s"$unitCte SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
       "round(CAST(list_sum(list_transform(list_zip(a.unit, b.unit), z -> CAST(z[1]*z[2] AS DECIMAL(38,18)))) AS DOUBLE), 6) AS cosine " +
-      s"FROM (SELECT vec_id, unit, ${bucketSql(8)} AS bucket FROM u) a JOIN (SELECT vec_id, unit, ${bucketSql(8)} AS bucket FROM u) b " +
+      s"FROM (SELECT vec_id, unit, ${bucketSql(16)} AS bucket FROM u) a JOIN (SELECT vec_id, unit, ${bucketSql(16)} AS bucket FROM u) b " +
       "ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
       "WHERE round(CAST(list_sum(list_transform(list_zip(a.unit, b.unit), z -> CAST(z[1]*z[2] AS DECIMAL(38,18)))) AS DOUBLE), 6) >= 0.9 ORDER BY vec_a, vec_b"),
     "q_ann_brute" -> (s"$unitCte, q AS (SELECT vec_id AS query_id, unit AS qunit FROM u WHERE vec_id IN (0,1,2,3,4)), " +

@@ -150,14 +150,25 @@ object Dedup {
     * bucket id — a label/category blocking key would be quadratic in the
     * biggest label at scale). */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.99,
-      planes: Int = 8): DataFrame = {
+      planes: Int = 16): DataFrame = {
+    // bucket from the RAW embedding: hyperplane signs are
+    // scale-invariant, so normalization is unnecessary there; unit kept
+    // for the cosine. cache() materializes both once before the
+    // self-join re-references them per pair.
     val e = embeddings.select(col("vec_id"),
-      Similarity.normalized(col("embedding")).as("unit"))
-      .withColumn("bucket", Similarity.bucketExpr(col("unit"), planes))
+      Similarity.normalized(col("embedding")).as("unit"),
+      Similarity.bucketExpr(
+        transform(col("embedding"), x => x.cast("double")), planes).as("bucket"))
+      .cache()
     val a = e.as("a")
     val b = e.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
+      // cheap codegen'd double dot prunes the candidate set; the
+      // decimal-exact cosine (engine/order-independent) only runs on
+      // survivors
+      .filter(Similarity.dot(col("a.unit"), col("b.unit")) >=
+        threshold - Similarity.CosineEps)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(Similarity.dotExact(col("a.unit"), col("b.unit")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)

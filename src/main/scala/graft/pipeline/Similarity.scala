@@ -35,21 +35,30 @@ object Similarity {
   /** L2-normalized copy (cast to double once, normalize once — cosine
     * then reduces to a dot product in the join). The norm sums squares
     * through decimal so the unit vector is bit-identical on any engine;
-    * sqrt is IEEE-exact everywhere. */
+    * sqrt is IEEE-exact everywhere.
+    *
+    * The norm is zipped in via `array_repeat` rather than referenced
+    * inside the per-element lambda: a scalar subexpression in a lambda
+    * body is re-evaluated per element, which made the (decimal) norm an
+    * O(dims²) cost per evaluation. */
   def normalized(a: Column): Column = {
     val d = transform(a, x => x.cast("double"))
     val n = sqrt(aggregate(
       transform(d, x => (x * x).cast(DecimalType(38, 18))),
       lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 18)),
       (acc, x) => (acc + x).cast(DecimalType(38, 18))).cast("double"))
-    transform(d, x => x / n)
+    zip_with(d, array_repeat(n, size(d)), (x, nn) => x / nn)
   }
 
   /** Brute-force cosine top-k: for each query vector (small set,
     * broadcast), rank the whole corpus. Ties broken by vec_id; cosine
     * rounded so ranking is stable across engines and partitionings. */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    // materialize the normalized corpus once; the join would otherwise
+    // re-evaluate the unit expression per candidate pair (at cluster
+    // scale this is the standard normalize-once-then-scan layout)
     val e = embeddings.select(col("vec_id"), normalized(col("embedding")).as("unit"))
+      .cache()
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("unit").as("qunit"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -61,30 +70,39 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * md5-derived integer mapped to [-0.5, 0.5). md5 (not xxhash64) so
-    * any engine — including the DuckDB oracle — reproduces the exact
-    * hyperplanes; pure column arithmetic, no RNG state. */
-  private def planeComponent(plane: Column, dim: Column): Column = {
-    val h = conv(substring(md5(concat(plane.cast("string"), lit("_"),
-      dim.cast("string"))), 1, 15), 16, 10).cast("long")
-    ((h % 100000) - 50000).cast("double") / 100000.0
+    * md5-derived integer mapped to [-0.5, 0.5). md5 (not a
+    * platform-specific RNG) so any engine — including the DuckDB
+    * oracle — could re-derive the exact constants. Computed ONCE on the
+    * driver (it depends only on (plane, dim), never on data) and
+    * shipped as literals: recomputing a constant hash matrix per row
+    * was the dominant cost of the first implementation. */
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${plane}_$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    (h % 100000 - 50000).toDouble / 100000.0
   }
+
+  /** The (planes × dims) hyperplane matrix as Scala constants. */
+  def hyperplanes(planes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dims)(planeComponent)
 
   /** Random-hyperplane LSH bucket id as ONE codegen'd expression per
     * row — no crossJoin row blowup, no shuffle: for each plane p, the
-    * projection is an `aggregate` over (component, dim) pairs; the sign
-    * bits pack into a long. */
-  def bucketExpr(unit: Column, planes: Int): Column = {
-    def proj(p: Column): Column =
+    * projection is an `aggregate` of unit·hyperplane (decimal-exact so
+    * the sign is engine/order-independent); the sign bits pack into a
+    * long. `dims` must match the embedding dimensionality. */
+  def bucketExpr(unit: Column, planes: Int, dims: Int = 64): Column = {
+    val hp = hyperplanes(planes, dims)
+    def proj(p: Int): Column =
       aggregate(
-        zip_with(unit, sequence(lit(0), size(unit) - 1),
-          (x, d) => (x * planeComponent(p, d)).cast(DecimalType(38, 18))),
+        zip_with(unit, lit(hp(p)),
+          (x, c) => (x * c).cast(DecimalType(38, 18))),
         lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 18)),
         (acc, x) => (acc + x).cast(DecimalType(38, 18))).cast("double")
-    aggregate(
-      transform(sequence(lit(0), lit(planes - 1)),
-        p => when(proj(p) >= 0, pow(lit(2.0), p).cast("long")).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+    (0 until planes).map(p => when(proj(p) >= 0, lit(1L << p)).otherwise(0L))
+      .reduce(_ + _)
   }
 
   /** Random-hyperplane LSH bucket id per vector: docs hashing to the
@@ -92,7 +110,12 @@ object Similarity {
     * projection — scales as a pure map. */
   def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame =
     embeddings.select(col("vec_id"), col("label"),
-      bucketExpr(normalized(col("embedding")), planes).as("bucket"))
+      bucketExpr(transform(col("embedding"), x => x.cast("double")), planes)
+        .as("bucket"))
+
+  /** Double-arithmetic prefilter bound for a decimal-exact cosine: the
+    * two differ by far less than this. */
+  val CosineEps = 1e-6
 
   /** LSH-bucketed ANN top-k: candidates share a bucket; exact cosine
     * only within buckets. Recall/cost tuned by `planes`. */
@@ -100,6 +123,7 @@ object Similarity {
     val buckets = lshBuckets(embeddings, planes)
     val e = embeddings.select(col("vec_id"), normalized(col("embedding")).as("unit"))
       .join(buckets.select("vec_id", "bucket"), "vec_id")
+      .cache()
     val a = e.as("a")
     val b = e.as("b")
     val scored = a.join(b, col("a.bucket") === col("b.bucket") &&

@@ -1,0 +1,68 @@
+package graft.sinks
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.sources.LineProtocols
+
+/** Sink layer: riemann's ~40 integrations share one shape — `(sink
+  * opts) → stream fn` called per event/batch (reference
+  * src/riemann/config.clj:7-63 imports; graphite sink
+  * src/riemann/graphite.clj:116-174; kafka producer kafka.clj:11-48;
+  * `append`/`register` accumulator streams.clj:1243-1253). The Spark
+  * reading: a sink is a foreachBatch consumer; transports (HTTP/TCP
+  * clients) plug in as a `String => Unit` / `Iterator[Row] => Unit`
+  * so the Spark-side batching, ordering, and formatting are real and
+  * testable while network IO stays injectable. */
+object Sinks {
+
+  /** A batch sink: receives each micro-batch (or batch write). */
+  trait EventSink extends Serializable {
+    def write(batch: DataFrame, batchId: Long): Unit
+  }
+
+  /** Attach a sink to a streaming Dataset via foreachBatch — the
+    * canonical integration point (SURVEY §2.2). */
+  def attach[T](ds: Dataset[T], sink: EventSink): DataStreamWriter[T] =
+    ds.writeStream.foreachBatch { (batch: Dataset[T], id: Long) =>
+      sink.write(batch.toDF(), id)
+    }
+
+  /** `append` / `register` (streams.clj:1243-1253): accumulate events
+    * into a driver-side buffer — the reference's test harness, and ours.
+    * Driver-local by design (collect per batch); for tests and
+    * low-volume alert streams only. */
+  class MemorySink extends EventSink {
+    val rows = new ConcurrentLinkedQueue[Row]()
+    override def write(batch: DataFrame, batchId: Long): Unit =
+      batch.collect().foreach(rows.add)
+    def size: Int = rows.size()
+  }
+
+  /** Graphite plaintext sink (graphite.clj:116-174): formats
+    * `service metric time` lines and hands each partition's lines to
+    * `transport` (a TCP/UDP client in production; a collector in test).
+    * Formatting and per-partition batching run distributed; only the
+    * transport side-effect is injected. */
+  class GraphiteSink(transport: Iterator[String] => Unit) extends EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit =
+      LineProtocols.encodeGraphite(batch)
+        .select("line").toDF("line")
+        .foreachPartition { (rows: Iterator[Row]) =>
+          transport(rows.map(_.getString(0)))
+        }
+  }
+
+  /** Kafka producer sink (kafka.clj:11-48): native in Spark — this just
+    * pins the contract (value = JSON event). */
+  def kafka[T](ds: Dataset[T], bootstrap: String, topic: String): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.functions._
+    ds.toDF()
+      .select(to_json(struct(ds.toDF().columns.map(col): _*)).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+  }
+}

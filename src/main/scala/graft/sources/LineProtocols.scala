@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graphite / OpenTSDB line-protocol decoders as pure Catalyst column
+  * expressions — attach them to any line-shaped source (socket stream,
+  * Kafka value, text files). Malformed lines are dropped, mirroring the
+  * reference's throw-per-line + catch behavior.
+  *
+  * References: graphite line decoding at
+  * /root/reference/src/riemann/transport/graphite.clj:37-160 (service
+  * `;k=v` tags → attributes, NaN metric → nil), OpenTSDB `put` telnet
+  * decoding at transport/opentsdb.clj:24-145 (tags → attributes, host
+  * tag hoisted, tags appended to service minus host, `service=` tag
+  * renamed `servicetag=`).
+  */
+object LineProtocols {
+
+  /** Decode `service[;k=v...] metric timestamp` lines.
+    * Output: (service, metric, time_s, attributes) — exactly one event
+    * per valid line; blank/garbage/extra-field lines dropped. */
+  def decodeGraphite(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    val parts = split(trim(col(lineCol)), "\\s+")
+    val headParts = split(element_at(parts, 1), ";")
+    lines
+      .withColumn("_p", parts)
+      .filter(size(col("_p")) === 3 && element_at(col("_p"), 1) =!= "")
+      .withColumn("service", element_at(headParts, 1))
+      .withColumn("metric",
+        // reference maps "nan" (any case) to nil metric
+        when(lower(element_at(col("_p"), 2)) === "nan", lit(null))
+          .otherwise(element_at(col("_p"), 2)).try_cast("double"))
+      .withColumn("time_s", element_at(col("_p"), 3).try_cast("double")
+        .cast("long"))
+      .withColumn("attributes",
+        when(size(headParts) > 1,
+          str_to_map(concat_ws(",", slice(headParts, 2, 1000)), lit(","), lit("=")))
+          .otherwise(map()))
+      .filter(col("time_s").isNotNull)
+      .drop("_p", lineCol)
+  }
+
+  /** Decode OpenTSDB `put <metric> <ts> <value> [k=v ...]` lines.
+    * host tag → host column; remaining tags → attributes (with
+    * `service=` renamed `servicetag=`); tag string minus host appended
+    * to the service name; description = raw metric name. */
+  def decodeOpenTsdb(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    val parts = split(trim(col(lineCol)), "\\s+")
+    val tagParts = slice(parts, 5, 1000)
+    val tagsNoHost = filter(tagParts, t => !t.startsWith("host="))
+    lines
+      .withColumn("_p", parts)
+      .filter(element_at(col("_p"), 1) === "put" && size(col("_p")) >= 4)
+      .filter(!lower(element_at(col("_p"), 3)).contains("nan") &&
+        !lower(element_at(col("_p"), 4)).contains("nan"))
+      .withColumn("description", element_at(col("_p"), 2))
+      .withColumn("service",
+        when(size(tagsNoHost) > 0,
+          concat(col("description"), lit(" "), array_join(tagsNoHost, " ")))
+          .otherwise(col("description")))
+      .withColumn("time_s", element_at(col("_p"), 3).try_cast("long"))
+      .withColumn("metric", element_at(col("_p"), 4).try_cast("double"))
+      .withColumn("attributes",
+        when(size(tagParts) > 0,
+          str_to_map(
+            array_join(transform(tagParts,
+              t => regexp_replace(t, lit("^service="), lit("servicetag="))), ","),
+            lit(","), lit("=")))
+          .otherwise(map()))
+      .withColumn("host", element_at(col("attributes"), "host"))
+      .withColumn("attributes", map_filter(col("attributes"),
+        (k, _) => k =!= "host"))
+      .filter(col("time_s").isNotNull && col("metric").isNotNull)
+      .drop("_p", lineCol)
+  }
+
+  /** Encode the event relation back to graphite plaintext lines
+    * (the graphite *sink*, reference src/riemann/graphite.clj:116-174:
+    * `service metric time`). */
+  def encodeGraphite(events: DataFrame): DataFrame =
+    events.select(concat_ws(" ",
+      col("service"), col("metric").cast("string"),
+      col("time_s").cast("string")).as("line"))
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming forms of riemann's per-key stateful operators — the
+  * `transformWithState`/`flatMapGroupsWithState` family the batch
+  * analogs in [[graft.operators.Windows]] document. Each processes the
+  * trigger's rows in event-time order and keeps O(1) state per key. */
+object StatefulOps {
+
+  private def sorted(rows: Iterator[SEvent]): Seq[SEvent] =
+    rows.toSeq.sortBy(e => e.time.getTime)
+
+  /** `changed-state` (streams.clj:1614-1659), streaming: pass events
+    * whose `state` differs from the key's previous one. */
+  def changedState(events: Dataset[SEvent]): Dataset[SEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(e => (e.host, e.service))
+      .flatMapGroupsWithState[Option[String], SEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, st: GroupState[Option[String]]) =>
+          var prev = st.getOption.getOrElse(None)
+          val out = Seq.newBuilder[SEvent]
+          for (e <- sorted(rows)) {
+            if (!prev.contains(e.state)) out += e
+            prev = Option(e.state)
+          }
+          st.update(prev)
+          out.result().iterator
+      }
+  }
+
+  /** `ewma-timeless r` (streams.clj:961-977), streaming: zero-init
+    * accumulator, m ← (1−r)·m + r·x per event (nil metrics skipped),
+    * each event re-emitted with the running average as its metric. */
+  def ewmaTimeless(events: Dataset[SEvent], r: Double): Dataset[SEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(e => (e.host, e.service))
+      .flatMapGroupsWithState[Double, SEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, st: GroupState[Double]) =>
+          var m = st.getOption.getOrElse(0.0)
+          val out = Seq.newBuilder[SEvent]
+          for (e <- sorted(rows)) {
+            e.metric.foreach(x => m = (1 - r) * m + r * x)
+            out += e.copy(metric = Some(m))
+          }
+          st.update(m)
+          out.result().iterator
+      }
+  }
+
+  /** `throttle n dt` (streams.clj:1102-1118), streaming: at most n
+    * events per key per dt-second event-time bucket. State = (bucket,
+    * count). */
+  def throttle(events: Dataset[SEvent], n: Int, dtSeconds: Long)
+      : Dataset[SEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(e => (e.host, e.service))
+      .flatMapGroupsWithState[(Long, Int), SEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, st: GroupState[(Long, Int)]) =>
+          var (bucket, cnt) = st.getOption.getOrElse((Long.MinValue, 0))
+          val out = Seq.newBuilder[SEvent]
+          for (e <- sorted(rows)) {
+            val b = e.time.getTime / 1000 / dtSeconds
+            if (b != bucket) { bucket = b; cnt = 0 }
+            if (cnt < n) { out += e; cnt += 1 }
+          }
+          st.update((bucket, cnt))
+          out.result().iterator
+      }
+  }
+}

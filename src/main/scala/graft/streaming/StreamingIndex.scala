@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A streaming event row for the stateful operators: `time` is the
+  * event-time column (watermarkable), `time_s` its epoch seconds. */
+case class SEvent(
+    host: String,
+    service: String,
+    state: String,
+    metric: Option[Double],
+    time: java.sql.Timestamp,
+    ttl: Option[Double])
+
+/** The riemann index as Structured Streaming keyed state
+  * (reference src/riemann/index.clj:58-126): latest event per
+  * [host, service], with the reaper (src/riemann/core.clj:276-309,
+  * index.clj:73-87) realized as an event-time timeout that re-streams a
+  * synthetic `state="expired"` copy once, then drops the entry —
+  * exactly the reference's "expired members emitted once" contract.
+  *
+  * Scale: state is partitioned by the pkey hash across executors (the
+  * state store), so inserts/expiries are embarrassingly parallel; the
+  * only shuffle is the groupByKey exchange on [host, service].
+  */
+object StreamingIndex {
+
+  /** Insert stream → updates + expiries. Output: the latest event per
+    * key per trigger (the index "insert" pubsub channel) plus
+    * `state="expired"` rows when a key's TTL lapses past the watermark
+    * (the reaper channel). */
+  def apply(events: Dataset[SEvent], watermarkDelay: String = "0 seconds")
+      : Dataset[SEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("time", watermarkDelay)
+      .groupByKey(e => (e.host, e.service))
+      .flatMapGroupsWithState[SEvent, SEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((host, service), rows, state: GroupState[SEvent]) =>
+          if (state.hasTimedOut) {
+            // reaper: emit the expired copy once, then forget the key
+            // (expire sets state="expired", time=now ≈ watermark;
+            // common.clj:119-124)
+            val last = state.get
+            state.remove()
+            Iterator(last.copy(state = "expired",
+              time = new java.sql.Timestamp(state.getCurrentWatermarkMs())))
+          } else {
+            val latest = (state.getOption.iterator ++ rows)
+              .maxBy(e => (e.time.getTime, e.metric.getOrElse(0.0)))
+            state.update(latest)
+            latest.ttl.foreach { t =>
+              val deadline = latest.time.getTime + (t * 1000).toLong
+              // a deadline already behind the watermark fires next trigger
+              state.setTimeoutTimestamp(
+                math.max(deadline, state.getCurrentWatermarkMs() + 1))
+            }
+            Iterator(latest)
+          }
+      }
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{SEvent, StatefulOps, StreamingIndex}
+
+/** MemoryStream-driven golden tests for the streaming slice — the
+  * Structured Streaming analog of run-stream/advance! virtual time
+  * (src/riemann/time/controlled.clj, src/riemann/test.clj:206-241):
+  * event-time is driven through the data, watermark advancement through
+  * successive micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  private def ev(host: String, service: String, state: String, m: Double,
+      t: Long, ttl: Option[Double] = None) =
+    SEvent(host, service, state, Some(m), ts(t), ttl)
+
+  test("streaming index: inserts then reaper expiry (index.clj:73-87, core.clj:276-309)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    val q = StreamingIndex(input.toDS())
+      .writeStream.format("memory").queryName("idx").outputMode("append")
+      .start()
+    try {
+      // batch 1: two keys, one with a short ttl
+      input.addData(
+        ev("a", "cpu", "ok", 1.0, 100, Some(10.0)),
+        ev("b", "cpu", "ok", 2.0, 100, Some(1000.0)))
+      q.processAllAvailable()
+      // batch 2: advance event time far past a's deadline (110)
+      input.addData(ev("b", "cpu", "ok", 3.0, 500, Some(1000.0)))
+      q.processAllAvailable()
+      // batch 3: one more trigger so the timeout (armed vs watermark 500) fires
+      input.addData(ev("b", "cpu", "ok", 4.0, 600, Some(1000.0)))
+      q.processAllAvailable()
+      val rows = spark.table("idx").as[SEvent].collect()
+      val expired = rows.filter(_.state == "expired")
+      assert(expired.map(e => (e.host, e.service)).toSeq == Seq(("a", "cpu")))
+      // inserts for both keys flowed through before expiry
+      assert(rows.exists(e => e.host == "a" && e.state == "ok"))
+      assert(rows.count(e => e.host == "b" && e.state == "ok") == 3)
+    } finally q.stop()
+  }
+
+  test("streaming changed-state passes transitions only (streams.clj:1614-1659)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    val q = StatefulOps.changedState(input.toDS())
+      .writeStream.format("memory").queryName("chg").outputMode("append")
+      .start()
+    try {
+      input.addData(
+        ev("a", "s", "ok", 1, 1), ev("a", "s", "ok", 2, 2),
+        ev("a", "s", "bad", 3, 3))
+      q.processAllAvailable()
+      input.addData(ev("a", "s", "bad", 4, 4), ev("a", "s", "ok", 5, 5))
+      q.processAllAvailable()
+      val states = spark.table("chg").as[SEvent].collect()
+        .sortBy(_.time.getTime).map(e => (e.state, e.time.getTime / 1000)).toSeq
+      assert(states == Seq(("ok", 1L), ("bad", 3L), ("ok", 5L)))
+    } finally q.stop()
+  }
+
+  test("streaming ewma-timeless matches batch closed form (streams.clj:961-977)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    val q = StatefulOps.ewmaTimeless(input.toDS(), 0.5)
+      .writeStream.format("memory").queryName("ew").outputMode("append")
+      .start()
+    try {
+      input.addData(ev("a", "s", "ok", 1, 1), ev("a", "s", "ok", 1, 2))
+      q.processAllAvailable()
+      input.addData(ev("a", "s", "ok", 1, 3))
+      q.processAllAvailable()
+      val ms = spark.table("ew").as[SEvent].collect()
+        .sortBy(_.time.getTime).flatMap(_.metric).toSeq
+      assert(ms == Seq(0.5, 0.75, 0.875)) // state survives across batches
+    } finally q.stop()
+  }
+
+  test("streaming throttle caps per bucket across batches (streams.clj:1102-1118)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    val q = StatefulOps.throttle(input.toDS(), 2, 100)
+      .writeStream.format("memory").queryName("thr").outputMode("append")
+      .start()
+    try {
+      input.addData(ev("a", "s", "ok", 1, 10), ev("a", "s", "ok", 2, 20))
+      q.processAllAvailable()
+      // same bucket, already full — dropped even in a later batch
+      input.addData(ev("a", "s", "ok", 3, 30))
+      q.processAllAvailable()
+      // new bucket
+      input.addData(ev("a", "s", "ok", 4, 110))
+      q.processAllAvailable()
+      val ms = spark.table("thr").as[SEvent].collect()
+        .sortBy(_.time.getTime).flatMap(_.metric).toSeq
+      assert(ms == Seq(1.0, 2.0, 4.0))
+    } finally q.stop()
+  }
+}
