@@ -31,7 +31,16 @@ object Bench {
       ()
     }
 
-    // one warm-up pass on the smallest sf to absorb JIT/codegen cost
+    // warm-up: touch every input table and run one tiny end-to-end query
+    // so parquet footers, codegen, and executor spin-up don't bill to
+    // whichever query happens to run first
+    Seq("events", "documents", "embeddings", "lineitem").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
+    try materialize(SparkEntry.queries("q_where")(spark, sfDir))
+    catch { case _: Throwable => () }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { materialize(fn(spark, sfDir)); true }

@@ -195,7 +195,7 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
     "q_simhash" -> ((s, d) => Dedup.simhash(docs(s, d), 64).orderBy("doc_id")),
     "q_embedding_neardups" -> ((s, d) =>
-      Dedup.embeddingNearDups(emb(s, d), 0.9, 16).orderBy("vec_a", "vec_b")),
+      Dedup.embeddingNearDups(emb(s, d), 0.4).orderBy("vec_a", "vec_b")),
 
     // ---- LLM pipeline: similarity
     "q_ann_brute" -> ((s, d) =>
@@ -242,24 +242,33 @@ object SparkEntry {
   private val stopList =
     TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
-  private def minhashSigSql(k: Int): String =
-    s"list_transform(generate_series(0, ${k - 1}), seed -> " +
-      "list_min(list_transform(shingles, x -> " +
-      "md5(CAST(seed AS VARCHAR) || '|' || x))))"
+  /** DuckDB replica of Dedup.minhashSignature: same driver-derived
+    * affine coefficients, same one-md5-per-shingle scheme. Relies on a
+    * CTE exposing `hs` (see [[hsCte]]). */
+  private def minhashSigSql(k: Int): String = {
+    val P = Dedup.MinhashP
+    (0 until k).map { i =>
+      val (a, b) = Dedup.minhashCoeff(i)
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $P))"
+    }.mkString("[", ", ", "]")
+  }
+  private val hsCte =
+    s", hh AS (SELECT doc_id, shingles, list_transform(shingles, s -> " +
+      s"CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % ${Dedup.MinhashP}) AS hs FROM sh)"
 
   /** DuckDB replica of Similarity.bucketExpr: the same driver-computed
     * hyperplane constants are embedded as list literals on both sides
     * (Double.toString round-trips, and every constant is an exact
     * multiple of 1e-5, so the parsed doubles are identical). */
-  private def bucketSql(planes: Int, src: String = "dv"): String = {
-    val hp = Similarity.hyperplanes(planes, 64)
+  private def bucketSql(planes: Int, src: String = "dv",
+      planeOffset: Int = 0): String =
     (0 until planes).map { p =>
-      val arr = hp(p).mkString("[", ",", "]")
+      val arr = Array.tabulate(64)(d =>
+        Similarity.planeComponent(planeOffset + p, d)).mkString("[", ",", "]")
       s"(CASE WHEN CAST(list_sum(list_transform(list_zip($src, CAST($arr AS DOUBLE[]))," +
         s" z -> CAST(z[1]*z[2] AS DECIMAL(38,18)))) AS DOUBLE) >= 0" +
         s" THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
-  }
 
   private val simhashSql: String = {
     val bitSums = (0 until 64).map { b =>
@@ -384,28 +393,33 @@ object SparkEntry {
       "r AS (SELECT *, row_number() OVER (PARTITION BY service ORDER BY cnt DESC, metric ASC) AS rk FROM c) " +
       "SELECT service, metric AS mode, cnt AS mode_count FROM r WHERE rk = 1 ORDER BY service"),
     "q_dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1",
-    "q_minhash_sig" -> s"$shCte SELECT doc_id, ${minhashSigSql(8)} AS sig FROM sh ORDER BY doc_id",
-    "q_minhash_pairs" -> (s"$shCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM sh), " +
+    "q_minhash_sig" -> s"$shCte$hsCte SELECT doc_id, ${minhashSigSql(8)} AS sig FROM hh ORDER BY doc_id",
+    "q_minhash_pairs" -> (s"$shCte$hsCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh), " +
       "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM sg), " +
-      "bk AS (SELECT doc_id, sig, band, md5(array_to_string(sig[band*4+1:band*4+4], ',')) AS bucket FROM banded), " +
+      "bk AS (SELECT doc_id, sig, band, md5(array_to_string(list_transform(sig[band*4+1:band*4+4], x -> CAST(x AS VARCHAR)), ',')) AS bucket FROM banded), " +
       "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2])) AS DOUBLE) / 16 AS est_jaccard " +
       "FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id) " +
       "SELECT doc_a, doc_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b"),
-    "q_ngram_jaccard" -> (s"$shCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM sh), " +
+    "q_ngram_jaccard" -> (s"$shCte$hsCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh), " +
       "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 7)) AS band FROM sg), " +
-      "bk AS (SELECT doc_id, band, md5(array_to_string(sig[band*2+1:band*2+2], ',')) AS bucket FROM banded), " +
+      "bk AS (SELECT doc_id, band, md5(array_to_string(list_transform(sig[band*2+1:band*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket FROM banded), " +
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
       "jj AS (SELECT doc_a, doc_b, CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard " +
       "FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id) " +
       "SELECT doc_a, doc_b, jaccard FROM jj WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"),
     "q_simhash" -> simhashSql,
-    "q_embedding_neardups" -> (s"$unitCte SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
-      "round(CAST(list_sum(list_transform(list_zip(a.unit, b.unit), z -> CAST(z[1]*z[2] AS DECIMAL(38,18)))) AS DOUBLE), 6) AS cosine " +
-      s"FROM (SELECT vec_id, unit, ${bucketSql(16)} AS bucket FROM u) a JOIN (SELECT vec_id, unit, ${bucketSql(16)} AS bucket FROM u) b " +
-      "ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
-      "WHERE round(CAST(list_sum(list_transform(list_zip(a.unit, b.unit), z -> CAST(z[1]*z[2] AS DECIMAL(38,18)))) AS DOUBLE), 6) >= 0.9 ORDER BY vec_a, vec_b"),
+    "q_embedding_neardups" -> {
+      val banded = (0 until 4).map(b =>
+        s"SELECT vec_id, $b AS band, ${bucketSql(6, "dv", b * 6)} AS bucket FROM u")
+        .mkString(" UNION ALL ")
+      s"$unitCte, banded AS ($banded), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+        "j AS (SELECT vec_a, vec_b, round(CAST(list_sum(list_transform(list_zip(ua.unit, ub.unit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine " +
+        "FROM cand JOIN u ua ON cand.vec_a = ua.vec_id JOIN u ub ON cand.vec_b = ub.vec_id) " +
+        "SELECT vec_a, vec_b, cosine FROM j WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"
+    },
     "q_ann_brute" -> (s"$unitCte, q AS (SELECT vec_id AS query_id, unit AS qunit FROM u WHERE vec_id IN (0,1,2,3,4)), " +
-      "scored AS (SELECT query_id, vec_id, round(CAST(list_sum(list_transform(list_zip(unit, qunit), z -> CAST(z[1]*z[2] AS DECIMAL(38,18)))) AS DOUBLE), 6) AS cosine FROM u, q WHERE vec_id <> query_id), " +
+      "scored AS (SELECT query_id, vec_id, round(CAST(list_sum(list_transform(list_zip(unit, qunit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM u, q WHERE vec_id <> query_id), " +
       "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM scored) " +
       "SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 10 ORDER BY query_id, rk"),
     "q_lsh_buckets" -> s"$unitCte SELECT vec_id, label, ${bucketSql(8)} AS bucket FROM u ORDER BY vec_id",

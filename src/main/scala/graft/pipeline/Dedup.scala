@@ -28,17 +28,37 @@ object Dedup {
           s"i -> concat_ws(' ', slice(words, i+1, $w))))"))
       .drop("words")
 
+  /** MinHash permutation modulus (prime) and the per-seed affine
+    * coefficients, md5-derived on the driver and embedded as literals —
+    * reproducible on any engine, and each shingle is md5-hashed exactly
+    * ONCE (hashing per (seed, shingle) was the dominant minhash cost). */
+  val MinhashP = 2147483647L
+  def minhashCoeff(i: Int): (Long, Long) = {
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .substring(0, 15), 16)
+    }
+    (h(s"a_$i") % (MinhashP - 1) + 1, h(s"b_$i") % MinhashP)
+  }
+
   /** MinHash signature as ONE narrow pass per document — no explode, no
-    * join, no shuffle: for each of k seeds, the signature element is the
-    * min over shingles of md5(seed || '|' || shingle), computed with
-    * nested higher-order array functions entirely inside codegen.
-    * (The k independent permutations of classic MinHash are simulated by
-    * salting the hash with the seed.) Output: (doc_id, sig array<string>). */
-  def minhashSignature(docs: DataFrame, k: Int = 16, w: Int = 3): DataFrame =
-    shingles(docs, w).select(col("doc_id"),
-      expr(s"transform(sequence(0, ${k - 1}), seed -> " +
-        "array_min(transform(shingles, s -> " +
-        "md5(concat(cast(seed as string), '|', s)))))").as("sig"))
+    * join, no shuffle: shingles are md5-hashed to 60-bit ints once (a
+    * separate projection, so the hash array is computed once and reused
+    * by all k permutations), then permutation i takes
+    * min((a_i·h + b_i) mod P) — pure codegen'd long arithmetic.
+    * Output: (doc_id, sig array<long>). */
+  def minhashSignature(docs: DataFrame, k: Int = 16, w: Int = 3): DataFrame = {
+    val perms = (0 until k).map { i =>
+      val (a, b) = minhashCoeff(i)
+      s"array_min(transform(hs, h -> (h * ${a}L + ${b}L) % ${MinhashP}L))"
+    }.mkString("array(", ", ", ")")
+    shingles(docs, w)
+      .withColumn("hs", expr("transform(shingles, s -> " +
+        s"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % ${MinhashP}L)"))
+      .select(col("doc_id"), expr(perms).as("sig"))
+  }
 
   /** LSH banding of a signature: b bands of r = k/b rows; bucket id =
     * md5 of the band's slice. Docs sharing any (band, bucket) are
@@ -48,7 +68,8 @@ object Dedup {
     sig.select(col("doc_id"), col("sig"),
       explode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> named_struct('band', b, 'bucket', " +
-        s"md5(concat_ws(',', slice(sig, b*$r+1, $r)))))")).as("bb"))
+        s"md5(concat_ws(',', transform(slice(sig, b*$r+1, $r), " +
+        "x -> cast(x as string))))))")).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
   }
 
@@ -145,32 +166,46 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** Embedding-cosine near-dup pairs with LSH-bucket blocking: exact
-    * cosine only within random-hyperplane buckets (one equijoin on the
-    * bucket id — a label/category blocking key would be quadratic in the
-    * biggest label at scale). */
-  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.99,
-      planes: Int = 16): DataFrame = {
-    // bucket from the RAW embedding: hyperplane signs are
-    // scale-invariant, so normalization is unnecessary there; unit kept
-    // for the cosine. cache() materializes both once before the
-    // self-join re-references them per pair.
+  /** Embedding-cosine near-dup pairs with banded (multi-probe)
+    * random-hyperplane blocking: `bands` independent bucket tables of
+    * `planesPerBand` sign bits each; a pair is a candidate if ANY band's
+    * buckets collide (OR-ing bands is what buys recall — one 16-bit
+    * table keeps < 10% of true cos≥0.9 pairs), then exact cosine on
+    * candidates only. A label/category blocking key would be quadratic
+    * in the biggest label at scale; banded buckets stay small by
+    * construction. */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.4,
+      bands: Int = 4, planesPerBand: Int = 6): DataFrame = {
+    // buckets from the RAW embedding (hyperplane signs are
+    // scale-invariant); unit kept for the cosine. cache() materializes
+    // both once before the self-join re-references them per pair.
+    val dv = transform(col("embedding"), x => x.cast("double"))
+    val bandCols = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        Similarity.bucketExpr(dv, planesPerBand, 64, b * planesPerBand)
+          .as("bucket"))
+    }: _*)
     val e = embeddings.select(col("vec_id"),
       Similarity.normalized(col("embedding")).as("unit"),
-      Similarity.bucketExpr(
-        transform(col("embedding"), x => x.cast("double")), planes).as("bucket"))
-      .cache()
-    val a = e.as("a")
-    val b = e.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") &&
+      bandCols.as("bb")).cache()
+    val banded = e.select(col("vec_id"), explode(col("bb")).as("b1"))
+      .select(col("vec_id"), col("b1.band"), col("b1.bucket"))
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
-      // cheap codegen'd double dot prunes the candidate set; the
-      // decimal-exact cosine (engine/order-independent) only runs on
-      // survivors
-      .filter(Similarity.dot(col("a.unit"), col("b.unit")) >=
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val units = e.select(col("vec_id"), col("unit"))
+    cand
+      .join(units.select(col("vec_id").as("vec_a"), col("unit").as("unit_a")), "vec_a")
+      .join(units.select(col("vec_id").as("vec_b"), col("unit").as("unit_b")), "vec_b")
+      // cheap codegen'd double dot prunes; the decimal-exact cosine
+      // (engine/order-independent) only runs on survivors
+      .filter(Similarity.dot(col("unit_a"), col("unit_b")) >=
         threshold - Similarity.CosineEps)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(Similarity.dotExact(col("a.unit"), col("b.unit")), 6).as("cosine"))
+      .select(col("vec_a"), col("vec_b"),
+        round(Similarity.dotExact(col("unit_a"), col("unit_b")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

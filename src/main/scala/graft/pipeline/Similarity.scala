@@ -20,15 +20,17 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
-  /** Order-independent exact dot product: per-element double products
-    * (deterministic) summed through DECIMAL(38,18). Use where results
-    * must be identical under any partitioning/engine (oracle parity);
-    * [[dot]] is the cheaper in-partition variant. */
+  /** Order-independent exact dot product for UNIT vectors: per-element
+    * double products (deterministic) are floored to 1e-16-scaled longs
+    * and summed in integer arithmetic — order- and engine-independent
+    * like a decimal sum, but fully codegen'd (BigDecimal boxing made
+    * the decimal version the hot spot of every pairwise stage).
+    * |x·y| ≤ 1 by Cauchy–Schwarz, so 64 terms stay ≤ 6.4e17 < 2^63.
+    * [[dot]] is the cheaper plain-double in-partition variant. */
   def dotExact(a: Column, b: Column): Column =
     aggregate(
-      zip_with(a, b, (x, y) => (x * y).cast(DecimalType(38, 18))),
-      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 18)),
-      (acc, x) => (acc + x).cast(DecimalType(38, 18))).cast("double")
+      zip_with(a, b, (x, y) => floor(x * y * lit(1e16))),
+      lit(0L), (acc, x) => acc + x).cast("double") / lit(1e16)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -93,14 +95,16 @@ object Similarity {
     * projection is an `aggregate` of unit·hyperplane (decimal-exact so
     * the sign is engine/order-independent); the sign bits pack into a
     * long. `dims` must match the embedding dimensionality. */
-  def bucketExpr(unit: Column, planes: Int, dims: Int = 64): Column = {
-    val hp = hyperplanes(planes, dims)
-    def proj(p: Int): Column =
+  def bucketExpr(unit: Column, planes: Int, dims: Int = 64,
+      planeOffset: Int = 0): Column = {
+    def proj(p: Int): Column = {
+      val hp = Array.tabulate(dims)(d => planeComponent(planeOffset + p, d))
       aggregate(
-        zip_with(unit, lit(hp(p)),
+        zip_with(unit, lit(hp),
           (x, c) => (x * c).cast(DecimalType(38, 18))),
         lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 18)),
         (acc, x) => (acc + x).cast(DecimalType(38, 18))).cast("double")
+    }
     (0 until planes).map(p => when(proj(p) >= 0, lit(1L << p)).otherwise(0L))
       .reduce(_ + _)
   }
