@@ -206,6 +206,23 @@ object SparkEntry {
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d))
       .orderBy("label")),
 
+    // ---- LLM pipeline: multimodal plumbing (media derived from documents)
+    "q_frames" -> ((s, d) =>
+      graft.pipeline.Multimodal.sampleFrames(
+        graft.pipeline.Multimodal.deriveMedia(docs(s, d)), 500)
+        .orderBy("media_id", "frame_ts")),
+    // decode stub runs the real mapPartitions/iterator contract; no SQL
+    // oracle (rolling-hash wraps on long overflow, which ANSI SQL
+    // can't express) → driver records the weaker rows-only check
+    "q_media_features" -> ((s, d) => {
+      val spark0 = s
+      import spark0.implicits._
+      graft.pipeline.Multimodal.decodeStub(
+        graft.pipeline.Multimodal.deriveMedia(docs(s, d)), 8)
+        .toDF().select("media_id", "modality", "n_bytes", "checksum")
+        .orderBy("media_id")
+    }),
+
     // ---- LLM pipeline: text analysis
     "q_text_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))
       .orderBy("doc_id")),
@@ -408,6 +425,8 @@ object SparkEntry {
       "FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id) " +
       "SELECT doc_a, doc_b, jaccard FROM jj WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"),
     "q_simhash" -> simhashSql,
+    "q_frames" -> ("SELECT doc_id AS media_id, unnest(generate_series(0, n_chars * 10, 500)) AS frame_ts " +
+      "FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id, frame_ts"),
     "q_embedding_neardups" -> {
       val banded = (0 until 4).map(b =>
         s"SELECT vec_id, $b AS band, ${bucketSql(6, "dv", b * 6)} AS bucket FROM u")

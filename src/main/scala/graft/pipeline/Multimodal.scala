@@ -33,6 +33,22 @@ object Multimodal {
   case class MediaFeature(media_id: Long, modality: String, n_bytes: Long,
       checksum: Long, feature: Array[Float])
 
+  /** Deterministic media relation derived from the `documents` table
+    * (the driver ships no binary media): text bytes stand in for the
+    * payload, metadata derives from doc stats. Lets every media
+    * operator run — and be benchmarked — on real driver data. */
+  def deriveMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' " +
+        "WHEN 1 THEN 'audio' ELSE 'video' END").as("modality"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      lit("application/octet-stream").as("mime"),
+      (col("n_chars") % 1920).cast("int").as("width"),
+      (col("n_chars") % 1080).cast("int").as("height"),
+      (col("n_chars") * 10).cast("long").as("duration_ms"),
+      map(lit("src"), col("source")).as("meta"))
+
   /** STUB decode: a real implementation hands `bytes` to a codec; this
     * one emits a deterministic pseudo-feature (dim-d) from a rolling
     * byte checksum so tests can assert exact values. The mapPartitions

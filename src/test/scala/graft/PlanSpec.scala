@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.EventView
+import graft.operators.{Index, Windows}
+import graft.pipeline.{Dedup, Similarity}
+
+/** Physical-plan audits: the 100 TB claims, asserted. Each test pins the
+  * shape that makes an operator scale — filter pushdown into the scan,
+  * TakeOrderedAndProject instead of a global window sort, broadcast for
+  * the small join side, and no cartesian product anywhere in the
+  * registered query set. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("event filters push down to the parquet scan") {
+    val df = EventView(spark, dir).filter(col("event_type") === "error")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("projection prunes the parquet read schema") {
+    val df = EventView(spark, dir).select("host")
+    val p = plan(df)
+    // only the columns host derives from are read
+    assert(p.contains("ReadSchema: struct<user_id:bigint>"), s"no pruning:\n$p")
+  }
+
+  test("topK compiles to TakeOrderedAndProject, not a global window sort") {
+    val p = plan(Windows.topK(EventView(spark, dir), 5, Seq("host", "service")))
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+  }
+
+  test("index snapshot is one hash exchange on the pkey, no global sort") {
+    val p = plan(Index.snapshot(EventView(spark, dir)))
+    assert(p.contains("hashpartitioning(host"), s"plan:\n$p")
+    assert(!p.contains("rangepartitioning"), s"global sort leaked:\n$p")
+  }
+
+  test("brute-force ANN broadcasts the query side") {
+    val p = plan(Similarity.bruteForceTopK(
+      spark.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L), 3))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+  }
+
+  test("no registered query plans a CartesianProduct") {
+    // bucket/band equijoins must stay equijoins; a cartesian product in
+    // any of these is the quadratic blowup the LSH design exists to avoid
+    val suspects = Seq(
+      Dedup.minhashPairs(spark.read.parquet(s"$dir/documents.parquet"), 16, 4, 0.5),
+      Dedup.ngramJaccardPairs(spark.read.parquet(s"$dir/documents.parquet")),
+      Dedup.embeddingNearDups(spark.read.parquet(s"$dir/embeddings.parquet"), 0.4),
+      Similarity.lshTopK(spark.read.parquet(s"$dir/embeddings.parquet"), 5))
+    suspects.foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    }
+  }
+
+  test("windowed aggregation keeps partial (map-side) aggregation") {
+    val p = plan(Windows.fixedOffsetTimeWindow(EventView(spark, dir), 3600,
+      Seq("service")))
+    // two HashAggregate nodes around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"plan:\n$p")
+  }
+}
