@@ -150,6 +150,8 @@ object SparkEntry {
       .select("event_id").orderBy("event_id")),
     "q_rollup" -> ((s, d) => Windows.rollup(ev(s, d), 2, 3600, Seq("service"))
       .orderBy("service", "window_start")),
+    "q_ddt_real" -> ((s, d) => Windows.ddtReal(ev(s, d), 3600, Seq("host"))
+      .orderBy("host", "window_start")),
     "q_changed" -> ((s, d) => Windows.changed(ev(s, d), "state", Seq("host"))
       .select("event_id", "state", "prev_value").orderBy("event_id")),
     "q_runs" -> ((s, d) => Windows.runs(ev(s, d), 2, "state", Seq("host"))
@@ -369,7 +371,12 @@ object SparkEntry {
     "q_throttle" -> (s"$cte, r AS (SELECT *, row_number() OVER (PARTITION BY host, time_s - time_s % 3600 ORDER BY time_s, event_id) AS rnk FROM ev) " +
       "SELECT event_id FROM r WHERE rnk <= 2 ORDER BY event_id"),
     "q_rollup" -> (s"$cte, r AS (SELECT *, time_s - time_s % 3600 AS window_start, row_number() OVER (PARTITION BY service, time_s - time_s % 3600 ORDER BY time_s, event_id) AS rnk FROM ev) " +
-      "SELECT service, window_start, CAST(SUM(CASE WHEN rnk <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS passed, CAST(SUM(CASE WHEN rnk > 2 THEN 1 ELSE 0 END) AS BIGINT) AS rolled FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
+      "SELECT service, window_start, CAST(SUM(CASE WHEN rnk <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS passed, CAST(SUM(CASE WHEN rnk > 2 THEN 1 ELSE 0 END) AS BIGINT) AS rolled, " +
+      "COALESCE(list(metric ORDER BY time_s, event_id) FILTER (WHERE rnk > 2), []) AS rolled_metrics FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_ddt_real" -> (s"$cte, r AS (SELECT host, time_s - time_s % 3600 AS window_start, metric, row_number() OVER (PARTITION BY host, time_s - time_s % 3600 ORDER BY time_s DESC, event_id DESC) AS rn FROM ev), " +
+      "s AS (SELECT host, window_start, metric AS sample FROM r WHERE rn = 1), " +
+      "l AS (SELECT host, window_start, sample, lag(sample) OVER w AS prev_sample, lag(window_start) OVER w AS prev_start FROM s WINDOW w AS (PARTITION BY host ORDER BY window_start)) " +
+      "SELECT host, window_start, sample, (sample - prev_sample) / (window_start - prev_start) AS ddt FROM l WHERE prev_start IS NOT NULL ORDER BY host, window_start"),
     "q_changed" -> (s"$cte, l AS (SELECT event_id, state, lag(state) OVER (PARTITION BY host ORDER BY time_s, event_id) AS prev_value FROM ev) " +
       "SELECT event_id, state, prev_value FROM l WHERE state IS DISTINCT FROM prev_value ORDER BY event_id"),
     "q_runs" -> (s"$cte, c AS (SELECT *, CASE WHEN state IS NOT DISTINCT FROM lag(state) OVER (PARTITION BY host ORDER BY time_s, event_id) THEN 0 ELSE 1 END AS chg FROM ev), " +

@@ -126,6 +126,15 @@ object Streams {
       df.filter(Streams.matches(col(field), pattern))
   }
 
+  /** `smap f` in its general row-function form (streams.clj:163-175):
+    * any Scala function over typed events, nil results dropped —
+    * the arbitrary-code escape hatch when a column rewrite can't
+    * express f. Prefer the Column-based [[EventOps.smap]] (codegen). */
+  def smapTyped[T, U: org.apache.spark.sql.Encoder](
+      ds: org.apache.spark.sql.Dataset[T])(f: T => Option[U])
+      : org.apache.spark.sql.Dataset[U] =
+    ds.flatMap(e => f(e))
+
   /** `riemann.common/match` (common.clj:181-212, used by streams.clj
     * `match`:1263-1282): polymorphic matcher — a Regex pattern does a
     * regex find, a Map requires every (field → pattern) to match, a Seq

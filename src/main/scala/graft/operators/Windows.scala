@@ -273,8 +273,10 @@ object Windows {
       .drop("rn")
   }
 
-  /** `rollup n dt` (streams.clj:1120-1156): pass n per bucket, summarize
-    * the overflow as one aggregate row count. */
+  /** `rollup n dt` (streams.clj:1120-1156): pass n per bucket, buffer
+    * the overflow, emit the buffered events with the bucket summary —
+    * `rolled_metrics` carries the buffered events' metrics in event
+    * order (the reference's end-of-period vector emission). */
   def rollup(df: DataFrame, n: Int, seconds: Long, keys: Seq[String]): DataFrame = {
     val w = Window
       .partitionBy((keys.map(col) :+ col("window_start")): _*)
@@ -284,7 +286,31 @@ object Windows {
       .withColumn("rolled_up", col("rn") > n)
       .groupBy((keys.map(col) :+ col("window_start")): _*)
       .agg(sum(when(!col("rolled_up"), 1).otherwise(0)).as("passed"),
-        sum(when(col("rolled_up"), 1).otherwise(0)).as("rolled"))
+        sum(when(col("rolled_up"), 1).otherwise(0)).as("rolled"),
+        expr("transform(sort_array(collect_list(CASE WHEN rolled_up THEN " +
+          "struct(time_s, event_id, metric) END)), x -> x.metric)")
+          .as("rolled_metrics"))
+  }
+
+  /** `ddt-real n` (streams.clj:776-839, the sampled variant): the
+    * metric's rate of change sampled at n-second boundaries — last
+    * event per bucket, slope between consecutive buckets' samples. */
+  def ddtReal(df: DataFrame, seconds: Long, keys: Seq[String]): DataFrame = {
+    val sampled = df
+      .withColumn("window_start", col("time_s") - (col("time_s") % seconds))
+      .groupBy((keys.map(col) :+ col("window_start")): _*)
+      .agg(max(struct(col("time_s"), col("event_id"), col("metric")))
+        .as("last"))
+      .select((keys.map(col) :+ col("window_start") :+
+        col("last.metric").as("sample")): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("window_start"))
+    sampled
+      .withColumn("prev_sample", lag("sample", 1).over(w))
+      .withColumn("prev_start", lag("window_start", 1).over(w))
+      .filter(col("prev_start").isNotNull)
+      .withColumn("ddt", (col("sample") - col("prev_sample")) /
+        (col("window_start") - col("prev_start")))
+      .drop("prev_sample", "prev_start")
   }
 
   /** `changed f` / `changed-state` (streams.clj:1614-1659): pass only

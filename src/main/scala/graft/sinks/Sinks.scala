@@ -55,6 +55,53 @@ object Sinks {
         }
   }
 
+  /** `exception-stream` / dead-letter (streams.clj:81-121): the
+    * reference isolates child failures per event and routes the
+    * exception AS an event to a handler stream. The Spark analog
+    * isolates per BATCH (task retry handles row-level transients):
+    * a failing sink's batch is handed to the dead-letter sink along
+    * with a riemann-style error event descriptor. */
+  class Guarded(primary: EventSink, deadLetter: EventSink) extends EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit =
+      try primary.write(batch, batchId)
+      catch {
+        case err: Exception =>
+          deadLetter.write(batch, batchId)
+          val spark = batch.sparkSession
+          import org.apache.spark.sql.functions._
+          // the "riemann exception" event (streams.clj:93-106)
+          deadLetter.write(
+            spark.range(1).select(
+              lit("exception").as("service"),
+              lit(err.getClass.getName + ": " + String.valueOf(err.getMessage))
+                .as("description"),
+              lit(batchId).as("batch_id")),
+            batchId)
+      }
+  }
+
+  /** Pubsub registry (reference src/riemann/pubsub.clj:35-109): named
+    * channels fan out each published batch to subscribers; a
+    * query-filtered subscription reproduces the websocket/SSE
+    * subscribe-to-index path (transport/websockets.clj:66-81). */
+  class Pubsub extends Serializable {
+    private val subs =
+      new scala.collection.concurrent.TrieMap[String, Vector[(Option[String], EventSink)]]()
+    def subscribe(channel: String, sink: EventSink): Unit =
+      subs.updateWith(channel)(v => Some(v.getOrElse(Vector.empty) :+ ((None, sink))))
+    def subscribeQuery(channel: String, query: String, sink: EventSink): Unit =
+      subs.updateWith(channel)(v => Some(v.getOrElse(Vector.empty) :+ ((Some(query), sink))))
+    def publish(channel: String, batch: DataFrame, batchId: Long = 0L): Unit =
+      subs.getOrElse(channel, Vector.empty).foreach { case (q, sink) =>
+        val routed = q match {
+          case Some(query) => batch.filter(
+            graft.query.QueryLanguage.predicate(query, batch.schema))
+          case None => batch
+        }
+        sink.write(routed, batchId)
+      }
+  }
+
   /** Kafka producer sink (kafka.clj:11-48): native in Spark — this just
     * pins the contract (value = JSON event). */
   def kafka[T](ds: Dataset[T], bootstrap: String, topic: String): DataStreamWriter[Row] = {

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming `coalesce` / `project` / `fill-in` — the state-combining
+  * and timer-driven reference operators (streams.clj:1187-1241,
+  * 2032-2101, 683-774).
+  *
+  * Divergence (documented; SURVEY §7 hard parts): the reference flushes
+  * on wall-clock scheduler ticks; here emission is trigger-aligned
+  * (coalesce/project) or event-time-timer driven (fill-in), so behavior
+  * is deterministic under replay/backfill — time is driven through the
+  * data exactly like the golden tests drive it. */
+object CombineStreams {
+
+  /** One emitted coalesce snapshot: the remembered set. */
+  case class Snapshot(events: Seq[SEvent], emitted_at: java.sql.Timestamp)
+
+  /** `coalesce` (streams.clj:1187-1241): remembers the latest event per
+    * [service, host] within each `scope` key and emits the whole
+    * remembered set every trigger that touches the scope; expired
+    * members (state TTL lapsed vs the newest event time) are emitted
+    * once and dropped. `scope` keys partition the state (the `by`
+    * composition from the reference docstring); use a constant for the
+    * reference's global form. */
+  def coalesce(events: Dataset[SEvent], scope: SEvent => String = _ => "")
+      : Dataset[Snapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(scope)
+      .flatMapGroupsWithState[Map[(String, String), SEvent], Snapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, st: GroupState[Map[(String, String), SEvent]]) =>
+          var m = st.getOption.getOrElse(Map.empty)
+          var maxT = 0L
+          for (e <- rows) {
+            m += ((e.service, e.host) -> (m.get((e.service, e.host)) match {
+              case Some(old) if old.time.getTime > e.time.getTime => old
+              case _ => e
+            }))
+            maxT = math.max(maxT, e.time.getTime)
+          }
+          val (expired, live) = m.partition { case (_, e) =>
+            e.ttl.exists(t => maxT - e.time.getTime > t * 1000) }
+          st.update(live)
+          val out = live.values.toSeq ++
+            expired.values.map(e => e.copy(state = "expired"))
+          Iterator(Snapshot(out.sortBy(e => (e.service, e.host)),
+            new java.sql.Timestamp(maxT)))
+      }
+  }
+
+  /** One emitted project vector: slot i = latest event matching
+    * predicate i (None while unmatched). */
+  case class Basis(slots: Seq[Option[SEvent]])
+
+  /** `project` (streams.clj:2032-2101): N predicates, state = latest
+    * match per slot, the whole vector re-emitted on any update. */
+  def project(events: Dataset[SEvent], preds: Seq[SEvent => Boolean])
+      : Dataset[Basis] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val basisEnc = Encoders.product[Basis]
+    events.groupByKey(_ => "")
+      .flatMapGroupsWithState[Seq[Option[SEvent]], Basis](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, st: GroupState[Seq[Option[SEvent]]]) =>
+          var slots = st.getOption.getOrElse(Seq.fill(preds.size)(None))
+          val out = Seq.newBuilder[Basis]
+          for (e <- rows.toSeq.sortBy(_.time.getTime)) {
+            val hits = preds.zipWithIndex.filter(_._1(e)).map(_._2)
+            if (hits.nonEmpty) {
+              slots = slots.zipWithIndex.map { case (s, i) =>
+                if (hits.contains(i)) Some(e) else s }
+              out += Basis(slots)
+            }
+          }
+          st.update(slots)
+          out.result().iterator
+      }
+  }
+
+  /** `fill-in interval filler` (streams.clj:683-719): when an interval
+    * passes with no events for a key, synthesize a copy of the key's
+    * last event with the filler metric — realized as an event-time
+    * timer per [host, service] that re-arms and back-fills every
+    * missing interval up to the watermark. */
+  def fillIn(events: Dataset[SEvent], intervalS: Long, fillMetric: Double)
+      : Dataset[SEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("time", "0 seconds")
+      .groupByKey(e => (e.host, e.service))
+      .flatMapGroupsWithState[SEvent, SEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((host, service), rows, st: GroupState[SEvent]) =>
+          val out = Seq.newBuilder[SEvent]
+          if (st.hasTimedOut) {
+            // synthesize fillers for every interval between the last
+            // event and the watermark, then re-arm
+            var last = st.get
+            val wm = st.getCurrentWatermarkMs()
+            while (last.time.getTime + intervalS * 1000 <= wm) {
+              last = last.copy(metric = Some(fillMetric),
+                time = new java.sql.Timestamp(last.time.getTime + intervalS * 1000))
+              out += last
+            }
+            st.update(last)
+            st.setTimeoutTimestamp(
+              math.max(last.time.getTime + intervalS * 1000, wm + 1))
+          } else {
+            val rs = rows.toSeq
+            val latest = (st.getOption.toSeq ++ rs).maxBy(_.time.getTime)
+            out ++= rs
+            st.update(latest)
+            st.setTimeoutTimestamp(
+              math.max(latest.time.getTime + intervalS * 1000,
+                st.getCurrentWatermarkMs() + 1))
+          }
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sinks.Sinks
+import graft.operators.{Streams, Windows}
+
+/** Dead-letter routing (streams.clj:81-121 exception-stream), pubsub
+  * fan-out (pubsub.clj:35-109), rollup buffered emission and typed smap. */
+class SinksExtraSpec extends SparkSpec {
+
+  test("guarded sink routes failing batches to the dead letter (streams.clj:81-121)") {
+    val dead = new Sinks.MemorySink
+    val boom = new Sinks.EventSink {
+      override def write(batch: DataFrame, batchId: Long): Unit =
+        throw new IllegalStateException("downstream down")
+    }
+    val g = new Sinks.Guarded(boom, dead)
+    g.write(events(E(id = 1, metric = 1.0)), 7L)
+    // the original batch row + one exception-descriptor event
+    assert(dead.size == 2)
+    val descr = dead.rows.toArray.map(_.toString).mkString
+    assert(descr.contains("IllegalStateException"))
+  }
+
+  test("pubsub channels fan out; query subscriptions filter (pubsub.clj:35-109)") {
+    val all = new Sinks.MemorySink
+    val crit = new Sinks.MemorySink
+    val ps = new Sinks.Pubsub
+    ps.subscribe("index", all)
+    ps.subscribeQuery("index", "state = \"critical\"", crit)
+    ps.publish("index", events(
+      E(id = 1, state = "ok"), E(id = 2, state = "critical")))
+    ps.publish("other-channel", events(E(id = 3, state = "critical")))
+    assert(all.size == 2)  // only the subscribed channel
+    assert(crit.size == 1) // query-filtered
+  }
+
+  test("rollup emits buffered overflow metrics (streams.clj:1120-1156)") {
+    val df = events(
+      E(id = 1, metric = 1.0, time = 10L), E(id = 2, metric = 2.0, time = 20L),
+      E(id = 3, metric = 3.0, time = 30L), E(id = 4, metric = 4.0, time = 40L))
+    val row = Windows.rollup(df, 2, 100, Seq("host")).collect().head
+    assert(row.getAs[Long]("passed") == 2L)
+    assert(row.getAs[Long]("rolled") == 2L)
+    assert(row.getSeq[Double](row.fieldIndex("rolled_metrics")) == Seq(3.0, 4.0))
+  }
+
+  test("ddt-real samples at interval boundaries (streams.clj:776-839)") {
+    val df = events(
+      E(id = 1, metric = 0.0, time = 50L), E(id = 2, metric = 10.0, time = 90L),
+      E(id = 3, metric = 40.0, time = 150L))
+    // buckets of 100s: [0,100) last=10 @ start 0; [100,200) last=40 @ 100
+    val rows = Windows.ddtReal(df, 100, Seq("host")).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Double]("ddt") == 0.3) // (40-10)/100
+  }
+
+  test("typed smap drops None results (streams.clj:163-175)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ds = Seq(1.0, -1.0, 2.0).toDS()
+    val out = Streams.smapTyped(ds)(x => if (x > 0) Some(x * 10) else None)
+    assert(out.collect().sorted.toSeq == Seq(10.0, 20.0))
+  }
+}
