@@ -51,7 +51,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // throughput probe against BASELINE.md's ~300K events/s single-thread
+    // counter stream: 10x-unioned events through a where -> counter-style
+    // keyed aggregation, fully materialized
+    val throughput = try {
+      val ev1 = graft.model.EventView(spark, sfDir)
+      val ev10 = (1 to 9).foldLeft(ev1)((d, _) => d.union(ev1))
+      val nEvents = ev10.count()
+      val t0 = System.nanoTime()
+      materialize(ev10.filter(col("metric") > 0)
+        .groupBy("host", "service")
+        .agg(sum(col("metric")).as("total"), count(lit(1)).as("n")))
+      nEvents / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"events_per_sec":$throughput%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
