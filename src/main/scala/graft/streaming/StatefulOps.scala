@@ -53,6 +53,62 @@ object StatefulOps {
       }
   }
 
+  /** `top k f` (streams.clj:1015-1100), streaming: a bounded leaderboard
+    * over the per-[host,service] metric. Events whose key currently
+    * ranks in the top k pass through; a key demoted out of the top set
+    * is emitted once as an expired copy (the reference's demotion
+    * mirror, mirroring `dual`). State = the totals map, partitioned by
+    * `scope` (constant scope = the reference's global top). */
+  def top(events: Dataset[SEvent], k: Int,
+      scope: SEvent => String = _ => ""): Dataset[SEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(scope)
+      .flatMapGroupsWithState[Map[(String, String), Double], SEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, st: GroupState[Map[(String, String), Double]]) =>
+          var totals = st.getOption.getOrElse(Map.empty)
+          def topSet = totals.toSeq
+            .sortBy { case ((h, s), m) => (-m, h, s) }.take(k).map(_._1).toSet
+          val out = Seq.newBuilder[SEvent]
+          for (e <- sorted(rows)) {
+            val key = (e.host, e.service)
+            val before = topSet
+            totals += key -> e.metric.getOrElse(0.0)
+            val after = topSet
+            if (after.contains(key)) out += e
+            // demoted keys get one expired mirror
+            for ((h, s) <- before -- after)
+              out += e.copy(host = h, service = s, state = "expired",
+                metric = totals.get((h, s)))
+          }
+          st.update(totals)
+          out.result().iterator
+      }
+  }
+
+  /** `sreduce f init` (streams.clj:206-250), streaming: running reduce
+    * over the metric with visible intermediates — each event re-emitted
+    * carrying the accumulator. */
+  def sreduce(events: Dataset[SEvent], init: Double, f: (Double, Double) => Double)
+      : Dataset[SEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(e => (e.host, e.service))
+      .flatMapGroupsWithState[Double, SEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, st: GroupState[Double]) =>
+          var acc = st.getOption.getOrElse(init)
+          val out = Seq.newBuilder[SEvent]
+          for (e <- sorted(rows)) {
+            e.metric.foreach(x => acc = f(acc, x))
+            out += e.copy(metric = Some(acc))
+          }
+          st.update(acc)
+          out.result().iterator
+      }
+  }
+
   /** `throttle n dt` (streams.clj:1102-1118), streaming: at most n
     * events per key per dt-second event-time bucket. State = (bucket,
     * count). */

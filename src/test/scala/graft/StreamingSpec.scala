@@ -87,6 +87,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top-k passes leaders, mirrors demotions (streams.clj:1015-1100)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    val q = StatefulOps.top(input.toDS(), 2)
+      .writeStream.format("memory").queryName("top").outputMode("append").start()
+    try {
+      input.addData(ev("a", "s", "ok", 10, 1), ev("b", "s", "ok", 5, 2))
+      q.processAllAvailable()
+      // c (20) displaces b from the top-2? no - k=2, {a:10, c:20} after c
+      input.addData(ev("c", "s", "ok", 20, 3), ev("d", "s", "ok", 7, 4))
+      q.processAllAvailable()
+      val rows = spark.table("top").as[SEvent].collect().sortBy(_.time.getTime)
+      // a, b pass (both in top-2); c passes and demotes b (expired mirror);
+      // d (7 < a:10) does not pass
+      val passed = rows.filter(_.state == "ok").map(_.host).toSeq
+      val demoted = rows.filter(_.state == "expired").map(_.host).toSeq
+      assert(passed == Seq("a", "b", "c"))
+      assert(demoted == Seq("b"))
+    } finally q.stop()
+  }
+
+  test("streaming sreduce carries the accumulator (streams.clj:206-250)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    val q = StatefulOps.sreduce(input.toDS(), 0.0, _ + _)
+      .writeStream.format("memory").queryName("sr").outputMode("append").start()
+    try {
+      input.addData(ev("a", "s", "ok", 1, 1), ev("a", "s", "ok", 2, 2))
+      q.processAllAvailable()
+      input.addData(ev("a", "s", "ok", 3, 3))
+      q.processAllAvailable()
+      val ms = spark.table("sr").as[SEvent].collect()
+        .sortBy(_.time.getTime).flatMap(_.metric).toSeq
+      assert(ms == Seq(1.0, 3.0, 6.0))
+    } finally q.stop()
+  }
+
   test("streaming throttle caps per bucket across batches (streams.clj:1102-1118)") {
     val spark0 = spark
     import spark0.implicits._
