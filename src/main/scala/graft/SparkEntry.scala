@@ -184,6 +184,8 @@ object SparkEntry {
     "q_mode" -> ((s, d) =>
       Folds.modeDeterministic(ev(s, d), "metric", Seq("service"))
         .orderBy("service")),
+    "q_modes" -> ((s, d) =>
+      Folds.modesAll(ev(s, d), "metric", Seq("service")).orderBy("service")),
 
     // ---- LLM pipeline: dedup
     "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))
@@ -416,6 +418,9 @@ object SparkEntry {
     "q_mode" -> (s"$cte, c AS (SELECT service, metric, count(*) AS cnt FROM ev WHERE metric IS NOT NULL GROUP BY 1, 2), " +
       "r AS (SELECT *, row_number() OVER (PARTITION BY service ORDER BY cnt DESC, metric ASC) AS rk FROM c) " +
       "SELECT service, metric AS mode, cnt AS mode_count FROM r WHERE rk = 1 ORDER BY service"),
+    "q_modes" -> (s"$cte, c AS (SELECT service, metric, count(*) AS cnt FROM ev WHERE metric IS NOT NULL GROUP BY 1, 2), " +
+      "m AS (SELECT *, max(cnt) OVER (PARTITION BY service) AS mx FROM c) " +
+      "SELECT service, list(metric ORDER BY metric) AS modes, CAST(max(cnt) AS BIGINT) AS mode_count FROM m WHERE cnt = mx GROUP BY service ORDER BY service"),
     "q_dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1",
     "q_minhash_sig" -> s"$shCte$hsCte SELECT doc_id, ${minhashSigSql(8)} AS sig FROM hh ORDER BY doc_id",
     "q_minhash_pairs" -> (s"$shCte$hsCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh), " +

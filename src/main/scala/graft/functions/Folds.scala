@@ -92,5 +92,21 @@ object Folds {
         col("m.cnt").as("mode_count")): _*)
   }
 
+  /** `modes` (folds.clj:166-184): ALL most-frequent values, sorted —
+    * the plural form `mode` picks the smallest element of. */
+  def modesAll(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val counted = df.filter(col(valueCol).isNotNull)
+      .groupBy((keys.map(col) :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    counted.withColumn("mx", max("cnt").over(w))
+      .filter(col("cnt") === col("mx"))
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col(valueCol))).as("modes"),
+        max("cnt").as("mode_count"))
+  }
+
   def countNonNil(c: Column): Column = count(c)
 }

@@ -126,6 +126,17 @@ object Streams {
       df.filter(Streams.matches(col(field), pattern))
   }
 
+  /** `by fields` (streams.clj:1556-1612): partition the stream by key
+    * fields and build an isolated sub-topology per distinct key. The
+    * Spark-native reading: the keys become the partitioning of every
+    * windowed/stateful operator downstream — this combinator just
+    * threads them, and the shuffle on `keys` IS the reference's
+    * per-key substream isolation (with the bonus that Spark state is
+    * GC'd/spillable where the reference's substreams leak, SURVEY §7). */
+  def by(df: DataFrame, keys: Seq[String])(
+      build: (DataFrame, Seq[String]) => DataFrame): DataFrame =
+    build(df, keys)
+
   /** `smap f` in its general row-function form (streams.clj:163-175):
     * any Scala function over typed events, nil results dropped —
     * the arbitrary-code escape hatch when a column rewrite can't

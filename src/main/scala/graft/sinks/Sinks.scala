@@ -102,6 +102,42 @@ object Sinks {
       }
   }
 
+  /** Elasticsearch bulk sink (reference src/riemann/elasticsearch.clj:
+    * 37-190): formats each partition as an NDJSON `_bulk` body —
+    * `{"index":{}}` action line + event document — and hands the bodies
+    * to the injected HTTP transport. Formatting and batching run
+    * distributed; one transport call per partition (the bulk POST). */
+  class ElasticsearchBulkSink(index: String, transport: String => Unit)
+      extends EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      import org.apache.spark.sql.functions._
+      val idx = index
+      batch
+        .select(to_json(struct(batch.columns.map(col): _*)).as("doc"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          val body = rows.map(r =>
+            s"""{"index":{"_index":"$idx"}}""" + "\n" + r.getString(0))
+            .mkString("", "\n", "\n")
+          if (body.trim.nonEmpty) transport(body)
+        }
+    }
+  }
+
+  /** Webhook/alerting sink (the slack/pagerduty family, e.g.
+    * src/riemann/slack.clj:71, pagerduty.clj:91): each event rendered
+    * as a JSON alert payload, posted one-per-event through the injected
+    * transport — the shape all ~40 reference HTTP integrations share. */
+  class WebhookSink(transport: String => Unit) extends EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      import org.apache.spark.sql.functions._
+      batch
+        .select(to_json(struct(batch.columns.map(col): _*)).as("payload"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          rows.foreach(r => transport(r.getString(0)))
+        }
+    }
+  }
+
   /** Kafka producer sink (kafka.clj:11-48): native in Spark — this just
     * pins the contract (value = JSON event). */
   def kafka[T](ds: Dataset[T], bootstrap: String, topic: String): DataStreamWriter[Row] = {

@@ -56,6 +56,47 @@ class SinksExtraSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("ddt") == 0.3) // (40-10)/100
   }
 
+  test("elasticsearch bulk sink formats NDJSON bodies (elasticsearch.clj:37-190)") {
+    EsProbe.bodies.clear()
+    val sink = new Sinks.ElasticsearchBulkSink("riemann",
+      b => EsProbe.bodies.add(b))
+    sink.write(events(E(id = 1, service = "api", metric = 1.0)).coalesce(1), 0L)
+    assert(EsProbe.bodies.size() == 1)
+    val body = EsProbe.bodies.peek()
+    assert(body.startsWith("""{"index":{"_index":"riemann"}}""" + "\n"))
+    assert(body.contains("\"service\":\"api\""))
+  }
+
+  test("webhook sink posts one JSON payload per event (slack.clj:71 family)") {
+    EsProbe.bodies.clear()
+    val sink = new Sinks.WebhookSink(p => EsProbe.bodies.add(p))
+    sink.write(events(E(id = 1, state = "critical"), E(id = 2, state = "ok")), 0L)
+    assert(EsProbe.bodies.size() == 2)
+  }
+
+  test("modes returns all tied maxima, mode the smallest (folds.clj:166-184)") {
+    val df = events(
+      E(id = 1, metric = 1.0), E(id = 2, metric = 2.0), E(id = 3, metric = 2.0),
+      E(id = 4, metric = 3.0), E(id = 5, metric = 3.0))
+    val row = graft.functions.Folds.modesAll(df, "metric", Nil).collect().head
+    assert(row.getSeq[Double](0) == Seq(2.0, 3.0))
+    assert(row.getLong(1) == 2L)
+  }
+
+  test("by threads keys into the built topology (streams.clj:1556-1612)") {
+    val df = events(
+      E(id = 1, host = "a", metric = 1.0, time = 1L),
+      E(id = 2, host = "a", metric = 2.0, time = 2L),
+      E(id = 3, host = "b", metric = 5.0, time = 3L))
+    val out = Streams.by(df, Seq("host")) { (d, keys) =>
+      Windows.sreduceRunning(d, keys, "running_sum" ->
+        sum(col("metric")))
+    }
+    val sums = out.orderBy("event_id").select("running_sum")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(sums == Seq(1.0, 3.0, 5.0)) // per-host isolation
+  }
+
   test("typed smap drops None results (streams.clj:163-175)") {
     val spark0 = spark
     import spark0.implicits._
@@ -63,4 +104,8 @@ class SinksExtraSpec extends SparkSpec {
     val out = Streams.smapTyped(ds)(x => if (x > 0) Some(x * 10) else None)
     assert(out.collect().sorted.toSeq == Seq(10.0, 20.0))
   }
+}
+
+object EsProbe {
+  val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
