@@ -44,4 +44,26 @@ object Index {
     * language predicate against the snapshot. */
   def search(snapshot: DataFrame, query: String): DataFrame =
     snapshot.filter(QueryLanguage.predicate(query, snapshot.schema))
+
+  /** The reference's point-lookup fast path (index.clj:44-56): a query
+    * whose top-level conjunction pins `host`/`service` equality is
+    * satisfied without scanning the whole index. Spark reading: those
+    * equalities are exactly the snapshot window's partition keys, so
+    * filtering the EVENT RELATION before the window is semantics-
+    * preserving — and Catalyst then pushes the predicate into the
+    * parquet scan, where the generic post-window filter could not go. */
+  def searchEvents(events: DataFrame, query: String): DataFrame = {
+    import QueryLanguage._
+    val ast = parse(query)
+    def pkeyEqs(a: Ast): Seq[Column] = a match {
+      case And(l, r) => pkeyEqs(l) ++ pkeyEqs(r)
+      case Cmp("=", FieldRef(f), StrLit(v)) if f == "host" || f == "service" =>
+        Seq(col(f) === v)
+      case Cmp("=", StrLit(v), FieldRef(f)) if f == "host" || f == "service" =>
+        Seq(col(f) === v)
+      case _ => Seq.empty
+    }
+    val pre = pkeyEqs(ast).foldLeft(events)((d, p) => d.filter(p))
+    snapshot(pre).filter(compile(ast, events.schema))
+  }
 }

@@ -138,6 +138,34 @@ object Sinks {
     }
   }
 
+  /** `forward` (streams.clj:1255-1261): riemann→riemann forwarding —
+    * events re-encoded to framed protobuf Msg payloads per partition,
+    * handed to the injected TCP transport. */
+  class ForwardSink(transport: Iterator[Array[Byte]] => Unit,
+      batchSize: Int = 100) extends EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      import graft.sources.RiemannProtobuf
+      val spark = batch.sparkSession
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val n = batchSize
+      batch.select(
+        col("host").cast("string"), col("service").cast("string"),
+        col("state").cast("string"), col("metric").cast("double"),
+        col("time_s").cast("long"), col("ttl").cast("double"))
+        .as[(String, String, String, Option[Double], Option[Long], Option[Double])]
+        .foreachPartition {
+          (rows: Iterator[(String, String, String, Option[Double], Option[Long], Option[Double])]) =>
+            transport(rows.grouped(n).map { g =>
+              RiemannProtobuf.frame(RiemannProtobuf.encodeMsg(g.map {
+                case (h, s, st, m, t, ttl) =>
+                  RiemannProtobuf.PEvent(h, s, st, null, m, Seq(), t, ttl, Map())
+              }.toSeq))
+            })
+        }
+    }
+  }
+
   /** Kafka producer sink (kafka.clj:11-48): native in Spark — this just
     * pins the contract (value = JSON event). */
   def kafka[T](ds: Dataset[T], bootstrap: String, topic: String): DataStreamWriter[Row] = {

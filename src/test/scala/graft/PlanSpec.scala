@@ -64,6 +64,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("index point-lookup fast path filters before the snapshot window (index.clj:44-56)") {
+    val ev = EventView(spark, dir)
+    val fast = Index.searchEvents(ev, """host = "5" and service = "error"""")
+    val p = plan(fast)
+    // the pkey equalities must appear below the window: the scan's output
+    // is already filtered (pushed to the parquet read of event_type)
+    assert(p.contains("PushedFilters: [EqualNullSafe(event_type,error)]"),
+      s"service equality not pushed into the scan:\n$p")
+    // and results agree with the generic full-scan search
+    val slow = Index.search(Index.snapshot(ev), """host = "5" and service = "error"""")
+    assert(fast.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      slow.select("event_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("windowed aggregation keeps partial (map-side) aggregation") {
     val p = plan(Windows.fixedOffsetTimeWindow(EventView(spark, dir), 3600,
       Seq("service")))

@@ -97,6 +97,20 @@ class SinksExtraSpec extends SparkSpec {
     assert(sums == Seq(1.0, 3.0, 5.0)) // per-host isolation
   }
 
+  test("forward sink re-encodes framed protobuf msgs (streams.clj:1255-1261)") {
+    ForwardProbe.msgs.clear()
+    val sink = new Sinks.ForwardSink(ms => ms.foreach(ForwardProbe.msgs.add))
+    sink.write(events(
+      E(id = 1, host = "a", service = "s", state = "ok", metric = 1.5, time = 10L),
+      E(id = 2, host = "b", service = "s", state = "ok", metric = 2.5, time = 20L))
+      .coalesce(1), 0L)
+    assert(ForwardProbe.msgs.size() == 1) // one framed msg per batch group
+    val decoded = graft.sources.RiemannProtobuf.decodeMsg(
+      graft.sources.RiemannProtobuf.unframe(ForwardProbe.msgs.peek()))
+    assert(decoded.map(e => (e.host, e.metric.get)).toSet ==
+      Set(("a", 1.5), ("b", 2.5)))
+  }
+
   test("typed smap drops None results (streams.clj:163-175)") {
     val spark0 = spark
     import spark0.implicits._
@@ -108,4 +122,8 @@ class SinksExtraSpec extends SparkSpec {
 
 object EsProbe {
   val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+object ForwardProbe {
+  val msgs = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
 }
