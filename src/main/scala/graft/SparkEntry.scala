@@ -207,6 +207,8 @@ object SparkEntry {
         .orderBy("query_id", "rk")),
     "q_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(emb(s, d), 8)
       .orderBy("vec_id")),
+    "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(emb(s, d), 5, 8)
+      .orderBy("query_id", "rk")),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d))
       .orderBy("label")),
 
@@ -286,8 +288,8 @@ object SparkEntry {
     (0 until planes).map { p =>
       val arr = Array.tabulate(64)(d =>
         Similarity.planeComponent(planeOffset + p, d)).mkString("[", ",", "]")
-      s"(CASE WHEN CAST(list_sum(list_transform(list_zip($src, CAST($arr AS DOUBLE[]))," +
-        s" z -> CAST(z[1]*z[2] AS DECIMAL(38,18)))) AS DOUBLE) >= 0" +
+      s"(CASE WHEN list_sum(list_transform(list_zip($src, CAST($arr AS DOUBLE[]))," +
+        s" z -> CAST(FLOOR(z[1]*z[2]*1e12) AS BIGINT))) >= 0" +
         s" THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
 
@@ -454,6 +456,11 @@ object SparkEntry {
       "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM scored) " +
       "SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 10 ORDER BY query_id, rk"),
     "q_lsh_buckets" -> s"$unitCte SELECT vec_id, label, ${bucketSql(8)} AS bucket FROM u ORDER BY vec_id",
+    "q_ann_lsh" -> (s"$unitCte, bk AS (SELECT vec_id, unit, ${bucketSql(8)} AS bucket FROM u), " +
+      "scored AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, round(CAST(list_sum(list_transform(list_zip(a.unit, b.unit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine " +
+      "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM scored) " +
+      "SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 5 ORDER BY query_id, rk"),
     "q_label_centroids" -> (s"$unitCte, dims AS (SELECT label, unnest(unit) AS v, unnest(generate_series(0, len(unit)-1)) AS dim FROM u), " +
       "cc AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c FROM dims GROUP BY 1, 2) " +
       "SELECT label, round(sqrt(CAST(SUM(CAST(c*c AS DECIMAL(38,18))) AS DOUBLE)), 4) AS centroid_norm, count(*) AS dims FROM cc GROUP BY label ORDER BY label"),

@@ -97,13 +97,14 @@ object Similarity {
     * long. `dims` must match the embedding dimensionality. */
   def bucketExpr(unit: Column, planes: Int, dims: Int = 64,
       planeOffset: Int = 0): Column = {
+    // the sign decision uses the same scaled-long trick as dotExact
+    // (order/engine-independent, codegen'd): |x·c| ≤ ~5 per term, so a
+    // 1e12 scale keeps 64-term sums far below 2^63 with 1e-12 precision
     def proj(p: Int): Column = {
       val hp = Array.tabulate(dims)(d => planeComponent(planeOffset + p, d))
       aggregate(
-        zip_with(unit, lit(hp),
-          (x, c) => (x * c).cast(DecimalType(38, 18))),
-        lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 18)),
-        (acc, x) => (acc + x).cast(DecimalType(38, 18))).cast("double")
+        zip_with(unit, lit(hp), (x, c) => floor(x * c * lit(1e12))),
+        lit(0L), (acc, x) => acc + x)
     }
     (0 until planes).map(p => when(proj(p) >= 0, lit(1L << p)).otherwise(0L))
       .reduce(_ + _)
