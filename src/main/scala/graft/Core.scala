@@ -1,0 +1,98 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, StreamingQueryListener}
+
+/** The config/lifecycle layer — riemann's "DDL path" (SURVEY §3.3):
+  * a config assembles named stream topologies; `applyConfig` starts
+  * them; a reload diffs old vs new and only restarts what changed —
+  * the analog of `core/transition!`'s `equiv?` service reuse
+  * (reference src/riemann/core.clj:105-161, config.clj:349-355).
+  * Unlike the reference, unchanged queries keep their checkpointed
+  * state across reloads (the limitation riemann documents in
+  * src/riemann/streams/pure.clj:1-30).
+  */
+class Core(spark: SparkSession) {
+
+  /** A named topology: `signature` is the config's own version stamp —
+    * two defs with equal (name, signature) are `equiv?` and survive a
+    * reload without restart. */
+  case class StreamDef(name: String, signature: String,
+      build: () => DataStreamWriter[_])
+
+  private val pending = mutable.LinkedHashMap[String, StreamDef]()
+  private val active = mutable.LinkedHashMap[String, (StreamDef, StreamingQuery)]()
+
+  /** Register (or replace) a stream definition in the next config. */
+  def stream(name: String, signature: String = "")(
+      build: => DataStreamWriter[_]): this.type = {
+    pending += name -> StreamDef(name, signature, () => build)
+    this
+  }
+
+  /** `apply!`/`transition!`: stop active queries that were removed or
+    * whose signature changed, start new/changed ones, leave `equiv?`
+    * ones running. Returns the names (re)started. */
+  def applyConfig(): Seq[String] = synchronized {
+    val started = Seq.newBuilder[String]
+    // stop removed/changed
+    for ((name, (df, q)) <- active.toSeq) {
+      pending.get(name) match {
+        case Some(nd) if nd.signature == df.signature => () // equiv? reuse
+        case _ => q.stop(); active -= name
+      }
+    }
+    // start added/changed
+    for ((name, d) <- pending if !active.contains(name)) {
+      val q = d.build().queryName(name).start()
+      active += name -> (d, q)
+      started += name
+    }
+    started.result()
+  }
+
+  def activeQueries: Map[String, StreamingQuery] =
+    synchronized(active.view.mapValues(_._2).toMap)
+
+  def stop(): Unit = synchronized {
+    active.values.foreach(_._2.stop()); active.clear()
+  }
+}
+
+/** Stream instrumentation (reference src/riemann/instrumentation.clj:
+  * 50-74: rate + latency quantiles per stream): a
+  * StreamingQueryListener tracking rows/s and micro-batch duration
+  * quantiles per query. */
+class Instrumentation extends StreamingQueryListener {
+  private val durations =
+    new java.util.concurrent.ConcurrentHashMap[String, mutable.ArrayDeque[Long]]()
+  private val rates =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val name = Option(e.progress.name).getOrElse(e.progress.id.toString)
+    val ds = durations.computeIfAbsent(name, _ => mutable.ArrayDeque[Long]())
+    ds.synchronized {
+      ds.append(e.progress.batchDuration)
+      if (ds.length > 1000) ds.removeHead()
+    }
+    rates.put(name, e.progress.processedRowsPerSecond)
+  }
+
+  /** (rows/s, batch-duration quantiles 0.5/0.95/0.99 in ms) per query. */
+  def snapshot: Map[String, (Double, Map[Double, Long])] = {
+    import scala.jdk.CollectionConverters._
+    durations.asScala.map { case (name, ds) =>
+      val sorted = ds.synchronized(ds.toIndexedSeq.sorted)
+      val qs = Seq(0.5, 0.95, 0.99).map { p =>
+        p -> (if (sorted.isEmpty) 0L
+        else sorted(math.min(((sorted.size * p).toInt), sorted.size - 1)))
+      }.toMap
+      name -> (rates.getOrDefault(name, 0.0), qs)
+    }.toMap
+  }
+}

@@ -187,6 +187,22 @@ object SparkEntry {
     "q_modes" -> ((s, d) =>
       Folds.modesAll(ev(s, d), "metric", Seq("service")).orderBy("service")),
 
+    // ---- star-schema sanity: decimal-exact pricing summary over lineitem
+    "q_tpch_pricing" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(D)).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast(D)).cast("double") /
+            count(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // ---- LLM pipeline: dedup
     "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))
       .orderBy("content_hash")),
@@ -420,6 +436,13 @@ object SparkEntry {
     "q_mode" -> (s"$cte, c AS (SELECT service, metric, count(*) AS cnt FROM ev WHERE metric IS NOT NULL GROUP BY 1, 2), " +
       "r AS (SELECT *, row_number() OVER (PARTITION BY service ORDER BY cnt DESC, metric ASC) AS rk FROM c) " +
       "SELECT service, metric AS mode, cnt AS mode_count FROM r WHERE rk = 1 ORDER BY service"),
+    "q_tpch_pricing" -> ("SELECT l_returnflag, l_linestatus, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price, " +
+      "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity) AS avg_qty, " +
+      "count(*) AS count_order " +
+      "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_modes" -> (s"$cte, c AS (SELECT service, metric, count(*) AS cnt FROM ev WHERE metric IS NOT NULL GROUP BY 1, 2), " +
       "m AS (SELECT *, max(cnt) OVER (PARTITION BY service) AS mx FROM c) " +
       "SELECT service, list(metric ORDER BY metric) AS modes, CAST(max(cnt) AS BIGINT) AS mode_count FROM m WHERE cnt = mx GROUP BY service ORDER BY service"),
