@@ -250,6 +250,26 @@ object Windows {
     }
   }
 
+  /** Two-phase salted aggregation for skewed keys: phase 1 aggregates
+    * on (key, hash-salt) — splitting a hot key across `salts` reducers —
+    * phase 2 merges the partials on the key alone. For sums/counts
+    * (decimal-exact, so the re-association changes nothing). Spark's
+    * hash aggregate already does map-side partials, which covers most
+    * skew; use this where the partial-combine itself is the bottleneck
+    * (e.g. huge collect-style states or extreme single-key skew), and
+    * prefer AQE skew-join splitting for skewed JOIN sides. */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+      salts: Int = 16): DataFrame = {
+    val partial = df
+      .withColumn("_salt", pmod(hash(col("event_id")), lit(salts)))
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(sum(col(valueCol).cast(D)).as("_psum"),
+        count(col(valueCol)).as("_pcnt"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum("_psum").cast("double").as("sum_metric"),
+        sum("_pcnt").as("n_metric"))
+  }
+
   /** `top k f` (streams.clj:1015-1100), batch form: rank keys by a
     * grouped metric, keep top k. Deterministic tie-break on the key.
     * Plan note: `orderBy().limit(k)` compiles to TakeOrderedAndProject

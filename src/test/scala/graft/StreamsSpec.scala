@@ -226,6 +226,20 @@ class StreamsSpec extends SparkSpec {
       row.getDouble(2) == 4.0)
   }
 
+  test("salted aggregation equals direct aggregation (skew path)") {
+    val df = events((1 to 40).map(i =>
+      E(id = i, host = if (i <= 35) "hot" else s"h$i", metric = i.toDouble,
+        time = i.toLong)): _*)
+    val salted = Windows.saltedSumCount(df, Seq("host"), "metric", 4)
+      .orderBy("host").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val direct = df.groupBy("host")
+      .agg(sum(col("metric")).as("s"), count(col("metric")).as("c"))
+      .orderBy("host").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(salted.toSeq == direct.toSeq)
+  }
+
   test("index snapshot + search end-to-end (index.clj:89-95)") {
     val df = events(
       E(id = 1, host = "a", service = "api", state = "ok", metric = 1.0, time = 1L),
