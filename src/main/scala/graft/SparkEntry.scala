@@ -203,6 +203,23 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // ---- star-schema join path: broadcast the dimension chain
+    "q_tpch_regional" -> ((s, d) => {
+      val orders = s.read.parquet(s"$d/orders.parquet")
+      val cust = s.read.parquet(s"$d/customer.parquet")
+      val nation = s.read.parquet(s"$d/nation.parquet")
+      val region = s.read.parquet(s"$d/region.parquet")
+      val dim = broadcast(cust
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .select(col("c_custkey"), col("r_name")))
+      orders.join(dim, orders("o_custkey") === dim("c_custkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("total_price"))
+        .orderBy("r_name")
+    }),
+
     // ---- LLM pipeline: dedup
     "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))
       .orderBy("content_hash")),
@@ -443,6 +460,12 @@ object SparkEntry {
       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity) AS avg_qty, " +
       "count(*) AS count_order " +
       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_tpch_regional" -> ("SELECT r.r_name, count(*) AS n_orders, " +
+      "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price " +
+      "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+      "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+      "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+      "GROUP BY r.r_name ORDER BY r.r_name"),
     "q_modes" -> (s"$cte, c AS (SELECT service, metric, count(*) AS cnt FROM ev WHERE metric IS NOT NULL GROUP BY 1, 2), " +
       "m AS (SELECT *, max(cnt) OVER (PARTITION BY service) AS mx FROM c) " +
       "SELECT service, list(metric ORDER BY metric) AS modes, CAST(max(cnt) AS BIGINT) AS mode_count FROM m WHERE cnt = mx GROUP BY service ORDER BY service"),

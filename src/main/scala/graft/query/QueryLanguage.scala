@@ -234,7 +234,8 @@ object QueryLanguage {
       }
       case _ => lit(null).cast(DoubleType)
     }
-    // general rendering (for equality)
+    // general rendering (for equality); non-value nodes can't appear as
+    // comparison operands by construction of the grammar
     def render(a: Ast): Column = a match {
       case BoolLit(v) => lit(v)
       case NullLit => lit(null)
@@ -243,6 +244,7 @@ object QueryLanguage {
       case BigLit(v) => lit(v.toDouble)
       case StrLit(v) => lit(v)
       case FieldRef(f) => resolve(f)
+      case other => throw ParseException(s"not a value: $other")
     }
     def isNumericAst(a: Ast): Boolean = a match {
       case _: LongLit | _: DoubleLit | _: BigLit => true

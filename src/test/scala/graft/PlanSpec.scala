@@ -78,6 +78,12 @@ class PlanSpec extends SparkSpec {
       slow.select("event_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("star-schema dimension chain joins by broadcast, fact side never shuffles") {
+    val p = plan(SparkEntry.queries("q_tpch_regional")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side shuffled:\n$p")
+  }
+
   test("windowed aggregation keeps partial (map-side) aggregation") {
     val p = plan(Windows.fixedOffsetTimeWindow(EventView(spark, dir), 3600,
       Seq("service")))
