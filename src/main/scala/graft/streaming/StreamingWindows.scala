@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Declarative watermark-windowed streaming aggregations — the
+  * Spark-native replacement for the reference's `part-time-fast` /
+  * `part-time-simple` interval machinery (streams.clj:543-661): the
+  * partial-aggregate-then-flush contract is exactly what windowed
+  * aggregation + watermark gives for free (SURVEY §4). Windows close
+  * (and emit, in append mode) when the watermark passes their end —
+  * the late-data drop semantics of fixed-time-window
+  * (streams.clj:386-389). */
+object StreamingWindows {
+
+  private val D = DecimalType(18, 6)
+
+  /** `rate interval` (streams.clj:841-883), streaming: per service,
+    * Σmetric/interval per tumbling event-time window. */
+  def rate(events: Dataset[SEvent], intervalS: Long,
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    events.withWatermark("time", watermarkDelay)
+      .groupBy(col("service"), window(col("time"), s"$intervalS seconds"))
+      .agg((sum(col("metric").cast(D)).cast("double") / intervalS).as("rate"),
+        count(lit(1)).as("n_events"))
+      .select(col("service"), col("window.start").as("window_start"),
+        col("rate"), col("n_events"))
+
+  /** `percentiles interval points` (streams.clj:885-898), streaming:
+    * nearest-rank percentiles over each closed window's actual metrics
+    * (folds.clj:16-49 sorted-sample). */
+  def percentiles(events: Dataset[SEvent], intervalS: Long,
+      points: Seq[Double], watermarkDelay: String = "0 seconds"): DataFrame = {
+    val bucketed = events.withWatermark("time", watermarkDelay)
+      .groupBy(col("service"), window(col("time"), s"$intervalS seconds"))
+      .agg(sort_array(collect_list("metric")).as("ms"))
+    bucketed
+      .select(col("service"), col("window.start").as("window_start"),
+        col("ms"), explode(array(points.map(lit): _*)).as("point"))
+      .withColumn("idx",
+        least(floor(col("point") * size(col("ms"))), size(col("ms")) - 1)
+          .cast("int"))
+      .select(
+        concat(col("service"), lit(" "), col("point").cast("string"))
+          .as("service_pt"),
+        col("window_start"), element_at(col("ms"), col("idx") + 1).as("metric"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{SEvent, StreamingWindows}
+
+/** Watermark-closed window emission: windows finalize in append mode
+  * only once the watermark passes their end — the reference's
+  * interval-flush + late-drop semantics driven through the data. */
+class StreamingWindowsSpec extends SparkSpec {
+
+  private def ev(service: String, m: Double, t: Long) =
+    SEvent("h", service, "ok", Some(m), new Timestamp(t * 1000), None)
+
+  test("streaming rate emits closed windows only (streams.clj:841-883, part-time flush)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    val q = StreamingWindows.rate(input.toDS(), 10)
+      .writeStream.format("memory").queryName("srate").outputMode("append")
+      .start()
+    try {
+      input.addData(ev("cpu", 30.0, 1), ev("cpu", 30.0, 5))
+      q.processAllAvailable()
+      // window [0,10) not closed yet — nothing emitted
+      assert(spark.table("srate").count() == 0)
+      input.addData(ev("cpu", 60.0, 15))
+      q.processAllAvailable()
+      input.addData(ev("cpu", 1.0, 25)) // watermark 25 closes [10,20) too
+      q.processAllAvailable()
+      val rows = spark.table("srate").orderBy("window_start").collect()
+        .map(r => (r.getAs[Double]("rate"), r.getAs[Long]("n_events")))
+      assert(rows.toSeq == Seq((6.0, 2L), (6.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming percentiles: nearest-rank over closed windows (streams.clj:885-898)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    val q = StreamingWindows.percentiles(input.toDS(), 10, Seq(0.5, 1.0))
+      .writeStream.format("memory").queryName("spct").outputMode("append")
+      .start()
+    try {
+      input.addData(ev("api", 1.0, 1), ev("api", 2.0, 2), ev("api", 9.0, 3))
+      q.processAllAvailable()
+      input.addData(ev("api", 0.0, 15)) // closes [0,10)
+      q.processAllAvailable()
+      val rows = spark.table("spct").collect()
+        .map(r => (r.getAs[String]("service_pt"), r.getAs[Double]("metric")))
+        .toSet
+      assert(rows == Set(("api 0.5", 2.0), ("api 1.0", 9.0)))
+    } finally q.stop()
+  }
+}
