@@ -32,6 +32,13 @@ class Core(spark: SparkSession) {
     this
   }
 
+  /** Drop a stream from the next config — the next `applyConfig` stops
+    * its running query (the `transition!` removal path). */
+  def removeStream(name: String): this.type = {
+    pending -= name
+    this
+  }
+
   /** `apply!`/`transition!`: stop active queries that were removed or
     * whose signature changed, start new/changed ones, leave `equiv?`
     * ones running. Returns the names (re)started. */

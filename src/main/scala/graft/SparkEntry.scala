@@ -422,8 +422,8 @@ object SparkEntry {
       "SELECT event_id FROM rl WHERE run_len >= 2 ORDER BY event_id"),
     "q_stable" -> (s"$cte, c AS (SELECT *, CASE WHEN state IS NOT DISTINCT FROM lag(state) OVER (PARTITION BY host ORDER BY time_s, event_id) THEN 0 ELSE 1 END AS chg FROM ev), " +
       "g AS (SELECT *, SUM(chg) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS segment FROM c), " +
-      "ss AS (SELECT *, min(time_s) OVER (PARTITION BY host, segment ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS segment_start FROM g) " +
-      "SELECT event_id FROM ss WHERE time_s - segment_start >= 7200 ORDER BY event_id"),
+      "ss AS (SELECT *, min(time_s) OVER (PARTITION BY host, segment) AS segment_start, max(time_s) OVER (PARTITION BY host, segment) AS segment_last FROM g) " +
+      "SELECT event_id FROM ss WHERE segment_last - segment_start >= 7200 ORDER BY event_id"),
     "q_predict_linear" -> (s"$cte, x AS (SELECT host, metric, time_s, CAST(time_s - min(time_s) OVER (PARTITION BY host) AS DECIMAL(38,6)) AS xv FROM ev WHERE metric IS NOT NULL), " +
       "m AS (SELECT host, CAST(count(*) AS DOUBLE) AS n, CAST(SUM(xv) AS DOUBLE) AS sx, CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS sy, CAST(SUM(xv * CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS sxy, CAST(SUM(xv * xv) AS DOUBLE) AS sxx, max(time_s) AS last_time, CAST(max(xv) AS DOUBLE) AS x_last FROM x GROUP BY host), " +
       "sl AS (SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM m) " +

@@ -54,10 +54,12 @@ object Folds {
     call_function("percentile", c, lit(p))
 
   /** Nearest-rank percentile (folds.clj:16-49 sorted-sample-extract):
-    * element at min(floor(p·n), n−1) of the sorted sample. */
+    * element at min(floor(p·n), n−1) of the sorted sample; null when
+    * every input was null (empty sample, as the reference returns []). */
   def nearestRank(c: Column, p: Double): Column = {
     val ms = sort_array(collect_list(c))
-    element_at(ms, (least(floor(lit(p) * size(ms)), size(ms) - 1) + 1).cast("int"))
+    when(size(ms) > 0,
+      element_at(ms, (least(floor(lit(p) * size(ms)), size(ms) - 1) + 1).cast("int")))
   }
 
   def medianExact(c: Column): Column = percentileExact(c, 0.5)

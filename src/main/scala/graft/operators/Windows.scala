@@ -83,7 +83,10 @@ object Windows {
       .select(
         concat(col("service"), lit(" "), col("point").cast("string")).as("service_pt"),
         col("window_start"), col("point"),
-        element_at(col("ms"), col("idx") + 1).as("metric"))
+        // all-null-metric buckets collect an empty sample: emit null
+        // (element_at would reject index 0)
+        when(size(col("ms")) > 0, element_at(col("ms"), col("idx") + 1))
+          .as("metric"))
   }
 
   /** `apdex` (streams.clj:2103-2157): (satisfied + tolerated/2) / total
@@ -356,19 +359,22 @@ object Windows {
       .filter(col("run_len") >= n)
   }
 
-  /** `stable dt f` (streams.clj:1936-2030): de-flapping — pass events
-    * whose `field` value has persisted ≥ dt seconds (segment start +
-    * dt ≤ event time). */
+  /** `stable dt f` (streams.clj:1936-2030): de-flapping — the reference
+    * BUFFERS events while a new value is on probation and delivers the
+    * whole buffer once the value has persisted ≥ dt (discarding it if
+    * the value flaps sooner). Batch reading: a run of equal values is
+    * stable iff it spans ≥ dt seconds, and then ALL its events pass —
+    * not just the post-probation tail. */
   def stable(df: DataFrame, dtSeconds: Long, field: String, keys: Seq[String]): DataFrame = {
     val w = keyW(keys)
     val changedFlag = when(col(field) <=> lag(col(field), 1).over(w), 0).otherwise(1)
     val seg = sum(changedFlag).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    val segW = Window.partitionBy((keys.map(col) :+ col("segment")): _*)
-      .orderBy(col("time_s"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
+    val segFull = Window.partitionBy((keys.map(col) :+ col("segment")): _*)
     df.withColumn("segment", seg)
-      .withColumn("segment_start", min("time_s").over(segW))
-      .filter(col("time_s") - col("segment_start") >= dtSeconds)
+      .withColumn("segment_start", min("time_s").over(segFull))
+      .withColumn("segment_last", max("time_s").over(segFull))
+      .filter(col("segment_last") - col("segment_start") >= dtSeconds)
+      .drop("segment_last")
   }
 
   /** `predict-linear n s` (streams.clj:2197-2248): OLS over each key's

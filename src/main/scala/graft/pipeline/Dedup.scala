@@ -175,14 +175,14 @@ object Dedup {
     * in the biggest label at scale; banded buckets stay small by
     * construction. */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.4,
-      bands: Int = 4, planesPerBand: Int = 6): DataFrame = {
+      bands: Int = 4, planesPerBand: Int = 6, dims: Int = 64): DataFrame = {
     // buckets from the RAW embedding (hyperplane signs are
     // scale-invariant); unit kept for the cosine. cache() materializes
     // both once before the self-join re-references them per pair.
     val dv = transform(col("embedding"), x => x.cast("double"))
     val bandCols = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        Similarity.bucketExpr(dv, planesPerBand, 64, b * planesPerBand)
+        Similarity.bucketExpr(dv, planesPerBand, dims, b * planesPerBand)
           .as("bucket"))
     }: _*)
     val e = embeddings.select(col("vec_id"),

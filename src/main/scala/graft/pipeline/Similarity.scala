@@ -113,10 +113,11 @@ object Similarity {
   /** Random-hyperplane LSH bucket id per vector: docs hashing to the
     * same bucket are cosine-close with high probability. Narrow one-pass
     * projection — scales as a pure map. */
-  def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame =
+  def lshBuckets(embeddings: DataFrame, planes: Int = 8,
+      dims: Int = 64): DataFrame =
     embeddings.select(col("vec_id"), col("label"),
-      bucketExpr(transform(col("embedding"), x => x.cast("double")), planes)
-        .as("bucket"))
+      bucketExpr(transform(col("embedding"), x => x.cast("double")), planes,
+        dims).as("bucket"))
 
   /** Double-arithmetic prefilter bound for a decimal-exact cosine: the
     * two differ by far less than this. */
@@ -124,8 +125,9 @@ object Similarity {
 
   /** LSH-bucketed ANN top-k: candidates share a bucket; exact cosine
     * only within buckets. Recall/cost tuned by `planes`. */
-  def lshTopK(embeddings: DataFrame, k: Int, planes: Int = 8): DataFrame = {
-    val buckets = lshBuckets(embeddings, planes)
+  def lshTopK(embeddings: DataFrame, k: Int, planes: Int = 8,
+      dims: Int = 64): DataFrame = {
+    val buckets = lshBuckets(embeddings, planes, dims)
     val e = embeddings.select(col("vec_id"), normalized(col("embedding")).as("unit"))
       .join(buckets.select("vec_id", "bucket"), "vec_id")
       .cache()

@@ -96,6 +96,7 @@ object QueryLanguage {
         s.startsWith("-Infinity", i) || s.startsWith("-NaN", i)))) {
         // number literal: long / float / bign / Infinity / NaN
         if (s.startsWith("-Infinity", i)) { out += TDouble(Double.NegativeInfinity); i += 9 }
+        else if (s.startsWith("-NaN", i)) { out += TDouble(Double.NaN); i += 4 }
         else {
           val start = i
           if (c == '-') i += 1
@@ -108,10 +109,12 @@ object QueryLanguage {
             if (s(i) == '.') { i += 1; while (i < n && s(i).isDigit) i += 1 }
             if (i < n && (s(i) == 'e' || s(i) == 'E')) {
               i += 1
-              if (i < n && s(i) == '-') i += 1
+              if (i < n && (s(i) == '-' || s(i) == '+')) i += 1
               while (i < n && s(i).isDigit) i += 1
             }
-            out += TDouble(s.substring(start, i).toDouble)
+            try out += TDouble(s.substring(start, i).toDouble)
+            catch { case _: NumberFormatException =>
+              throw ParseException(s"bad number at $start in: $s") }
           } else out += TLong(s.substring(start, i).toLong)
         }
       } else if (s.startsWith("Infinity", i) && (i + 8 == n || !isNameRest(s(i + 8)))) {

@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object LineProtocols {
 
+  /** k=v pair array → map, keeping the LAST pair per duplicate key (the
+    * reference's reduce/assoc semantics, graphite.clj:21-29) —
+    * str_to_map on raw joined pairs would throw on duplicate keys and
+    * kill the batch. O(n²) per row over a handful of tags. */
+  private def kvMap(pairs: Column): Column = {
+    def keyOf(t: Column) = element_at(split(t, "="), 1)
+    val kept = filter(pairs, (t, i) =>
+      !exists(slice(pairs, i + 2, lit(1000000)),
+        u => keyOf(u) === keyOf(t)))
+    when(size(pairs) > 0,
+      str_to_map(array_join(kept, ","), lit(","), lit("=")))
+      .otherwise(map())
+  }
+
   /** Decode `service[;k=v...] metric timestamp` lines.
     * Output: (service, metric, time_s, attributes) — exactly one event
     * per valid line; blank/garbage/extra-field lines dropped. */
@@ -33,11 +47,11 @@ object LineProtocols {
           .otherwise(element_at(col("_p"), 2)).try_cast("double"))
       .withColumn("time_s", element_at(col("_p"), 3).try_cast("double")
         .cast("long"))
-      .withColumn("attributes",
-        when(size(headParts) > 1,
-          str_to_map(concat_ws(",", slice(headParts, 2, 1000)), lit(","), lit("=")))
-          .otherwise(map()))
-      .filter(col("time_s").isNotNull)
+      .withColumn("attributes", kvMap(slice(headParts, 2, 1000)))
+      // unparseable metrics drop the line (reference NumberFormatException
+      // path); only the literal "nan" maps to a nil metric
+      .filter(col("time_s").isNotNull &&
+        (col("metric").isNotNull || lower(element_at(col("_p"), 2)) === "nan"))
       .drop("_p", lineCol)
   }
 
@@ -61,13 +75,8 @@ object LineProtocols {
           .otherwise(col("description")))
       .withColumn("time_s", element_at(col("_p"), 3).try_cast("long"))
       .withColumn("metric", element_at(col("_p"), 4).try_cast("double"))
-      .withColumn("attributes",
-        when(size(tagParts) > 0,
-          str_to_map(
-            array_join(transform(tagParts,
-              t => regexp_replace(t, lit("^service="), lit("servicetag="))), ","),
-            lit(","), lit("=")))
-          .otherwise(map()))
+      .withColumn("attributes", kvMap(transform(tagParts,
+        t => regexp_replace(t, lit("^service="), lit("servicetag=")))))
       .withColumn("host", element_at(col("attributes"), "host"))
       .withColumn("attributes", map_filter(col("attributes"),
         (k, _) => k =!= "host"))

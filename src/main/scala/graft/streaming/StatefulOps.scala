@@ -60,7 +60,8 @@ object StatefulOps {
     * mirror, mirroring `dual`). State = the totals map, partitioned by
     * `scope` (constant scope = the reference's global top). */
   def top(events: Dataset[SEvent], k: Int,
-      scope: SEvent => String = _ => ""): Dataset[SEvent] = {
+      scope: SEvent => String = _ => "",
+      maxKeys: Int = 10000): Dataset[SEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(scope)
@@ -82,6 +83,11 @@ object StatefulOps {
               out += e.copy(host = h, service = s, state = "expired",
                 metric = totals.get((h, s)))
           }
+          // bound the state: evict the lowest totals beyond maxKeys so
+          // high-cardinality key churn can't grow state without limit
+          // (keys far below the top can't re-enter it anyway)
+          if (totals.size > maxKeys)
+            totals = totals.toSeq.sortBy(-_._2).take(maxKeys).toMap
           st.update(totals)
           out.result().iterator
       }
@@ -124,8 +130,11 @@ object StatefulOps {
           val out = Seq.newBuilder[SEvent]
           for (e <- sorted(rows)) {
             val b = e.time.getTime / 1000 / dtSeconds
-            if (b != bucket) { bucket = b; cnt = 0 }
-            if (cnt < n) { out += e; cnt += 1 }
+            // buckets only move forward: a late event from an older
+            // bucket must not reset the current bucket's count (it is
+            // dropped — its own bucket's quota is unknowable by then)
+            if (b > bucket) { bucket = b; cnt = 0 }
+            if (b == bucket && cnt < n) { out += e; cnt += 1 }
           }
           st.update((bucket, cnt))
           out.result().iterator

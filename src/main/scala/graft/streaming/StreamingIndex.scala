@@ -43,11 +43,21 @@ object StreamingIndex {
           if (state.hasTimedOut) {
             // reaper: emit the expired copy once, then forget the key
             // (expire sets state="expired", time=now ≈ watermark;
-            // common.clj:119-124)
+            // common.clj:119-124). A timer armed by an OLDER event may
+            // fire after a newer ttl-less event became latest — such a
+            // key is immortal and must not be evicted (stale-timer
+            // check; timers cannot be un-armed, only ignored here).
             val last = state.get
-            state.remove()
-            Iterator(last.copy(state = "expired",
-              time = new java.sql.Timestamp(state.getCurrentWatermarkMs())))
+            val deadline = last.ttl.map(t => last.time.getTime + (t * 1000).toLong)
+            if (deadline.exists(_ <= state.getCurrentWatermarkMs())) {
+              state.remove()
+              Iterator(last.copy(state = "expired",
+                time = new java.sql.Timestamp(state.getCurrentWatermarkMs())))
+            } else {
+              deadline.foreach(d => state.setTimeoutTimestamp(
+                math.max(d, state.getCurrentWatermarkMs() + 1)))
+              Iterator.empty
+            }
           } else {
             val latest = (state.getOption.iterator ++ rows)
               .maxBy(e => (e.time.getTime, e.metric.getOrElse(0.0)))

@@ -44,6 +44,8 @@ object StreamingWindows {
       .select(
         concat(col("service"), lit(" "), col("point").cast("string"))
           .as("service_pt"),
-        col("window_start"), element_at(col("ms"), col("idx") + 1).as("metric"))
+        col("window_start"),
+        when(size(col("ms")) > 0, element_at(col("ms"), col("idx") + 1))
+          .as("metric"))
   }
 }

@@ -41,8 +41,12 @@ class CoreSpec extends SparkSpec {
     }
     assert(core.applyConfig() == Seq("ewma"))
     assert(core.activeQueries("ewma").id != q1.id)
-    core.stop()
+
+    // removal path: dropped from the config -> stopped on next apply
+    core.removeStream("ewma")
+    assert(core.applyConfig() == Seq())
     assert(core.activeQueries.isEmpty)
+    core.stop()
   }
 
   test("instrumentation reports rates and duration quantiles (instrumentation.clj:50-74)") {

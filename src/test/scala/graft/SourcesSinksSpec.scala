@@ -34,6 +34,16 @@ class SourcesSinksSpec extends SparkSpec {
     assert(rows(2) == ("nanmetric", None, 1706000002L, Map())) // nan -> nil metric
   }
 
+  test("graphite decode: duplicate tag keys keep the last; bad metrics drop the line") {
+    val df = LineProtocols.decodeGraphite(lines(
+      "svc;a=1;b=2;a=3 5 1706000000",   // duplicate key a -> last wins
+      "svc notanumber 1706000001"))      // unparseable metric -> dropped
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Map[String, String]]("attributes") ==
+      Map("a" -> "3", "b" -> "2"))
+  }
+
   test("opentsdb put decode: tags, host hoist, servicetag rename") {
     val df = LineProtocols.decodeOpenTsdb(lines(
       "put sys.cpu.user 1706000000 42.5 host=web01 cpu=0",

@@ -47,6 +47,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming index: a newer ttl-less event cancels a stale expiry timer") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    val q = StreamingIndex(input.toDS())
+      .writeStream.format("memory").queryName("idx2").outputMode("append")
+      .start()
+    try {
+      // A arms a timer (deadline 110); then a newer ttl-less event for
+      // the SAME key becomes latest — the key must become immortal
+      input.addData(ev("a", "cpu", "ok", 1.0, 100, Some(10.0)))
+      q.processAllAvailable()
+      input.addData(ev("a", "cpu", "ok", 2.0, 105, None))
+      q.processAllAvailable()
+      input.addData(ev("b", "cpu", "ok", 3.0, 500, Some(1000.0))) // wm -> 500
+      q.processAllAvailable()
+      input.addData(ev("b", "cpu", "ok", 4.0, 600, Some(1000.0))) // fire timers
+      q.processAllAvailable()
+      val rows = spark.table("idx2").as[SEvent].collect()
+      assert(!rows.exists(e => e.host == "a" && e.state == "expired"),
+        s"ttl-less latest event was falsely expired: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming changed-state passes transitions only (streams.clj:1614-1659)") {
     val spark0 = spark
     import spark0.implicits._

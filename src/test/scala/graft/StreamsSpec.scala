@@ -139,14 +139,15 @@ class StreamsSpec extends SparkSpec {
     assert(ids(Windows.runs(df, 2, "state", Seq("host"))) == Seq(2L, 5L, 6L))
   }
 
-  test("stable de-flaps: value must persist dt (streams.clj:1936-2030)") {
+  test("stable de-flaps: whole stable runs pass, flaps are discarded (streams.clj:1936-2030)") {
     val df = events(
       E(id = 1, state = "ok", time = 0L), E(id = 2, state = "ok", time = 100L),
       E(id = 3, state = "bad", time = 110L), E(id = 4, state = "ok", time = 120L),
       E(id = 5, state = "ok", time = 250L))
-    // dt=50: first ok run stabilizes at t>=50 (ids 2); flap at 110/120
-    // restarts; second ok run stabilizes at 250 (id 5: 250-120 >= 50)
-    assert(ids(Windows.stable(df, 50, "state", Seq("host"))) == Seq(2L, 5L))
+    // dt=50: the first ok run (0..100) proves stable -> BOTH its events
+    // pass (the reference flushes its probation buffer); the bad flap at
+    // 110 never stabilizes; the second ok run (120..250) passes whole
+    assert(ids(Windows.stable(df, 50, "state", Seq("host"))) == Seq(1L, 2L, 4L, 5L))
   }
 
   test("throttle: n per dt bucket (streams.clj:1102-1118)") {
