@@ -1,0 +1,103 @@
+package graft
+
+import org.scalacheck.Gen
+
+import graft.query.QueryLanguage
+import graft.pipeline.Dedup
+
+/** Property-based checks (SURVEY §5): parser totality over generated
+  * inputs, nearest-rank agreement with a naive model, minhash estimate
+  * bounds, and wire-format round-trips under random events. Raw
+  * ScalaCheck generators driven by a sampling loop (no scalatest
+  * bridge in the offline cache). */
+class PropertySpec extends SparkSpec {
+
+  private def forAllN[A](gen: Gen[A], n: Int = 50)(f: A => Unit): Unit = {
+    var i = 0
+    var seed = org.scalacheck.rng.Seed(42L)
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  test("query parser: parse-or-ParseException, never other exceptions") {
+    val junk = Gen.listOfN(12, Gen.frequency(
+      (4, Gen.alphaNumChar), (2, Gen.oneOf(' ', '=', '<', '>', '~', '"')),
+      (1, Gen.oneOf('(', ')', '.', '-', '%')))).map(_.mkString)
+    forAllN(junk, 300) { s =>
+      try { QueryLanguage.parse(s); () }
+      catch {
+        case _: QueryLanguage.ParseException => ()
+        case other: Throwable =>
+          fail(s"non-ParseException ${other.getClass.getName} for input: $s")
+      }
+    }
+  }
+
+  test("query parser round-trips well-formed comparisons") {
+    val gen = for {
+      f <- Gen.oneOf("host", "service", "metric", "ttl", "custom_attr")
+      o <- Gen.oneOf("=", "!=", "<", ">", "<=", ">=")
+      v <- Gen.chooseNum(-1000000L, 1000000L)
+    } yield (f, o, v)
+    forAllN(gen, 100) { case (f, o, v) =>
+      QueryLanguage.parse(s"$f $o $v") match {
+        case QueryLanguage.Cmp(`o`, QueryLanguage.FieldRef(`f`),
+          QueryLanguage.LongLit(`v`)) => ()
+        case QueryLanguage.Cmp(`o`, QueryLanguage.FieldRef(`f`),
+          QueryLanguage.DoubleLit(d)) if d == v.toDouble && v < 0 => ()
+        case other => fail(s"unexpected AST for '$f $o $v': $other")
+      }
+    }
+  }
+
+  test("nearest-rank percentile matches the naive sorted-list model") {
+    import org.apache.spark.sql.functions._
+    val gen = for {
+      ms <- Gen.nonEmptyListOf(Gen.chooseNum(-1000.0, 1000.0))
+      p <- Gen.oneOf(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    } yield (ms, p)
+    forAllN(gen, 15) { case (ms, p) =>
+      val sorted = ms.sorted
+      // folds.clj:16-49: element at min(floor(p*n), n-1)
+      val want = sorted(math.min(math.floor(p * ms.size).toInt, ms.size - 1))
+      val df = events(ms.zipWithIndex.map { case (m, i) =>
+        E(id = i + 1, metric = m) }: _*)
+      val got = df.agg(graft.functions.Folds.nearestRank(col("metric"), p))
+        .collect().head.getDouble(0)
+      assert(got == want, s"p=$p over $ms")
+    }
+  }
+
+  test("minhash estimate is 1 for identical docs") {
+    val doc = Gen.listOfN(25, Gen.oneOf("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta")).map(_.mkString(" "))
+    forAllN(doc, 5) { text =>
+      val spark0 = spark
+      import spark0.implicits._
+      val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      val pairs = Dedup.minhashPairs(docs, 16, 4, 0.0).collect()
+      assert(pairs.length == 1)
+      assert(pairs.head.getAs[Double]("est_jaccard") == 1.0)
+    }
+  }
+
+  test("protobuf wire format round-trips arbitrary events") {
+    import graft.sources.RiemannProtobuf
+    val eventGen = for {
+      host <- Gen.alphaNumStr
+      service <- Gen.alphaNumStr
+      metric <- Gen.option(Gen.chooseNum(-1e6, 1e6))
+      t <- Gen.option(Gen.chooseNum(0L, 2000000000L))
+      ttl <- Gen.option(Gen.chooseNum(0, 100000))
+      tags <- Gen.listOfN(3, Gen.alphaNumStr)
+    } yield RiemannProtobuf.PEvent(host, service, "ok", null, metric, tags,
+      t, ttl.map(v => v.toFloat.toDouble), Map("k" -> "v"))
+    forAllN(Gen.listOfN(4, eventGen), 100) { es =>
+      val got = RiemannProtobuf.decodeMsg(RiemannProtobuf.encodeMsg(es))
+      assert(got == es)
+    }
+  }
+}
