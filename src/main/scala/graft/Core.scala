@@ -77,11 +77,20 @@ class Instrumentation extends StreamingQueryListener {
     new java.util.concurrent.ConcurrentHashMap[String, mutable.ArrayDeque[Long]]()
   private val rates =
     new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  private val names =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]()
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+    // evict the dead query's series — otherwise ad-hoc query churn
+    // (fresh UUID per run) leaks driver memory across reloads
+    Option(names.remove(e.id)).foreach { name =>
+      durations.remove(name); rates.remove(name)
+    }
+  }
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val name = Option(e.progress.name).getOrElse(e.progress.id.toString)
+    names.put(e.progress.id, name)
     val ds = durations.computeIfAbsent(name, _ => mutable.ArrayDeque[Long]())
     ds.synchronized {
       ds.append(e.progress.batchDuration)

@@ -442,11 +442,11 @@ object SparkEntry {
     "q_fill_in" -> (s"$cte, obs AS (SELECT service, time_s - time_s % 3600 AS window_start, count(*) AS n_events, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric FROM ev GROUP BY 1, 2), " +
       "spans AS (SELECT service, min(window_start) AS w0, max(window_start) AS w1 FROM obs GROUP BY service), " +
       "al AS (SELECT service, unnest(generate_series(w0, w1, 3600)) AS window_start FROM spans) " +
-      "SELECT al.service, al.window_start, coalesce(obs.n_events, 0) AS n_events, coalesce(obs.sum_metric, CAST(0 AS DOUBLE)) AS sum_metric FROM al LEFT JOIN obs ON al.service = obs.service AND al.window_start = obs.window_start ORDER BY 1, 2"),
+      "SELECT al.service, al.window_start, coalesce(obs.n_events, 0) AS n_events, CASE WHEN coalesce(obs.n_events, 0) > 0 THEN obs.sum_metric ELSE CAST(0 AS DOUBLE) END AS sum_metric FROM al LEFT JOIN obs ON al.service = obs.service AND al.window_start = obs.window_start ORDER BY 1, 2"),
     "q_fill_in_last" -> (s"$cte, obs AS (SELECT service, time_s - time_s % 3600 AS window_start, count(*) AS n_events, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric FROM ev GROUP BY 1, 2), " +
       "spans AS (SELECT service, min(window_start) AS w0, max(window_start) AS w1 FROM obs GROUP BY service), " +
       "al AS (SELECT service, unnest(generate_series(w0, w1, 3600)) AS window_start FROM spans), " +
-      "j AS (SELECT al.service, al.window_start, coalesce(obs.n_events, 0) AS n_events, coalesce(obs.sum_metric, CAST(0 AS DOUBLE)) AS sum_metric FROM al LEFT JOIN obs ON al.service = obs.service AND al.window_start = obs.window_start) " +
+      "j AS (SELECT al.service, al.window_start, coalesce(obs.n_events, 0) AS n_events, CASE WHEN coalesce(obs.n_events, 0) > 0 THEN obs.sum_metric ELSE CAST(0 AS DOUBLE) END AS sum_metric FROM al LEFT JOIN obs ON al.service = obs.service AND al.window_start = obs.window_start) " +
       "SELECT service, window_start, n_events, CASE WHEN n_events > 0 THEN sum_metric ELSE last_value(CASE WHEN n_events > 0 THEN sum_metric END IGNORE NULLS) OVER (PARTITION BY service ORDER BY window_start ROWS UNBOUNDED PRECEDING) END AS sum_metric FROM j ORDER BY 1, 2"),
     "q_sreduce" -> (s"$cte SELECT event_id, max(metric) OVER w AS running_max, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_sum FROM ev " +
       "WINDOW w AS (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) ORDER BY event_id"),

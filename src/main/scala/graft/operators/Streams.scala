@@ -32,9 +32,11 @@ object Streams {
     def over(x: Double): DataFrame = df.filter(col("metric") > x)
     def under(x: Double): DataFrame = df.filter(col("metric") < x)
 
-    /** `tagged-all` (streams.clj:1284-1310): all tags present. */
+    /** `tagged-all` (streams.clj:1284-1310): all tags present; an empty
+      * requirement is vacuously true. */
     def taggedAll(tags: Seq[String]): DataFrame =
-      df.filter(tags.map(t => array_contains(col("tags"), t)).reduce(_ && _))
+      df.filter(tags.map(t => array_contains(col("tags"), t))
+        .reduceOption(_ && _).getOrElse(lit(true)))
 
     /** `tagged-any` (streams.clj:1312-1330): any tag present. */
     def taggedAny(tags: Seq[String]): DataFrame =

@@ -223,9 +223,13 @@ object Windows {
     val all = spans.select(keys.map(col) :+
       explode(sequence(col("w0"), col("w1"), lit(seconds))).as("window_start"): _*)
     all.join(observed, keys :+ "window_start", "left")
-      .select((keys.map(col) :+ col("window_start") :+
-        coalesce(col("n_events"), lit(0L)).as("n_events") :+
-        coalesce(col("sum_metric"), lit(fillMetric)).as("sum_metric")): _*)
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      // fill ONLY truly-empty intervals: an observed bucket whose
+      // metrics were all null keeps its null sum (it saw real events)
+      .withColumn("sum_metric",
+        when(col("n_events") > 0, col("sum_metric")).otherwise(lit(fillMetric)))
+      .select((keys.map(col) :+ col("window_start") :+ col("n_events") :+
+        col("sum_metric")): _*)
   }
 
   /** `fill-in-last interval` (streams.clj:720-741): like fill-in but

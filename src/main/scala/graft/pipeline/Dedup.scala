@@ -64,6 +64,10 @@ object Dedup {
     * md5 of the band's slice. Docs sharing any (band, bucket) are
     * candidates. One row per (doc, band). */
   def lshBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"bands ($bands) must divide the signature size ($k): r = k/bands = 0 " +
+        "would put every doc in one bucket (all-pairs blowup), and a " +
+        "non-divisor silently ignores trailing signature elements")
     val r = k / bands
     sig.select(col("doc_id"), col("sig"),
       explode(expr(s"transform(sequence(0, ${bands - 1}), " +

@@ -101,10 +101,17 @@ object QueryLanguage {
           val start = i
           if (c == '-') i += 1
           while (i < n && s(i).isDigit) i += 1
+          def toLongTok(str: String): Tok =
+            try TLong(str.toLong)
+            catch { case _: NumberFormatException =>
+              throw ParseException(s"number out of range at $start in: $s") }
           if (i < n && (s(i) == 'n' || s(i) == 'N')) {
-            out += TBig(BigDecimal(s.substring(start, i))); i += 1
+            try out += TBig(BigDecimal(s.substring(start, i)))
+            catch { case _: NumberFormatException =>
+              throw ParseException(s"bad bigint at $start in: $s") }
+            i += 1
           } else if (i < n && (s(i) == 'l' || s(i) == 'L')) {
-            out += TLong(s.substring(start, i).toLong); i += 1
+            out += toLongTok(s.substring(start, i)); i += 1
           } else if (i < n && (s(i) == '.' || s(i) == 'e' || s(i) == 'E')) {
             if (s(i) == '.') { i += 1; while (i < n && s(i).isDigit) i += 1 }
             if (i < n && (s(i) == 'e' || s(i) == 'E')) {
@@ -115,7 +122,7 @@ object QueryLanguage {
             try out += TDouble(s.substring(start, i).toDouble)
             catch { case _: NumberFormatException =>
               throw ParseException(s"bad number at $start in: $s") }
-          } else out += TLong(s.substring(start, i).toLong)
+          } else out += toLongTok(s.substring(start, i))
         }
       } else if (s.startsWith("Infinity", i) && (i + 8 == n || !isNameRest(s(i + 8)))) {
         out += TDouble(Double.PositiveInfinity); i += 8

@@ -18,17 +18,21 @@ import org.apache.spark.sql.functions._
 object LineProtocols {
 
   /** k=v pair array → map, keeping the LAST pair per duplicate key (the
-    * reference's reduce/assoc semantics, graphite.clj:21-29) —
-    * str_to_map on raw joined pairs would throw on duplicate keys and
-    * kill the batch. O(n²) per row over a handful of tags. */
+    * reference's reduce/assoc semantics, graphite.clj:21-29) and
+    * splitting each pair on its FIRST '=' only, so values containing
+    * '=' or ',' survive intact (a join + str_to_map round-trip corrupts
+    * both, and throws on duplicate keys). O(n²) per row over a handful
+    * of tags. */
   private def kvMap(pairs: Column): Column = {
-    def keyOf(t: Column) = element_at(split(t, "="), 1)
+    def keyOf(t: Column) = substring_index(t, "=", 1)
     val kept = filter(pairs, (t, i) =>
       !exists(slice(pairs, i + 2, lit(1000000)),
         u => keyOf(u) === keyOf(t)))
-    when(size(pairs) > 0,
-      str_to_map(array_join(kept, ","), lit(","), lit("=")))
-      .otherwise(map())
+    val entries = transform(kept, t => struct(
+      keyOf(t).as("key"),
+      when(instr(t, "=") > 0,
+        t.substr(length(keyOf(t)) + 2, length(t))).as("value")))
+    when(size(pairs) > 0, map_from_entries(entries)).otherwise(map())
   }
 
   /** Decode `service[;k=v...] metric timestamp` lines.
@@ -46,7 +50,7 @@ object LineProtocols {
         when(lower(element_at(col("_p"), 2)) === "nan", lit(null))
           .otherwise(element_at(col("_p"), 2)).try_cast("double"))
       .withColumn("time_s", element_at(col("_p"), 3).try_cast("double")
-        .cast("long"))
+        .try_cast("long")) // double try_cast: ANSI cast would throw on 1e300/NaN
       .withColumn("attributes", kvMap(slice(headParts, 2, 1000)))
       // unparseable metrics drop the line (reference NumberFormatException
       // path); only the literal "nan" maps to a nil metric

@@ -152,7 +152,14 @@ object RiemannProtobuf {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(binaryCol)).as[Array[Byte]]
-      .flatMap(b => decodeMsg(if (framed) unframe(b) else b))
+      .flatMap { b =>
+        // per-payload isolation: a truncated/corrupt message is dropped
+        // (mirrors the line decoders' malformed-row drop) rather than
+        // failing the task on every retry
+        try decodeMsg(if (framed) unframe(b) else b)
+        catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException =>
+          Seq.empty[PEvent] }
+      }
   }
 
   // ------------------------------------------- wire write (test harness)

@@ -13,21 +13,25 @@ object StatefulOps {
     rows.toSeq.sortBy(e => e.time.getTime)
 
   /** `changed-state` (streams.clj:1614-1659), streaming: pass events
-    * whose `state` differs from the key's previous one. */
+    * whose `state` differs from the key's previous one. State =
+    * (seen-anything, previous-state) so a null state is remembered too —
+    * consecutive null states are unchanged, matching the batch form's
+    * null-safe `<=>`. */
   def changedState(events: Dataset[SEvent]): Dataset[SEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(e => (e.host, e.service))
-      .flatMapGroupsWithState[Option[String], SEvent](
+      .flatMapGroupsWithState[(Boolean, String), SEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, rows, st: GroupState[Option[String]]) =>
-          var prev = st.getOption.getOrElse(None)
+        case (_, rows, st: GroupState[(Boolean, String)]) =>
+          var (seen, prev) = st.getOption.getOrElse((false, null: String))
           val out = Seq.newBuilder[SEvent]
           for (e <- sorted(rows)) {
-            if (!prev.contains(e.state)) out += e
-            prev = Option(e.state)
+            if (!seen || !java.util.Objects.equals(prev, e.state)) out += e
+            seen = true
+            prev = e.state
           }
-          st.update(prev)
+          st.update((seen, prev))
           out.result().iterator
       }
   }

@@ -63,8 +63,8 @@ class CoreSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(ev(3, 3))
       q.processAllAvailable()
-      q.stop()
-      // listener delivery is async; give it a moment
+      // sample while the query is live (listener delivery is async;
+      // termination evicts the series — that eviction is also asserted)
       var tries = 0
       while (!instr.snapshot.contains("instrumented") && tries < 50) {
         Thread.sleep(100); tries += 1
@@ -73,6 +73,12 @@ class CoreSpec extends SparkSpec {
       assert(snap.contains("instrumented"))
       val (_, qs) = snap("instrumented")
       assert(qs.keySet == Set(0.5, 0.95, 0.99))
+      q.stop()
+      tries = 0
+      while (instr.snapshot.contains("instrumented") && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      assert(!instr.snapshot.contains("instrumented")) // evicted on stop
     } finally spark.streams.removeListener(instr)
   }
 }
