@@ -33,13 +33,20 @@ object Windows {
         sum(col("metric").cast(D)).cast("double").as("sum_metric"))
 
   /** `fixed-event-window n` (streams.clj:305-320): tumbling count
-    * windows per key; batch id = ordinal div n. */
-  def fixedEventWindow(df: DataFrame, n: Int, keys: Seq[String]): DataFrame =
-    df.withColumn("batch_id", ((row_number().over(keyW(keys)) - 1) / n).cast("long"))
+    * windows per key; batch id = ordinal div n. The reference emits
+    * only FULL windows (the trailing partial stays buffered) —
+    * `completeOnly = true` reproduces that; the default keeps the
+    * partial tail, which batch consumers usually want. */
+  def fixedEventWindow(df: DataFrame, n: Int, keys: Seq[String],
+      completeOnly: Boolean = false): DataFrame = {
+    val w = df.withColumn("batch_id",
+      ((row_number().over(keyW(keys)) - 1) / n).cast("long"))
       .groupBy((keys.map(col) :+ col("batch_id")): _*)
       .agg(count(lit(1)).as("n_events"),
         sum(col("metric").cast(D)).cast("double").as("sum_metric"),
         max("time_s").as("last_time"))
+    if (completeOnly) w.filter(col("n_events") === n) else w
+  }
 
   /** `moving-event-window n` (streams.clj:292-303): sliding last-n
     * events, one emission per event. */

@@ -84,6 +84,43 @@ class FoldsSpec extends SparkSpec {
     assert(single.collect().head.getDouble(0) == 4.0)
   }
 
+  test("ewma-timeless golden table (streams_test.clj ewma-timeless-test)") {
+    // r=0: everything decays to 0
+    assert(Windows.ewmaTimeless(metrics(Seq(1.0, 10.0, 20.0, -100.0, 4.0)
+      .map(Some(_)): _*), 0.0, Nil).collect().head.getDouble(0) == 0.0)
+    // r=1: the latest value passes through
+    assert(Windows.ewmaTimeless(metrics(Seq(5.0, 13.0, 1.0, -10.0, 3.0)
+      .map(Some(_)): _*), 1.0, Nil).collect().head.getDouble(0) == 3.0)
+    // r=1/2 over five 1s: 31/32 (the reference's running sequence tail;
+    // the operator rounds to 4 decimals for oracle parity)
+    assert(Windows.ewmaTimeless(metrics(Seq.fill(5)(Some(1.0)): _*), 0.5, Nil)
+      .collect().head.getDouble(0) == 0.9688)
+  }
+
+  test("ewma halflife converges to the steady metric (streams_test.clj ewma-test)") {
+    // 50 events of metric 1, 1s apart, halflife 1 -> ewma ~= 1
+    val df = events((1 to 50).map(i =>
+      E(id = i, metric = 1.0, time = i.toLong)): _*)
+    val got = Windows.ewma(df, 1.0, Nil).collect().head.getDouble(0)
+    assert(math.abs(got - 1.0) < 0.01, s"ewma=$got")
+  }
+
+  test("counter passes metric-less events with running total intact (streams_test.clj counter-test)") {
+    val df = events(
+      E(id = 1, metric = 2.0, time = 1L), E(id = 2, metric = null, time = 2L),
+      E(id = 3, metric = 3.0, time = 3L))
+    val sums = Windows.counter(df, Nil).orderBy("event_id")
+      .select("running_sum").collect().map(_.getDouble(0)).toSeq
+    assert(sums == Seq(2.0, 2.0, 5.0)) // nil contributes nothing
+  }
+
+  test("fixed-event-window completeOnly drops the partial tail (streams_test.clj fixed-event-window-test)") {
+    val df = metrics(Seq.fill(5)(Some(1.0)): _*)
+    val full = Windows.fixedEventWindow(df, 2, Nil, completeOnly = true)
+      .orderBy("batch_id").select("n_events").collect().map(_.getLong(0)).toSeq
+    assert(full == Seq(2L, 2L)) // [1 2] [3 4]; 5 buffered
+  }
+
   test("ewma halflife: single event weights (1-r)*x (streams.clj:979-1013)") {
     val r = math.pow(2.0, -1.0 / 10.0)
     val got = Windows.ewma(metrics(Some(100.0)), 10.0, Nil)
