@@ -252,6 +252,35 @@ class StreamsSpec extends SparkSpec {
     assert(ids(Index.search(snap, "service =~ \"a%\" and metric > 5")) == Seq(2L))
   }
 
+  test("deps rules tag events against the index (deps.clj:24-80)") {
+    import graft.operators.Deps
+    val idx = events(
+      E(id = 1, host = "a", service = "db", state = "ok", time = 1L),
+      E(id = 2, host = "b", service = "db", state = "critical", time = 1L))
+    val evs = events(
+      E(id = 10, host = "a", service = "api", time = 2L),
+      E(id = 11, host = "b", service = "api", time = 2L),
+      E(id = 12, host = "c", service = "api", time = 2L))
+    // localhost rule: my host must have a healthy db
+    val local = Deps.tagSatisfied(evs, idx,
+      Deps.Localhost(Deps.Matches(Map("service" -> "db", "state" -> "ok"))))
+      .orderBy("event_id").select("deps_satisfied")
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(local == Seq(true, false, false))
+    // global rule: ANY healthy db anywhere satisfies everyone
+    val global = Deps.tagSatisfied(evs, idx,
+      Deps.Matches(Map("service" -> "db", "state" -> "ok")))
+      .select("deps_satisfied").collect().map(_.getBoolean(0)).toSeq
+    assert(global == Seq(true, true, true))
+    // depends: only api events require the db; db events are exempt
+    val dep = Deps.tagSatisfied(evs, idx,
+      Deps.Depends(Deps.Matches(Map("service" -> "api")),
+        Deps.Localhost(Deps.Matches(Map("service" -> "db", "state" -> "ok")))))
+      .orderBy("event_id").select("deps_satisfied")
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(dep == Seq(true, false, false))
+  }
+
   test("index expiry view emits reaper events (core.clj:276-309)") {
     val df = events(
       E(id = 1, host = "a", service = "x", state = "ok", time = 100L, ttl = 10.0),
