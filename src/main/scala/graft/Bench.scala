@@ -30,7 +30,7 @@ object Bench {
 
     def materialize(df: DataFrame): Unit = {
       // bit_xor: order-independent, overflow-free under ANSI mode
-      val h = xxhash64(struct(df.columns.map(col): _*))
+      val h = xxhash64(struct(df.columns.toIndexedSeq.map(col): _*))
       df.select(h.as("h")).agg(expr("bit_xor(h)")).collect()
       ()
     }

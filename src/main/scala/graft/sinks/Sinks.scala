@@ -113,7 +113,7 @@ object Sinks {
       import org.apache.spark.sql.functions._
       val idx = index
       batch
-        .select(to_json(struct(batch.columns.map(col): _*)).as("doc"))
+        .select(to_json(struct(batch.columns.toIndexedSeq.map(col): _*)).as("doc"))
         .foreachPartition { (rows: Iterator[Row]) =>
           val body = rows.map(r =>
             s"""{"index":{"_index":"$idx"}}""" + "\n" + r.getString(0))
@@ -131,7 +131,7 @@ object Sinks {
     override def write(batch: DataFrame, batchId: Long): Unit = {
       import org.apache.spark.sql.functions._
       batch
-        .select(to_json(struct(batch.columns.map(col): _*)).as("payload"))
+        .select(to_json(struct(batch.columns.toIndexedSeq.map(col): _*)).as("payload"))
         .foreachPartition { (rows: Iterator[Row]) =>
           rows.foreach(r => transport(r.getString(0)))
         }
@@ -171,7 +171,7 @@ object Sinks {
   def kafka[T](ds: Dataset[T], bootstrap: String, topic: String): DataStreamWriter[Row] = {
     import org.apache.spark.sql.functions._
     ds.toDF()
-      .select(to_json(struct(ds.toDF().columns.map(col): _*)).as("value"))
+      .select(to_json(struct(ds.toDF().columns.toIndexedSeq.map(col): _*)).as("value"))
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
