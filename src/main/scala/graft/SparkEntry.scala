@@ -187,6 +187,19 @@ object SparkEntry {
     "q_modes" -> ((s, d) =>
       Folds.modesAll(ev(s, d), "metric", Seq("service")).orderBy("service")),
 
+    // ---- deps rules + skew-safe aggregation
+    "q_deps" -> ((s, d) => {
+      val events = ev(s, d)
+      graft.operators.Deps.tagSatisfied(events,
+        Index.liveAt(events, lit(1706620000L)),
+        graft.operators.Deps.Localhost(graft.operators.Deps.Matches(
+          Map("service" -> "purchase", "state" -> "ok"))))
+        .select("event_id", "deps_satisfied").orderBy("event_id")
+    }),
+    "q_salted_agg" -> ((s, d) =>
+      Windows.saltedSumCount(ev(s, d), Seq("service"), "metric")
+        .orderBy("service")),
+
     // ---- star-schema sanity: decimal-exact pricing summary over lineitem
     "q_tpch_pricing" -> ((s, d) => {
       val li = s.read.parquet(s"$d/lineitem.parquet")
@@ -453,6 +466,10 @@ object SparkEntry {
     "q_mode" -> (s"$cte, c AS (SELECT service, metric, count(*) AS cnt FROM ev WHERE metric IS NOT NULL GROUP BY 1, 2), " +
       "r AS (SELECT *, row_number() OVER (PARTITION BY service ORDER BY cnt DESC, metric ASC) AS rk FROM c) " +
       "SELECT service, metric AS mode, cnt AS mode_count FROM r WHERE rk = 1 ORDER BY service"),
+    "q_deps" -> (s"$snapCte, live AS (SELECT * FROM snap WHERE rn = 1 AND NOT (state = 'expired' OR (ttl IS NOT NULL AND 1706620000 - time_s > ttl))) " +
+      "SELECT e.event_id, EXISTS(SELECT 1 FROM live l WHERE l.host = e.host AND l.service = 'purchase' AND l.state = 'ok') AS deps_satisfied " +
+      "FROM ev e ORDER BY e.event_id"),
+    "q_salted_agg" -> s"$cte SELECT service, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric, count(metric) AS n_metric FROM ev GROUP BY service ORDER BY service",
     "q_tpch_pricing" -> ("SELECT l_returnflag, l_linestatus, " +
       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, " +
       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price, " +

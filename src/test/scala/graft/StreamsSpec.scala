@@ -227,6 +227,37 @@ class StreamsSpec extends SparkSpec {
       row.getDouble(2) == 4.0)
   }
 
+  test("apdex = (satisfied + tolerated/2) / total (streams.clj:2103-2157)") {
+    val df = events(
+      E(id = 1, metric = 10.0, time = 1L), E(id = 2, metric = 20.0, time = 2L),
+      E(id = 3, metric = 80.0, time = 3L), E(id = 4, metric = 500.0, time = 4L))
+    val a = Windows.apdex(df, 100, col("metric") <= 50,
+      col("metric") > 50 && col("metric") <= 100, Seq("service"))
+      .collect().head.getAs[Double]("apdex")
+    assert(a == (2 + 1 / 2.0) / 4) // 0.625
+  }
+
+  test("moving-time-window spans the last n seconds inclusive (streams.clj:322-353)") {
+    val df = events(
+      E(id = 1, metric = 1.0, time = 1L), E(id = 2, metric = 2.0, time = 2L),
+      E(id = 3, metric = 4.0, time = 4L))
+    val sums = Windows.movingTimeWindow(df, 2, Seq("host"))
+      .orderBy("event_id").select("window_sum").collect()
+      .map(_.getDouble(0)).toSeq
+    // [t-1, t]: {1}, {1,2}, {4} (t=4 window [3,4] excludes t<=2)
+    assert(sums == Seq(1.0, 3.0, 4.0))
+  }
+
+  test("fixed-offset-time-window is epoch-aligned (streams.clj:420-431)") {
+    val df = events(
+      E(id = 1, metric = 1.0, time = 9L), E(id = 2, metric = 2.0, time = 10L),
+      E(id = 3, metric = 3.0, time = 19L), E(id = 4, metric = 4.0, time = 20L))
+    val rows = Windows.fixedOffsetTimeWindow(df, 10, Seq("host"))
+      .orderBy("window_start").collect()
+      .map(r => (r.getAs[Long]("window_start"), r.getAs[Double]("sum_metric")))
+    assert(rows.toSeq == Seq((0L, 1.0), (10L, 5.0), (20L, 4.0)))
+  }
+
   test("salted aggregation equals direct aggregation (skew path)") {
     val df = events((1 to 40).map(i =>
       E(id = i, host = if (i <= 35) "hot" else s"h$i", metric = i.toDouble,
