@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{IndexProcessor, SEvent}
+
+/** transformWithState index: same reaper golden case as the
+  * flatMapGroupsWithState form, on the modern API with per-key timers
+  * and the RocksDB state store. */
+class IndexProcessorSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+  private def ev(host: String, service: String, state: String, m: Double,
+      t: Long, ttl: Option[Double] = None) =
+    SEvent(host, service, state, Some(m), ts(t), ttl)
+
+  test("transformWithState index: inserts then reaper expiry (SURVEY §2.9)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val spark0 = spark
+      import spark0.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[SEvent]
+      val q = IndexProcessor(input.toDS())
+        .writeStream.format("memory").queryName("tws").outputMode("append")
+        .start()
+      try {
+        input.addData(
+          ev("a", "cpu", "ok", 1.0, 100, Some(10.0)),
+          ev("b", "cpu", "ok", 2.0, 100, Some(1000.0)))
+        q.processAllAvailable()
+        input.addData(ev("b", "cpu", "ok", 3.0, 500, Some(1000.0)))
+        q.processAllAvailable()
+        input.addData(ev("b", "cpu", "ok", 4.0, 600, Some(1000.0)))
+        q.processAllAvailable()
+        val rows = spark.table("tws").as[SEvent].collect()
+        val expired = rows.filter(_.state == "expired")
+        assert(expired.map(e => (e.host, e.service)).toSeq == Seq(("a", "cpu")))
+        assert(rows.count(e => e.host == "b" && e.state == "ok") == 3)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+}
