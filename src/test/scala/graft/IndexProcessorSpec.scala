@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.streaming.{IndexProcessor, SEvent}
+import graft.streaming.{IndexProcessor, SEvent, StableProcessor}
 
 /** transformWithState index: same reaper golden case as the
   * flatMapGroupsWithState form, on the modern API with per-key timers
@@ -39,6 +39,42 @@ class IndexProcessorSpec extends SparkSpec {
         val expired = rows.filter(_.state == "expired")
         assert(expired.map(e => (e.host, e.service)).toSeq == Seq(("a", "cpu")))
         assert(rows.count(e => e.host == "b" && e.state == "ok") == 3)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("transformWithState stable: probation buffer flushes on proof or timer (streams.clj:1936-2030)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val spark0 = spark
+      import spark0.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[SEvent]
+      val q = StableProcessor(input.toDS(), 50)
+        .writeStream.format("memory").queryName("stbl").outputMode("append")
+        .start()
+      try {
+        // (times start off zero: a t=0 event equals the initial
+        // watermark and would be dropped as late input)
+        // ok@1000 buffered; ok@1100 proves 100s>=50s -> both delivered
+        input.addData(ev("a", "s", "ok", 1, 1000), ev("a", "s", "ok", 2, 1100))
+        q.processAllAvailable()
+        // flap: bad@1110 then ok@1120 discards the bad buffer
+        input.addData(ev("a", "s", "bad", 3, 1110), ev("a", "s", "ok", 4, 1120))
+        q.processAllAvailable()
+        // quiet period: another key's events advance the watermark past
+        // 1120+50, firing the timer -> ok@1120 flushes without a new event
+        input.addData(ev("z", "other", "ok", 9, 1300))
+        q.processAllAvailable()
+        input.addData(ev("z", "other", "ok", 9, 1301))
+        q.processAllAvailable()
+        val got = spark.table("stbl").as[SEvent].collect()
+          .filter(_.host == "a").sortBy(_.metric)
+          .map(e => (e.state, e.metric.get)).toSeq
+        // metric payloads survive; times are delivery-stamped
+        assert(got == Seq(("ok", 1.0), ("ok", 2.0), ("ok", 4.0)))
       } finally q.stop()
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
