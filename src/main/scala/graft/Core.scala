@@ -44,10 +44,11 @@ class Core(spark: SparkSession) {
     * ones running. Returns the names (re)started. */
   def applyConfig(): Seq[String] = synchronized {
     val started = Seq.newBuilder[String]
-    // stop removed/changed
+    // stop removed/changed; a terminated (crashed) query is never
+    // equiv — reuse would leave it dead with no way to restart it
     for ((name, (df, q)) <- active.toSeq) {
       pending.get(name) match {
-        case Some(nd) if nd.signature == df.signature => () // equiv? reuse
+        case Some(nd) if nd.signature == df.signature && q.isActive => ()
         case _ => q.stop(); active -= name
       }
     }
@@ -105,8 +106,12 @@ class Instrumentation extends StreamingQueryListener {
     durations.asScala.map { case (name, ds) =>
       val sorted = ds.synchronized(ds.toIndexedSeq.sorted)
       val qs = Seq(0.5, 0.95, 0.99).map { p =>
+        // nearest-rank: ceil(n·p)-th order statistic (floor overshoots
+        // by one rank and reports the max as the median for n=2)
         p -> (if (sorted.isEmpty) 0L
-        else sorted(math.min(((sorted.size * p).toInt), sorted.size - 1)))
+        else sorted(math.min(
+          math.max(math.ceil(sorted.size * p).toInt - 1, 0),
+          sorted.size - 1)))
       }.toMap
       name -> (rates.getOrDefault(name, 0.0), qs)
     }.toMap

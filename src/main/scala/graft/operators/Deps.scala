@@ -31,7 +31,10 @@ object Deps {
     * `deps_satisfied` column. `index` is the live snapshot
     * ([[Index.liveAt]]); leaf matches aggregate it per (host) or
     * globally and broadcast the tiny result onto the stream. */
-  def tagSatisfied(events: DataFrame, index: DataFrame, rule: Rule): DataFrame = {
+  def tagSatisfied(events: DataFrame, indexDf: DataFrame, rule: Rule): DataFrame = {
+    // each leaf probes the index with its own action; materialize the
+    // (small) snapshot once instead of recomputing it per leaf
+    val index = indexDf.cache()
     // global leaf truths: does ANY index entry match each global Matches?
     def leafGlobal(m: Matches): Boolean =
       index.filter(m.fields.map { case (k, v) => col(k) === v }
@@ -66,8 +69,10 @@ object Deps {
         .reduceOption(_ || _).getOrElse(lit(false))
       case Localhost(inner) => compile(inner, localhost = true)
       case Depends(a, b) =>
-        // vacuously satisfied unless the event itself matches `a`
-        !eventMatches(a) || compile(b, localhost)
+        // vacuously satisfied unless the event itself matches `a`;
+        // NULL fields mean "doesn't match" (riemann truthiness), not
+        // SQL three-valued unknown
+        !coalesce(eventMatches(a), lit(false)) || compile(b, localhost)
     }
     val cond = compile(rule, localhost = false)
     out.withColumn("deps_satisfied", cond)

@@ -86,12 +86,12 @@ object CombineStreams {
     * last event with the filler metric — realized as an event-time
     * timer per [host, service] that re-arms and back-fills every
     * missing interval up to the watermark. */
-  def fillIn(events: Dataset[SEvent], intervalS: Long, fillMetric: Double)
-      : Dataset[SEvent] = {
+  def fillIn(events: Dataset[SEvent], intervalS: Long, fillMetric: Double,
+      watermarkDelay: String = "0 seconds"): Dataset[SEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withWatermark("time", "0 seconds")
+      .withWatermark("time", watermarkDelay)
       .groupByKey(e => (e.host, e.service))
       .flatMapGroupsWithState[SEvent, SEvent](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -111,9 +111,27 @@ object CombineStreams {
             st.setTimeoutTimestamp(
               math.max(last.time.getTime + intervalS * 1000, wm + 1))
           } else {
-            val rs = rows.toSeq
-            val latest = (st.getOption.toSeq ++ rs).maxBy(_.time.getTime)
-            out ++= rs
+            // synthesize fillers for gaps BETWEEN events too — a gap
+            // whose events resume within the same trigger would
+            // otherwise produce different output than one spanning
+            // triggers (determinism under replay/backfill)
+            val rs = rows.toSeq.sortBy(_.time.getTime)
+            var lastOpt = st.getOption
+            for (e <- rs) {
+              lastOpt.foreach { last =>
+                var cur = last
+                while (cur.time.getTime + intervalS * 1000 < e.time.getTime) {
+                  cur = cur.copy(metric = Some(fillMetric),
+                    time = new java.sql.Timestamp(
+                      cur.time.getTime + intervalS * 1000))
+                  out += cur
+                }
+              }
+              out += e
+              if (!lastOpt.exists(_.time.getTime > e.time.getTime))
+                lastOpt = Some(e)
+            }
+            val latest = lastOpt.get
             st.update(latest)
             st.setTimeoutTimestamp(
               math.max(latest.time.getTime + intervalS * 1000,

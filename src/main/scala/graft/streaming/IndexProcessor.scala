@@ -19,20 +19,35 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
 class IndexProcessor extends StatefulProcessor[(String, String), SEvent, SEvent] {
 
   @transient private var latest: ValueState[SEvent] = _
+  @transient private var armed: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     latest = getHandle.getValueState[SEvent]("latest",
       Encoders.product[SEvent], TTLConfig.NONE)
+    armed = getHandle.getValueState[Long]("armed",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  /** Re-arm the key's single timer, deleting the superseded one so a
+    * churning key doesn't accumulate stale timers in the store. */
+  private def rearm(ts: Long): Unit = {
+    if (armed.exists()) getHandle.deleteTimer(armed.get())
+    getHandle.registerTimer(ts)
+    armed.update(ts)
+  }
 
   override def handleInputRows(key: (String, String), rows: Iterator[SEvent],
       timerValues: TimerValues): Iterator[SEvent] = {
     val rs = rows.toSeq
-    val newest = (Option(latest.get()).toSeq ++ rs).maxBy(_.time.getTime)
+    // (time, metric) tie-break matches StreamingIndex; maxBy alone would
+    // keep the FIRST maximum — the stored event — so a same-second state
+    // transition would never replace it
+    val newest = (Option(latest.get()).toSeq ++ rs)
+      .maxBy(e => (e.time.getTime, e.metric.getOrElse(0.0)))
     latest.update(newest)
     newest.ttl.foreach { t =>
       val deadline = newest.time.getTime + (t * 1000).toLong
-      getHandle.registerTimer(
-        math.max(deadline, timerValues.getCurrentWatermarkInMs() + 1))
+      rearm(math.max(deadline, timerValues.getCurrentWatermarkInMs() + 1))
     }
     Iterator(newest)
   }
@@ -46,11 +61,13 @@ class IndexProcessor extends StatefulProcessor[(String, String), SEvent, SEvent]
     val deadline = cur.ttl.map(t => cur.time.getTime + (t * 1000).toLong)
     if (deadline.exists(_ <= timerValues.getCurrentWatermarkInMs())) {
       latest.clear()
+      armed.clear()
       Iterator(cur.copy(state = "expired",
         time = new java.sql.Timestamp(timerValues.getCurrentWatermarkInMs())))
     } else {
       // stale timer: a newer event moved (or removed) the deadline
-      deadline.foreach(d => getHandle.registerTimer(
+      armed.clear()
+      deadline.foreach(d => rearm(
         math.max(d, timerValues.getCurrentWatermarkInMs() + 1)))
       Iterator.empty
     }

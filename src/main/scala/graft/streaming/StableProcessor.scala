@@ -25,12 +25,23 @@ class StableProcessor(dtSeconds: Long)
   // (current value, probation start ms, confirmed stable)
   @transient private var cur: ValueState[(String, Long, Boolean)] = _
   @transient private var buf: ListState[SEvent] = _
+  @transient private var armed: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     cur = getHandle.getValueState[(String, Long, Boolean)]("cur",
       Encoders.product[(String, Long, Boolean)], TTLConfig.NONE)
     buf = getHandle.getListState[SEvent]("buf",
       Encoders.product[SEvent], TTLConfig.NONE)
+    armed = getHandle.getValueState[Long]("armed",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  /** One live timer per key: delete the superseded segment's timer so
+    * flappy keys don't accumulate stale timers in the store. */
+  private def rearm(ts: Long): Unit = {
+    if (armed.exists()) getHandle.deleteTimer(armed.get())
+    getHandle.registerTimer(ts)
+    armed.update(ts)
   }
 
   private def flush(stampMs: Long): Iterator[SEvent] = {
@@ -61,9 +72,8 @@ class StableProcessor(dtSeconds: Long)
           buf.clear()
           buf.appendValue(e)
           cur.update((e.state, t, false))
-          getHandle.registerTimer(
-            math.max(t + dtSeconds * 1000,
-              timerValues.getCurrentWatermarkInMs() + 1))
+          rearm(math.max(t + dtSeconds * 1000,
+            timerValues.getCurrentWatermarkInMs() + 1))
       }
     }
     out.result().iterator

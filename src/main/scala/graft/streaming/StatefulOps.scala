@@ -73,19 +73,36 @@ object StatefulOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, rows, st: GroupState[Map[(String, String), Double]]) =>
           var totals = st.getOption.getOrElse(Map.empty)
-          def topSet = totals.toSeq
+          // leaderboard maintained incrementally: the full O(N log N)
+          // sort runs only when an update can change membership, not
+          // per event (heavy-hitter updates are the common case)
+          def computeTop() = totals.toSeq
             .sortBy { case ((h, s), m) => (-m, h, s) }.take(k).map(_._1).toSet
+          var topSet = computeTop()
+          def minTotal = if (topSet.isEmpty) Double.NegativeInfinity
+            else topSet.map(totals).min
+          var threshold = minTotal
           val out = Seq.newBuilder[SEvent]
           for (e <- sorted(rows)) {
             val key = (e.host, e.service)
-            val before = topSet
-            totals += key -> e.metric.getOrElse(0.0)
-            val after = topSet
-            if (after.contains(key)) out += e
-            // demoted keys get one expired mirror
-            for ((h, s) <- before -- after)
-              out += e.copy(host = h, service = s, state = "expired",
-                metric = totals.get((h, s)))
+            val m = e.metric.getOrElse(0.0)
+            val member = topSet.contains(key)
+            totals += key -> m
+            val mayChange =
+              (member && m <= threshold) ||
+                (!member && (m >= threshold || topSet.size < k))
+            if (!mayChange) {
+              if (member) { out += e; threshold = minTotal }
+            } else {
+              val before = topSet
+              topSet = computeTop()
+              threshold = minTotal
+              if (topSet.contains(key)) out += e
+              // demoted keys get one expired mirror
+              for ((h, s) <- before -- topSet)
+                out += e.copy(host = h, service = s, state = "expired",
+                  metric = totals.get((h, s)))
+            }
           }
           // bound the state: evict the lowest totals beyond maxKeys so
           // high-cardinality key churn can't grow state without limit

@@ -61,6 +61,28 @@ class CombineStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fill-in fills gaps even when events resume in the same trigger") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    val q = CombineStreams.fillIn(input.toDS(), 10, 0.0)
+      .writeStream.format("memory").queryName("fi2").outputMode("append").start()
+    try {
+      // one batch contains the gap AND the resuming event: output must be
+      // identical to the cross-trigger case (determinism under replay)
+      input.addData(ev("a", "hb", 5.0, 100))
+      q.processAllAvailable()
+      input.addData(ev("a", "hb", 7.0, 135))
+      q.processAllAvailable()
+      val rows = spark.table("fi2").as[SEvent].collect()
+        .filter(_.host == "a").sortBy(_.time.getTime)
+      // fillers at 110,120,130 synthesized inline, then the real event
+      assert(rows.map(e => (e.time.getTime / 1000, e.metric.get)).toSeq ==
+        Seq((100L, 5.0), (110L, 0.0), (120L, 0.0), (130L, 0.0), (135L, 7.0)))
+    } finally q.stop()
+  }
+
   test("streaming fill-in synthesizes events for empty intervals (streams.clj:683-719)") {
     val spark0 = spark
     import spark0.implicits._
