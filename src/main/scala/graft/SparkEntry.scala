@@ -76,8 +76,11 @@ object SparkEntry {
     "q_default" -> ((s, d) => ev(s, d)
       .defaultFields("state" -> lit("ok"), "site" -> lit("dc1"))
       .select("event_id", "state", "site").orderBy("event_id")),
+    // array columns are serialized to strings: the driver's comparator
+    // sorts rows via pandas, which can't hash numpy arrays
     "q_tag_untag" -> ((s, d) => ev(s, d).tag("x").untag("big")
-      .select(col("event_id"), array_sort(col("tags")).as("tags"))
+      .select(col("event_id"),
+        array_join(array_sort(col("tags")), ",").as("tags"))
       .orderBy("event_id")),
     "q_smap" -> ((s, d) => ev(s, d)
       .smap(col("metric") > 10, "metric" -> (col("metric") / 10))
@@ -149,6 +152,9 @@ object SparkEntry {
     "q_throttle" -> ((s, d) => Windows.throttle(ev(s, d), 2, 3600, Seq("host"))
       .select("event_id").orderBy("event_id")),
     "q_rollup" -> ((s, d) => Windows.rollup(ev(s, d), 2, 3600, Seq("service"))
+      .withColumn("rolled_metrics",
+        array_join(transform(col("rolled_metrics"),
+          x => floor(x * lit(1e6)).cast("string")), ","))
       .orderBy("service", "window_start")),
     "q_ddt_real" -> ((s, d) => Windows.ddtReal(ev(s, d), 3600, Seq("host"))
       .orderBy("host", "window_start")),
@@ -185,7 +191,10 @@ object SparkEntry {
       Folds.modeDeterministic(ev(s, d), "metric", Seq("service"))
         .orderBy("service")),
     "q_modes" -> ((s, d) =>
-      Folds.modesAll(ev(s, d), "metric", Seq("service")).orderBy("service")),
+      Folds.modesAll(ev(s, d), "metric", Seq("service"))
+        .select(col("service"), explode(col("modes")).as("mode_value"),
+          col("mode_count"))
+        .orderBy("service", "mode_value")),
 
     // ---- deps rules + skew-safe aggregation
     "q_deps" -> ((s, d) => {
@@ -237,6 +246,8 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))
       .orderBy("content_hash")),
     "q_minhash_sig" -> ((s, d) => Dedup.minhashSignature(docs(s, d), 8, 3)
+      .select(col("doc_id"),
+        array_join(transform(col("sig"), _.cast("string")), ",").as("sig"))
       .orderBy("doc_id")),
     "q_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(docs(s, d), 16, 4, 0.5, 3)
       .orderBy("doc_a", "doc_b")),
@@ -369,11 +380,11 @@ object SparkEntry {
     "q_match" -> s"$cte SELECT event_id, service FROM ev WHERE regexp_matches(service, 'purchase|signup') ORDER BY event_id",
     "q_project_fields" -> s"$cte SELECT event_id, 'evt' AS description, metric * CAST(0.5 AS DOUBLE) AS metric FROM ev ORDER BY event_id",
     "q_default" -> s"$cte SELECT event_id, coalesce(state, 'ok') AS state, 'dc1' AS site FROM ev ORDER BY event_id",
-    "q_tag_untag" -> s"$cte SELECT event_id, list_sort(list_distinct(list_filter(list_concat(tags, ['x']), t -> t <> 'big'))) AS tags FROM ev ORDER BY event_id",
+    "q_tag_untag" -> s"$cte SELECT event_id, array_to_string(list_sort(list_distinct(list_filter(list_concat(tags, ['x']), t -> t <> 'big'))), ',') AS tags FROM ev ORDER BY event_id",
     "q_smap" -> s"$cte, m AS (SELECT event_id, metric / CAST(10 AS DOUBLE) AS metric FROM ev) SELECT event_id, metric FROM m WHERE metric > 10 ORDER BY event_id",
     "q_smapcat" -> s"$cte SELECT event_id, unnest(tags) AS tag FROM ev ORDER BY event_id, tag",
     "q_query_search" -> s"$snapCte SELECT event_id, host, service, state, metric, time_s FROM snap WHERE rn = 1 AND (state = 'critical' OR (metric > 120 AND list_contains(tags, 'big'))) ORDER BY event_id",
-    "q_query_attrs" -> (s"WITH ev AS (SELECT event_id, CAST(user_id AS VARCHAR) AS host, event_type AS service, value AS metric, epoch_ns(ts) // 1000000000 AS time_s, CAST(regexp_extract(props, '([0-9]+)', 1) AS DOUBLE) AS kval FROM events), " +
+    "q_query_attrs" -> (s"WITH ev AS (SELECT event_id, CAST(user_id AS VARCHAR) AS host, event_type AS service, value AS metric, epoch_ns(ts) // 1000000000 AS time_s, CAST(json_extract_string(props, '$$.k') AS DOUBLE) AS kval FROM events), " +
       "snap AS (SELECT *, row_number() OVER (PARTITION BY host, service ORDER BY time_s DESC, event_id DESC) AS rn FROM ev) " +
       "SELECT event_id, host, service, metric FROM snap WHERE rn = 1 AND kval > 50 AND metric < 100 ORDER BY event_id"),
     "q_index_snapshot" -> s"$snapCte SELECT event_id, host, service, state, metric, time_s FROM snap WHERE rn = 1 ORDER BY host, service",
@@ -422,7 +433,7 @@ object SparkEntry {
       "SELECT event_id FROM r WHERE rnk <= 2 ORDER BY event_id"),
     "q_rollup" -> (s"$cte, r AS (SELECT *, time_s - time_s % 3600 AS window_start, row_number() OVER (PARTITION BY service, time_s - time_s % 3600 ORDER BY time_s, event_id) AS rnk FROM ev) " +
       "SELECT service, window_start, CAST(SUM(CASE WHEN rnk <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS passed, CAST(SUM(CASE WHEN rnk > 2 THEN 1 ELSE 0 END) AS BIGINT) AS rolled, " +
-      "COALESCE(list(metric ORDER BY time_s, event_id) FILTER (WHERE rnk > 2), []) AS rolled_metrics FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
+      "COALESCE(array_to_string(list_transform(list(metric ORDER BY time_s, event_id) FILTER (WHERE rnk > 2), x -> CAST(CAST(FLOOR(x * CAST(1e6 AS DOUBLE)) AS BIGINT) AS VARCHAR)), ','), '') AS rolled_metrics FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_ddt_real" -> (s"$cte, r AS (SELECT host, time_s - time_s % 3600 AS window_start, metric, row_number() OVER (PARTITION BY host, time_s - time_s % 3600 ORDER BY time_s DESC, event_id DESC) AS rn FROM ev), " +
       "s AS (SELECT host, window_start, metric AS sample FROM r WHERE rn = 1), " +
       "l AS (SELECT host, window_start, sample, lag(sample) OVER w AS prev_sample, lag(window_start) OVER w AS prev_start FROM s WINDOW w AS (PARTITION BY host ORDER BY window_start)) " +
@@ -485,9 +496,10 @@ object SparkEntry {
       "GROUP BY r.r_name ORDER BY r.r_name"),
     "q_modes" -> (s"$cte, c AS (SELECT service, metric, count(*) AS cnt FROM ev WHERE metric IS NOT NULL GROUP BY 1, 2), " +
       "m AS (SELECT *, max(cnt) OVER (PARTITION BY service) AS mx FROM c) " +
-      "SELECT service, list(metric ORDER BY metric) AS modes, CAST(max(cnt) AS BIGINT) AS mode_count FROM m WHERE cnt = mx GROUP BY service ORDER BY service"),
+      "SELECT service, metric AS mode_value, CAST(mx AS BIGINT) AS mode_count FROM m WHERE cnt = mx ORDER BY service, mode_value"),
     "q_dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1",
-    "q_minhash_sig" -> s"$shCte$hsCte SELECT doc_id, ${minhashSigSql(8)} AS sig FROM hh ORDER BY doc_id",
+    "q_minhash_sig" -> (s"$shCte$hsCte SELECT doc_id, array_to_string(list_transform(" +
+      s"${minhashSigSql(8)}, h -> CAST(h AS VARCHAR)), ',') AS sig FROM hh ORDER BY doc_id"),
     "q_minhash_pairs" -> (s"$shCte$hsCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh), " +
       "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM sg), " +
       "bk AS (SELECT doc_id, sig, band, md5(array_to_string(list_transform(sig[band*4+1:band*4+4], x -> CAST(x AS VARCHAR)), ',')) AS bucket FROM banded), " +

@@ -33,8 +33,11 @@ object Deps {
     * globally and broadcast the tiny result onto the stream. */
   def tagSatisfied(events: DataFrame, indexDf: DataFrame, rule: Rule): DataFrame = {
     // each leaf probes the index with its own action; materialize the
-    // (small) snapshot once instead of recomputing it per leaf
+    // (small) snapshot once instead of recomputing it per leaf, and
+    // release it before returning — leaf marks are localCheckpointed so
+    // the returned plan no longer references the cached snapshot
     val index = indexDf.cache()
+    try {
     // global leaf truths: does ANY index entry match each global Matches?
     def leafGlobal(m: Matches): Boolean =
       index.filter(m.fields.map { case (k, v) => col(k) === v }
@@ -60,6 +63,7 @@ object Deps {
           joined += 1
           val markCol = s"_dep$joined"
           val marks = hostsMatching(m).withColumn(markCol, lit(true))
+            .localCheckpoint()
           out = out.join(broadcast(marks), Seq("host"), "left")
           coalesce(col(markCol), lit(false))
         }
@@ -77,5 +81,6 @@ object Deps {
     val cond = compile(rule, localhost = false)
     out.withColumn("deps_satisfied", cond)
       .drop((1 to joined).map(i => s"_dep$i"): _*)
+    } finally index.unpersist()
   }
 }

@@ -139,7 +139,12 @@ object RiemannProtobuf {
   /** Strip the TCP transport's int32 big-endian length frame
     * (tcp.clj:220-244 int32-frame-decoder). */
   def unframe(buf: Array[Byte]): Array[Byte] = {
+    require(buf.length >= 4, s"framed payload too short: ${buf.length} bytes")
     val len = ByteBuffer.wrap(buf, 0, 4).order(ByteOrder.BIG_ENDIAN).getInt
+    // copyOfRange would silently zero-pad a truncated frame, decoding
+    // garbage instead of letting decodeMsgs drop the corrupt payload
+    require(len >= 0 && buf.length - 4 >= len,
+      s"frame declares $len bytes but only ${buf.length - 4} present")
     java.util.Arrays.copyOfRange(buf, 4, 4 + len)
   }
 
