@@ -49,12 +49,19 @@ object Dedup {
     * by all k permutations), then permutation i takes
     * min((a_i·h + b_i) mod P) — pure codegen'd long arithmetic.
     * Output: (doc_id, sig array<long>). */
-  def minhashSignature(docs: DataFrame, k: Int = 16, w: Int = 3): DataFrame = {
+  def minhashSignature(docs: DataFrame, k: Int = 16, w: Int = 3): DataFrame =
+    minhashSignatureFromShingles(shingles(docs, w), k)
+
+  /** Signature from a pre-shingled relation (doc_id, shingles) — lets a
+    * caller that also needs the shingles downstream (exact-Jaccard
+    * verification) share one tokenize+shingle pass instead of scanning
+    * the corpus twice. */
+  def minhashSignatureFromShingles(shingled: DataFrame, k: Int): DataFrame = {
     val perms = (0 until k).map { i =>
       val (a, b) = minhashCoeff(i)
       s"array_min(transform(hs, h -> (h * ${a}L + ${b}L) % ${MinhashP}L))"
     }.mkString("array(", ", ", ")")
-    shingles(docs, w)
+    shingled
       .withColumn("hs", expr("transform(shingles, s -> " +
         s"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % ${MinhashP}L)"))
       .select(col("doc_id"), expr(perms).as("sig"))
@@ -125,8 +132,13 @@ object Dedup {
     * shingle sets onto the (small) candidate relation keeps the work
     * linear in candidates, never all-pairs. */
   def exactJaccard(docs: DataFrame, candidates: DataFrame, w: Int = 3,
-      threshold: Double = 0.3): DataFrame = {
-    val sh = shingles(docs, w).select(col("doc_id"), col("shingles"))
+      threshold: Double = 0.3): DataFrame =
+    exactJaccardFromShingles(
+      shingles(docs, w).select(col("doc_id"), col("shingles")),
+      candidates, threshold)
+
+  private def exactJaccardFromShingles(sh: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame =
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -135,14 +147,26 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** n-gram Jaccard near-dup pairs at scale: LSH blocking → exact
     * verification. (A lang/label blocking key would leave one block
-    * O(n²) at scale; LSH buckets stay small by construction.) */
+    * O(n²) at scale; LSH buckets stay small by construction.) The
+    * shingle relation feeds BOTH the signature and the verification
+    * pass, so it is computed once and cached — at cluster scale swap
+    * cache() for persist(DISK_ONLY) or recompute if memory is tight. */
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, threshold: Double = 0.3,
-      k: Int = 16, bands: Int = 8): DataFrame =
-    exactJaccard(docs, lshCandidates(docs, k, bands, w), w, threshold)
+      k: Int = 16, bands: Int = 8): DataFrame = {
+    val sh = shingles(docs, w).select(col("doc_id"), col("shingles")).cache()
+    val banded = lshBands(minhashSignatureFromShingles(sh, k), k, bands)
+      .select("doc_id", "band", "bucket")
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    exactJaccardFromShingles(sh, cand, threshold)
+  }
 
   /** SimHash fingerprint from token counts: per-token md5-derived bits,
     * weighted-majority per bit position. Near-dups = fingerprints within

@@ -124,13 +124,22 @@ object Similarity {
   val CosineEps = 1e-6
 
   /** LSH-bucketed ANN top-k: candidates share a bucket; exact cosine
-    * only within buckets. Recall/cost tuned by `planes`. */
+    * only within buckets. Recall/cost tuned by `planes`. `maxBucket`
+    * drops pathological hot buckets (near-duplicate clusters, zero
+    * vectors) whose self-join would go quadratic at scale; default
+    * keeps everything. */
   def lshTopK(embeddings: DataFrame, k: Int, planes: Int = 8,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64, maxBucket: Int = Int.MaxValue): DataFrame = {
     val buckets = lshBuckets(embeddings, planes, dims)
-    val e = embeddings.select(col("vec_id"), normalized(col("embedding")).as("unit"))
+    val joined = embeddings
+      .select(col("vec_id"), normalized(col("embedding")).as("unit"))
       .join(buckets.select("vec_id", "bucket"), "vec_id")
-      .cache()
+    val e = (if (maxBucket == Int.MaxValue) joined
+      else {
+        val ok = joined.groupBy("bucket").agg(count(lit(1)).as("_bsz"))
+          .filter(col("_bsz") <= maxBucket).select("bucket")
+        joined.join(ok, "bucket")
+      }).cache()
     val a = e.as("a")
     val b = e.as("b")
     val scored = a.join(b, col("a.bucket") === col("b.bucket") &&
