@@ -268,6 +268,38 @@ object SparkEntry {
       .orderBy("query_id", "rk")),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d))
       .orderBy("label")),
+    "q_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 3)
+        .orderBy("query_id", "rk")),
+
+    // ---- §2.1 line-protocol sources: encode events to wire lines in
+    // Spark, decode with the real parser; the oracle states the
+    // expected identity directly (the string round-trip is Spark-only,
+    // and Double.toString/parse round-trips exactly)
+    "q_graphite_decode" -> ((s, d) => {
+      val e = ev(s, d)
+      val lines = e.select(concat_ws(" ",
+        concat(col("service"), lit(";host="), col("host"),
+          lit(";idx="), col("event_id")),
+        col("metric").cast("string"), col("time_s").cast("string")).as("line"))
+      graft.sources.LineProtocols.decodeGraphite(lines)
+        .select(element_at(col("attributes"), "idx").cast("long").as("event_id"),
+          col("service"), col("metric"), col("time_s"),
+          element_at(col("attributes"), "host").as("host"))
+        .orderBy("event_id")
+    }),
+    "q_opentsdb_decode" -> ((s, d) => {
+      val e = ev(s, d)
+      val lines = e.select(concat_ws(" ", lit("put"), col("service"),
+        col("time_s").cast("string"), col("metric").cast("string"),
+        concat(lit("host="), col("host")),
+        concat(lit("idx="), col("event_id"))).as("line"))
+      graft.sources.LineProtocols.decodeOpenTsdb(lines)
+        .select(element_at(col("attributes"), "idx").cast("long").as("event_id"),
+          col("description").as("metric_name"), col("service"),
+          col("metric"), col("time_s"), col("host"))
+        .orderBy("event_id")
+    }),
 
     // ---- LLM pipeline: multimodal plumbing (media derived from documents)
     "q_frames" -> ((s, d) =>
@@ -536,6 +568,20 @@ object SparkEntry {
       "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
       "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM scored) " +
       "SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 5 ORDER BY query_id, rk"),
+    "q_ann_ivf" -> (s"$unitCte, cd AS (SELECT label, unnest(unit) AS v, unnest(generate_series(0, len(unit)-1)) AS dim FROM u), " +
+      "cc AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c FROM cd GROUP BY 1, 2), " +
+      "cent AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cc GROUP BY label), " +
+      "asg0 AS (SELECT u.vec_id, u.unit, c.label, list_sum(list_transform(list_zip(u.unit, c.cvec), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS score FROM u CROSS JOIN cent c), " +
+      "asg AS (SELECT vec_id, unit, label AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, label) AS rn FROM asg0) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS query_id, unit AS qunit FROM asg WHERE vec_id IN (0,1,2,3,4)), " +
+      "pr0 AS (SELECT q.query_id, q.qunit, c.label, list_sum(list_transform(list_zip(q.qunit, c.cvec), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS score FROM q CROSS JOIN cent c), " +
+      "pr AS (SELECT query_id, qunit, label AS cell FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, label) AS rn FROM pr0) WHERE rn <= 3), " +
+      "sc AS (SELECT pr.query_id, asg.vec_id, round(CAST(list_sum(list_transform(list_zip(asg.unit, pr.qunit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM pr JOIN asg ON pr.cell = asg.cell AND asg.vec_id <> pr.query_id), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM sc) " +
+      "SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 10 ORDER BY query_id, rk"),
+    "q_graphite_decode" -> s"$cte SELECT event_id, service, metric, time_s, host FROM ev ORDER BY event_id",
+    "q_opentsdb_decode" -> (s"$cte SELECT event_id, service AS metric_name, " +
+      "service || ' idx=' || CAST(event_id AS VARCHAR) AS service, metric, time_s, host FROM ev ORDER BY event_id"),
     "q_label_centroids" -> (s"$unitCte, dims AS (SELECT label, unnest(unit) AS v, unnest(generate_series(0, len(unit)-1)) AS dim FROM u), " +
       "cc AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c FROM dims GROUP BY 1, 2) " +
       "SELECT label, round(sqrt(CAST(SUM(CAST(c*c AS DECIMAL(38,18))) AS DOUBLE)), 4) AS centroid_norm, count(*) AS dims FROM cc GROUP BY label ORDER BY label"),

@@ -151,6 +151,76 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** IVF coarse-quantizer centroids: per-label mean of unit vectors as
+    * an array column (label seeding instead of k-means iterations — the
+    * assignment/probe machinery is identical, and the quantizer is
+    * deterministic so the oracle can re-derive it). Decimal-exact dim
+    * sums so centroid components are engine/order-independent. */
+  def ivfCentroids(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("label"), normalized(col("embedding")).as("unit"))
+    e.select(col("label"), posexplode(col("unit")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg((sum(col("v").cast(DecimalType(38, 18))).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+        s => s("c")).as("cvec"))
+  }
+
+  /** Deterministic scaled-long dot used for IVF cell ranking (same
+    * trick as [[dotExact]], without the double rescale). */
+  private def dotScaled(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => floor(x * y * lit(1e16))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** IVF vector→cell assignment: nearest centroid by inner product
+    * (ties by label). The centroid table is tiny — broadcast — so
+    * assignment is a narrow map over the corpus: the 100 TB scale
+    * shape (one pass, no shuffle of the big side). */
+  def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = embeddings
+      .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("unit"), col("label"),
+        dotScaled(col("unit"), col("cvec")).as("score"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("label"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("unit"), col("label").as("cell"))
+  }
+
+  /** IVF ANN top-k: rank centroids per query, probe the `nprobe`
+    * nearest cells, exact cosine only against those cells' members.
+    * Complements [[lshTopK]]: IVF probes a fixed number of partitions
+    * (recall degrades gracefully), LSH probes hash collisions. At scale
+    * the corpus is partitioned by cell, so a probe reads nprobe/C of
+    * the data; the query and centroid sides broadcast. */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nprobe: Int = 3): DataFrame = {
+    // centroid training is a full corpus pass — cache the tiny result
+    // so probe ranking doesn't re-run it
+    val cents = ivfCentroids(embeddings).cache()
+    val assigned = ivfAssign(embeddings, cents).cache()
+    val q = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("qunit"))
+    val probeScored = q.join(broadcast(cents))
+      .select(col("query_id"), col("qunit"), col("label"),
+        dotScaled(col("qunit"), col("cvec")).as("score"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("label"))
+    val probes = probeScored.withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qunit"), col("label").as("cell"))
+    val scored = assigned.join(broadcast(probes),
+        assigned("cell") === probes("cell") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dotExact(col("unit"), col("qunit")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Corpus-level embedding stats — norms and per-label centroids
     * (IVF coarse quantizer seed; centroid = mean of unit vectors).
     * Decimal-exact sums at every reduction so the result is independent

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.{Dedup, Similarity}
+
+import scala.jdk.CollectionConverters._
+
+/** Behavioral tests for the LLM-pipeline operators (dedup / similarity)
+  * on hand-built corpora where the expected clusters are obvious —
+  * complements the DuckDB-oracle checks, which pin exact values but
+  * not the semantic shape (recall, cell assignment, cap behavior). */
+class PipelineSpec extends SparkSpec {
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Tiny corpus: two orthogonal clusters along axes 0 and 1 (dims=4),
+    * labels matching the clusters. */
+  private def embeddings(rows: (Long, Seq[Float], Int)*): DataFrame =
+    spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3)).asJava, embSchema)
+
+  private def cluster(axis: Int, jitter: Float): Seq[Float] =
+    Seq.tabulate(4)(d => if (d == axis) 1f else if (d == (axis + 2)) jitter else 0f)
+
+  private val corpus = embeddings(
+    (0L, cluster(0, 0.1f), 0), (1L, cluster(0, 0.2f), 0),
+    (2L, cluster(0, 0.3f), 0),
+    (10L, cluster(1, 0.1f), 1), (11L, cluster(1, 0.2f), 1),
+    (12L, cluster(1, 0.3f), 1))
+
+  test("ivfAssign puts each vector in its own cluster's cell") {
+    val cents = Similarity.ivfCentroids(corpus)
+    assert(cents.count() == 2)
+    val cells = Similarity.ivfAssign(corpus, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Seq(0L, 1L, 2L).forall(cells(_) == 0))
+    assert(Seq(10L, 11L, 12L).forall(cells(_) == 1))
+  }
+
+  test("ivfTopK with nprobe=1 returns only cluster-mates, ranked by cosine") {
+    val top = Similarity.ivfTopK(corpus, Seq(0L, 10L), k = 5, nprobe = 1)
+      .select("query_id", "vec_id", "rk").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    // query 0 (axis-0, jitter .1): nearest axis-0 mates only — never
+    // the axis-1 cluster, and not itself
+    assert(top(0L).toSet == Set(1L, 2L))
+    assert(top(10L).toSet == Set(11L, 12L))
+  }
+
+  test("ivfTopK with nprobe=2 reaches the second cell") {
+    val top = Similarity.ivfTopK(corpus, Seq(0L), k = 5, nprobe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(top == Set(1L, 2L, 10L, 11L, 12L))
+  }
+
+  test("ivfTopK agrees with brute force on probed cells") {
+    // with nprobe = all cells, IVF == brute force minus nothing
+    val ivf = Similarity.ivfTopK(corpus, Seq(0L), k = 5, nprobe = 2)
+      .select("vec_id", "rk").collect().sortBy(_.getInt(1)).map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(corpus, Seq(0L), 5)
+      .select("vec_id", "rk").collect().sortBy(_.getInt(1)).map(_.getLong(0)).toSeq
+    assert(ivf == brute)
+  }
+
+  test("lshTopK maxBucket drops hot buckets entirely") {
+    // all six vectors land in some bucket; cap of 1 removes every
+    // bucket with >1 member, so no pairs remain
+    val capped = Similarity.lshTopK(corpus, k = 3, planes = 2, dims = 4,
+      maxBucket = 1)
+    assert(capped.count() == 0)
+    val uncapped = Similarity.lshTopK(corpus, k = 3, planes = 2, dims = 4)
+    assert(uncapped.count() > 0)
+  }
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+  private def docs(rows: (Long, String)*): DataFrame =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, docSchema)
+
+  test("ngramJaccardPairs finds near-dups via shared shingle pass") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tomorrow"),
+      (3L, "completely different words about nothing in particular here"))
+    val pairs = Dedup.ngramJaccardPairs(d, w = 3, threshold = 0.3,
+      k = 8, bands = 4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash signature is identical through the shared-shingle path") {
+    val d = docs((1L, "a b c d e f"), (2L, "x y z w v u"))
+    val direct = Dedup.minhashSignature(d, k = 4, w = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val shared = Dedup.minhashSignatureFromShingles(Dedup.shingles(d, 3), 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(direct == shared)
+  }
+}
