@@ -34,8 +34,10 @@ object Deps {
   def tagSatisfied(events: DataFrame, indexDf: DataFrame, rule: Rule): DataFrame = {
     // each leaf probes the index with its own action; materialize the
     // (small) snapshot once instead of recomputing it per leaf, and
-    // release it before returning — leaf marks are localCheckpointed so
-    // the returned plan no longer references the cached snapshot
+    // release it before returning — leaf marks are collected to a local
+    // relation (the index is in-memory-small by design, as in the
+    // reference), so the returned plan holds no executor-resident
+    // blocks and survives executor loss
     val index = indexDf.cache()
     try {
     // global leaf truths: does ANY index entry match each global Matches?
@@ -62,8 +64,10 @@ object Deps {
           // broadcast-mark events whose host has a matching entry
           joined += 1
           val markCol = s"_dep$joined"
-          val marks = hostsMatching(m).withColumn(markCol, lit(true))
-            .localCheckpoint()
+          val hosts = hostsMatching(m).collect().map(_.getString(0)).toSeq
+          val session = events.sparkSession
+          import session.implicits._
+          val marks = hosts.toDF("host").withColumn(markCol, lit(true))
           out = out.join(broadcast(marks), Seq("host"), "left")
           coalesce(col(markCol), lit(false))
         }

@@ -84,6 +84,30 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
   }
 
+  /** Drop (band, bucket) groups larger than `maxBucket` — the hot-bucket
+    * escape hatch every LSH consumer shares. Counting on the already
+    * narrow banded relation adds one cheap aggregate, no recompute of
+    * the signature. */
+  private def capBands(banded: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded
+    else {
+      val sizes = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucket)
+      banded.join(sizes.select("band", "bucket"), Seq("band", "bucket"))
+    }
+
+  /** Distinct colliding (doc_a < doc_b) pairs from a banded relation —
+    * the one candidate-generation self-join all LSH paths share. */
+  private def collidingPairs(banded: DataFrame): DataFrame = {
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** MinHash-LSH near-dup pairs: band the signature, bucket-join on
     * (band, band-hash), then estimate Jaccard as the fraction of equal
     * signature elements. Only bucket-colliding pairs are compared — the
@@ -92,14 +116,8 @@ object Dedup {
   def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, w: Int = 3,
       maxBucket: Int = Int.MaxValue): DataFrame = {
-    val banded = lshBands(minhashSignature(docs, k, w), k, bands)
-    val capped =
-      if (maxBucket == Int.MaxValue) banded
-      else {
-        val sizes = banded.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucket)
-        banded.join(sizes.select("band", "bucket"), Seq("band", "bucket"))
-      }
+    val capped = capBands(lshBands(minhashSignature(docs, k, w), k, bands),
+      maxBucket)
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") &&
@@ -115,17 +133,10 @@ object Dedup {
   /** LSH candidate pairs (no similarity filter): the blocking stage that
     * exact verification passes consume. */
   def lshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
-      w: Int = 3): DataFrame = {
-    val banded = lshBands(minhashSignature(docs, k, w), k, bands)
-      .select("doc_id", "band", "bucket")
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
+      w: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame =
+    collidingPairs(capBands(
+      lshBands(minhashSignature(docs, k, w), k, bands)
+        .select("doc_id", "band", "bucket"), maxBucket))
 
   /** Exact n-gram Jaccard over a candidate-pair relation (doc_a, doc_b)
     * — the verification pass after LSH candidate generation. Joining the
@@ -155,17 +166,13 @@ object Dedup {
     * pass, so it is computed once and cached — at cluster scale swap
     * cache() for persist(DISK_ONLY) or recompute if memory is tight. */
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, threshold: Double = 0.3,
-      k: Int = 16, bands: Int = 8): DataFrame = {
+      k: Int = 16, bands: Int = 8,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val sh = shingles(docs, w).select(col("doc_id"), col("shingles")).cache()
     val banded = lshBands(minhashSignatureFromShingles(sh, k), k, bands)
       .select("doc_id", "band", "bucket")
-    val cand = banded.as("a")
-      .join(banded.as("b"), col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    exactJaccardFromShingles(sh, cand, threshold)
+    exactJaccardFromShingles(sh,
+      collidingPairs(capBands(banded, maxBucket)), threshold)
   }
 
   /** SimHash fingerprint from token counts: per-token md5-derived bits,

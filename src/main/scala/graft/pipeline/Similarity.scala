@@ -8,11 +8,18 @@ import org.apache.spark.sql.types.DecimalType
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`). Baseline: brute-force cosine top-k with the query
   * side broadcast (one pass over the corpus, no shuffle of the big
-  * side). Scale path: random-hyperplane LSH bucketing so candidate
-  * generation is a bucket-equijoin.
+  * side). Scale paths: random-hyperplane LSH bucketing (candidate
+  * generation as a bucket-equijoin) and IVF (fixed-cell probes).
   *
   * Dot products use `zip_with`/`aggregate` higher-order functions —
   * codegen-friendly Catalyst expressions, no UDF.
+  *
+  * Caching contract: functions that reference an intermediate relation
+  * more than once (`bruteForceTopK`, `lshTopK`, `ivfTopK`) cache it and
+  * leave it pinned — the returned plan is lazy, so the library cannot
+  * know when to unpersist. Long-lived sessions should clear caches
+  * between calls (`spark.catalog.clearCache()`), or swap cache() for
+  * persist(DISK_ONLY) at cluster scale.
   */
 object Similarity {
 
@@ -130,16 +137,21 @@ object Similarity {
     * keeps everything. */
   def lshTopK(embeddings: DataFrame, k: Int, planes: Int = 8,
       dims: Int = 64, maxBucket: Int = Int.MaxValue): DataFrame = {
+    // bucket sizes come from the narrow bucket projection, NOT the
+    // normalized join — counting on `joined` would re-run the whole
+    // normalization pass just to size buckets
     val buckets = lshBuckets(embeddings, planes, dims)
-    val joined = embeddings
-      .select(col("vec_id"), normalized(col("embedding")).as("unit"))
-      .join(buckets.select("vec_id", "bucket"), "vec_id")
-    val e = (if (maxBucket == Int.MaxValue) joined
+    val kept =
+      if (maxBucket == Int.MaxValue) buckets.select("vec_id", "bucket")
       else {
-        val ok = joined.groupBy("bucket").agg(count(lit(1)).as("_bsz"))
+        val ok = buckets.groupBy("bucket").agg(count(lit(1)).as("_bsz"))
           .filter(col("_bsz") <= maxBucket).select("bucket")
-        joined.join(ok, "bucket")
-      }).cache()
+        buckets.select("vec_id", "bucket").join(ok, "bucket")
+      }
+    val e = embeddings
+      .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+      .join(kept, "vec_id")
+      .cache()
     val a = e.as("a")
     val b = e.as("b")
     val scored = a.join(b, col("a.bucket") === col("b.bucket") &&
