@@ -84,6 +84,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"fact side shuffled:\n$p")
   }
 
+  test("IVF assignment broadcasts the centroid table; corpus side stays un-shuffled") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(Similarity.ivfAssign(emb, Similarity.ivfCentroids(emb)))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids not broadcast:\n$p")
+    // the only exchange below the per-vector window is the broadcast —
+    // the corpus is scored in place, never hash-repartitioned pre-join
+    assert(!p.contains("SortMergeJoin"), s"corpus side shuffled for the join:\n$p")
+  }
+
+  test("IVF probe search broadcasts probes; no cartesian product") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(Similarity.ivfTopK(emb, Seq(0L, 1L), 3, nprobe = 2))
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe side not broadcast:\n$p")
+  }
+
+  test("line decoders are narrow: no exchange before the parse projection") {
+    val lines = spark.createDataFrame(
+      Seq(Tuple1("api.req;dc=a 1.5 1000"), Tuple1("bad")).map(t => t)
+    ).toDF("line")
+    val p = plan(graft.sources.LineProtocols.decodeGraphite(lines))
+    assert(!p.contains("Exchange"), s"decode should be a pure map:\n$p")
+  }
+
   test("windowed aggregation keeps partial (map-side) aggregation") {
     val p = plan(Windows.fixedOffsetTimeWindow(EventView(spark, dir), 3600,
       Seq("service")))
