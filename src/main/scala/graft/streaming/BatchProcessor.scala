@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
+  TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** `batch n dt` as a StatefulProcessor (reference
+  * streams.clj:1158-1185) — accumulate events and deliver them as one
+  * vector when EITHER the buffer reaches n events (flushed inline,
+  * stamped at the triggering event's time) OR dt seconds pass after the
+  * first buffered event (flushed by the per-key timer, stamped at the
+  * watermark). The streaming front-end for bulk sinks: elasticsearch
+  * bulk POSTs, kafka producer batching, webhook digests.
+  */
+class BatchProcessor(n: Int, dtSeconds: Long)
+    extends StatefulProcessor[String, SEvent, BatchProcessor.Flush] {
+  import BatchProcessor.Flush
+
+  // deadline (ms) of the currently buffered batch; unset = empty buffer
+  @transient private var deadline: ValueState[Long] = _
+  @transient private var buf: ListState[SEvent] = _
+  @transient private var count: ValueState[Int] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    deadline = getHandle.getValueState[Long]("deadline",
+      Encoders.scalaLong, TTLConfig.NONE)
+    buf = getHandle.getListState[SEvent]("buf",
+      Encoders.product[SEvent], TTLConfig.NONE)
+    count = getHandle.getValueState[Int]("count",
+      Encoders.scalaInt, TTLConfig.NONE)
+  }
+
+  private def flush(key: String, stamp: java.sql.Timestamp, byTimer: Boolean)
+      : Flush = {
+    val out = Flush(key, buf.get().toSeq, byTimer, stamp)
+    buf.clear()
+    count.clear()
+    deadline.clear()
+    out
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[SEvent],
+      timerValues: TimerValues): Iterator[Flush] = {
+    val out = Seq.newBuilder[Flush]
+    for (e <- rows.toSeq.sortBy(_.time.getTime)) {
+      if (!deadline.exists()) {
+        // first event of a fresh batch arms the dt timer
+        val dl = math.max(e.time.getTime + dtSeconds * 1000,
+          timerValues.getCurrentWatermarkInMs() + 1)
+        deadline.update(dl)
+        getHandle.registerTimer(dl)
+      }
+      buf.appendValue(e)
+      val c = Option(count.get()).getOrElse(0) + 1
+      count.update(c)
+      if (c >= n) out += flush(key, e.time, byTimer = false)
+    }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(key: String, timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[Flush] = {
+    // a size-flush clears the deadline; this timer is then stale — and a
+    // later batch's timer must not fire early for the current buffer
+    if (deadline.exists() &&
+        timerValues.getCurrentWatermarkInMs() >= deadline.get())
+      Iterator(flush(key,
+        new java.sql.Timestamp(timerValues.getCurrentWatermarkInMs()),
+        byTimer = true))
+    else Iterator.empty
+  }
+}
+
+object BatchProcessor {
+  /** One delivered batch: ≤ n events spanning ≤ dt seconds. */
+  case class Flush(key: String, events: Seq[SEvent], by_timer: Boolean,
+      emitted_at: java.sql.Timestamp)
+
+  def apply(events: Dataset[SEvent], n: Int, dtSeconds: Long,
+      scope: SEvent => String = _.service,
+      watermarkDelay: String = null): Dataset[Flush] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val delay = Option(watermarkDelay).getOrElse(s"$dtSeconds seconds")
+    events.withWatermark("time", delay)
+      .groupByKey(scope)
+      .transformWithState(new BatchProcessor(n, dtSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}
