@@ -30,11 +30,18 @@ class BatchProcessor(n: Int, dtSeconds: Long)
       Encoders.scalaInt, TTLConfig.NONE)
   }
 
-  private def flush(key: String, stamp: java.sql.Timestamp, byTimer: Boolean)
-      : Flush = {
-    val out = Flush(key, buf.get().toSeq, byTimer, stamp)
+  private def flush(key: String, stampMs: Long, byTimer: Boolean): Flush = {
+    val events = buf.get().toSeq
+    // stamp at the batch's max event time (a late-but-on-time arrival
+    // can be buffered after a newer one) or the timer's watermark
+    val stamp = new java.sql.Timestamp(
+      (stampMs +: events.map(_.time.getTime)).max)
+    val out = Flush(key, events, byTimer, stamp)
     buf.clear()
     count.clear()
+    // a size-flush retires this batch's dt timer; without the delete, a
+    // hot key accumulates one dead timer in the store per flushed batch
+    if (!byTimer && deadline.exists()) getHandle.deleteTimer(deadline.get())
     deadline.clear()
     out
   }
@@ -53,7 +60,7 @@ class BatchProcessor(n: Int, dtSeconds: Long)
       buf.appendValue(e)
       val c = Option(count.get()).getOrElse(0) + 1
       count.update(c)
-      if (c >= n) out += flush(key, e.time, byTimer = false)
+      if (c >= n) out += flush(key, e.time.getTime, byTimer = false)
     }
     out.result().iterator
   }
@@ -61,19 +68,21 @@ class BatchProcessor(n: Int, dtSeconds: Long)
   override def handleExpiredTimer(key: String, timerValues: TimerValues,
       expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
       : Iterator[Flush] = {
-    // a size-flush clears the deadline; this timer is then stale — and a
-    // later batch's timer must not fire early for the current buffer
+    // deadline re-validation: a later batch's timer must not fire early
+    // for the current buffer
     if (deadline.exists() &&
         timerValues.getCurrentWatermarkInMs() >= deadline.get())
-      Iterator(flush(key,
-        new java.sql.Timestamp(timerValues.getCurrentWatermarkInMs()),
+      Iterator(flush(key, timerValues.getCurrentWatermarkInMs(),
         byTimer = true))
     else Iterator.empty
   }
 }
 
 object BatchProcessor {
-  /** One delivered batch: ≤ n events spanning ≤ dt seconds. */
+  /** One delivered batch: ≤ n events. The dt bound is first-buffered
+    * event to deadline; an out-of-order arrival that is still inside
+    * the watermark joins the open batch, so the EVENT-time span can
+    * stretch up to dt + the watermark delay. */
   case class Flush(key: String, events: Seq[SEvent], by_timer: Boolean,
       emitted_at: java.sql.Timestamp)
 

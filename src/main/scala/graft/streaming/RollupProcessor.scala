@@ -26,12 +26,27 @@ class RollupProcessor(n: Int, dtSeconds: Long)
   // (period start ms, events passed this period)
   @transient private var period: ValueState[(Long, Int)] = _
   @transient private var buf: ListState[SEvent] = _
+  // the live period's armed timer, so superseded timers can be deleted
+  @transient private var armed: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     period = getHandle.getValueState[(Long, Int)]("period",
       Encoders.product[(Long, Int)], TTLConfig.NONE)
     buf = getHandle.getListState[SEvent]("buf",
       Encoders.product[SEvent], TTLConfig.NONE)
+    armed = getHandle.getValueState[Long]("armed",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def drainBuffer(stampMs: Long, key: String): Option[Emission] = {
+    val rolled = buf.get().toSeq
+    buf.clear()
+    if (rolled.isEmpty) None
+    else {
+      val stamp = new java.sql.Timestamp(stampMs)
+      Some(Emission(key, rolled.map(_.copy(time = stamp)), rolled = true,
+        stamp))
+    }
   }
 
   override def handleInputRows(key: String, rows: Iterator[SEvent],
@@ -47,10 +62,16 @@ class RollupProcessor(n: Int, dtSeconds: Long)
           } else buf.appendValue(e)
         case _ =>
           // idle or closed period (its timer may not have fired yet if
-          // the watermark lags): open a new period at this event
+          // the watermark lags): the rollover delivers the previous
+          // period's overflow NOW, stamped at the opening event — the
+          // buffer never mixes two periods — and supersedes its timer
+          out ++= drainBuffer(t, key)
+          if (armed.exists()) getHandle.deleteTimer(armed.get())
+          val dl = math.max(t + dtSeconds * 1000,
+            timerValues.getCurrentWatermarkInMs() + 1)
+          getHandle.registerTimer(dl)
+          armed.update(dl)
           period.update((t, 1))
-          getHandle.registerTimer(math.max(t + dtSeconds * 1000,
-            timerValues.getCurrentWatermarkInMs() + 1))
           out += Emission(key, Seq(e), rolled = false, e.time)
       }
     }
@@ -60,20 +81,17 @@ class RollupProcessor(n: Int, dtSeconds: Long)
   override def handleExpiredTimer(key: String, timerValues: TimerValues,
       expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
       : Iterator[Emission] = {
-    val stamp = new java.sql.Timestamp(timerValues.getCurrentWatermarkInMs())
-    val rolled = buf.get().toSeq
-    buf.clear()
-    // the period is over whether or not anything was buffered; validate
-    // against the live period so a stale timer can't close a newer one
+    // only the LIVE period's timer may flush: a stale timer from a
+    // superseded period (already drained at rollover) must not touch
+    // the current buffer
     Option(period.get()) match {
       case Some((start, _))
           if timerValues.getCurrentWatermarkInMs() >= start + dtSeconds * 1000 =>
         period.clear()
-      case _ => ()
+        armed.clear()
+        drainBuffer(timerValues.getCurrentWatermarkInMs(), key).iterator
+      case _ => Iterator.empty
     }
-    if (rolled.isEmpty) Iterator.empty
-    else Iterator(Emission(key, rolled.map(e =>
-      e.copy(time = stamp)), rolled = true, stamp))
   }
 }
 
