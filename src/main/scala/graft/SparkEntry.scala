@@ -251,6 +251,9 @@ object SparkEntry {
       .orderBy("doc_id")),
     "q_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(docs(s, d), 16, 4, 0.5, 3)
       .orderBy("doc_a", "doc_b")),
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.nearDupComponents(Dedup.minhashPairs(docs(s, d), 16, 4, 0.5, 3))
+        .orderBy("doc_id")),
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), 3, 0.3, 16, 8)
         .orderBy("doc_a", "doc_b")),
@@ -367,6 +370,16 @@ object SparkEntry {
   private val hsCte =
     s", hh AS (SELECT doc_id, shingles, list_transform(shingles, s -> " +
       s"CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % ${Dedup.MinhashP}) AS hs FROM sh)"
+
+  /** Shared DuckDB chain: minhash signatures → 4-band LSH buckets →
+    * colliding pairs with estimated Jaccard (k=16, w=3) — the base of
+    * both the pair query and the component clustering. */
+  private lazy val minhashPairsCte: String =
+    s"$shCte$hsCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh), " +
+      "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM sg), " +
+      "bk AS (SELECT doc_id, sig, band, md5(array_to_string(list_transform(sig[band*4+1:band*4+4], x -> CAST(x AS VARCHAR)), ',')) AS bucket FROM banded), " +
+      "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2])) AS DOUBLE) / 16 AS est_jaccard " +
+      "FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"
 
   /** DuckDB replica of Similarity.bucketExpr: the same driver-computed
     * hyperplane constants are embedded as list literals on both sides
@@ -532,12 +545,12 @@ object SparkEntry {
     "q_dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1",
     "q_minhash_sig" -> (s"$shCte$hsCte SELECT doc_id, array_to_string(list_transform(" +
       s"${minhashSigSql(8)}, h -> CAST(h AS VARCHAR)), ',') AS sig FROM hh ORDER BY doc_id"),
-    "q_minhash_pairs" -> (s"$shCte$hsCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh), " +
-      "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM sg), " +
-      "bk AS (SELECT doc_id, sig, band, md5(array_to_string(list_transform(sig[band*4+1:band*4+4], x -> CAST(x AS VARCHAR)), ',')) AS bucket FROM banded), " +
-      "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2])) AS DOUBLE) / 16 AS est_jaccard " +
-      "FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id) " +
-      "SELECT doc_a, doc_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b"),
+    "q_minhash_pairs" -> s"$minhashPairsCte SELECT doc_a, doc_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b",
+    "q_dedup_clusters" -> (minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      ", fp AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM fp UNION SELECT doc_b, doc_a FROM fp), " +
+      "r(doc, comp) AS (SELECT src, src FROM edges UNION SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.doc) " +
+      "SELECT doc AS doc_id, min(comp) AS component FROM r GROUP BY doc ORDER BY doc_id"),
     "q_ngram_jaccard" -> (s"$shCte$hsCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh), " +
       "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 7)) AS band FROM sg), " +
       "bk AS (SELECT doc_id, band, md5(array_to_string(list_transform(sig[band*2+1:band*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket FROM banded), " +

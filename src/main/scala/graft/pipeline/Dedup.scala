@@ -175,6 +175,43 @@ object Dedup {
       collidingPairs(capBands(banded, maxBucket)), threshold)
   }
 
+  /** Connected components over a near-dup pair relation (doc_a, doc_b):
+    * the step that turns pairwise similarity into actual dedup groups —
+    * component id = min doc_id in the component, which doubles as the
+    * canonical (kept) document.
+    *
+    * Distributed min-label propagation: each iteration every member
+    * takes the min of its own and its neighbors' labels — one
+    * shuffle-join per iteration, converging in O(component diameter)
+    * rounds. Near-dup components are short chains in practice
+    * (similarity is near-transitive), so a handful of rounds closes
+    * them; `maxIter` bounds pathological chains. Only docs that appear
+    * in a pair are labeled (singletons are already unique). */
+  def nearDupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(edges("src").as("doc_id"), col("component"))
+      val updated = labels.select("doc_id", "component").union(neighborMin)
+        .groupBy("doc_id").agg(min("component").as("component")).cache()
+      val changed = updated
+        .join(labels.withColumnRenamed("component", "prev"), "doc_id")
+        .filter(col("component") =!= col("prev")).limit(1).count() > 0
+      labels.unpersist()
+      labels = updated
+      converged = !changed
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash fingerprint from token counts: per-token md5-derived bits,
     * weighted-majority per bit position. Near-dups = fingerprints within
     * a small Hamming distance; pairs found by exact-match on fingerprint

@@ -96,6 +96,16 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("nearDupComponents closes chains into min-labeled clusters") {
+    val spark0 = spark
+    import spark0.implicits._
+    // chain 1-2-3 (1-3 never paired directly) and isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.nearDupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("minhash signature is identical through the shared-shingle path") {
     val d = docs((1L, "a b c d e f"), (2L, "x y z w v u"))
     val direct = Dedup.minhashSignature(d, k = 4, w = 3)
