@@ -188,9 +188,15 @@ object Dedup {
     * them; `maxIter` bounds pathological chains. Only docs that appear
     * in a pair are labeled (singletons are already unique). */
   def nearDupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // the pair relation feeds both directions of the edge union — cache
+    // it so an expensive upstream (the LSH pipeline) runs once, and
+    // release it as soon as the edge relation is materialized
+    val p = pairs.cache()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
+    edges.count()
+    p.unpersist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id")).cache()
     var converged = false

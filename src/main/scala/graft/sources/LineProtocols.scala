@@ -39,24 +39,27 @@ object LineProtocols {
     * Output: (service, metric, time_s, attributes) — exactly one event
     * per valid line; blank/garbage/extra-field lines dropped. */
   def decodeGraphite(lines: DataFrame, lineCol: String = "line"): DataFrame = {
-    val parts = split(trim(col(lineCol)), "\\s+")
-    val headParts = split(element_at(parts, 1), ";")
+    // split once into materialized columns: every later expression
+    // references `_p`/`_h` instead of re-running the regex split per
+    // projection (HOF lambdas are interpreted, so repeated subtrees are
+    // genuinely re-evaluated)
     lines
-      .withColumn("_p", parts)
+      .withColumn("_p", split(trim(col(lineCol)), "\\s+"))
       .filter(size(col("_p")) === 3 && element_at(col("_p"), 1) =!= "")
-      .withColumn("service", element_at(headParts, 1))
+      .withColumn("_h", split(element_at(col("_p"), 1), ";"))
+      .withColumn("service", element_at(col("_h"), 1))
       .withColumn("metric",
         // reference maps "nan" (any case) to nil metric
         when(lower(element_at(col("_p"), 2)) === "nan", lit(null))
           .otherwise(element_at(col("_p"), 2)).try_cast("double"))
       .withColumn("time_s", element_at(col("_p"), 3).try_cast("double")
         .try_cast("long")) // double try_cast: ANSI cast would throw on 1e300/NaN
-      .withColumn("attributes", kvMap(slice(headParts, 2, 1000)))
+      .withColumn("attributes", kvMap(slice(col("_h"), 2, 1000)))
       // unparseable metrics drop the line (reference NumberFormatException
       // path); only the literal "nan" maps to a nil metric
       .filter(col("time_s").isNotNull &&
         (col("metric").isNotNull || lower(element_at(col("_p"), 2)) === "nan"))
-      .drop("_p", lineCol)
+      .drop("_p", "_h", lineCol)
   }
 
   /** Decode OpenTSDB `put <metric> <ts> <value> [k=v ...]` lines.
@@ -64,28 +67,27 @@ object LineProtocols {
     * `service=` renamed `servicetag=`); tag string minus host appended
     * to the service name; description = raw metric name. */
   def decodeOpenTsdb(lines: DataFrame, lineCol: String = "line"): DataFrame = {
-    val parts = split(trim(col(lineCol)), "\\s+")
-    val tagParts = slice(parts, 5, 1000)
-    val tagsNoHost = filter(tagParts, t => !t.startsWith("host="))
     lines
-      .withColumn("_p", parts)
+      .withColumn("_p", split(trim(col(lineCol)), "\\s+"))
       .filter(element_at(col("_p"), 1) === "put" && size(col("_p")) >= 4)
       .filter(!lower(element_at(col("_p"), 3)).contains("nan") &&
         !lower(element_at(col("_p"), 4)).contains("nan"))
+      .withColumn("_tags", slice(col("_p"), 5, 1000))
+      .withColumn("_nohost", filter(col("_tags"), t => !t.startsWith("host=")))
       .withColumn("description", element_at(col("_p"), 2))
       .withColumn("service",
-        when(size(tagsNoHost) > 0,
-          concat(col("description"), lit(" "), array_join(tagsNoHost, " ")))
+        when(size(col("_nohost")) > 0,
+          concat(col("description"), lit(" "), array_join(col("_nohost"), " ")))
           .otherwise(col("description")))
       .withColumn("time_s", element_at(col("_p"), 3).try_cast("long"))
       .withColumn("metric", element_at(col("_p"), 4).try_cast("double"))
-      .withColumn("attributes", kvMap(transform(tagParts,
+      .withColumn("attributes", kvMap(transform(col("_tags"),
         t => regexp_replace(t, lit("^service="), lit("servicetag=")))))
       .withColumn("host", element_at(col("attributes"), "host"))
       .withColumn("attributes", map_filter(col("attributes"),
         (k, _) => k =!= "host"))
       .filter(col("time_s").isNotNull && col("metric").isNotNull)
-      .drop("_p", lineCol)
+      .drop("_p", "_tags", "_nohost", lineCol)
   }
 
   /** Encode the event relation back to graphite plaintext lines
