@@ -190,6 +190,20 @@ object SparkEntry {
     "q_mode" -> ((s, d) =>
       Folds.modeDeterministic(ev(s, d), "metric", Seq("service"))
         .orderBy("service")),
+    // §2.9: the order-sensitive typed Aggregator on the real UDAF path
+    // (first − Σrest in event order; decimal-exact so the oracle's
+    // closed form 2·first − Σall matches bit-for-bit before rounding)
+    "q_fold_difference" -> ((s, d) => {
+      val diffU = org.apache.spark.sql.functions.udaf(
+        new graft.functions.Aggregators.Difference(),
+        org.apache.spark.sql.Encoders.product[
+          graft.functions.Aggregators.OrdMetric])
+      ev(s, d).filter(col("metric").isNotNull)
+        .withColumn("ord", col("time_s") * 1000000 + col("event_id"))
+        .groupBy("host")
+        .agg(round(diffU(col("ord"), col("metric")), 4).as("difference"))
+        .orderBy("host")
+    }),
     "q_modes" -> ((s, d) =>
       Folds.modesAll(ev(s, d), "metric", Seq("service"))
         .select(col("service"), explode(col("modes")).as("mode_value"),
@@ -519,6 +533,8 @@ object SparkEntry {
       "SELECT service, window_start, n_events, CASE WHEN n_events > 0 THEN sum_metric ELSE last_value(CASE WHEN n_events > 0 THEN sum_metric END IGNORE NULLS) OVER (PARTITION BY service ORDER BY window_start ROWS UNBOUNDED PRECEDING) END AS sum_metric FROM j ORDER BY 1, 2"),
     "q_sreduce" -> (s"$cte SELECT event_id, max(metric) OVER w AS running_max, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_sum FROM ev " +
       "WINDOW w AS (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) ORDER BY event_id"),
+    "q_fold_difference" -> (s"$cte SELECT host, round(CAST(CAST(first(metric ORDER BY time_s, event_id) AS DECIMAL(28,10)) * 2 - SUM(CAST(metric AS DECIMAL(28,10))) AS DOUBLE), 4) AS difference " +
+      "FROM ev WHERE metric IS NOT NULL GROUP BY host ORDER BY host"),
     "q_mode" -> (s"$cte, c AS (SELECT service, metric, count(*) AS cnt FROM ev WHERE metric IS NOT NULL GROUP BY 1, 2), " +
       "r AS (SELECT *, row_number() OVER (PARTITION BY service ORDER BY cnt DESC, metric ASC) AS rk FROM c) " +
       "SELECT service, metric AS mode, cnt AS mode_count FROM r WHERE rk = 1 ORDER BY service"),
