@@ -198,8 +198,13 @@ object SparkEntry {
         new graft.functions.Aggregators.Difference(),
         org.apache.spark.sql.Encoders.product[
           graft.functions.Aggregators.OrdMetric])
+      // rank-based order key: a radix like time_s*K+event_id silently
+      // breaks once event_id >= K; the window shares the groupBy's hash
+      // partitioning on host, so no extra shuffle
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host").orderBy("time_s", "event_id")
       ev(s, d).filter(col("metric").isNotNull)
-        .withColumn("ord", col("time_s") * 1000000 + col("event_id"))
+        .withColumn("ord", row_number().over(w).cast("long"))
         .groupBy("host")
         .agg(round(diffU(col("ord"), col("metric")), 4).as("difference"))
         .orderBy("host")

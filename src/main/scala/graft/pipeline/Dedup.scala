@@ -197,23 +197,32 @@ object Dedup {
       .distinct().cache()
     edges.count()
     p.unpersist()
+    // localCheckpoint per round: labels is referenced twice each
+    // iteration (union + join), so without lineage truncation the
+    // logical plan doubles per round and Catalyst analysis, not
+    // execution, becomes the bottleneck on deep components
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id")).cache()
+      .withColumn("component", col("doc_id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), col("component"))
       val updated = labels.select("doc_id", "component").union(neighborMin)
-        .groupBy("doc_id").agg(min("component").as("component")).cache()
+        .groupBy("doc_id").agg(min("component").as("component"))
+        .localCheckpoint()
       val changed = updated
         .join(labels.withColumnRenamed("component", "prev"), "doc_id")
         .filter(col("component") =!= col("prev")).limit(1).count() > 0
-      labels.unpersist()
       labels = updated
       converged = !changed
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"nearDupComponents: min-label propagation still changing after " +
+          s"$maxIter iterations — component ids may be non-minimal for " +
+          "chains longer than maxIter; raise maxIter for deep components")
     edges.unpersist()
     labels
   }

@@ -13,11 +13,15 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * bulk POSTs, kafka producer batching, webhook digests.
   */
 class BatchProcessor(n: Int, dtSeconds: Long)
-    extends StatefulProcessor[String, SEvent, BatchProcessor.Flush] {
+    extends StatefulProcessor[String, SEvent, BatchProcessor.Flush]
+    with ArmedTimer[String, SEvent, BatchProcessor.Flush] {
   import BatchProcessor.Flush
 
-  // deadline (ms) of the currently buffered batch; unset = empty buffer
+  // deadline (ms) of the currently buffered batch; unset = empty
+  // buffer. Doubles as the armed-timer deadline for the shared
+  // rearm/disarm hygiene.
   @transient private var deadline: ValueState[Long] = _
+  override protected def armed: ValueState[Long] = deadline
   @transient private var buf: ListState[SEvent] = _
   @transient private var count: ValueState[Int] = _
 
@@ -41,8 +45,7 @@ class BatchProcessor(n: Int, dtSeconds: Long)
     count.clear()
     // a size-flush retires this batch's dt timer; without the delete, a
     // hot key accumulates one dead timer in the store per flushed batch
-    if (!byTimer && deadline.exists()) getHandle.deleteTimer(deadline.get())
-    deadline.clear()
+    if (byTimer) deadline.clear() else disarm()
     out
   }
 
@@ -52,10 +55,8 @@ class BatchProcessor(n: Int, dtSeconds: Long)
     for (e <- rows.toSeq.sortBy(_.time.getTime)) {
       if (!deadline.exists()) {
         // first event of a fresh batch arms the dt timer
-        val dl = math.max(e.time.getTime + dtSeconds * 1000,
-          timerValues.getCurrentWatermarkInMs() + 1)
-        deadline.update(dl)
-        getHandle.registerTimer(dl)
+        rearm(math.max(e.time.getTime + dtSeconds * 1000,
+          timerValues.getCurrentWatermarkInMs() + 1))
       }
       buf.appendValue(e)
       val c = Option(count.get()).getOrElse(0) + 1

@@ -16,24 +16,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
   * Requires the RocksDB state store provider
   * (`spark.sql.streaming.stateStore.providerClass`), which is also the
   * right provider at scale: state lives off-heap and spills. */
-class IndexProcessor extends StatefulProcessor[(String, String), SEvent, SEvent] {
+class IndexProcessor extends StatefulProcessor[(String, String), SEvent, SEvent]
+    with ArmedTimer[(String, String), SEvent, SEvent] {
 
   @transient private var latest: ValueState[SEvent] = _
-  @transient private var armed: ValueState[Long] = _
+  @transient private var _armed: ValueState[Long] = _
+  override protected def armed: ValueState[Long] = _armed
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     latest = getHandle.getValueState[SEvent]("latest",
       Encoders.product[SEvent], TTLConfig.NONE)
-    armed = getHandle.getValueState[Long]("armed",
+    _armed = getHandle.getValueState[Long]("armed",
       Encoders.scalaLong, TTLConfig.NONE)
-  }
-
-  /** Re-arm the key's single timer, deleting the superseded one so a
-    * churning key doesn't accumulate stale timers in the store. */
-  private def rearm(ts: Long): Unit = {
-    if (armed.exists()) getHandle.deleteTimer(armed.get())
-    getHandle.registerTimer(ts)
-    armed.update(ts)
   }
 
   override def handleInputRows(key: (String, String), rows: Iterator[SEvent],

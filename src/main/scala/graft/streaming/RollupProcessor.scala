@@ -20,21 +20,23 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * watermark, so original timestamps would silently lose the buffer).
   */
 class RollupProcessor(n: Int, dtSeconds: Long)
-    extends StatefulProcessor[String, SEvent, RollupProcessor.Emission] {
+    extends StatefulProcessor[String, SEvent, RollupProcessor.Emission]
+    with ArmedTimer[String, SEvent, RollupProcessor.Emission] {
   import RollupProcessor.Emission
 
   // (period start ms, events passed this period)
   @transient private var period: ValueState[(Long, Int)] = _
   @transient private var buf: ListState[SEvent] = _
   // the live period's armed timer, so superseded timers can be deleted
-  @transient private var armed: ValueState[Long] = _
+  @transient private var _armed: ValueState[Long] = _
+  override protected def armed: ValueState[Long] = _armed
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     period = getHandle.getValueState[(Long, Int)]("period",
       Encoders.product[(Long, Int)], TTLConfig.NONE)
     buf = getHandle.getListState[SEvent]("buf",
       Encoders.product[SEvent], TTLConfig.NONE)
-    armed = getHandle.getValueState[Long]("armed",
+    _armed = getHandle.getValueState[Long]("armed",
       Encoders.scalaLong, TTLConfig.NONE)
   }
 
@@ -66,11 +68,8 @@ class RollupProcessor(n: Int, dtSeconds: Long)
           // period's overflow NOW, stamped at the opening event — the
           // buffer never mixes two periods — and supersedes its timer
           out ++= drainBuffer(t, key)
-          if (armed.exists()) getHandle.deleteTimer(armed.get())
-          val dl = math.max(t + dtSeconds * 1000,
-            timerValues.getCurrentWatermarkInMs() + 1)
-          getHandle.registerTimer(dl)
-          armed.update(dl)
+          rearm(math.max(t + dtSeconds * 1000,
+            timerValues.getCurrentWatermarkInMs() + 1))
           period.update((t, 1))
           out += Emission(key, Seq(e), rolled = false, e.time)
       }

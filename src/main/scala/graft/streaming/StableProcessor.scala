@@ -20,28 +20,22 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * would silently lose the buffer. The default watermark delay equals
   * the probation window for the same reason. */
 class StableProcessor(dtSeconds: Long)
-    extends StatefulProcessor[(String, String), SEvent, SEvent] {
+    extends StatefulProcessor[(String, String), SEvent, SEvent]
+    with ArmedTimer[(String, String), SEvent, SEvent] {
 
   // (current value, probation start ms, confirmed stable)
   @transient private var cur: ValueState[(String, Long, Boolean)] = _
   @transient private var buf: ListState[SEvent] = _
-  @transient private var armed: ValueState[Long] = _
+  @transient private var _armed: ValueState[Long] = _
+  override protected def armed: ValueState[Long] = _armed
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     cur = getHandle.getValueState[(String, Long, Boolean)]("cur",
       Encoders.product[(String, Long, Boolean)], TTLConfig.NONE)
     buf = getHandle.getListState[SEvent]("buf",
       Encoders.product[SEvent], TTLConfig.NONE)
-    armed = getHandle.getValueState[Long]("armed",
+    _armed = getHandle.getValueState[Long]("armed",
       Encoders.scalaLong, TTLConfig.NONE)
-  }
-
-  /** One live timer per key: delete the superseded segment's timer so
-    * flappy keys don't accumulate stale timers in the store. */
-  private def rearm(ts: Long): Unit = {
-    if (armed.exists()) getHandle.deleteTimer(armed.get())
-    getHandle.registerTimer(ts)
-    armed.update(ts)
   }
 
   private def flush(stampMs: Long): Iterator[SEvent] = {
