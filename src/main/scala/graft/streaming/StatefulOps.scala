@@ -57,6 +57,35 @@ object StatefulOps {
       }
   }
 
+  /** `ddt` / `ddt-events` (streams.clj:776-839), streaming: the
+    * derivative between successive events per key — each event (after
+    * the first) re-emitted with metric = Δmetric/Δtime. Events with a
+    * nil metric or a zero time delta are skipped, matching the batch
+    * form's `time_s <> prev_time` guard. State = the previous
+    * (time ms, metric). */
+  def ddt(events: Dataset[SEvent]): Dataset[SEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(e => (e.host, e.service))
+      .flatMapGroupsWithState[(Long, Double), SEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, st: GroupState[(Long, Double)]) =>
+          var prev = st.getOption
+          val out = Seq.newBuilder[SEvent]
+          for (e <- sorted(rows); x <- e.metric) {
+            val t = e.time.getTime
+            prev match {
+              case Some((pt, pm)) if t != pt =>
+                out += e.copy(metric = Some((x - pm) / ((t - pt) / 1000.0)))
+              case _ => ()
+            }
+            prev = Some((t, x))
+          }
+          prev.foreach(st.update)
+          out.result().iterator
+      }
+  }
+
   /** `top k f` (streams.clj:1015-1100), streaming: a bounded leaderboard
     * over the per-[host,service] metric. Events whose key currently
     * ranks in the top k pass through; a key demoted out of the top set

@@ -153,6 +153,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ddt differentiates across batches (streams_test.clj ddt-immediate-test)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    val q = StatefulOps.ddt(input.toDS())
+      .writeStream.format("memory").queryName("ddt").outputMode("append")
+      .start()
+    try {
+      // golden table [{0@10} {0@11} {2@12}] then cross-batch {-4@14}
+      input.addData(ev("a", "s", "ok", 0, 10), ev("a", "s", "ok", 0, 11),
+        ev("a", "s", "ok", 2, 12))
+      q.processAllAvailable()
+      input.addData(ev("a", "s", "ok", -4, 14)) // state survives the batch gap
+      q.processAllAvailable()
+      val got = spark.table("ddt").as[SEvent].collect()
+        .sortBy(_.time.getTime).map(e => (e.time.getTime / 1000, e.metric.get))
+      assert(got.toSeq == Seq((11L, 0.0), (12L, 2.0), (14L, -3.0)))
+    } finally q.stop()
+  }
+
   test("streaming throttle caps per bucket across batches (streams.clj:1102-1118)") {
     val spark0 = spark
     import spark0.implicits._
