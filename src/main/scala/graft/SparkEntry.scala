@@ -347,7 +347,16 @@ object SparkEntry {
       .orderBy("doc_id")),
     "q_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))
-      .orderBy("doc_id"))
+      .orderBy("doc_id")),
+    "q_tfidf" -> ((s, d) => TextAnalysis.tfIdf(docs(s, d), 5)
+      .orderBy("doc_id", "rk")),
+    // decontamination: every 10th doc plays the held-out benchmark set
+    "q_contamination" -> ((s, d) => {
+      val all = docs(s, d)
+      TextAnalysis.contamination(all.filter(col("doc_id") % 10 =!= 0),
+        all.filter(col("doc_id") % 10 === 0), 3)
+        .orderBy("doc_id")
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -628,6 +637,18 @@ object SparkEntry {
     "q_langid" -> (s"WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents), " +
       s"m AS (SELECT doc_id, lang, CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks) AS sc FROM t) " +
       "SELECT doc_id, lang AS declared_lang, round(sc, 4) AS en_score, CASE WHEN sc >= 0.05 THEN 'en' ELSE 'other' END AS predicted_lang FROM m ORDER BY doc_id"),
-    "q_fingerprint" -> ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fingerprint, md5(text) AS exact_fingerprint FROM documents ORDER BY doc_id")
+    "q_fingerprint" -> ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fingerprint, md5(text) AS exact_fingerprint FROM documents ORDER BY doc_id"),
+    "q_tfidf" -> ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, count(*) AS cnt FROM t GROUP BY 1, 2), " +
+      "dl AS (SELECT doc_id, term, cnt, SUM(cnt) OVER (PARTITION BY doc_id) AS doc_len FROM tf), " +
+      "df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY term), " +
+      "sc AS (SELECT dl.doc_id, dl.term, round((CAST(cnt AS DOUBLE) / doc_len) * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS tfidf FROM dl JOIN df USING (term)), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM sc) " +
+      "SELECT doc_id, term, tfidf, rk FROM rk WHERE rk <= 5 ORDER BY doc_id, rk"),
+    "q_contamination" -> (s"$shCte, d AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 10 <> 0), " +
+      "b AS (SELECT DISTINCT s FROM (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 10 = 0)), " +
+      "j AS (SELECT d.doc_id, count(*) AS n_shingles, CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated " +
+      "FROM d LEFT JOIN b ON d.s = b.s GROUP BY d.doc_id) " +
+      "SELECT doc_id, n_shingles, n_contaminated, round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination FROM j ORDER BY doc_id")
   )
 }

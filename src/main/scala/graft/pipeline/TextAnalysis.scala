@@ -53,6 +53,53 @@ object TextAnalysis {
       when(enScore >= 0.05, "en").otherwise("other").as("predicted_lang"))
   }
 
+  /** TF-IDF top terms per document: tf = term count / doc length,
+    * idf = ln(N / df), keep the `topK` highest-scoring terms per doc
+    * (ties after rounding broken by term). Shuffle shape at scale: one
+    * explode + (doc, term) aggregation, a term-keyed df aggregation,
+    * one join back on term — all hash-partitioned equijoins, no
+    * all-pairs anything. */
+  def tfIdf(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val n = docs.count()
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("doc_len",
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("tfidf", round(
+        (col("cnt").cast("double") / col("doc_len")) *
+          log(lit(n.toDouble) / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select("doc_id", "term", "tfidf", "rk")
+  }
+
+  /** Benchmark decontamination: the fraction of each document's w-gram
+    * shingles that appear in ANY benchmark document — the standard
+    * train/test-overlap check before training. The benchmark shingle
+    * set is distinct-deduped and joined on the shingle (hash-partitioned
+    * equijoin; broadcast when the benchmark is small), so the cost is
+    * one shuffle of the corpus' exploded shingles. */
+  def contamination(docs: DataFrame, benchmark: DataFrame,
+      w: Int = 3): DataFrame = {
+    val ds = Dedup.shingles(docs, w)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val bs = Dedup.shingles(benchmark, w)
+      .select(explode(col("shingles")).as("sh")).distinct()
+      .withColumn("_hit", lit(1))
+    ds.join(bs, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token bag —
     * word-order-insensitive near-dup key (cheap complement to MinHash). */
   def fingerprint(docs: DataFrame): DataFrame =
