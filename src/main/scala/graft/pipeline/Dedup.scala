@@ -197,10 +197,14 @@ object Dedup {
       .distinct().cache()
     edges.count()
     p.unpersist()
-    // localCheckpoint per round: labels is referenced twice each
-    // iteration (union + join), so without lineage truncation the
-    // logical plan doubles per round and Catalyst analysis, not
-    // execution, becomes the bottleneck on deep components
+    // labels is referenced twice each iteration (union + join), so the
+    // un-truncated logical plan would double per round and Catalyst
+    // analysis would dominate on deep components. cache() each round
+    // with a deterministic unpersist of the superseded generation keeps
+    // executor storage at one live copy; a localCheckpoint every 8
+    // rounds bounds the plan at 2^8 of a 3-node base (unpersist is a
+    // no-op on the checkpointed generations, which the context cleaner
+    // frees once unreferenced)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id")).localCheckpoint()
     var converged = false
@@ -208,12 +212,14 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), col("component"))
-      val updated = labels.select("doc_id", "component").union(neighborMin)
+      val base = labels.select("doc_id", "component").union(neighborMin)
         .groupBy("doc_id").agg(min("component").as("component"))
-        .localCheckpoint()
+      val updated = if ((i + 1) % 8 == 0) base.localCheckpoint()
+        else base.cache()
       val changed = updated
         .join(labels.withColumnRenamed("component", "prev"), "doc_id")
         .filter(col("component") =!= col("prev")).limit(1).count() > 0
+      labels.unpersist()
       labels = updated
       converged = !changed
       i += 1

@@ -63,12 +63,14 @@ object TextAnalysis {
     val n = docs.count()
     val terms = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-      .withColumn("doc_len",
-        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id")))
-    val df = terms.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // both branches grow from the SAME (doc_id, term) aggregate, so the
+    // explode and its shuffle are one reused exchange — a separate
+    // distinct() subplan for df would tokenize the corpus twice
+    val tfBase = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val tf = tfBase.withColumn("doc_len",
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")))
+    val df = tfBase.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("tfidf", round(
         (col("cnt").cast("double") / col("doc_len")) *

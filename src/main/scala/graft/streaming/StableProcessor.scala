@@ -81,6 +81,7 @@ class StableProcessor(dtSeconds: Long)
       case Some((v, since, false))
           if timerValues.getCurrentWatermarkInMs() >= since + dtSeconds * 1000 =>
         cur.update((v, since, true))
+        armed.clear() // this timer is consumed; `armed` means live timer
         flush(timerValues.getCurrentWatermarkInMs())
       case _ => Iterator.empty // stale timer from a superseded segment
     }

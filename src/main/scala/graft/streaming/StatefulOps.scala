@@ -75,11 +75,18 @@ object StatefulOps {
           for (e <- sorted(rows); x <- e.metric) {
             val t = e.time.getTime
             prev match {
-              case Some((pt, pm)) if t != pt =>
+              case Some((pt, _)) if t <= pt =>
+                // a late event from an earlier micro-batch: emitting
+                // would produce a negative-Δt derivative and regress
+                // the state — the batch form's global sort can never
+                // see this, so the stream drops it (time only advances)
+                ()
+              case Some((pt, pm)) =>
                 out += e.copy(metric = Some((x - pm) / ((t - pt) / 1000.0)))
-              case _ => ()
+                prev = Some((t, x))
+              case None =>
+                prev = Some((t, x))
             }
-            prev = Some((t, x))
           }
           prev.foreach(st.update)
           out.result().iterator

@@ -168,9 +168,15 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(ev("a", "s", "ok", -4, 14)) // state survives the batch gap
       q.processAllAvailable()
+      // a late straggler from before the last event must neither emit a
+      // negative-Δt derivative nor regress the remembered state
+      input.addData(ev("a", "s", "ok", 100, 13))
+      q.processAllAvailable()
+      input.addData(ev("a", "s", "ok", -4, 16)) // Δ=0 over 14→16
+      q.processAllAvailable()
       val got = spark.table("ddt").as[SEvent].collect()
         .sortBy(_.time.getTime).map(e => (e.time.getTime / 1000, e.metric.get))
-      assert(got.toSeq == Seq((11L, 0.0), (12L, 2.0), (14L, -3.0)))
+      assert(got.toSeq == Seq((11L, 0.0), (12L, 2.0), (14L, -3.0), (16L, 0.0)))
     } finally q.stop()
   }
 
