@@ -93,6 +93,50 @@ object StatefulOps {
       }
   }
 
+  /** `fixed-event-window n` (streams.clj:305-320), streaming: buffer n
+    * events per key, emit the full vector when the nth arrives. State =
+    * the partial buffer (bounded by n). */
+  def fixedEventWindow(events: Dataset[SEvent], n: Int)
+      : Dataset[Seq[SEvent]] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(e => (e.host, e.service))
+      .flatMapGroupsWithState[Seq[SEvent], Seq[SEvent]](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, st: GroupState[Seq[SEvent]]) =>
+          var buf = st.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[Seq[SEvent]]
+          for (e <- sorted(rows)) {
+            buf :+= e
+            if (buf.length == n) { out += buf; buf = Seq.empty }
+          }
+          st.update(buf)
+          out.result().iterator
+      }
+  }
+
+  /** `moving-event-window n` (streams.clj:292-303), streaming: emit the
+    * window of the last ≤ n events on every arrival. State = the ring
+    * buffer (bounded by n). */
+  def movingEventWindow(events: Dataset[SEvent], n: Int)
+      : Dataset[Seq[SEvent]] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(e => (e.host, e.service))
+      .flatMapGroupsWithState[Seq[SEvent], Seq[SEvent]](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, st: GroupState[Seq[SEvent]]) =>
+          var buf = st.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[Seq[SEvent]]
+          for (e <- sorted(rows)) {
+            buf = (buf :+ e).takeRight(n)
+            out += buf
+          }
+          st.update(buf)
+          out.result().iterator
+      }
+  }
+
   /** `top k f` (streams.clj:1015-1100), streaming: a bounded leaderboard
     * over the per-[host,service] metric. Events whose key currently
     * ranks in the top k pass through; a key demoted out of the top set

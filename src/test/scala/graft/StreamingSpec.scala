@@ -180,6 +180,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fixed/moving event windows buffer per key (streams.clj:292-320)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    val q = StatefulOps.fixedEventWindow(input.toDS(), 2)
+      .writeStream.format("memory").queryName("few").outputMode("append")
+      .start()
+    val input2 = MemoryStream[SEvent]
+    val q2 = StatefulOps.movingEventWindow(input2.toDS(), 2)
+      .writeStream.format("memory").queryName("mew").outputMode("append")
+      .start()
+    try {
+      input.addData(ev("a", "s", "ok", 1, 10), ev("a", "s", "ok", 2, 20),
+        ev("a", "s", "ok", 3, 30))
+      q.processAllAvailable()
+      input.addData(ev("a", "s", "ok", 4, 40)) // completes across batches
+      q.processAllAvailable()
+      val fixed = spark.table("few").as[Seq[SEvent]].collect()
+        .map(_.flatMap(_.metric).toSeq).sortBy(_.head)
+      assert(fixed.toSeq == Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+
+      input2.addData(ev("a", "s", "ok", 1, 10), ev("a", "s", "ok", 2, 20),
+        ev("a", "s", "ok", 3, 30))
+      q2.processAllAvailable()
+      val moving = spark.table("mew").as[Seq[SEvent]].collect()
+        .map(_.flatMap(_.metric).toSeq).sortBy(_.last)
+      assert(moving.toSeq == Seq(Seq(1.0), Seq(1.0, 2.0), Seq(2.0, 3.0)))
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("streaming throttle caps per bucket across batches (streams.clj:1102-1118)") {
     val spark0 = spark
     import spark0.implicits._
