@@ -293,6 +293,12 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 3)
         .orderBy("query_id", "rk")),
+    "q_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        array_join(transform(col("qvec"), _.cast("string")), ",").as("qvec"))
+      .orderBy("vec_id")),
+    "q_quant_error" -> ((s, d) => Similarity.quantError(emb(s, d))
+      .orderBy("vec_id")),
 
     // ---- §2.1 line-protocol sources: encode events to wire lines in
     // Spark, decode with the real parser; the oracle states the
@@ -622,6 +628,19 @@ object SparkEntry {
       "sc AS (SELECT pr.query_id, asg.vec_id, round(CAST(list_sum(list_transform(list_zip(asg.unit, pr.qunit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM pr JOIN asg ON pr.cell = asg.cell AND asg.vec_id <> pr.query_id), " +
       "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM sc) " +
       "SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 10 ORDER BY query_id, rk"),
+    "q_quantize" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings), " +
+      "m AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS scale FROM e) " +
+      "SELECT vec_id, round(scale, 6) AS scale, " +
+      "CASE WHEN scale = 0 THEN array_to_string(list_transform(dv, x -> '0'), ',') " +
+      "ELSE array_to_string(list_transform(dv, x -> CAST(CAST(FLOOR(x / scale * CAST(127 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS VARCHAR)), ',') END AS qvec " +
+      "FROM m ORDER BY vec_id"),
+    "q_quant_error" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings), " +
+      "m AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS scale FROM e), " +
+      "q AS (SELECT vec_id, dv, scale, CASE WHEN scale = 0 THEN list_transform(dv, x -> CAST(0 AS BIGINT)) " +
+      "ELSE list_transform(dv, x -> CAST(FLOOR(x / scale * CAST(127 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) END AS qvec FROM m) " +
+      "SELECT vec_id, round(scale, 6) AS scale, " +
+      "round(list_sum(list_transform(list_zip(dv, qvec), z -> abs(z[1] - CAST(z[2] AS DOUBLE) / CAST(127 AS DOUBLE) * scale))) / len(dv), 6) AS mean_abs_err " +
+      "FROM q ORDER BY vec_id"),
     "q_graphite_decode" -> s"$cte SELECT event_id, service, metric, time_s, host FROM ev ORDER BY event_id",
     "q_opentsdb_decode" -> (s"$cte SELECT event_id, service AS metric_name, " +
       "service || ' idx=' || CAST(event_id AS VARCHAR) AS service, metric, time_s, host FROM ev ORDER BY event_id"),

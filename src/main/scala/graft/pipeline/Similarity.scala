@@ -233,6 +233,41 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Scalar int8 quantization with a per-vector absmax scale — the
+    * standard 4x memory compression before ANN indexing at scale (a
+    * 100 TB float corpus becomes 25 TB of int8 + one float per vector).
+    * Quantized value q = floor(x/absmax*127 + 0.5) (floor of +0.5 is
+    * engine-identical, unlike round's HALF_UP/HALF_EVEN split);
+    * reconstruction x̂ = q/127*absmax. `quantError` reports the mean
+    * absolute reconstruction error per vector — the recall-vs-memory
+    * dial. Both are narrow one-pass projections. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val dv = transform(col("embedding"), x => x.cast("double"))
+    val absmax = array_max(transform(dv, x => abs(x)))
+    embeddings.select(col("vec_id"),
+      absmax.as("scale"),
+      when(absmax === 0.0, transform(dv, _ => lit(0L)))
+        .otherwise(zip_with(dv, array_repeat(absmax, size(dv)),
+          (x, m) => floor(x / m * lit(127.0) + lit(0.5))))
+        .as("qvec"))
+  }
+
+  def quantError(embeddings: DataFrame): DataFrame = {
+    val q = quantizeInt8(embeddings)
+    val e = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("dv"))
+    e.join(q, "vec_id")
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        round(
+          aggregate(
+            zip_with(col("dv"),
+              zip_with(col("qvec"), array_repeat(col("scale"), size(col("qvec"))),
+                (qq, m) => qq / lit(127.0) * m),
+              (x, xh) => abs(x - xh)),
+            lit(0.0d), (acc, x) => acc + x) / size(col("dv")), 6)
+          .as("mean_abs_err"))
+  }
+
   /** Corpus-level embedding stats — norms and per-label centroids
     * (IVF coarse quantizer seed; centroid = mean of unit vectors).
     * Decimal-exact sums at every reduction so the result is independent
