@@ -137,6 +137,36 @@ object StatefulOps {
       }
   }
 
+  /** `moving-time-window n` (streams.clj:322-353), streaming: per
+    * accepted event, emit the window of events within the last n
+    * seconds of the maximum time seen (the horizon). Events at or
+    * behind horizon − n are dropped without emission — the reference's
+    * late-data rule. State = (horizon ms, pruned buffer). */
+  def movingTimeWindow(events: Dataset[SEvent], nSeconds: Long)
+      : Dataset[Seq[SEvent]] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(e => (e.host, e.service))
+      .flatMapGroupsWithState[(Long, Seq[SEvent]), Seq[SEvent]](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, st: GroupState[(Long, Seq[SEvent])]) =>
+          var (horizon, buf) = st.getOption.getOrElse((Long.MinValue, Seq.empty[SEvent]))
+          val out = Seq.newBuilder[Seq[SEvent]]
+          for (e <- sorted(rows)) {
+            val t = e.time.getTime
+            if (nSeconds > 0 && (horizon == Long.MinValue ||
+                t > horizon - nSeconds * 1000)) {
+              horizon = math.max(horizon, t)
+              buf = (buf :+ e).filter(_.time.getTime > horizon - nSeconds * 1000)
+                .sortBy(_.time.getTime)
+              out += buf
+            }
+          }
+          st.update((horizon, buf))
+          out.result().iterator
+      }
+  }
+
   /** `top k f` (streams.clj:1015-1100), streaming: a bounded leaderboard
     * over the per-[host,service] metric. Events whose key currently
     * ranks in the top k pass through; a key demoted out of the top set

@@ -211,6 +211,33 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); q2.stop() }
   }
 
+  test("streaming moving-time-window: horizon pruning + late drops (streams_test.clj)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    val q = StatefulOps.movingTimeWindow(input.toDS(), 2)
+      .writeStream.format("memory").queryName("mtw").outputMode("append")
+      .start()
+    try {
+      // reference golden: [5 1 2 6 3 8 4 8' 5 9] -> windows at 5,6,8,8',9
+      // (metric disambiguates the two t=8 events); one event per
+      // trigger preserves the reference's ARRIVAL order — the per-batch
+      // event-time sort would otherwise re-order the stragglers
+      val arrival = Seq(
+        ev("a", "s", "ok", 50, 5), ev("a", "s", "ok", 10, 1),
+        ev("a", "s", "ok", 20, 2), ev("a", "s", "ok", 60, 6),
+        ev("a", "s", "ok", 30, 3), ev("a", "s", "ok", 80, 8),
+        ev("a", "s", "ok", 40, 4), ev("a", "s", "ok", 81, 8),
+        ev("a", "s", "ok", 51, 5), ev("a", "s", "ok", 90, 9))
+      arrival.foreach { e => input.addData(e); q.processAllAvailable() }
+      val got = spark.table("mtw").as[Seq[SEvent]].collect()
+        .map(_.flatMap(_.metric).toSeq).sortBy(w => (w.max, w.length))
+      assert(got.toSeq == Seq(Seq(50.0), Seq(50.0, 60.0), Seq(80.0),
+        Seq(80.0, 81.0), Seq(80.0, 81.0, 90.0)))
+    } finally q.stop()
+  }
+
   test("streaming throttle caps per bucket across batches (streams.clj:1102-1118)") {
     val spark0 = spark
     import spark0.implicits._
