@@ -293,6 +293,9 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 3)
         .orderBy("query_id", "rk")),
+    "q_ann_recall" -> ((s, d) =>
+      Similarity.annRecall(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 8, 3)
+        .orderBy("query_id")),
     "q_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))
       .select(col("vec_id"), round(col("scale"), 6).as("scale"),
         array_join(transform(col("qvec"), _.cast("string")), ",").as("qvec"))
@@ -404,6 +407,22 @@ object SparkEntry {
   private val hsCte =
     s", hh AS (SELECT doc_id, shingles, list_transform(shingles, s -> " +
       s"CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % ${Dedup.MinhashP}) AS hs FROM sh)"
+
+  /** DuckDB IVF chain on top of [[unitCte]]: label centroids →
+    * nearest-cell assignment → nprobe=3 probes → per-query ranked
+    * cosine (`ivf_rk`). Shared by the IVF search query and the recall
+    * probe. */
+  private lazy val ivfChain: String =
+    "cd AS (SELECT label, unnest(unit) AS v, unnest(generate_series(0, len(unit)-1)) AS dim FROM u), " +
+      "cc AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c FROM cd GROUP BY 1, 2), " +
+      "cent AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cc GROUP BY label), " +
+      "asg0 AS (SELECT u.vec_id, u.unit, c.label, list_sum(list_transform(list_zip(u.unit, c.cvec), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS score FROM u CROSS JOIN cent c), " +
+      "asg AS (SELECT vec_id, unit, label AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, label) AS rn FROM asg0) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS query_id, unit AS qunit FROM asg WHERE vec_id IN (0,1,2,3,4)), " +
+      "pr0 AS (SELECT q.query_id, q.qunit, c.label, list_sum(list_transform(list_zip(q.qunit, c.cvec), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS score FROM q CROSS JOIN cent c), " +
+      "pr AS (SELECT query_id, qunit, label AS cell FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, label) AS rn FROM pr0) WHERE rn <= 3), " +
+      "sc AS (SELECT pr.query_id, asg.vec_id, round(CAST(list_sum(list_transform(list_zip(asg.unit, pr.qunit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM pr JOIN asg ON pr.cell = asg.cell AND asg.vec_id <> pr.query_id), " +
+      "ivf_rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM sc)"
 
   /** Shared DuckDB chain: minhash signatures → 4-band LSH buckets →
     * colliding pairs with estimated Jaccard (k=16, w=3) — the base of
@@ -617,17 +636,26 @@ object SparkEntry {
       "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
       "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM scored) " +
       "SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 5 ORDER BY query_id, rk"),
-    "q_ann_ivf" -> (s"$unitCte, cd AS (SELECT label, unnest(unit) AS v, unnest(generate_series(0, len(unit)-1)) AS dim FROM u), " +
-      "cc AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c FROM cd GROUP BY 1, 2), " +
-      "cent AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cc GROUP BY label), " +
-      "asg0 AS (SELECT u.vec_id, u.unit, c.label, list_sum(list_transform(list_zip(u.unit, c.cvec), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS score FROM u CROSS JOIN cent c), " +
-      "asg AS (SELECT vec_id, unit, label AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, label) AS rn FROM asg0) WHERE rn = 1), " +
-      "q AS (SELECT vec_id AS query_id, unit AS qunit FROM asg WHERE vec_id IN (0,1,2,3,4)), " +
-      "pr0 AS (SELECT q.query_id, q.qunit, c.label, list_sum(list_transform(list_zip(q.qunit, c.cvec), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS score FROM q CROSS JOIN cent c), " +
-      "pr AS (SELECT query_id, qunit, label AS cell FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, label) AS rn FROM pr0) WHERE rn <= 3), " +
-      "sc AS (SELECT pr.query_id, asg.vec_id, round(CAST(list_sum(list_transform(list_zip(asg.unit, pr.qunit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM pr JOIN asg ON pr.cell = asg.cell AND asg.vec_id <> pr.query_id), " +
-      "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM sc) " +
-      "SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 10 ORDER BY query_id, rk"),
+    "q_ann_ivf" -> s"$unitCte, $ivfChain SELECT query_id, vec_id, cosine, rk FROM ivf_rk WHERE rk <= 10 ORDER BY query_id, rk",
+    "q_ann_recall" -> (s"$unitCte, $ivfChain, " +
+      "br0 AS (SELECT q.query_id, u.vec_id, round(CAST(list_sum(list_transform(list_zip(u.unit, q.qunit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM u, q WHERE u.vec_id <> q.query_id), " +
+      "br AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM br0) WHERE rk <= 10), " +
+      s"lbk AS (SELECT vec_id, unit, ${bucketSql(8)} AS bucket FROM u), " +
+      "l0 AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, round(CAST(list_sum(list_transform(list_zip(a.unit, b.unit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM lbk a JOIN lbk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id WHERE a.vec_id IN (0,1,2,3,4)), " +
+      "lsh AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM l0) WHERE rk <= 10), " +
+      {
+        val bnd = (0 until 4).map(b =>
+          s"SELECT vec_id, $b AS band, ${bucketSql(6, "dv", b * 6)} AS bucket FROM u")
+          .mkString(" UNION ALL ")
+        s"bnd AS ($bnd), " +
+          "c0 AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS vec_id FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id WHERE a.vec_id IN (0,1,2,3,4)), " +
+          "b0 AS (SELECT c.query_id, c.vec_id, round(CAST(list_sum(list_transform(list_zip(uq.unit, uv.unit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM c0 c JOIN u uq ON c.query_id = uq.vec_id JOIN u uv ON c.vec_id = uv.vec_id), " +
+          "blsh AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM b0) WHERE rk <= 10), "
+      } +
+      "ivf AS (SELECT query_id, vec_id FROM ivf_rk WHERE rk <= 10), " +
+      "rec AS (SELECT br.query_id, count(*) AS k, CAST(SUM(CASE WHEN lsh.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits, CAST(SUM(CASE WHEN blsh.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS blsh_hits, CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits " +
+      "FROM br LEFT JOIN lsh ON br.query_id = lsh.query_id AND br.vec_id = lsh.vec_id LEFT JOIN blsh ON br.query_id = blsh.query_id AND br.vec_id = blsh.vec_id LEFT JOIN ivf ON br.query_id = ivf.query_id AND br.vec_id = ivf.vec_id GROUP BY br.query_id) " +
+      "SELECT query_id, k, lsh_hits, blsh_hits, ivf_hits, round(CAST(lsh_hits AS DOUBLE)/k, 6) AS lsh_recall, round(CAST(blsh_hits AS DOUBLE)/k, 6) AS blsh_recall, round(CAST(ivf_hits AS DOUBLE)/k, 6) AS ivf_recall FROM rec ORDER BY query_id"),
     "q_quantize" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings), " +
       "m AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS scale FROM e) " +
       "SELECT vec_id, round(scale, 6) AS scale, " +

@@ -96,6 +96,19 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("banded LSH finds the cluster-mates the single table finds, on tight clusters") {
+    val banded = Similarity.lshTopKBanded(corpus, k = 3, bands = 2,
+      planesPerBand = 2, dims = 4)
+      .select("query_id", "vec_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(banded.nonEmpty)
+    // each vector has exactly 2 true cluster-mates (cosine >> 0); any
+    // colliding cross-cluster candidate has cosine 0, so the top-2
+    // ranks must stay within the query's own axis cluster
+    assert(banded.filter(_._3 <= 2).forall { case (q, v, _) =>
+      (q < 10L) == (v < 10L) })
+  }
+
   test("nearDupComponents closes chains into min-labeled clusters") {
     val spark0 = spark
     import spark0.implicits._
