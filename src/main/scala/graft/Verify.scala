@@ -16,9 +16,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // the driver's comparator sorts rows via pandas, which cannot
+        // hash array/map cells — such a query would silently never be
+        // verified (the round-2 failure mode). Flag it loudly here.
+        val complex = df.schema.fields.filter(f =>
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        if (complex.nonEmpty && SparkEntry.oracleSql.contains(name))
+          System.err.println(s"[verify] WARNING: $name outputs " +
+            s"${complex.map(_.name).mkString(",")} as array/map — the " +
+            "driver comparator cannot hash these; serialize to strings")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // similarity queries cache their normalized corpus; release
