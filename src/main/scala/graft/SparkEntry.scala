@@ -273,6 +273,9 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.nearDupComponents(Dedup.minhashPairs(docs(s, d), 16, 4, 0.5, 3))
         .orderBy("doc_id")),
+    "q_deduped_corpus" -> ((s, d) =>
+      Dedup.dedupedCorpus(docs(s, d), Dedup.minhashPairs(docs(s, d), 16, 4, 0.5, 3))
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), 3, 0.3, 16, 8)
         .orderBy("doc_a", "doc_b")),
@@ -606,6 +609,13 @@ object SparkEntry {
       "edges AS (SELECT doc_a AS src, doc_b AS dst FROM fp UNION SELECT doc_b, doc_a FROM fp), " +
       "r(doc, comp) AS (SELECT src, src FROM edges UNION SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.doc) " +
       "SELECT doc AS doc_id, min(comp) AS component FROM r GROUP BY doc ORDER BY doc_id"),
+    "q_deduped_corpus" -> (minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      ", fp AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM fp UNION SELECT doc_b, doc_a FROM fp), " +
+      "r(doc, comp) AS (SELECT src, src FROM edges UNION SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.doc), " +
+      "cmp AS (SELECT doc AS doc_id, min(comp) AS component FROM r GROUP BY doc), " +
+      "dropids AS (SELECT doc_id FROM cmp WHERE doc_id <> component) " +
+      "SELECT d.doc_id, d.lang, d.n_chars FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM dropids) ORDER BY d.doc_id"),
     "q_ngram_jaccard" -> (s"$shCte$hsCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh), " +
       "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 7)) AS band FROM sg), " +
       "bk AS (SELECT doc_id, band, md5(array_to_string(list_transform(sig[band*2+1:band*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket FROM banded), " +

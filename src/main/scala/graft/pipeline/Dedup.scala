@@ -233,6 +233,19 @@ object Dedup {
     labels
   }
 
+  /** The deduplicated corpus: drop every near-dup cluster member except
+    * its canonical (min doc_id) representative. Anti-join against the
+    * small non-canonical id set — the corpus side streams through one
+    * broadcast-able join, the end-to-end "actually dedup the data"
+    * step LSH pairs + components exist to feed. */
+  def dedupedCorpus(docs: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val drop = nearDupComponents(pairs, maxIter)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** SimHash fingerprint from token counts: per-token md5-derived bits,
     * weighted-majority per bit position. Near-dups = fingerprints within
     * a small Hamming distance; pairs found by exact-match on fingerprint
