@@ -20,10 +20,17 @@ object Verify {
         val df = fn(spark, sfDir)
         // the driver's comparator sorts rows via pandas, which cannot
         // hash array/map cells — such a query would silently never be
-        // verified (the round-2 failure mode). Flag it loudly here.
-        val complex = df.schema.fields.filter(f =>
-          f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
-            f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        // verified (the round-2 failure mode). Flag it loudly here,
+        // including complex types nested inside structs/arrays.
+        def hasComplex(dt: org.apache.spark.sql.types.DataType): Boolean =
+          dt match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType => true
+            case s: org.apache.spark.sql.types.StructType =>
+              s.fields.exists(f => hasComplex(f.dataType))
+            case _ => false
+          }
+        val complex = df.schema.fields.filter(f => hasComplex(f.dataType))
         if (complex.nonEmpty && SparkEntry.oracleSql.contains(name))
           System.err.println(s"[verify] WARNING: $name outputs " +
             s"${complex.map(_.name).mkString(",")} as array/map — the " +

@@ -281,28 +281,13 @@ object Dedup {
     * in the biggest label at scale; banded buckets stay small by
     * construction. */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.4,
-      bands: Int = 4, planesPerBand: Int = 6, dims: Int = 64): DataFrame = {
-    // buckets from the RAW embedding (hyperplane signs are
-    // scale-invariant); unit kept for the cosine. cache() materializes
-    // both once before the self-join re-references them per pair.
-    val dv = transform(col("embedding"), x => x.cast("double"))
-    val bandCols = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        Similarity.bucketExpr(dv, planesPerBand, dims, b * planesPerBand)
-          .as("bucket"))
-    }: _*)
-    val e = embeddings.select(col("vec_id"),
-      Similarity.normalized(col("embedding")).as("unit"),
-      bandCols.as("bb")).cache()
-    val banded = e.select(col("vec_id"), explode(col("bb")).as("b1"))
-      .select(col("vec_id"), col("b1.band"), col("b1.bucket"))
-    val cand = banded.as("a")
-      .join(banded.as("b"), col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
-    val units = e.select(col("vec_id"), col("unit"))
+      bands: Int = 4, planesPerBand: Int = 6, dims: Int = 64,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    // candidates + cached units from the shared banded-LSH machinery
+    // (Similarity.bandedCandUnits — one implementation for dedup and
+    // ANN); undirected a<b pairing for the dedup relation
+    val (cand, units) = Similarity.bandedCandUnits(embeddings, bands,
+      planesPerBand, dims, maxBucket, directed = false, "vec_a", "vec_b")
     cand
       .join(units.select(col("vec_id").as("vec_a"), col("unit").as("unit_a")), "vec_a")
       .join(units.select(col("vec_id").as("vec_b"), col("unit").as("unit_b")), "vec_b")

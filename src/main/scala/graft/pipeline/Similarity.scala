@@ -233,17 +233,17 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
-  /** Banded (multi-probe) LSH ANN top-k: `bands` independent bucket
-    * tables of `planesPerBand` sign bits each, candidates = pairs
-    * colliding in ANY band, exact cosine on candidates only. OR-ing
-    * narrow tables is what buys recall — the single-table [[lshTopK]]
-    * keeps ≤10% of the true top-10 on the test corpus (measured by
-    * [[annRecall]]), the banded form several times that at the same
-    * total bit budget. Same candidate shape as
-    * [[Dedup.embeddingNearDups]]. */
-  def lshTopKBanded(embeddings: DataFrame, k: Int, bands: Int = 4,
-      planesPerBand: Int = 6, dims: Int = 64,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+  /** Shared banded-LSH candidate machinery: `bands` independent bucket
+    * tables of `planesPerBand` sign bits from the RAW vectors
+    * (hyperplane signs are scale-invariant), candidates = id pairs
+    * colliding in ANY band. Returns (candidates, cached units): the
+    * units relation carries the normalized vectors for exact scoring.
+    * `directed` emits both (a,b) and (b,a) for query-centric top-k;
+    * undirected emits a<b pairs for dedup. `maxBucket` drops
+    * pathological hot buckets before the self-join. */
+  private[pipeline] def bandedCandUnits(embeddings: DataFrame, bands: Int,
+      planesPerBand: Int, dims: Int, maxBucket: Int, directed: Boolean,
+      leftIdCol: String, rightIdCol: String): (DataFrame, DataFrame) = {
     val dv = transform(col("embedding"), x => x.cast("double"))
     val bandCols = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -262,13 +262,27 @@ object Similarity {
           .select("band", "bucket")
         banded.join(ok, Seq("band", "bucket"))
       }
+    val idCond = if (directed) col("a.vec_id") =!= col("b.vec_id")
+      else col("a.vec_id") < col("b.vec_id")
     val cand = capped.as("a")
       .join(capped.as("b"), col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"))
+        col("a.bucket") === col("b.bucket") && idCond)
+      .select(col("a.vec_id").as(leftIdCol), col("b.vec_id").as(rightIdCol))
       .distinct()
-    val units = e.select(col("vec_id"), col("unit"))
+    (cand, e.select(col("vec_id"), col("unit")))
+  }
+
+  /** Banded (multi-probe) LSH ANN top-k: candidates from
+    * [[bandedCandUnits]], exact cosine on candidates only. OR-ing
+    * narrow tables is what buys recall — the single-table [[lshTopK]]
+    * keeps ≤10% of the true top-10 on the test corpus (measured by
+    * [[annRecall]]), the banded form several times that at the same
+    * total bit budget. */
+  def lshTopKBanded(embeddings: DataFrame, k: Int, bands: Int = 4,
+      planesPerBand: Int = 6, dims: Int = 64,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (cand, units) = bandedCandUnits(embeddings, bands, planesPerBand,
+      dims, maxBucket, directed = true, "query_id", "vec_id")
     val scored = cand
       .join(units.select(col("vec_id").as("query_id"), col("unit").as("qunit")),
         "query_id")
@@ -288,17 +302,87 @@ object Similarity {
     * count is engine-reproducible. */
   def annRecall(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       planes: Int = 8, nprobe: Int = 3, bands: Int = 4,
-      planesPerBand: Int = 6): DataFrame = {
-    val brute = bruteForceTopK(embeddings, queryIds, k)
-      .select(col("query_id"), col("vec_id"))
-    val lsh = lshTopK(embeddings, k, planes)
+      planesPerBand: Int = 6, dims: Int = 64): DataFrame = {
+    val dv = transform(col("embedding"), x => x.cast("double"))
+    val bandCols = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        bucketExpr(dv, planesPerBand, dims, b * planesPerBand).as("bucket"))
+    }: _*)
+    // ONE normalized + bucketed corpus pass feeds all four rankers;
+    // calling the standalone functions would re-normalize (and pin) the
+    // corpus four times over. Each ranker below reproduces its
+    // standalone counterpart's arithmetic exactly.
+    val base = embeddings.select(col("vec_id"), col("label"),
+      normalized(col("embedding")).as("unit"),
+      bucketExpr(dv, planes, dims).as("bucket"), bandCols.as("bb")).cache()
+    val units = base.select(col("vec_id"), col("unit"))
+    val q = base.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("qunit"))
+
+    def top(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select("query_id", "vec_id")
+    }
+    def score(cand: DataFrame): DataFrame = cand
+      .join(q, "query_id").join(units, "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(dotExact(col("qunit"), col("unit")), 6).as("cosine"))
+
+    val brute = top(units.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dotExact(col("unit"), col("qunit")), 6).as("cosine")))
+
+    val lsh = top(base.as("a").join(base.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
+        round(dotExact(col("a.unit"), col("b.unit")), 6).as("cosine"))
+      .filter(col("query_id").isin(queryIds: _*)))
+
+    val bandedRel = base.select(col("vec_id"), explode(col("bb")).as("b1"))
+      .select(col("vec_id"), col("b1.band").as("band"),
+        col("b1.bucket").as("bucket"))
+    val bcand = bandedRel.as("a").join(bandedRel.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"))
+      .distinct()
       .filter(col("query_id").isin(queryIds: _*))
-      .select(col("query_id"), col("vec_id"))
-    val blsh = lshTopKBanded(embeddings, k, bands, planesPerBand)
-      .filter(col("query_id").isin(queryIds: _*))
-      .select(col("query_id"), col("vec_id"))
-    val ivf = ivfTopK(embeddings, queryIds, k, nprobe)
-      .select(col("query_id"), col("vec_id"))
+    val blsh = top(score(bcand))
+
+    val cents = base
+      .select(col("label"), posexplode(col("unit")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg((sum(col("v").cast(DecimalType(38, 18))).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+        s => s("c")).as("cvec")).cache()
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("label"))
+    val assigned = units.join(broadcast(cents))
+      .select(col("vec_id"), col("unit"), col("label"),
+        dotScaled(col("unit"), col("cvec")).as("score"))
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("unit"), col("label").as("cell"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("label"))
+    val probes = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("qunit"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("qunit"), col("label"),
+        dotScaled(col("qunit"), col("cvec")).as("score"))
+      .withColumn("rn", row_number().over(pw)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qunit"), col("label").as("cell"))
+    val ivf = top(assigned.join(broadcast(probes),
+        assigned("cell") === probes("cell") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dotExact(col("unit"), col("qunit")), 6).as("cosine")))
+
     brute
       .join(lsh.withColumn("lsh_hit", lit(1)), Seq("query_id", "vec_id"), "left")
       .join(blsh.withColumn("blsh_hit", lit(1)), Seq("query_id", "vec_id"), "left")
@@ -336,19 +420,24 @@ object Similarity {
   }
 
   def quantError(embeddings: DataFrame): DataFrame = {
-    val q = quantizeInt8(embeddings)
-    val e = embeddings.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("dv"))
-    e.join(q, "vec_id")
-      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
-        round(
-          aggregate(
-            zip_with(col("dv"),
-              zip_with(col("qvec"), array_repeat(col("scale"), size(col("qvec"))),
-                (qq, m) => qq / lit(127.0) * m),
-              (x, xh) => abs(x - xh)),
-            lit(0.0d), (acc, x) => acc + x) / size(col("dv")), 6)
-          .as("mean_abs_err"))
+    // one scan, no join: dv and scale become materialized columns, the
+    // reconstruction chains as array expressions over them
+    val dv = transform(col("embedding"), x => x.cast("double"))
+    val base = embeddings.select(col("vec_id"), dv.as("dv"),
+      array_max(transform(dv, x => abs(x))).as("scale"))
+    val qvec = when(col("scale") === 0.0,
+      transform(col("dv"), _ => lit(0L)))
+      .otherwise(zip_with(col("dv"), array_repeat(col("scale"), size(col("dv"))),
+        (x, m) => floor(x / m * lit(127.0) + lit(0.5))))
+    base.select(col("vec_id"), round(col("scale"), 6).as("scale"),
+      round(
+        aggregate(
+          zip_with(col("dv"),
+            zip_with(qvec, array_repeat(col("scale"), size(col("dv"))),
+              (qq, m) => qq / lit(127.0) * m),
+            (x, xh) => abs(x - xh)),
+          lit(0.0d), (acc, x) => acc + x) / size(col("dv")), 6)
+        .as("mean_abs_err"))
   }
 
   /** Corpus-level embedding stats — norms and per-label centroids

@@ -98,6 +98,8 @@ object StatefulOps {
     * the partial buffer (bounded by n). */
   def fixedEventWindow(events: Dataset[SEvent], n: Int)
       : Dataset[Seq[SEvent]] = {
+    require(n > 0, s"fixed-event-window needs n > 0 (got $n): " +
+      "a non-positive n would buffer per-key state forever without emitting")
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(e => (e.host, e.service))
@@ -108,7 +110,7 @@ object StatefulOps {
           val out = Seq.newBuilder[Seq[SEvent]]
           for (e <- sorted(rows)) {
             buf :+= e
-            if (buf.length == n) { out += buf; buf = Seq.empty }
+            if (buf.length >= n) { out += buf; buf = Seq.empty }
           }
           st.update(buf)
           out.result().iterator
