@@ -77,7 +77,9 @@ object Aggregators {
   case class QuotBuf(firstOrd: Long, firstVal: Double, prod: ProdBuf)
 
   /** first / product(rest) in `ord` order. `sloppy` reproduces
-    * quotient-sloppy (folds.clj:146-154): 0/0 → 0. */
+    * quotient-sloppy (folds.clj:146-154), whose rule is broader than
+    * 0/0: ANY zero metric anywhere (`some zero?`) makes the result 0 —
+    * "the ratio of two constant values [rates] should be zero". */
   class Quotient(sloppy: Boolean = false)
       extends Aggregator[OrdMetric, QuotBuf, Option[Double]] {
     private val p = new Product
@@ -94,11 +96,10 @@ object Aggregators {
     }
     def finish(b: QuotBuf): Option[Double] = {
       if (b.prod.n == 0) return None
+      if (sloppy && b.prod.zeros > 0) return Some(0.0)
       // product of the REST = product(all) / first
       val restZeros = b.prod.zeros - (if (b.firstVal == 0.0) 1 else 0)
-      if (restZeros > 0)
-        return if (sloppy && b.firstVal == 0.0) Some(0.0)
-          else Some(Double.NaN)
+      if (restZeros > 0) return Some(Double.NaN)
       if (b.firstVal == 0.0)
         return Some(0.0) // 0 / nonzero-product
       val restNegs = b.prod.negs - (if (b.firstVal < 0) 1 else 0)

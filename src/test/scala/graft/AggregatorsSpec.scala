@@ -55,6 +55,12 @@ class AggregatorsSpec extends SparkSpec {
     assert(agg2(Seq(1.0, 0.0), new Aggregators.Quotient()).get.isNaN)
     assert(agg2(Seq(0.0, 0.0), new Aggregators.Quotient(sloppy = true))
       == Some(0.0))
+    // sloppy zeroes on ANY zero metric, not just 0/0
+    // (folds_test.clj quotient-sloppy-test: [1 0] -> 0)
+    assert(agg2(Seq(1.0, 0.0), new Aggregators.Quotient(sloppy = true))
+      == Some(0.0))
+    assert(r(agg2(Seq(2.0, -3.0), new Aggregators.Quotient(sloppy = true)))
+      == Some(-0.666666667))
     assert(r(agg2(Seq(-12.0, 3.0, -2.0), new Aggregators.Quotient())) == Some(2.0))
   }
 }
