@@ -99,12 +99,19 @@ object Windows {
   /** `apdex` (streams.clj:2103-2157): (satisfied + tolerated/2) / total
     * per interval. */
   def apdex(df: DataFrame, seconds: Long, satisfied: Column, tolerated: Column,
-      keys: Seq[String]): DataFrame =
-    df.withColumn("window_start", col("time_s") - (col("time_s") % seconds))
+      keys: Seq[String]): DataFrame = {
+    // reference cond semantics (streams.clj:2126-2129): satisfied wins —
+    // an event matching BOTH predicates counts once as satisfied, never
+    // also as tolerated; expired events are ignored entirely (:2118)
+    val sat = coalesce(satisfied, lit(false))
+    val tol = !sat && coalesce(tolerated, lit(false))
+    df.filter(!(col("state") <=> "expired"))
+      .withColumn("window_start", col("time_s") - (col("time_s") % seconds))
       .groupBy((keys.map(col) :+ col("window_start")): _*)
-      .agg(((sum(when(satisfied, 1).otherwise(0)) +
-        sum(when(tolerated, 1).otherwise(0)) / lit(2.0)) /
+      .agg(((sum(when(sat, 1).otherwise(0)) +
+        sum(when(tol, 1).otherwise(0)) / lit(2.0)) /
         count(lit(1))).as("apdex"))
+  }
 
   /** `ddt` (streams.clj:776-839): d(metric)/dt between successive
     * events per key. */

@@ -89,6 +89,19 @@ class GoldenWindowsSpec extends SparkSpec {
     assert(out == Seq((0L, 2.0, 3.0), (10L, 5.0, 5.0)))
   }
 
+  test("apdex: satisfied wins over an overlapping tolerated predicate (streams.clj:2126-2129)") {
+    // both predicates match the event; the reference cond counts it
+    // once as satisfied -> apdex 1.0, never (1 + 0.5)/1 = 1.5
+    val df = events(E(id = 1, metric = 50.0, time = 0L, state = "ok"))
+    val out = Windows.apdex(df, 3600, col("metric") <= 100,
+      col("metric") <= 150, Seq("host"))
+    assert(one[Double](out, "apdex") == 1.0)
+    // expired events are ignored entirely (no window emitted)
+    val exp = events(E(id = 1, metric = 50.0, time = 0L, state = "expired"))
+    assert(Windows.apdex(exp, 3600, col("metric") <= 100,
+      col("metric") <= 150, Seq("host")).count() == 0)
+  }
+
   test("batch splits a bucket into size-bounded flushes (batch-test)") {
     val df = events(
       E(id = 1, metric = 1.0, time = 0L), E(id = 2, metric = 1.0, time = 1L),
