@@ -190,6 +190,8 @@ object SparkEntry {
     "q_mode" -> ((s, d) =>
       Folds.modeDeterministic(ev(s, d), "metric", Seq("service"))
         .orderBy("service")),
+    "q_median" -> ((s, d) => ev(s, d).groupBy("service")
+      .agg(Folds.medianFold(col("metric")).as("median")).orderBy("service")),
     // §2.9: the order-sensitive typed Aggregator on the real UDAF path
     // (first − Σrest in event order; decimal-exact so the oracle's
     // closed form 2·first − Σall matches bit-for-bit before rounding)
@@ -577,6 +579,8 @@ object SparkEntry {
       "WINDOW w AS (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) ORDER BY event_id"),
     "q_fold_difference" -> (s"$cte SELECT host, round(CAST(CAST(first(metric ORDER BY time_s, event_id) AS DECIMAL(28,10)) * 2 - SUM(CAST(metric AS DECIMAL(28,10))) AS DOUBLE), 4) AS difference " +
       "FROM ev WHERE metric IS NOT NULL GROUP BY host ORDER BY host"),
+    "q_median" -> (s"$cte, b AS (SELECT service, list(metric ORDER BY metric) AS ms FROM ev WHERE metric IS NOT NULL GROUP BY 1) " +
+      "SELECT service, ms[CAST(LEAST(FLOOR(CAST(0.5 AS DOUBLE) * len(ms)), len(ms) - 1) AS INT) + 1] AS median FROM b ORDER BY service"),
     "q_mode" -> (s"$cte, c AS (SELECT service, metric, count(*) AS cnt FROM ev WHERE metric IS NOT NULL GROUP BY 1, 2), " +
       "r AS (SELECT *, row_number() OVER (PARTITION BY service ORDER BY cnt DESC, metric ASC) AS rk FROM c) " +
       "SELECT service, metric AS mode, cnt AS mode_count FROM r WHERE rk = 1 ORDER BY service"),

@@ -64,6 +64,12 @@ object Folds {
 
   def medianExact(c: Column): Column = percentileExact(c, 0.5)
 
+  /** riemann's `median` (folds.clj:186-189) IS nearest-rank — the
+    * element at index floor(0.5·n) of the sorted sample, never an
+    * interpolated midpoint. [[medianExact]] interpolates on even
+    * counts; use this one for reference parity. */
+  def medianFold(c: Column): Column = nearestRank(c, 0.5)
+
   /** `difference` (folds.clj:115-126): first metric minus the rest, in
     * `ord` order == 2*first − sum. */
   def differenceExact(c: Column, ord: Column): Column =

@@ -14,6 +14,16 @@ class FoldsSpec extends SparkSpec {
     case (m, i) => E(id = i + 1, metric = m.map(Double.box).orNull, time = i.toLong)
   }: _*)
 
+  test("median is nearest-rank, never interpolated (folds.clj:186-189)") {
+    // even count: reference takes sorted index floor(0.5*4) = element 3,
+    // while an interpolated percentile would answer 2.5
+    val df = metrics(Seq(1.0, 2.0, 3.0, 4.0).map(Some(_)): _*)
+    assert(df.agg(Folds.medianFold(col("metric"))).collect().head.getDouble(0)
+      == 3.0)
+    assert(df.agg(Folds.medianExact(col("metric"))).collect().head.getDouble(0)
+      == 2.5)
+  }
+
   test("nearest-rank percentile table (folds_test.clj:12-29)") {
     // (sorted-sample-extract es [0 0.5 1]) cases
     val cases = Seq(
