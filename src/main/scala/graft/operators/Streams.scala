@@ -94,6 +94,17 @@ object Streams {
       df.withColumn("route", route)
     }
 
+    /** `split` WITHOUT a default branch (streams.clj:1812-1853): events
+      * matching no predicate are DROPPED, not routed — the reference's
+      * fallthrough semantics when no trailing child is given. */
+    def splitRoutesStrict(routes: Seq[(Column, String)]): DataFrame = {
+      val route = routes.foldRight(lit(null).cast("string")) {
+        case ((p, name), acc) =>
+          when(coalesce(p, lit(false)), lit(name)).otherwise(acc)
+      }
+      df.withColumn("route", route).filter(col("route").isNotNull)
+    }
+
     /** `splitp` (streams.clj:1855-1916): routing on one extracted
       * expression compared against constants. */
     def splitp(extract: Column, cases: Seq[(Any, String)], fallback: String): DataFrame = {

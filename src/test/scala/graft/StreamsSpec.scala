@@ -85,6 +85,16 @@ class StreamsSpec extends SparkSpec {
     assert(routes == Seq("high", "mid", "low", "low"))
   }
 
+  test("split without default drops non-matching events (streams.clj:1812-1853)") {
+    val df = events(E(id = 1, metric = 200.0), E(id = 2, metric = 100.0),
+      E(id = 3, metric = 10.0))
+    val out = df.splitRoutesStrict(Seq(
+      (col("metric") > 150, "high"), (col("metric") > 50, "mid")))
+    assert(out.select("event_id", "route").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "high"), (2L, "mid"))) // id 3 matched nothing: dropped
+  }
+
   test("splitp routes on extracted value (streams.clj:1855-1916)") {
     val df = events(E(id = 1, state = "critical"), E(id = 2, state = "warning"),
       E(id = 3, state = "ok"))
