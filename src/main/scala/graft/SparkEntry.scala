@@ -190,7 +190,8 @@ object SparkEntry {
     "q_mode" -> ((s, d) =>
       Folds.modeDeterministic(ev(s, d), "metric", Seq("service"))
         .orderBy("service")),
-    "q_median" -> ((s, d) => ev(s, d).groupBy("service")
+    "q_median" -> ((s, d) => ev(s, d).filter(col("metric").isNotNull)
+      .groupBy("service")
       .agg(Folds.medianFold(col("metric")).as("median")).orderBy("service")),
     // §2.9: the order-sensitive typed Aggregator on the real UDAF path
     // (first − Σrest in event order; decimal-exact so the oracle's
@@ -515,7 +516,7 @@ object SparkEntry {
       "SELECT service || ' ' || CAST(point AS VARCHAR) AS service_pt, window_start, point, ms[CAST(LEAST(FLOOR(point * len(ms)), len(ms) - 1) AS INT) + 1] AS metric " +
       "FROM b, p ORDER BY service_pt, window_start"),
     "q_apdex" -> (s"$cte SELECT service, time_s - time_s % 86400 AS window_start, " +
-      "(CAST(SUM(CASE WHEN metric <= 50 THEN 1 ELSE 0 END) AS BIGINT) + CAST(SUM(CASE WHEN NOT coalesce(metric <= 50, false) AND metric > 50 AND metric <= 150 THEN 1 ELSE 0 END) AS BIGINT) / CAST(2.0 AS DOUBLE)) / count(*) AS apdex " +
+      "(CAST(SUM(CASE WHEN metric <= 50 THEN 1 ELSE 0 END) AS BIGINT) + CAST(SUM(CASE WHEN metric > 50 AND metric <= 150 THEN 1 ELSE 0 END) AS BIGINT) / CAST(2.0 AS DOUBLE)) / count(*) AS apdex " +
       "FROM ev WHERE NOT coalesce(state = 'expired', false) GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_ddt" -> (s"$cte, l AS (SELECT event_id, time_s, metric, lag(metric) OVER w AS prev_metric, lag(time_s) OVER w AS prev_time FROM ev " +
       "WINDOW w AS (PARTITION BY host ORDER BY time_s, event_id)) " +

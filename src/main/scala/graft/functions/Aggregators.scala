@@ -99,10 +99,17 @@ object Aggregators {
       if (sloppy && b.prod.zeros > 0) return Some(0.0)
       // product of the REST = product(all) / first
       val restZeros = b.prod.zeros - (if (b.firstVal == 0.0) 1 else 0)
-      if (restZeros > 0) return Some(Double.NaN)
+      val restNegs = b.prod.negs - (if (b.firstVal < 0) 1 else 0)
+      if (restZeros > 0)
+        // IEEE double division like the reference's (/ a 0.0):
+        // 0/0 -> NaN, else ±Inf with the sign of first/rest-product
+        // (a zero product carries the sign of its negative count)
+        return Some(
+          if (b.firstVal == 0.0) Double.NaN
+          else (if ((b.firstVal < 0) ^ (restNegs % 2 == 1))
+            Double.NegativeInfinity else Double.PositiveInfinity))
       if (b.firstVal == 0.0)
         return Some(0.0) // 0 / nonzero-product
-      val restNegs = b.prod.negs - (if (b.firstVal < 0) 1 else 0)
       val restLog = b.prod.logAbs - math.log(math.abs(b.firstVal))
       val rest = (if (restNegs % 2 == 1) -1.0 else 1.0) * math.exp(restLog)
       Some(b.firstVal / rest)

@@ -87,23 +87,21 @@ object Streams {
     /** `split` (streams.clj:1812-1853): first-matching-predicate
       * routing, materialized as a route label (single pass; branch =
       * filter on the label). */
-    def splitRoutes(routes: Seq[(Column, String)], fallback: String): DataFrame = {
-      val route = routes.foldRight(lit(fallback)) { case ((p, name), acc) =>
+    private def routeExpr(routes: Seq[(Column, String)],
+        default: Column): Column =
+      routes.foldRight(default) { case ((p, name), acc) =>
         when(coalesce(p, lit(false)), lit(name)).otherwise(acc)
       }
-      df.withColumn("route", route)
-    }
+
+    def splitRoutes(routes: Seq[(Column, String)], fallback: String): DataFrame =
+      df.withColumn("route", routeExpr(routes, lit(fallback)))
 
     /** `split` WITHOUT a default branch (streams.clj:1812-1853): events
       * matching no predicate are DROPPED, not routed — the reference's
       * fallthrough semantics when no trailing child is given. */
-    def splitRoutesStrict(routes: Seq[(Column, String)]): DataFrame = {
-      val route = routes.foldRight(lit(null).cast("string")) {
-        case ((p, name), acc) =>
-          when(coalesce(p, lit(false)), lit(name)).otherwise(acc)
-      }
-      df.withColumn("route", route).filter(col("route").isNotNull)
-    }
+    def splitRoutesStrict(routes: Seq[(Column, String)]): DataFrame =
+      df.withColumn("route", routeExpr(routes, lit(null).cast("string")))
+        .filter(col("route").isNotNull)
 
     /** `splitp` (streams.clj:1855-1916): routing on one extracted
       * expression compared against constants. */

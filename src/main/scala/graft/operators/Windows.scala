@@ -99,13 +99,20 @@ object Windows {
   /** `apdex` (streams.clj:2103-2157): (satisfied + tolerated/2) / total
     * per interval. */
   def apdex(df: DataFrame, seconds: Long, satisfied: Column, tolerated: Column,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String], nowS: Option[Column] = None): DataFrame = {
     // reference cond semantics (streams.clj:2126-2129): satisfied wins —
     // an event matching BOTH predicates counts once as satisfied, never
-    // also as tolerated; expired events are ignored entirely (:2118)
+    // also as tolerated; expired events are ignored entirely (:2118).
+    // Full expired? needs a reference clock for the ttl-lapse half —
+    // pass nowS to get it; without one only state="expired" is dropped.
     val sat = coalesce(satisfied, lit(false))
     val tol = !sat && coalesce(tolerated, lit(false))
-    df.filter(!(col("state") <=> "expired"))
+    val expired = nowS match {
+      case Some(now) => (col("state") <=> "expired") ||
+        coalesce(now - col("time_s") > col("ttl"), lit(false))
+      case None => col("state") <=> "expired"
+    }
+    df.filter(!expired)
       .withColumn("window_start", col("time_s") - (col("time_s") % seconds))
       .groupBy((keys.map(col) :+ col("window_start")): _*)
       .agg(((sum(when(sat, 1).otherwise(0)) +

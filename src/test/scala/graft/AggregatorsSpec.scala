@@ -52,7 +52,15 @@ class AggregatorsSpec extends SparkSpec {
     def r(o: Option[Double]) = o.map(v => math.round(v * 1e9) / 1e9.toDouble)
     assert(r(agg2(Seq(12.0, 3.0, 2.0), new Aggregators.Quotient())) == Some(2.0))
     assert(r(agg2(Seq(0.0, 5.0), new Aggregators.Quotient())) == Some(0.0))
-    assert(agg2(Seq(1.0, 0.0), new Aggregators.Quotient()).get.isNaN)
+    // double division semantics like the reference: x/0.0 = ±Inf,
+    // only 0/0 is NaN
+    assert(agg2(Seq(1.0, 0.0), new Aggregators.Quotient())
+      == Some(Double.PositiveInfinity))
+    assert(agg2(Seq(-1.0, 0.0), new Aggregators.Quotient())
+      == Some(Double.NegativeInfinity))
+    assert(agg2(Seq(1.0, 0.0, -2.0), new Aggregators.Quotient())
+      == Some(Double.NegativeInfinity))
+    assert(agg2(Seq(0.0, 0.0), new Aggregators.Quotient()).get.isNaN)
     assert(agg2(Seq(0.0, 0.0), new Aggregators.Quotient(sloppy = true))
       == Some(0.0))
     // sloppy zeroes on ANY zero metric, not just 0/0
