@@ -35,6 +35,17 @@ object SparkEntry {
 
   private val D = DecimalType(18, 6)
   private def ev(s: SparkSession, dir: String): DataFrame = EventView(s, dir)
+  /** Shared input for the product/quotient UDAF gates: 5-event batches
+    * per host, metric mapped to small integers (incl. zeros and
+    * negatives) so products stay exact at the rounded precision. */
+  private def foldBatches(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("time_s", "event_id")
+    ev(s, dir).filter(col("metric").isNotNull)
+      .withColumn("ord", row_number().over(w).cast("long"))
+      .withColumn("vi", (floor(abs(col("metric"))) % 7 - 3).cast("double"))
+      .withColumn("batch_id", expr("(ord - 1) div 5"))
+  }
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -217,6 +228,49 @@ object SparkEntry {
         .select(col("service"), explode(col("modes")).as("mode_value"),
           col("mode_count"))
         .orderBy("service", "mode_value")),
+    // §2.9: product / quotient typed Aggregators on the real UDAF path,
+    // gated over small-integer inputs (vi ∈ [-3,3] with natural zeros)
+    // so the log-space magnitude is deterministic at the rounded
+    // precision (true values are integers / small rationals) while the
+    // sign/zero/IEEE edges of folds.clj:103-154 are all exercised
+    "q_fold_product" -> ((s, d) => {
+      val prodU = org.apache.spark.sql.functions.udaf(
+        new graft.functions.Aggregators.Product(),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      foldBatches(s, d).groupBy("host", "batch_id")
+        .agg(round(prodU(col("vi")), 4).as("product_m"))
+        .orderBy("host", "batch_id")
+    }),
+    // IEEE classes (NaN / ±Inf from zero divisors) are emitted as a
+    // label column and the numeric column nulled for non-finite rows:
+    // DuckDB's `/` yields NULL on zero divisors, so the oracle derives
+    // the class from zero/sign counts instead of dividing
+    "q_fold_quotient" -> ((s, d) => {
+      val quotU = org.apache.spark.sql.functions.udaf(
+        new graft.functions.Aggregators.Quotient(),
+        org.apache.spark.sql.Encoders.product[
+          graft.functions.Aggregators.OrdMetric])
+      foldBatches(s, d).groupBy("host", "batch_id")
+        .agg(quotU(col("ord"), col("vi")).as("q"))
+        .select(col("host"), col("batch_id"),
+          when(isnan(col("q")), "nan")
+            .when(col("q") === Double.PositiveInfinity, "inf")
+            .when(col("q") === Double.NegativeInfinity, "-inf")
+            .otherwise("finite").as("q_class"),
+          when(isnan(col("q")) || col("q") === Double.PositiveInfinity ||
+            col("q") === Double.NegativeInfinity, lit(null).cast("double"))
+            .otherwise(round(col("q"), 6)).as("quotient"))
+        .orderBy("host", "batch_id")
+    }),
+    "q_fold_quotient_sloppy" -> ((s, d) => {
+      val quotU = org.apache.spark.sql.functions.udaf(
+        new graft.functions.Aggregators.Quotient(sloppy = true),
+        org.apache.spark.sql.Encoders.product[
+          graft.functions.Aggregators.OrdMetric])
+      foldBatches(s, d).groupBy("host", "batch_id")
+        .agg(round(quotU(col("ord"), col("vi")), 6).as("quotient_sloppy"))
+        .orderBy("host", "batch_id")
+    }),
 
     // ---- deps rules + skew-safe aggregation
     "q_deps" -> ((s, d) => {
@@ -343,9 +397,9 @@ object SparkEntry {
       graft.pipeline.Multimodal.sampleFrames(
         graft.pipeline.Multimodal.deriveMedia(docs(s, d)), 500)
         .orderBy("media_id", "frame_ts")),
-    // decode stub runs the real mapPartitions/iterator contract; no SQL
-    // oracle (rolling-hash wraps on long overflow, which ANSI SQL
-    // can't express) → driver records the weaker rows-only check
+    // decode stub runs the real mapPartitions/iterator contract; the
+    // positional byte checksum is ANSI-expressible (documents are
+    // ASCII, so DuckDB's per-char unicode() equals the byte value)
     "q_media_features" -> ((s, d) => {
       val spark0 = s
       import spark0.implicits._
@@ -377,6 +431,15 @@ object SparkEntry {
   // ------------------------------------------------------------ oracle SQL
   /** Shared DuckDB prefix (see EventView.oracleCte). */
   private val cte = EventView.oracleCte
+  /** DuckDB replica of [[foldBatches]]: per-(host, 5-event batch)
+    * ordered value lists for the product/quotient fold oracles. */
+  private val foldCte =
+    s"$cte, f AS (SELECT host, time_s, event_id, metric, " +
+      "row_number() OVER (PARTITION BY host ORDER BY time_s, event_id) AS ord " +
+      "FROM ev WHERE metric IS NOT NULL), " +
+      "v AS (SELECT host, (ord - 1) // 5 AS batch_id, time_s, event_id, " +
+      "CAST(CAST(FLOOR(ABS(metric)) AS BIGINT) % 7 - 3 AS DOUBLE) AS vi FROM f), " +
+      "g AS (SELECT host, batch_id, list(vi ORDER BY time_s, event_id) AS ms FROM v GROUP BY 1, 2)"
   /** DuckDB snapshot-of-latest CTE built on `ev`. */
   private val snapCte =
     s"""$cte, snap AS (SELECT *, row_number() OVER (PARTITION BY host, service
@@ -605,6 +668,26 @@ object SparkEntry {
     "q_modes" -> (s"$cte, c AS (SELECT service, metric, count(*) AS cnt FROM ev WHERE metric IS NOT NULL GROUP BY 1, 2), " +
       "m AS (SELECT *, max(cnt) OVER (PARTITION BY service) AS mx FROM c) " +
       "SELECT service, metric AS mode_value, CAST(mx AS BIGINT) AS mode_count FROM m WHERE cnt = mx ORDER BY service, mode_value"),
+    "q_fold_product" -> (s"$foldCte SELECT host, batch_id, " +
+      "CASE WHEN len(list_filter(ms, x -> x = 0)) > 0 THEN CAST(0.0 AS DOUBLE) " +
+      "ELSE round(list_aggregate(ms, 'product'), 4) END AS product_m " +
+      "FROM g ORDER BY host, batch_id"),
+    "q_fold_quotient" -> (s"$foldCte, q AS (SELECT host, batch_id, ms[1] AS fv, " +
+      "len(list_filter(ms[2:], x -> x = 0)) AS rz, len(list_filter(ms[2:], x -> x < 0)) AS rnn, " +
+      "COALESCE(list_aggregate(ms[2:], 'product'), CAST(1.0 AS DOUBLE)) AS rp FROM g) " +
+      "SELECT host, batch_id, " +
+      "CASE WHEN rz > 0 AND fv = 0 THEN 'nan' WHEN rz > 0 THEN (CASE WHEN (fv < 0) <> (rnn % 2 = 1) THEN '-inf' ELSE 'inf' END) ELSE 'finite' END AS q_class, " +
+      "CASE WHEN rz > 0 THEN NULL WHEN fv = 0 THEN CAST(0.0 AS DOUBLE) ELSE round(fv / rp, 6) END AS quotient " +
+      "FROM q ORDER BY host, batch_id"),
+    "q_fold_quotient_sloppy" -> (s"$foldCte SELECT host, batch_id, " +
+      "CASE WHEN len(list_filter(ms, x -> x = 0)) > 0 THEN CAST(0.0 AS DOUBLE) " +
+      "ELSE round(ms[1] / COALESCE(list_aggregate(ms[2:], 'product'), CAST(1.0 AS DOUBLE)), 6) END AS quotient_sloppy " +
+      "FROM g ORDER BY host, batch_id"),
+    "q_media_features" -> ("SELECT doc_id AS media_id, " +
+      "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality, " +
+      "CAST(length(text) AS BIGINT) AS n_bytes, " +
+      "CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)), i -> CAST(unicode(text[i]) AS BIGINT) * i)), 0) AS BIGINT) AS checksum " +
+      "FROM documents ORDER BY media_id"),
     "q_dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1",
     "q_minhash_sig" -> (s"$shCte$hsCte SELECT doc_id, array_to_string(list_transform(" +
       s"${minhashSigSql(8)}, h -> CAST(h AS VARCHAR)), ',') AS sig FROM hh ORDER BY doc_id"),

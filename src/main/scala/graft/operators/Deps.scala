@@ -32,42 +32,58 @@ object Deps {
     * ([[Index.liveAt]]); leaf matches aggregate it per (host) or
     * globally and broadcast the tiny result onto the stream. */
   def tagSatisfied(events: DataFrame, indexDf: DataFrame, rule: Rule): DataFrame = {
-    // each leaf probes the index with its own action; materialize the
-    // (small) snapshot once instead of recomputing it per leaf, and
-    // release it before returning — leaf marks are collected to a local
-    // relation (the index is in-memory-small by design, as in the
-    // reference), so the returned plan holds no executor-resident
-    // blocks and survives executor loss
-    val index = indexDf.cache()
-    try {
-    // global leaf truths: does ANY index entry match each global Matches?
-    def leafGlobal(m: Matches): Boolean =
-      index.filter(m.fields.map { case (k, v) => col(k) === v }
-        .reduceOption(_ && _).getOrElse(lit(true))).limit(1).count() > 0
+    // materialize the (small) snapshot exactly once: localCheckpoint
+    // truncates the upstream plan so the per-leaf filters below scan
+    // the checkpointed blocks instead of recomputing the snapshot, and
+    // the context cleaner frees the blocks once the result is
+    // unreferenced (a cache() here either leaked pinned blocks or
+    // forced eager driver-side collection of every leaf)
+    val index = indexDf.localCheckpoint()
 
-    // per-host leaves used inside Localhost: hosts whose entries match
-    def hostsMatching(m: Matches): DataFrame =
-      index.filter(m.fields.map { case (k, v) => col(k) === v }
-        .reduceOption(_ && _).getOrElse(lit(true)))
-        .select(col("host")).distinct()
-
-    def eventMatches(m: Matches): Column =
+    def leafCond(m: Matches): Column =
       m.fields.map { case (k, v) => col(k) === v }
         .reduceOption(_ && _).getOrElse(lit(true))
+
+    // answer every GLOBAL leaf ("does ANY index entry match?") in one
+    // batched aggregation job — the rule tree is walked twice (cheap,
+    // driver-side) so N leaves cost one Spark action, not N
+    val globals = scala.collection.mutable.LinkedHashMap[Matches, Int]()
+    def findGlobals(r: Rule, localhost: Boolean): Unit = r match {
+      case m: Matches => if (!localhost && !globals.contains(m))
+        globals.put(m, globals.size)
+      case All(rs) => rs.foreach(findGlobals(_, localhost))
+      case Any(rs) => rs.foreach(findGlobals(_, localhost))
+      case Localhost(inner) => findGlobals(inner, localhost = true)
+      // Depends' `a` is matched against the EVENT, not the index
+      case Depends(_, b) => findGlobals(b, localhost)
+    }
+    findGlobals(rule, localhost = false)
+    val globalTruth: Map[Int, Boolean] =
+      if (globals.isEmpty) Map.empty
+      else {
+        val aggs = globals.toSeq.map { case (m, i) =>
+          coalesce(max(when(leafCond(m), lit(true))), lit(false)).as(s"_g$i")
+        }
+        val row = index.agg(aggs.head, aggs.tail: _*).first()
+        globals.valuesIterator.map(i => i -> row.getAs[Boolean](s"_g$i")).toMap
+      }
+
+    def eventMatches(m: Matches): Column = leafCond(m)
 
     var out = events
     var joined = 0
     def compile(r: Rule, localhost: Boolean): Column = r match {
       case m: Matches =>
-        if (!localhost) lit(leafGlobal(m))
+        if (!localhost) lit(globalTruth(globals(m)))
         else {
-          // broadcast-mark events whose host has a matching entry
+          // broadcast-mark events whose host has a matching entry; the
+          // matching-host relation stays distributed end to end (a
+          // collect() here was a driver-memory risk at scale for zero
+          // benefit — the broadcast ships the same small set)
           joined += 1
           val markCol = s"_dep$joined"
-          val hosts = hostsMatching(m).collect().map(_.getString(0)).toSeq
-          val session = events.sparkSession
-          import session.implicits._
-          val marks = hosts.toDF("host").withColumn(markCol, lit(true))
+          val marks = index.filter(leafCond(m)).select(col("host")).distinct()
+            .withColumn(markCol, lit(true))
           out = out.join(broadcast(marks), Seq("host"), "left")
           coalesce(col(markCol), lit(false))
         }
@@ -85,6 +101,5 @@ object Deps {
     val cond = compile(rule, localhost = false)
     out.withColumn("deps_satisfied", cond)
       .drop((1 to joined).map(i => s"_dep$i"): _*)
-    } finally index.unpersist()
   }
 }

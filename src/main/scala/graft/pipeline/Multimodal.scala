@@ -50,8 +50,11 @@ object Multimodal {
       map(lit("src"), col("source")).as("meta"))
 
   /** STUB decode: a real implementation hands `bytes` to a codec; this
-    * one emits a deterministic pseudo-feature (dim-d) from a rolling
-    * byte checksum so tests can assert exact values. The mapPartitions
+    * one emits a deterministic pseudo-feature (dim-d) from a positional
+    * byte checksum (Σ byte·position, 1-based) so tests can assert exact
+    * values — and, unlike a rolling hash that wraps on long overflow,
+    * the checksum is ANSI-SQL-expressible, so the DuckDB oracle gates
+    * it (overflow-free up to ~2·10^8 bytes per row). The mapPartitions
     * shape (iterator-in/iterator-out, no materialization) is the real
     * contract a codec UDF must follow. */
   def decodeStub(media: DataFrame, dim: Int = 8): Dataset[MediaFeature] = {
@@ -63,7 +66,7 @@ object Multimodal {
           val n = if (bytes == null) 0 else bytes.length
           var sum = 0L
           var i = 0
-          while (i < n) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
+          while (i < n) { sum += (bytes(i) & 0xff).toLong * (i + 1); i += 1 }
           val feat = Array.tabulate(dim) { d =>
             // ??? real codec goes here; deterministic fake:
             (((sum >>> (d * 7)) & 0xff).toFloat / 255.0f)

@@ -32,8 +32,9 @@ class MultimodalSpec extends SparkSpec {
     val fs = Multimodal.decodeStub(media(), 4).collect().sortBy(_.media_id)
     assert(fs.length == 3)
     assert(fs(0).n_bytes == 5) // "a b c"
-    // rolling hash of "a b c" bytes: deterministic and reproducible
-    val expect = "a b c".getBytes("UTF-8").foldLeft(0L)((s, b) => s * 31 + (b & 0xff))
+    // positional byte checksum of "a b c": deterministic and reproducible
+    val expect = "a b c".getBytes("UTF-8").zipWithIndex
+      .map { case (b, i) => (b & 0xff).toLong * (i + 1) }.sum
     assert(fs(0).checksum == expect)
     assert(fs(0).feature.length == 4)
   }
