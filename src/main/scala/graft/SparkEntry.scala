@@ -392,6 +392,37 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // §2.1 protobuf wire transport: encode events to int32-framed Msg
+    // bytes with the forward-sink encoder, decode with the server-side
+    // wire reader — all distributed — and state the identity in the
+    // oracle (doubles, varint seconds, and integer-valued float ttls
+    // round-trip exactly; event_id and the k attribute ride the
+    // attribute map)
+    "q_protobuf_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val pes = ev(s, d).select(
+        col("host"), col("service"), col("state"),
+        lit(null).cast("string").as("description"),
+        col("metric"), col("tags"), col("time_s"), col("ttl"),
+        map_concat(
+          map(lit("idx"), col("event_id").cast("string")),
+          map(lit("k"), element_at(col("attributes"), "k")))
+          .as("attributes"))
+        .as[graft.sources.RiemannProtobuf.PEvent]
+      val framed = pes.map(p => graft.sources.RiemannProtobuf.frame(
+        graft.sources.RiemannProtobuf.encodeMsg(Seq(p))))(
+        org.apache.spark.sql.Encoders.BINARY).toDF("value")
+      graft.sources.RiemannProtobuf.decodeMsgs(framed, "value", framed = true)
+        .toDF()
+        .select(
+          element_at(col("attributes"), "idx").cast("long").as("event_id"),
+          col("host"), col("service"), col("state"), col("metric"),
+          coalesce(array_join(col("tags"), ","), lit("")).as("tags"),
+          col("time_s"), col("ttl"),
+          element_at(col("attributes"), "k").as("attr_k"))
+        .orderBy("event_id")
+    }),
+
     // ---- LLM pipeline: multimodal plumbing (media derived from documents)
     "q_frames" -> ((s, d) =>
       graft.pipeline.Multimodal.sampleFrames(
@@ -768,6 +799,13 @@ object SparkEntry {
       "round(list_sum(list_transform(list_zip(dv, qvec), z -> abs(z[1] - CAST(z[2] AS DOUBLE) / CAST(127 AS DOUBLE) * scale))) / len(dv), 6) AS mean_abs_err " +
       "FROM q ORDER BY vec_id"),
     "q_graphite_decode" -> s"$cte SELECT event_id, service, metric, time_s, host FROM ev ORDER BY event_id",
+    "q_protobuf_roundtrip" -> ("WITH ev AS (SELECT event_id, CAST(user_id AS VARCHAR) AS host, event_type AS service, " +
+      "CASE WHEN event_type='error' THEN 'critical' WHEN value>150 THEN 'warning' ELSE 'ok' END AS state, " +
+      "value AS metric, CASE WHEN value>100 THEN [event_type,'big'] ELSE [event_type] END AS tags, " +
+      "epoch_ns(ts) // 1000000000 AS time_s, CAST(60 + (user_id%10)*30 AS DOUBLE) AS ttl, " +
+      "json_extract_string(props, '$.k') AS attr_k FROM events) " +
+      "SELECT event_id, host, service, state, metric, COALESCE(array_to_string(tags, ','), '') AS tags, time_s, ttl, attr_k " +
+      "FROM ev ORDER BY event_id"),
     "q_opentsdb_decode" -> (s"$cte SELECT event_id, service AS metric_name, " +
       "service || ' idx=' || CAST(event_id AS VARCHAR) AS service, metric, time_s, host FROM ev ORDER BY event_id"),
     "q_label_centroids" -> (s"$unitCte, dims AS (SELECT label, unnest(unit) AS v, unnest(generate_series(0, len(unit)-1)) AS dim FROM u), " +

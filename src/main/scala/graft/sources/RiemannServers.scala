@@ -1,0 +1,222 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, DataInputStream, EOFException, IOException}
+import java.net.{DatagramPacket, DatagramSocket, InetSocketAddress, ServerSocket, Socket, SocketException}
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The riemann TCP/UDP *server* transports as a Spark DataSource V2
+  * streaming source (reference src/riemann/transport/tcp.clj:246-296
+  * `tcp-server`, udp.clj:147-181 `udp-server`).
+  *
+  * Shape: a driver-side listener (the same role netty plays in the
+  * reference) accepts client connections, strips the int32 big-endian
+  * length frame (tcp.clj:220-244 int32-frame-decoder), acks each Msg
+  * with `Msg{ok: true}` (tcp.clj:148-158 gen-tcp-handler reply), and
+  * buffers raw Msg payloads. Each micro-batch drains the buffer and
+  * ships the payloads to EXECUTORS, where [[RiemannProtobuf.decodeMsgs]]
+  * does the protobuf decode — the byte-crunching is distributed, only
+  * socket assembly is central (exactly Spark's own socket source
+  * architecture, and the shape a multi-receiver cluster deployment
+  * would shard by port).
+  *
+  * Flow control: when `capacity` frames are buffered, the reader
+  * threads block before reading the next frame, so TCP backpressure
+  * propagates to clients instead of OOMing the driver (the reference
+  * relies on netty's channel watermarks for the same thing).
+  *
+  * Delivery: frames are acked on receipt and kept until the batch
+  * offset commits; a driver restart loses the in-memory buffer —
+  * at-most-once across restarts, same contract as Spark's socket
+  * source. Usage:
+  * {{{
+  * spark.readStream.format("riemann-server")
+  *   .option("protocol", "tcp").option("port", 5555).load()
+  * }}}
+  * yields (value BINARY — one Msg payload, unframed; timestamp) rows.
+  */
+class RiemannServerProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "riemann-server"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RiemannServers.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RiemannServerTable(new CaseInsensitiveStringMap(properties))
+}
+
+object RiemannServers {
+  val Schema: StructType = StructType(Seq(
+    StructField("value", BinaryType),
+    StructField("timestamp", TimestampType)))
+
+  /** Framed `Msg{ok: true}`: field 2 (ok), wire type 0, value 1. */
+  val AckFrame: Array[Byte] = RiemannProtobuf.frame(Array[Byte](0x10, 1))
+}
+
+private[sources] class RiemannServerTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"riemann-server(${options.get("protocol")}:${options.get("port")})"
+  override def schema(): StructType = RiemannServers.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = RiemannServers.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new RiemannServerStream(
+            protocol = Option(options.get("protocol")).getOrElse("tcp"),
+            host = Option(options.get("host")).getOrElse("127.0.0.1"),
+            port = options.getInt("port", 5555),
+            maxFrame = options.getInt("maxframebytes", 16 * 1024 * 1024),
+            capacity = options.getInt("capacity", 1 << 20))
+      }
+    }
+}
+
+/** Counts frames; `n` is the total ever enqueued (monotone). */
+private[sources] case class FrameOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private[sources] class RiemannServerStream(protocol: String, host: String,
+    port: Int, maxFrame: Int, capacity: Int) extends MicroBatchStream {
+
+  // (payload, receive-time-micros); `base` = offset of frames(0)
+  private val frames = new ArrayBuffer[(Array[Byte], Long)]()
+  private var base = 0L
+  @volatile private var running = true
+  private val threads = new ArrayBuffer[Thread]()
+  private var serverSocket: ServerSocket = _
+  private var datagramSocket: DatagramSocket = _
+
+  locally {
+    protocol match {
+      case "tcp" =>
+        serverSocket = new ServerSocket()
+        serverSocket.bind(new InetSocketAddress(host, port))
+        spawn("riemann-tcp-accept") { () =>
+          while (running) {
+            val client = serverSocket.accept()
+            spawn(s"riemann-tcp-conn-${client.getPort}")(() => serve(client))
+          }
+        }
+      case "udp" =>
+        datagramSocket = new DatagramSocket(new InetSocketAddress(host, port))
+        spawn("riemann-udp-recv") { () =>
+          val buf = new Array[Byte](65535)
+          while (running) {
+            val p = new DatagramPacket(buf, buf.length)
+            datagramSocket.receive(p)
+            enqueue(util.Arrays.copyOfRange(buf, 0, p.getLength))
+          }
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"riemann-server protocol must be tcp or udp, got '$other'")
+    }
+  }
+
+  private def spawn(name: String)(body: () => Unit): Unit = {
+    val t = new Thread(() =>
+      try body()
+      catch {
+        case _: SocketException | _: EOFException | _: IOException => // closed
+      }, name)
+    t.setDaemon(true)
+    t.start()
+    threads.synchronized(threads += t)
+  }
+
+  /** Per-connection loop: unframe, enqueue, ack — one Msg at a time,
+    * blocking (backpressure) when the buffer is full. */
+  private def serve(client: Socket): Unit = {
+    val in = new DataInputStream(client.getInputStream)
+    val out = new BufferedOutputStream(client.getOutputStream)
+    try {
+      while (running) {
+        val len = in.readInt() // big-endian int32 frame header
+        if (len < 0 || len > maxFrame)
+          throw new IOException(s"bad frame length $len")
+        val payload = new Array[Byte](len)
+        in.readFully(payload)
+        enqueue(payload)
+        out.write(RiemannServers.AckFrame)
+        out.flush()
+      }
+    } finally client.close()
+  }
+
+  private def enqueue(payload: Array[Byte]): Unit = frames.synchronized {
+    while (running && frames.size >= capacity) frames.wait(100)
+    frames += ((payload, System.currentTimeMillis() * 1000L))
+  }
+
+  override def initialOffset(): Offset = FrameOffset(0)
+  override def latestOffset(): Offset =
+    frames.synchronized(FrameOffset(base + frames.size))
+  override def deserializeOffset(json: String): Offset =
+    FrameOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[FrameOffset].n, end.asInstanceOf[FrameOffset].n)
+    val slice = frames.synchronized {
+      val from = math.max(0L, s - base).toInt
+      val to = math.max(0L, math.min(e - base, frames.size.toLong)).toInt
+      frames.slice(from, to).toArray
+    }
+    if (slice.isEmpty) Array.empty
+    else {
+      // shard the batch so the protobuf decode parallelizes on executors
+      val nParts = math.min(8, slice.length)
+      slice.grouped((slice.length + nParts - 1) / nParts)
+        .map(chunk => FramesPartition(chunk): InputPartition).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    FramesReaderFactory
+
+  override def commit(end: Offset): Unit = frames.synchronized {
+    val done = math.max(0L, math.min(end.asInstanceOf[FrameOffset].n - base,
+      frames.size.toLong)).toInt
+    frames.remove(0, done)
+    base += done
+    frames.notifyAll()
+  }
+
+  override def stop(): Unit = {
+    running = false
+    if (serverSocket != null) serverSocket.close()
+    if (datagramSocket != null) datagramSocket.close()
+    frames.synchronized(frames.notifyAll())
+  }
+}
+
+private[sources] case class FramesPartition(rows: Array[(Array[Byte], Long)])
+    extends InputPartition
+
+private[sources] object FramesReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[FramesPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](rows(i)._1, rows(i)._2))
+      override def close(): Unit = ()
+    }
+  }
+}

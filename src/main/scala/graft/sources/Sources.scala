@@ -5,13 +5,33 @@ import org.apache.spark.sql.functions._
 
 import graft.model.Event
 
-/** Streaming source assembly: riemann's servers map to line-shaped
-  * streaming reads + the pure-column decoders in [[LineProtocols]].
-  * (The TCP/UDP protobuf transports, reference
-  * src/riemann/transport/tcp.clj:246-296 / udp.clj:147-181, are a
-  * custom framed-binary MicroBatchStream — out of scope here; the
-  * graphite/opentsdb/kafka paths below cover the text transports.) */
+/** Streaming source assembly: riemann's servers map to streaming reads
+  * plus pure decoders — [[RiemannServers]] (the custom framed-protobuf
+  * TCP/UDP MicroBatchStream) for the binary transports, the
+  * pure-column decoders in [[LineProtocols]] for the text ones. */
 object Sources {
+
+  /** `tcp-server` (transport/tcp.clj:246-296): the riemann protobuf
+    * wire protocol end to end — int32-framed `Msg` ingest with
+    * per-Msg acks, decoded on executors to the event relation. */
+  def riemannTcpServer(spark: SparkSession, host: String, port: Int): DataFrame =
+    decodedServer(spark, "tcp", host, port)
+
+  /** `udp-server` (transport/udp.clj:147-181): one un-framed `Msg`
+    * per datagram, no acks. */
+  def riemannUdpServer(spark: SparkSession, host: String, port: Int): DataFrame =
+    decodedServer(spark, "udp", host, port)
+
+  private def decodedServer(spark: SparkSession, protocol: String,
+      host: String, port: Int): DataFrame = {
+    val raw = spark.readStream.format("riemann-server")
+      .option("protocol", protocol).option("host", host)
+      .option("port", port).load()
+    RiemannProtobuf.decodeMsgs(raw).toDF()
+      // decode-time default clock (common.clj:86-89): events arriving
+      // without a time get the processing time
+      .withColumn("time_s", defaultTimeS(col("time_s")))
+  }
 
   /** `graphite-server` (transport/graphite.clj:37-160): socket text
     * lines → events. */
