@@ -166,6 +166,54 @@ object Sinks {
     }
   }
 
+  /** InfluxDB sink (reference src/riemann/influxdb.clj:135-231): each
+    * event becomes one line-protocol point —
+    * `measurement,host=<host> value=<metric> <time_ns>` with
+    * line-protocol escaping — formatted distributed and handed to the
+    * injected HTTP transport per partition (the batched `/write` POST).
+    * Events without a metric are dropped (a point needs ≥1 field). */
+  class InfluxDbSink(transport: Iterator[String] => Unit) extends EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      import org.apache.spark.sql.functions._
+      // measurement escapes commas/spaces; tag values also equals
+      val meas = regexp_replace(col("service"), "([, ])", "\\\\$1")
+      val hostTag = regexp_replace(col("host"), "([,= ])", "\\\\$1")
+      batch.filter(col("metric").isNotNull)
+        .select(concat(
+          meas, lit(",host="), hostTag,
+          lit(" value="), col("metric").cast("double").cast("string"),
+          lit(" "), (col("time_s").cast("long") * 1000000000L).cast("string"))
+          .as("line"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          transport(rows.map(_.getString(0)))
+        }
+    }
+  }
+
+  /** RabbitMQ publisher (reference src/riemann/rabbitmq.clj:17-82):
+    * events rendered as JSON and published to an exchange under a
+    * routing key. The AMQP client is injected as
+    * `(routingKey, payload) => Unit`; exchange declaration options ride
+    * the config (the reference's `:exchange-settings` defaults). */
+  case class RabbitMqConfig(
+      exchange: String = "riemann", exchangeType: String = "topic",
+      durable: Boolean = false, autoDelete: Boolean = false,
+      internal: Boolean = false, routingKey: String = "riemann.events",
+      contentType: String = "application/json")
+
+  class RabbitMqSink(cfg: RabbitMqConfig, publish: (String, String) => Unit)
+      extends EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      import org.apache.spark.sql.functions._
+      val rk = cfg.routingKey
+      batch
+        .select(to_json(struct(batch.columns.toIndexedSeq.map(col): _*)).as("payload"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          rows.foreach(r => publish(rk, r.getString(0)))
+        }
+    }
+  }
+
   /** Kafka producer sink (kafka.clj:11-48): native in Spark — this just
     * pins the contract (value = JSON event). */
   def kafka[T](ds: Dataset[T], bootstrap: String, topic: String): DataStreamWriter[Row] = {

@@ -62,6 +62,19 @@ object Sources {
           Event.schema).as("e"))
         .select(col("e.*")))
 
+  /** `rabbitmq-transport` consumer (transport/rabbitmq.clj:27-44):
+    * AMQP delivers un-framed protobuf `Msg` payloads (AMQP does its own
+    * framing); decode is the same executor-side path as the TCP/UDP
+    * servers. The AMQP client bridge lands payloads as a binary
+    * `value` column (e.g. via a custom receiver or a queue→file/kafka
+    * bridge); replies use [[rabbitReplyOk]] when `reply-to` is set. */
+  def rabbitConsume(payloads: DataFrame, binaryCol: String = "value"): DataFrame =
+    RiemannProtobuf.decodeMsgs(payloads, binaryCol).toDF()
+      .withColumn("time_s", defaultTimeS(col("time_s")))
+
+  /** Un-framed `Msg{ok: true}` — the rabbitmq reply payload. */
+  val rabbitReplyOk: Array[Byte] = Array[Byte](0x10, 1)
+
   /** Decode-time default assignment (common.clj:86-89,132-137): events
     * without a time get the processing clock. */
   def withDefaultTime(events: DataFrame): DataFrame =

@@ -118,6 +118,55 @@ class SinksExtraSpec extends SparkSpec {
     val out = Streams.smapTyped(ds)(x => if (x > 0) Some(x * 10) else None)
     assert(out.collect().sorted.toSeq == Seq(10.0, 20.0))
   }
+
+  test("influxdb sink formats line protocol with escaping (influxdb.clj:135-231)") {
+    InfluxProbe.lines.clear()
+    val sink = new Sinks.InfluxDbSink(ls => ls.foreach(InfluxProbe.lines.add))
+    sink.write(events(
+      E(id = 1, host = "web01", service = "cpu load", metric = 0.95, time = 10L),
+      E(id = 2, host = "a=b,c d", service = "mem", metric = 512.0, time = 11L),
+      E(id = 3, host = "drop", service = "nil", metric = null, time = 12L)), 0L)
+    val got = InfluxProbe.lines.toArray.map(_.toString).toSet
+    assert(got == Set(
+      "cpu\\ load,host=web01 value=0.95 10000000000",
+      "mem,host=a\\=b\\,c\\ d value=512.0 11000000000"))
+  }
+
+  test("rabbitmq sink publishes JSON under the routing key (rabbitmq.clj:17-82)") {
+    RabbitProbe.published.clear()
+    val sink = new Sinks.RabbitMqSink(
+      Sinks.RabbitMqConfig(routingKey = "riemann.events.test"),
+      (rk, payload) => RabbitProbe.published.add((rk, payload)))
+    sink.write(events(E(id = 1, host = "h1", service = "cpu", metric = 1.0))
+      .select("host", "service", "metric"), 0L)
+    val (rk, payload) = RabbitProbe.published.peek()
+    assert(rk == "riemann.events.test")
+    assert(payload.contains(""""host":"h1"""") &&
+      payload.contains(""""metric":1.0"""))
+  }
+
+  test("rabbitmq consumer decodes un-framed Msg payloads, ok reply is Msg{ok}") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.sources.{RiemannProtobuf, Sources}
+    val payload = RiemannProtobuf.encodeMsg(Seq(RiemannProtobuf.PEvent(
+      "amqp01", "queue_depth", "ok", null, Some(42.0), Seq(), Some(100L),
+      None, Map())))
+    val df = Seq(payload).toDF("value")
+    val out = Sources.rabbitConsume(df)
+    assert(out.select("host", "metric").collect().map(r =>
+      (r.getString(0), r.getDouble(1))).toSeq == Seq(("amqp01", 42.0)))
+    // the reply payload decodes as a Msg with no events (ok flag only)
+    assert(RiemannProtobuf.decodeMsg(Sources.rabbitReplyOk).isEmpty)
+  }
+}
+
+object InfluxProbe {
+  val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+object RabbitProbe {
+  val published = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
 }
 
 object EsProbe {
