@@ -65,18 +65,26 @@ object Bench {
     // IO, so timing 10 redundant parquet scans would under-report ours.
     val throughput = try {
       // cache the base table ONCE (caching the union would store ten
-      // copies and spill); the timed aggregation reads the cache 10x
+      // copies and spill). NOTE: do NOT repartition before caching —
+      // measured 5-10x slower scans of the cached relation (round-robin
+      // scatter wrecks the columnar cache's clustering); parquet-order
+      // blocks scan at full speed
       val ev1 = graft.model.EventView(spark, sfDir).cache()
       val nEvents = ev1.count() * 10 // materializes the cache
       val ev10 = (1 to 9).foldLeft(ev1: org.apache.spark.sql.DataFrame)(
         (d, _) => d.union(ev1))
-      val t0 = System.nanoTime()
-      materialize(ev10.filter(col("metric") > 0)
-        .groupBy("host", "service")
-        .agg(sum(col("metric")).as("total"), count(lit(1)).as("n")))
-      val r = nEvents / ((System.nanoTime() - t0) / 1e9)
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        materialize(ev10.filter(col("metric") > 0)
+          .groupBy("host", "service")
+          .agg(sum(col("metric")).as("total"), count(lit(1)).as("n")))
+        nEvents / ((System.nanoTime() - t0) / 1e9)
+      }
+      run() // untimed warm-up: codegen compile + first cached scan
+      // median of 3: single runs swung 0.9-1.9M events/s with JIT state
+      val runs = (1 to 3).map(_ => run())
       ev1.unpersist()
-      r
+      runs.sorted.apply(1)
     } catch { case _: Throwable => -1.0 }
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"events_per_sec":$throughput%.0f,"sf":"$sfDir"}""")
