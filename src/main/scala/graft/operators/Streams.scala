@@ -112,6 +112,21 @@ object Streams {
       df.withColumn("route", route)
     }
 
+    /** `splitp` WITHOUT a default clause: the reference THROWS
+      * IllegalArgumentException on a non-matching value
+      * (streams.clj:1855-1916, clojure.core/condp semantics);
+      * `raise_error` reproduces the throw distributed — it surfaces at
+      * action time from whichever task hits the unmatched row. */
+    def splitpStrict(extract: Column, cases: Seq[(Any, String)]): DataFrame = {
+      val noMatch = raise_error(concat(
+        lit("splitp: no matching clause for "),
+        coalesce(extract.cast("string"), lit("null")))).cast("string")
+      val route = cases.foldRight(noMatch) { case ((v, name), acc) =>
+        when(extract <=> lit(v), lit(name)).otherwise(acc)
+      }
+      df.withColumn("route", route)
+    }
+
     /** `dual` (streams.clj:127-152): events matching pred flow on
       * unchanged; the complement is mirrored as expired copies. */
     def dual(pred: Column): (DataFrame, DataFrame) = {

@@ -226,6 +226,70 @@ object StatefulOps {
       }
   }
 
+  /** `top k f` faithful port (streams.clj:1015-1100): the dual view
+    * ranked by each key's LATEST metric (not a running total — see
+    * [[top]] for the leaderboard-by-total variant). Per event, after
+    * updating the ≤k-entry index of (host, service) → latest metric:
+    *
+    *  - expired input or missing metric → key leaves the index, the
+    *    top stream sees `expire(e)` (host/service + state="expired",
+    *    metric dropped — common.clj:119-124);
+    *  - key outside the top set (value ≤ current minimum, set full) →
+    *    top stream sees `expire(e)`;
+    *  - key in the top set → the event passes unchanged; with
+    *    `demote`, the key it displaced is first mirrored as expired
+    *    (the reference's `demote?` arity).
+    *
+    * Expired mirrors are stamped with the TRIGGERING event's time —
+    * the reference uses the wall clock (`unix-time`), which would race
+    * the watermark here; event-time keeps goldens deterministic.
+    * State is bounded at k entries per scope by construction. */
+  def topLatest(events: Dataset[SEvent], k: Int, demote: Boolean = false,
+      scope: SEvent => String = _ => ""): Dataset[SEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def expireOf(e: SEvent): SEvent =
+      SEvent(e.host, e.service, "expired", None, e.time, None)
+    events.groupByKey(scope)
+      .flatMapGroupsWithState[Map[(String, String), Double], SEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, st: GroupState[Map[(String, String), Double]]) =>
+          var top = st.getOption.getOrElse(Map.empty[(String, String), Double])
+          val out = Seq.newBuilder[SEvent]
+          for (e <- sorted(rows)) {
+            val ekey = (e.host, e.service)
+            val v = if (e.state == "expired") None else e.metric
+            // deterministic minimum (ties by key — the reference's scan
+            // is stable-sort-dependent and its tests never tie here)
+            def minEntry = top.minBy { case ((h, s), m) => (m, h, s) }
+            v match {
+              case None =>
+                top -= ekey
+                out += expireOf(e)
+              case Some(value) =>
+                val member = top.contains(ekey)
+                if (!member && top.size >= k && value <= minEntry._2)
+                  out += expireOf(e) // stays out
+                else {
+                  top += ekey -> value
+                  var demoted: Option[(String, String)] = None
+                  if (top.size > k) {
+                    val sm = minEntry._1; demoted = Some(sm); top -= sm
+                  }
+                  if (top.contains(ekey)) {
+                    if (demote) demoted.foreach { case (h, s) =>
+                      out += SEvent(h, s, "expired", None, e.time, None)
+                    }
+                    out += e
+                  } else out += expireOf(e)
+                }
+            }
+          }
+          st.update(top)
+          out.result().iterator
+      }
+  }
+
   /** `sreduce f init` (streams.clj:206-250), streaming: running reduce
     * over the metric with visible intermediates — each event re-emitted
     * carrying the accumulator. */

@@ -115,6 +115,25 @@ class GoldenWindowsSpec extends SparkSpec {
     assert(out == Seq((0L, 0L, 3L), (0L, 1L, 1L), (10L, 0L, 1L)))
   }
 
+  test("stable golden tables: dt gate, spike and flap elision (stable-test)") {
+    def run(dt: Long, es: Seq[(Long, String, Long)]): Seq[Long] =
+      ids(Windows.stable(
+        events(es.map { case (i, x, t) => E(id = i, state = x, time = t) }: _*),
+        dt, "state", Seq("host")).select("event_id"))
+    // doesn't emit until dt seconds have passed
+    assert(run(3, Seq((1L, "1", 0L), (2L, "1", 1L), (3L, "1", 2L))) == Seq())
+    // constant values emit once the span reaches dt
+    assert(run(3, Seq((1L, "1", 0L), (2L, "1", 1L), (3L, "1", 3L))) ==
+      Seq(1L, 2L, 3L))
+    // spikes elided
+    assert(run(3, Seq((1L, "0", 0L), (2L, "0", 3L), (3L, "1", 4L),
+      (4L, "1", 5L), (5L, "0", 6L), (6L, "0", 9L))) == Seq(1L, 2L, 5L, 6L))
+    // flapping elided
+    assert(run(3, Seq((1L, "0", 0L), (2L, "0", 10L), (3L, "1", 11L),
+      (4L, "0", 11L), (5L, "1", 12L), (6L, "5", 13L), (7L, "2", 14L),
+      (8L, "2", 17L))) == Seq(1L, 2L, 7L, 8L))
+  }
+
   test("rollup passes n and buffers overflow metrics in order (rollup-test)") {
     val df = events(
       E(id = 1, metric = 1.0, time = 0L), E(id = 2, metric = 2.0, time = 1L),
