@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SQLContext}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.sinks.Sinks
+
+/** `reinject` (reference src/riemann/config.clj:280-288): a stream that
+  * sends events back into the core's top-level streams.
+  *
+  * A Structured Streaming query's DAG is acyclic, so the loop closes
+  * ACROSS queries instead of inside one: [[sink]] appends derived
+  * events to an in-memory loopback stream, and the topology unions
+  * [[source]] with its primary input — reinjected events re-enter the
+  * full topology on the next trigger. That is riemann's actual
+  * semantics too: `reinject` enqueues into the core asynchronously, it
+  * does not recurse inline.
+  *
+  * The sink collects each (derived, low-volume — alerts, rollups)
+  * batch to the driver before appending, like the reference's
+  * `append`; reinjecting a full-volume stream would make the driver
+  * the bottleneck — fan such loops through kafka instead. */
+class ReinjectLoop(implicit sqlCtx: SQLContext) extends Serializable {
+  import sqlCtx.implicits._
+
+  private val loop = MemoryStream[SEvent]
+
+  /** The loopback source: union this with the primary input. */
+  def source: Dataset[SEvent] = loop.toDS()
+
+  /** The loopback sink: attach via foreachBatch / [[Sinks.attach]]. */
+  def sink: Sinks.EventSink = new Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      val rows = batch.as[SEvent].collect()
+      if (rows.nonEmpty) loop.addData(rows.toSeq)
+    }
+  }
+}
