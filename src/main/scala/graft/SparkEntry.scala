@@ -406,7 +406,10 @@ object SparkEntry {
         col("metric"), col("tags"), col("time_s"), col("ttl"),
         map_concat(
           map(lit("idx"), col("event_id").cast("string")),
-          map(lit("k"), element_at(col("attributes"), "k")))
+          // a missing/unparseable k must drop the entry, not carry a
+          // null value (encodeEvent writes values verbatim); the
+          // oracle's attr_k is NULL either way
+          expr("map_filter(map('k', attributes['k']), (k, v) -> v IS NOT NULL)"))
           .as("attributes"))
         .as[graft.sources.RiemannProtobuf.PEvent]
       val framed = pes.map(p => graft.sources.RiemannProtobuf.frame(
@@ -582,8 +585,9 @@ object SparkEntry {
     "q_smap" -> s"$cte, m AS (SELECT event_id, metric / CAST(10 AS DOUBLE) AS metric FROM ev) SELECT event_id, metric FROM m WHERE metric > 10 ORDER BY event_id",
     "q_smapcat" -> s"$cte SELECT event_id, unnest(tags) AS tag FROM ev ORDER BY event_id, tag",
     "q_query_search" -> s"$snapCte SELECT event_id, host, service, state, metric, time_s FROM snap WHERE rn = 1 AND (state = 'critical' OR (metric > 120 AND list_contains(tags, 'big'))) ORDER BY event_id",
-    "q_query_attrs" -> (s"WITH ev AS (SELECT event_id, CAST(user_id AS VARCHAR) AS host, event_type AS service, value AS metric, epoch_ns(ts) // 1000000000 AS time_s, CAST(json_extract_string(props, '$$.k') AS DOUBLE) AS kval FROM events), " +
-      "snap AS (SELECT *, row_number() OVER (PARTITION BY host, service ORDER BY time_s DESC, event_id DESC) AS rn FROM ev) " +
+    "q_query_attrs" -> (EventView.oracleCteWith(
+      "CAST(json_extract_string(props, '$.k') AS DOUBLE) AS kval") +
+      ", snap AS (SELECT *, row_number() OVER (PARTITION BY host, service ORDER BY time_s DESC, event_id DESC) AS rn FROM ev) " +
       "SELECT event_id, host, service, metric FROM snap WHERE rn = 1 AND kval > 50 AND metric < 100 ORDER BY event_id"),
     "q_index_snapshot" -> s"$snapCte SELECT event_id, host, service, state, metric, time_s FROM snap WHERE rn = 1 ORDER BY host, service",
     "q_index_expired" -> s"$snapCte SELECT host, service, 'expired' AS state, CAST(1706620000 AS BIGINT) AS time_s FROM snap WHERE rn = 1 AND (state = 'expired' OR (ttl IS NOT NULL AND 1706620000 - time_s > ttl)) ORDER BY host, service",
@@ -799,12 +803,9 @@ object SparkEntry {
       "round(list_sum(list_transform(list_zip(dv, qvec), z -> abs(z[1] - CAST(z[2] AS DOUBLE) / CAST(127 AS DOUBLE) * scale))) / len(dv), 6) AS mean_abs_err " +
       "FROM q ORDER BY vec_id"),
     "q_graphite_decode" -> s"$cte SELECT event_id, service, metric, time_s, host FROM ev ORDER BY event_id",
-    "q_protobuf_roundtrip" -> ("WITH ev AS (SELECT event_id, CAST(user_id AS VARCHAR) AS host, event_type AS service, " +
-      "CASE WHEN event_type='error' THEN 'critical' WHEN value>150 THEN 'warning' ELSE 'ok' END AS state, " +
-      "value AS metric, CASE WHEN value>100 THEN [event_type,'big'] ELSE [event_type] END AS tags, " +
-      "epoch_ns(ts) // 1000000000 AS time_s, CAST(60 + (user_id%10)*30 AS DOUBLE) AS ttl, " +
-      "json_extract_string(props, '$.k') AS attr_k FROM events) " +
-      "SELECT event_id, host, service, state, metric, COALESCE(array_to_string(tags, ','), '') AS tags, time_s, ttl, attr_k " +
+    "q_protobuf_roundtrip" -> (EventView.oracleCteWith(
+      "json_extract_string(props, '$.k') AS attr_k") +
+      " SELECT event_id, host, service, state, metric, COALESCE(array_to_string(tags, ','), '') AS tags, time_s, ttl, attr_k " +
       "FROM ev ORDER BY event_id"),
     "q_opentsdb_decode" -> (s"$cte SELECT event_id, service AS metric_name, " +
       "service || ' idx=' || CAST(event_id AS VARCHAR) AS service, metric, time_s, host FROM ev ORDER BY event_id"),

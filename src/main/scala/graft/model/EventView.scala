@@ -69,4 +69,10 @@ object EventView {
       | epoch_ns(ts) // 1000000000 AS time_s,
       | CAST(60 + (user_id%10)*30 AS DOUBLE) AS ttl
       | FROM events)""".stripMargin.replace("\n", "")
+
+  /** [[oracleCte]] with extra derived columns appended (e.g. a props
+    * attribute) — oracles needing more than the standard event shape
+    * extend the ONE parity-critical derivation instead of copying it. */
+  def oracleCteWith(extraCols: String): String =
+    oracleCte.replace(" FROM events)", s", $extraCols FROM events)")
 }

@@ -103,29 +103,27 @@ object Streams {
       df.withColumn("route", routeExpr(routes, lit(null).cast("string")))
         .filter(col("route").isNotNull)
 
-    /** `splitp` (streams.clj:1855-1916): routing on one extracted
-      * expression compared against constants. */
-    def splitp(extract: Column, cases: Seq[(Any, String)], fallback: String): DataFrame = {
-      val route = cases.foldRight(lit(fallback)) { case ((v, name), acc) =>
+    private def splitpRoute(extract: Column, cases: Seq[(Any, String)],
+        fallback: Column): Column =
+      cases.foldRight(fallback) { case ((v, name), acc) =>
         when(extract <=> lit(v), lit(name)).otherwise(acc)
       }
-      df.withColumn("route", route)
-    }
+
+    /** `splitp` (streams.clj:1855-1916): routing on one extracted
+      * expression compared against constants. */
+    def splitp(extract: Column, cases: Seq[(Any, String)], fallback: String): DataFrame =
+      df.withColumn("route", splitpRoute(extract, cases, lit(fallback)))
 
     /** `splitp` WITHOUT a default clause: the reference THROWS
       * IllegalArgumentException on a non-matching value
       * (streams.clj:1855-1916, clojure.core/condp semantics);
       * `raise_error` reproduces the throw distributed — it surfaces at
       * action time from whichever task hits the unmatched row. */
-    def splitpStrict(extract: Column, cases: Seq[(Any, String)]): DataFrame = {
-      val noMatch = raise_error(concat(
-        lit("splitp: no matching clause for "),
-        coalesce(extract.cast("string"), lit("null")))).cast("string")
-      val route = cases.foldRight(noMatch) { case ((v, name), acc) =>
-        when(extract <=> lit(v), lit(name)).otherwise(acc)
-      }
-      df.withColumn("route", route)
-    }
+    def splitpStrict(extract: Column, cases: Seq[(Any, String)]): DataFrame =
+      df.withColumn("route", splitpRoute(extract, cases,
+        raise_error(concat(
+          lit("splitp: no matching clause for "),
+          coalesce(extract.cast("string"), lit("null")))).cast("string")))
 
     /** `dual` (streams.clj:127-152): events matching pred flow on
       * unchanged; the complement is mirrored as expired copies. */

@@ -201,15 +201,18 @@ object Sinks {
       internal: Boolean = false, routingKey: String = "riemann.events",
       contentType: String = "application/json")
 
-  class RabbitMqSink(cfg: RabbitMqConfig, publish: (String, String) => Unit)
+  class RabbitMqSink(cfg: RabbitMqConfig,
+      publish: (RabbitMqConfig, String, String) => Unit)
       extends EventSink {
     override def write(batch: DataFrame, batchId: Long): Unit = {
       import org.apache.spark.sql.functions._
-      val rk = cfg.routingKey
+      val (c, rk) = (cfg, cfg.routingKey)
       batch
         .select(to_json(struct(batch.columns.toIndexedSeq.map(col): _*)).as("payload"))
         .foreachPartition { (rows: Iterator[Row]) =>
-          rows.foreach(r => publish(rk, r.getString(0)))
+          // the full config reaches the injected client so exchange
+          // declaration / content-type settings are honored, not dead
+          rows.foreach(r => publish(c, rk, r.getString(0)))
         }
     }
   }

@@ -206,8 +206,12 @@ object RiemannProtobuf {
     Option(e.tags).getOrElse(Seq()).foreach(w.str(7, _))
     e.ttl.foreach(t => w.fixed32(8, java.lang.Float.floatToIntBits(t.toFloat)))
     Option(e.attributes).getOrElse(Map()).foreach { case (k, v) =>
-      val aw = new Writer; aw.str(1, k); aw.str(2, v)
-      w.sub(9, aw.toBytes)
+      // proto3 strings are non-nullable: skip null keys/values rather
+      // than NPE mid-partition (the wire has no way to carry them)
+      if (k != null && v != null) {
+        val aw = new Writer; aw.str(1, k); aw.str(2, v)
+        w.sub(9, aw.toBytes)
+      }
     }
     e.metric.foreach(m =>
       w.fixed64(14, java.lang.Double.doubleToLongBits(m)))

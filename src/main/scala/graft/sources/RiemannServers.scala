@@ -81,7 +81,11 @@ private[sources] class RiemannServerTable(options: CaseInsensitiveStringMap)
             host = Option(options.get("host")).getOrElse("127.0.0.1"),
             port = options.getInt("port", 5555),
             maxFrame = options.getInt("maxframebytes", 16 * 1024 * 1024),
-            capacity = options.getInt("capacity", 1 << 20))
+            // frames, not bytes: at the few-KB Msgs riemann clients
+            // send, ~32k frames bounds the buffer near a few hundred MB
+            // of driver heap — small enough that backpressure actually
+            // engages before memory pressure does
+            capacity = options.getInt("capacity", 1 << 15))
       }
     }
 }
@@ -99,8 +103,17 @@ private[sources] class RiemannServerStream(protocol: String, host: String,
   private var base = 0L
   @volatile private var running = true
   private val threads = new ArrayBuffer[Thread]()
+  private val clients = new ArrayBuffer[Socket]()
   private var serverSocket: ServerSocket = _
   private var datagramSocket: DatagramSocket = _
+
+  /** Adopt a checkpointed offset that is ahead of everything this
+    * (fresh) instance has buffered: relabel the buffer to start AT the
+    * checkpoint. Without this, a restart from offset N with base=0
+    * would let commit(N) discard up to N never-delivered frames. */
+  private def rebase(n: Long): Unit = frames.synchronized {
+    if (n > base + frames.size) base = n
+  }
 
   locally {
     protocol match {
@@ -110,6 +123,7 @@ private[sources] class RiemannServerStream(protocol: String, host: String,
         spawn("riemann-tcp-accept") { () =>
           while (running) {
             val client = serverSocket.accept()
+            clients.synchronized(clients += client)
             spawn(s"riemann-tcp-conn-${client.getPort}")(() => serve(client))
           }
         }
@@ -161,17 +175,25 @@ private[sources] class RiemannServerStream(protocol: String, host: String,
 
   private def enqueue(payload: Array[Byte]): Unit = frames.synchronized {
     while (running && frames.size >= capacity) frames.wait(100)
+    // a frame must not land (or be acked) after stop(): the stopped
+    // buffer is never drained, so the ack would confirm a silent drop
+    if (!running) throw new IOException("server stopped")
     frames += ((payload, System.currentTimeMillis() * 1000L))
   }
 
   override def initialOffset(): Offset = FrameOffset(0)
   override def latestOffset(): Offset =
     frames.synchronized(FrameOffset(base + frames.size))
-  override def deserializeOffset(json: String): Offset =
-    FrameOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    // checkpointed offsets arrive here first on restart
+    val n = json.toLong
+    rebase(n)
+    FrameOffset(n)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[FrameOffset].n, end.asInstanceOf[FrameOffset].n)
+    rebase(s)
     val slice = frames.synchronized {
       val from = math.max(0L, s - base).toInt
       val to = math.max(0L, math.min(e - base, frames.size.toLong)).toInt
@@ -189,18 +211,26 @@ private[sources] class RiemannServerStream(protocol: String, host: String,
   override def createReaderFactory(): PartitionReaderFactory =
     FramesReaderFactory
 
-  override def commit(end: Offset): Unit = frames.synchronized {
-    val done = math.max(0L, math.min(end.asInstanceOf[FrameOffset].n - base,
-      frames.size.toLong)).toInt
-    frames.remove(0, done)
-    base += done
-    frames.notifyAll()
+  override def commit(end: Offset): Unit = {
+    rebase(end.asInstanceOf[FrameOffset].n)
+    frames.synchronized {
+      val done = math.max(0L, math.min(end.asInstanceOf[FrameOffset].n - base,
+        frames.size.toLong)).toInt
+      frames.remove(0, done)
+      base += done
+      frames.notifyAll()
+    }
   }
 
   override def stop(): Unit = {
     running = false
     if (serverSocket != null) serverSocket.close()
     if (datagramSocket != null) datagramSocket.close()
+    // unblock per-connection readers stuck in readInt(): closing the
+    // listen socket alone leaves them (and their sockets) alive until
+    // the CLIENT hangs up, still acking into the dead buffer
+    clients.synchronized { clients.foreach(c =>
+      try c.close() catch { case _: IOException => () }) }
     frames.synchronized(frames.notifyAll())
   }
 }

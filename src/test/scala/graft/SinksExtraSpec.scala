@@ -136,11 +136,12 @@ class SinksExtraSpec extends SparkSpec {
     RabbitProbe.published.clear()
     val sink = new Sinks.RabbitMqSink(
       Sinks.RabbitMqConfig(routingKey = "riemann.events.test"),
-      (rk, payload) => RabbitProbe.published.add((rk, payload)))
+      (cfg, rk, payload) => RabbitProbe.published.add(
+        (s"${cfg.exchange}/$rk", payload)))
     sink.write(events(E(id = 1, host = "h1", service = "cpu", metric = 1.0))
       .select("host", "service", "metric"), 0L)
     val (rk, payload) = RabbitProbe.published.peek()
-    assert(rk == "riemann.events.test")
+    assert(rk == "riemann/riemann.events.test")
     assert(payload.contains(""""host":"h1"""") &&
       payload.contains(""""metric":1.0"""))
   }
