@@ -186,8 +186,17 @@ object Dedup {
     * rounds. Near-dup components are short chains in practice
     * (similarity is near-transitive), so a handful of rounds closes
     * them; `maxIter` bounds pathological chains. Only docs that appear
-    * in a pair are labeled (singletons are already unique). */
-  def nearDupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * in a pair are labeled (singletons are already unique).
+    *
+    * Small-graph fast path: when the edge relation fits
+    * `unionFindMaxEdges` (default 2^20 ≈ 16 MB of id pairs — the same
+    * order as Spark's own broadcast-join threshold), a driver-side
+    * union-find replaces the iterative job chain: near-dup edges are
+    * tiny relative to the corpus (LSH blocking bounds them), so at any
+    * scale where the loop would hurt, the edges usually still fit.
+    * Set `unionFindMaxEdges = 0` to force the distributed loop. */
+  def nearDupComponents(pairs: DataFrame, maxIter: Int = 20,
+      unionFindMaxEdges: Long = 1L << 20): DataFrame = {
     // the pair relation feeds both directions of the edge union — cache
     // it so an expensive upstream (the LSH pipeline) runs once, and
     // release it as soon as the edge relation is materialized
@@ -195,8 +204,34 @@ object Dedup {
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
-    edges.count()
+    val nEdges = edges.count()
     p.unpersist()
+    if (nEdges <= unionFindMaxEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      // union-by-min with path compression: the root of each set is its
+      // minimum id, which is exactly the component label the
+      // distributed loop converges to
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      for ((a, b) <- es) {
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      return parent.keysIterator.map(k => (k, find(k))).toSeq.sorted
+        .toDF("doc_id", "component")
+    }
     // labels is referenced twice each iteration (union + join), so the
     // un-truncated logical plan would double per round and Catalyst
     // analysis would dominate on deep components. cache() each round

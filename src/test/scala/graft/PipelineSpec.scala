@@ -114,9 +114,31 @@ class PipelineSpec extends SparkSpec {
     import spark0.implicits._
     // chain 1-2-3 (1-3 never paired directly) and isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val comps = Dedup.nearDupComponents(pairs).collect()
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    // union-find fast path (default) and the distributed min-label loop
+    // (forced via unionFindMaxEdges = 0) must agree exactly
+    val fast = Dedup.nearDupComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val looped = Dedup.nearDupComponents(pairs, unionFindMaxEdges = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == expect)
+    assert(looped == expect)
+  }
+
+  test("nearDupComponents paths agree on a long chain with merging branches") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a 12-node chain plus a branch merging two chains through 50
+    val chain = (0L until 11L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((20L, 21L), (21L, 50L), (30L, 31L), (31L, 50L)))
+      .toDF("doc_a", "doc_b")
+    val fast = Dedup.nearDupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val looped = Dedup.nearDupComponents(pairs, unionFindMaxEdges = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == looped)
+    assert((0L to 11L).forall(fast(_) == 0L))
+    assert(Seq(20L, 21L, 30L, 31L, 50L).forall(fast(_) == 20L))
   }
 
   test("minhash signature is identical through the shared-shingle path") {

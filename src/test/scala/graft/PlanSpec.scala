@@ -110,6 +110,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"decode should be a pure map:\n$p")
   }
 
+  test("deps rule compilation runs a bounded number of jobs, never per-leaf") {
+    import graft.operators.Deps
+    val ev = EventView(spark, dir)
+    // per-leaf actions would make the 6-leaf rule cost strictly more
+    // jobs than the 1-leaf rule; the batched design costs the same
+    // (1 localCheckpoint + 1 global-leaf aggregation, however many
+    // AQE stage-jobs each turns into — localhost marks are lazy joins)
+    val small = Deps.Matches(Map("service" -> "purchase"))
+    val big = Deps.All(Seq(
+      Deps.Any(Seq(
+        Deps.Matches(Map("service" -> "purchase")),
+        Deps.Matches(Map("service" -> "error", "state" -> "critical")),
+        Deps.Matches(Map("state" -> "ok")),
+        Deps.Matches(Map("service" -> "view")))),
+      Deps.Localhost(Deps.Any(Seq(
+        Deps.Matches(Map("service" -> "purchase", "state" -> "ok")),
+        Deps.Matches(Map("service" -> "error")))))))
+    def jobsFor(rule: Deps.Rule): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val out = Deps.tagSatisfied(ev, Index.liveAt(ev, lit(1706620000L)), rule)
+        assert(out.columns.contains("deps_satisfied"))
+        assert(!plan(out).contains("CartesianProduct"))
+        // listener posts asynchronously; the actions themselves have
+        // already completed
+        Thread.sleep(500)
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (j1, j6) = (jobsFor(small), jobsFor(big))
+    assert(j6 <= j1, s"job count scaled with leaf count: $j1 -> $j6")
+  }
+
   test("windowed aggregation keeps partial (map-side) aggregation") {
     val p = plan(Windows.fixedOffsetTimeWindow(EventView(spark, dir), 3600,
       Seq("service")))
