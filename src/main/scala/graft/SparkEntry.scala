@@ -406,9 +406,9 @@ object SparkEntry {
         col("metric"), col("tags"), col("time_s"), col("ttl"),
         map_concat(
           map(lit("idx"), col("event_id").cast("string")),
-          // a missing/unparseable k must drop the entry, not carry a
-          // null value (encodeEvent writes values verbatim); the
-          // oracle's attr_k is NULL either way
+          // a missing/unparseable k drops the entry (a null map value
+          // has no proto3 wire form — the encoder also skips them);
+          // the oracle's attr_k is NULL either way
           expr("map_filter(map('k', attributes['k']), (k, v) -> v IS NOT NULL)"))
           .as("attributes"))
         .as[graft.sources.RiemannProtobuf.PEvent]

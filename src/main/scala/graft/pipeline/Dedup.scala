@@ -206,7 +206,12 @@ object Dedup {
       .distinct().cache()
     val nEdges = edges.count()
     p.unpersist()
-    if (nEdges <= unionFindMaxEdges) {
+    // the fast path needs integral ids (union-by-min compares longs);
+    // other id types take the type-agnostic distributed loop
+    val idType = pairs.schema("doc_a").dataType
+    val integralIds = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (nEdges <= unionFindMaxEdges && integralIds) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -229,8 +234,10 @@ object Dedup {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
+      // preserve the caller's id type so both paths agree on schema
       return parent.keysIterator.map(k => (k, find(k))).toSeq.sorted
         .toDF("doc_id", "component")
+        .select(col("doc_id").cast(idType), col("component").cast(idType))
     }
     // labels is referenced twice each iteration (union + join), so the
     // un-truncated logical plan would double per round and Catalyst

@@ -193,8 +193,9 @@ object Sinks {
   /** RabbitMQ publisher (reference src/riemann/rabbitmq.clj:17-82):
     * events rendered as JSON and published to an exchange under a
     * routing key. The AMQP client is injected as
-    * `(routingKey, payload) => Unit`; exchange declaration options ride
-    * the config (the reference's `:exchange-settings` defaults). */
+    * `(config, routingKey, payload) => Unit` — the full config reaches
+    * the client so exchange declaration and content-type settings (the
+    * reference's `:exchange-settings` defaults) are honored. */
   case class RabbitMqConfig(
       exchange: String = "riemann", exchangeType: String = "topic",
       durable: Boolean = false, autoDelete: Boolean = false,

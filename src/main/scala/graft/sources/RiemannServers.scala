@@ -107,12 +107,20 @@ private[sources] class RiemannServerStream(protocol: String, host: String,
   private var serverSocket: ServerSocket = _
   private var datagramSocket: DatagramSocket = _
 
-  /** Adopt a checkpointed offset that is ahead of everything this
-    * (fresh) instance has buffered: relabel the buffer to start AT the
-    * checkpoint. Without this, a restart from offset N with base=0
-    * would let commit(N) discard up to N never-delivered frames. */
-  private def rebase(n: Long): Unit = frames.synchronized {
-    if (n > base + frames.size) base = n
+  /** Adopt the FIRST offset the engine hands this (fresh) instance —
+    * 0 from initialOffset on a clean start, or the checkpointed offset
+    * on restart — by relabeling the buffer to start AT it. Without
+    * this, a restart from offset N with base=0 would let
+    * planInputPartitions skip (and commit() discard) up to N
+    * never-delivered frames; adopting only once means frames buffered
+    * while recovery is still deserializing offsets are relabeled, not
+    * dropped, however many arrived first. */
+  private var adopted = false
+  private def adopt(n: Long): Unit = frames.synchronized {
+    if (!adopted) {
+      adopted = true
+      if (n > base) base = n
+    }
   }
 
   locally {
@@ -170,7 +178,12 @@ private[sources] class RiemannServerStream(protocol: String, host: String,
         out.write(RiemannServers.AckFrame)
         out.flush()
       }
-    } finally client.close()
+    } finally {
+      client.close()
+      // long-running servers see endless reconnects — drop the dead
+      // socket from the stop() cleanup list
+      clients.synchronized { clients -= client; () }
+    }
   }
 
   private def enqueue(payload: Array[Byte]): Unit = frames.synchronized {
@@ -181,19 +194,18 @@ private[sources] class RiemannServerStream(protocol: String, host: String,
     frames += ((payload, System.currentTimeMillis() * 1000L))
   }
 
-  override def initialOffset(): Offset = FrameOffset(0)
+  override def initialOffset(): Offset = { adopt(0); FrameOffset(0) }
   override def latestOffset(): Offset =
     frames.synchronized(FrameOffset(base + frames.size))
   override def deserializeOffset(json: String): Offset = {
     // checkpointed offsets arrive here first on restart
     val n = json.toLong
-    rebase(n)
+    adopt(n)
     FrameOffset(n)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[FrameOffset].n, end.asInstanceOf[FrameOffset].n)
-    rebase(s)
     val slice = frames.synchronized {
       val from = math.max(0L, s - base).toInt
       val to = math.max(0L, math.min(e - base, frames.size.toLong)).toInt
@@ -211,15 +223,12 @@ private[sources] class RiemannServerStream(protocol: String, host: String,
   override def createReaderFactory(): PartitionReaderFactory =
     FramesReaderFactory
 
-  override def commit(end: Offset): Unit = {
-    rebase(end.asInstanceOf[FrameOffset].n)
-    frames.synchronized {
-      val done = math.max(0L, math.min(end.asInstanceOf[FrameOffset].n - base,
-        frames.size.toLong)).toInt
-      frames.remove(0, done)
-      base += done
-      frames.notifyAll()
-    }
+  override def commit(end: Offset): Unit = frames.synchronized {
+    val done = math.max(0L, math.min(end.asInstanceOf[FrameOffset].n - base,
+      frames.size.toLong)).toInt
+    frames.remove(0, done)
+    base += done
+    frames.notifyAll()
   }
 
   override def stop(): Unit = {

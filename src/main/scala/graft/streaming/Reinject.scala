@@ -24,15 +24,23 @@ class ReinjectLoop(implicit sqlCtx: SQLContext) extends Serializable {
   import sqlCtx.implicits._
 
   private val loop = MemoryStream[SEvent]
+  private var lastBatch = Long.MinValue
 
   /** The loopback source: union this with the primary input. */
   def source: Dataset[SEvent] = loop.toDS()
 
-  /** The loopback sink: attach via foreachBatch / [[Sinks.attach]]. */
+  /** The loopback sink: attach via foreachBatch / [[Sinks.attach]].
+    * foreachBatch is at-least-once — a failed/restarted batch replays
+    * with the same batchId, so re-deliveries are dropped rather than
+    * reinjected twice. */
   def sink: Sinks.EventSink = new Sinks.EventSink {
-    override def write(batch: DataFrame, batchId: Long): Unit = {
-      val rows = batch.as[SEvent].collect()
-      if (rows.nonEmpty) loop.addData(rows.toSeq)
-    }
+    override def write(batch: DataFrame, batchId: Long): Unit =
+      ReinjectLoop.this.synchronized {
+        if (batchId > lastBatch) {
+          val rows = batch.as[SEvent].collect()
+          if (rows.nonEmpty) loop.addData(rows.toSeq)
+          lastBatch = batchId
+        }
+      }
   }
 }

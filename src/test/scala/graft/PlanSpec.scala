@@ -140,13 +140,20 @@ class PlanSpec extends SparkSpec {
         val out = Deps.tagSatisfied(ev, Index.liveAt(ev, lit(1706620000L)), rule)
         assert(out.columns.contains("deps_satisfied"))
         assert(!plan(out).contains("CartesianProduct"))
-        // listener posts asynchronously; the actions themselves have
-        // already completed
-        Thread.sleep(500)
-        jobs.get()
+        // listener posts asynchronously: poll until the count settles
+        // (a fixed sleep is flaky on a loaded machine, and two lagging
+        // counts would compare 0 <= 0 vacuously)
+        var prev = -1
+        var cur = jobs.get()
+        var spins = 0
+        while (cur != prev && spins < 25) {
+          Thread.sleep(200); prev = cur; cur = jobs.get(); spins += 1
+        }
+        cur
       } finally spark.sparkContext.removeSparkListener(listener)
     }
     val (j1, j6) = (jobsFor(small), jobsFor(big))
+    assert(j1 >= 1, "listener saw no jobs — the probe went vacuous")
     assert(j6 <= j1, s"job count scaled with leaf count: $j1 -> $j6")
   }
 

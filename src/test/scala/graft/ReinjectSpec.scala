@@ -52,8 +52,7 @@ class ReinjectSpec extends SparkSpec {
       assert(seen.contains(("web02", "cpu", "ok")))
       assert(seen.contains(("web01", "cpu-alert", "ok")))  // reinjected
       // the non-critical event produced no alert
-      assert(!seen.exists(_._2 == "cpu-alert") ||
-        !seen.contains(("web02", "cpu-alert", "ok")))
+      assert(!seen.contains(("web02", "cpu-alert", "ok")))
     } finally { topo.stop(); alertQ.stop() }
   }
 }
