@@ -91,6 +91,10 @@ object Sinks {
       subs.updateWith(channel)(v => Some(v.getOrElse(Vector.empty) :+ ((None, sink))))
     def subscribeQuery(channel: String, query: String, sink: EventSink): Unit =
       subs.updateWith(channel)(v => Some(v.getOrElse(Vector.empty) :+ ((Some(query), sink))))
+    /** `unsubscribe!` (pubsub.clj:78-87): remove a sink (by identity)
+      * from a channel — transports detach on client disconnect. */
+    def unsubscribe(channel: String, sink: EventSink): Unit =
+      subs.updateWith(channel)(v => v.map(_.filterNot(_._2 eq sink)))
     def publish(channel: String, batch: DataFrame, batchId: Long = 0L): Unit =
       subs.getOrElse(channel, Vector.empty).foreach { case (q, sink) =>
         val routed = q match {
