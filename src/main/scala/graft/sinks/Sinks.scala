@@ -97,12 +97,22 @@ object Sinks {
       subs.updateWith(channel)(v => v.map(_.filterNot(_._2 eq sink)))
     def publish(channel: String, batch: DataFrame, batchId: Long = 0L): Unit =
       subs.getOrElse(channel, Vector.empty).foreach { case (q, sink) =>
-        val routed = q match {
-          case Some(query) => batch.filter(
-            graft.query.QueryLanguage.predicate(query, batch.schema))
-          case None => batch
+        // per-sink isolation: one failing subscriber (bad query, dead
+        // transport) must not abort delivery to the others or crash
+        // the publishing (streaming) thread — mirrors the reference's
+        // per-handler rescue
+        try {
+          val routed = q match {
+            case Some(query) => batch.filter(
+              graft.query.QueryLanguage.predicate(query, batch.schema))
+            case None => batch
+          }
+          sink.write(routed, batchId)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"pubsub '$channel': subscriber failed, skipping", e)
         }
-        sink.write(routed, batchId)
       }
   }
 

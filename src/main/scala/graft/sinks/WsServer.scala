@@ -1,65 +1,35 @@
 package graft.sinks
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, InputStream, OutputStream}
-import java.net.{InetSocketAddress, ServerSocket, Socket, URLDecoder}
+import java.io.{BufferedInputStream, DataInputStream}
+import java.net.Socket
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import java.util.Base64
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
-
-import graft.query.QueryLanguage
 
 /** `ws-server` (reference src/riemann/transport/websockets.clj:83-243):
   * the two websocket endpoints —
   *
-  *  - `GET /index?query=…` + websocket upgrade: current index hits,
-  *    then a live pubsub subscription filtered by the query, each
-  *    event one text frame of JSON (ws-pubsub-handler / ws-index).
-  *  - `PUT/GET /events` + upgrade: each inbound text frame is one
+  *  - `GET /index?query=…` + upgrade: current index hits, then a live
+  *    pubsub subscription filtered by the query, each event one text
+  *    frame of JSON (ws-pubsub-handler / ws-index);
+  *  - `GET|PUT /events` + upgrade: each inbound text message is one
   *    JSON event handed to `onEvent` (ws-put-events-handler) — wire it
   *    to a [[graft.streaming.ReinjectLoop]] or a `from_json` decode
   *    against `Event.schema` (the same decode the kafka source uses).
   *
   * RFC 6455 is hand-rolled on the JDK (SHA-1 + Base64 handshake,
-  * masked client frames, unmasked server frames, ping/pong, close) —
-  * no dependencies. As with [[SseServer]], the driver hosts the
-  * socket; per-client volume is a filtered alert stream. */
+  * masked client frames, fragmentation reassembly, ping/pong ≤ 125
+  * bytes per §5.5, close) — no dependencies. Delivery runs through
+  * [[PushServer]]'s per-client queue, so pongs from the reader thread
+  * and pushes from publisher threads never interleave mid-frame. */
 class WsServer(pubsub: Sinks.Pubsub, port: Int,
     snapshot: () => Option[DataFrame] = () => None,
     onEvent: String => Unit = _ => (),
-    host: String = "127.0.0.1") {
+    host: String = "127.0.0.1")
+    extends PushServer(pubsub, port, snapshot, host, "ws") {
 
-  private val server = new ServerSocket()
-  server.bind(new InetSocketAddress(host, port))
-  @volatile private var running = true
-  private val clients = new ArrayBuffer[Socket]()
-
-  val boundPort: Int = server.getLocalPort
-
-  private val acceptor = new Thread(() =>
-    try {
-      while (running) {
-        val client = server.accept()
-        clients.synchronized(clients += client)
-        val t = new Thread(() =>
-          try serve(client)
-          catch { case _: java.io.IOException => () }
-          finally {
-            client.close()
-            clients.synchronized { clients -= client; () }
-          }, s"ws-client-${client.getPort}")
-        t.setDaemon(true)
-        t.start()
-      }
-    } catch { case _: java.io.IOException => () }, "ws-accept")
-  acceptor.setDaemon(true)
-  acceptor.start()
-
-  // ------------------------------------------------------------ RFC 6455
   private val WsGuid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
   private def acceptKey(key: String): String =
@@ -81,17 +51,20 @@ class WsServer(pubsub: Sinks.Pubsub, port: Int,
     header ++ data
   }
 
-  /** Read one client frame: (opcode, payload) — client frames MUST be
-    * masked (RFC 6455 §5.1). */
-  private def readFrame(in: DataInputStream): (Int, Array[Byte]) = {
+  /** Read one client frame: (fin, opcode, payload) — client frames
+    * MUST be masked (RFC 6455 §5.1). */
+  private def readFrame(in: DataInputStream): (Boolean, Int, Array[Byte]) = {
     val b0 = in.readUnsignedByte()
+    val fin = (b0 & 0x80) != 0
     val opcode = b0 & 0x0f
     val b1 = in.readUnsignedByte()
     val masked = (b1 & 0x80) != 0
     var len: Long = b1 & 0x7f
     if (len == 126) len = in.readUnsignedShort().toLong
     else if (len == 127) len = in.readLong()
-    if (len > (16 << 20)) throw new java.io.IOException(s"frame too big: $len")
+    // readLong is signed: a negative length is as hostile as a huge one
+    if (len < 0 || len > (16 << 20))
+      throw new java.io.IOException(s"bad frame length $len")
     val mask = if (masked) {
       val m = new Array[Byte](4); in.readFully(m); m
     } else null
@@ -103,94 +76,56 @@ class WsServer(pubsub: Sinks.Pubsub, port: Int,
         payload(i) = (payload(i) ^ mask(i % 4)).toByte; i += 1
       }
     }
-    (opcode, payload)
+    (fin, opcode, payload)
   }
 
-  private def jsonLines(batch: DataFrame): Array[String] =
-    batch.select(to_json(struct(batch.columns.toIndexedSeq.map(col): _*)))
-      .collect().map(_.getString(0))
-
-  // ------------------------------------------------------------- handler
-  private def serve(client: Socket): Unit = {
+  override protected def handle(client: Socket, w: ClientWriter): Unit = {
     val in = new DataInputStream(new BufferedInputStream(client.getInputStream))
-    val out = new BufferedOutputStream(client.getOutputStream)
-    def send(bytes: Array[Byte]): Unit = { out.write(bytes); out.flush() }
-
-    // HTTP upgrade request (byte-wise: nothing past the blank line may
-    // be consumed — the first ws frame follows immediately)
-    val head = new StringBuilder
-    var cur = in.read()
-    while (cur != -1 && !head.endsWith("\r\n\r\n")) {
-      head.append(cur.toChar)
-      cur = if (head.endsWith("\r\n\r\n")) -1 else in.read()
+    val head = readHead(in)
+    val h = head.getOrElse { httpError(w, "400 Bad Request"); return }
+    val subscribed = h.path.matches("^/index/?$")
+    val ingest = h.path.matches("^/events/?$")
+    if (!subscribed && !ingest) { httpError(w, "404 Not Found"); return }
+    val key = h.headers.get("sec-websocket-key")
+      .getOrElse { httpError(w, "400 Bad Request"); return }
+    if (subscribed && !validateQuery(h.query)) {
+      httpError(w, "400 Bad Request"); return
     }
-    val lines = head.toString.split("\r\n")
-    val reqParts = lines.headOption.getOrElse("").split(" ")
-    val uri = if (reqParts.length >= 2) reqParts(1) else ""
-    val key = lines.collectFirst {
-      case l if l.toLowerCase.startsWith("sec-websocket-key:") =>
-        l.split(":", 2)(1).trim
-    }
-    if (key.isEmpty) {
-      send("HTTP/1.1 400 Bad Request\r\nContent-Length: 0\r\n\r\n"
-        .getBytes(StandardCharsets.UTF_8))
-      return
-    }
-    val (path, rawQuery) = uri.split("\\?", 2) match {
-      case Array(p, q) => (p, Some(q))
-      case Array(p) => (p, None)
-    }
-    send(("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
-      s"Connection: Upgrade\r\nSec-WebSocket-Accept: ${acceptKey(key.get)}\r\n\r\n")
+    w.offer(("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+      s"Connection: Upgrade\r\nSec-WebSocket-Accept: ${acceptKey(key)}\r\n\r\n")
       .getBytes(StandardCharsets.UTF_8))
 
-    val subscribed = path.matches("^/index/?$")
-    val query = rawQuery.flatMap(_.split("&").collectFirst {
-      case kv if kv.startsWith("query=") =>
-        URLDecoder.decode(kv.stripPrefix("query="), "UTF-8")
-    }).filter(_.nonEmpty)
-
-    object sink extends Sinks.EventSink {
-      override def write(batch: DataFrame, batchId: Long): Unit =
-        try jsonLines(batch).foreach(j => send(textFrame(j)))
-        catch {
-          case _: java.io.IOException =>
-            pubsub.unsubscribe("index", this)
-            client.close()
-        }
-    }
-    if (subscribed) {
-      snapshot().foreach { idx =>
-        val hits = query.fold(idx)(q =>
-          idx.filter(QueryLanguage.predicate(q, idx.schema)))
-        jsonLines(hits).foreach(j => send(textFrame(j)))
-      }
-      query match {
-        case Some(q) => pubsub.subscribeQuery("index", q, sink)
-        case None => pubsub.subscribe("index", sink)
-      }
-    }
+    val sink =
+      if (subscribed) Some(subscribeAndDump(w, h.query, textFrame))
+      else None
     try {
+      // fragmentation reassembly: first frame carries the opcode,
+      // continuations (opcode 0) append until FIN
+      var fragBuf = Array.empty[Byte]
+      var fragOp = -1
       var open = true
-      while (running && open) {
-        val (opcode, payload) = readFrame(in)
+      while (running && open && w.isOpen) {
+        val (fin, opcode, payload) = readFrame(in)
+        def deliver(op: Int, data: Array[Byte]): Unit =
+          if (op == 0x1 && ingest)
+            onEvent(new String(data, StandardCharsets.UTF_8))
         opcode match {
-          case 0x1 if !subscribed => // text frame on /events: one event
-            onEvent(new String(payload, StandardCharsets.UTF_8))
+          case 0x0 => // continuation
+            fragBuf = fragBuf ++ payload
+            if (fin && fragOp != -1) { deliver(fragOp, fragBuf); fragOp = -1 }
+          case op @ (0x1 | 0x2) =>
+            if (fin) deliver(op, payload)
+            else { fragOp = op; fragBuf = payload }
           case 0x8 => // close: echo and drop
-            send(Array[Byte](0x88.toByte, 0)); open = false
-          case 0x9 => // ping -> pong with the same payload
-            send(Array[Byte](0x8a.toByte, payload.length.toByte) ++ payload)
-          case _ => () // text on /index, pong, continuations: ignored
+            w.offer(Array[Byte](0x88.toByte, 0)); open = false
+          case 0x9 => // ping -> pong; oversized control frames are a
+            // protocol error (RFC 6455 §5.5), not a truncated length
+            if (payload.length > 125)
+              throw new java.io.IOException("control frame > 125 bytes")
+            w.offer(Array[Byte](0x8a.toByte, payload.length.toByte) ++ payload)
+          case _ => () // pong & reserved: ignored
         }
       }
-    } finally if (subscribed) pubsub.unsubscribe("index", sink)
-  }
-
-  def stop(): Unit = {
-    running = false
-    server.close()
-    clients.synchronized { clients.foreach(c =>
-      try c.close() catch { case _: java.io.IOException => () }) }
+    } finally sink.foreach(pubsub.unsubscribe("index", _))
   }
 }

@@ -67,6 +67,19 @@ class SseServerSpec extends SparkSpec {
         assert(in.readLine().contains("404"))
       } finally sock.close()
 
+      // a malformed query is rejected up front with 400 — it must never
+      // reach publish, where it would fail every subscriber
+      val bad = new Socket("127.0.0.1", server.boundPort)
+      bad.setSoTimeout(10000)
+      try {
+        bad.getOutputStream.write(
+          "GET /index?query=%28garbage HTTP/1.1\r\nHost: x\r\n\r\n"
+            .getBytes(StandardCharsets.UTF_8))
+        bad.getOutputStream.flush()
+        val bin = new BufferedReader(new InputStreamReader(bad.getInputStream))
+        assert(bin.readLine().contains("400"))
+      } finally bad.close()
+
       // unsubscribe by identity removes exactly that sink
       val a = new Sinks.MemorySink
       val b = new Sinks.MemorySink

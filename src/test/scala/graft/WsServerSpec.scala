@@ -89,6 +89,35 @@ class WsServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("ws: fragmented text message reassembles before delivery") {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = new WsServer(new Sinks.Pubsub, 0, onEvent = got.add(_))
+    try {
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      sock.setSoTimeout(10000)
+      try {
+        handshake(sock, "/events")
+        val out = sock.getOutputStream
+        // {"host":"frag"} split across a non-FIN text frame + a FIN
+        // continuation (opcode 0)
+        val mask = Array[Byte](1, 2, 3, 4)
+        def frame(fin: Boolean, opcode: Int, s: String): Array[Byte] = {
+          val data = s.getBytes(StandardCharsets.UTF_8)
+          Array[Byte](((if (fin) 0x80 else 0) | opcode).toByte,
+            (0x80 | data.length).toByte) ++ mask ++
+            data.zipWithIndex.map { case (b, i) => (b ^ mask(i % 4)).toByte }
+        }
+        out.write(frame(fin = false, 0x1, """{"host":"""))
+        out.write(frame(fin = true, 0x0, """"frag"}"""))
+        out.flush()
+        val deadline = System.currentTimeMillis() + 10000
+        while (got.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        assert(got.peek() == """{"host":"frag"}""")
+      } finally sock.close()
+    } finally server.stop()
+  }
+
   test("ws /events: masked text frames land as JSON events in the consumer") {
     val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val pubsub = new Sinks.Pubsub
