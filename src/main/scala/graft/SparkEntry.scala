@@ -337,6 +337,8 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs(s, d), 3, 0.3, 16, 8)
         .orderBy("doc_a", "doc_b")),
     "q_simhash" -> ((s, d) => Dedup.simhash(docs(s, d), 64).orderBy("doc_id")),
+    "q_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), 3).orderBy("doc_a", "doc_b")),
     "q_embedding_neardups" -> ((s, d) =>
       Dedup.embeddingNearDups(emb(s, d), 0.4).orderBy("vec_a", "vec_b")),
 
@@ -551,7 +553,7 @@ object SparkEntry {
         s" THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
 
-  private val simhashSql: String = {
+  private val simhashCte: String = {
     val bitSums = (0 until 64).map { b =>
       val h = if (b < 60) s"(h1 >> $b)" else s"(h2 >> ${b - 60})"
       s"SUM(CASE WHEN $h & 1 = 1 THEN cnt ELSE -cnt END) AS b$b"
@@ -565,9 +567,25 @@ object SparkEntry {
       "CAST(('0x'||substr(md5(tok),16,15)) AS BIGINT) AS h2 " +
       "FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents) " +
       s"GROUP BY doc_id, tok, h1, h2), agg AS (SELECT doc_id, $bitSums " +
-      s"FROM toks GROUP BY doc_id) SELECT doc_id, $pack AS simhash " +
-      "FROM agg ORDER BY doc_id"
+      s"FROM toks GROUP BY doc_id), fp AS (SELECT doc_id, $pack AS simhash " +
+      "FROM agg)"
   }
+
+  private val simhashSql: String =
+    s"$simhashCte SELECT doc_id, simhash FROM fp ORDER BY doc_id"
+
+  /** Pigeonhole blocking mirror of Dedup.simhashPairs: 4 blocks of 16
+    * bits for maxHamming = 3; DuckDB's arithmetic >> then mask keeps
+    * the same bits as Spark's shiftright+mask. */
+  private val simhashPairsSql: String =
+    s"$simhashCte, blocks AS (SELECT doc_id, simhash, i AS blk, " +
+      "(simhash >> (i*16)) & 65535 AS v FROM fp " +
+      "CROSS JOIN (SELECT unnest(range(4)) AS i)) " +
+      "SELECT * FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming " +
+      "FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.v = b.v " +
+      "AND a.doc_id < b.doc_id) " +
+      "WHERE hamming <= 3 ORDER BY doc_a, doc_b"
 
   def oracleSql: Map[String, String] = Map(
     "q_where" -> s"$cte SELECT event_id, host, service, metric FROM ev WHERE metric > 100 AND service = 'purchase' ORDER BY event_id",
@@ -747,6 +765,7 @@ object SparkEntry {
       "FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id) " +
       "SELECT doc_a, doc_b, jaccard FROM jj WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"),
     "q_simhash" -> simhashSql,
+    "q_simhash_pairs" -> simhashPairsSql,
     "q_frames" -> ("SELECT doc_id AS media_id, unnest(generate_series(0, n_chars * 10, 500)) AS frame_ts " +
       "FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id, frame_ts"),
     "q_embedding_neardups" -> {

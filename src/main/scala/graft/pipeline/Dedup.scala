@@ -336,6 +336,54 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** SimHash near-dup pairs with pigeonhole blocking
+    * (reference: the dedup role of streams.clj-style fingerprinting;
+    * blocking per Manku/Jain/Sarma's simhash-dedup construction): split
+    * the 64-bit fingerprint into `maxHamming + 1` bit blocks — any two
+    * fingerprints within Hamming distance `maxHamming` must agree on at
+    * least one block EXACTLY, so candidates come from an equi-join on
+    * (block index, block value), never an all-pairs scan. Verification
+    * on candidates only: hamming = bit_count(fp_a XOR fp_b), pure
+    * codegen'd long arithmetic. `maxBucket` drops pathological hot
+    * blocks (e.g. the all-zeros block of boilerplate-heavy corpora)
+    * exactly like the MinHash-LSH paths. One shuffle on (blk, v); the
+    * self-join stays linear in candidates at 100 TB. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming ($maxHamming) must be in [0, 64)")
+    val nBlocks = maxHamming + 1
+    val w = (64 + nBlocks - 1) / nBlocks
+    val blocks = (0 until nBlocks).map { i =>
+      val shift = i * w
+      val width = math.min(w, 64 - shift)
+      // arithmetic >> then mask == logical shift for the kept bits
+      // (width <= 64 - shift by construction) — identical in DuckDB
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("blk"),
+        shiftright(col("simhash"), shift).bitwiseAND(lit(mask)).as("v"))
+    }
+    val blocked = simhash(docs, 64)
+      .select(col("doc_id"), col("simhash"),
+        explode(array(blocks: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.blk"), col("b.v"))
+    val capped =
+      if (maxBucket == Int.MaxValue) blocked
+      else {
+        val sizes = blocked.groupBy("blk", "v")
+          .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucket)
+        blocked.join(sizes.select("blk", "v"), Seq("blk", "v"))
+      }
+    val a = capped.as("a")
+    val b = capped.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding-cosine near-dup pairs with banded (multi-probe)
     * random-hyperplane blocking: `bands` independent bucket tables of
     * `planesPerBand` sign bits each; a pair is a candidate if ANY band's

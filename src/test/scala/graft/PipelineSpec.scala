@@ -149,4 +149,32 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(direct == shared)
   }
+
+  test("simhashPairs pigeonhole blocking finds exactly the brute-force pairs") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "entirely different words about spark catalyst plans"),
+      (5L, "entirely different words about spark catalyst rules"),
+      (6L, "unrelated corpus noise tokens alpha beta gamma delta"))
+    val fps = Dedup.simhash(d, 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- Seq(3, 10)) {
+      val expected = (for {
+        a <- fps.keys; b <- fps.keys if a < b
+        h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= k
+      } yield (a, b, h)).toSet
+      val got = Dedup.simhashPairs(d, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected, s"maxHamming=$k")
+    }
+  }
+
+  test("simhashPairs maxBucket drops hot blocks") {
+    // identical docs share every block: a cap of 1 kills every bucket
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "a b c"))
+    assert(Dedup.simhashPairs(d, 3).count() == 3)
+    assert(Dedup.simhashPairs(d, 3, maxBucket = 1).count() == 0)
+  }
 }
