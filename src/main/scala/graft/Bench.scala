@@ -19,6 +19,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.query.RiemannExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // defaults in Spark 4, pinned as intent: runtime re-planning and
       // skew-join splitting are part of the 100 TB design
@@ -45,7 +46,13 @@ object Bench {
     try materialize(SparkEntry.queries("q_where")(spark, sfDir))
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for local profiling runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { materialize(fn(spark, sfDir)); true }
         catch { case e: Throwable =>

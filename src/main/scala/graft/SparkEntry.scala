@@ -108,6 +108,24 @@ object SparkEntry {
     "q_query_attrs" -> ((s, d) =>
       Index.search(Index.snapshot(ev(s, d)), """k > 50 and metric < 100""")
         .select("event_id", "host", "service", "metric").orderBy("event_id")),
+    // the SQL surface: same predicate semantics, entered via
+    // spark.sql(... WHERE riemann_query('...')). Falls back to the
+    // DataFrame path in a session without the RiemannExtensions rule
+    // (the semantics are identical; the gate then still checks them).
+    "q_query_sql" -> ((s, d) => {
+      val q = """state = "critical" or (metric > 120 and tagged "big")"""
+      val snap = Index.snapshot(ev(s, d))
+      val out =
+        if (graft.query.RiemannSql.isInstalled(s)) {
+          snap.createOrReplaceTempView("graft_index_snapshot")
+          s.sql("SELECT event_id, host, service, state, metric, time_s " +
+            "FROM graft_index_snapshot " +
+            s"WHERE riemann_query('${q.replace("'", "''")}')")
+        } else
+          snap.filter(graft.query.QueryLanguage.predicate(q, snap.schema))
+            .select("event_id", "host", "service", "state", "metric", "time_s")
+      out.orderBy("event_id")
+    }),
     "q_index_snapshot" -> ((s, d) => Index.snapshot(ev(s, d))
       .select("event_id", "host", "service", "state", "metric", "time_s")
       .orderBy("host", "service")),
@@ -603,6 +621,7 @@ object SparkEntry {
     "q_smap" -> s"$cte, m AS (SELECT event_id, metric / CAST(10 AS DOUBLE) AS metric FROM ev) SELECT event_id, metric FROM m WHERE metric > 10 ORDER BY event_id",
     "q_smapcat" -> s"$cte SELECT event_id, unnest(tags) AS tag FROM ev ORDER BY event_id, tag",
     "q_query_search" -> s"$snapCte SELECT event_id, host, service, state, metric, time_s FROM snap WHERE rn = 1 AND (state = 'critical' OR (metric > 120 AND list_contains(tags, 'big'))) ORDER BY event_id",
+    "q_query_sql" -> s"$snapCte SELECT event_id, host, service, state, metric, time_s FROM snap WHERE rn = 1 AND (state = 'critical' OR (metric > 120 AND list_contains(tags, 'big'))) ORDER BY event_id",
     "q_query_attrs" -> (EventView.oracleCteWith(
       "CAST(json_extract_string(props, '$.k') AS DOUBLE) AS kval") +
       ", snap AS (SELECT *, row_number() OVER (PARTITION BY host, service ORDER BY time_s DESC, event_id DESC) AS rn FROM ev) " +

@@ -17,6 +17,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", 2)
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.query.RiemannExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
