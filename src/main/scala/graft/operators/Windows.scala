@@ -372,8 +372,10 @@ object Windows {
   }
 
   /** `runs n field` (streams.clj:1918-1934): newest event after n
-    * consecutive equal values of `field`. */
+    * consecutive equal values of `field`. Zero/negative-width runs emit
+    * nothing, matching the reference (streams_test.clj runs-test). */
   def runs(df: DataFrame, n: Int, field: String, keys: Seq[String]): DataFrame = {
+    if (n <= 0) return df.limit(0)
     val w = keyW(keys)
     val changedFlag = when(col(field) <=> lag(col(field), 1).over(w), 0).otherwise(1)
     val seg = sum(changedFlag).over(w.rowsBetween(Window.unboundedPreceding, 0))
