@@ -211,6 +211,9 @@ object SparkEntry {
     "q_fill_in_last" -> ((s, d) =>
       Windows.fillInLast(ev(s, d), 3600, Seq("service"))
         .orderBy("service", "window_start")),
+    "q_interpolate" -> ((s, d) =>
+      Windows.interpolateConstant(ev(s, d), 3600, Seq("host"))
+        .orderBy("host", "window_start")),
     "q_sreduce" -> ((s, d) => Windows.sreduceRunning(ev(s, d), Seq("host"),
       "running_max" -> max(col("metric")),
       "running_sum" -> sum(col("metric").cast(D)))
@@ -711,6 +714,19 @@ object SparkEntry {
       "al AS (SELECT service, unnest(generate_series(w0, w1, 3600)) AS window_start FROM spans), " +
       "j AS (SELECT al.service, al.window_start, coalesce(obs.n_events, 0) AS n_events, CASE WHEN coalesce(obs.n_events, 0) > 0 THEN obs.sum_metric ELSE CAST(0 AS DOUBLE) END AS sum_metric FROM al LEFT JOIN obs ON al.service = obs.service AND al.window_start = obs.window_start) " +
       "SELECT service, window_start, n_events, CASE WHEN n_events > 0 THEN sum_metric ELSE last_value(CASE WHEN n_events > 0 THEN sum_metric END IGNORE NULLS) OVER (PARTITION BY service ORDER BY window_start ROWS UNBOUNDED PRECEDING) END AS sum_metric FROM j ORDER BY 1, 2"),
+    "q_interpolate" -> (s"$cte, obs AS (SELECT host, window_start, n_events, obs_metric, obs_state FROM (" +
+      "SELECT host, time_s - time_s % 3600 AS window_start, " +
+      "count(*) OVER (PARTITION BY host, time_s - time_s % 3600) AS n_events, " +
+      "metric AS obs_metric, state AS obs_state, " +
+      "row_number() OVER (PARTITION BY host, time_s - time_s % 3600 ORDER BY time_s DESC, event_id DESC) AS rn FROM ev) WHERE rn = 1), " +
+      "spans AS (SELECT host, min(window_start) AS w0, max(window_start) AS w1 FROM obs GROUP BY host), " +
+      "al AS (SELECT host, unnest(generate_series(w0, w1, 3600)) AS window_start FROM spans), " +
+      "j AS (SELECT al.host, al.window_start, obs.n_events, " +
+      "last_value(CASE WHEN obs.n_events IS NOT NULL THEN struct_pack(m := obs.obs_metric, st := obs.obs_state) END IGNORE NULLS) " +
+      "OVER (PARTITION BY al.host ORDER BY al.window_start ROWS UNBOUNDED PRECEDING) AS carry " +
+      "FROM al LEFT JOIN obs ON al.host = obs.host AND al.window_start = obs.window_start) " +
+      "SELECT host, window_start, struct_extract(carry, 'm') AS metric, struct_extract(carry, 'st') AS state, coalesce(n_events, 0) AS n_events " +
+      "FROM j WHERE n_events IS NOT NULL OR struct_extract(carry, 'st') IS DISTINCT FROM 'expired' ORDER BY 1, 2"),
     "q_sreduce" -> (s"$cte SELECT event_id, max(metric) OVER w AS running_max, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_sum FROM ev " +
       "WINDOW w AS (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) ORDER BY event_id"),
     "q_fold_difference" -> (s"$cte SELECT host, round(CAST(CAST(first(metric ORDER BY time_s, event_id) AS DECIMAL(28,10)) * 2 - SUM(CAST(metric AS DECIMAL(28,10))) AS DOUBLE), 4) AS difference " +

@@ -265,6 +265,47 @@ object Windows {
           ignoreNulls = true).over(w)))
   }
 
+  /** `interpolate-constant interval` (streams.clj:753-774): emit the
+    * latest event's value at every interval tick, stopping when an
+    * expired event arrives (the expired event itself is still forwarded
+    * once, and filling resumes at the next live event). Batch reading:
+    * one row per (key, epoch-aligned tick) carrying the newest event at
+    * or before the tick; ticks whose carried state is "expired" are
+    * dropped unless the expiry was observed in that tick. Where several
+    * events share a tick the newest wins (the reference, sampling on a
+    * wall-clock timer, would emit whichever states the ticks land on).
+    * Same sequence()+join shape as [[fillIn]] — scales as one shuffle
+    * on (key, window_start), no driver loop. */
+  def interpolateConstant(df: DataFrame, seconds: Long, keys: Seq[String]): DataFrame = {
+    val latest = df
+      .withColumn("window_start", col("time_s") - (col("time_s") % seconds))
+      .groupBy((keys.map(col) :+ col("window_start")): _*)
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("time_s"), col("event_id"), col("metric"),
+          col("state"))).as("latest"))
+      .select(keys.map(col) :+ col("window_start") :+ col("n_events") :+
+        col("latest.metric").as("obs_metric") :+
+        col("latest.state").as("obs_state"): _*)
+    val spans = latest.groupBy(keys.map(col): _*)
+      .agg(min("window_start").as("w0"), max("window_start").as("w1"))
+    val ticks = spans.select(keys.map(col) :+
+      explode(sequence(col("w0"), col("w1"), lit(seconds))).as("window_start"): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("window_start"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ticks.join(latest, keys :+ "window_start", "left")
+      // carry (metric, state) pairs, not bare columns: an observed event
+      // with a null metric must still overwrite the previous carry
+      .withColumn("carry", last(
+        when(col("n_events").isNotNull,
+          struct(col("obs_metric").as("m"), col("obs_state").as("st"))),
+        ignoreNulls = true).over(w))
+      .filter(col("n_events").isNotNull ||
+        !(col("carry.st") <=> lit("expired")))
+      .select(keys.map(col) :+ col("window_start") :+
+        col("carry.m").as("metric") :+ col("carry.st").as("state") :+
+        coalesce(col("n_events"), lit(0L)).as("n_events"): _*)
+  }
+
   /** `sreduce f` (streams.clj:206-250): running reduce with visible
     * intermediates. Batch form for the associative folds: a running
     * window aggregate per key (one value per event, in time order).

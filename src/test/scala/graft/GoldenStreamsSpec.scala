@@ -130,6 +130,27 @@ class GoldenStreamsSpec extends SparkSpec {
     assert(rates.size == 5 && rates.forall(_ == 1.0))
   }
 
+  test("interpolate-constant fills with the latest value but not past expiry (interpolate-constant-test)") {
+    // [{1 expired}@0, {2}@3, {3 expired}@6] interval 1 -> metrics
+    // [1 2 2 2 3]: expired events forward once and stop the fill
+    val df = events(
+      E(id = 1, metric = 1.0, state = "expired", time = 0L),
+      E(id = 2, metric = 2.0, time = 3L),
+      E(id = 3, metric = 3.0, state = "expired", time = 6L))
+    val out = Windows.interpolateConstant(df, 1, Seq("host"))
+      .orderBy("window_start").select("metric").collect()
+      .map(_.getDouble(0)).toSeq
+    assert(out == Seq(1.0, 2.0, 2.0, 2.0, 3.0))
+    // regular gaps fill with the last value (em 1 2 3 4 at 0/2/4/6, dt 1)
+    val steady = events(
+      E(id = 1, metric = 1.0, time = 0L), E(id = 2, metric = 2.0, time = 2L),
+      E(id = 3, metric = 3.0, time = 4L), E(id = 4, metric = 4.0, time = 6L))
+    val filled = Windows.interpolateConstant(steady, 1, Seq("host"))
+      .orderBy("window_start").select("metric").collect()
+      .map(_.getDouble(0)).toSeq
+    assert(filled == Seq(1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0))
+  }
+
   test("rate emits zero for empty intervals via fill-in (rate-without-input)") {
     // events at t=0 and t=50, interval 10: buckets 10..40 rate 0
     val df = events(E(id = 1, metric = 5.0, time = 0L),
