@@ -109,22 +109,22 @@ object SparkEntry {
       Index.search(Index.snapshot(ev(s, d)), """k > 50 and metric < 100""")
         .select("event_id", "host", "service", "metric").orderBy("event_id")),
     // the SQL surface: same predicate semantics, entered via
-    // spark.sql(... WHERE riemann_query('...')). Falls back to the
-    // DataFrame path in a session without the RiemannExtensions rule
-    // (the semantics are identical; the gate then still checks them).
+    // spark.sql(... WHERE riemann_query('...')). This gate exists to
+    // exercise the SQL path specifically, so a session without the
+    // RiemannExtensions rule fails loudly instead of silently passing
+    // via the DataFrame predicate (Verify/Bench both install it).
     "q_query_sql" -> ((s, d) => {
       val q = """state = "critical" or (metric > 120 and tagged "big")"""
       val snap = Index.snapshot(ev(s, d))
-      val out =
-        if (graft.query.RiemannSql.isInstalled(s)) {
-          snap.createOrReplaceTempView("graft_index_snapshot")
-          s.sql("SELECT event_id, host, service, state, metric, time_s " +
-            "FROM graft_index_snapshot " +
-            s"WHERE riemann_query('${q.replace("'", "''")}')")
-        } else
-          snap.filter(graft.query.QueryLanguage.predicate(q, snap.schema))
-            .select("event_id", "host", "service", "state", "metric", "time_s")
-      out.orderBy("event_id")
+      if (!graft.query.RiemannSql.isInstalled(s))
+        throw new IllegalStateException(
+          "q_query_sql requires spark.sql.extensions=graft.query.RiemannExtensions " +
+            "(the gate checks the SQL surface, not the DataFrame fallback)")
+      snap.createOrReplaceTempView("graft_index_snapshot")
+      s.sql("SELECT event_id, host, service, state, metric, time_s " +
+        "FROM graft_index_snapshot " +
+        s"WHERE riemann_query('${q.replace("'", "''")}')")
+        .orderBy("event_id")
     }),
     "q_index_snapshot" -> ((s, d) => Index.snapshot(ev(s, d))
       .select("event_id", "host", "service", "state", "metric", "time_s")

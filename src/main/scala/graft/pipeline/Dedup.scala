@@ -353,10 +353,17 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming ($maxHamming) must be in [0, 64)")
     val nBlocks = maxHamming + 1
-    val w = (64 + nBlocks - 1) / nBlocks
+    // exact partition of the 64 bits into nBlocks NON-empty blocks
+    // (the first 64 % nBlocks get the ceil width): a uniform ceil
+    // width would give zero-width blocks for maxHamming >= 32, whose
+    // constant-0 values silently degrade the equi-join to all-pairs
+    val base = 64 / nBlocks
+    val extra = 64 % nBlocks
+    val widths = (0 until nBlocks).map(i => if (i < extra) base + 1 else base)
+    val shifts = widths.scanLeft(0)(_ + _)
     val blocks = (0 until nBlocks).map { i =>
-      val shift = i * w
-      val width = math.min(w, 64 - shift)
+      val shift = shifts(i)
+      val width = widths(i)
       // arithmetic >> then mask == logical shift for the kept bits
       // (width <= 64 - shift by construction) — identical in DuckDB
       val mask = if (width == 64) -1L else (1L << width) - 1L

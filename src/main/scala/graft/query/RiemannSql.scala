@@ -83,9 +83,22 @@ object RiemannSql {
       case other => throw QueryLanguage.ParseException(
         s"unexpected shape compiling riemann_query: $other")
     }
-    val byName = out.map(a => a.name -> a).toMap
+    // group, not toMap: a join child can expose the same name on both
+    // sides, and binding to an arbitrary one would silently pick a side
+    // where hand-written SQL raises an ambiguity error
+    val byName = out.distinct.groupBy(_.name)
     expr.transform {
-      case ar: AttributeReference => byName.getOrElse(ar.name, ar)
+      case ar: AttributeReference => byName.get(ar.name) match {
+        case Some(Seq(single)) => single
+        case Some(many) if many.length > 1 =>
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "AMBIGUOUS_REFERENCE",
+            messageParameters = Map(
+              "name" -> s"`${ar.name}`",
+              "referenceNames" -> many.map(a => s"`${a.qualifiedName}`")
+                .sorted.mkString("[", ", ", "]")))
+        case _ => ar
+      }
     }
   }
 

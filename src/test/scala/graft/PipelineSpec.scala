@@ -160,7 +160,9 @@ class PipelineSpec extends SparkSpec {
       (6L, "unrelated corpus noise tokens alpha beta gamma delta"))
     val fps = Dedup.simhash(d, 64).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    for (k <- Seq(3, 10)) {
+    // k >= 32 exercises the floor/ceil bit partition: every block must
+    // stay non-empty or the equi-join degrades to all-pairs
+    for (k <- Seq(3, 10, 35, 63)) {
       val expected = (for {
         a <- fps.keys; b <- fps.keys if a < b
         h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= k

@@ -89,6 +89,29 @@ class QuerySqlSpec extends SparkSpec {
     assert(messages(e).exists(m => m != null && m.contains("string literal")))
   }
 
+  test("duplicate column names raise an ambiguity error, not arbitrary binding") {
+    fixture()
+    // a self-join exposes `host` (and every other column) on both sides;
+    // hand-written SQL raises AMBIGUOUS_REFERENCE here and riemann_query
+    // must too — binding to whichever side toMap kept would silently
+    // filter on the wrong relation
+    val e = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT l.event_id FROM qsql_events l JOIN qsql_events r " +
+          "ON l.event_id = r.event_id WHERE riemann_query('host = \"a\"')")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("ambiguous"),
+      s"expected ambiguity error, got: ${e.getMessage}")
+    // unambiguous references through the same join still work
+    val ok = spark.sql(
+      "SELECT l.event_id FROM qsql_events l " +
+        "JOIN (SELECT event_id AS rid FROM qsql_events) r " +
+        "ON l.event_id = r.rid WHERE riemann_query('host = \"a\"')")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ok == Seq(1L, 3L))
+  }
+
   test("riemann_query('host = ... and service = ...') pushes down to parquet") {
     fixture()
     val dir = java.nio.file.Files.createTempDirectory("qsql_pq").toString
