@@ -98,6 +98,18 @@ object SparkEntry {
       .select("event_id", "metric").orderBy("event_id")),
     "q_smapcat" -> ((s, d) => ev(s, d).smapcat(col("tags"), "tag")
       .select("event_id", "tag").orderBy("event_id", "tag")),
+    "q_adjust" -> ((s, d) => ev(s, d)
+      // (adjust [:service str "!"] ...) — streams_test.clj adjust-test
+      .adjust("service", c => concat(c, lit("!")))
+      .select("event_id", "service").orderBy("event_id")),
+    // sflatten inverts the window operators' vector emission: group
+    // events into per-host vectors, flatten back, recover the rows
+    "q_sflatten" -> ((s, d) => {
+      val grouped = ev(s, d).groupBy("host")
+        .agg(collect_list(struct(col("event_id"), col("service"),
+          col("metric"))).as("events_v"))
+      grouped.sflatten("events_v").orderBy("event_id")
+    }),
 
     // ---- §2.8 query language + index
     "q_query_search" -> ((s, d) =>
@@ -162,6 +174,12 @@ object SparkEntry {
         .orderBy("host", "window_id")),
     "q_rate" -> ((s, d) => Windows.rate(ev(s, d), 3600, Seq("service"))
       .orderBy("service", "window_start")),
+    // rate with the reference's ttl-decay emission (rate-expiration):
+    // 60 s buckets so the 60-330 s event ttls actually gate the
+    // zero-fill span between observed buckets
+    "q_rate_expiring" -> ((s, d) =>
+      Windows.rateExpiring(ev(s, d), 60, Seq("service"))
+        .orderBy("service", "time_s")),
     "q_percentiles" -> ((s, d) =>
       Windows.percentiles(ev(s, d), 86400, Seq(0.5, 0.9, 0.99))
         .orderBy("service_pt", "window_start")),
@@ -448,6 +466,29 @@ object SparkEntry {
           element_at(col("attributes"), "k").as("attr_k"))
         .orderBy("event_id")
     }),
+    // §2.2 influxdb sink: the line-protocol encode (shared with
+    // InfluxDbSink) gated as text — escaping, value render, ns clock
+    "q_influx_lines" -> ((s, d) => ev(s, d)
+      .filter(col("metric").isNotNull)
+      .select(col("event_id"), graft.sinks.Sinks.influxLine.as("line"))
+      .orderBy("event_id")),
+    // §2.1 kafka/ws JSON codec: render each event with the wire
+    // encoder (to_json), decode through the same Event-schema path the
+    // kafka consumer and ws /events ingest use, and state the identity
+    "q_json_roundtrip" -> ((s, d) => {
+      val payload = ev(s, d).select(to_json(struct(
+        col("host"), col("service"), col("state"), col("metric"),
+        col("tags"), col("time"), col("ttl"),
+        map(lit("idx"), col("event_id").cast("string")).as("attributes")))
+        .as("value"))
+      payload.select(from_json(col("value"), graft.model.Event.schema).as("e"))
+        .select(
+          expr("CAST(e.attributes['idx'] AS LONG)").as("event_id"),
+          col("e.host"), col("e.service"), col("e.state"), col("e.metric"),
+          coalesce(array_join(col("e.tags"), ","), lit("")).as("tags"),
+          unix_timestamp(col("e.time")).as("time_s"), col("e.ttl"))
+        .orderBy("event_id")
+    }),
 
     // ---- LLM pipeline: multimodal plumbing (media derived from documents)
     "q_frames" -> ((s, d) =>
@@ -474,6 +515,21 @@ object SparkEntry {
     "q_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))
       .orderBy("doc_id")),
+    "q_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(docs(s, d)).orderBy("doc_id")),
+    // PII scan over deterministically planted spans (the synthetic
+    // corpus carries none): the encode-then-decode gate pattern
+    "q_pii" -> ((s, d) => {
+      val planted = docs(s, d).withColumn("text2", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit(" contact alice@example.com or bob.smith@mail.org"))
+          .when(col("doc_id") % 5 === 1,
+            lit(" server at 10.0.0.1 and 192.168.1.100"))
+          .when(col("doc_id") % 5 === 2, lit(" call +1 555-123-4567"))
+          .when(col("doc_id") % 5 === 3, lit(" mixed: c@d.io 8.8.8.8"))
+          .otherwise(lit(""))))
+      TextAnalysis.piiScan(planted, "text2").orderBy("doc_id")
+    }),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdf(docs(s, d), 5)
       .orderBy("doc_id", "rk")),
     // decontamination: every 10th doc plays the held-out benchmark set
@@ -623,6 +679,18 @@ object SparkEntry {
     "q_tag_untag" -> s"$cte SELECT event_id, array_to_string(list_sort(list_distinct(list_filter(list_concat(tags, ['x']), t -> t <> 'big'))), ',') AS tags FROM ev ORDER BY event_id",
     "q_smap" -> s"$cte, m AS (SELECT event_id, metric / CAST(10 AS DOUBLE) AS metric FROM ev) SELECT event_id, metric FROM m WHERE metric > 10 ORDER BY event_id",
     "q_smapcat" -> s"$cte SELECT event_id, unnest(tags) AS tag FROM ev ORDER BY event_id, tag",
+    "q_adjust" -> s"$cte SELECT event_id, service || '!' AS service FROM ev ORDER BY event_id",
+    // sflatten is vector->rows: the group/flatten roundtrip is identity
+    "q_sflatten" -> s"$cte SELECT event_id, service, metric FROM ev ORDER BY event_id",
+    // no event in the derived view carries line-protocol specials, so
+    // the escape regexes are identity here (escaping itself is golden-
+    // tested in SinksExtraSpec); doubles render identically
+    "q_influx_lines" -> (s"$cte SELECT event_id, service || ',host=' || host || " +
+      "' value=' || CAST(CAST(metric AS DOUBLE) AS VARCHAR) || ' ' || " +
+      "CAST(time_s * 1000000000 AS VARCHAR) AS line FROM ev WHERE metric IS NOT NULL ORDER BY event_id"),
+    // JSON wire codec round-trips every field losslessly
+    "q_json_roundtrip" -> (s"$cte SELECT event_id, host, service, state, metric, " +
+      "COALESCE(array_to_string(tags, ','), '') AS tags, time_s, ttl FROM ev ORDER BY event_id"),
     "q_query_search" -> s"$snapCte SELECT event_id, host, service, state, metric, time_s FROM snap WHERE rn = 1 AND (state = 'critical' OR (metric > 120 AND list_contains(tags, 'big'))) ORDER BY event_id",
     "q_query_sql" -> s"$snapCte SELECT event_id, host, service, state, metric, time_s FROM snap WHERE rn = 1 AND (state = 'critical' OR (metric > 120 AND list_contains(tags, 'big'))) ORDER BY event_id",
     "q_query_attrs" -> (EventView.oracleCteWith(
@@ -649,6 +717,19 @@ object SparkEntry {
       "SELECT host, (time_s - t0) // 7200 AS window_id, count(*) AS n_events, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric, min(time_s) AS window_min_time " +
       "FROM t GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_rate" -> s"$cte SELECT service, time_s - time_s % 3600 AS window_start, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) / CAST(3600 AS DOUBLE) AS rate FROM ev GROUP BY 1, 2 ORDER BY 1, 2",
+    // mirrors Windows.rateExpiring: observed buckets + zero-fill while
+    // the carried ttl decays, fill ends at min(next bucket, ttl lapse);
+    // DuckDB least() skips NULLs exactly like Spark's
+    "q_rate_expiring" -> (s"$cte, obs AS (SELECT service, time_s - time_s % 60 AS window_start, " +
+      "CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric, " +
+      "arg_max(ttl, time_s * 10000000 + event_id) AS carry_ttl FROM ev GROUP BY 1, 2), " +
+      "wn AS (SELECT *, lead(window_start) OVER (PARTITION BY service ORDER BY window_start) AS next_ws FROM obs), " +
+      "fills AS (SELECT service, window_start AS ows, carry_ttl, unnest(generate_series(window_start + 60, " +
+      "least(coalesce(next_ws - 60, window_start + (CAST(ceil(carry_ttl / CAST(60 AS DOUBLE)) AS BIGINT) - 1) * 60), " +
+      "coalesce(window_start + (CAST(ceil(carry_ttl / CAST(60 AS DOUBLE)) AS BIGINT) - 1) * 60, next_ws - 60)), 60)) AS window_start FROM wn), " +
+      "un AS (SELECT service, window_start, sum_metric / CAST(60 AS DOUBLE) AS rate, carry_ttl AS ttl FROM obs " +
+      "UNION ALL SELECT service, window_start, CAST(0 AS DOUBLE) AS rate, carry_ttl - (window_start - ows) AS ttl FROM fills) " +
+      "SELECT service, window_start, rate, ttl, window_start + 60 AS time_s FROM un ORDER BY service, time_s"),
     "q_percentiles" -> (s"$cte, b AS (SELECT service, time_s - time_s % 86400 AS window_start, list(metric ORDER BY metric) AS ms FROM ev GROUP BY 1, 2), " +
       "p AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS point) " +
       "SELECT service || ' ' || CAST(point AS VARCHAR) AS service_pt, window_start, point, ms[CAST(LEAST(FLOOR(point * len(ms)), len(ms) - 1) AS INT) + 1] AS metric " +
@@ -876,6 +957,20 @@ object SparkEntry {
       s"m AS (SELECT doc_id, lang, CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks) AS sc FROM t) " +
       "SELECT doc_id, lang AS declared_lang, round(sc, 4) AS en_score, CASE WHEN sc >= 0.05 THEN 'en' ELSE 'other' END AS predicted_lang FROM m ORDER BY doc_id"),
     "q_fingerprint" -> ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fingerprint, md5(text) AS exact_fingerprint FROM documents ORDER BY doc_id"),
+    "q_repetition" -> ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS g FROM t), " +
+      "bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2), " +
+      "bs AS (SELECT doc_id, round(max(c)/CAST(sum(c) AS DOUBLE), 4) AS top_bigram_frac, round((sum(c)-count(*))/CAST(sum(c) AS DOUBLE), 4) AS dup_2gram_frac FROM bc GROUP BY 1), " +
+      "tr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM t), " +
+      "tc AS (SELECT doc_id, g, count(*) AS c FROM tr GROUP BY 1, 2), " +
+      "ts AS (SELECT doc_id, round((sum(c)-count(*))/CAST(sum(c) AS DOUBLE), 4) AS dup_3gram_frac FROM tc GROUP BY 1) " +
+      "SELECT bs.doc_id AS doc_id, top_bigram_frac, dup_2gram_frac, dup_3gram_frac FROM bs JOIN ts ON bs.doc_id = ts.doc_id ORDER BY bs.doc_id"),
+    "q_pii" -> ("WITH t AS (SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 THEN ' contact alice@example.com or bob.smith@mail.org' " +
+      "WHEN doc_id % 5 = 1 THEN ' server at 10.0.0.1 and 192.168.1.100' WHEN doc_id % 5 = 2 THEN ' call +1 555-123-4567' " +
+      "WHEN doc_id % 5 = 3 THEN ' mixed: c@d.io 8.8.8.8' ELSE '' END AS text2 FROM documents) " +
+      "SELECT doc_id, CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +
+      "CAST(len(regexp_extract_all(text2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4, " +
+      "CAST(len(regexp_extract_all(text2, '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}')) AS INT) AS n_phones FROM t ORDER BY doc_id"),
     "q_tfidf" -> ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
       "tf AS (SELECT doc_id, term, count(*) AS cnt FROM t GROUP BY 1, 2), " +
       "dl AS (SELECT doc_id, term, cnt, SUM(cnt) OVER (PARTITION BY doc_id) AS doc_len FROM tf), " +

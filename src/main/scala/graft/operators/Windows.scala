@@ -72,6 +72,51 @@ object Windows {
       .withColumn("rate", col("sum_metric") / seconds)
       .drop("sum_metric", "n_events")
 
+  /** `rate interval` with the reference's expiry semantics
+    * (streams.clj:841-883 ttl decay, golden: streams_test.clj
+    * rate-expiration): between events the poller keeps emitting
+    * zero-rate ticks, carrying the latest event's ttl decremented per
+    * interval, and stops once that ttl lapses (the stream "expires");
+    * the next event restarts it. Batch reading: per (key, bucket),
+    * zero-fill forward from each observed bucket until either the ttl
+    * decays to 0 or the next observed bucket takes over; emitted time
+    * is the tick (window END, when the reference's flush fires). A null
+    * ttl never expires — interior gaps fill fully; after the LAST
+    * bucket a null ttl emits nothing (batch has no "now" to run the
+    * poller against). One aggregation + one lead() on the same
+    * exchange; the fill is a per-row sequence, never a driver loop. */
+  def rateExpiring(df: DataFrame, seconds: Long, keys: Seq[String]): DataFrame = {
+    val obs = df
+      .withColumn("window_start", col("time_s") - (col("time_s") % seconds))
+      .groupBy((keys.map(col) :+ col("window_start")): _*)
+      .agg(sum(col("metric").cast(D)).cast("double").as("sum_metric"),
+        // ttl carried forward = the ttl of the newest event in the bucket
+        max_by(col("ttl"), struct(col("time_s"), col("event_id"))).as("carry_ttl"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("window_start"))
+    val withNext = obs.withColumn("next_ws", lead("window_start", 1).over(w))
+    // last fill bucket: strictly before ttl lapse (ws' − ws < ttl) and
+    // strictly before the next observed bucket
+    val ttlBound = when(col("carry_ttl").isNotNull,
+      col("window_start") +
+        ((ceil(col("carry_ttl") / seconds).cast("long") - 1) * seconds))
+    val fillEnd = least(
+      coalesce(col("next_ws") - seconds, ttlBound),
+      coalesce(ttlBound, col("next_ws") - seconds))
+    val fills = withNext
+      .withColumn("fill_ws",
+        explode(when(fillEnd >= col("window_start") + seconds,
+          sequence(col("window_start") + lit(seconds), fillEnd, lit(seconds)))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(keys.map(col) :+ col("fill_ws").as("window_start") :+
+        lit(0.0).as("rate") :+
+        (col("carry_ttl") - (col("fill_ws") - col("window_start")))
+          .as("ttl"): _*)
+    val live = obs.select(keys.map(col) :+ col("window_start") :+
+      (col("sum_metric") / seconds).as("rate") :+ col("carry_ttl").as("ttl"): _*)
+    live.unionByName(fills)
+      .withColumn("time_s", col("window_start") + seconds)
+  }
+
   /** `percentiles interval points` (streams.clj:885-898 +
     * folds.clj:16-49 sorted-sample): one row per (interval, point),
     * service renamed `"svc p"`; nearest-rank over actual metrics. */

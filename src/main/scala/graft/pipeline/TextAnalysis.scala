@@ -109,4 +109,50 @@ object TextAnalysis {
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))))
         .as("bag_fingerprint"),
       md5(col("text")).as("exact_fingerprint"))
+
+  /** Token k-gram multiset per document (NOT deduped — repetition
+    * signals need multiplicity, unlike [[Dedup.shingles]]). Guarded
+    * against Spark's descending-sequence inference on short docs. */
+  private def gramList(k: Int): Column = {
+    val w = tokens(col("text"))
+    when(size(w) >= k, expr(
+      s"transform(sequence(1, size(split(text, ' ')) - ${k - 1}), " +
+        s"i -> concat_ws(' ', slice(split(text, ' '), i, $k)))"))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style within-document repetition signals (Rae et al. 2021
+    * §A1.1 quality filters, public method): share of the single most
+    * frequent bigram, and the fraction of bigram / trigram occurrences
+    * that are duplicates (occurrences beyond each gram's first). High
+    * values mark boilerplate and degenerate generations. One explode +
+    * one (doc, gram) aggregation per gram size — the tf-idf shuffle
+    * shape, linear in corpus tokens, no all-pairs anywhere. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    def dupStats(k: Int, top: Boolean): DataFrame = {
+      val counts = docs.select(col("doc_id"), explode(gramList(k)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+      val dup = round((sum("c") - count(lit(1))) / sum("c").cast("double"), 4)
+        .as(s"dup_${k}gram_frac")
+      if (top) counts.agg(
+        round(max("c") / sum("c").cast("double"), 4).as("top_bigram_frac"), dup)
+      else counts.agg(dup)
+    }
+    dupStats(2, top = true).join(dupStats(3, top = false), Seq("doc_id"))
+  }
+
+  /** PII surface scan: counts of email / IPv4 / phone-shaped spans per
+    * document — the redaction pre-pass every public-web training
+    * pipeline runs. Regexes stay in the RE2-compatible subset (no
+    * lookaround) so the same pattern runs on any engine; pure codegen'd
+    * regexp_count, one narrow pass. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}"
+  def piiScan(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
+      regexp_count(col(textCol), lit(Ipv4Re)).as("n_ipv4"),
+      regexp_count(col(textCol), lit(PhoneRe)).as("n_phones"))
 }

@@ -180,24 +180,31 @@ object Sinks {
     }
   }
 
-  /** InfluxDB sink (reference src/riemann/influxdb.clj:135-231): each
-    * event becomes one line-protocol point —
+  /** InfluxDB line-protocol point for one event —
     * `measurement,host=<host> value=<metric> <time_ns>` with
-    * line-protocol escaping — formatted distributed and handed to the
-    * injected HTTP transport per partition (the batched `/write` POST).
-    * Events without a metric are dropped (a point needs ≥1 field). */
+    * line-protocol escaping (measurement escapes commas/spaces; tag
+    * values also equals). Pure codegen'd column, shared by the sink
+    * and the oracle gate. */
+  def influxLine: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val meas = regexp_replace(col("service"), "([, ])", "\\\\$1")
+    val hostTag = regexp_replace(col("host"), "([,= ])", "\\\\$1")
+    concat(
+      meas, lit(",host="), hostTag,
+      lit(" value="), col("metric").cast("double").cast("string"),
+      lit(" "), (col("time_s").cast("long") * 1000000000L).cast("string"))
+  }
+
+  /** InfluxDB sink (reference src/riemann/influxdb.clj:135-231): each
+    * event becomes one line-protocol point via [[influxLine]] —
+    * formatted distributed and handed to the injected HTTP transport
+    * per partition (the batched `/write` POST). Events without a
+    * metric are dropped (a point needs ≥1 field). */
   class InfluxDbSink(transport: Iterator[String] => Unit) extends EventSink {
     override def write(batch: DataFrame, batchId: Long): Unit = {
       import org.apache.spark.sql.functions._
-      // measurement escapes commas/spaces; tag values also equals
-      val meas = regexp_replace(col("service"), "([, ])", "\\\\$1")
-      val hostTag = regexp_replace(col("host"), "([,= ])", "\\\\$1")
       batch.filter(col("metric").isNotNull)
-        .select(concat(
-          meas, lit(",host="), hostTag,
-          lit(" value="), col("metric").cast("double").cast("string"),
-          lit(" "), (col("time_s").cast("long") * 1000000000L).cast("string"))
-          .as("line"))
+        .select(influxLine.as("line"))
         .foreachPartition { (rows: Iterator[Row]) =>
           transport(rows.map(_.getString(0)))
         }

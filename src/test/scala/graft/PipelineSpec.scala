@@ -173,6 +173,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("repetitionSignals: duplicate n-gram fractions (Gopher A1.1 shape)") {
+    // "a b a b a": bigrams [a b, b a, a b, b a] -> top 2/4, dup (4-2)/4
+    //              trigrams [a b a, b a b, a b a] -> dup (3-2)/3
+    val d = docs((1L, "a b a b a"), (2L, "w x y z"))
+    val got = graft.pipeline.TextAnalysis.repetitionSignals(d)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got(0) == ((1L, 0.5, 0.5, round4(1.0 / 3))))
+    // all-distinct doc: no duplicates anywhere
+    assert(got(1) == ((2L, round4(1.0 / 3), 0.0, 0.0)))
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("piiScan counts email / ipv4 / phone spans") {
+    val d = docs(
+      (1L, "reach me at jane.doe@corp.example.com or +1 555-123-4567"),
+      (2L, "hosts 10.0.0.1 and 192.168.1.2 but not 1.2.3"),
+      (3L, "plain text without identifiers"))
+    val got = graft.pipeline.TextAnalysis.piiScan(d).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq == Seq((1L, 1, 0, 1), (2L, 0, 2, 0), (3L, 0, 0, 0)))
+  }
+
   test("simhashPairs maxBucket drops hot blocks") {
     // identical docs share every block: a cap of 1 kills every bucket
     val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "a b c"))
