@@ -183,6 +183,13 @@ object SparkEntry {
     "q_percentiles" -> ((s, d) =>
       Windows.percentiles(ev(s, d), 86400, Seq(0.5, 0.9, 0.99))
         .orderBy("service_pt", "window_start")),
+    // rate+latency self-instrumentation; metric-as-milliseconds plays
+    // the latency sample (floor'd to integral ns so both engines'
+    // double->long conversions agree)
+    "q_instrument" -> ((s, d) =>
+      Windows.instrument(ev(s, d).filter(col("metric").isNotNull), 86400,
+        floor(col("metric") * lit(1e6)))
+        .orderBy("service_out", "window_start")),
     "q_apdex" -> ((s, d) => Windows.apdex(ev(s, d), 86400,
       col("metric") <= 50, col("metric") > 50 && col("metric") <= 150,
       Seq("service")).orderBy("service", "window_start")),
@@ -734,6 +741,13 @@ object SparkEntry {
       "p AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS point) " +
       "SELECT service || ' ' || CAST(point AS VARCHAR) AS service_pt, window_start, point, ms[CAST(LEAST(FLOOR(point * len(ms)), len(ms) - 1) AS INT) + 1] AS metric " +
       "FROM b, p ORDER BY service_pt, window_start"),
+    "q_instrument" -> (s"$cte, e2 AS (SELECT service, time_s, CAST(floor(metric * CAST(1000000 AS DOUBLE)) AS BIGINT) AS latns FROM ev WHERE metric IS NOT NULL), " +
+      "b AS (SELECT service, time_s - time_s % 86400 AS window_start, count(*) AS n, list(latns ORDER BY latns) AS ls FROM e2 GROUP BY 1, 2), " +
+      "q AS (SELECT unnest([CAST(0.0 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE), CAST(0.99 AS DOUBLE), CAST(0.999 AS DOUBLE)]) AS q), " +
+      "r AS (SELECT 'riemann ' || service || ' rate' AS service_out, window_start, n / CAST(86400 AS DOUBLE) AS metric FROM b), " +
+      "l AS (SELECT 'riemann ' || service || ' latency ' || CAST(q AS VARCHAR) AS service_out, window_start, " +
+      "ls[CAST(LEAST(FLOOR(q * len(ls)), len(ls) - 1) AS INT) + 1] * CAST(0.000001 AS DOUBLE) AS metric FROM b, q) " +
+      "SELECT * FROM r UNION ALL SELECT * FROM l ORDER BY service_out, window_start"),
     "q_apdex" -> (s"$cte SELECT service, time_s - time_s % 86400 AS window_start, " +
       "(CAST(SUM(CASE WHEN metric <= 50 THEN 1 ELSE 0 END) AS BIGINT) + CAST(SUM(CASE WHEN metric > 50 AND metric <= 150 THEN 1 ELSE 0 END) AS BIGINT) / CAST(2.0 AS DOUBLE)) / count(*) AS apdex " +
       "FROM ev WHERE NOT coalesce(state = 'expired', false) GROUP BY 1, 2 ORDER BY 1, 2"),

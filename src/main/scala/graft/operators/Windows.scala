@@ -141,6 +141,41 @@ object Windows {
           .as("metric"))
   }
 
+  /** `rate+latency` (instrumentation.clj:26-59): the engine's
+    * self-instrumentation surface — per (service, interval) emit one
+    * throughput-rate event (`"riemann <svc> rate"`) plus one event per
+    * latency quantile (`"riemann <svc> latency <q>"`), latencies
+    * entering in nanoseconds and emitted as milliseconds. Quantiles are
+    * nearest-rank over the actual samples (the reference keeps a
+    * uniform reservoir; exact here — batch has no memory bound per
+    * group since collect_list spills). Scale shape: one grouped sort
+    * per interval, identical to [[percentiles]]. */
+  def instrument(df: DataFrame, seconds: Long, latencyNs: Column,
+      quantiles: Seq[Double] = Seq(0.0, 0.5, 0.95, 0.99, 0.999)): DataFrame = {
+    val b = df
+      .withColumn("window_start", col("time_s") - (col("time_s") % seconds))
+      .withColumn("_lat", latencyNs.cast("long"))
+      .groupBy(col("service"), col("window_start"))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(col("_lat"))).as("ls"))
+    val rateRows = b.select(
+      concat(lit("riemann "), col("service"), lit(" rate")).as("service_out"),
+      col("window_start"),
+      (col("n") / lit(seconds.toDouble)).as("metric"))
+    val latRows = b
+      .select(col("service"), col("window_start"), col("ls"),
+        explode(array(quantiles.map(lit): _*)).as("q"))
+      .withColumn("idx",
+        least(floor(col("q") * size(col("ls"))), size(col("ls")) - 1).cast("int"))
+      .select(
+        concat(lit("riemann "), col("service"), lit(" latency "),
+          col("q").cast("string")).as("service_out"),
+        col("window_start"),
+        when(size(col("ls")) > 0,
+          element_at(col("ls"), col("idx") + 1) * lit(1e-6)).as("metric"))
+    rateRows.unionByName(latRows)
+  }
+
   /** `apdex` (streams.clj:2103-2157): (satisfied + tolerated/2) / total
     * per interval. */
   def apdex(df: DataFrame, seconds: Long, satisfied: Column, tolerated: Column,

@@ -78,6 +78,20 @@ class GoldenEwmaRateSpec extends SparkSpec {
     assert(implicitly_ == Seq(3.0, 6.0, 10.0))
   }
 
+  test("instrument emits rate + latency quantile events (instrumentation.clj:26-59)") {
+    // four samples of 1..4 ms in one 10 s interval: rate 0.4 ev/s,
+    // nearest-rank p50 = 3 ms, p999 = 4 ms; ns in, ms out
+    val df = events((1 to 4).map(i =>
+      E(id = i, metric = i.toDouble, time = 1L)): _*)
+    val m = Windows.instrument(df, 10, floor(col("metric") * lit(1e6)),
+      Seq(0.5, 0.999)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(m == Map(
+      "riemann s rate" -> 0.4,
+      "riemann s latency 0.5" -> 3.0,
+      "riemann s latency 0.999" -> 4.0))
+  }
+
   test("rate keeps emitting zeros until the ttl lapses (rate-expiration)") {
     // (rate 1) over [{time 0 metric 1 ttl 3}] then 5 quiet seconds ->
     // [{time 1 metric 1 ttl 3} {time 2 metric 0 ttl 2} {time 3 metric 0 ttl 1}]
