@@ -102,19 +102,24 @@ object Windows {
     val fillEnd = least(
       coalesce(col("next_ws") - seconds, ttlBound),
       coalesce(ttlBound, col("next_ws") - seconds))
-    val fills = withNext
-      .withColumn("fill_ws",
-        explode(when(fillEnd >= col("window_start") + seconds,
-          sequence(col("window_start") + lit(seconds), fillEnd, lit(seconds)))
-          .otherwise(array().cast("array<bigint>"))))
-      .select(keys.map(col) :+ col("fill_ws").as("window_start") :+
-        lit(0.0).as("rate") :+
-        (col("carry_ttl") - (col("fill_ws") - col("window_start")))
-          .as("ttl"): _*)
-    val live = obs.select(keys.map(col) :+ col("window_start") :+
-      (col("sum_metric") / seconds).as("rate") :+ col("carry_ttl").as("ttl"): _*)
-    live.unionByName(fills)
-      .withColumn("time_s", col("window_start") + seconds)
+    // ONE linear plan: each bucket row emits [live ++ fills] through a
+    // single explode. A Union of live and fill branches would
+    // re-execute the aggregation (and re-scan the source) once per
+    // branch — Spark does not dedupe common subtrees under Union.
+    val liveEm = struct(col("window_start"),
+      (col("sum_metric") / seconds).as("rate"), col("carry_ttl").as("ttl"))
+    val fillSeq = when(fillEnd >= col("window_start") + seconds,
+      sequence(col("window_start") + lit(seconds), fillEnd, lit(seconds)))
+      .otherwise(array().cast("array<bigint>"))
+    val fillEms = transform(fillSeq, f => struct(f.as("window_start"),
+      lit(0.0).as("rate"),
+      (col("carry_ttl") - (f - col("window_start"))).as("ttl")))
+    withNext
+      .select(keys.map(col) :+
+        explode(concat(array(liveEm), fillEms)).as("em"): _*)
+      .select(keys.map(col) :+ col("em.window_start").as("window_start") :+
+        col("em.rate").as("rate") :+ col("em.ttl").as("ttl") :+
+        (col("em.window_start") + seconds).as("time_s"): _*)
   }
 
   /** `percentiles interval points` (streams.clj:885-898 +
@@ -173,6 +178,40 @@ object Windows {
         col("window_start"),
         when(size(col("ls")) > 0,
           element_at(col("ls"), col("idx") + 1) * lit(1e-6)).as("metric"))
+    rateRows.unionByName(latRows)
+  }
+
+  /** [[instrument]] for the 100 TB path: `percentile_approx` replaces
+    * the exact grouped sort — a mergeable bounded sketch (partial
+    * aggregation on the map side, no per-group sample materialization),
+    * the honest Spark analog of the reference's bounded uniform
+    * reservoir (instrumentation.clj:59 `uniform-reservoir`). Use the
+    * exact form where bit-parity matters; this one where a single
+    * (service, interval) group can hold billions of samples. */
+  def instrumentApprox(df: DataFrame, seconds: Long, latencyNs: Column,
+      quantiles: Seq[Double] = Seq(0.0, 0.5, 0.95, 0.99, 0.999),
+      accuracy: Int = 10000): DataFrame = {
+    val b = df
+      .withColumn("window_start", col("time_s") - (col("time_s") % seconds))
+      .withColumn("_lat", latencyNs.cast("long"))
+      .groupBy(col("service"), col("window_start"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("_lat"),
+          array(quantiles.map(lit): _*), lit(accuracy)).as("qs"))
+    val rateRows = b.select(
+      concat(lit("riemann "), col("service"), lit(" rate")).as("service_out"),
+      col("window_start"),
+      (col("n") / lit(seconds.toDouble)).as("metric"))
+    val latRows = b
+      .select(col("service"), col("window_start"),
+        posexplode(col("qs")).as(Seq("qi", "lat")))
+      .withColumn("q", element_at(
+        array(quantiles.map(lit): _*), col("qi") + 1))
+      .select(
+        concat(lit("riemann "), col("service"), lit(" latency "),
+          col("q").cast("string")).as("service_out"),
+        col("window_start"),
+        (col("lat") * lit(1e-6)).as("metric"))
     rateRows.unionByName(latRows)
   }
 

@@ -129,17 +129,28 @@ object TextAnalysis {
     * one (doc, gram) aggregation per gram size — the tf-idf shuffle
     * shape, linear in corpus tokens, no all-pairs anywhere. */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    def dupStats(k: Int, top: Boolean): DataFrame = {
-      val counts = docs.select(col("doc_id"), explode(gramList(k)).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-      val dup = round((sum("c") - count(lit(1))) / sum("c").cast("double"), 4)
-        .as(s"dup_${k}gram_frac")
-      if (top) counts.agg(
-        round(max("c") / sum("c").cast("double"), 4).as("top_bigram_frac"), dup)
-      else counts.agg(dup)
-    }
-    dupStats(2, top = true).join(dupStats(3, top = false), Seq("doc_id"))
+    // ONE pass: both gram sizes explode together under a size tag, so
+    // the text is split once and there is a single (doc, k, gram)
+    // shuffle + no self-join (the two-branch form cost a second scan
+    // and a join at the end)
+    val tagged = docs.select(col("doc_id"), explode(concat(
+        transform(gramList(2), g => struct(lit(2).as("k"), g.as("g"))),
+        transform(gramList(3), g => struct(lit(3).as("k"), g.as("g"))))).as("t"))
+      .select(col("doc_id"), col("t.k").as("k"), col("t.g").as("g"))
+    val perK = tagged.groupBy("doc_id", "k", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "k").agg(
+        max("c").as("mx"), sum("c").as("tot"), count(lit(1)).as("nd"))
+    def only(k: Int, c: Column) = max(when(col("k") === k, c))
+    perK.groupBy("doc_id").agg(
+      round(only(2, col("mx")) / only(2, col("tot")).cast("double"), 4)
+        .as("top_bigram_frac"),
+      round((only(2, col("tot")) - only(2, col("nd"))) /
+        only(2, col("tot")).cast("double"), 4).as("dup_2gram_frac"),
+      round((only(3, col("tot")) - only(3, col("nd"))) /
+        only(3, col("tot")).cast("double"), 4).as("dup_3gram_frac"))
+      // a doc too short for trigrams has no k=3 group: drop it, matching
+      // the oracle's inner join across gram sizes
+      .filter(col("dup_3gram_frac").isNotNull)
   }
 
   /** PII surface scan: counts of email / IPv4 / phone-shaped spans per

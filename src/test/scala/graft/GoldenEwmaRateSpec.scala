@@ -92,6 +92,20 @@ class GoldenEwmaRateSpec extends SparkSpec {
       "riemann s latency 0.999" -> 4.0))
   }
 
+  test("instrumentApprox tracks the exact form on small samples") {
+    val df = events((1 to 100).map(i =>
+      E(id = i, metric = i.toDouble, time = 1L)): _*)
+    val lat = floor(col("metric") * lit(1e6))
+    def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = toMap(Windows.instrument(df, 10, lat, Seq(0.5, 0.99)))
+    val approx = toMap(Windows.instrumentApprox(df, 10, lat, Seq(0.5, 0.99)))
+    assert(exact.keySet == approx.keySet)
+    // at n=100 and accuracy 10000 the sketch is exact up to rank ±1
+    for ((k, v) <- exact)
+      assert(math.abs(approx(k) - v) <= 1.0, s"$k: exact $v approx ${approx(k)}")
+  }
+
   test("rate keeps emitting zeros until the ttl lapses (rate-expiration)") {
     // (rate 1) over [{time 0 metric 1 ttl 3}] then 5 quiet seconds ->
     // [{time 1 metric 1 ttl 3} {time 2 metric 0 ttl 2} {time 3 metric 0 ttl 1}]

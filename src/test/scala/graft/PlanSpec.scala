@@ -163,4 +163,39 @@ class PlanSpec extends SparkSpec {
     // two HashAggregate nodes around the exchange = partial + final
     assert("HashAggregate".r.findAllIn(p).length >= 2, s"plan:\n$p")
   }
+
+  test("rateExpiring: one linear plan — single scan, single aggregation, no Union") {
+    val df = Windows.rateExpiring(EventView(spark, dir), 60, Seq("service"))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    // the lead() window runs over AGGREGATED buckets (rows bounded by
+    // time-range/interval, independent of event count), and live+fill
+    // emissions ride ONE explode — a Union shape would re-execute the
+    // aggregation and re-scan the source once per branch
+    assert(p.contains("Window"), s"no window:\n$p")
+    assert(!p.contains("Union"), s"union re-executes the agg subtree:\n$p")
+    assert("FileScan".r.findAllIn(p).length == 1, s"source scanned twice:\n$p")
+    // max_by(struct) forces SortAggregate; partial + final must survive
+    assert("partial_max_by".r.findAllIn(p).length >= 1 &&
+      "Aggregate".r.findAllIn(p).length >= 2,
+      s"bucket aggregation missing partials:\n$p")
+  }
+
+  test("repetitionSignals keeps map-side partials on the gram aggregation") {
+    val p = plan(graft.pipeline.TextAnalysis.repetitionSignals(
+      spark.read.parquet(s"$dir/documents.parquet")))
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    // per gram size: partial+final on (doc, gram) then partial+final on
+    // doc — at least 4 HashAggregates per branch survive in the plan
+    assert("HashAggregate".r.findAllIn(p).length >= 4, s"plan:\n$p")
+  }
+
+  test("influx line encode and piiScan are pure projections, no exchange") {
+    val ev = EventView(spark, dir).filter(col("metric").isNotNull)
+      .select(col("event_id"), graft.sinks.Sinks.influxLine.as("line"))
+    assert(!plan(ev).contains("Exchange"), s"encode should be a pure map")
+    val pii = graft.pipeline.TextAnalysis.piiScan(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    assert(!plan(pii).contains("Exchange"), s"piiScan should be a pure map")
+  }
 }
