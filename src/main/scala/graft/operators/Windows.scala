@@ -348,9 +348,12 @@ object Windows {
     * downstream rates see continuous data. Batch form: per key, emit the
     * observed interval aggregates PLUS a filler row for every
     * epoch-aligned interval between the key's first and last event that
-    * saw no events (metric = `fillMetric`, n_events = 0). Generated via
-    * `sequence()` + anti-join — no driver-side loop, scales as one
-    * shuffle on (key, window_start). */
+    * saw no events (metric = `fillMetric`, n_events = 0). One linear
+    * plan: each observed bucket explodes into itself plus the filler
+    * rows up to the NEXT observed bucket (lead()) — no driver loop, and
+    * no spans+join shape, which would re-execute the bucket aggregation
+    * on both sides. Scales as one shuffle on (key, window_start) plus a
+    * bucket-level (not event-level) window. */
   def fillIn(df: DataFrame, seconds: Long, keys: Seq[String],
       fillMetric: Double): DataFrame = {
     val observed = df
@@ -358,18 +361,23 @@ object Windows {
       .groupBy((keys.map(col) :+ col("window_start")): _*)
       .agg(count(lit(1)).as("n_events"),
         sum(col("metric").cast(D)).cast("double").as("sum_metric"))
-    val spans = observed.groupBy(keys.map(col): _*)
-      .agg(min("window_start").as("w0"), max("window_start").as("w1"))
-    val all = spans.select(keys.map(col) :+
-      explode(sequence(col("w0"), col("w1"), lit(seconds))).as("window_start"): _*)
-    all.join(observed, keys :+ "window_start", "left")
-      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
-      // fill ONLY truly-empty intervals: an observed bucket whose
-      // metrics were all null keeps its null sum (it saw real events)
-      .withColumn("sum_metric",
-        when(col("n_events") > 0, col("sum_metric")).otherwise(lit(fillMetric)))
-      .select((keys.map(col) :+ col("window_start") :+ col("n_events") :+
-        col("sum_metric")): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("window_start"))
+    // observed bucket sums stay as-is (an all-null-metric bucket keeps
+    // its null sum — it saw real events); only gaps get the filler
+    val liveEm = struct(col("window_start"), col("n_events"),
+      col("sum_metric"))
+    val gapSeq = when(col("next_ws") - seconds >= col("window_start") + seconds,
+      sequence(col("window_start") + lit(seconds),
+        col("next_ws") - lit(seconds), lit(seconds)))
+      .otherwise(array().cast("array<bigint>"))
+    val fillEms = transform(gapSeq, f => struct(f.as("window_start"),
+      lit(0L).as("n_events"), lit(fillMetric).as("sum_metric")))
+    observed.withColumn("next_ws", lead("window_start", 1).over(w))
+      .select(keys.map(col) :+
+        explode(concat(array(liveEm), fillEms)).as("em"): _*)
+      .select(keys.map(col) :+ col("em.window_start").as("window_start") :+
+        col("em.n_events").as("n_events") :+
+        col("em.sum_metric").as("sum_metric"): _*)
   }
 
   /** `fill-in-last interval` (streams.clj:720-741): like fill-in but
@@ -393,8 +401,9 @@ object Windows {
     * dropped unless the expiry was observed in that tick. Where several
     * events share a tick the newest wins (the reference, sampling on a
     * wall-clock timer, would emit whichever states the ticks land on).
-    * Same sequence()+join shape as [[fillIn]] — scales as one shuffle
-    * on (key, window_start), no driver loop. */
+    * Same single-pass lead()+explode shape as [[fillIn]] — scales as
+    * one shuffle on (key, window_start), no driver loop, no re-executed
+    * aggregation. */
   def interpolateConstant(df: DataFrame, seconds: Long, keys: Seq[String]): DataFrame = {
     val latest = df
       .withColumn("window_start", col("time_s") - (col("time_s") % seconds))
@@ -405,24 +414,29 @@ object Windows {
       .select(keys.map(col) :+ col("window_start") :+ col("n_events") :+
         col("latest.metric").as("obs_metric") :+
         col("latest.state").as("obs_state"): _*)
-    val spans = latest.groupBy(keys.map(col): _*)
-      .agg(min("window_start").as("w0"), max("window_start").as("w1"))
-    val ticks = spans.select(keys.map(col) :+
-      explode(sequence(col("w0"), col("w1"), lit(seconds))).as("window_start"): _*)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("window_start"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    ticks.join(latest, keys :+ "window_start", "left")
-      // carry (metric, state) pairs, not bare columns: an observed event
-      // with a null metric must still overwrite the previous carry
-      .withColumn("carry", last(
-        when(col("n_events").isNotNull,
-          struct(col("obs_metric").as("m"), col("obs_state").as("st"))),
-        ignoreNulls = true).over(w))
-      .filter(col("n_events").isNotNull ||
-        !(col("carry.st") <=> lit("expired")))
-      .select(keys.map(col) :+ col("window_start") :+
-        col("carry.m").as("metric") :+ col("carry.st").as("state") :+
-        coalesce(col("n_events"), lit(0L)).as("n_events"): _*)
+    // each observed bucket emits itself plus the empty ticks up to the
+    // next observed bucket; the carry is resolved IN the emission (the
+    // gap rows copy this bucket's observation), so no second window
+    // pass over the ticks is needed
+    val liveEm = struct(col("window_start"), col("n_events"),
+      col("obs_metric").as("m"), col("obs_state").as("st"))
+    val gapSeq = when(col("next_ws") - seconds >= col("window_start") + seconds,
+      sequence(col("window_start") + lit(seconds),
+        col("next_ws") - lit(seconds), lit(seconds)))
+      .otherwise(array().cast("array<bigint>"))
+    val fillEms = transform(gapSeq, f => struct(f.as("window_start"),
+      lit(null).cast("long").as("n_events"),
+      col("obs_metric").as("m"), col("obs_state").as("st")))
+    latest.withColumn("next_ws", lead("window_start", 1).over(w))
+      .select(keys.map(col) :+
+        explode(concat(array(liveEm), fillEms)).as("em"): _*)
+      // expired carries stop the fill (the expiry row itself forwards)
+      .filter(col("em.n_events").isNotNull ||
+        !(col("em.st") <=> lit("expired")))
+      .select(keys.map(col) :+ col("em.window_start").as("window_start") :+
+        col("em.m").as("metric") :+ col("em.st").as("state") :+
+        coalesce(col("em.n_events"), lit(0L)).as("n_events"): _*)
   }
 
   /** `sreduce f` (streams.clj:206-250): running reduce with visible

@@ -181,6 +181,19 @@ class PlanSpec extends SparkSpec {
       s"bucket aggregation missing partials:\n$p")
   }
 
+  test("fillIn and interpolateConstant scan the source exactly once") {
+    // the spans+join formulation re-executed the bucket aggregation on
+    // both join sides (no exchange reuse across differently-pruned
+    // branches) — the lead()+explode shape has one scan, one agg
+    for (df <- Seq(
+      Windows.fillIn(EventView(spark, dir), 3600, Seq("service"), 0.0),
+      Windows.interpolateConstant(EventView(spark, dir), 3600, Seq("host")))) {
+      val p = plan(df)
+      assert("FileScan".r.findAllIn(p).length == 1, s"source scanned twice:\n$p")
+      assert(!p.contains("Join"), s"join shape crept back:\n$p")
+    }
+  }
+
   test("repetitionSignals keeps map-side partials on the gram aggregation") {
     val p = plan(graft.pipeline.TextAnalysis.repetitionSignals(
       spark.read.parquet(s"$dir/documents.parquet")))
