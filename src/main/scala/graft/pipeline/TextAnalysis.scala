@@ -110,16 +110,18 @@ object TextAnalysis {
         .as("bag_fingerprint"),
       md5(col("text")).as("exact_fingerprint"))
 
-  /** Token k-gram multiset per document (NOT deduped — repetition
-    * signals need multiplicity, unlike [[Dedup.shingles]]). Guarded
-    * against Spark's descending-sequence inference on short docs. */
-  private def gramList(k: Int): Column = {
-    val w = tokens(col("text"))
-    when(size(w) >= k, expr(
-      s"transform(sequence(1, size(split(text, ' ')) - ${k - 1}), " +
-        s"i -> concat_ws(' ', slice(split(text, ' '), i, $k)))"))
+  /** Token k-gram multiset from a MATERIALIZED token-array column `w`
+    * (NOT deduped — repetition signals need multiplicity, unlike
+    * [[Dedup.shingles]]). Referencing a pre-split column matters: HOF
+    * lambdas are interpreted and re-evaluate their subtrees, so an
+    * inline `split(text)` would re-split the document once per gram
+    * position — O(tokens²) string work. Guarded against Spark's
+    * descending-sequence inference on short docs. */
+  private def gramList(k: Int): Column =
+    when(size(col("w")) >= k, expr(
+      s"transform(sequence(1, size(w) - ${k - 1}), " +
+        s"i -> concat_ws(' ', slice(w, i, $k)))"))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Gopher-style within-document repetition signals (Rae et al. 2021
     * §A1.1 quality filters, public method): share of the single most
@@ -132,12 +134,16 @@ object TextAnalysis {
     // ONE pass: both gram sizes explode together under a size tag, so
     // the text is split once and there is a single (doc, k, gram)
     // shuffle + no self-join (the two-branch form cost a second scan
-    // and a join at the end)
-    val tagged = docs.select(col("doc_id"), explode(concat(
-        transform(gramList(2), g => struct(lit(2).as("k"), g.as("g"))),
-        transform(gramList(3), g => struct(lit(3).as("k"), g.as("g"))))).as("t"))
-      .select(col("doc_id"), col("t.k").as("k"), col("t.g").as("g"))
-    val perK = tagged.groupBy("doc_id", "k", "g").agg(count(lit(1)).as("c"))
+    // and a join at the end). The size tag rides as a one-char string
+    // prefix — exploding flat strings beats exploding structs, and the
+    // tag keeps the two gram spaces disjoint in one aggregation.
+    val tagged = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(concat(
+        transform(gramList(2), g => concat(lit("2"), g)),
+        transform(gramList(3), g => concat(lit("3"), g)))).as("tg"))
+    val perK = tagged.groupBy("doc_id", "tg").agg(count(lit(1)).as("c"))
+      .withColumn("k", substring(col("tg"), 1, 1).cast("int"))
       .groupBy("doc_id", "k").agg(
         max("c").as("mx"), sum("c").as("tot"), count(lit(1)).as("nd"))
     def only(k: Int, c: Column) = max(when(col("k") === k, c))

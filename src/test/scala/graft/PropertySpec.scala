@@ -84,6 +84,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rateExpiring matches an independent per-bucket model (rate-expiration)") {
+    // model: per key, bucket the events; each bucket emits rate =
+    // sum/interval with the newest event's ttl, then zero-rate fills at
+    // every interval tick strictly before BOTH the next observed bucket
+    // and the ttl lapse (decayed ttl must stay > 0); null ttl fills
+    // interior gaps only
+    val caseGen = for {
+      s <- Gen.oneOf(1L, 2L, 5L)
+      n <- Gen.chooseNum(1, 12)
+      evs <- Gen.listOfN(n, for {
+        host <- Gen.oneOf("a", "b")
+        t <- Gen.chooseNum(0L, 30L)
+        m <- Gen.chooseNum(-5, 20)
+        ttl <- Gen.option(Gen.chooseNum(1, 8).map(_.toDouble))
+      } yield (host, t, m.toDouble, ttl))
+    } yield (s, evs)
+    forAllN(caseGen, 30) { case (s, evs) =>
+      val df = events(evs.zipWithIndex.map { case ((h, t, m, ttl), i) =>
+        E(id = i + 1, host = h, metric = m, time = t,
+          ttl = ttl.map(Double.box).orNull)
+      }: _*)
+      val got = graft.operators.Windows.rateExpiring(df, s, Seq("host"))
+        .select("host", "window_start", "rate", "ttl").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+      val expected = evs.zipWithIndex
+        .map { case ((h, t, m, ttl), i) => (h, t, m, ttl, i + 1L) }
+        .groupBy(_._1).flatMap { case (h, es) =>
+        val buckets = es.groupBy { case (_, t, _, _, _) => t - t % s }
+          .toSeq.sortBy(_._1)
+        buckets.zipWithIndex.flatMap { case ((ws, bes), bi) =>
+          val sum = bes.map(_._3).sum
+          // ttl of the newest event in the bucket, event_id tie-break —
+          // mirrors max_by(ttl, struct(time_s, event_id))
+          val carryTtl = bes.maxBy { case (_, t, _, _, id) => (t, id) }._4
+          val next = buckets.lift(bi + 1).map(_._1)
+          val live = (h, ws, sum / s, carryTtl)
+          val fills = Iterator.iterate(ws + s)(_ + s)
+            .takeWhile { f =>
+              next.forall(f < _) &&
+                (carryTtl match {
+                  case Some(ttl) => ttl - (f - ws) > 0
+                  case None => next.isDefined
+                })
+            }
+            .map(f => (h, f, 0.0, carryTtl.map(_ - (f - ws))))
+            .toSeq
+          live +: fills
+        }
+      }.toSet
+      assert(got == expected,
+        s"interval=$s events=$evs\n got=$got\n exp=$expected")
+    }
+  }
+
   test("protobuf wire format round-trips arbitrary events") {
     import graft.sources.RiemannProtobuf
     val eventGen = for {
