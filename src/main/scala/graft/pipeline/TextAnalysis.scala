@@ -117,11 +117,16 @@ object TextAnalysis {
     * inline `split(text)` would re-split the document once per gram
     * position — O(tokens²) string work. Guarded against Spark's
     * descending-sequence inference on short docs. */
-  private def gramList(k: Int): Column =
+  private def gramList(k: Int): Column = {
+    // element_at chain, not concat_ws(slice(...)): slice allocates a
+    // k-element array per gram before joining it
+    val parts = (0 until k).map(j =>
+      if (j == 0) s"element_at(w, i)" else s"element_at(w, i + $j)")
+      .mkString(", ' ', ")
     when(size(col("w")) >= k, expr(
-      s"transform(sequence(1, size(w) - ${k - 1}), " +
-        s"i -> concat_ws(' ', slice(w, i, $k)))"))
+      s"transform(sequence(1, size(w) - ${k - 1}), i -> concat($parts))"))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** Gopher-style within-document repetition signals (Rae et al. 2021
     * §A1.1 quality filters, public method): share of the single most
