@@ -146,6 +146,27 @@ object Windows {
           .as("metric"))
   }
 
+  /** [[percentiles]] for the 100 TB path: `percentile_approx` replaces
+    * the exact grouped sort — mergeable bounded sketch, map-side
+    * partials, no per-group sample materialization (a hot (service,
+    * interval) group can exceed executor memory under collect_list).
+    * Use the exact form where nearest-rank bit-parity matters; this one
+    * at scale. Output shape matches [[percentiles]]. */
+  def percentilesApprox(df: DataFrame, seconds: Long, points: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    val pts = array(points.map(lit): _*)
+    df.withColumn("window_start", col("time_s") - (col("time_s") % seconds))
+      .groupBy(col("service"), col("window_start"))
+      .agg(percentile_approx(col("metric"), pts, lit(accuracy)).as("qs"))
+      .select(col("service"), col("window_start"),
+        posexplode(col("qs")).as(Seq("qi", "metric")))
+      .withColumn("point", element_at(pts, col("qi") + 1))
+      .select(
+        concat(col("service"), lit(" "), col("point").cast("string"))
+          .as("service_pt"),
+        col("window_start"), col("point"), col("metric"))
+  }
+
   /** `rate+latency` (instrumentation.clj:26-59): the engine's
     * self-instrumentation surface — per (service, interval) emit one
     * throughput-rate event (`"riemann <svc> rate"`) plus one event per

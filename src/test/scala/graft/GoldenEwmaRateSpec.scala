@@ -106,6 +106,19 @@ class GoldenEwmaRateSpec extends SparkSpec {
       assert(math.abs(approx(k) - v) <= 1.0, s"$k: exact $v approx ${approx(k)}")
   }
 
+  test("percentilesApprox tracks the exact nearest-rank form") {
+    val df = events((1 to 200).map(i =>
+      E(id = i, metric = i.toDouble, time = 1L)): _*)
+    def toMap(d: org.apache.spark.sql.DataFrame) = d
+      .select("service_pt", "metric").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = toMap(Windows.percentiles(df, 10, Seq(0.5, 0.9, 0.99)))
+    val approx = toMap(Windows.percentilesApprox(df, 10, Seq(0.5, 0.9, 0.99)))
+    assert(exact.keySet == approx.keySet)
+    for ((k, v) <- exact)
+      assert(math.abs(approx(k) - v) <= 2.0, s"$k: exact $v approx ${approx(k)}")
+  }
+
   test("rate keeps emitting zeros until the ttl lapses (rate-expiration)") {
     // (rate 1) over [{time 0 metric 1 ttl 3}] then 5 quiet seconds ->
     // [{time 1 metric 1 ttl 3} {time 2 metric 0 ttl 2} {time 3 metric 0 ttl 1}]
