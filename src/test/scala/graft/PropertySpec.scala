@@ -139,6 +139,73 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fillIn matches the dense-span model under random events") {
+    val caseGen = for {
+      s <- Gen.oneOf(1L, 3L)
+      n <- Gen.chooseNum(1, 15)
+      evs <- Gen.listOfN(n, for {
+        host <- Gen.oneOf("a", "b")
+        t <- Gen.chooseNum(0L, 40L)
+        m <- Gen.chooseNum(-5, 20)
+      } yield (host, t, m.toDouble))
+    } yield (s, evs)
+    forAllN(caseGen, 25) { case (s, evs) =>
+      val df = events(evs.zipWithIndex.map { case ((h, t, m), i) =>
+        E(id = i + 1, host = h, metric = m, time = t)
+      }: _*)
+      val got = graft.operators.Windows.fillIn(df, s, Seq("host"), 0.0)
+        .select("host", "window_start", "n_events", "sum_metric").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val expected = evs.groupBy(_._1).flatMap { case (h, es) =>
+        val byB = es.groupBy { case (_, t, _) => t - t % s }
+        val (w0, w1) = (byB.keys.min, byB.keys.max)
+        (w0 to w1 by s).map { ws =>
+          byB.get(ws) match {
+            case Some(bs) => (h, ws, bs.size.toLong, bs.map(_._3).sum)
+            case None => (h, ws, 0L, 0.0)
+          }
+        }
+      }.toSet
+      assert(got == expected, s"interval=$s events=$evs")
+    }
+  }
+
+  test("interpolateConstant matches the carry-forward model under random events") {
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 12)
+      evs <- Gen.listOfN(n, for {
+        t <- Gen.chooseNum(0L, 25L)
+        m <- Gen.chooseNum(0, 9)
+        expired <- Gen.prob(0.3)
+      } yield (t, m.toDouble, if (expired) "expired" else "ok"))
+    } yield evs
+    forAllN(caseGen, 25) { case evs =>
+      val df = events(evs.zipWithIndex.map { case ((t, m, st), i) =>
+        E(id = i + 1, host = "h", state = st, metric = m, time = t)
+      }: _*)
+      val s = 2L
+      val got = graft.operators.Windows.interpolateConstant(df, s, Seq("host"))
+        .select("window_start", "metric", "state", "n_events").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+          r.getLong(3))).toSet
+      val withIds = evs.zipWithIndex.map { case ((t, m, st), i) =>
+        (t, m, st, i + 1L) }
+      val byB = withIds.groupBy { case (t, _, _, _) => t - t % s }
+      val (w0, w1) = (byB.keys.min, byB.keys.max)
+      val expected = (w0 to w1 by s).flatMap { ws =>
+        // newest event at or before this tick carries
+        val carry = withIds.filter { case (t, _, _, _) => t - t % s <= ws }
+          .maxBy { case (t, _, _, id) => (t, id) }
+        val observed = byB.get(ws)
+        if (observed.isEmpty && carry._3 == "expired") None
+        else Some((ws, carry._2, carry._3,
+          observed.map(_.size.toLong).getOrElse(0L)))
+      }.toSet
+      assert(got == expected, s"events=$evs\n got=$got\n exp=$expected")
+    }
+  }
+
   test("protobuf wire format round-trips arbitrary events") {
     import graft.sources.RiemannProtobuf
     val eventGen = for {
