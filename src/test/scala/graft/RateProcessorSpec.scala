@@ -62,6 +62,49 @@ class RateProcessorSpec extends SparkSpec {
     }
   }
 
+  test("streaming emissions match the batch rateExpiring operator") {
+    withRocks {
+      val spark0 = spark
+      import spark0.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      // a mixed table: gaps inside ttl, gaps beyond ttl, a restart
+      val table = Seq(
+        (10L, 2.0, Some(4.0)), (11L, 3.0, Some(4.0)),
+        (14L, 5.0, Some(2.0)), (21L, 7.0, Some(3.0)))
+      val input = MemoryStream[SEvent]
+      val q = RateProcessor(input.toDS(), 1, _.service)
+        .writeStream.format("memory").queryName("srate3").outputMode("append")
+        .start()
+      try {
+        for ((t, m, ttl) <- table) {
+          input.addData(ev("s", m, t, ttl))
+          q.processAllAvailable()
+        }
+        // drive the watermark far past the last decay chain
+        for (t <- 23L to 30L) {
+          input.addData(ev("x", 0.0, t))
+          q.processAllAvailable()
+        }
+        val streaming = spark.table("srate3")
+          .as[RateProcessor.RateEmission].collect()
+          .filter(_.key == "s")
+          .map(e => (e.time_s, e.rate.get, e.ttl)).toSet
+        val batchDf = events(table.zipWithIndex.map { case ((t, m, ttl), i) =>
+          E(id = i + 1, host = "h", service = "s", metric = m, time = t,
+            ttl = ttl.map(Double.box).orNull)
+        }: _*)
+        val batch = graft.operators.Windows
+          .rateExpiring(batchDf, 1, Seq("service"))
+          .select("time_s", "rate", "ttl").collect()
+          .map(r => (r.getLong(0), r.getDouble(1),
+            Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+        assert(streaming == batch,
+          s"\n streaming=${streaming.toSeq.sortBy(_._1)}" +
+            s"\n batch    =${batch.toSeq.sortBy(_._1)}")
+      } finally q.stop()
+    }
+  }
+
   test("rate restarts after expiry on the next event") {
     withRocks {
       val spark0 = spark
