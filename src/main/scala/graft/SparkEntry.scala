@@ -8,7 +8,7 @@ import graft.model.EventView
 import graft.operators.{Combine, Index, Streams, Windows}
 import graft.operators.Streams.EventOps
 import graft.functions.Folds
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` where
   * SQL-expressible) per implemented operator from SURVEY.md §2.
@@ -545,7 +545,16 @@ object SparkEntry {
       TextAnalysis.contamination(all.filter(col("doc_id") % 10 =!= 0),
         all.filter(col("doc_id") % 10 === 0), 3)
         .orderBy("doc_id")
-    })
+    }),
+
+    // ---- LLM pipeline: corpus curation (caps, splits, packing)
+    "q_source_cap" -> ((s, d) => Curation.sourceCap(docs(s, d), 40)
+      .select("doc_id", "source", "source_rank")
+      .orderBy("source", "source_rank")),
+    "q_split_assign" -> ((s, d) => Curation.splitAssign(docs(s, d))
+      .select("doc_id", "split_u", "split").orderBy("doc_id")),
+    "q_pack" -> ((s, d) => Curation.packSequences(docs(s, d), 2048, 8)
+      .orderBy("doc_id"))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -996,6 +1005,16 @@ object SparkEntry {
       "b AS (SELECT DISTINCT s FROM (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 10 = 0)), " +
       "j AS (SELECT d.doc_id, count(*) AS n_shingles, CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated " +
       "FROM d LEFT JOIN b ON d.s = b.s GROUP BY d.doc_id) " +
-      "SELECT doc_id, n_shingles, n_contaminated, round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination FROM j ORDER BY doc_id")
+      "SELECT doc_id, n_shingles, n_contaminated, round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination FROM j ORDER BY doc_id"),
+
+    // curation: per-source cap / split assignment / sequence packing
+    "q_source_cap" -> ("WITH r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS source_rank FROM documents) " +
+      "SELECT doc_id, source, source_rank FROM r WHERE source_rank <= 40 ORDER BY source, source_rank"),
+    "q_split_assign" -> ("WITH h AS (SELECT doc_id, CAST(('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS hv FROM documents), " +
+      "u AS (SELECT doc_id, CAST(hv AS DOUBLE) / 4294967296.0 AS uu FROM h) " +
+      "SELECT doc_id, round(uu, 8) AS split_u, CASE WHEN uu < 0.9 THEN 'train' WHEN uu < 0.95 THEN 'val' ELSE 'test' END AS split FROM u ORDER BY doc_id"),
+    "q_pack" -> ("WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard, len(string_split(text, ' ')) AS n_tokens FROM documents), " +
+      "c AS (SELECT doc_id, lang, shard, n_tokens, CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok FROM t) " +
+      "SELECT doc_id, lang, shard, n_tokens, start_tok, start_tok // 2048 AS chunk, start_tok % 2048 AS chunk_offset FROM c ORDER BY doc_id")
   )
 }

@@ -204,4 +204,49 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.simhashPairs(d, 3).count() == 3)
     assert(Dedup.simhashPairs(d, 3, maxBucket = 1).count() == 0)
   }
+
+  private def corpusDocs(rows: (Long, String, String, String)*): DataFrame =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2, r._3, r._4)).asJava,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType),
+        StructField("source", StringType))))
+
+  test("sourceCap keeps the maxPerSource lowest-ordered docs per source") {
+    val d = corpusDocs(
+      (1L, "x", "en", "a"), (2L, "x", "en", "a"), (3L, "x", "en", "a"),
+      (4L, "x", "en", "b"), (5L, "x", "en", "b"))
+    val kept = graft.pipeline.Curation.sourceCap(d, 2)
+      .select("doc_id", "source_rank").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(kept.toSeq == Seq((1L, 1), (2L, 2), (4L, 1), (5L, 2)))
+  }
+
+  test("splitAssign is deterministic and thresholds match split_u") {
+    val d = corpusDocs((1 to 200).map(i =>
+      (i.toLong, "t", "en", "s")): _*)
+    val a = graft.pipeline.Curation.splitAssign(d, 0.8, 0.1)
+      .select("doc_id", "split_u", "split").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1)
+    val b = graft.pipeline.Curation.splitAssign(d, 0.8, 0.1)
+      .select("doc_id", "split_u", "split").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq) // same hash -> same assignment, every run
+    assert(a.forall { case (_, u, s) => u >= 0.0 && u < 1.0 &&
+      s == (if (u < 0.8) "train" else if (u < 0.9) "val" else "test") })
+    // all three splits are populated at n=200 with these fractions
+    assert(a.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
+  }
+
+  test("packSequences: chunks follow the exclusive running token sum") {
+    val d = corpusDocs(
+      (1L, "a b c", "en", "s"), (2L, "d e", "en", "s"),
+      (3L, "f", "en", "s"), (4L, "g h i j k", "en", "s"))
+    val got = graft.pipeline.Curation.packSequences(d, budget = 4, nShards = 1)
+      .select("doc_id", "start_tok", "chunk", "chunk_offset")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // token counts 3,2,1,5 -> starts 0,3,5,6 -> budget-4 chunks
+    assert(got.toSeq == Seq((1L, 0L, 0L, 0L), (2L, 3L, 0L, 3L),
+      (3L, 5L, 1L, 1L), (4L, 6L, 1L, 2L)))
+  }
 }
