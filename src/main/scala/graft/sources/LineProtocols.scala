@@ -82,7 +82,9 @@ object LineProtocols {
       .withColumn("time_s", element_at(col("_p"), 3).try_cast("long"))
       .withColumn("metric", element_at(col("_p"), 4).try_cast("double"))
       .withColumn("attributes", kvMap(transform(col("_tags"),
-        t => regexp_replace(t, lit("^service="), lit("servicetag=")))))
+        t => when(t.startsWith("service="),
+          concat(lit("servicetag="), t.substr(lit(9), length(t))))
+          .otherwise(t))))
       .withColumn("host", element_at(col("attributes"), "host"))
       .withColumn("attributes", map_filter(col("attributes"),
         (k, _) => k =!= "host"))

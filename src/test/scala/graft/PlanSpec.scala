@@ -211,4 +211,20 @@ class PlanSpec extends SparkSpec {
       spark.read.parquet(s"$dir/documents.parquet"))
     assert(!plan(pii).contains("Exchange"), s"piiScan should be a pure map")
   }
+
+  test("curation ops: splitAssign is exchange-free; cap/pack take one hash exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val split = graft.pipeline.Curation.splitAssign(docs)
+    assert(!plan(split).contains("Exchange"),
+      s"splitAssign must stay a narrow projection:\n${plan(split)}")
+    for ((name, df) <- Seq(
+        "sourceCap" -> graft.pipeline.Curation.sourceCap(docs, 10),
+        "packSequences" -> graft.pipeline.Curation.packSequences(docs, 2048))) {
+      val p = plan(df)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1, s"$name wants exactly one hash exchange:\n$p")
+      assert(!p.contains("rangepartitioning"),
+        s"$name must not global-sort:\n$p")
+    }
+  }
 }
