@@ -19,6 +19,22 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_dups"))
 
+  /** Streaming exact dedup: keep the FIRST arrival of each content
+    * hash inside the watermark horizon — the incremental form of
+    * [[exact]] for a continuously ingested corpus. State is keyed by
+    * md5(text) and evicted once the watermark passes `horizon` behind
+    * the newest data, so state size is bounded by the dedup window, not
+    * the corpus (at 100 TB of history an unbounded exact-dedup state is
+    * its own storage system — bound it and let the periodic batch
+    * [[exact]] pass own the long tail).
+    *
+    * `eventTimeCol` must be a timestamp column on the stream. */
+  def streamingExact(docs: DataFrame, eventTimeCol: String,
+      horizon: String = "1 hour"): DataFrame =
+    docs.withColumn("content_hash", md5(col("text")))
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Word-shingle column: w-gram shingles of the whitespace-tokenized
     * text (the MinHash input). */
   def shingles(docs: DataFrame, w: Int = 3): DataFrame =

@@ -237,6 +237,30 @@ class PipelineSpec extends SparkSpec {
     assert(a.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
   }
 
+  test("streamingExact keeps first arrival per content hash within the watermark") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "arrived")
+    val q = Dedup.streamingExact(stream, "arrived", "10 seconds")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append")
+      .start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    try {
+      input.addData((1L, "alpha", t(100)), (2L, "alpha", t(101)),
+        (3L, "beta", t(102)))
+      q.processAllAvailable()
+      // duplicate arriving inside the horizon is suppressed
+      input.addData((4L, "alpha", t(105)))
+      q.processAllAvailable()
+      val got = spark.table("sdedup").select("doc_id").as[Long]
+        .collect().sorted
+      assert(got.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("packSequences: chunks follow the exclusive running token sum") {
     val d = corpusDocs(
       (1L, "a b c", "en", "s"), (2L, "d e", "en", "s"),
