@@ -197,6 +197,10 @@ object SparkEntry {
       .select("event_id", "ddt").orderBy("event_id")),
     "q_counter" -> ((s, d) => Windows.counter(ev(s, d), Seq("host"), "big")
       .select("event_id", "running_sum").orderBy("event_id")),
+    "q_sum_over_time" -> ((s, d) => Windows.sumOverTime(ev(s, d), Seq("host"))
+      .select("event_id", "running_sum").orderBy("event_id")),
+    "q_mean_over_time" -> ((s, d) => Windows.meanOverTime(ev(s, d), Seq("host"))
+      .select("event_id", "running_mean").orderBy("event_id")),
     "q_ewma_timeless" -> ((s, d) =>
       Windows.ewmaTimeless(ev(s, d), 0.3, Seq("host")).orderBy("host")),
     "q_ewma" -> ((s, d) =>
@@ -765,6 +769,8 @@ object SparkEntry {
       "SELECT event_id, (metric - prev_metric) / (time_s - prev_time) AS ddt FROM l WHERE prev_time IS NOT NULL AND time_s <> prev_time ORDER BY event_id"),
     "q_counter" -> (s"$cte, seg AS (SELECT *, SUM(CASE WHEN list_contains(tags, 'big') THEN 1 ELSE 0 END) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS segment FROM ev) " +
       "SELECT event_id, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER (PARTITION BY host, segment ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum FROM seg ORDER BY event_id"),
+    "q_sum_over_time" -> (s"$cte SELECT event_id, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum FROM ev WHERE metric IS NOT NULL ORDER BY event_id"),
+    "q_mean_over_time" -> (s"$cte SELECT event_id, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) / (count(*) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING)) AS running_mean FROM ev WHERE metric IS NOT NULL ORDER BY event_id"),
     "q_ewma_timeless" -> (s"$cte, o AS (SELECT host, metric, row_number() OVER (PARTITION BY host ORDER BY time_s, event_id) AS idx, count(*) OVER (PARTITION BY host) AS n FROM ev WHERE metric IS NOT NULL) " +
       "SELECT host, round(CAST(SUM(CAST(CAST(0.3 AS DOUBLE) * pow(CAST(0.7 AS DOUBLE), n - idx) * metric AS DECIMAL(38,18))) AS DOUBLE), 4) AS ewma FROM o GROUP BY host ORDER BY host"),
     "q_ewma" -> {

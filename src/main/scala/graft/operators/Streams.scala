@@ -132,6 +132,12 @@ object Streams {
       (t, f.withColumn("state", lit("expired")))
     }
 
+    /** `bit-bucket` (streams.clj:123-125): discard everything — the
+      * terminal no-op child. As a plan it's an always-false filter, so
+      * Catalyst folds it to LocalTableScan(empty) and anything feeding
+      * only the bucket never executes. */
+    def bitBucket: DataFrame = df.filter(lit(false))
+
     /** `smapcat f` (streams.clj:177-197): 1→N projection — f yields an
       * array column whose elements become rows. */
     def smapcat(arr: Column, as: String): DataFrame =

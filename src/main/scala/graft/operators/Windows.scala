@@ -285,6 +285,28 @@ object Windows {
       .withColumn("running_sum", sum(col("metric").cast(D)).over(segW).cast("double"))
   }
 
+  /** The reference's deprecated-but-shipped running aggregates
+    * (streams.clj:934-963, deprecation points at counter /
+    * ewma-timeless): `sum-over-time` re-emits each event with the
+    * running sum of all metrics so far, `mean-over-time` with the
+    * running mean. Null-metric events are dropped (the `when-let`
+    * gate). Decimal-exact cumulative arithmetic keeps emissions
+    * independent of partition merge order. */
+  def sumOverTime(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = keyW(keys).rowsBetween(Window.unboundedPreceding, 0)
+    df.filter(col("metric").isNotNull)
+      .withColumn("running_sum",
+        sum(col("metric").cast(D)).over(w).cast("double"))
+  }
+
+  def meanOverTime(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = keyW(keys).rowsBetween(Window.unboundedPreceding, 0)
+    df.filter(col("metric").isNotNull)
+      .withColumn("running_mean",
+        (sum(col("metric").cast(D)).over(w).cast("double") /
+          count(lit(1)).over(w)))
+  }
+
   /** `ewma-timeless r` (streams.clj:961-977): the accumulator starts at
     * **0** (`(atom 0)`), update m ← (1−r)·m + r·x, so after n events
     * sₙ = Σ r(1−r)^(n−i)·xᵢ — every event weighted r(1−r)^(n−i),

@@ -22,6 +22,31 @@ class GoldenStreamsSpec extends SparkSpec {
     assert(out == Seq((1.0, 1L), (3.0, 2L), (5.0, 2L)))
   }
 
+  test("sum-over-time / mean-over-time running aggregates (streams.clj:934-963)") {
+    // metrics [1 2 nil 3] -> running sums [1 3 6], means [1 1.5 2]
+    // (nil metric is skipped by the reference's when-let gate)
+    val df = events(
+      E(id = 1, metric = 1.0, time = 0L), E(id = 2, metric = 2.0, time = 1L),
+      E(id = 3, metric = Double.NaN, time = 2L),
+      E(id = 4, metric = 3.0, time = 3L))
+      .withColumn("metric", when(isnan(col("metric")), lit(null))
+        .otherwise(col("metric")))
+    val sums = Windows.sumOverTime(df, Seq("host")).orderBy("event_id")
+      .select("running_sum").collect().map(_.getDouble(0)).toSeq
+    assert(sums == Seq(1.0, 3.0, 6.0))
+    val means = Windows.meanOverTime(df, Seq("host")).orderBy("event_id")
+      .select("running_mean").collect().map(_.getDouble(0)).toSeq
+    assert(means == Seq(1.0, 1.5, 2.0))
+  }
+
+  test("bit-bucket discards everything and folds to an empty plan (streams.clj:123-125)") {
+    import graft.operators.Streams.EventOps
+    val df = events(E(id = 1, metric = 1.0, time = 0L))
+    val bucket = df.bitBucket
+    assert(bucket.count() == 0)
+    assert(bucket.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
   test("fixed-event-window emits only full windows (fixed-event-window-test)") {
     // (fixed-event-window 2) over [1 2 3 4 5] -> [[1 2] [3 4]]; 5 buffered
     val df = events((1 to 5).map(i =>
