@@ -558,7 +558,23 @@ object SparkEntry {
     "q_split_assign" -> ((s, d) => Curation.splitAssign(docs(s, d))
       .select("doc_id", "split_u", "split").orderBy("doc_id")),
     "q_pack" -> ((s, d) => Curation.packSequences(docs(s, d), 2048, 8)
-      .orderBy("doc_id"))
+      .orderBy("doc_id")),
+    // segment-level (line) dedup: compare the reassembled text via md5
+    // so the driver hashes short rows, not whole documents
+    "q_segment_dedup" -> ((s, d) => Curation.segmentDedup(docs(s, d), 10)
+      .select(col("doc_id"), col("n_segments"), col("n_kept"),
+        md5(col("text_deduped")).as("text_hash"))
+      .orderBy("doc_id")),
+    "q_temp_sample" -> ((s, d) => Curation.temperatureSample(docs(s, d), 0.5, 0.5)
+      .select(col("doc_id"), col("source"), col("n_source"),
+        round(col("keep_rate"), 6).as("keep_rate"), col("sample_u"))
+      .orderBy("doc_id")),
+    // changed with :pairs? — the previous value rides along with each
+    // transition (streams_test.clj changed-test "with previous event")
+    "q_changed_pairs" -> ((s, d) =>
+      Windows.changed(ev(s, d), "state", Seq("host"), init = Some("ok"))
+        .select("event_id", "host", "prev_value", "state")
+        .orderBy("event_id"))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1021,6 +1037,36 @@ object SparkEntry {
       "SELECT doc_id, round(uu, 8) AS split_u, CASE WHEN uu < 0.9 THEN 'train' WHEN uu < 0.95 THEN 'val' ELSE 'test' END AS split FROM u ORDER BY doc_id"),
     "q_pack" -> ("WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard, len(string_split(text, ' ')) AS n_tokens FROM documents), " +
       "c AS (SELECT doc_id, lang, shard, n_tokens, CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok FROM t) " +
-      "SELECT doc_id, lang, shard, n_tokens, start_tok, start_tok // 2048 AS chunk, start_tok % 2048 AS chunk_offset FROM c ORDER BY doc_id")
+      "SELECT doc_id, lang, shard, n_tokens, start_tok, start_tok // 2048 AS chunk, start_tok % 2048 AS chunk_offset FROM c ORDER BY doc_id"),
+
+    // segment-level dedup: global first occurrence per 10-word segment,
+    // survivors reassembled in order (text compared via md5)
+    "q_segment_dedup" -> ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), " +
+      "sg AS (SELECT doc_id, " +
+      "unnest(generate_series(0, CAST(CEIL(len(words) / 10.0) AS BIGINT) - 1)) AS seg_idx, " +
+      "unnest(list_transform(generate_series(0, CAST(CEIL(len(words) / 10.0) AS BIGINT) - 1), " +
+      "i -> array_to_string(list_slice(words, i * 10 + 1, i * 10 + 10), ' '))) AS seg FROM w), " +
+      "f AS (SELECT doc_id, seg_idx, seg, " +
+      "row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn FROM sg) " +
+      "SELECT doc_id, count(*) AS n_segments, " +
+      "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+      "md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')) AS text_hash " +
+      "FROM f GROUP BY doc_id ORDER BY doc_id"),
+    // temperature sampling: keep-rate ∝ count^alpha, decimal-exact
+    // normalizer, md5-derived deterministic uniform per doc
+    "q_temp_sample" -> ("WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source), " +
+      "r AS (SELECT source, n_source, CAST(round(pow(CAST(n_source AS DOUBLE), CAST(0.5 AS DOUBLE)), 6) AS DECIMAL(38,6)) AS wgt FROM c), " +
+      "r2 AS (SELECT source, n_source, least(CAST(1.0 AS DOUBLE), " +
+      "CAST(0.5 AS DOUBLE) * CAST(SUM(n_source) OVER () AS DOUBLE) * CAST(wgt AS DOUBLE) " +
+      "/ CAST(SUM(wgt) OVER () AS DOUBLE) / CAST(n_source AS DOUBLE)) AS keep_rate FROM r), " +
+      "u AS (SELECT d.doc_id, d.source, r2.n_source, r2.keep_rate, " +
+      "round(CAST(CAST(('0x'||substr(md5('sample:'||CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT) AS DOUBLE) / 4294967296.0, 8) AS sample_u " +
+      "FROM documents d JOIN r2 USING (source)) " +
+      "SELECT doc_id, source, n_source, round(keep_rate, 6) AS keep_rate, sample_u " +
+      "FROM u WHERE sample_u < round(keep_rate, 8) ORDER BY doc_id"),
+    "q_changed_pairs" -> (s"$cte, l AS (SELECT event_id, host, state, " +
+      "lag(state, 1, 'ok') OVER (PARTITION BY host ORDER BY time_s, event_id) AS prev_value FROM ev) " +
+      "SELECT event_id, host, prev_value, state FROM l " +
+      "WHERE state IS DISTINCT FROM prev_value ORDER BY event_id")
   )
 }

@@ -272,9 +272,11 @@ object Windows {
   }
 
   /** `counter` (streams.clj:900-932): running sum per key; the reset
-    * tag (reference: "reset") zeroes the accumulator (via segment ids). */
+    * tag (reference: "reset") restarts the accumulator at the reset
+    * event's own metric (via segment ids); `init` seeds the count
+    * before the first reset — the reference's `(counter 100)` arity. */
   def counter(df: DataFrame, keys: Seq[String],
-      resetTag: String = "reset"): DataFrame = {
+      resetTag: String = "reset", init: Double = 0.0): DataFrame = {
     val w = keyW(keys)
     val seg = sum(when(array_contains(col("tags"), resetTag), 1).otherwise(0))
       .over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -282,7 +284,9 @@ object Windows {
       .orderBy(col("time_s"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     df.withColumn("segment", seg)
-      .withColumn("running_sum", sum(col("metric").cast(D)).over(segW).cast("double"))
+      .withColumn("running_sum", (sum(col("metric").cast(D)).over(segW) +
+        when(col("segment") === 0, lit(init)).otherwise(lit(0.0)).cast(D))
+        .cast("double"))
   }
 
   /** The reference's deprecated-but-shipped running aggregates

@@ -77,4 +77,95 @@ object Curation {
       .select(col(orderCol), col("lang"), col("shard"), col("n_tokens"),
         col("start_tok"), col("chunk"), col("chunk_offset"))
   }
+
+  /** Segment-level dedup (the CCNet/RefinedWeb "line dedup" pass,
+    * generalized to fixed `segWords`-word segments since the corpus has
+    * no newlines): a segment repeated anywhere in the corpus survives
+    * only at its first occurrence — ordered by (doc_id, seg_idx) — and
+    * every other copy is cut out of its document's text. This is the
+    * boilerplate-removal step that exact whole-document dedup misses
+    * (headers, navigation chrome, license blocks pasted into otherwise
+    * distinct pages).
+    *
+    * Scale shape: segmentation is a narrow per-row transform (no
+    * explode-then-groupBy back to the same key); the only wide stages
+    * are one hash exchange on md5(segment) to find first occurrences
+    * and one on doc_id to reassemble — the minimum for a global
+    * first-wins rule. Nothing is quadratic in corpus size and no state
+    * lives on the driver.
+    *
+    * Output: (doc_id, n_segments, n_kept, text_deduped). */
+  def segmentDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
+    // per-doc segment array computed inside one projection: words →
+    // ceil(n/segWords) slices, each rejoined to its text
+    val segs = docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("segs", expr(
+        s"transform(sequence(0, cast(ceil(size(words) / ${segWords}.0) " +
+          s"as int) - 1), i -> array_join(slice(words, i * $segWords + 1, " +
+          s"$segWords), ' '))"))
+      .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
+      .withColumn("seg_hash", md5(col("seg")))
+    // global first occurrence per segment hash: min (doc_id, seg_idx)
+    val w = Window.partitionBy("seg_hash")
+    val kept = segs
+      .withColumn("first_at",
+        min(struct(col("doc_id"), col("seg_idx"))).over(w))
+      .withColumn("kept",
+        col("first_at.doc_id") === col("doc_id") &&
+          col("first_at.seg_idx") === col("seg_idx"))
+    kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_segments"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      // reassemble surviving segments in seg_idx order
+      array_join(expr(
+        "transform(sort_array(collect_list(CASE WHEN kept THEN " +
+          "struct(seg_idx, seg) END)), x -> x.seg)"), " ")
+        .as("text_deduped"))
+  }
+
+  /** Temperature-based mixture sampling (the Gopher/LLaMA data-mixing
+    * rule): resample sources toward weights ∝ count^alpha, so alpha = 1
+    * preserves the natural mix and alpha → 0 flattens it toward uniform.
+    * Each source's keep-rate is min(1, total·frac·w_s / n_s); documents
+    * are kept by a deterministic md5-derived uniform in [0,1) — the
+    * same sample on every run, machine, and engine (the property that
+    * makes a 100 TB sampling job resumable and auditable).
+    *
+    * Scale shape: per-source counts are one aggregation over a
+    * two-column projection; the rates relation has one row per source
+    * and broadcast-joins back; the keep test is a narrow codegen'd
+    * filter. No global sort, no driver-side randomness.
+    *
+    * Output: input columns + (n_source, keep_rate, sample_u) for kept
+    * rows only. */
+  def temperatureSample(docs: DataFrame, alpha: Double = 0.5,
+      targetFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val counts = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_source"))
+    // w_s = n^alpha / Σ n^alpha over a one-row-per-source relation (the
+    // window total is |sources| rows — thousands at worst, and the
+    // single-partition window only ever sees that tiny relation).
+    // Weights are rounded and summed as DECIMAL so the normalizer is
+    // independent of partition merge order — a raw double Σ pow() can
+    // differ in the last ulp between runs/engines and flip sampling
+    // decisions at the keep-rate boundary.
+    val rates = counts
+      .withColumn("wgt", round(pow(col("n_source").cast("double"),
+        lit(alpha)), 6).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+      .withColumn("keep_rate", least(lit(1.0),
+        lit(targetFrac) *
+          sum("n_source").over(Window.partitionBy()).cast("double") *
+          col("wgt").cast("double") /
+          sum("wgt").over(Window.partitionBy()).cast("double") /
+          col("n_source").cast("double")))
+      .select("source", "n_source", "keep_rate")
+    val u = conv(substring(md5(concat(lit("sample:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    docs.join(broadcast(rates), "source")
+      .withColumn("sample_u", round(u, 8))
+      .filter(col("sample_u") < round(col("keep_rate"), 8))
+  }
 }
