@@ -574,7 +574,15 @@ object SparkEntry {
     "q_changed_pairs" -> ((s, d) =>
       Windows.changed(ev(s, d), "state", Seq("host"), init = Some("ok"))
         .select("event_id", "host", "prev_value", "state")
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+    // email formatter (common.clj subject/body, email.clj mailer)
+    "q_email_subject" -> ((s, d) =>
+      graft.sinks.Email.subject(ev(s, d), Seq("service"))
+        .orderBy("service")),
+    "q_email_body" -> ((s, d) => ev(s, d)
+      .select(col("event_id"),
+        md5(graft.sinks.Email.bodyBlock()).as("body_hash"))
+      .orderBy("event_id"))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1067,6 +1075,31 @@ object SparkEntry {
     "q_changed_pairs" -> (s"$cte, l AS (SELECT event_id, host, state, " +
       "lag(state, 1, 'ok') OVER (PARTITION BY host ORDER BY time_s, event_id) AS prev_value FROM ev) " +
       "SELECT event_id, host, prev_value, state FROM l " +
-      "WHERE state IS DISTINCT FROM prev_value ORDER BY event_id")
+      "WHERE state IS DISTINCT FROM prev_value ORDER BY event_id"),
+
+    // email subject: human-uniq'd hosts/services/states per service
+    // group, distinct values in first-appearance (time, id) order
+    "q_email_subject" -> (s"$cte, " +
+      "rh AS (SELECT service, host, time_s, event_id, row_number() OVER (PARTITION BY service, host ORDER BY time_s, event_id) AS rn FROM ev WHERE host IS NOT NULL), " +
+      "hl AS (SELECT service, list(host ORDER BY time_s, event_id) AS d FROM rh WHERE rn = 1 GROUP BY service), " +
+      "rs AS (SELECT service, service AS v, time_s, event_id, row_number() OVER (PARTITION BY service ORDER BY time_s, event_id) AS rn FROM ev), " +
+      "sl AS (SELECT service, list(v ORDER BY time_s, event_id) AS d FROM rs WHERE rn = 1 GROUP BY service), " +
+      "rt AS (SELECT service, state, time_s, event_id, row_number() OVER (PARTITION BY service, state ORDER BY time_s, event_id) AS rn FROM ev WHERE state IS NOT NULL), " +
+      "tl AS (SELECT service, list(state ORDER BY time_s, event_id) AS d FROM rt WHERE rn = 1 GROUP BY service) " +
+      "SELECT hl.service, concat_ws(' ', " +
+      "CASE WHEN len(hl.d) = 0 THEN NULL WHEN len(hl.d) = 1 THEN hl.d[1] WHEN len(hl.d) = 2 THEN hl.d[1] || ' and ' || hl.d[2] WHEN len(hl.d) <= 4 THEN array_to_string(hl.d, ', ') ELSE CAST(len(hl.d) AS VARCHAR) || ' hosts' END, " +
+      "CASE WHEN len(sl.d) = 0 THEN NULL WHEN len(sl.d) = 1 THEN sl.d[1] WHEN len(sl.d) = 2 THEN sl.d[1] || ' and ' || sl.d[2] WHEN len(sl.d) <= 4 THEN array_to_string(sl.d, ', ') ELSE CAST(len(sl.d) AS VARCHAR) || ' services' END, " +
+      "CASE WHEN len(tl.d) = 0 THEN NULL WHEN len(tl.d) = 1 THEN tl.d[1] WHEN len(tl.d) = 2 THEN tl.d[1] || ' and ' || tl.d[2] WHEN len(tl.d) <= 4 THEN array_to_string(tl.d, ', ') ELSE CAST(len(tl.d) AS VARCHAR) || ' states' END) AS subject " +
+      "FROM hl JOIN sl USING (service) JOIN tl USING (service) ORDER BY service"),
+    // email body block per event (time line, h/s/state/metric, tags,
+    // custom attributes, empty description), compared via md5
+    "q_email_body" -> (EventView.oracleCteWith(
+      "json_extract_string(props, '$.k') AS kstr") +
+      " SELECT event_id, md5('At ' || strftime(make_timestamp(time_s * 1000000), '%a %b %d %H:%M:%S UTC %Y') || chr(10) || " +
+      "COALESCE(host, '') || ' ' || COALESCE(service, '') || ' ' || COALESCE(state, '') || ' (' || " +
+      "COALESCE(CAST(metric AS VARCHAR), '') || ')' || chr(10) || " +
+      "'Tags: [' || array_to_string(tags, ', ') || ']' || chr(10) || " +
+      "'Custom Attributes: ' || (CASE WHEN kstr IS NULL THEN '' ELSE '{:k \"' || kstr || '\"}' END) || chr(10) || chr(10)) AS body_hash " +
+      "FROM ev ORDER BY event_id")
   )
 }

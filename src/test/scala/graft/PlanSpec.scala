@@ -227,4 +227,36 @@ class PlanSpec extends SparkSpec {
         s"$name must not global-sort:\n$p")
     }
   }
+
+  test("segmentDedup: two hash exchanges (segment hash + reassembly), no global sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.pipeline.Curation.segmentDedup(docs, 10))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"segmentDedup wants <= 2 hash exchanges:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"segmentDedup must not global-sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("temperatureSample: rates join back by broadcast, corpus side un-shuffled") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.pipeline.Curation.temperatureSample(docs))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"rates relation should broadcast:\n$p")
+    // the corpus side of the join must not hash-exchange: the only
+    // exchanges allowed feed the tiny per-source aggregation
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the rates join:\n$p")
+  }
+
+  test("email subject/body formatting keeps map-side partial aggregation / stays narrow") {
+    val ev = EventView(spark, dir)
+    // body is a pure projection — no exchange at all
+    val pb = plan(ev.select(graft.sinks.Email.bodyBlock().as("b")))
+    assert(!pb.contains("Exchange"), s"bodyBlock must stay narrow:\n$pb")
+    // subject aggregates once on the group key
+    val ps = plan(graft.sinks.Email.subject(ev, Seq("service")))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(ps).length
+    assert(exchanges == 1, s"subject wants one hash exchange:\n$ps")
+  }
 }
