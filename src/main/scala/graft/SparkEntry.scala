@@ -582,6 +582,19 @@ object SparkEntry {
     "q_email_body" -> ((s, d) => ev(s, d)
       .select(col("event_id"),
         md5(graft.sinks.Email.bodyBlock()).as("body_hash"))
+      .orderBy("event_id")),
+    // delete-from-index: every pkey that ever went critical is removed
+    // from the snapshot via the broadcast anti-join
+    "q_index_delete" -> ((s, d) => {
+      val e = ev(s, d)
+      Index.delete(Index.snapshot(e), e.filter(col("state") === "critical"))
+        .select("event_id", "host", "service", "state", "metric", "time_s")
+        .orderBy("host", "service")
+    }),
+    // prometheus exposition datapoint (name sanitize + labels + float)
+    "q_prometheus_line" -> ((s, d) => ev(s, d)
+      .filter(col("metric").isNotNull && col("service").isNotNull)
+      .select(col("event_id"), graft.sinks.Sinks.prometheusLine.as("line"))
       .orderBy("event_id"))
   )
 
@@ -1100,6 +1113,17 @@ object SparkEntry {
       "COALESCE(CAST(metric AS VARCHAR), '') || ')' || chr(10) || " +
       "'Tags: [' || array_to_string(tags, ', ') || ']' || chr(10) || " +
       "'Custom Attributes: ' || (CASE WHEN kstr IS NULL THEN '' ELSE '{:k \"' || kstr || '\"}' END) || chr(10) || chr(10)) AS body_hash " +
-      "FROM ev ORDER BY event_id")
+      "FROM ev ORDER BY event_id"),
+    "q_index_delete" -> (s"$snapCte SELECT event_id, host, service, state, metric, time_s " +
+      "FROM snap WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM ev e2 " +
+      "WHERE e2.state = 'critical' AND e2.host = snap.host AND e2.service = snap.service) " +
+      "ORDER BY host, service"),
+    // prometheus datapoint: sanitized name + sorted labels + float value
+    "q_prometheus_line" -> (EventView.oracleCteWith(
+      "json_extract_string(props, '$.k') AS kstr") +
+      " SELECT event_id, regexp_replace(regexp_replace(service, '[^a-zA-Z0-9_]', '_', 'g'), '_{2,}', '_', 'g') " +
+      "|| '{host=' || host || ',k=' || kstr || ',state=' || state || '} ' " +
+      "|| CAST(CAST(metric AS REAL) AS VARCHAR) AS line " +
+      "FROM ev WHERE metric IS NOT NULL AND service IS NOT NULL ORDER BY event_id")
   )
 }

@@ -40,6 +40,21 @@ object Index {
       .withColumn("state", lit("expired"))
       .withColumn("time_s", nowS)
 
+  /** `delete-from-index` (reference src/riemann/config.clj:258-271,
+    * core.clj:256-267): drop index entries matching each delete event
+    * on `fields` — by default the pkey, so a delete removes whatever is
+    * indexed under its [host, service] regardless of other fields; a
+    * custom field list deletes by those values instead.
+    *
+    * Batch reading: one anti-join of the snapshot against the distinct
+    * delete keys. The delete side is small (alert/tombstone traffic) —
+    * broadcast — so the index side never re-shuffles. */
+  def delete(snapshot: DataFrame, deletes: DataFrame,
+      fields: Seq[String] = Seq("host", "service")): DataFrame =
+    snapshot.join(
+      broadcast(deletes.select(fields.map(col): _*).distinct()),
+      fields, "left_anti")
+
   /** `index/search` (reference src/riemann/index.clj:89-95): run a query
     * language predicate against the snapshot. */
   def search(snapshot: DataFrame, query: String): DataFrame =

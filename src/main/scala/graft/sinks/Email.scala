@@ -105,4 +105,40 @@ object Email {
       if (subj.nonEmpty || body.nonEmpty) send(subj, body)
     }
   }
+
+  /** UTF-8-safe string budgeting (common.clj:297-322
+    * count-string-bytes/truncate/truncate-bytes): payload-limited sinks
+    * cut strings to a byte budget without splitting a character.
+    * Char-by-char like the reference (UTF-16 units — a lone surrogate
+    * counts as its replacement byte, matching Clojure's reduce). */
+  object Text {
+    def countStringBytes(s: String): Int = s.getBytes("UTF-8").length
+
+    def truncate(s: String, n: Int): String =
+      if (n <= 0) "" else if (s.length > n) s.substring(0, n) else s
+
+    /** Longest prefix of `s` that fits in `n` UTF-8 bytes. */
+    def truncateBytes(s: String, n: Int): String = {
+      var sum = 0
+      var i = 0
+      for (c <- s) if (sum <= n) { sum += countStringBytes(c.toString); i += 1 }
+      truncate(s, if (sum > n) i - 1 else i)
+    }
+  }
+
+  /** SNS publisher shape (reference src/riemann/sns.clj:19-41): the
+    * standard subject/body formatting with SNS's byte budgets —
+    * subject ≤ 100 UTF-8 bytes, body ≤ 8092 — applied via
+    * [[Text.truncateBytes]]; the AWS client is injected as
+    * `(arn, subject, body) => Unit`. */
+  class SnsSink(arn: String, publish: (String, String, String) => Unit,
+      hasDescription: Boolean = false) extends Sinks.EventSink {
+    val MaxSubjectBytes = 100
+    val MaxBodyBytes = 8092
+    private val inner = new EmailSink((subj, body) =>
+      publish(arn, Text.truncateBytes(subj, MaxSubjectBytes),
+        Text.truncateBytes(body, MaxBodyBytes)), hasDescription)
+    override def write(batch: DataFrame, batchId: Long): Unit =
+      inner.write(batch, batchId)
+  }
 }

@@ -195,6 +195,48 @@ object Sinks {
       lit(" "), (col("time_s").cast("long") * 1000000000L).cast("string"))
   }
 
+  /** Prometheus Pushgateway datapoint for one event (reference
+    * src/riemann/prometheus.clj:13-48): `name{labels} value` — the
+    * metric name is the service with disallowed chars collapsed to
+    * single underscores; labels are host, state, and the custom
+    * attributes (null-valued labels dropped, keys sanitized like the
+    * name, values raw); the value renders as a FLOAT (the reference's
+    * `(float metric)`). Label order is sorted by key — the reference
+    * inherits nondeterministic map order; sorted is the deterministic
+    * distributed reading. Pure codegen'd column. */
+  def prometheusLine: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    def sanitize(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(c, "[^a-zA-Z0-9_]", "_"), "_{2,}", "_")
+    val fixed = array(
+      when(col("host").isNotNull, concat(lit("host="), col("host"))),
+      when(col("state").isNotNull, concat(lit("state="), col("state"))))
+    val attrLabels = expr(
+      "transform(sort_array(map_entries(coalesce(attributes, " +
+        "cast(map() as map<string,string>)))), " +
+        "e -> concat(regexp_replace(regexp_replace(e.key, " +
+        "'[^a-zA-Z0-9_]', '_'), '_{2,}', '_'), '=', e.value))")
+    val labels = array_join(
+      sort_array(filter(concat(fixed, attrLabels), c => c.isNotNull)), ",")
+    concat(sanitize(col("service")), lit("{"), labels, lit("} "),
+      col("metric").cast("float").cast("string"))
+  }
+
+  /** Prometheus Pushgateway sink (prometheus.clj:50-120): datapoints
+    * formatted distributed via [[prometheusLine]], handed per partition
+    * to the injected POST transport. Events without metric or service
+    * are dropped (generate-datapoint's guard). */
+  class PrometheusSink(transport: Iterator[String] => Unit) extends EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      import org.apache.spark.sql.functions._
+      batch.filter(col("metric").isNotNull && col("service").isNotNull)
+        .select(concat(prometheusLine, lit("\n")).as("line"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          transport(rows.map(_.getString(0)))
+        }
+    }
+  }
+
   /** InfluxDB sink (reference src/riemann/influxdb.clj:135-231): each
     * event becomes one line-protocol point via [[influxLine]] —
     * formatted distributed and handed to the injected HTTP transport

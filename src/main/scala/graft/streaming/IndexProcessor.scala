@@ -16,7 +16,9 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
   * Requires the RocksDB state store provider
   * (`spark.sql.streaming.stateStore.providerClass`), which is also the
   * right provider at scale: state lives off-heap and spills. */
-class IndexProcessor extends StatefulProcessor[(String, String), SEvent, SEvent]
+class IndexProcessor(keepKeys: Set[String] = IndexProcessor.DefaultKeep,
+    deleteState: Option[String] = None)
+    extends StatefulProcessor[(String, String), SEvent, SEvent]
     with ArmedTimer[(String, String), SEvent, SEvent] {
 
   @transient private var latest: ValueState[SEvent] = _
@@ -32,18 +34,33 @@ class IndexProcessor extends StatefulProcessor[(String, String), SEvent, SEvent]
 
   override def handleInputRows(key: (String, String), rows: Iterator[SEvent],
       timerValues: TimerValues): Iterator[SEvent] = {
-    val rs = rows.toSeq
-    // (time, metric) tie-break matches StreamingIndex; maxBy alone would
-    // keep the FIRST maximum — the stored event — so a same-second state
-    // transition would never replace it
-    val newest = (Option(latest.get()).toSeq ++ rs)
-      .maxBy(e => (e.time.getTime, e.metric.getOrElse(0.0)))
-    latest.update(newest)
-    newest.ttl.foreach { t =>
-      val deadline = newest.time.getTime + (t * 1000).toLong
-      rearm(math.max(deadline, timerValues.getCurrentWatermarkInMs() + 1))
+    // deletes (config.clj:258-271 delete-from-index, marked by the
+    // `deleteState` convention) interleave with inserts in event-time
+    // order: a delete drops the entry and its timer, emits nothing, and
+    // a later insert re-creates the key
+    val rs = rows.toSeq.sortBy(_.time.getTime)
+    var cur = Option(latest.get())
+    for (e <- rs) {
+      if (deleteState.contains(e.state)) cur = None
+      // (time, metric) tie-break matches StreamingIndex; maxBy alone
+      // would keep the FIRST maximum — the stored event — so a
+      // same-second state transition would never replace it
+      else cur = Some((cur.toSeq :+ e)
+        .maxBy(x => (x.time.getTime, x.metric.getOrElse(0.0))))
     }
-    Iterator(newest)
+    cur match {
+      case None =>
+        latest.clear()
+        armed.clear()
+        Iterator.empty
+      case Some(newest) =>
+        latest.update(newest)
+        newest.ttl.foreach { t =>
+          val deadline = newest.time.getTime + (t * 1000).toLong
+          rearm(math.max(deadline, timerValues.getCurrentWatermarkInMs() + 1))
+        }
+        Iterator(newest)
+    }
   }
 
   override def handleExpiredTimer(key: (String, String),
@@ -56,8 +73,15 @@ class IndexProcessor extends StatefulProcessor[(String, String), SEvent, SEvent]
     if (deadline.exists(_ <= timerValues.getCurrentWatermarkInMs())) {
       latest.clear()
       armed.clear()
+      // reaper :keep-keys (core.clj:282-304): the expired copy carries
+      // only the kept fields — default [host, service] (the pkey always
+      // survives); `All` preserves the whole event. State is always
+      // "expired", time always the expiry time.
+      val keepAll = keepKeys == IndexProcessor.All
       Iterator(cur.copy(state = "expired",
-        time = new java.sql.Timestamp(timerValues.getCurrentWatermarkInMs())))
+        time = new java.sql.Timestamp(timerValues.getCurrentWatermarkInMs()),
+        metric = if (keepAll || keepKeys("metric")) cur.metric else None,
+        ttl = if (keepAll || keepKeys("ttl")) cur.ttl else None))
     } else {
       // stale timer: a newer event moved (or removed) the deadline
       armed.clear()
@@ -69,14 +93,24 @@ class IndexProcessor extends StatefulProcessor[(String, String), SEvent, SEvent]
 }
 
 object IndexProcessor {
-  /** Wire the processor: insert stream → updates + reaper expiries. */
-  def apply(events: Dataset[SEvent], watermarkDelay: String = "0 seconds")
-      : Dataset[SEvent] = {
+  /** Reaper default: the expired copy keeps only the pkey
+    * (core.clj:295 `(get opts :keep-keys [:host :service])`). */
+  val DefaultKeep: Set[String] = Set("host", "service")
+  /** `:keep-keys :all` sentinel — preserve every field. */
+  val All: Set[String] = Set("*all*")
+
+  /** Wire the processor: insert stream → updates + reaper expiries.
+    * `keepKeys` = the reaper's :keep-keys option; `deleteState`, when
+    * set, marks tombstones — union a delete stream tagged with that
+    * state to get `delete-from-index` (config.clj:258-271). */
+  def apply(events: Dataset[SEvent], watermarkDelay: String = "0 seconds",
+      keepKeys: Set[String] = DefaultKeep,
+      deleteState: Option[String] = None): Dataset[SEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.withWatermark("time", watermarkDelay)
       .groupByKey(e => (e.host, e.service))
-      .transformWithState(new IndexProcessor,
+      .transformWithState(new IndexProcessor(keepKeys, deleteState),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

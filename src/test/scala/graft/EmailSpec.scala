@@ -68,4 +68,38 @@ class EmailSpec extends SparkSpec {
     sink.write(events().limit(0), 1L)
     assert(sent.size == 1)
   }
+
+  test("truncate / truncate-bytes golden tables (common_test.clj)") {
+    import Email.Text._
+    // truncate counts UTF-16 chars
+    assert(truncate("あいう", -1) == "")
+    assert(truncate("あいう", 0) == "")
+    assert(truncate("あいう", 1) == "あ")
+    assert(truncate("あいう", 3) == "あいう")
+    assert(truncate("あいう", 4) == "あいう")
+    // truncate-bytes fits whole characters into a UTF-8 byte budget
+    assert(truncateBytes("あいう", -1) == "")
+    assert(truncateBytes("あいう", 0) == "")
+    assert(truncateBytes("あいう", 1) == "")
+    assert(truncateBytes("あいう", 3) == "あ")
+    assert(truncateBytes("あいう", 4) == "あ")
+    assert(truncateBytes("あいう", 9) == "あいう")
+    assert(truncateBytes("あいう", 10) == "あいう")
+    assert(countStringBytes("あいう") == 9)
+  }
+
+  test("SnsSink applies the 100-byte subject budget (sns.clj:19-26)") {
+    val sent = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    val sink = new Email.SnsSink("arn:x", (a, s, b) => sent += ((a, s, b)))
+    // 60 distinct hosts -> subject "60 hosts api ok" (short); a long
+    // single-host subject instead: host of 120 chars truncates to 100
+    val longHost = "h" * 120
+    sink.write(events(E(id = 1, host = longHost, service = "api",
+      state = "ok", time = 0L)), 0L)
+    assert(sent.size == 1)
+    val (arn, subj, _) = sent.head
+    assert(arn == "arn:x")
+    assert(Email.Text.countStringBytes(subj) <= 100)
+    assert(subj.startsWith("h" * 50))
+  }
 }

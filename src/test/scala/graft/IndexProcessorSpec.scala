@@ -38,7 +38,50 @@ class IndexProcessorSpec extends SparkSpec {
         val rows = spark.table("tws").as[SEvent].collect()
         val expired = rows.filter(_.state == "expired")
         assert(expired.map(e => (e.host, e.service)).toSeq == Seq(("a", "cpu")))
+        // reaper default :keep-keys [host service] (core.clj:295): the
+        // expired copy drops the metric and ttl payload
+        assert(expired.head.metric.isEmpty && expired.head.ttl.isEmpty)
         assert(rows.count(e => e.host == "b" && e.state == "ok") == 3)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("transformWithState index: keep-keys :all preserves the payload; deletes drop keys (core_test reaper-keep-keys-all, config_test delete-from-index)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val spark0 = spark
+      import spark0.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[SEvent]
+      val q = IndexProcessor(input.toDS(), keepKeys = IndexProcessor.All,
+        deleteState = Some("delete"))
+        .writeStream.format("memory").queryName("twsall").outputMode("append")
+        .start()
+      try {
+        input.addData(
+          ev("a", "cpu", "ok", 1.0, 100, Some(10.0)),
+          ev("b", "cpu", "ok", 2.0, 100, Some(50.0)))
+        q.processAllAvailable()
+        // delete b BEFORE its 150 s deadline: the armed timer will
+        // still fire, but the state is gone, so no expiry is emitted —
+        // deletion must beat the reaper
+        input.addData(ev("b", "cpu", "delete", 0.0, 120, None))
+        q.processAllAvailable()
+        input.addData(ev("c", "cpu", "ok", 3.0, 500, Some(1000.0)))
+        q.processAllAvailable()
+        input.addData(ev("c", "cpu", "ok", 4.0, 600, Some(1000.0)))
+        q.processAllAvailable()
+        val rows = spark.table("twsall").as[SEvent].collect()
+        val expired = rows.filter(_.state == "expired")
+        // only a expires (b was deleted before its ttl could lapse);
+        // :all keeps a's metric and ttl on the expired copy
+        assert(expired.map(e => (e.host, e.service)).toSeq == Seq(("a", "cpu")))
+        assert(expired.head.metric.contains(1.0) &&
+          expired.head.ttl.contains(10.0))
+        // the delete tombstone itself is not re-emitted downstream
+        assert(!rows.exists(_.state == "delete"))
       } finally q.stop()
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -132,6 +132,24 @@ class SinksExtraSpec extends SparkSpec {
       "mem,host=a\\=b\\,c\\ d value=512.0 11000000000"))
   }
 
+  test("prometheus sink formats sanitized datapoints with sorted labels (prometheus.clj:13-48)") {
+    InfluxProbe.lines.clear()
+    val sink = new Sinks.PrometheusSink(ls => ls.foreach(InfluxProbe.lines.add))
+    sink.write(events(
+      E(id = 1, host = "web01", service = "cpu load%", state = "ok",
+        metric = 0.95, attributes = Map("dc" -> "east"), time = 10L),
+      E(id = 2, host = "a", service = "mem", state = null, metric = 512.0,
+        time = 11L),
+      E(id = 3, host = "drop", service = null, metric = 1.0, time = 12L),
+      E(id = 4, host = "drop2", service = "s", metric = null, time = 13L)), 0L)
+    val got = InfluxProbe.lines.toArray.map(_.toString).toSet
+    // "cpu load%" -> "cpu_load_" (disallowed -> _, runs collapsed);
+    // labels sorted by key; null state label dropped; float rendering
+    assert(got == Set(
+      "cpu_load_{dc=east,host=web01,state=ok} 0.95\n",
+      "mem{host=a} 512.0\n"))
+  }
+
   test("rabbitmq sink publishes JSON under the routing key (rabbitmq.clj:17-82)") {
     RabbitProbe.published.clear()
     val sink = new Sinks.RabbitMqSink(
