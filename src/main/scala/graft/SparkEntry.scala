@@ -595,6 +595,14 @@ object SparkEntry {
     "q_prometheus_line" -> ((s, d) => ev(s, d)
       .filter(col("metric").isNotNull && col("service").isNotNull)
       .select(col("event_id"), graft.sinks.Sinks.prometheusLine.as("line"))
+      .orderBy("event_id")),
+    // graphite path rendering: reversed fqdn + dotted service with the
+    // percentile-suffix collapse
+    "q_graphite_path" -> ((s, d) => ev(s, d)
+      .withColumn("host", concat(col("host"), lit(".node.example.com")))
+      .withColumn("service", concat(col("service"), lit(" latency 0.95")))
+      .select(col("event_id"),
+        graft.sources.LineProtocols.graphitePathPercentiles.as("path"))
       .orderBy("event_id"))
   )
 
@@ -1124,6 +1132,12 @@ object SparkEntry {
       " SELECT event_id, regexp_replace(regexp_replace(service, '[^a-zA-Z0-9_]', '_', 'g'), '_{2,}', '_', 'g') " +
       "|| '{host=' || host || ',k=' || kstr || ',state=' || state || '} ' " +
       "|| CAST(CAST(metric AS REAL) AS VARCHAR) AS line " +
-      "FROM ev WHERE metric IS NOT NULL AND service IS NOT NULL ORDER BY event_id")
+      "FROM ev WHERE metric IS NOT NULL AND service IS NOT NULL ORDER BY event_id"),
+    "q_graphite_path" -> (s"$cte SELECT event_id, " +
+      "array_to_string(list_concat(" +
+      "list_reverse(string_split(host || '.node.example.com', '.')), " +
+      "string_split(regexp_replace(service || ' latency 0.95', " +
+      "'(\\d+)\\.(\\d+)$', '\\2'), ' ')), '.') AS path " +
+      "FROM ev ORDER BY event_id")
   )
 }

@@ -99,4 +99,45 @@ object LineProtocols {
     events.select(concat_ws(" ",
       col("service"), col("metric").cast("string"),
       col("time_s").cast("string")).as("line"))
+
+  /** `graphite-path-basic` (graphite.clj:65-73): reversed FQDN host
+    * segments followed by the space-split service, dot-joined —
+    * "foo.bar.com" + "cpu load" → "com.bar.foo.cpu.load". Nil host or
+    * service contributes nothing (the reference's empty-split). */
+  def graphitePathBasic: Column = {
+    val hostParts = when(col("host").isNull, array().cast("array<string>"))
+      .otherwise(reverse(split(col("host"), "\\.")))
+    val svcParts = when(col("service").isNull, array().cast("array<string>"))
+      .otherwise(split(col("service"), " "))
+    array_join(concat(hostParts, svcParts), ".")
+  }
+
+  /** `graphite-path-percentiles` (graphite.clj:75-87): like basic, but
+    * a trailing decimal in the service collapses to its fractional
+    * digits — "api latency 0.95" → "api.latency.95". (The reference's
+    * replacement fn discards the whole part unconditionally — its
+    * `when-not` has no body — so "1.95" also maps to "95"; reproduced
+    * faithfully.) */
+  def graphitePathPercentiles: Column = {
+    val renamed = regexp_replace(col("service"), "(\\d+)\\.(\\d+)$", "$2")
+    val hostParts = when(col("host").isNull, array().cast("array<string>"))
+      .otherwise(reverse(split(col("host"), "\\.")))
+    val svcParts = when(col("service").isNull, array().cast("array<string>"))
+      .otherwise(split(renamed, " "))
+    array_join(concat(hostParts, svcParts), ".")
+  }
+
+  /** `graphite-path-tags fields` (graphite.clj:89-107): the dotted
+    * service followed by `;field=value` for each requested field
+    * present on the event — "api req" + host=foo, rack=n1 →
+    * "api.req;host=foo;rack=n1". */
+  def graphitePathTags(fields: Seq[String]): Column = {
+    val base = array_join(
+      when(col("service").isNull, array().cast("array<string>"))
+        .otherwise(split(col("service"), " ")), ".")
+    fields.foldLeft(base) { (acc, f) =>
+      concat(acc, coalesce(
+        when(col(f).isNotNull, concat(lit(s";$f="), col(f))), lit("")))
+    }
+  }
 }

@@ -132,6 +132,31 @@ class SinksExtraSpec extends SparkSpec {
       "mem,host=a\\=b\\,c\\ d value=512.0 11000000000"))
   }
 
+  test("graphite path functions (graphite.clj:65-107)") {
+    import graft.sources.LineProtocols
+    val df = events(E(id = 1, host = "foo.bar.com", service = "cpu load",
+      time = 0L))
+    assert(one[String](df.select(
+      LineProtocols.graphitePathBasic.as("p")), "p") == "com.bar.foo.cpu.load")
+    // trailing decimal collapses to the fraction digits — for ANY whole
+    // part (the reference's replacement fn drops it unconditionally)
+    for (svc <- Seq("api latency 0.95", "api latency 1.95")) {
+      val d = events(E(id = 1, host = null, service = svc, time = 0L))
+      assert(one[String](d.select(
+        LineProtocols.graphitePathPercentiles.as("p")), "p") == "api.latency.95")
+    }
+    // non-decimal tails untouched
+    val plain = events(E(id = 1, host = null, service = "disk used", time = 0L))
+    assert(one[String](plain.select(
+      LineProtocols.graphitePathPercentiles.as("p")), "p") == "disk.used")
+    // tags form: dotted service + ;field=value for present fields
+    val tagged = events(E(id = 1, host = "foo", service = "api req",
+      state = null, time = 0L))
+    assert(one[String](tagged.select(
+      LineProtocols.graphitePathTags(Seq("host", "state")).as("p")), "p")
+      == "api.req;host=foo")
+  }
+
   test("prometheus sink formats sanitized datapoints with sorted labels (prometheus.clj:13-48)") {
     InfluxProbe.lines.clear()
     val sink = new Sinks.PrometheusSink(ls => ls.foreach(InfluxProbe.lines.add))
