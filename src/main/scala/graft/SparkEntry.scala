@@ -603,6 +603,13 @@ object SparkEntry {
       .withColumn("service", concat(col("service"), lit(" latency 0.95")))
       .select(col("event_id"),
         graft.sources.LineProtocols.graphitePathPercentiles.as("path"))
+      .orderBy("event_id")),
+    // opentsdb put-line encode (the decode counterpart is
+    // q_opentsdb_decode): round-trip-able through decodeOpenTsdb
+    "q_opentsdb_encode" -> ((s, d) => ev(s, d)
+      .filter(col("metric").isNotNull && col("service").isNotNull)
+      .withColumn("service", concat(col("service"), lit(" p99")))
+      .select(col("event_id"), graft.sinks.Sinks.opentsdbLine.as("line"))
       .orderBy("event_id"))
   )
 
@@ -1138,6 +1145,11 @@ object SparkEntry {
       "list_reverse(string_split(host || '.node.example.com', '.')), " +
       "string_split(regexp_replace(service || ' latency 0.95', " +
       "'(\\d+)\\.(\\d+)$', '\\2'), ' ')), '.') AS path " +
-      "FROM ev ORDER BY event_id")
+      "FROM ev ORDER BY event_id"),
+    "q_opentsdb_encode" -> (s"$cte SELECT event_id, " +
+      "'put ' || array_to_string(string_split(service || ' p99', ' '), '.') " +
+      "|| ' ' || CAST(time_s AS VARCHAR) || ' ' || CAST(CAST(metric AS REAL) AS VARCHAR) " +
+      "|| ' host=' || host AS line " +
+      "FROM ev WHERE metric IS NOT NULL AND service IS NOT NULL ORDER BY event_id")
   )
 }

@@ -237,6 +237,37 @@ object Sinks {
     }
   }
 
+  /** OpenTSDB telnet put line for one event (reference
+    * src/riemann/opentsdb.clj:38-110): `put <dotted-service> <time>
+    * <float-metric> host=<host>` — the service's spaces become dots
+    * (opentsdb-metric-name), the default tag map is just the host
+    * (opentsdb-tags; dropped when null), the value renders as a FLOAT.
+    * The inverse of LineProtocols.decodeOpenTsdb's put parsing. */
+  def opentsdbLine: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    concat_ws(" ",
+      lit("put"),
+      array_join(split(col("service"), " "), "."),
+      col("time_s").cast("long").cast("string"),
+      col("metric").cast("float").cast("string"),
+      when(col("host").isNotNull, concat(lit("host="), col("host"))))
+  }
+
+  /** OpenTSDB sink (opentsdb.clj:52-110): put lines formatted
+    * distributed, handed per partition to the injected telnet
+    * transport. Events without metric or service are dropped (the
+    * reference's when-guards). */
+  class OpenTsdbSink(transport: Iterator[String] => Unit) extends EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      import org.apache.spark.sql.functions._
+      batch.filter(col("metric").isNotNull && col("service").isNotNull)
+        .select(concat(opentsdbLine, lit("\n")).as("line"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          transport(rows.map(_.getString(0)))
+        }
+    }
+  }
+
   /** InfluxDB sink (reference src/riemann/influxdb.clj:135-231): each
     * event becomes one line-protocol point via [[influxLine]] —
     * formatted distributed and handed to the injected HTTP transport

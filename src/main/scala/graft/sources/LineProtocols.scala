@@ -44,7 +44,11 @@ object LineProtocols {
     // projection (HOF lambdas are interpreted, so repeated subtrees are
     // genuinely re-evaluated)
     lines
-      .withColumn("_p", split(trim(col(lineCol)), "\\s+"))
+      // NOT trim(): Spark's trim strips spaces only, and split() keeps
+      // trailing empty tokens — a telnet "\n"- or "\r\n"-terminated
+      // line would grow a phantom empty field
+      .withColumn("_p",
+        split(regexp_replace(col(lineCol), "^\\s+|\\s+$", ""), "\\s+"))
       .filter(size(col("_p")) === 3 && element_at(col("_p"), 1) =!= "")
       .withColumn("_h", split(element_at(col("_p"), 1), ";"))
       .withColumn("service", element_at(col("_h"), 1))
@@ -68,7 +72,10 @@ object LineProtocols {
     * to the service name; description = raw metric name. */
   def decodeOpenTsdb(lines: DataFrame, lineCol: String = "line"): DataFrame = {
     lines
-      .withColumn("_p", split(trim(col(lineCol)), "\\s+"))
+      // see decodeGraphite: trim() leaves \r\n, split() keeps the
+      // resulting trailing empty token
+      .withColumn("_p",
+        split(regexp_replace(col(lineCol), "^\\s+|\\s+$", ""), "\\s+"))
       .filter(element_at(col("_p"), 1) === "put" && size(col("_p")) >= 4)
       .filter(!lower(element_at(col("_p"), 3)).contains("nan") &&
         !lower(element_at(col("_p"), 4)).contains("nan"))

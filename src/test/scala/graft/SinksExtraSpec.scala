@@ -157,6 +157,31 @@ class SinksExtraSpec extends SparkSpec {
       == "api.req;host=foo")
   }
 
+  test("opentsdb sink emits put lines its own decoder round-trips (opentsdb.clj:38-110)") {
+    import graft.sources.LineProtocols
+    InfluxProbe.lines.clear()
+    val sink = new Sinks.OpenTsdbSink(ls => ls.foreach(InfluxProbe.lines.add))
+    sink.write(events(
+      E(id = 1, host = "web01", service = "cpu load", metric = 0.95, time = 10L),
+      E(id = 2, host = null, service = "mem", metric = 512.0, time = 11L),
+      E(id = 3, host = "drop", service = null, metric = 1.0, time = 12L)), 0L)
+    val got = InfluxProbe.lines.toArray.map(_.toString).toSet
+    assert(got == Set(
+      "put cpu.load 10 0.95 host=web01\n",
+      "put mem 11 512.0\n"))
+    // decode inverts encode: service (dotted), host tag, metric, time
+    val spark0 = spark
+    import spark0.implicits._
+    val back = LineProtocols
+      .decodeOpenTsdb(got.toSeq.toDF("line"))
+      .select("service", "host", "metric", "time_s").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(back == Set(
+      ("cpu.load", "web01", 0.95, 10L),
+      ("mem", null, 512.0, 11L)))
+  }
+
   test("prometheus sink formats sanitized datapoints with sorted labels (prometheus.clj:13-48)") {
     InfluxProbe.lines.clear()
     val sink = new Sinks.PrometheusSink(ls => ls.foreach(InfluxProbe.lines.add))
