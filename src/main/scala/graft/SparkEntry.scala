@@ -610,6 +610,11 @@ object SparkEntry {
       .filter(col("metric").isNotNull && col("service").isNotNull)
       .withColumn("service", concat(col("service"), lit(" p99")))
       .select(col("event_id"), graft.sinks.Sinks.opentsdbLine.as("line"))
+      .orderBy("event_id")),
+    // datadog series entry: byte-exact gauge JSON per event
+    "q_datadog_event" -> ((s, d) => ev(s, d)
+      .filter(col("metric").isNotNull && col("service").isNotNull)
+      .select(col("event_id"), graft.sinks.Sinks.datadogEvent.as("entry"))
       .orderBy("event_id"))
   )
 
@@ -1150,6 +1155,13 @@ object SparkEntry {
       "'put ' || array_to_string(string_split(service || ' p99', ' '), '.') " +
       "|| ' ' || CAST(time_s AS VARCHAR) || ' ' || CAST(CAST(metric AS REAL) AS VARCHAR) " +
       "|| ' host=' || host AS line " +
+      "FROM ev WHERE metric IS NOT NULL AND service IS NOT NULL ORDER BY event_id"),
+    // datadog gauge JSON (event services/hosts/tags are alphanumeric in
+    // this relation, so the escape pass is the identity on both sides)
+    "q_datadog_event" -> (s"$cte SELECT event_id, " +
+      "'{\"metric\":\"' || service || '\",\"type\":\"gauge\",\"host\":\"' || host " +
+      "|| '\",\"tags\":[\"' || array_to_string(tags, '\",\"') " +
+      "|| '\"],\"points\":[[' || CAST(time_s AS VARCHAR) || ',' || CAST(metric AS VARCHAR) || ']]}' AS entry " +
       "FROM ev WHERE metric IS NOT NULL AND service IS NOT NULL ORDER BY event_id")
   )
 }

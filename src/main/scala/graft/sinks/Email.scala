@@ -81,8 +81,9 @@ object Email {
   }
 
   /** `body` (common.clj:276-295): the blocks of a batch joined by
-    * "\n\n\n" in (time_s, event_id) order — aggregate form. */
-  def bodyAgg(hasDescription: Boolean = false): Column = array_join(expr(
+    * "\n\n\n" in (time_s, event_id) order — aggregate form over a
+    * `_block` column produced by [[bodyBlock]]. */
+  def bodyAgg: Column = array_join(expr(
     "transform(sort_array(collect_list(struct(time_s, event_id, _block))), " +
       "x -> x._block)"), "\n\n\n")
 
@@ -97,8 +98,7 @@ object Email {
     override def write(batch: DataFrame, batchId: Long): Unit = {
       val row = batch
         .withColumn("_block", bodyBlock(hasDescription))
-        .agg(subjectAgg.as("subject"),
-          bodyAgg(hasDescription).as("body"))
+        .agg(subjectAgg.as("subject"), bodyAgg.as("body"))
         .collect().head
       val (subj, body) = (Option(row.getString(0)).getOrElse(""),
         Option(row.getString(1)).getOrElse(""))

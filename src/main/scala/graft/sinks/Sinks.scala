@@ -253,6 +253,50 @@ object Sinks {
       when(col("host").isNotNull, concat(lit("host="), col("host"))))
   }
 
+  /** Datadog series entry for one event (reference
+    * src/riemann/datadog.clj:9-33 generate-event): `{"metric":
+    * <dotted service>, "type": "gauge", "host": ..., "tags": [...],
+    * "points": [[time, metric]]}`. Hand-built JSON (not to_json) so a
+    * heterogeneous [long, double] point renders like the reference's
+    * and the DuckDB oracle reproduces every byte; strings escape
+    * backslash and quote (control chars assumed absent from
+    * service/host — document, don't silently corrupt). */
+  def datadogEvent: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    def esc(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    val name = array_join(split(col("service"), " "), ".")
+    val hostJson = when(col("host").isNull, lit("null"))
+      .otherwise(concat(lit("\""), esc(col("host")), lit("\"")))
+    val tagsJson = when(col("tags").isNull, lit("null"))
+      .when(size(col("tags")) === 0, lit("[]"))
+      .otherwise(concat(lit("[\""),
+        array_join(transform(col("tags"), t => esc(t)), "\",\""), lit("\"]")))
+    concat(
+      lit("{\"metric\":\""), esc(name),
+      lit("\",\"type\":\"gauge\",\"host\":"), hostJson,
+      lit(",\"tags\":"), tagsJson,
+      lit(",\"points\":[["), col("time_s").cast("long").cast("string"),
+      lit(","), col("metric").cast("string"), lit("]]}"))
+  }
+
+  /** Datadog sink (datadog.clj:21-36 post-datapoint): the batch's
+    * events render distributed via [[datadogEvent]]; each partition's
+    * entries are joined into one `{"series": [...]}` POST body for the
+    * injected HTTP transport (the reference recommends batching for
+    * exactly this reason). */
+  class DatadogSink(transport: String => Unit) extends EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      import org.apache.spark.sql.functions._
+      batch.filter(col("metric").isNotNull && col("service").isNotNull)
+        .select(datadogEvent.as("entry"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          val entries = rows.map(_.getString(0)).mkString(",")
+          if (entries.nonEmpty) transport(s"""{"series":[$entries]}""")
+        }
+    }
+  }
+
   /** OpenTSDB sink (opentsdb.clj:52-110): put lines formatted
     * distributed, handed per partition to the injected telnet
     * transport. Events without metric or service are dropped (the

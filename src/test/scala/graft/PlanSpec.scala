@@ -212,6 +212,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan(pii).contains("Exchange"), s"piiScan should be a pure map")
   }
 
+  test("prometheus/opentsdb/graphite-path encoders are pure projections, no exchange") {
+    val base = EventView(spark, dir).filter(col("metric").isNotNull)
+    for ((name, c) <- Seq(
+        "prometheusLine" -> graft.sinks.Sinks.prometheusLine,
+        "opentsdbLine" -> graft.sinks.Sinks.opentsdbLine,
+        "graphitePathPercentiles" ->
+          graft.sources.LineProtocols.graphitePathPercentiles)) {
+      val p = plan(base.select(col("event_id"), c.as("out")))
+      assert(!p.contains("Exchange"), s"$name should be a pure map:\n$p")
+    }
+  }
+
   test("curation ops: splitAssign is exchange-free; cap/pack take one hash exchange") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val split = graft.pipeline.Curation.splitAssign(docs)

@@ -200,6 +200,33 @@ class SinksExtraSpec extends SparkSpec {
       "mem{host=a} 512.0\n"))
   }
 
+  test("datadog sink posts one series body per partition; entries are valid gauge JSON (datadog.clj:9-36)") {
+    // reference the probe OBJECT inside the lambda: the sink closure is
+    // serialized into the task, so capturing a local val (even one
+    // pointing at the static queue) adds to a deserialized copy
+    InfluxProbe.lines.clear()
+    val sink = new Sinks.DatadogSink(
+      body => { InfluxProbe.lines.add(body); () })
+    val posted = InfluxProbe.lines
+    sink.write(events(
+      E(id = 1, host = "web01", service = "cpu load", metric = 0.95,
+        tags = Seq("a", "b"), time = 10L),
+      E(id = 2, host = null, service = "q\"uo\\te", metric = 2.0,
+        tags = Seq(), time = 11L),
+      E(id = 3, host = "drop", service = null, metric = 1.0, time = 12L))
+      .coalesce(1), 0L)
+    assert(posted.size == 1)
+    val body = posted.peek()
+    assert(body.startsWith("""{"series":[""") && body.endsWith("]}"))
+    assert(body.contains("""{"metric":"cpu.load","type":"gauge","host":"web01","tags":["a","b"],"points":[[10,0.95]]}"""))
+    // null host -> JSON null; empty tags -> []; quotes/backslashes escaped
+    assert(body.contains("""{"metric":"q\"uo\\te","type":"gauge","host":null,"tags":[],"points":[[11,2.0]]}"""))
+    // every entry parses as JSON (the escape pass is sound)
+    val parsed = spark.read.json(
+      spark.createDataset(Seq(body))(org.apache.spark.sql.Encoders.STRING))
+    assert(!parsed.columns.contains("_corrupt_record"))
+  }
+
   test("rabbitmq sink publishes JSON under the routing key (rabbitmq.clj:17-82)") {
     RabbitProbe.published.clear()
     val sink = new Sinks.RabbitMqSink(
