@@ -48,4 +48,35 @@ object StreamingWindows {
         when(size(col("ms")) > 0, element_at(col("ms"), col("idx") + 1))
           .as("metric"))
   }
+
+  /** `apdex` (streams.clj:2103-2157), streaming: per service and
+    * tumbling window, (satisfied + tolerated/2) / total, with the
+    * reference's precedence (a satisfied event never also counts as
+    * tolerated) and its expired-event drop. */
+  def apdex(events: Dataset[SEvent], intervalS: Long,
+      satisfied: org.apache.spark.sql.Column,
+      tolerated: org.apache.spark.sql.Column,
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    events.filter(col("state") =!= "expired" || col("state").isNull)
+      .withWatermark("time", watermarkDelay)
+      .groupBy(col("service"), window(col("time"), s"$intervalS seconds"))
+      .agg(
+        sum(when(satisfied, 1L).otherwise(0L)).as("sat"),
+        sum(when(!satisfied && tolerated, 1L).otherwise(0L)).as("tol"),
+        count(lit(1)).as("total"))
+      .select(col("service"), col("window.start").as("window_start"),
+        ((col("sat") + col("tol") / lit(2.0)) / col("total")).as("apdex"),
+        col("total"))
+
+  /** `fold-interval` (streams.clj:663-681), streaming: apply any
+    * aggregate expression (a §2.6b fold over the `metric` column) to
+    * each service's tumbling window. */
+  def foldInterval(events: Dataset[SEvent], intervalS: Long,
+      fold: org.apache.spark.sql.Column,
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    events.withWatermark("time", watermarkDelay)
+      .groupBy(col("service"), window(col("time"), s"$intervalS seconds"))
+      .agg(fold.as("metric"), count(lit(1)).as("n_events"))
+      .select(col("service"), col("window.start").as("window_start"),
+        col("metric"), col("n_events"))
 }

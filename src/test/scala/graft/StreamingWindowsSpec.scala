@@ -55,4 +55,50 @@ class StreamingWindowsSpec extends SparkSpec {
       assert(rows == Set(("api 0.5", 2.0), ("api 1.0", 9.0)))
     } finally q.stop()
   }
+
+  test("streaming apdex: satisfied precedence over closed windows (streams.clj:2103-2157)") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    val q = StreamingWindows.apdex(input.toDS(), 10,
+      satisfied = col("metric") <= 1.0, tolerated = col("metric") <= 4.0)
+      .writeStream.format("memory").queryName("sapdex").outputMode("append")
+      .start()
+    try {
+      // window [0,10): sat 1.0 (also would match tolerated - counted
+      // once as satisfied), tol 3.0, frustrated 9.0 -> (1 + 0.5)/3
+      input.addData(ev("api", 1.0, 1), ev("api", 3.0, 2), ev("api", 9.0, 3))
+      q.processAllAvailable()
+      input.addData(ev("api", 1.0, 15)) // watermark 15 closes [0,10)
+      q.processAllAvailable()
+      input.addData(ev("api", 1.0, 25))
+      q.processAllAvailable()
+      val rows = spark.table("sapdex").orderBy("window_start").collect()
+        .map(r => (r.getAs[Double]("apdex"), r.getAs[Long]("total")))
+      assert(rows.toSeq == Seq((0.5, 3L), (1.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming fold-interval applies any fold per closed window (streams.clj:663-681)") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    val q = StreamingWindows.foldInterval(input.toDS(), 10,
+      expr("percentile(metric, 0.5)"))
+      .writeStream.format("memory").queryName("sfold").outputMode("append")
+      .start()
+    try {
+      input.addData(ev("api", 1.0, 1), ev("api", 5.0, 2), ev("api", 9.0, 3))
+      q.processAllAvailable()
+      input.addData(ev("api", 7.0, 15))
+      q.processAllAvailable()
+      val rows = spark.table("sfold").collect()
+        .map(r => (r.getAs[Double]("metric"), r.getAs[Long]("n_events")))
+      assert(rows.toSeq == Seq((5.0, 3L)))
+    } finally q.stop()
+  }
 }
