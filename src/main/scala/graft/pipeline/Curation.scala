@@ -106,11 +106,17 @@ object Curation {
           s"$segWords), ' '))"))
       .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
       .withColumn("seg_hash", md5(col("seg")))
-    // global first occurrence per segment hash: min (doc_id, seg_idx)
-    val w = Window.partitionBy("seg_hash")
+    // global first occurrence per segment hash: min (doc_id, seg_idx).
+    // A groupBy + join, NOT min().over(partitionBy(seg_hash)): the
+    // window form puts every occurrence of a hot segment (empty lines,
+    // boilerplate headers — the common case line dedup exists for) in
+    // ONE task and AQE cannot split window partitions, while the
+    // aggregate gets map-side partial aggregation (hot keys collapse to
+    // one row per map task) and the probe join gets AQE skew-splitting.
+    val firsts = segs.groupBy("seg_hash")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first_at"))
     val kept = segs
-      .withColumn("first_at",
-        min(struct(col("doc_id"), col("seg_idx"))).over(w))
+      .join(firsts, "seg_hash")
       .withColumn("kept",
         col("first_at.doc_id") === col("doc_id") &&
           col("first_at.seg_idx") === col("seg_idx"))

@@ -240,11 +240,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("segmentDedup: two hash exchanges (segment hash + reassembly), no global sort") {
+  test("segmentDedup: bounded hash exchanges with partial agg, no window on seg_hash, no global sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.pipeline.Curation.segmentDedup(docs, 10))
+    // first-occurrence via aggregate+join (≤3 exchanges: agg build,
+    // join probe, doc reassembly) — NOT a window over seg_hash, which
+    // would serialize every occurrence of a hot segment into one task
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 2, s"segmentDedup wants <= 2 hash exchanges:\n$p")
+    assert(exchanges <= 3, s"segmentDedup wants <= 3 hash exchanges:\n$p")
+    assert(!p.contains("Window"), s"no window over seg_hash:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"first-occurrence needs map-side partial aggregation:\n$p")
     assert(!p.contains("rangepartitioning"),
       s"segmentDedup must not global-sort:\n$p")
     assert(!p.contains("CartesianProduct"))
