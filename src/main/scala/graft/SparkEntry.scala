@@ -615,7 +615,12 @@ object SparkEntry {
     "q_datadog_event" -> ((s, d) => ev(s, d)
       .filter(col("metric").isNotNull && col("service").isNotNull)
       .select(col("event_id"), graft.sinks.Sinks.datadogEvent.as("entry"))
-      .orderBy("event_id"))
+      .orderBy("event_id")),
+    // combined Gopher-rules quality filter (minWords=20 so the corpus
+    // mixes keep/drop outcomes at test scale)
+    "q_gopher_filter" -> ((s, d) =>
+      TextAnalysis.gopherFilter(docs(s, d), minWords = 20)
+        .orderBy("doc_id"))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1162,6 +1167,22 @@ object SparkEntry {
       "'{\"metric\":\"' || service || '\",\"type\":\"gauge\",\"host\":\"' || host " +
       "|| '\",\"tags\":[\"' || array_to_string(tags, '\",\"') " +
       "|| '\"],\"points\":[[' || CAST(time_s AS VARCHAR) || ',' || CAST(metric AS VARCHAR) || ']]}' AS entry " +
-      "FROM ev WHERE metric IS NOT NULL AND service IS NOT NULL ORDER BY event_id")
+      "FROM ev WHERE metric IS NOT NULL AND service IS NOT NULL ORDER BY event_id"),
+    "q_gopher_filter" -> (s"WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), " +
+      "g AS (SELECT doc_id, text, w, CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS g3 FROM t), " +
+      s"m AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, " +
+      "round(CAST(length(text) AS DOUBLE) / CAST(len(w) AS DOUBLE), 4) AS mean_token_len, " +
+      s"CAST(len(list_filter(w, x -> list_contains($stopList, x))) AS INT) AS n_stopwords, " +
+      "round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / CAST(len(w) AS DOUBLE), 4) AS symbol_ratio, " +
+      "round(CASE WHEN len(g3) > 0 THEN CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END, 4) AS dup_3gram_frac FROM g) " +
+      "SELECT doc_id, n_tokens, mean_token_len, n_stopwords, symbol_ratio, dup_3gram_frac, " +
+      "n_tokens >= 20 AND n_tokens <= 100000 AS ok_words, " +
+      "mean_token_len >= CAST(3.0 AS DOUBLE) AND mean_token_len <= CAST(10.0 AS DOUBLE) AS ok_token_len, " +
+      "n_stopwords >= 2 AS ok_stopwords, " +
+      "symbol_ratio <= CAST(0.1 AS DOUBLE) AS ok_symbols, " +
+      "dup_3gram_frac <= CAST(0.3 AS DOUBLE) AS ok_repetition, " +
+      "(n_tokens >= 20 AND n_tokens <= 100000 AND mean_token_len >= CAST(3.0 AS DOUBLE) AND mean_token_len <= CAST(10.0 AS DOUBLE) " +
+      "AND n_stopwords >= 2 AND symbol_ratio <= CAST(0.1 AS DOUBLE) AND dup_3gram_frac <= CAST(0.3 AS DOUBLE)) AS keep " +
+      "FROM m ORDER BY doc_id")
   )
 }

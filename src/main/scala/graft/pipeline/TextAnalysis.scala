@@ -128,6 +128,41 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Combined Gopher-rules document filter (Rae et al. 2021 §A1.1,
+    * public paper; thresholds adapted to whitespace tokens): word count
+    * in [minWords, maxWords], mean token length in [3, 10], at least 2
+    * stopwords, symbol-to-token ratio ('#' or ellipsis) ≤ 0.1, and a
+    * duplicate-3-gram fraction (1 − distinct/total, the in-row proxy
+    * for the paper's char-weighted metric) ≤ 0.3. Emits each signal,
+    * each rule verdict, and the conjunction — as ONE narrow codegen'd
+    * projection, no shuffle, so at 100 TB the filter rides the scan. */
+  def gopherFilter(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("w"))
+    val nTok = size(col("w"))
+    val meanLen = round(length(col("text")).cast("double") /
+      nTok.cast("double"), 4)
+    val nStop = size(filter(col("w"), t => t.isInCollection(stopwords)))
+    val symRatio = round(regexp_count(col("text"), lit("#|\\.\\.\\."))
+      .cast("double") / nTok.cast("double"), 4)
+    val g3 = gramList(3)
+    val dup3 = round(when(size(g3) > 0,
+      lit(1.0) - size(array_distinct(g3)).cast("double") /
+        size(g3).cast("double")).otherwise(0.0), 4)
+    base.select(col("doc_id"), nTok.as("n_tokens"),
+      meanLen.as("mean_token_len"), nStop.as("n_stopwords"),
+      symRatio.as("symbol_ratio"), dup3.as("dup_3gram_frac"),
+      (nTok >= minWords && nTok <= maxWords).as("ok_words"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("ok_token_len"),
+      (nStop >= 2).as("ok_stopwords"),
+      (symRatio <= 0.1).as("ok_symbols"),
+      (dup3 <= 0.3).as("ok_repetition"))
+      .withColumn("keep",
+        col("ok_words") && col("ok_token_len") && col("ok_stopwords") &&
+          col("ok_symbols") && col("ok_repetition"))
+  }
+
   /** Gopher-style within-document repetition signals (Rae et al. 2021
     * §A1.1 quality filters, public method): share of the single most
     * frequent bigram, and the fraction of bigram / trigram occurrences

@@ -222,6 +222,10 @@ class PlanSpec extends SparkSpec {
       val p = plan(base.select(col("event_id"), c.as("out")))
       assert(!p.contains("Exchange"), s"$name should be a pure map:\n$p")
     }
+    // the combined Gopher filter rides the scan — no shuffle at 100 TB
+    val gf = plan(graft.pipeline.TextAnalysis.gopherFilter(
+      spark.read.parquet(s"$dir/documents.parquet")))
+    assert(!gf.contains("Exchange"), s"gopherFilter should be a pure map:\n$gf")
   }
 
   test("curation ops: splitAssign is exchange-free; cap/pack take one hash exchange") {
