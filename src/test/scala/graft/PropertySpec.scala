@@ -222,4 +222,38 @@ class PropertySpec extends SparkSpec {
       assert(got == es)
     }
   }
+
+  test("segmentDedup matches a first-wins Scala model under random corpora") {
+    import graft.pipeline.Curation
+    // small word vocabulary forces heavy cross-document segment reuse
+    val docGen = Gen.chooseNum(5, 35).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, docGen))
+    forAllN(corpusGen, 8) { texts =>
+      val segW = 4
+      // model: global first occurrence by (doc_id, seg_idx)
+      val segs = texts.zipWithIndex.flatMap { case (t, d) =>
+        t.split(" ").grouped(segW).zipWithIndex.map { case (ws, i) =>
+          (d.toLong, i.toLong, ws.mkString(" "))
+        }
+      }
+      val firstAt = segs.groupBy(_._3).map { case (seg, occ) =>
+        seg -> occ.map(o => (o._1, o._2)).min
+      }
+      val model = segs.groupBy(_._1).map { case (d, ss) =>
+        val kept = ss.sortBy(_._2)
+          .filter(s => firstAt(s._3) == ((s._1, s._2)))
+        d -> (ss.size.toLong, kept.size.toLong,
+          kept.map(_._3).mkString(" "))
+      }
+      val spark0 = spark
+      import spark0.implicits._
+      val df = texts.zipWithIndex
+        .map { case (t, d) => (d.toLong, t) }.toDF("doc_id", "text")
+      val got = Curation.segmentDedup(df, segW)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      assert(got == model, s"texts=$texts")
+    }
+  }
 }
