@@ -620,7 +620,13 @@ object SparkEntry {
     // mixes keep/drop outcomes at test scale)
     "q_gopher_filter" -> ((s, d) =>
       TextAnalysis.gopherFilter(docs(s, d), minWords = 20)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // librato gauge JSON with the safe-name sanitizer exercised
+    "q_librato_gauge" -> ((s, d) => ev(s, d)
+      .filter(col("metric").isNotNull)
+      .withColumn("service", concat(col("service"), lit(" p99!!")))
+      .select(col("event_id"), graft.sinks.Sinks.libratoGauge.as("entry"))
+      .orderBy("event_id"))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1183,6 +1189,11 @@ object SparkEntry {
       "dup_3gram_frac <= CAST(0.3 AS DOUBLE) AS ok_repetition, " +
       "(n_tokens >= 20 AND n_tokens <= 100000 AND mean_token_len >= CAST(3.0 AS DOUBLE) AND mean_token_len <= CAST(10.0 AS DOUBLE) " +
       "AND n_stopwords >= 2 AND symbol_ratio <= CAST(0.1 AS DOUBLE) AND dup_3gram_frac <= CAST(0.3 AS DOUBLE)) AS keep " +
-      "FROM m ORDER BY doc_id")
+      "FROM m ORDER BY doc_id"),
+    "q_librato_gauge" -> (s"$cte SELECT event_id, " +
+      "'{\"name\":\"' || substr(regexp_replace(replace(service || ' p99!!', ' ', '.'), '[^-.:_A-Za-z0-9]', '', 'g'), 1, 255) " +
+      "|| '\",\"source\":\"' || substr(regexp_replace(replace(host, ' ', '.'), '[^-.:_A-Za-z0-9]', '', 'g'), 1, 255) " +
+      "|| '\",\"value\":' || CAST(metric AS VARCHAR) || ',\"measure_time\":' || CAST(time_s AS VARCHAR) || '}' AS entry " +
+      "FROM ev WHERE metric IS NOT NULL ORDER BY event_id")
   )
 }

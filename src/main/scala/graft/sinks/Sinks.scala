@@ -297,6 +297,47 @@ object Sinks {
     }
   }
 
+  /** Librato safe-name (reference src/riemann/librato.clj:9-17):
+    * spaces become periods, only `A-Za-z0-9.:-_` survive, cut to 255
+    * chars. */
+  def libratoSafeName(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    substring(regexp_replace(regexp_replace(c, " ", "."),
+      "[^-.:_A-Za-z0-9]", ""), 1, 255)
+  }
+
+  /** Librato gauge for one event (librato.clj:19-27 event->gauge):
+    * `{"name": safe(service), "source": safe(host), "value": metric,
+    * "measure_time": time}` — JSON hand-built like [[datadogEvent]] so
+    * the number rendering is reproducible. Events without a metric are
+    * rejected by the reference (error log) — callers filter. */
+  def libratoGauge: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val sourceJson = when(col("host").isNull, lit("null"))
+      .otherwise(concat(lit("\""), libratoSafeName(col("host")), lit("\"")))
+    concat(
+      lit("{\"name\":\""), libratoSafeName(col("service")),
+      lit("\",\"source\":"), sourceJson,
+      lit(",\"value\":"), col("metric").cast("string"),
+      lit(",\"measure_time\":"), col("time_s").cast("long").cast("string"),
+      lit("}"))
+  }
+
+  /** Librato sink (librato.clj:44-120 librato-metrics :gauge): each
+    * partition's gauges collate into one `{"gauges":[...]}` POST for
+    * the injected client. */
+  class LibratoSink(post: String => Unit) extends EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      import org.apache.spark.sql.functions._
+      batch.filter(col("metric").isNotNull)
+        .select(libratoGauge.as("entry"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          val entries = rows.map(_.getString(0)).mkString(",")
+          if (entries.nonEmpty) post(s"""{"gauges":[$entries]}""")
+        }
+    }
+  }
+
   /** OpenTSDB sink (opentsdb.clj:52-110): put lines formatted
     * distributed, handed per partition to the injected telnet
     * transport. Events without metric or service are dropped (the

@@ -200,6 +200,21 @@ class SinksExtraSpec extends SparkSpec {
       "mem{host=a} 512.0\n"))
   }
 
+  test("librato sink collates safe-named gauges per partition (librato.clj:9-27)") {
+    InfluxProbe.lines.clear()
+    val sink = new Sinks.LibratoSink(
+      body => { InfluxProbe.lines.add(body); () })
+    sink.write(events(
+      E(id = 1, host = "web 01!", service = "cpu load%", metric = 0.95,
+        time = 10L),
+      E(id = 2, host = "drop", service = "nil", metric = null, time = 11L))
+      .coalesce(1), 0L)
+    assert(InfluxProbe.lines.size == 1)
+    // spaces -> periods, disallowed chars stripped, metric-less dropped
+    assert(InfluxProbe.lines.peek() ==
+      """{"gauges":[{"name":"cpu.load","source":"web.01","value":0.95,"measure_time":10}]}""")
+  }
+
   test("datadog sink posts one series body per partition; entries are valid gauge JSON (datadog.clj:9-36)") {
     // reference the probe OBJECT inside the lambda: the sink closure is
     // serialized into the task, so capturing a local val (even one
