@@ -626,6 +626,12 @@ object SparkEntry {
       .filter(col("metric").isNotNull)
       .withColumn("service", concat(col("service"), lit(" p99!!")))
       .select(col("event_id"), graft.sinks.Sinks.libratoGauge.as("entry"))
+      .orderBy("event_id")),
+    // kairosdb telnet metric (millisecond timestamps)
+    "q_kairosdb_line" -> ((s, d) => ev(s, d)
+      .filter(col("metric").isNotNull && col("service").isNotNull)
+      .withColumn("service", concat(col("service"), lit(" p50")))
+      .select(col("event_id"), graft.sinks.Sinks.kairosdbLine.as("line"))
       .orderBy("event_id"))
   )
 
@@ -1194,6 +1200,11 @@ object SparkEntry {
       "'{\"name\":\"' || substr(regexp_replace(replace(service || ' p99!!', ' ', '.'), '[^-.:_A-Za-z0-9]', '', 'g'), 1, 255) " +
       "|| '\",\"source\":\"' || substr(regexp_replace(replace(host, ' ', '.'), '[^-.:_A-Za-z0-9]', '', 'g'), 1, 255) " +
       "|| '\",\"value\":' || CAST(metric AS VARCHAR) || ',\"measure_time\":' || CAST(time_s AS VARCHAR) || '}' AS entry " +
-      "FROM ev WHERE metric IS NOT NULL ORDER BY event_id")
+      "FROM ev WHERE metric IS NOT NULL ORDER BY event_id"),
+    "q_kairosdb_line" -> (s"$cte SELECT event_id, " +
+      "'put ' || array_to_string(string_split(service || ' p50', ' '), '.') " +
+      "|| ' ' || CAST(time_s * 1000 AS VARCHAR) || ' ' || CAST(CAST(metric AS REAL) AS VARCHAR) " +
+      "|| ' host=' || host AS line " +
+      "FROM ev WHERE metric IS NOT NULL AND service IS NOT NULL ORDER BY event_id")
   )
 }

@@ -353,6 +353,35 @@ object Sinks {
     }
   }
 
+  /** KairosDB telnet metric for one event (reference
+    * src/riemann/kairosdb.clj:25-36 metric->telnet + :153-158
+    * make-metric): like OpenTSDB's put line but with a MILLISECOND
+    * timestamp — `put <dotted-service> <time_ms> <float-metric>
+    * host=<host>`. */
+  def kairosdbLine: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    concat_ws(" ",
+      lit("put"),
+      array_join(split(col("service"), " "), "."),
+      (col("time_s").cast("long") * 1000L).cast("string"),
+      col("metric").cast("float").cast("string"),
+      when(col("host").isNotNull, concat(lit("host="), col("host"))))
+  }
+
+  /** KairosDB sink (kairosdb.clj:88-170): telnet metrics formatted
+    * distributed, handed per partition to the injected transport.
+    * Events without metric or service drop (make-metric's guards). */
+  class KairosDbSink(transport: Iterator[String] => Unit) extends EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      import org.apache.spark.sql.functions._
+      batch.filter(col("metric").isNotNull && col("service").isNotNull)
+        .select(concat(kairosdbLine, lit("\n")).as("line"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          transport(rows.map(_.getString(0)))
+        }
+    }
+  }
+
   /** InfluxDB sink (reference src/riemann/influxdb.clj:135-231): each
     * event becomes one line-protocol point via [[influxLine]] —
     * formatted distributed and handed to the injected HTTP transport

@@ -200,6 +200,16 @@ class SinksExtraSpec extends SparkSpec {
       "mem{host=a} 512.0\n"))
   }
 
+  test("kairosdb sink emits millisecond put lines (kairosdb.clj:25-36)") {
+    InfluxProbe.lines.clear()
+    val sink = new Sinks.KairosDbSink(ls => ls.foreach(InfluxProbe.lines.add))
+    sink.write(events(
+      E(id = 1, host = "web01", service = "cpu load", metric = 0.95, time = 10L),
+      E(id = 2, host = "drop", service = null, metric = 1.0, time = 11L)), 0L)
+    assert(InfluxProbe.lines.toArray.map(_.toString).toSet ==
+      Set("put cpu.load 10000 0.95 host=web01\n"))
+  }
+
   test("librato sink collates safe-named gauges per partition (librato.clj:9-27)") {
     InfluxProbe.lines.clear()
     val sink = new Sinks.LibratoSink(
