@@ -48,6 +48,17 @@ object SparkEntry {
   }
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+  /** Boilerplate text stamped onto half the corpus by the skew probes
+    * — long enough to span several 10-word segments. */
+  private val skewBoiler = "common header line repeated across half " +
+    "of the corpus with exactly twenty five words of boilerplate " +
+    "filler so it spans multiple ten word segments"
+  /** The skew-stress corpus: every even doc_id gets the SAME text —
+    * one dominant segment for line dedup, one dominant LSH bucket for
+    * minhash. Oracles apply the identical CASE substitution. */
+  private def skewedDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text",
+      when(col("doc_id") % 2 === 0, lit(skewBoiler)).otherwise(col("text")))
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -483,6 +494,13 @@ object SparkEntry {
       .filter(col("metric").isNotNull)
       .select(col("event_id"), graft.sinks.Sinks.influxLine.as("line"))
       .orderBy("event_id")),
+    // §2.2 influxdb v2 sink: the point encode (shared with Influx2Sink)
+    // at ms precision — host-tag drop rule + precision clock scaling
+    "q_influx2_line" -> ((s, d) => ev(s, d)
+      .filter(col("metric").isNotNull)
+      .select(col("event_id"),
+        graft.sinks.Sinks.influx2Line("ms").as("line"))
+      .orderBy("event_id")),
     // §2.1 kafka/ws JSON codec: render each event with the wire
     // encoder (to_json), decode through the same Event-schema path the
     // kafka consumer and ws /events ingest use, and state the identity
@@ -565,6 +583,17 @@ object SparkEntry {
       .select(col("doc_id"), col("n_segments"), col("n_kept"),
         md5(col("text_deduped")).as("text_hash"))
       .orderBy("doc_id")),
+    // skew stress (SkewSpec's corpora at oracle scale): segment dedup
+    // under a 50%-hot segment, and the LSH hot-bucket cap engaging —
+    // the bench rows for these ARE the skewed-corpus evidence
+    "q_skew_segment_dedup" -> ((s, d) =>
+      Curation.segmentDedup(skewedDocs(s, d), 10)
+        .select(col("doc_id"), col("n_segments"), col("n_kept"),
+          md5(col("text_deduped")).as("text_hash"))
+        .orderBy("doc_id")),
+    "q_skew_lsh_capped" -> ((s, d) =>
+      Dedup.lshCandidates(skewedDocs(s, d), 16, 4, 3, maxBucket = 64)
+        .orderBy("doc_a", "doc_b")),
     "q_temp_sample" -> ((s, d) => Curation.temperatureSample(docs(s, d), 0.5, 0.5)
       .select(col("doc_id"), col("source"), col("n_source"),
         round(col("keep_rate"), 6).as("keep_rate"), col("sample_u"))
@@ -782,6 +811,10 @@ object SparkEntry {
     "q_influx_lines" -> (s"$cte SELECT event_id, service || ',host=' || host || " +
       "' value=' || CAST(CAST(metric AS DOUBLE) AS VARCHAR) || ' ' || " +
       "CAST(time_s * 1000000000 AS VARCHAR) AS line FROM ev WHERE metric IS NOT NULL ORDER BY event_id"),
+    "q_influx2_line" -> (s"$cte SELECT event_id, service || " +
+      "(CASE WHEN host IS NOT NULL AND host <> '' THEN ',host=' || host ELSE '' END) || " +
+      "' value=' || CAST(CAST(metric AS DOUBLE) AS VARCHAR) || ' ' || " +
+      "CAST(time_s * 1000 AS VARCHAR) AS line FROM ev WHERE metric IS NOT NULL ORDER BY event_id"),
     // JSON wire codec round-trips every field losslessly
     "q_json_roundtrip" -> (s"$cte SELECT event_id, host, service, state, metric, " +
       "COALESCE(array_to_string(tags, ','), '') AS tags, time_s, ttl FROM ev ORDER BY event_id"),
@@ -842,7 +875,7 @@ object SparkEntry {
       "WINDOW w AS (PARTITION BY host ORDER BY time_s, event_id)) " +
       "SELECT event_id, (metric - prev_metric) / (time_s - prev_time) AS ddt FROM l WHERE prev_time IS NOT NULL AND time_s <> prev_time ORDER BY event_id"),
     "q_counter" -> (s"$cte, seg AS (SELECT *, SUM(CASE WHEN list_contains(tags, 'big') THEN 1 ELSE 0 END) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS segment FROM ev) " +
-      "SELECT event_id, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER (PARTITION BY host, segment ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum FROM seg ORDER BY event_id"),
+      "SELECT event_id, CAST(COALESCE(SUM(CAST(metric AS DECIMAL(18,6))) OVER (PARTITION BY host, segment ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING), 0) AS DOUBLE) AS running_sum FROM seg ORDER BY event_id"),
     "q_sum_over_time" -> (s"$cte SELECT event_id, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum FROM ev WHERE metric IS NOT NULL ORDER BY event_id"),
     "q_mean_over_time" -> (s"$cte SELECT event_id, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) / (count(*) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING)) AS running_mean FROM ev WHERE metric IS NOT NULL ORDER BY event_id"),
     "q_ewma_timeless" -> (s"$cte, o AS (SELECT host, metric, row_number() OVER (PARTITION BY host ORDER BY time_s, event_id) AS idx, count(*) OVER (PARTITION BY host) AS n FROM ev WHERE metric IS NOT NULL) " +
@@ -1110,6 +1143,30 @@ object SparkEntry {
       "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
       "md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')) AS text_hash " +
       "FROM f GROUP BY doc_id ORDER BY doc_id"),
+    // skew stress: the same segment-dedup and LSH-cap semantics over
+    // the 50%-boilerplate corpus (CASE substitution mirrors skewedDocs)
+    "q_skew_segment_dedup" -> (s"WITH w AS (SELECT doc_id, string_split(CASE WHEN doc_id % 2 = 0 THEN '$skewBoiler' ELSE text END, ' ') AS words FROM documents), " +
+      "sg AS (SELECT doc_id, " +
+      "unnest(generate_series(0, CAST(CEIL(len(words) / 10.0) AS BIGINT) - 1)) AS seg_idx, " +
+      "unnest(list_transform(generate_series(0, CAST(CEIL(len(words) / 10.0) AS BIGINT) - 1), " +
+      "i -> array_to_string(list_slice(words, i * 10 + 1, i * 10 + 10), ' '))) AS seg FROM w), " +
+      "f AS (SELECT doc_id, seg_idx, seg, " +
+      "row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn FROM sg) " +
+      "SELECT doc_id, count(*) AS n_segments, " +
+      "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+      "md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')) AS text_hash " +
+      "FROM f GROUP BY doc_id ORDER BY doc_id"),
+    "q_skew_lsh_capped" -> (minhashPairsCte
+      .replace("FROM documents",
+        s"FROM (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN '$skewBoiler' ELSE text END AS text FROM documents)")
+      .replace(
+        "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2])) AS DOUBLE) / 16 AS est_jaccard " +
+          "FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)",
+        "ok AS (SELECT band, bucket FROM bk GROUP BY band, bucket HAVING count(*) <= 64), " +
+          "bk2 AS (SELECT bk.* FROM bk JOIN ok USING (band, bucket)), " +
+          "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM bk2 a JOIN bk2 b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)") +
+      " SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"),
     // temperature sampling: keep-rate ∝ count^alpha, decimal-exact
     // normalizer, md5-derived deterministic uniform per doc
     "q_temp_sample" -> ("WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source), " +

@@ -283,8 +283,13 @@ object Windows {
     val segW = Window.partitionBy((keys.map(col) :+ col("segment")): _*)
       .orderBy(col("time_s"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // the segment sum is NULL until the first metric-bearing row; the
+    // coalesce keeps the seeded count visible from the very first event
+    // (the reference's counter atom holds `init` while metric-less
+    // events pass through, streams.clj:920-931)
     df.withColumn("segment", seg)
-      .withColumn("running_sum", (sum(col("metric").cast(D)).over(segW) +
+      .withColumn("running_sum",
+        (coalesce(sum(col("metric").cast(D)).over(segW), lit(0.0).cast(D)) +
         when(col("segment") === 0, lit(init)).otherwise(lit(0.0)).cast(D))
         .cast("double"))
   }

@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   * first-appearance order of the *arrival* stream — here first
   * appearance is in (time_s, event_id) order, the deterministic
   * distributed reading; custom attributes render in sorted-key order
-  * (Clojure small-map order is insertion order).
+  * (Clojure small-map order is insertion order); and nulls are dropped
+  * BEFORE the distinct count, where the reference's human-uniq counts
+  * nil as a distinct element — hosts [nil, "a"] render " and a"
+  * (count 2) upstream but "a" (count 1) here. Dropping nulls is the
+  * deliberate choice: a nil host contributes nothing readable to a
+  * subject line.
   */
 object Email {
 

@@ -398,6 +398,68 @@ object Sinks {
     }
   }
 
+  /** InfluxDB v2 write options (reference src/riemann/influxdb2.clj:55-63
+    * default-opts): org/bucket/token replace v1's db/user/password, and
+    * the write endpoint is `/api/v2/write` with a `Token` auth header. */
+  case class Influx2Config(
+      organization: String = "riemann", bucket: String = "riemann",
+      scheme: String = "http", host: String = "localhost", port: Int = 8086,
+      token: String = "riemann", precision: String = "s") {
+    require(Influx2Config.Precisions.contains(precision),
+      s"precision must be one of ${Influx2Config.Precisions.keys}")
+    def url: String =
+      s"$scheme://$host:$port/api/v2/write?org=$organization" +
+        s"&bucket=$bucket&precision=$precision"
+    def headers: Map[String, String] = Map(
+      "Authorization" -> s"Token $token",
+      "Content-Type" -> "text/plain; charset=utf-8")
+  }
+  object Influx2Config {
+    /** precision → seconds multiplier (influxdb2.clj:23-30
+      * convert-time; :seconds/:milliseconds/:microseconds/:nanoseconds
+      * become the API's s/ms/us/ns). */
+    val Precisions: Map[String, Long] = Map(
+      "s" -> 1L, "ms" -> 1000L, "us" -> 1000000L, "ns" -> 1000000000L)
+  }
+
+  /** One v2 measurement point (influxdb2.clj:32-40 event->point):
+    * measurement = service, host tag, `value=<metric>` field, time
+    * scaled to the configured precision. Same line-protocol escaping
+    * as v1; a null host renders as an empty tag value, which the v2
+    * client then omits — reproduced by dropping the tag. */
+  def influx2Line(precision: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val mult = Influx2Config.Precisions(precision)
+    val meas = regexp_replace(col("service"), "([, ])", "\\\\$1")
+    val hostTag = when(col("host").isNotNull && col("host") =!= "",
+      concat(lit(",host="),
+        regexp_replace(col("host"), "([,= ])", "\\\\$1")))
+      .otherwise(lit(""))
+    concat(
+      meas, hostTag,
+      lit(" value="), col("metric").cast("double").cast("string"),
+      lit(" "), (col("time_s").cast("long") * mult).cast("string"))
+  }
+
+  /** InfluxDB v2 sink (influxdb2.clj:66-120 `influxdb2`): points
+    * formatted distributed via [[influx2Line]], each partition POSTed
+    * as one newline-joined body to the v2 write URL with the token
+    * header — the WriteApi.writePoints batch. Metric-less events drop
+    * (a point needs its value field). */
+  class Influx2Sink(cfg: Influx2Config,
+      post: (String, Map[String, String], String) => Unit) extends EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      import org.apache.spark.sql.functions._
+      val (url, headers) = (cfg.url, cfg.headers)
+      batch.filter(col("metric").isNotNull && col("service").isNotNull)
+        .select(influx2Line(cfg.precision).as("line"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          val body = rows.map(_.getString(0)).mkString("\n")
+          if (body.nonEmpty) post(url, headers, body)
+        }
+    }
+  }
+
   /** RabbitMQ publisher (reference src/riemann/rabbitmq.clj:17-82):
     * events rendered as JSON and published to an exchange under a
     * routing key. The AMQP client is injected as

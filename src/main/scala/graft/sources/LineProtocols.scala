@@ -35,10 +35,31 @@ object LineProtocols {
     when(size(pairs) > 0, map_from_entries(entries)).otherwise(map())
   }
 
+  /** Wrap one of the [[LineParsers]] expressions around `lineCol` and
+    * inline the 0-or-1 result struct: invalid lines vanish inside the
+    * Generate (no filter re-evaluates the parse), valid ones expand to
+    * the decoder's output columns after the preserved input columns. */
+  private def viaParser(lines: DataFrame, lineCol: String,
+      mk: org.apache.spark.sql.catalyst.expressions.Expression =>
+        org.apache.spark.sql.catalyst.expressions.Expression): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val parsed = ColumnBridge.column(mk(ColumnBridge.expression(col(lineCol))))
+    val keep = lines.columns.filter(_ != lineCol).map(col).toIndexedSeq
+    lines.select(keep :+ inline(parsed): _*)
+  }
+
   /** Decode `service[;k=v...] metric timestamp` lines.
     * Output: (service, metric, time_s, attributes) — exactly one event
-    * per valid line; blank/garbage/extra-field lines dropped. */
-  def decodeGraphite(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    * per valid line; blank/garbage/extra-field lines dropped.
+    *
+    * Hot path: the single-pass [[GraphiteParse]] expression;
+    * [[decodeGraphiteColumns]] is the column-expression spec of the
+    * same semantics, property-checked equal in LineParsersParitySpec. */
+  def decodeGraphite(lines: DataFrame, lineCol: String = "line"): DataFrame =
+    viaParser(lines, lineCol, GraphiteParse)
+
+  private[graft] def decodeGraphiteColumns(lines: DataFrame,
+      lineCol: String = "line"): DataFrame = {
     // split once into materialized columns: every later expression
     // references `_p`/`_h` instead of re-running the regex split per
     // projection (HOF lambdas are interpreted, so repeated subtrees are
@@ -69,8 +90,16 @@ object LineProtocols {
   /** Decode OpenTSDB `put <metric> <ts> <value> [k=v ...]` lines.
     * host tag → host column; remaining tags → attributes (with
     * `service=` renamed `servicetag=`); tag string minus host appended
-    * to the service name; description = raw metric name. */
-  def decodeOpenTsdb(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    * to the service name; description = raw metric name.
+    *
+    * Hot path: the single-pass [[OpenTsdbParse]] expression;
+    * [[decodeOpenTsdbColumns]] is the column-expression spec of the
+    * same semantics, property-checked equal in LineParsersParitySpec. */
+  def decodeOpenTsdb(lines: DataFrame, lineCol: String = "line"): DataFrame =
+    viaParser(lines, lineCol, OpenTsdbParse)
+
+  private[graft] def decodeOpenTsdbColumns(lines: DataFrame,
+      lineCol: String = "line"): DataFrame = {
     lines
       // see decodeGraphite: trim() leaves \r\n, split() keeps the
       // resulting trailing empty token

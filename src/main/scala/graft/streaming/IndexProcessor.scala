@@ -37,8 +37,13 @@ class IndexProcessor(keepKeys: Set[String] = IndexProcessor.DefaultKeep,
     // deletes (config.clj:258-271 delete-from-index, marked by the
     // `deleteState` convention) interleave with inserts in event-time
     // order: a delete drops the entry and its timer, emits nothing, and
-    // a later insert re-creates the key
-    val rs = rows.toSeq.sortBy(_.time.getTime)
+    // a later insert re-creates the key. Ties on time are broken by
+    // (metric, state) so shuffle arrival order can't decide whether an
+    // equal-time tombstone lands before or after the insert — the rule:
+    // at the same timestamp the tombstone sorts by its own metric/state
+    // like any row, and the LAST row in this deterministic order wins.
+    val rs = rows.toSeq.sortBy(e =>
+      (e.time.getTime, e.metric.getOrElse(0.0), Option(e.state).getOrElse("")))
     var cur = Option(latest.get())
     for (e <- rs) {
       if (deleteState.contains(e.state)) cur = None
@@ -51,7 +56,10 @@ class IndexProcessor(keepKeys: Set[String] = IndexProcessor.DefaultKeep,
     cur match {
       case None =>
         latest.clear()
-        armed.clear()
+        // disarm (not armed.clear()): the registered timer must go with
+        // the armed record, else a re-insert re-registers over an
+        // orphaned timer and the store logs duplicate-timer warnings
+        disarm()
         Iterator.empty
       case Some(newest) =>
         latest.update(newest)

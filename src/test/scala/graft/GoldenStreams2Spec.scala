@@ -75,6 +75,19 @@ class GoldenStreams2Spec extends SparkSpec {
     assert(out(1).isNullAt(2))
   }
 
+  test("counter: a LEADING metric-less event sees the seeded count, not NULL") {
+    // the counter atom holds init while metric-less events pass through
+    // (streams.clj:920-931) — the running count at event 1 is 100, not
+    // NULL (the segment sum is empty there; coalesce keeps init visible)
+    val df = events(
+      E(id = 1, time = 0L),
+      E(id = 2, metric = 2.0, time = 1L))
+    val out = Windows.counter(df, Seq("host"), init = 100.0)
+      .orderBy("event_id")
+      .select("running_sum").collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(100.0, 102.0))
+  }
+
   test("counter: the reset tag restarts the count at the reset metric (counter-test resets)") {
     // (counter 100) on [{:metric 1} {:metric 200 :tags [reset]} {:metric 5}]
     //   -> [101, 200, 205]: init applies before the reset only

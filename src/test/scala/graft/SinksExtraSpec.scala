@@ -225,6 +225,28 @@ class SinksExtraSpec extends SparkSpec {
       """{"gauges":[{"name":"cpu.load","source":"web.01","value":0.95,"measure_time":10}]}""")
   }
 
+  test("influxdb2 sink: v2 write URL, token header, precision-scaled body (influxdb2.clj:32-120)") {
+    Influx2Probe.posts.clear()
+    val cfg = Sinks.Influx2Config(organization = "acme", bucket = "metrics",
+      host = "flux.example.com", token = "s3cr3t", precision = "ms")
+    val sink = new Sinks.Influx2Sink(cfg,
+      (url, headers, body) => { Influx2Probe.posts.add((url, headers, body)); () })
+    sink.write(events(
+      E(id = 1, host = "web 01", service = "cpu load", metric = 0.95, time = 10L),
+      E(id = 2, host = null, service = "mem", metric = 2.0, time = 11L),
+      E(id = 3, host = "drop", service = "nil", metric = null, time = 12L))
+      .coalesce(1), 0L)
+    assert(Influx2Probe.posts.size == 1)
+    val (url, headers, body) = Influx2Probe.posts.peek()
+    assert(url ==
+      "http://flux.example.com:8086/api/v2/write?org=acme&bucket=metrics&precision=ms")
+    assert(headers("Authorization") == "Token s3cr3t")
+    // escaping as v1; null host drops the tag; ms-scaled timestamps;
+    // the metric-less event is dropped
+    assert(body ==
+      "cpu\\ load,host=web\\ 01 value=0.95 10000\nmem value=2.0 11000")
+  }
+
   test("datadog sink posts one series body per partition; entries are valid gauge JSON (datadog.clj:9-36)") {
     // reference the probe OBJECT inside the lambda: the sink closure is
     // serialized into the task, so capturing a local val (even one
@@ -284,6 +306,11 @@ class SinksExtraSpec extends SparkSpec {
 
 object InfluxProbe {
   val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+object Influx2Probe {
+  val posts = new java.util.concurrent.ConcurrentLinkedQueue[
+    (String, Map[String, String], String)]()
 }
 
 object RabbitProbe {
