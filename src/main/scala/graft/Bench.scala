@@ -61,6 +61,10 @@ object Bench {
       spark.catalog.clearCache() // release per-query caches (outside timing)
       if (ok) dt else -1.0
     }
+    val loadAtStart =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
     // two full passes, keep the per-query minimum: a transiently loaded
     // machine (the driver benches while doing other work) inflates
     // one-shot timings 2-7x; min-of-2 recovers the intrinsic cost
@@ -102,13 +106,25 @@ object Bench {
       runs.sorted.apply(1)
     } catch { case _: Throwable => -1.0 }
 
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"events_per_sec":$throughput%.0f,"sf":"$sfDir"}"""
+    // system load when the run STARTED (captured below, before pass 1):
+    // the driver benches while doing other work, which inflates one-shot
+    // timings 2-7x; min-of-2 helps but can't fully cancel it. The
+    // loadavg in the artifact lets a reader judge contamination without
+    // re-measuring, and a run that started quiet is additionally
+    // persisted as bench_idle.json — the authoritative number.
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"events_per_sec":$throughput%.0f,"loadavg_start":$loadAtStart%.2f,"sf":"$sfDir"}"""
     println(json)
     // sbt's logger prefixes stdout with "[info] "; also drop a clean copy
     // on disk for anything that wants to parse the line verbatim
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    def save(path: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    save("bench_last.json")
+    // "idle" = the machine had < half a core of competing load per 8
+    // cores when the run began (loadavg is the only portable signal)
+    if (loadAtStart >= 0 && loadAtStart < cpus.toDouble / 16.0)
+      save("bench_idle.json")
     spark.stop()
   }
 }

@@ -140,6 +140,19 @@ private[sinks] abstract class PushServer(val pubsub: Sinks.Pubsub, port: Int,
     batch.select(to_json(struct(batch.columns.toIndexedSeq.map(col): _*)))
       .collect().map(_.getString(0))
 
+  /** Stream a relation's JSON lines without materializing the whole
+    * relation on the driver: toLocalIterator holds one partition at a
+    * time, so an index dump at 100x pkey cardinality is bounded by
+    * partition size, and the client writer's bounded queue provides
+    * the backpressure. Used for dumps; per-batch pushes stay on
+    * [[jsonLines]] (batches arrive pre-bounded). */
+  protected final def jsonLineStream(batch: DataFrame)(f: String => Unit): Unit = {
+    val it = batch
+      .select(to_json(struct(batch.columns.toIndexedSeq.map(col): _*)))
+      .toLocalIterator()
+    while (it.hasNext) f(it.next().getString(0))
+  }
+
   /** Validate the query BEFORE subscribing — an unparseable client
     * query must fail the one client, never a later publish (where it
     * would abort delivery to every subscriber). */
@@ -172,7 +185,7 @@ private[sinks] abstract class PushServer(val pubsub: Sinks.Pubsub, port: Int,
     snapshot().foreach { idx =>
       val hits = query.fold(idx)(q =>
         idx.filter(QueryLanguage.predicate(q, idx.schema)))
-      jsonLines(hits).foreach(j => w.offer(encode(j)))
+      jsonLineStream(hits)(j => w.offer(encode(j)))
     }
     pending.synchronized {
       dumping = false

@@ -90,7 +90,8 @@ private[sources] class RiemannServerTable(options: CaseInsensitiveStringMap)
     }
 }
 
-/** Counts frames; `n` is the total ever enqueued (monotone). */
+/** Frame offset: epoch base + frames enqueued (monotone, including
+  * across restarts — see RiemannServerStream.base). */
 private[sources] case class FrameOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
@@ -98,30 +99,37 @@ private[sources] case class FrameOffset(n: Long) extends Offset {
 private[sources] class RiemannServerStream(protocol: String, host: String,
     port: Int, maxFrame: Int, capacity: Int) extends MicroBatchStream {
 
-  // (payload, receive-time-micros); `base` = offset of frames(0)
+  // (payload, receive-time-micros); `base` = offset of frames(0).
+  // The epoch start (wall-clock ms * 1e6) makes a fresh instance's
+  // offsets start strictly above anything a previous incarnation
+  // checkpointed: the engine detects "new data" by offset inequality,
+  // and a restarted server whose frame COUNT happened to equal the
+  // recovered offset would otherwise stall until one more frame
+  // arrived (offsets are opaque counts to the engine, so the jump is
+  // invisible to it; planInputPartitions/commit clamp against base).
   private val frames = new ArrayBuffer[(Array[Byte], Long)]()
-  private var base = 0L
+  private var base = System.currentTimeMillis() * 1000000L
   @volatile private var running = true
   private val threads = new ArrayBuffer[Thread]()
   private val clients = new ArrayBuffer[Socket]()
   private var serverSocket: ServerSocket = _
   private var datagramSocket: DatagramSocket = _
 
-  /** Adopt the FIRST offset the engine hands this (fresh) instance —
-    * 0 from initialOffset on a clean start, or the checkpointed offset
-    * on restart — by relabeling the buffer to start AT it. Without
-    * this, a restart from offset N with base=0 would let
-    * planInputPartitions skip (and commit() discard) up to N
-    * never-delivered frames; adopting only once means frames buffered
-    * while recovery is still deserializing offsets are relabeled, not
-    * dropped, however many arrived first. */
-  private var adopted = false
-  private def adopt(n: Long): Unit = frames.synchronized {
-    if (!adopted) {
-      adopted = true
-      if (n > base) base = n
+  /** Clock-skew guard for the epoch base: if a recovered checkpoint
+    * offset is somehow AHEAD of this instance's epoch (wall clock
+    * stepped backwards across the restart), re-base to it before the
+    * first batch is planned — relabeling the unprocessed buffer upward
+    * never drops or repeats a frame. Recovery may interleave
+    * initialOffset and deserializeOffset in any order (Spark 4.1 asks
+    * for the initial offset even when a checkpoint exists), and a
+    * replayed batch hands BOTH its start and end through
+    * deserializeOffset, hence max-until-processing rather than
+    * adopt-once. initialOffset's 0 never re-bases anything. */
+  @volatile private var processing = false
+  private def adopt(n: Long, fromCheckpoint: Boolean): Unit =
+    frames.synchronized {
+      if (fromCheckpoint && !processing && n > base) base = n
     }
-  }
 
   locally {
     protocol match {
@@ -194,17 +202,23 @@ private[sources] class RiemannServerStream(protocol: String, host: String,
     frames += ((payload, System.currentTimeMillis() * 1000L))
   }
 
-  override def initialOffset(): Offset = { adopt(0); FrameOffset(0) }
+  override def initialOffset(): Offset = {
+    adopt(0, fromCheckpoint = false)
+    FrameOffset(0)
+  }
   override def latestOffset(): Offset =
     frames.synchronized(FrameOffset(base + frames.size))
   override def deserializeOffset(json: String): Offset = {
-    // checkpointed offsets arrive here first on restart
+    // checkpointed offsets reach the fresh instance through here on
+    // restart (possibly AFTER an initialOffset call — see adopt); only
+    // the first one re-bases, so replayed batch starts can't move it
     val n = json.toLong
-    adopt(n)
+    adopt(n, fromCheckpoint = true)
     FrameOffset(n)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    processing = true
     val (s, e) = (start.asInstanceOf[FrameOffset].n, end.asInstanceOf[FrameOffset].n)
     val slice = frames.synchronized {
       val from = math.max(0L, s - base).toInt

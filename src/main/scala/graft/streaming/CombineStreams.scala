@@ -41,11 +41,16 @@ object CombineStreams {
             }))
             maxT = math.max(maxT, e.time.getTime)
           }
+          // expired? (common.clj:111-117): explicit "expired" state OR
+          // ttl lapsed — judged against the trigger's max event time
+          // (the event-time stand-in for the reference's wall clock).
+          // Expired members are emitted UNCHANGED once (coalesce-test
+          // asserts set equality with the original event), then dropped.
           val (expired, live) = m.partition { case (_, e) =>
-            e.ttl.exists(t => maxT - e.time.getTime > t * 1000) }
+            e.state == "expired" ||
+              e.ttl.exists(t => maxT - e.time.getTime > t * 1000) }
           st.update(live)
-          val out = live.values.toSeq ++
-            expired.values.map(e => e.copy(state = "expired"))
+          val out = live.values.toSeq ++ expired.values
           Iterator(Snapshot(out.sortBy(e => (e.service, e.host)),
             new java.sql.Timestamp(maxT)))
       }
@@ -56,27 +61,43 @@ object CombineStreams {
   case class Basis(slots: Seq[Option[SEvent]])
 
   /** `project` (streams.clj:2032-2101): N predicates, state = latest
-    * match per slot, the whole vector re-emitted on any update. */
+    * match per slot, the whole vector re-emitted on any update.
+    * Expiry (project*'s clean-expire): after each update, any slot
+    * holding an expired event — explicit "expired" state or ttl lapsed
+    * vs the max event time seen — is emitted ONCE as the stripped
+    * `(expire event)` copy (host+service only, state="expired",
+    * time=now; common.clj:119-124) and the retained slot cleared. */
   def project(events: Dataset[SEvent], preds: Seq[SEvent => Boolean])
       : Dataset[Basis] = {
     val spark = events.sparkSession
     import spark.implicits._
     implicit val basisEnc = Encoders.product[Basis]
+    // state = (slots, max event time seen — the event-time "now")
     events.groupByKey(_ => "")
-      .flatMapGroupsWithState[Seq[Option[SEvent]], Basis](
+      .flatMapGroupsWithState[(Seq[Option[SEvent]], Long), Basis](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, rows, st: GroupState[Seq[Option[SEvent]]]) =>
-          var slots = st.getOption.getOrElse(Seq.fill(preds.size)(None))
+        case (_, rows, st: GroupState[(Seq[Option[SEvent]], Long)]) =>
+          var (slots, now) = st.getOption
+            .getOrElse((Seq.fill(preds.size)(None: Option[SEvent]), 0L))
+          def isExpired(e: SEvent) = e.state == "expired" ||
+            e.ttl.exists(t => now - e.time.getTime > t * 1000)
+          def expireCopy(e: SEvent) = SEvent(e.host, e.service, "expired",
+            None, new java.sql.Timestamp(now), None)
           val out = Seq.newBuilder[Basis]
           for (e <- rows.toSeq.sortBy(_.time.getTime)) {
+            now = math.max(now, e.time.getTime)
             val hits = preds.zipWithIndex.filter(_._1(e)).map(_._2)
             if (hits.nonEmpty) {
               slots = slots.zipWithIndex.map { case (s, i) =>
                 if (hits.contains(i)) Some(e) else s }
-              out += Basis(slots)
+              // emit with expired slots as their stripped copies...
+              out += Basis(slots.map(_.map(s =>
+                if (isExpired(s)) expireCopy(s) else s)))
+              // ...then forget them (once-only)
+              slots = slots.map(_.filterNot(isExpired))
             }
           }
-          st.update(slots)
+          st.update((slots, now))
           out.result().iterator
       }
   }
@@ -99,17 +120,22 @@ object CombineStreams {
           val out = Seq.newBuilder[SEvent]
           if (st.hasTimedOut) {
             // synthesize fillers for every interval between the last
-            // event and the watermark, then re-arm
+            // event and the watermark, then re-arm. "Stops inserting
+            // when expired" (streams.clj:686-708): a timer that fires
+            // while the last event is expired synthesizes nothing and
+            // stays disarmed until a live event re-arms it.
             var last = st.get
             val wm = st.getCurrentWatermarkMs()
-            while (last.time.getTime + intervalS * 1000 <= wm) {
-              last = last.copy(metric = Some(fillMetric),
-                time = new java.sql.Timestamp(last.time.getTime + intervalS * 1000))
-              out += last
+            if (last.state != "expired") {
+              while (last.time.getTime + intervalS * 1000 <= wm) {
+                last = last.copy(metric = Some(fillMetric),
+                  time = new java.sql.Timestamp(last.time.getTime + intervalS * 1000))
+                out += last
+              }
+              st.update(last)
+              st.setTimeoutTimestamp(
+                math.max(last.time.getTime + intervalS * 1000, wm + 1))
             }
-            st.update(last)
-            st.setTimeoutTimestamp(
-              math.max(last.time.getTime + intervalS * 1000, wm + 1))
           } else {
             // synthesize fillers for gaps BETWEEN events too — a gap
             // whose events resume within the same trigger would
@@ -118,7 +144,10 @@ object CombineStreams {
             val rs = rows.toSeq.sortBy(_.time.getTime)
             var lastOpt = st.getOption
             for (e <- rs) {
-              lastOpt.foreach { last =>
+              // no synthesis out of an expired predecessor — the
+              // reference cancels its fill timer on expired events and
+              // resumes only when a live one arrives
+              lastOpt.filter(_.state != "expired").foreach { last =>
                 var cur = last
                 while (cur.time.getTime + intervalS * 1000 < e.time.getTime) {
                   cur = cur.copy(metric = Some(fillMetric),

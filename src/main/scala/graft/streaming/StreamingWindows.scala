@@ -68,6 +68,46 @@ object StreamingWindows {
         ((col("sat") + col("tol") / lit(2.0)) / col("total")).as("apdex"),
         col("total"))
 
+  /** `instrument` (instrumentation.clj:26-59), streaming: the
+    * reference's always-on self-metrics run continuously — per service
+    * and tumbling window, one `riemann <service> rate` row (events/s)
+    * plus one `riemann <service> latency <q>` row per quantile, the
+    * exact relation shape of the batch
+    * [[graft.operators.Windows.instrument]]. Latency is nearest-rank
+    * over the closed window's samples (instrumentation.clj:59
+    * uniform-reservoir holds the window's sample; here the window IS
+    * the reservoir); at 100 TB swap the collect_list for
+    * percentile_approx as in Windows.instrumentApprox. */
+  def instrument(events: Dataset[SEvent], intervalS: Long,
+      latencyNs: org.apache.spark.sql.Column,
+      quantiles: Seq[Double] = Seq(0.0, 0.5, 0.95, 0.99, 0.999),
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    val b = events.withWatermark("time", watermarkDelay)
+      .withColumn("_lat", latencyNs.cast("long"))
+      .groupBy(col("service"), window(col("time"), s"$intervalS seconds"))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(col("_lat"))).as("ls"))
+      .select(col("service"), col("window.start").as("window_start"),
+        col("n"), col("ls"))
+    val rateRows = b.select(
+      concat(lit("riemann "), col("service"), lit(" rate")).as("service_out"),
+      col("window_start"),
+      (col("n") / lit(intervalS.toDouble)).as("metric"))
+    val latRows = b
+      .select(col("service"), col("window_start"), col("ls"),
+        explode(array(quantiles.map(lit): _*)).as("q"))
+      .withColumn("idx",
+        least(floor(col("q") * size(col("ls"))), size(col("ls")) - 1)
+          .cast("int"))
+      .select(
+        concat(lit("riemann "), col("service"), lit(" latency "),
+          col("q").cast("string")).as("service_out"),
+        col("window_start"),
+        when(size(col("ls")) > 0,
+          element_at(col("ls"), col("idx") + 1) * lit(1e-6)).as("metric"))
+    rateRows.unionByName(latRows)
+  }
+
   /** `fold-interval` (streams.clj:663-681), streaming: apply any
     * aggregate expression (a §2.6b fold over the `metric` column) to
     * each service's tumbling window. */

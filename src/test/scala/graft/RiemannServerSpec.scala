@@ -122,6 +122,96 @@ class RiemannServerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("soak: 4 concurrent clients + mid-stream restart — epoch offsets " +
+    "lose nothing sent to the new instance, duplicate nothing") {
+    val port = freePort()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("riemann_soak_ckpt").toString
+    // foreachBatch (not the memory sink): the one local sink that
+    // supports restarting from a checkpoint
+    def startQuery(name: String) =
+      Sources.riemannTcpServer(spark, "127.0.0.1", port)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("host", "time_s").collect().foreach(r =>
+            SoakProbe.received.add((r.getString(0), r.getLong(1))))
+          ()
+        }
+        .queryName(name).start()
+
+    /** `writers` concurrent clients, each sending `perWriter` events
+      * tagged (phase, writer, i) and reading every ack. */
+    def blast(phase: Int, writers: Int, perWriter: Int): Unit = {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = (0 until writers).map { wtr =>
+        new Thread(() => {
+          try {
+            val sock = connectRetry(port)
+            try {
+              val out = new DataOutputStream(sock.getOutputStream)
+              val in = new DataInputStream(sock.getInputStream)
+              (0 until perWriter).foreach { i =>
+                out.write(RiemannProtobuf.frame(RiemannProtobuf.encodeMsg(Seq(
+                  pe(s"w$wtr", "soak", "ok", 1.0,
+                    1706000000L + phase * 100000 + wtr * 1000 + i)))))
+                out.flush()
+                val len = in.readInt()
+                in.readFully(new Array[Byte](len)) // ack per Msg
+              }
+            } finally sock.close()
+          } catch { case t: Throwable => errs.add(t) }
+        }, s"soak-writer-$phase-$wtr")
+      }
+      ts.foreach(_.start()); ts.foreach(_.join(30000))
+      assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    }
+    def phaseKeys(phase: Int, writers: Int, perWriter: Int) =
+      (for (w <- 0 until writers; i <- 0 until perWriter)
+        yield (s"w$w", 1706000000L + phase * 100000 + w * 1000 + i)).toSet
+
+    SoakProbe.received.clear()
+    val q1 = startQuery("soak1")
+    try {
+      blast(phase = 1, writers = 4, perWriter = 25)
+      val deadline = System.currentTimeMillis() + 30000
+      while (SoakProbe.received.size < 100) {
+        assert(System.currentTimeMillis() < deadline, "phase 1 timed out")
+        Thread.sleep(100); q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    // mid-stream restart: a FRESH stream instance starts its offsets
+    // at a new epoch strictly above everything the old one
+    // checkpointed, so the engine immediately sees new frames as new
+    // data — none skipped for carrying "already seen" offsets, and no
+    // stall when the new frame count happens to equal the recovered
+    // offset (the bug this test originally caught)
+    val q2 = startQuery("soak2")
+    try {
+      blast(phase = 2, writers = 4, perWriter = 25)
+      val deadline = System.currentTimeMillis() + 30000
+      def phase2Got() = {
+        val got = new scala.collection.mutable.ArrayBuffer[(String, Long)]()
+        SoakProbe.received.forEach(e => { got += e; () })
+        got.toSeq.filter(_._2 >= 1706200000L)
+      }
+      while (phase2Got().size < 100) {
+        assert(System.currentTimeMillis() < deadline, "phase 2 timed out")
+        Thread.sleep(100); q2.processAllAvailable()
+      }
+      val p2 = phase2Got()
+      // nothing lost across the restart...
+      assert(p2.toSet == phaseKeys(2, 4, 25))
+      // ...and nothing delivered twice (acked-but-uncommitted frames
+      // die with the old instance's buffer — at-most-once across
+      // restarts, the documented contract; never duplication)
+      assert(p2.size == p2.toSet.size, "phase-2 duplicates")
+      val all = new scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      SoakProbe.received.forEach(e => { all += e; () })
+      assert(all.size == all.toSet.size, "duplicates across the restart")
+    } finally q2.stop()
+  }
+
   test("truncated/corrupt frames are dropped, later Msgs still decode") {
     val port = freePort()
     val q = Sources.riemannTcpServer(spark, "127.0.0.1", port)
@@ -146,4 +236,12 @@ class RiemannServerSpec extends SparkSpec {
       assert(one[String](spark.table("tcp_corrupt"), "host") == "ok01")
     } finally q.stop()
   }
+}
+
+/** Static so the foreachBatch closure reaches the SAME queue after
+  * task-side deserialization (collect happens on the driver, but the
+  * closure itself is checkpCompat-serialized). */
+object SoakProbe {
+  val received =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
 }

@@ -247,6 +247,59 @@ class SinksExtraSpec extends SparkSpec {
       "cpu\\ load,host=web\\ 01 value=0.95 10000\nmem value=2.0 11000")
   }
 
+  test("slack sink: escaped attachment message with vector-literal tags (slack.clj:8-39)") {
+    InfluxProbe.lines.clear()
+    val sink = new Sinks.SlackSink("Riemann bot", "#monitoring", ":smile:",
+      body => { InfluxProbe.lines.add(body); () })
+    sink.write(events(
+      E(id = 1, host = "web<1>", service = "cpu & load", state = "critical",
+        metric = 0.95, tags = Seq("a", "b"), time = 10L)).coalesce(1), 0L)
+    assert(InfluxProbe.lines.size == 1)
+    val body = InfluxProbe.lines.peek()
+    assert(body.contains(""""username":"Riemann bot""""))
+    assert(body.contains(""""channel":"#monitoring""""))
+    // slack-escape: <,>,& to entities, & first (no double escaping)
+    assert(body.contains("web&lt;1&gt;"))
+    assert(body.contains("cpu &amp; load"))
+    // the Clojure vector literal for tags
+    assert(body.contains("""Tags:   [\"a\" \"b\"]"""))
+    assert(body.contains(""""title":"Riemann Event""""))
+    assert(body.contains("*Host:* web&lt;1&gt; *Service:* cpu &amp; load " +
+      "*State:* critical *Description:* - *Metric:* 0.95"))
+  }
+
+  test("pagerduty v2/v1 bodies: routing key, action, summary, dedup key (pagerduty.clj:29-72)") {
+    InfluxProbe.lines.clear()
+    val v2 = new Sinks.PagerdutySink("rk-123", "trigger",
+      body => { InfluxProbe.lines.add(body); () })
+    v2.write(events(
+      E(id = 1, host = "web01", service = "cpu", state = "critical",
+        metric = 0.95, time = 10L,
+        attributes = Map("dedup-key" -> "incident-7"))).coalesce(1), 0L)
+    assert(InfluxProbe.lines.size == 1)
+    val body = InfluxProbe.lines.poll()
+    assert(body.contains(""""routing_key":"rk-123""""))
+    assert(body.contains(""""event_action":"trigger""""))
+    assert(body.contains(""""summary":"web01 - cpu is critical (0.95)""""))
+    assert(body.contains(""""source":"web01""""))
+    assert(body.contains(""""severity":"critical""""))
+    assert(body.contains(""""dedup_key":"incident-7""""))
+    // the reproduced reference quirk: the event's 10 SECONDS are fed
+    // to a millis parser, rendering as 10 ms into 1970
+    assert(body.contains(""""timestamp":"1970-01-01T00:00:00.010Z""""))
+
+    val v1 = new Sinks.PagerdutySink("sk-9", "resolve",
+      b => { InfluxProbe.lines.add(b); () }, v2 = false)
+    v1.write(events(
+      E(id = 2, host = "web01", service = "cpu", state = "ok",
+        metric = 0.1, time = 11L)).coalesce(1), 0L)
+    val b1 = InfluxProbe.lines.poll()
+    assert(b1.contains(""""service_key":"sk-9""""))
+    assert(b1.contains(""""event_type":"resolve""""))
+    assert(b1.contains(""""incident_key":"web01 cpu""""))
+    assert(b1.contains(""""description":"web01 cpu is ok (0.1)""""))
+  }
+
   test("datadog sink posts one series body per partition; entries are valid gauge JSON (datadog.clj:9-36)") {
     // reference the probe OBJECT inside the lambda: the sink closure is
     // serialized into the task, so capturing a local val (even one

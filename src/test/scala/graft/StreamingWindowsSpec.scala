@@ -81,6 +81,45 @@ class StreamingWindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming instrument: continuous rate + latency quantiles per closed window, " +
+    "matching the batch relation (instrumentation.clj:26-59)") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    // metric carries the latency in ms; latencyNs converts, as the
+    // reference's measure-latency nanoTime deltas would
+    val q = StreamingWindows.instrument(input.toDS(), 10,
+      latencyNs = col("metric") * 1000000L, quantiles = Seq(0.5, 1.0))
+      .writeStream.format("memory").queryName("sinstr").outputMode("append")
+      .start()
+    try {
+      input.addData(ev("api", 10.0, 1), ev("api", 20.0, 2), ev("api", 90.0, 3))
+      q.processAllAvailable()
+      assert(spark.table("sinstr").count() == 0) // window [0,10) still open
+      input.addData(ev("api", 1.0, 15)) // watermark 15 closes it
+      q.processAllAvailable()
+      val rows = spark.table("sinstr").collect()
+        .map(r => (r.getAs[String]("service_out"), r.getAs[Double]("metric")))
+        .toSet
+      assert(rows == Set(
+        ("riemann api rate", 0.3),        // 3 events / 10 s
+        ("riemann api latency 0.5", 20.0),
+        ("riemann api latency 1.0", 90.0)))
+      // same closed window through the batch form: identical relation
+      val batch = graft.operators.Windows.instrument(
+        events(
+          E(id = 1, service = "api", metric = 10.0, time = 1L),
+          E(id = 2, service = "api", metric = 20.0, time = 2L),
+          E(id = 3, service = "api", metric = 90.0, time = 3L)),
+        10, latencyNs = col("metric") * 1000000L, quantiles = Seq(0.5, 1.0))
+        .select("service_out", "metric").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(batch == rows)
+    } finally q.stop()
+  }
+
   test("streaming fold-interval applies any fold per closed window (streams.clj:663-681)") {
     import org.apache.spark.sql.functions._
     val spark0 = spark
