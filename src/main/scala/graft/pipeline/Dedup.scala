@@ -73,6 +73,18 @@ object Dedup {
     * verification) share one tokenize+shingle pass instead of scanning
     * the corpus twice. */
   def minhashSignatureFromShingles(shingled: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    shingled.select(col("doc_id"),
+      ColumnBridge.column(MinhashSigExpr(
+        ColumnBridge.expression(col("shingles")), k)).as("sig"))
+  }
+
+  /** The column-expression spec of the same signature — k+1 interpreted
+    * higher-order lambdas; kept as the executable reference the
+    * MinhashParitySpec pins [[MinhashSigExpr]] against (it is also,
+    * modulo syntax, the DuckDB oracle's formulation). */
+  private[graft] def minhashSignatureFromShinglesColumns(
+      shingled: DataFrame, k: Int): DataFrame = {
     val perms = (0 until k).map { i =>
       val (a, b) = minhashCoeff(i)
       s"array_min(transform(hs, h -> (h * ${a}L + ${b}L) % ${MinhashP}L))"

@@ -1,0 +1,493 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Metric/check forwarders (reference `src/riemann/cloudwatch.clj`,
+  * `stackdriver.clj`, `zabbix.clj`, `nagios.clj`, `pushover.clj`,
+  * `mailgun.clj`): payload formatting as codegen'd columns, transports
+  * injected. The Zabbix sender frame is implemented bit-exactly (it is
+  * a real wire protocol, not an HTTP body). */
+object Forwarders {
+
+  private def orEmpty(c: Column) = coalesce(c.cast("string"), lit(""))
+
+  // ------------------------------------------------------------ CloudWatch
+
+  /** cloudwatch.clj:8-15 generate-datapoint: metric-name = service,
+    * value = metric, one Host dimension. The reference stamps the
+    * client's wall clock (`DateTime.`); the timestamp is left to the
+    * injected client here for the same reason. Metric-less or
+    * service-less events drop (the when-guards, :45-46). */
+  def cloudwatchDatapoint: Column = to_json(struct(
+    col("service").as("metric_name"),
+    col("metric").as("value"),
+    array(struct(lit("Host").as("name"), col("host").as("value")))
+      .as("dimensions")))
+
+  /** cloudwatch.clj:17-50: put-metric-data under a namespace; the AWS
+    * client is injected as (namespace, datapointJson). */
+  class CloudwatchSink(namespace: String,
+      put: (String, String) => Unit) extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      val ns = namespace
+      batch.filter(col("metric").isNotNull && col("service").isNotNull)
+        .select(cloudwatchDatapoint.as("dp"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          rows.foreach(r => put(ns, r.getString(0)))
+        }
+    }
+  }
+
+  // ----------------------------------------------------------- Stackdriver
+
+  /** stackdriver.clj:10-24: name = service with whitespace runs
+    * collapsed to '.', collected_at = event seconds; metric-less
+    * events removed. */
+  def stackdriverPoint: Column = to_json(struct(
+    regexp_replace(col("service"), "\\s+", ".").as("name"),
+    col("metric").as("value"),
+    col("time_s").as("collected_at")))
+
+  /** stackdriver.clj:26-46: one gateway envelope per partition.
+    * Divergence (documented): the reference's envelope timestamp is a
+    * monotonically-bumped wall clock; here it is the batch's max
+    * event time — deterministic under replay. */
+  class StackdriverSink(apiKey: String,
+      post: (String, Map[String, String], String) => Unit)
+      extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      val key = apiKey
+      batch.filter(col("metric").isNotNull)
+        .select(stackdriverPoint.as("p"), col("time_s"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          var maxT = 0L
+          val ps = rows.map { r =>
+            maxT = math.max(maxT, r.getLong(1)); r.getString(0)
+          }.mkString(",")
+          if (ps.nonEmpty) post(
+            "https://custom-gateway.stackdriver.com/v1/custom",
+            Map("x-stackdriver-apikey" -> key),
+            s"""{"timestamp":$maxT,"proto_version":1,"data":[$ps]}""")
+        }
+    }
+  }
+
+  // ---------------------------------------------------------------- Zabbix
+
+  /** zabbix.clj:56-61 make-datapoint: host, key = service, value =
+    * str(metric), clock = event seconds. */
+  def zabbixDatapoint: Column = to_json(struct(
+    col("host"),
+    col("service").as("key"),
+    orEmpty(col("metric")).as("value"),
+    col("time_s").as("clock")))
+
+  /** The Zabbix sender protocol frame (zabbix.clj:30-48 make-frame):
+    * "ZBXD\1" + little-endian int64 body length + the JSON request
+    * `{"request":"sender data","data":[...]}`. */
+  def zabbixFrame(datapointsJson: String): Array[Byte] = {
+    val body = (s"""{"request":"sender data","data":[$datapointsJson]}""")
+      .getBytes("UTF-8")
+    val buf = java.nio.ByteBuffer.allocate(5 + 8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("ZBXD".getBytes("US-ASCII")).put(1.toByte)
+      .putLong(body.length.toLong).put(body)
+    buf.array()
+  }
+
+  /** zabbix.clj:63-99: each partition's datapoints go out as one
+    * sender frame over the injected socket transport. */
+  class ZabbixSink(send: Array[Byte] => Unit) extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit =
+      batch.select(zabbixDatapoint.as("dp"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          val dps = rows.map(_.getString(0)).mkString(",")
+          if (dps.nonEmpty) send(zabbixFrame(dps))
+        }
+  }
+
+  // ---------------------------------------------------------------- Nagios
+
+  /** nagios.clj:10-18 state->nagios-state: ok/warning pass, error
+    * folds into critical, anything else (incl. null) is unknown. */
+  def nagiosState: Column =
+    when(col("state").isin("ok", "warning", "critical"), col("state"))
+      .when(col("state") === "error", "critical")
+      .otherwise("unknown")
+
+  /** nagios.clj:20-46: one NSCA message per event — (host, state,
+    * service, description), nils rendered "" (the reference's `str`);
+    * the NSCA client (host/port/password/encryption) is injected. */
+  class NagiosSink(send: (String, String, String, String) => Unit)
+      extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit =
+      batch.select(orEmpty(col("host")), nagiosState,
+          orEmpty(col("service")), orEmpty(col("description")))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          rows.foreach(r =>
+            send(r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+        }
+  }
+
+  // -------------------------------------------------------------- Pushover
+
+  /** pushover.clj:15-35: state → priority (-2..2, default -1), title
+    * "host service", message "host service is state (metric)". */
+  def pushoverPriority: Column =
+    when(col("state").isin("ok", "error"), 0)
+      .when(col("state") === "info", -2)
+      .when(col("state") === "warning", -1)
+      .when(col("state") === "critical", 1)
+      .when(col("state") === "emergency", 2)
+      .otherwise(-1)
+
+  class PushoverSink(token: String, user: String,
+      post: Map[String, String] => Unit) extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      val (tk, us) = (token, user)
+      batch.select(
+          concat(orEmpty(col("host")), lit(" "), orEmpty(col("service")))
+            .as("title"),
+          concat(orEmpty(col("host")), lit(" "), orEmpty(col("service")),
+            lit(" is "), orEmpty(col("state")), lit(" ("),
+            orEmpty(col("metric")), lit(")")).as("message"),
+          pushoverPriority.cast("string").as("priority"),
+          orEmpty(col("time_s")).as("timestamp"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          rows.foreach(r => post(Map(
+            "token" -> tk, "user" -> us,
+            "title" -> r.getString(0), "message" -> r.getString(1),
+            "priority" -> r.getString(2),
+            // the reference's defaults for emergency re-delivery
+            "expire" -> "2400", "retry" -> "600",
+            "timestamp" -> r.getString(3))))
+        }
+    }
+  }
+
+  // -------------------------------------------------------------- Logstash
+
+  /** logstash.clj:121-127: the event as wire JSON with `source` set to
+    * the host, one "\n"-terminated line per event over the injected
+    * TCP/TLS/UDP client. */
+  class LogstashSink(sendLine: String => Unit) extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit =
+      batch.withColumn("source", col("host"))
+        .select(to_json(struct(col("host"), col("service"), col("state"),
+          col("metric"), col("time_s"), col("source"))).as("line"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          rows.foreach(r => sendLine(r.getString(0) + "\n"))
+        }
+  }
+
+  // ------------------------------------------------------------ Logentries
+
+  /** logentries.clj:11-21 event-to-le-format: "description, k='v'
+    * k2='v2'…" (the pairs each lead with a space), or just the pairs
+    * when there is no description; the token client appends
+    * " <token>\n". Divergence (documented): the reference iterates the
+    * event map's key order; here fields render in the canonical
+    * host/service/state/metric/time order — deterministic and
+    * engine-independent. */
+  def logentriesLine: Column = {
+    val pairs = concat(
+      lit(" host='"), orEmpty(col("host")),
+      lit("' service='"), orEmpty(col("service")),
+      lit("' state='"), orEmpty(col("state")),
+      lit("' metric='"), orEmpty(col("metric")),
+      lit("' time='"), orEmpty(col("time_s")), lit("'"))
+    when(col("description").isNotNull,
+      concat(col("description"), lit(","), pairs)).otherwise(pairs)
+  }
+
+  class LogentriesSink(token: String, sendLine: String => Unit)
+      extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      val tk = token
+      batch.select(logentriesLine.as("line"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          rows.foreach(r => sendLine(r.getString(0) + " " + tk + "\n"))
+        }
+    }
+  }
+
+  // --------------------------------------------------------------- HipChat
+
+  /** hipchat.clj:7-31: state → card color (ok green, critical/error
+    * red, else yellow) and the five-line message block. */
+  def hipchatColor: Column =
+    when(col("state") === "ok", "green")
+      .when(col("state").isin("critical", "error"), "red")
+      .otherwise("yellow")
+
+  def hipchatMessage: Column = concat(
+    lit("Host: "), orEmpty(col("host")),
+    lit(" \nService: "), orEmpty(col("service")),
+    lit(" \nState: "), orEmpty(col("state")),
+    lit(" \nMetric: "), orEmpty(col("metric")),
+    lit(" \nDescription: "), orEmpty(col("description")))
+
+  /** hipchat.clj:33-48: one room notification per partition (the
+    * events-sequence form joins blocks with blank lines); color is the
+    * first event's state color, like the reference's
+    * `(:state (first ev))` fallback. */
+  class HipchatSink(server: String, token: String, room: String,
+      notify: Boolean, post: (String, Map[String, String]) => Unit)
+      extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      val url = s"https://$server/v2/room/$room/notification?auth_token=$token"
+      val ntf = notify
+      batch.select(hipchatMessage.as("msg"), hipchatColor.as("color"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          val rs = rows.toSeq
+          if (rs.nonEmpty) post(url, Map(
+            "color" -> rs.head.getString(1),
+            "from" -> "riemann",
+            "message_format" -> "text",
+            "notify" -> ntf.toString,
+            "message" -> rs.map(_.getString(0)).mkString("\n\n")))
+        }
+    }
+  }
+
+  // ---------------------------------------------------------------- Twilio
+
+  /** twilio.clj:17-48: one SMS per batch through the standard
+    * common.clj body ([[Email.bodyAgg]]); form params To/From/Body,
+    * account-sid basic auth, Messages.json endpoint. */
+  class TwilioSink(account: String, serviceKey: String, from: String,
+      to: String, post: (String, String, Map[String, String]) => Unit)
+      extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      val inner = new Email.EmailSink((_, body) =>
+        post(s"https://api.twilio.com/2010-04-01/Accounts/$account/Messages.json",
+          s"$account:$serviceKey",
+          Map("To" -> to, "From" -> from, "Body" -> body)))
+      inner.write(batch, batchId)
+    }
+  }
+
+  // ----------------------------------------------------------------- Xymon
+
+  /** xymon.clj:10-42: status[+ceil(ttl/60)] host(.→,).service(./space→_)
+    * state description — defaults "" / "" / unknown / "". */
+  def xymonStatus: Column = {
+    val host = regexp_replace(coalesce(col("host"), lit("")), "\\.", ",")
+    val service = regexp_replace(coalesce(col("service"), lit("")),
+      "(\\.| )", "_")
+    val lifetime = when(col("ttl").isNotNull,
+      concat(lit("+"), ceil(col("ttl") / 60).cast("long").cast("string")))
+      .otherwise(lit(""))
+    concat(lit("status"), lifetime, lit(" "), host, lit("."), service,
+      lit(" "), coalesce(col("state"), lit("unknown")), lit(" "),
+      coalesce(col("description"), lit("")), lit("\n"))
+  }
+
+  /** xymon.clj:44-70: enable/disable messages (disable uses ttl/60 as
+    * the duration); service defaults to "*" here, unlike status. */
+  def xymonEnable: Column = concat(lit("enable "),
+    regexp_replace(coalesce(col("host"), lit("")), "\\.", ","), lit("."),
+    regexp_replace(coalesce(col("service"), lit("*")), "(\\.| )", "_"))
+
+  def xymonDisable: Column = concat(lit("disable "),
+    regexp_replace(coalesce(col("host"), lit("")), "\\.", ","), lit("."),
+    regexp_replace(coalesce(col("service"), lit("*")), "(\\.| )", "_"),
+    lit(" "), ceil(col("ttl") / 60).cast("long").cast("string"), lit(" "),
+    coalesce(col("description"), lit("")))
+
+  /** xymon.clj:82-135: each partition's status messages ship as one
+    * `combo\n` message (messages blank-line separated, trailing blank
+    * line), the reference's batching for high event volumes. */
+  class XymonSink(send: String => Unit) extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit =
+      batch.select(xymonStatus.as("msg"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          val msgs = rows.map(_.getString(0)).toSeq
+          if (msgs.nonEmpty) send("combo\n" + msgs.mkString("\n\n") + "\n\n")
+        }
+  }
+
+  // ---------------------------------------------------------------- KeenIO
+
+  /** keenio.clj:9-35: the full event as JSON to
+    * /3.0/projects/<pid>/events/<collection>?api_key=<key>. */
+  class KeenIoSink(collection: String, projectId: String, writeKey: String,
+      post: (String, String) => Unit) extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      val url = "https://api.keen.io/3.0/projects/" + projectId +
+        s"/events/$collection?api_key=$writeKey"
+      batch.select(to_json(struct(col("host"), col("service"), col("state"),
+          col("metric"), col("time_s"))).as("body"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          rows.foreach(r => post(url, r.getString(0)))
+        }
+    }
+  }
+
+  // ------------------------------------------------------------- Blueflood
+
+  /** blueflood.clj:20-24 prep-event-for-bf: collectionTime = seconds,
+    * ttlInSeconds defaulting to 30 days, metricName "host.service";
+    * null-metric events drop (:79 the `where metric` guard). Compose
+    * behind `batch n dt` exactly like the reference does. */
+  def bluefloodPoint: Column = to_json(struct(
+    col("time_s").as("collectionTime"),
+    coalesce(col("ttl").cast("long"), lit(2592000L)).as("ttlInSeconds"),
+    col("metric").as("metricValue"),
+    concat_ws(".", col("host"), col("service")).as("metricName")))
+
+  class BluefloodSink(host: String, port: Int, tenantId: String,
+      post: (String, String) => Unit) extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      val url = s"http://$host:$port/v2.0/$tenantId/ingest"
+      batch.filter(col("metric").isNotNull)
+        .select(bluefloodPoint.as("p"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          val ps = rows.map(_.getString(0)).mkString(",")
+          if (ps.nonEmpty) post(url, s"[$ps]")
+        }
+    }
+  }
+
+  // --------------------------------------------------------------- Shinken
+
+  /** shinken.clj:13-20: ws-arbiter check result — time_stamp,
+    * host_name, service_description, return_code = state, output =
+    * metric; one form POST per event with basic auth. */
+  class ShinkenSink(hostname: String, port: Int, username: String,
+      password: String, post: (String, String, Map[String, String]) => Unit)
+      extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      val url = s"http://$hostname:$port/push_check_result"
+      val auth = s"$username:$password"
+      batch.select(col("time_s").cast("string"), orEmpty(col("host")),
+          orEmpty(col("service")), orEmpty(col("state")),
+          orEmpty(col("metric")))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          rows.foreach(r => post(url, auth, Map(
+            "time_stamp" -> r.getString(0), "host_name" -> r.getString(1),
+            "service_description" -> r.getString(2),
+            "return_code" -> r.getString(3), "output" -> r.getString(4))))
+        }
+    }
+  }
+
+  // ----------------------------------------------------------------- Druid
+
+  /** druid.clj:22-29 generate-event: full event with value = metric
+    * and an ISO8601 timestamp (common.clj unix-to-iso8601); batches
+    * post as one JSON array to the Tranquility /v1/post/<dataset>. */
+  def druidEvent: Column = to_json(struct(
+    col("host"), col("service"), col("state"),
+    date_format(timestamp_seconds(col("time_s")),
+      "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("timestamp"),
+    coalesce(col("tags"), array().cast("array<string>")).as("tags"),
+    col("description"),
+    col("metric").as("value")))
+
+  class DruidSink(host: String, port: Int, dataset: String,
+      post: (String, String) => Unit) extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      val url = s"http://$host:$port/v1/post/$dataset"
+      batch.select(druidEvent.as("e"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          val es = rows.map(_.getString(0)).mkString(",")
+          if (es.nonEmpty) post(url, s"[$es]")
+        }
+    }
+  }
+
+  // -------------------------------------------------------------- Boundary
+
+  /** boundary.clj:17-51 boundarify: spaces → underscores, upcase,
+    * strip [^A-Z0-9_], optional upcased org prefix. Empty results are
+    * REJECTED (the reference throws) — here the row is dropped and
+    * counted, the distributed-safe reading of "can't accept". */
+  def boundarify(service: Column, org: Option[String]): Column = {
+    val cleaned = regexp_replace(
+      upper(regexp_replace(service, "\\s+", "_")), "[^A-Z0-9_]", "")
+    // the empty-check is on the service-derived part: the reference
+    // throws for (boundarify "!#@" "org") too, org prefix or not
+    val prefixed = org.map(o =>
+      concat(lit(o.toUpperCase + "_"), cleaned)).getOrElse(cleaned)
+    when(cleaned === "", lit("")).otherwise(prefixed)
+  }
+
+  /** boundary.clj:53-105: measurements tuples
+    * [host, METRIC_ID, metric, time] posted as one JSON array with
+    * email:token basic auth. */
+  class BoundarySink(email: String, token: String, org: Option[String] = None,
+      async: Boolean = false, post: (String, String, String) => Unit)
+      extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      val path = if (async) "measurementsAsync" else "measurements"
+      val url = s"https://premium-api.boundary.com/v1/$path"
+      val auth = s"$email:$token"
+      batch
+        .withColumn("_mid", boundarify(col("service"), org))
+        .filter(col("_mid") =!= "") // the reference's reject-empty rule
+        .select(to_json(struct(col("host"), col("_mid"), col("metric"),
+          col("time_s"))).as("t"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          // tuples render as JSON arrays, not objects (the reference
+          // posts vectors): strip the object keys positionally
+          val ts = rows.map { r =>
+            val o = r.getString(0)
+            "[" + o.substring(1, o.length - 1)
+              .replaceAll("\"(host|_mid|metric|time_s)\":", "") + "]"
+          }.mkString(",")
+          if (ts.nonEmpty) post(url, auth, s"[$ts]")
+        }
+    }
+  }
+
+  // ------------------------------------------------------------- Netuitive
+
+  /** netuitive.clj:14-51 generate-event: element id "Type:host",
+    * metric id = service with spaces → dots, sample timestamp in
+    * millis, tags as {name, value: "true"} pairs. */
+  def netuitiveElement(typ: String): Column = {
+    val metricId = concat_ws(".",
+      split(coalesce(col("service"), lit("")), " "))
+    to_json(struct(
+      concat(lit(typ + ":"), orEmpty(col("host"))).as("id"),
+      col("host").as("name"),
+      lit(typ).as("type"),
+      array(struct(metricId.as("id"))).as("metrics"),
+      array(struct(metricId.as("metricId"),
+        (col("time_s") * 1000).cast("long").as("timestamp"),
+        col("metric").as("val"))).as("samples"),
+      transform(coalesce(col("tags"), array().cast("array<string>")),
+        t => struct(t.as("name"), lit("true").as("value"))).as("tags")))
+  }
+
+  class NetuitiveSink(apiKey: String, typ: String = "Riemann",
+      post: (String, String) => Unit) extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      val url = s"https://api.app.netuitive.com/ingest/$apiKey"
+      batch.select(netuitiveElement(typ).as("e"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          val es = rows.map(_.getString(0)).mkString(",")
+          if (es.nonEmpty) post(url, s"[$es]")
+        }
+    }
+  }
+
+  // --------------------------------------------------------------- Mailgun
+
+  /** mailgun.clj:28-38 mailgun-event: the standard riemann subject and
+    * body (common.clj — [[Email.subjectAgg]]/[[Email.bodyAgg]]) posted
+    * as form params to /v2/<sandbox>/messages with api-key basic auth.
+    * One message per batch, like the mailer. */
+  class MailgunSink(sandbox: String, serviceKey: String, from: String,
+      to: String, post: (String, String, Map[String, String]) => Unit)
+      extends Sinks.EventSink {
+    private val inner = new Email.EmailSink((subj, body) =>
+      post(s"https://api.mailgun.net/v2/$sandbox/messages",
+        s"api:$serviceKey",
+        Map("from" -> from, "to" -> to, "subject" -> subj, "text" -> body)))
+    override def write(batch: DataFrame, batchId: Long): Unit =
+      inner.write(batch, batchId)
+  }
+}

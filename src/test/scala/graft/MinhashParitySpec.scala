@@ -1,0 +1,52 @@
+package graft
+
+import graft.pipeline.Dedup
+import scala.util.Random
+
+/** The one-pass [[graft.pipeline.MinhashKernel]] must be element-exact
+  * against the column-expression signature it replaced (which is also
+  * the DuckDB oracle's formulation): same md5-derived hashes, same
+  * affine minima, same null conventions. */
+class MinhashParitySpec extends SparkSpec {
+
+  private def compare(texts: Seq[String], k: Int): Unit = {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Any](1).toList)).toSeq
+    val fast = rows(Dedup.minhashSignatureFromShingles(sh, k))
+    val spec = rows(Dedup.minhashSignatureFromShinglesColumns(sh, k))
+    assert(fast == spec)
+  }
+
+  test("kernel ≡ column form on a random corpus (k = 16 and k = 8)") {
+    val rnd = new Random(7)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "x", "y", "", "日本")
+    val texts = (1 to 60).map(_ =>
+      (1 to (1 + rnd.nextInt(40))).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    compare(texts, 16)
+    compare(texts, 8)
+  }
+
+  test("kernel ≡ column form on degenerate docs (empty, single word, dup shingles)") {
+    compare(Seq("", "one", "a b", "a b c", "a b c a b c a b c", "  "), 16)
+  }
+
+  test("a null shingle array yields the k-null signature, like the column form") {
+    val spark0 = spark
+    import spark0.implicits._
+    val sh = Seq((1L, null: Seq[String]), (2L, Seq("a b c", "b c d")))
+      .toDF("doc_id", "shingles")
+    val fast = Dedup.minhashSignatureFromShingles(sh, 4)
+      .orderBy("doc_id").collect()
+    val spec = Dedup.minhashSignatureFromShinglesColumns(sh, 4)
+      .orderBy("doc_id").collect()
+    assert(fast.map(_.toString).toSeq == spec.map(_.toString).toSeq)
+    assert(fast(0).getSeq[Any](1).forall(_ == null))
+  }
+}
