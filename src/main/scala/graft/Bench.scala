@@ -122,8 +122,10 @@ object Bench {
       catch { case _: Throwable => () }
     save("bench_last.json")
     // "idle" = the machine had < half a core of competing load per 8
-    // cores when the run began (loadavg is the only portable signal)
-    if (loadAtStart >= 0 && loadAtStart < cpus.toDouble / 16.0)
+    // cores when the run began (loadavg is the only portable signal);
+    // subset runs (SPARK_GRAFT_ONLY) never qualify — a partial
+    // artifact would masquerade as a full idle measurement
+    if (only.isEmpty && loadAtStart >= 0 && loadAtStart < cpus.toDouble / 16.0)
       save("bench_idle.json")
     spark.stop()
   }
