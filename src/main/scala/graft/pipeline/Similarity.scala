@@ -33,8 +33,18 @@ object Similarity {
     * like a decimal sum, but fully codegen'd (BigDecimal boxing made
     * the decimal version the hot spot of every pairwise stage).
     * |x·y| ≤ 1 by Cauchy–Schwarz, so 64 terms stay ≤ 6.4e17 < 2^63.
-    * [[dot]] is the cheaper plain-double in-partition variant. */
-  def dotExact(a: Column, b: Column): Column =
+    * [[dot]] is the cheaper plain-double in-partition variant.
+    *
+    * Hot path: the one-pass [[VectorKernels]] expression (the
+    * zip_with/aggregate HOF form is interpreted per element);
+    * [[dotExactColumns]] is the column spec it is parity-pinned to. */
+  def dotExact(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(DotScaledExpr(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), 1e16)).cast("double") / lit(1e16)
+  }
+
+  private[graft] def dotExactColumns(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => floor(x * y * lit(1e16))),
       lit(0L), (acc, x) => acc + x).cast("double") / lit(1e16)
@@ -104,9 +114,19 @@ object Similarity {
     * long. `dims` must match the embedding dimensionality. */
   def bucketExpr(unit: Column, planes: Int, dims: Int = 64,
       planeOffset: Int = 0): Column = {
+    // one-pass kernel: all plane projections fold in a single array
+    // traversal (the per-plane aggregate form re-walked the vector
+    // once per plane, interpreted); bucketExprColumns is the spec
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(PlaneBucketExpr(
+      ColumnBridge.expression(unit), planes, dims, planeOffset))
+  }
+
+  private[graft] def bucketExprColumns(unit: Column, planes: Int,
+      dims: Int = 64, planeOffset: Int = 0): Column = {
     // the sign decision uses the same scaled-long trick as dotExact
-    // (order/engine-independent, codegen'd): |x·c| ≤ ~5 per term, so a
-    // 1e12 scale keeps 64-term sums far below 2^63 with 1e-12 precision
+    // (order/engine-independent): |x·c| ≤ ~5 per term, so a 1e12 scale
+    // keeps 64-term sums far below 2^63 with 1e-12 precision
     def proj(p: Int): Column = {
       val hp = Array.tabulate(dims)(d => planeComponent(planeOffset + p, d))
       aggregate(
@@ -181,9 +201,11 @@ object Similarity {
 
   /** Deterministic scaled-long dot used for IVF cell ranking (same
     * trick as [[dotExact]], without the double rescale). */
-  private def dotScaled(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => floor(x * y * lit(1e16))),
-      lit(0L), (acc, x) => acc + x)
+  private def dotScaled(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(DotScaledExpr(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), 1e16))
+  }
 
   /** IVF vector→cell assignment: nearest centroid by inner product
     * (ties by label). The centroid table is tiny — broadcast — so
