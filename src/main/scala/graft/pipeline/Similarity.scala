@@ -61,6 +61,13 @@ object Similarity {
     * body is re-evaluated per element, which made the (decimal) norm an
     * O(dims²) cost per evaluation. */
   def normalized(a: Column): Column = {
+    // hot path: the one-pass NormalizeKernel expression; the column
+    // form below is the spec it is parity-pinned to
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(NormalizeExpr(ColumnBridge.expression(a)))
+  }
+
+  private[graft] def normalizedColumns(a: Column): Column = {
     val d = transform(a, x => x.cast("double"))
     val n = sqrt(aggregate(
       transform(d, x => (x * x).cast(DecimalType(38, 18))),
