@@ -37,7 +37,16 @@ object Dedup {
 
   /** Word-shingle column: w-gram shingles of the whitespace-tokenized
     * text (the MinHash input). */
-  def shingles(docs: DataFrame, w: Int = 3): DataFrame =
+  def shingles(docs: DataFrame, w: Int = 3): DataFrame = {
+    // hot path: one-pass ShingleKernel (the column form re-slices and
+    // joins per gram in interpreted lambdas); shinglesColumns is the
+    // spec it is parity-pinned to
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.withColumn("shingles", ColumnBridge.column(
+      ShinglesExpr(ColumnBridge.expression(col("text")), w)))
+  }
+
+  private[graft] def shinglesColumns(docs: DataFrame, w: Int = 3): DataFrame =
     docs.withColumn("words", split(col("text"), " "))
       .withColumn("shingles",
         expr(s"array_distinct(transform(sequence(0, greatest(size(words)-$w, 0)), " +

@@ -71,6 +71,64 @@ object MinhashKernel {
   }
 }
 
+/** One-pass w-gram shingler — the column form
+  * (`array_distinct(transform(sequence(...), i -> concat_ws(' ',
+  * slice(words, i+1, w))))`) walks interpreted lambdas and re-slices
+  * per gram. Distinct keeps first-occurrence order; a null or empty
+  * text yields `[""]` (split of "" is [""], and concat_ws over the
+  * null words array renders "") — ShingleParity cases in
+  * MinhashParitySpec pin all of it. */
+object ShingleKernel {
+  def shingles(text: UTF8String, w: Int): ArrayData = {
+    if (text == null)
+      return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+    val words = text.toString.split(" ", -1)
+    val n = words.length
+    val m = math.max(n - w, 0)
+    val seen = new java.util.LinkedHashSet[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= m) {
+      sb.setLength(0)
+      val end = math.min(i + w, n)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    var k = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `shingles(text)`: array<string> of distinct w-grams; never null. */
+case class ShinglesExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    ShingleKernel.shingles(
+      child.eval(input).asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.pipeline.ShingleKernel.shingles(
+          ${c.isNull} ? null : ${c.value}, $w);
+      """, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `minhash_sig(shingles)`: array<long> of k per-permutation minima.
   * Never null itself (null input → array of k nulls, matching the
   * column form), so eval/codegen bypass the null-shortcut. */

@@ -37,6 +37,25 @@ class MinhashParitySpec extends SparkSpec {
     compare(Seq("", "one", "a b", "a b c", "a b c a b c a b c", "  "), 16)
   }
 
+  test("shingle kernel ≡ column form incl. null/empty/multi-space texts") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new Random(31)
+    val vocab = Seq("alpha", "beta", "", "x", "y")
+    val texts: Seq[String] = (1 to 60).map(_ =>
+      (1 to (1 + rnd.nextInt(30))).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")) ++ Seq("", null, "one", "a  b", "a b a b a b")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (w <- Seq(2, 3, 10)) {
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.select("doc_id", "shingles").orderBy("doc_id").collect()
+          .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toSeq
+      assert(rows(Dedup.shingles(df, w)) == rows(Dedup.shinglesColumns(df, w)),
+        s"w=$w")
+    }
+  }
+
   test("a null shingle array yields the k-null signature, like the column form") {
     val spark0 = spark
     import spark0.implicits._
