@@ -171,6 +171,17 @@ object TextAnalysis {
     * one (doc, gram) aggregation per gram size — the tf-idf shuffle
     * shape, linear in corpus tokens, no all-pairs anywhere. */
   def repetitionSignals(docs: DataFrame): DataFrame = {
+    // repetition is a pure per-document function: the kernel computes
+    // all three fractions in one map-side pass with NO exchange at all
+    // (the aggregation spec below shuffles every (doc, gram) twice);
+    // inline() of the 0-or-1 struct reproduces the drop semantics for
+    // null texts and docs too short for trigrams
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.select(col("doc_id"), inline(ColumnBridge.column(
+      RepetitionExpr(ColumnBridge.expression(col("text"))))))
+  }
+
+  private[graft] def repetitionSignalsColumns(docs: DataFrame): DataFrame = {
     // ONE pass: both gram sizes explode together under a size tag, so
     // the text is split once and there is a single (doc, k, gram)
     // shuffle + no self-join (the two-branch form cost a second scan

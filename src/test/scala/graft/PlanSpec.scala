@@ -194,13 +194,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("repetitionSignals keeps map-side partials on the gram aggregation") {
+  test("repetitionSignals is exchange-free: a per-doc kernel riding the scan") {
+    // r6: the (doc, gram) explode-and-aggregate became a pure map-side
+    // kernel — a per-document function needs NO shuffle; assert none
+    // crept back (the aggregation spec, kept for parity, would show
+    // two Exchanges here)
     val p = plan(graft.pipeline.TextAnalysis.repetitionSignals(
       spark.read.parquet(s"$dir/documents.parquet")))
-    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
-    // per gram size: partial+final on (doc, gram) then partial+final on
-    // doc — at least 4 HashAggregates per branch survive in the plan
-    assert("HashAggregate".r.findAllIn(p).length >= 4, s"plan:\n$p")
+    assert(!p.contains("Exchange"), s"repetition should ride the scan:\n$p")
+    assert(p.contains("Generate"), s"expected the inline generate:\n$p")
   }
 
   test("influx line encode and piiScan are pure projections, no exchange") {
