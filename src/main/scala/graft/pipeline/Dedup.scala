@@ -348,7 +348,18 @@ object Dedup {
     * weighted-majority per bit position. Near-dups = fingerprints within
     * a small Hamming distance; pairs found by exact-match on fingerprint
     * blocks (bits/16 × 16-bit block index). Default 64-bit. */
-  def simhash(docs: DataFrame, bits: Int = 64): DataFrame = {
+  def simhash(docs: DataFrame, bits: Int = 64): DataFrame =
+    if (bits == 64) {
+      // hot path: per-document kernel, zero exchanges (the fingerprint
+      // is a pure function of the text; the aggregation spec below
+      // shuffles every (doc, token) twice) — parity-pinned in
+      // MinhashParitySpec, drop-on-null-text via the 0-or-1 inline
+      import org.apache.spark.sql.graft.ColumnBridge
+      docs.select(col("doc_id"), inline(ColumnBridge.column(
+        SimhashExpr(ColumnBridge.expression(col("text"))))))
+    } else simhashColumns(docs, bits)
+
+  private[graft] def simhashColumns(docs: DataFrame, bits: Int = 64): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       // token hash: one md5 per distinct (doc, token) — materialized as

@@ -129,6 +129,87 @@ case class ShinglesExpr(child: Expression, w: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass SimHash kernel — the fingerprint is a pure per-document
+  * function (token counts → 64 weighted sign bits), but the column
+  * form computes it through an explode + two grouped aggregations:
+  * two full-corpus shuffles. This kernel counts tokens locally,
+  * digests each DISTINCT token once (bytes, no hex round-trip: h1 =
+  * digest bits 0..59, h2 = bits 60..119, exactly the first/next 15
+  * hex chars the column form parses), accumulates the 64 signed
+  * counters, and packs sign bits (strictly-positive → 1, bit 63 via
+  * the signed min-long weight). Null-text docs drop via the 0-or-1
+  * inline, matching the explode's no-row semantics.
+  * SimhashParity cases in MinhashParitySpec pin equality. */
+object SimhashKernel {
+
+  private def nibbles(d: Array[Byte], from: Int, n: Int): Long = {
+    var h = 0L
+    var i = from
+    while (i < from + n) {
+      val b = d(i >> 1)
+      val nib = if ((i & 1) == 0) (b >> 4) & 0xf else b & 0xf
+      h = (h << 4) | nib.toLong
+      i += 1
+    }
+    h
+  }
+
+  def simhash(text: UTF8String): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.HashMap[String, Long]
+    text.toString.split(" ", -1).foreach(t =>
+      counts.merge(t, 1L, (a, b) => a + b))
+    val acc = new Array[Long](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      md.reset()
+      val d = md.digest(e.getKey.getBytes("UTF-8"))
+      val h1 = nibbles(d, 0, 15)
+      val h2 = nibbles(d, 15, 15)
+      val c = e.getValue
+      var b = 0
+      while (b < 64) {
+        val h = if (b < 60) h1 >> b else h2 >> (b - 60)
+        if ((h & 1L) == 1L) acc(b) += c else acc(b) -= c
+        b += 1
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) fp += (if (b == 63) Long.MinValue else 1L << b)
+      b += 1
+    }
+    new GenericArrayData(Array[Any](
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](fp))))
+  }
+}
+
+/** `simhash(text)`: 0-or-1 single-field structs (the fingerprint),
+  * consumed via `inline`. */
+case class SimhashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("simhash", LongType))), containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    SimhashKernel.simhash(child.eval(input).asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.pipeline.SimhashKernel.simhash(
+          ${c.isNull} ? null : ${c.value});
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `minhash_sig(shingles)`: array<long> of k per-permutation minima.
   * Never null itself (null input → array of k nulls, matching the
   * column form), so eval/codegen bypass the null-shortcut. */

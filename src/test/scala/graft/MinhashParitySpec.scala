@@ -56,6 +56,22 @@ class MinhashParitySpec extends SparkSpec {
     }
   }
 
+  test("simhash kernel ≡ aggregation form incl. null/empty/dup-token texts") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new Random(53)
+    val vocab = Seq("alpha", "beta", "gamma", "", "x", "日本")
+    val texts: Seq[String] = (1 to 80).map(_ =>
+      (1 to (1 + rnd.nextInt(40))).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")) ++ Seq("", null, "one", "a  b")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(rows(Dedup.simhash(df)) == rows(Dedup.simhashColumns(df)))
+  }
+
   test("a null shingle array yields the k-null signature, like the column form") {
     val spark0 = spark
     import spark0.implicits._
