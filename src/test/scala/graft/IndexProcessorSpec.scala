@@ -87,6 +87,54 @@ class IndexProcessorSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState index: delete disarms the timer, re-insert re-arms " +
+    "and expires cleanly (r5 advisory: armed state mirrors the registered timer)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val spark0 = spark
+      import spark0.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[SEvent]
+      val q = IndexProcessor(input.toDS(), deleteState = Some("delete"))
+        .writeStream.format("memory").queryName("twsrearm")
+        .outputMode("append").start()
+      try {
+        // insert (arms a timer at 110), delete (must DISARM it, not
+        // just clear the armed record), re-insert with a new ttl —
+        // the re-registration must be clean and the key must expire
+        // exactly once at the NEW deadline
+        input.addData(ev("a", "cpu", "ok", 1.0, 100, Some(10.0)))
+        q.processAllAvailable()
+        input.addData(ev("a", "cpu", "delete", 0.0, 101, None))
+        q.processAllAvailable()
+        input.addData(ev("a", "cpu", "ok", 2.0, 102, Some(50.0)))
+        q.processAllAvailable()
+        // watermark past the OLD deadline (110) but before the new one
+        // (152): nothing may expire — an orphaned first timer would
+        // fire here against live state and, pre-fix, log duplicate
+        // registration warnings on the path above
+        input.addData(ev("w", "other", "ok", 0.0, 130))
+        q.processAllAvailable()
+        input.addData(ev("w", "other", "ok", 0.0, 131))
+        q.processAllAvailable()
+        val mid = spark.table("twsrearm").as[SEvent].collect()
+        assert(!mid.exists(e => e.host == "a" && e.state == "expired"),
+          "expired before the re-inserted ttl's deadline")
+        // now pass the new deadline: exactly one expiry, for the
+        // re-inserted event
+        input.addData(ev("w", "other", "ok", 0.0, 200))
+        q.processAllAvailable()
+        input.addData(ev("w", "other", "ok", 0.0, 201))
+        q.processAllAvailable()
+        val expired = spark.table("twsrearm").as[SEvent].collect()
+          .filter(e => e.host == "a" && e.state == "expired")
+        assert(expired.length == 1, s"got ${expired.length} expiries")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState stable: probation buffer flushes on proof or timer (streams.clj:1936-2030)") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
