@@ -38,7 +38,7 @@ object Alerting {
     * the reference's events-sequence form. */
   class MsTeamsSink(post: String => Unit) extends Sinks.EventSink {
     override def write(batch: DataFrame, batchId: Long): Unit =
-      batch.select(to_json(msteamsSection).as("section"))
+      batch.select(Sinks.cheshireJson(msteamsSection).as("section"))
         .foreachPartition { (rows: Iterator[Row]) =>
           val sections = rows.map(_.getString(0)).mkString(",")
           if (sections.nonEmpty) post(
@@ -95,7 +95,7 @@ object Alerting {
     val joined = concat_ws(sep, col("host"), col("service"),
       array_join(sort_array(coalesce(col("tags"),
         array().cast("array<string>"))), sep))
-    to_json(struct(
+    Sinks.cheshireJson(struct(
       concat(orEmpty(col("host")), lit(": ["), orEmpty(col("state")),
         lit("] "), orEmpty(col("service"))).as("message"),
       concat(lit("Host: "), orEmpty(col("host")),
@@ -139,7 +139,7 @@ object Alerting {
   /** victorops.clj:21-34 format-event: message_type INFO/WARNING/
     * CRITICAL/ACKNOWLEDGEMENT/RECOVERY, entity "host/service", state
     * message "host service is state (metric)". */
-  def victoropsBody(messageType: String): Column = to_json(struct(
+  def victoropsBody(messageType: String): Column = Sinks.cheshireJson(struct(
     lit(messageType).as("message_type"),
     concat_ws("/", orEmpty(col("host")), orEmpty(col("service")))
       .as("entity_id"),

@@ -19,7 +19,7 @@ object Forwarders {
     * client's wall clock (`DateTime.`); the timestamp is left to the
     * injected client here for the same reason. Metric-less or
     * service-less events drop (the when-guards, :45-46). */
-  def cloudwatchDatapoint: Column = to_json(struct(
+  def cloudwatchDatapoint: Column = Sinks.cheshireJson(struct(
     col("service").as("metric_name"),
     col("metric").as("value"),
     array(struct(lit("Host").as("name"), col("host").as("value")))
@@ -44,7 +44,7 @@ object Forwarders {
   /** stackdriver.clj:10-24: name = service with whitespace runs
     * collapsed to '.', collected_at = event seconds; metric-less
     * events removed. */
-  def stackdriverPoint: Column = to_json(struct(
+  def stackdriverPoint: Column = Sinks.cheshireJson(struct(
     regexp_replace(col("service"), "\\s+", ".").as("name"),
     col("metric").as("value"),
     col("time_s").as("collected_at")))
@@ -77,7 +77,7 @@ object Forwarders {
 
   /** zabbix.clj:56-61 make-datapoint: host, key = service, value =
     * str(metric), clock = event seconds. */
-  def zabbixDatapoint: Column = to_json(struct(
+  def zabbixDatapoint: Column = Sinks.cheshireJson(struct(
     col("host"),
     col("service").as("key"),
     orEmpty(col("metric")).as("value"),
@@ -174,7 +174,7 @@ object Forwarders {
   class LogstashSink(sendLine: String => Unit) extends Sinks.EventSink {
     override def write(batch: DataFrame, batchId: Long): Unit =
       batch.withColumn("source", col("host"))
-        .select(to_json(struct(col("host"), col("service"), col("state"),
+        .select(Sinks.cheshireJson(struct(col("host"), col("service"), col("state"),
           col("metric"), col("time_s"), col("source"))).as("line"))
         .foreachPartition { (rows: Iterator[Row]) =>
           rows.foreach(r => sendLine(r.getString(0) + "\n"))
@@ -317,7 +317,7 @@ object Forwarders {
     override def write(batch: DataFrame, batchId: Long): Unit = {
       val url = "https://api.keen.io/3.0/projects/" + projectId +
         s"/events/$collection?api_key=$writeKey"
-      batch.select(to_json(struct(col("host"), col("service"), col("state"),
+      batch.select(Sinks.cheshireJson(struct(col("host"), col("service"), col("state"),
           col("metric"), col("time_s"))).as("body"))
         .foreachPartition { (rows: Iterator[Row]) =>
           rows.foreach(r => post(url, r.getString(0)))
@@ -331,7 +331,7 @@ object Forwarders {
     * ttlInSeconds defaulting to 30 days, metricName "host.service";
     * null-metric events drop (:79 the `where metric` guard). Compose
     * behind `batch n dt` exactly like the reference does. */
-  def bluefloodPoint: Column = to_json(struct(
+  def bluefloodPoint: Column = Sinks.cheshireJson(struct(
     col("time_s").as("collectionTime"),
     coalesce(col("ttl").cast("long"), lit(2592000L)).as("ttlInSeconds"),
     col("metric").as("metricValue"),
@@ -378,7 +378,7 @@ object Forwarders {
   /** druid.clj:22-29 generate-event: full event with value = metric
     * and an ISO8601 timestamp (common.clj unix-to-iso8601); batches
     * post as one JSON array to the Tranquility /v1/post/<dataset>. */
-  def druidEvent: Column = to_json(struct(
+  def druidEvent: Column = Sinks.cheshireJson(struct(
     col("host"), col("service"), col("state"),
     date_format(timestamp_seconds(col("time_s")),
       "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("timestamp"),
@@ -414,9 +414,21 @@ object Forwarders {
     when(cleaned === "", lit("")).otherwise(prefixed)
   }
 
+  /** Render one scalar column as its JSON literal, null-safe: wrap in a
+    * single-element array (to_json preserves nulls inside arrays, unlike
+    * struct fields under the default ignoreNullFields) and strip the
+    * brackets. Strings come back properly JSON-escaped. */
+  private def jsonScalar(c: Column): Column = {
+    val a = to_json(array(c))
+    a.substr(lit(2), length(a) - 2)
+  }
+
   /** boundary.clj:53-105: measurements tuples
     * [host, METRIC_ID, metric, time] posted as one JSON array with
-    * email:token basic auth. */
+    * email:token basic auth. The reference always posts 4-tuples with
+    * explicit nulls, so each element is rendered positionally and
+    * null-safely — never via key-stripped object JSON, which would drop
+    * null fields and misalign the tuple. */
   class BoundarySink(email: String, token: String, org: Option[String] = None,
       async: Boolean = false, post: (String, String, String) => Unit)
       extends Sinks.EventSink {
@@ -427,16 +439,13 @@ object Forwarders {
       batch
         .withColumn("_mid", boundarify(col("service"), org))
         .filter(col("_mid") =!= "") // the reference's reject-empty rule
-        .select(to_json(struct(col("host"), col("_mid"), col("metric"),
-          col("time_s"))).as("t"))
+        .select(concat(lit("["),
+          jsonScalar(col("host")), lit(","),
+          jsonScalar(col("_mid")), lit(","),
+          jsonScalar(col("metric")), lit(","),
+          jsonScalar(col("time_s")), lit("]")).as("t"))
         .foreachPartition { (rows: Iterator[Row]) =>
-          // tuples render as JSON arrays, not objects (the reference
-          // posts vectors): strip the object keys positionally
-          val ts = rows.map { r =>
-            val o = r.getString(0)
-            "[" + o.substring(1, o.length - 1)
-              .replaceAll("\"(host|_mid|metric|time_s)\":", "") + "]"
-          }.mkString(",")
+          val ts = rows.map(_.getString(0)).mkString(",")
           if (ts.nonEmpty) post(url, auth, s"[$ts]")
         }
     }
@@ -450,7 +459,7 @@ object Forwarders {
   def netuitiveElement(typ: String): Column = {
     val metricId = concat_ws(".",
       split(coalesce(col("service"), lit("")), " "))
-    to_json(struct(
+    Sinks.cheshireJson(struct(
       concat(lit(typ + ":"), orEmpty(col("host"))).as("id"),
       col("host").as("name"),
       lit(typ).as("type"),

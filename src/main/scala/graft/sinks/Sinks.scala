@@ -23,6 +23,14 @@ object Sinks {
     def write(batch: DataFrame, batchId: Long): Unit
   }
 
+  /** `to_json` matching cheshire's null rendering: the reference's JSON
+    * sinks serialize nil fields as explicit `null` values, while Spark's
+    * default (`ignoreNullFields=true`) drops the key entirely. The
+    * payload-exact sink encoders use this instead of bare `to_json`. */
+  def cheshireJson(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.to_json(c,
+      Map("ignoreNullFields" -> "false"))
+
   /** Attach a sink to a streaming Dataset via foreachBatch — the
     * canonical integration point (SURVEY §2.2). */
   def attach[T](ds: Dataset[T], sink: EventSink): DataStreamWriter[T] =

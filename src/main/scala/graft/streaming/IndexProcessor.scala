@@ -37,21 +37,27 @@ class IndexProcessor(keepKeys: Set[String] = IndexProcessor.DefaultKeep,
     // deletes (config.clj:258-271 delete-from-index, marked by the
     // `deleteState` convention) interleave with inserts in event-time
     // order: a delete drops the entry and its timer, emits nothing, and
-    // a later insert re-creates the key. Ties on time are broken by
-    // (metric, state) so shuffle arrival order can't decide whether an
-    // equal-time tombstone lands before or after the insert — the rule:
-    // at the same timestamp the tombstone sorts by its own metric/state
-    // like any row, and the LAST row in this deterministic order wins.
-    val rs = rows.toSeq.sortBy(e =>
-      (e.time.getTime, e.metric.getOrElse(0.0), Option(e.state).getOrElse("")))
+    // a later insert re-creates the key. Ties on time are broken by a
+    // TOTAL order over every non-key field — (metric presence, metric,
+    // state, ttl presence, ttl) — so shuffle arrival order can never
+    // decide the winner: metric None sorts below Some(0.0) instead of
+    // conflating with it, and events equal on (time, metric, state) but
+    // differing in ttl still land deterministically. The rule: the
+    // greatest row in this total order wins (the LAST in sorted order).
+    def totalKey(e: SEvent) =
+      (e.time.getTime, e.metric.isDefined, e.metric.getOrElse(0.0),
+        Option(e.state).getOrElse(""), e.ttl.isDefined, e.ttl.getOrElse(0.0))
+    val rs = rows.toSeq.sortBy(totalKey)
     var cur = Option(latest.get())
     for (e <- rs) {
       if (deleteState.contains(e.state)) cur = None
-      // (time, metric) tie-break matches StreamingIndex; maxBy alone
-      // would keep the FIRST maximum — the stored event — so a
-      // same-second state transition would never replace it
-      else cur = Some((cur.toSeq :+ e)
-        .maxBy(x => (x.time.getTime, x.metric.getOrElse(0.0))))
+      // same total-order key as the sort: the primary (time, metric)
+      // tie-break matches StreamingIndex (maxBy alone would keep the
+      // FIRST maximum — the stored event — so a same-second state
+      // transition would never replace it); the trailing components
+      // only engage on exact (time, metric) ties, where the batch
+      // relation's winner is otherwise unspecified
+      else cur = Some((cur.toSeq :+ e).maxBy(totalKey))
     }
     cur match {
       case None =>

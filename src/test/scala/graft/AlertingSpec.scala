@@ -23,10 +23,11 @@ class AlertingSpec extends SparkSpec {
     assert(body.contains(""""title":"cpu is critical""""))
     assert(body.contains(""""title":"mem is ok""""))
     assert(body.contains("""{"name":"Tags","value":"b, a"}"""))
-    // nil host/metric: the fact rides with a JSON null value, exactly
-    // as cheshire renders nil (to_json drops null struct fields, so
-    // the Host fact of the nil-host event has no "value")
-    assert(body.contains(""""facts":[{"name":"Service","value":"mem"},{"name":"Host"}"""))
+    // nil host/metric: the fact rides with an explicit JSON null value,
+    // exactly as cheshire renders nil (cheshireJson sets
+    // ignoreNullFields=false so the key is never dropped)
+    assert(body.contains(
+      """"facts":[{"name":"Service","value":"mem"},{"name":"Host","value":null}"""))
   }
 
   test("telegram: markdown and HTML parse modes (telegram.clj:9-26)") {

@@ -215,13 +215,17 @@ class ForwardersSpec extends SparkSpec {
       (url, auth, body) => { FwdProbe.calls.add((url, auth + "|" + body)); () })
       .write(events(
         E(id = 1, host = "h1", service = "foo bar!", metric = 2.0, time = 5L),
-        E(id = 2, host = "h2", service = "!#@", metric = 3.0, time = 6L))
+        E(id = 2, host = "h2", service = "!#@", metric = 3.0, time = 6L),
+        E(id = 3, host = null, service = "nil host", metric = null, time = 7L))
         .coalesce(1), 0L)
     assert(FwdProbe.calls.size == 1)
     val (url, ab) = FwdProbe.calls.peek()
     assert(url == "https://premium-api.boundary.com/v1/measurements")
-    // "foo bar!" -> ORG_FOO_BAR; "!#@" boundarifies to empty -> dropped
-    assert(ab == """e@x:TK|[["h1","ORG_FOO_BAR",2.0,5]]""")
+    // "foo bar!" -> ORG_FOO_BAR; "!#@" boundarifies to empty -> dropped;
+    // null host/metric still post a 4-tuple with explicit nulls
+    // (boundary.clj always ships 4-vectors)
+    assert(ab ==
+      """e@x:TK|[["h1","ORG_FOO_BAR",2.0,5],[null,"ORG_NIL_HOST",null,7]]""")
   }
 
   test("keenio: project/collection URL with write key (keenio.clj:9-35)") {

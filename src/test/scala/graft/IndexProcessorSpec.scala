@@ -135,6 +135,41 @@ class IndexProcessorSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState index: equal-time ties resolve by a total order, " +
+    "not arrival order (r6 advisory: metric None != Some(0.0), ttl breaks ties)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val spark0 = spark
+      import spark0.implicits._
+      // two events identical on the old (time, metric-or-0, state)
+      // triple: metric None vs Some(0.0), and differing only in ttl —
+      // pre-fix their winner was shuffle-arrival order
+      val eNone = SEvent("a", "cpu", "ok", None, ts(100), Some(7.0))
+      val eZero = SEvent("a", "cpu", "ok", Some(0.0), ts(100), None)
+      def winner(order: Seq[SEvent], name: String): SEvent = {
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[SEvent]
+        val q = IndexProcessor(input.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          input.addData(order: _*)
+          q.processAllAvailable()
+          val rows = spark.table(name).as[SEvent].collect()
+          assert(rows.length == 1)
+          rows.head
+        } finally q.stop()
+      }
+      val w1 = winner(Seq(eNone, eZero), "twstie1")
+      val w2 = winner(Seq(eZero, eNone), "twstie2")
+      // metric presence ranks above absence: Some(0.0) wins both ways
+      assert(w1 == w2)
+      assert(w1.metric.contains(0.0) && w1.ttl.isEmpty)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState stable: probation buffer flushes on proof or timer (streams.clj:1936-2030)") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -21,15 +21,35 @@ class NormalizeParitySpec extends SparkSpec {
       (1 to 80).map(_ => v(64)) ++ (1 to 10).map(_ => v(7)) ++ Seq(
         Seq.empty,
         null,
-        v(5).updated(2, null: java.lang.Float))
+        v(5).updated(2, null: java.lang.Float),
+        // decimal-overflow parity (ADVICE r6): element square >= 1e20
+        // nulls the (38,18) cast; sum of squares >= 1e20 nulls the
+        // accumulator re-cast; NaN/Infinity null the double->decimal
+        // cast — all four must match the column form's all-null output
+        Seq(java.lang.Float.valueOf(2e10f), java.lang.Float.valueOf(1f)),
+        Seq(java.lang.Float.valueOf(9e9f), java.lang.Float.valueOf(9e9f),
+          java.lang.Float.valueOf(-3f)),
+        Seq(java.lang.Float.valueOf(Float.NaN), java.lang.Float.valueOf(1f)),
+        Seq(java.lang.Float.valueOf(Float.PositiveInfinity),
+          java.lang.Float.valueOf(2f)),
+        // just under the cap: 9.9e9^2 ≈ 9.8e19 < 1e20 stays finite
+        Seq(java.lang.Float.valueOf(9.9e9f)))
     val df = rows.zipWithIndex.map { case (a, i) => (i.toLong, a) }
       .toDF("id", "emb")
     def rowsOf(c: org.apache.spark.sql.Column) =
       df.select(col("id"), c.as("u")).orderBy("id").collect()
         .map(r => r.getLong(0) ->
           (if (r.isNullAt(1)) null else r.getSeq[Any](1).toList))
-    val got = rowsOf(Similarity.normalized(col("emb")))
-    val want = rowsOf(Similarity.normalizedColumns(col("emb")))
+    // ANSI off for the column form: under Spark 4's default ANSI mode
+    // the decimal-overflow rows THROW in the cast; the kernel keeps the
+    // permissive overflow->null semantics (a pathological embedding
+    // must null-poison its own row, not kill a 1000-executor job), so
+    // parity is pinned against the permissive column form
+    val (got, want) = try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      (rowsOf(Similarity.normalized(col("emb"))),
+        rowsOf(Similarity.normalizedColumns(col("emb"))))
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
     // compare raw bits, not just ==: NaN != NaN under ==
     def bits(x: Any): Any = x match {
       case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)
