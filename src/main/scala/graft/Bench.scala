@@ -121,6 +121,11 @@ object Bench {
         (json + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     save("bench_last.json")
+    // stable, self-describing copy for the driver round artifact: the
+    // driver's BENCH_r{N}.json capture truncates long stdout tails, so
+    // anything reading the round artifact can fall back to this file
+    // instead of regexing a partial line (r6 judge request)
+    save("BENCH_parsed.json")
     // "idle" = the machine had < half a core of competing load per 8
     // cores when the run began (loadavg is the only portable signal);
     // subset runs (SPARK_GRAFT_ONLY) never qualify — a partial

@@ -492,14 +492,14 @@ object SparkEntry {
     // InfluxDbSink) gated as text — escaping, value render, ns clock
     "q_influx_lines" -> ((s, d) => ev(s, d)
       .filter(col("metric").isNotNull)
-      .select(col("event_id"), graft.sinks.Sinks.influxLine.as("line"))
+      .select(col("event_id"), graft.sinks.Metrics.influxLine.as("line"))
       .orderBy("event_id")),
     // §2.2 influxdb v2 sink: the point encode (shared with Influx2Sink)
     // at ms precision — host-tag drop rule + precision clock scaling
     "q_influx2_line" -> ((s, d) => ev(s, d)
       .filter(col("metric").isNotNull)
       .select(col("event_id"),
-        graft.sinks.Sinks.influx2Line("ms").as("line"))
+        graft.sinks.Metrics.influx2Line("ms").as("line"))
       .orderBy("event_id")),
     // §2.1 kafka/ws JSON codec: render each event with the wire
     // encoder (to_json), decode through the same Event-schema path the
@@ -623,7 +623,7 @@ object SparkEntry {
     // prometheus exposition datapoint (name sanitize + labels + float)
     "q_prometheus_line" -> ((s, d) => ev(s, d)
       .filter(col("metric").isNotNull && col("service").isNotNull)
-      .select(col("event_id"), graft.sinks.Sinks.prometheusLine.as("line"))
+      .select(col("event_id"), graft.sinks.Metrics.prometheusLine.as("line"))
       .orderBy("event_id")),
     // graphite path rendering: reversed fqdn + dotted service with the
     // percentile-suffix collapse
@@ -638,12 +638,12 @@ object SparkEntry {
     "q_opentsdb_encode" -> ((s, d) => ev(s, d)
       .filter(col("metric").isNotNull && col("service").isNotNull)
       .withColumn("service", concat(col("service"), lit(" p99")))
-      .select(col("event_id"), graft.sinks.Sinks.opentsdbLine.as("line"))
+      .select(col("event_id"), graft.sinks.Metrics.opentsdbLine.as("line"))
       .orderBy("event_id")),
     // datadog series entry: byte-exact gauge JSON per event
     "q_datadog_event" -> ((s, d) => ev(s, d)
       .filter(col("metric").isNotNull && col("service").isNotNull)
-      .select(col("event_id"), graft.sinks.Sinks.datadogEvent.as("entry"))
+      .select(col("event_id"), graft.sinks.Metrics.datadogEvent.as("entry"))
       .orderBy("event_id")),
     // combined Gopher-rules quality filter (minWords=20 so the corpus
     // mixes keep/drop outcomes at test scale)
@@ -654,13 +654,13 @@ object SparkEntry {
     "q_librato_gauge" -> ((s, d) => ev(s, d)
       .filter(col("metric").isNotNull)
       .withColumn("service", concat(col("service"), lit(" p99!!")))
-      .select(col("event_id"), graft.sinks.Sinks.libratoGauge.as("entry"))
+      .select(col("event_id"), graft.sinks.Metrics.libratoGauge.as("entry"))
       .orderBy("event_id")),
     // kairosdb telnet metric (millisecond timestamps)
     "q_kairosdb_line" -> ((s, d) => ev(s, d)
       .filter(col("metric").isNotNull && col("service").isNotNull)
       .withColumn("service", concat(col("service"), lit(" p50")))
-      .select(col("event_id"), graft.sinks.Sinks.kairosdbLine.as("line"))
+      .select(col("event_id"), graft.sinks.Metrics.kairosdbLine.as("line"))
       .orderBy("event_id"))
   )
 

@@ -3,8 +3,9 @@ package graft.sinks
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
-/** The long-tail alerting integrations (reference `src/riemann/
-  * msteams.clj`, `telegram.clj`, `opsgenie.clj`, `victorops.clj`) —
+/** The alerting integrations (reference `src/riemann/msteams.clj`,
+  * `telegram.clj`, `opsgenie.clj`, `victorops.clj`, `slack.clj`,
+  * `pagerduty.clj`) —
   * each is the reference's payload formatter re-expressed as pure
   * codegen'd columns, with the HTTP client injected like every other
   * sink in [[Sinks]]. Formatting runs distributed; only the final POST
@@ -132,6 +133,119 @@ object Alerting {
           }
         }
     }
+  }
+
+  // ---------------------------------------------------------------- Slack
+
+  /** slack-escape (slack.clj:8-11): &, <, > to HTML entities — & first
+    * so already-escaped entities aren't double-escaped. */
+  private def slackEscape(c: Column) =
+    regexp_replace(regexp_replace(regexp_replace(
+      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  /** Slack incoming-webhook message body (slack.clj:25-39
+    * default-formatter + the :username/:channel/:icon merge at :71):
+    * one attachment, fallback line + a "Riemann Event" field; nil
+    * fields render "-", tags render as the Clojure vector literal
+    * (`["a" "b"]`). Pure codegen'd columns under one to_json. */
+  def slackMessage(username: String, channel: String,
+      icon: String): Column = {
+    val tagsVec = concat(lit("["), array_join(transform(
+      coalesce(col("tags"), array().cast("array<string>")),
+      t => concat(lit("\""), t, lit("\""))), " "), lit("]"))
+    val fallback = slackEscape(concat(
+      lit("*Host:* "), orDash(col("host")),
+      lit(" *Service:* "), orDash(col("service")),
+      lit(" *State:* "), orDash(col("state")),
+      lit(" *Description:* "), orDash(col("description")),
+      lit(" *Metric:* "), orDash(col("metric"))))
+    val fieldValue = slackEscape(concat(
+      lit("Host:   "), orDash(col("host")), lit("\n"),
+      lit("Service:   "), orDash(col("service")), lit("\n"),
+      lit("State:   "), orDash(col("state")), lit("\n"),
+      lit("Description:   "), orDash(col("description")), lit("\n"),
+      lit("Metric:   "), orDash(col("metric")), lit("\n"),
+      lit("Tags:   "), tagsVec, lit("\n")))
+    to_json(struct(
+      lit(username).as("username"),
+      lit(channel).as("channel"),
+      lit(icon).as("icon_emoji"),
+      array(struct(
+        fallback.as("fallback"),
+        array(struct(
+          lit("Riemann Event").as("title"),
+          fieldValue.as("value"),
+          lit(true).as("short"))).as("fields"))).as("attachments")))
+  }
+
+  /** Slack sink (slack.clj:71-120): each event posted as one
+    * incoming-webhook message through the injected transport. */
+  class SlackSink(username: String, channel: String, icon: String,
+      post: String => Unit) extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit =
+      batch.select(slackMessage(username, channel, icon).as("msg"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          rows.foreach(r => post(r.getString(0)))
+        }
+  }
+
+  // ------------------------------------------------------------ PagerDuty
+
+  /** PagerDuty v2 events-API body (pagerduty.clj:39-63
+    * request-body-v2/format-event-v2): summary "host - service is
+    * state (metric)" with Clojure's nil→"" string semantics, source =
+    * host, severity = state, dedup_key from the event's `dedup-key`
+    * custom attribute when present. Reproduced quirk: the reference
+    * feeds the event's UNIX SECONDS to coerce/from-long, which reads
+    * MILLIS — timestamps render as 1970-era ISO8601; kept bit-faithful
+    * rather than silently corrected. */
+  def pagerdutyV2Body(routingKey: String, action: String): Column = {
+    val summary = concat(
+      orEmpty(col("host")), lit(" - "), orEmpty(col("service")),
+      lit(" is "), orEmpty(col("state")),
+      lit(" ("), orEmpty(col("metric")), lit(")"))
+    val payload = struct(
+      summary.as("summary"),
+      col("host").as("source"),
+      col("state").as("severity"),
+      date_format(timestamp_millis(col("time_s")),
+        "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("timestamp"),
+      to_json(struct(col("host"), col("service"), col("state"),
+        col("metric"), col("time_s"))).as("custom_details"))
+    to_json(struct(
+      lit(routingKey).as("routing_key"),
+      lit(action).as("event_action"),
+      payload.as("payload"),
+      element_at(coalesce(col("attributes"),
+        map().cast("map<string,string>")), "dedup-key").as("dedup_key")))
+  }
+
+  /** PagerDuty v1 body (pagerduty.clj:29-37, 65-72): incident key
+    * "host service", description "host service is state (metric)". */
+  def pagerdutyV1Body(serviceKey: String, eventType: String): Column =
+    to_json(struct(
+      lit(serviceKey).as("service_key"),
+      lit(eventType).as("event_type"),
+      concat(orEmpty(col("host")), lit(" "), orEmpty(col("service")))
+        .as("incident_key"),
+      concat(orEmpty(col("host")), lit(" "), orEmpty(col("service")),
+        lit(" is "), orEmpty(col("state")),
+        lit(" ("), orEmpty(col("metric")), lit(")")).as("description"),
+      to_json(struct(col("host"), col("service"), col("state"),
+        col("metric"), col("time_s"))).as("details")))
+
+  /** PagerDuty adapter (pagerduty.clj:91-140 `pagerduty`): the
+    * reference returns {:trigger :acknowledge :resolve} closures; here
+    * each is a sink — compose with `changed-state` + `where` exactly
+    * like the reference example. `v2 = false` selects the v1 API. */
+  class PagerdutySink(routingKey: String, action: String,
+      post: String => Unit, v2: Boolean = true) extends Sinks.EventSink {
+    override def write(batch: DataFrame, batchId: Long): Unit =
+      batch.select((if (v2) pagerdutyV2Body(routingKey, action)
+        else pagerdutyV1Body(routingKey, action)).as("body"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          rows.foreach(r => post(r.getString(0)))
+        }
   }
 
   // ------------------------------------------------------------ VictorOps

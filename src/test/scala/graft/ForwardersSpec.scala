@@ -1,6 +1,6 @@
 package graft
 
-import graft.sinks.Forwarders
+import graft.sinks.{Forwarders, Notifiers}
 
 /** Payload-exact cases for the metric/check forwarders (reference
   * cloudwatch.clj / stackdriver.clj / zabbix.clj / nagios.clj /
@@ -74,7 +74,7 @@ class ForwardersSpec extends SparkSpec {
 
   test("pushover: priority table and message params (pushover.clj:15-35)") {
     FwdProbe.calls.clear()
-    new Forwarders.PushoverSink("TOK", "USR",
+    new Notifiers.PushoverSink("TOK", "USR",
       form => { FwdProbe.calls.add((form("title"), form.toString)); () })
       .write(batch, 0L)
     assert(FwdProbe.calls.size == 2)
@@ -90,7 +90,7 @@ class ForwardersSpec extends SparkSpec {
 
   test("mailgun: one message per batch through the standard subject/body (mailgun.clj:28-38)") {
     FwdProbe.calls.clear()
-    new Forwarders.MailgunSink("sandbox.mg", "KEY", "riemann@x", "ops@x",
+    new Notifiers.MailgunSink("sandbox.mg", "KEY", "riemann@x", "ops@x",
       (url, auth, form) =>
         { FwdProbe.calls.add((url, auth + "|" + form("subject"))); () })
       .write(batch, 0L)
@@ -103,7 +103,7 @@ class ForwardersSpec extends SparkSpec {
   }
   test("logstash/logentries: line shapes incl. source field and token suffix") {
     FwdProbe.calls.clear()
-    new Forwarders.LogstashSink(l => { FwdProbe.calls.add(("ls", l)); () })
+    new Notifiers.LogstashSink(l => { FwdProbe.calls.add(("ls", l)); () })
       .write(batch, 0L)
     val ls = new scala.collection.mutable.ArrayBuffer[(String, String)]()
     FwdProbe.calls.forEach(e => { ls += e; () })
@@ -112,7 +112,7 @@ class ForwardersSpec extends SparkSpec {
     assert(ls.exists(_._2.contains(""""source":"web01"""")))
 
     FwdProbe.calls.clear()
-    new Forwarders.LogentriesSink("TOKEN-1",
+    new Notifiers.LogentriesSink("TOKEN-1",
       l => { FwdProbe.calls.add(("le", l)); () }).write(batch, 0L)
     val le = new scala.collection.mutable.ArrayBuffer[(String, String)]()
     FwdProbe.calls.forEach(e => { le += e; () })
@@ -124,7 +124,7 @@ class ForwardersSpec extends SparkSpec {
 
   test("hipchat: one colored room notification per partition (hipchat.clj:7-48)") {
     FwdProbe.calls.clear()
-    new Forwarders.HipchatSink("api.hipchat.com", "TOK40", "42", notify = true,
+    new Notifiers.HipchatSink("api.hipchat.com", "TOK40", "42", notify = true,
       (url, form) => { FwdProbe.calls.add((url, form.toString)); () })
       .write(batch, 0L)
     assert(FwdProbe.calls.size == 1)
@@ -138,7 +138,7 @@ class ForwardersSpec extends SparkSpec {
 
   test("twilio: SMS per batch via the common body, account auth (twilio.clj:17-48)") {
     FwdProbe.calls.clear()
-    new Forwarders.TwilioSink("AC99", "KEY", "+15005550006", "+15551234567",
+    new Notifiers.TwilioSink("AC99", "KEY", "+15005550006", "+15551234567",
       (url, auth, form) =>
         { FwdProbe.calls.add((url, auth + "|" + form("To") + "|" + form("Body").take(30))); () })
       .write(batch, 0L)
@@ -230,7 +230,7 @@ class ForwardersSpec extends SparkSpec {
 
   test("keenio: project/collection URL with write key (keenio.clj:9-35)") {
     FwdProbe.calls.clear()
-    new Forwarders.KeenIoSink("alerts", "PID", "WK",
+    new Notifiers.KeenIoSink("alerts", "PID", "WK",
       (url, body) => { FwdProbe.calls.add((url, body)); () }).write(batch, 0L)
     assert(FwdProbe.calls.size == 2)
     val (url, body) = FwdProbe.calls.peek()

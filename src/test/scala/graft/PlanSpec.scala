@@ -207,7 +207,7 @@ class PlanSpec extends SparkSpec {
 
   test("influx line encode and piiScan are pure projections, no exchange") {
     val ev = EventView(spark, dir).filter(col("metric").isNotNull)
-      .select(col("event_id"), graft.sinks.Sinks.influxLine.as("line"))
+      .select(col("event_id"), graft.sinks.Metrics.influxLine.as("line"))
     assert(!plan(ev).contains("Exchange"), s"encode should be a pure map")
     val pii = graft.pipeline.TextAnalysis.piiScan(
       spark.read.parquet(s"$dir/documents.parquet"))
@@ -217,8 +217,8 @@ class PlanSpec extends SparkSpec {
   test("prometheus/opentsdb/graphite-path encoders are pure projections, no exchange") {
     val base = EventView(spark, dir).filter(col("metric").isNotNull)
     for ((name, c) <- Seq(
-        "prometheusLine" -> graft.sinks.Sinks.prometheusLine,
-        "opentsdbLine" -> graft.sinks.Sinks.opentsdbLine,
+        "prometheusLine" -> graft.sinks.Metrics.prometheusLine,
+        "opentsdbLine" -> graft.sinks.Metrics.opentsdbLine,
         "graphitePathPercentiles" ->
           graft.sources.LineProtocols.graphitePathPercentiles)) {
       val p = plan(base.select(col("event_id"), c.as("out")))

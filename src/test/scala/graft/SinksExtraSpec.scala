@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.sinks.Sinks
+import graft.sinks.{Alerting, Metrics, Sinks}
 import graft.operators.{Streams, Windows}
 
 /** Dead-letter routing (streams.clj:81-121 exception-stream), pubsub
@@ -121,7 +121,7 @@ class SinksExtraSpec extends SparkSpec {
 
   test("influxdb sink formats line protocol with escaping (influxdb.clj:135-231)") {
     InfluxProbe.lines.clear()
-    val sink = new Sinks.InfluxDbSink(ls => ls.foreach(InfluxProbe.lines.add))
+    val sink = new Metrics.InfluxDbSink(ls => ls.foreach(InfluxProbe.lines.add))
     sink.write(events(
       E(id = 1, host = "web01", service = "cpu load", metric = 0.95, time = 10L),
       E(id = 2, host = "a=b,c d", service = "mem", metric = 512.0, time = 11L),
@@ -160,7 +160,7 @@ class SinksExtraSpec extends SparkSpec {
   test("opentsdb sink emits put lines its own decoder round-trips (opentsdb.clj:38-110)") {
     import graft.sources.LineProtocols
     InfluxProbe.lines.clear()
-    val sink = new Sinks.OpenTsdbSink(ls => ls.foreach(InfluxProbe.lines.add))
+    val sink = new Metrics.OpenTsdbSink(ls => ls.foreach(InfluxProbe.lines.add))
     sink.write(events(
       E(id = 1, host = "web01", service = "cpu load", metric = 0.95, time = 10L),
       E(id = 2, host = null, service = "mem", metric = 512.0, time = 11L),
@@ -184,7 +184,7 @@ class SinksExtraSpec extends SparkSpec {
 
   test("prometheus sink formats sanitized datapoints with sorted labels (prometheus.clj:13-48)") {
     InfluxProbe.lines.clear()
-    val sink = new Sinks.PrometheusSink(ls => ls.foreach(InfluxProbe.lines.add))
+    val sink = new Metrics.PrometheusSink(ls => ls.foreach(InfluxProbe.lines.add))
     sink.write(events(
       E(id = 1, host = "web01", service = "cpu load%", state = "ok",
         metric = 0.95, attributes = Map("dc" -> "east"), time = 10L),
@@ -202,7 +202,7 @@ class SinksExtraSpec extends SparkSpec {
 
   test("kairosdb sink emits millisecond put lines (kairosdb.clj:25-36)") {
     InfluxProbe.lines.clear()
-    val sink = new Sinks.KairosDbSink(ls => ls.foreach(InfluxProbe.lines.add))
+    val sink = new Metrics.KairosDbSink(ls => ls.foreach(InfluxProbe.lines.add))
     sink.write(events(
       E(id = 1, host = "web01", service = "cpu load", metric = 0.95, time = 10L),
       E(id = 2, host = "drop", service = null, metric = 1.0, time = 11L)), 0L)
@@ -212,7 +212,7 @@ class SinksExtraSpec extends SparkSpec {
 
   test("librato sink collates safe-named gauges per partition (librato.clj:9-27)") {
     InfluxProbe.lines.clear()
-    val sink = new Sinks.LibratoSink(
+    val sink = new Metrics.LibratoSink(
       body => { InfluxProbe.lines.add(body); () })
     sink.write(events(
       E(id = 1, host = "web 01!", service = "cpu load%", metric = 0.95,
@@ -227,9 +227,9 @@ class SinksExtraSpec extends SparkSpec {
 
   test("influxdb2 sink: v2 write URL, token header, precision-scaled body (influxdb2.clj:32-120)") {
     Influx2Probe.posts.clear()
-    val cfg = Sinks.Influx2Config(organization = "acme", bucket = "metrics",
+    val cfg = Metrics.Influx2Config(organization = "acme", bucket = "metrics",
       host = "flux.example.com", token = "s3cr3t", precision = "ms")
-    val sink = new Sinks.Influx2Sink(cfg,
+    val sink = new Metrics.Influx2Sink(cfg,
       (url, headers, body) => { Influx2Probe.posts.add((url, headers, body)); () })
     sink.write(events(
       E(id = 1, host = "web 01", service = "cpu load", metric = 0.95, time = 10L),
@@ -249,7 +249,7 @@ class SinksExtraSpec extends SparkSpec {
 
   test("slack sink: escaped attachment message with vector-literal tags (slack.clj:8-39)") {
     InfluxProbe.lines.clear()
-    val sink = new Sinks.SlackSink("Riemann bot", "#monitoring", ":smile:",
+    val sink = new Alerting.SlackSink("Riemann bot", "#monitoring", ":smile:",
       body => { InfluxProbe.lines.add(body); () })
     sink.write(events(
       E(id = 1, host = "web<1>", service = "cpu & load", state = "critical",
@@ -270,7 +270,7 @@ class SinksExtraSpec extends SparkSpec {
 
   test("pagerduty v2/v1 bodies: routing key, action, summary, dedup key (pagerduty.clj:29-72)") {
     InfluxProbe.lines.clear()
-    val v2 = new Sinks.PagerdutySink("rk-123", "trigger",
+    val v2 = new Alerting.PagerdutySink("rk-123", "trigger",
       body => { InfluxProbe.lines.add(body); () })
     v2.write(events(
       E(id = 1, host = "web01", service = "cpu", state = "critical",
@@ -288,7 +288,7 @@ class SinksExtraSpec extends SparkSpec {
     // to a millis parser, rendering as 10 ms into 1970
     assert(body.contains(""""timestamp":"1970-01-01T00:00:00.010Z""""))
 
-    val v1 = new Sinks.PagerdutySink("sk-9", "resolve",
+    val v1 = new Alerting.PagerdutySink("sk-9", "resolve",
       b => { InfluxProbe.lines.add(b); () }, v2 = false)
     v1.write(events(
       E(id = 2, host = "web01", service = "cpu", state = "ok",
@@ -305,7 +305,7 @@ class SinksExtraSpec extends SparkSpec {
     // serialized into the task, so capturing a local val (even one
     // pointing at the static queue) adds to a deserialized copy
     InfluxProbe.lines.clear()
-    val sink = new Sinks.DatadogSink(
+    val sink = new Metrics.DatadogSink(
       body => { InfluxProbe.lines.add(body); () })
     val posted = InfluxProbe.lines
     sink.write(events(
