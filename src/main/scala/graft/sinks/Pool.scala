@@ -1,0 +1,197 @@
+package graft.sinks
+
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+
+import scala.collection.concurrent.TrieMap
+import scala.util.control.NonFatal
+
+/** Bounded connection pooling for sink transports (reference
+  * `src/riemann/pool.clj:1-120` fixed-pool / with-pool, and its use in
+  * e.g. `graphite.clj:128-170`): a fixed set of connections, a small
+  * claim timeout, and invalidate-on-error — the failed connection is
+  * closed and a background loop re-opens a replacement every
+  * regenerate-interval until the downstream comes back. A flapping
+  * downstream therefore degrades to claim-timeouts (events drop, or
+  * batches dead-letter through [[Sinks.Guarded]]) instead of wedging
+  * the stream on a dead socket.
+  *
+  * Spark placement: the reference pools inside one process; here the
+  * pool lives per executor JVM — [[Pool.PooledTransport]] ships the
+  * open/close/send recipe to executors and each JVM lazily builds its
+  * own pool on first use (keyed by id, shared across that executor's
+  * tasks). At 1000 executors that is 1000 independent small pools, the
+  * same per-process contract the reference runs with. */
+object Pool {
+
+  /** Claim timed out — the pool.clj `::timeout` throw+ (pool.clj:40-43). */
+  final case class PoolTimeoutException(timeoutMs: Long)
+    extends RuntimeException(
+      s"Couldn't claim a resource from the pool within $timeoutMs ms")
+
+  /** pool.clj:20-93 FixedQueuePool + fixed-pool: `size` resources built
+    * from `open`, recycled through a blocking queue.
+    *
+    * - `claim` polls with a timeout and THROWS [[PoolTimeoutException]]
+    *   when nothing frees up (pool.clj:33-43) — callers treat that as
+    *   "downstream down".
+    * - `invalidate` closes the resource (close errors only logged,
+    *   pool.clj:49-54) and regrows asynchronously: the regen loop
+    *   retries `open` every `regenerateIntervalMs` until it succeeds,
+    *   exactly the reconnect behavior graphite.clj documents.
+    * - `blockStart` (pool.clj:65-66, 91-92): wait for the initial
+    *   connections before returning, or open them in the background.
+    *
+    * Correct only when every successful claim is followed by exactly
+    * one release OR invalidate (pool.clj:68-72) — [[withResource]]
+    * provides that guarantee. */
+  final class FixedPool[A <: AnyRef](
+      open: () => A,
+      close: A => Unit,
+      val size: Int,
+      regenerateIntervalMs: Long,
+      blockStart: Boolean) {
+    require(size > 0, "pool size must be positive")
+
+    private val queue = new LinkedBlockingQueue[A](size)
+    @volatile private var closed = false
+
+    /** pool.clj:22-28 grow: loop until one open succeeds (or the pool
+      * shuts down), sleeping regenerate-interval between failures. */
+    private def grow(): Unit = {
+      var done = false
+      while (!done && !closed) {
+        val opened =
+          try Some(open())
+          catch { case NonFatal(_) => None }
+        opened match {
+          case Some(a) =>
+            queue.put(a)
+            // a shutdown that raced the open: drain what we just added
+            if (closed) drainAndClose()
+            done = true
+          case None => Thread.sleep(regenerateIntervalMs)
+        }
+      }
+    }
+
+    private def growAsync(): Unit = {
+      val t = new Thread(() => grow(), "graft-pool-regen")
+      t.setDaemon(true)
+      t.start()
+    }
+
+    if (blockStart) (1 to size).foreach(_ => grow())
+    else (1 to size).foreach(_ => growAsync())
+
+    /** Resources currently idle in the pool (diagnostics/tests). */
+    def available: Int = queue.size
+
+    def claim(timeoutMs: Long): A = {
+      val a = queue.poll(timeoutMs, TimeUnit.MILLISECONDS)
+      if (a == null) throw PoolTimeoutException(timeoutMs)
+      a
+    }
+
+    def release(a: A): Unit = if (a != null) queue.put(a)
+
+    def invalidate(a: A): Unit = if (a != null) {
+      try close(a)
+      catch {
+        case NonFatal(e) => org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"closing pooled resource threw", e)
+      }
+      growAsync()
+    }
+
+    /** pool.clj:95-117 with-pool: claim, run, release; on any failure
+      * invalidate (close + background regen) and rethrow. */
+    def withResource[T](timeoutMs: Long)(f: A => T): T = {
+      val a = claim(timeoutMs)
+      try {
+        val r = f(a)
+        release(a)
+        r
+      } catch {
+        case e: Throwable =>
+          invalidate(a)
+          throw e
+      }
+    }
+
+    private def drainAndClose(): Unit = {
+      var a = queue.poll()
+      while (a != null) {
+        try close(a) catch { case NonFatal(_) => () }
+        a = queue.poll()
+      }
+    }
+
+    /** Stop regen loops and close every idle connection. Claimed
+      * resources are closed by their eventual release/invalidate. */
+    def shutdown(): Unit = {
+      closed = true
+      drainAndClose()
+    }
+  }
+
+  /** Per-JVM pool registry: tasks of one executor share the pool for a
+    * given transport id; distinct executors each build their own. */
+  private val pools = TrieMap.empty[String, FixedPool[AnyRef]]
+
+  private[sinks] def poolFor[A <: AnyRef](
+      id: String, open: () => A, close: A => Unit, size: Int,
+      regenerateIntervalMs: Long, blockStart: Boolean): FixedPool[A] =
+    pools.getOrElseUpdate(id,
+      new FixedPool[AnyRef](
+        () => open(), a => close(a.asInstanceOf[A]), size,
+        regenerateIntervalMs, blockStart)
+      ).asInstanceOf[FixedPool[A]]
+
+  /** Drop (and close) the pool registered under `id` — tests and
+    * explicit teardown. */
+  def shutdownPool(id: String): Unit =
+    pools.remove(id).foreach(_.shutdown())
+
+  /** A pooled line transport, pluggable wherever sinks take
+    * `Iterator[String] => Unit` ([[Sinks.GraphiteSink]],
+    * [[Metrics.InfluxDbSink]], …). Serializable recipe, per-JVM pool:
+    * each partition write claims a connection (claim timeout ≈
+    * graphite.clj's 0.1 s default), sends, releases; a send failure
+    * invalidates the connection and retries on a freshly claimed one up
+    * to `retries` times before rethrowing — at which point the batch
+    * fails and [[Sinks.Guarded]] (when wrapped) routes it to the
+    * dead-letter sink, the Spark reading of "silently drops events when
+    * graphite is down" (graphite.clj:117-119) with the drop made
+    * observable instead of silent. */
+  final class PooledTransport[C <: AnyRef](
+      id: String,
+      open: () => C,
+      close: C => Unit,
+      send: (C, Iterator[String]) => Unit,
+      size: Int = 4,
+      claimTimeoutMs: Long = 100,
+      regenerateIntervalMs: Long = 5000,
+      blockStart: Boolean = true,
+      retries: Int = 1)
+      extends (Iterator[String] => Unit) with Serializable {
+
+    override def apply(lines: Iterator[String]): Unit = {
+      val pool = Pool.poolFor(id, open, close, size,
+        regenerateIntervalMs, blockStart)
+      // the claim-send-release cycle may consume the iterator: buffer
+      // once so a retry resends the same lines, not an empty tail
+      val buffered = lines.toIndexedSeq
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try {
+          pool.withResource(claimTimeoutMs)(c => send(c, buffered.iterator))
+          done = true
+        } catch {
+          case e: Throwable if attempt < retries =>
+            attempt += 1
+        }
+      }
+    }
+  }
+}
