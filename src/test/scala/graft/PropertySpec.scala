@@ -256,4 +256,266 @@ class PropertySpec extends SparkSpec {
       assert(got == model, s"texts=$texts")
     }
   }
+
+  // ---------------------------------------------------------------------
+  // Query language: generated ASTs (incl. the grammar's edge literals —
+  // bigints `123N`, Infinity/NaN floats, nil — reference query.g4:61-69)
+  // must (a) round-trip print -> parse and (b) compile to a predicate
+  // that agrees row-for-row with a direct three-valued evaluator of the
+  // documented semantics (QueryLanguage scaladoc: numeric try-cast
+  // equality, null-guarded inequalities, Kleene and/or, truthiness).
+  // ---------------------------------------------------------------------
+
+  test("query language: AST print->parse round-trip + compiled predicate " +
+    "agrees with a direct evaluator (query.g4:61-69 edge literals)") {
+    import QueryLanguage._
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fcol, lit => flit}
+
+    // ------------------------------------------------------- canonical printer
+    def pv(a: Ast): String = a match {
+      case BoolLit(v) => v.toString
+      case NullLit => "nil"
+      case LongLit(v) => v.toString
+      case DoubleLit(v) =>
+        if (v.isNaN) "NaN"
+        else if (v == Double.PositiveInfinity) "Infinity"
+        else if (v == Double.NegativeInfinity) "-Infinity"
+        else v.toString
+      case BigLit(v) => v.toBigInt.toString + "N"
+      case StrLit(s) => "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString } + "\""
+      case FieldRef(f) => f
+      case other => fail(s"not a value: $other")
+    }
+    def print(a: Ast): String = a match {
+      case Cmp(op, l, r) => s"${pv(l)} $op ${pv(r)}"
+      case LikeMatch(t, p) => s"${pv(t)} =~ ${pv(StrLit(p))}"
+      case RegexMatch(t, p) => s"${pv(t)} ~= ${pv(StrLit(p))}"
+      case Tagged(t) => s"tagged ${pv(StrLit(t))}"
+      case Not(p) => s"(not ${print(p)})"
+      case And(l, r) => s"(${print(l)} and ${print(r)})"
+      case Or(l, r) => s"(${print(l)} or ${print(r)})"
+      case v => pv(v)
+    }
+    // NaN breaks case-class equality (NaN != NaN); normalize for the check
+    def norm(a: Ast): Ast = a match {
+      case DoubleLit(v) if v.isNaN => StrLit(" NaN")
+      case Cmp(o, l, r) => Cmp(o, norm(l), norm(r))
+      case LikeMatch(t, p) => LikeMatch(norm(t), p)
+      case RegexMatch(t, p) => RegexMatch(norm(t), p)
+      case Not(p) => Not(norm(p))
+      case And(l, r) => And(norm(l), norm(r))
+      case Or(l, r) => Or(norm(l), norm(r))
+      case v => v
+    }
+
+    // ------------------------------------------------------------ generator
+    val numField = Gen.oneOf("metric", "ttl")
+    val strField = Gen.oneOf("host", "service", "state", "k", "j", "zzz")
+    val anyField = Gen.oneOf("metric", "ttl", "host", "service", "state", "k", "j", "zzz")
+    val strPool = Gen.oneOf("ok", "critical", "a", "b", "foo", "2", "2.5",
+      "", " 3 ", "1e2", "辻斬", "x%")
+    val numLit: Gen[Ast] = Gen.frequency(
+      (3, Gen.chooseNum(-5L, 5L).map(LongLit(_))),
+      (2, Gen.oneOf(-1.5, 1.0, 2.0, 2.5, 1e300).map(DoubleLit(_))),
+      (1, Gen.oneOf(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity).map(DoubleLit(_))),
+      (1, Gen.oneOf(BigDecimal(2),
+        BigDecimal("123456789012345678901234567890")).map(BigLit(_))))
+    val valueAst: Gen[Ast] = Gen.frequency(
+      (3, anyField.map(FieldRef(_))), (3, numLit),
+      (2, strPool.map(StrLit(_))), (1, Gen.const(NullLit)))
+    val cmp = for {
+      o <- Gen.oneOf("=", "!=", "<", ">", "<=", ">=")
+      l <- valueAst; r <- valueAst
+    } yield Cmp(o, l, r)
+    // like/regex targets stay on string-shaped fields: numeric targets
+    // exercise Spark's double->string cast formatting, not the language
+    val like = for {
+      f <- strField
+      p <- Gen.oneOf("%", "o%", "%o%", "cri%", "2_5", "%斬")
+    } yield LikeMatch(FieldRef(f), p)
+    val regex = for {
+      f <- strField
+      p <- Gen.oneOf("o.", "^ok$", "crit", "a|b", "[0-9]+")
+    } yield RegexMatch(FieldRef(f), p)
+    val tagged = Gen.oneOf("x", "y", "zz").map(Tagged(_))
+    val bare: Gen[Ast] = Gen.frequency(
+      (2, anyField.map(FieldRef(_))),
+      (1, Gen.oneOf(BoolLit(true), BoolLit(false), NullLit: Ast)),
+      (1, strPool.map(StrLit(_))), (1, numLit))
+    def tree(depth: Int): Gen[Ast] =
+      if (depth == 0)
+        Gen.frequency((6, cmp), (2, like), (2, regex), (1, tagged), (1, bare))
+      else Gen.frequency(
+        (4, tree(0)),
+        (2, for { l <- tree(depth - 1); r <- tree(depth - 1) } yield And(l, r)),
+        (2, for { l <- tree(depth - 1); r <- tree(depth - 1) } yield Or(l, r)),
+        (2, tree(depth - 1).map(Not(_))))
+
+    // -------------------------------------------------------------- fixture
+    val df = events(
+      E(id = 1, host = "a", service = "cpu", state = "ok", metric = 1.0,
+        ttl = 60.0, tags = Seq("x"), attributes = Map("k" -> "1")),
+      E(id = 2, host = "b", service = "mem", state = "critical", metric = -1.5,
+        tags = Seq("x", "y"), attributes = Map("k" -> "2.5", "j" -> "foo")),
+      E(id = 3, host = null, service = null),
+      E(id = 4, host = "n", service = "nan", metric = Double.NaN),
+      E(id = 5, host = "inf", metric = Double.PositiveInfinity, state = "2"),
+      E(id = 6, host = "ninf", metric = Double.NegativeInfinity, state = " 3 "),
+      E(id = 7, host = "辻斬", service = "u", state = "foo",
+        metric = 1e300, tags = Seq("zz"),
+        attributes = Map("j" -> "1e2", "k" -> "x%")),
+      E(id = 8, host = "", service = "cpu", state = "2.5", metric = 2.5,
+        ttl = 0.0)).cache()
+
+    // evaluator row model, derived from the relation itself
+    case class RE(host: Option[String], service: Option[String],
+        state: Option[String], metric: Option[Double], ttl: Option[Double],
+        tags: Option[Seq[String]], attrs: Option[Map[String, String]])
+    val model: Map[Long, RE] = df.collect().map { r =>
+      def s(n: String) = Option(r.getAs[String](n))
+      r.getAs[Long]("event_id") -> RE(s("host"), s("service"), s("state"),
+        Option(r.getAs[java.lang.Double]("metric")).map(_.doubleValue),
+        Option(r.getAs[java.lang.Double]("ttl")).map(_.doubleValue),
+        Option(r.getAs[scala.collection.Seq[String]]("tags")).map(_.toSeq),
+        Option(r.getAs[scala.collection.Map[String, String]]("attributes"))
+          .map(_.toMap))
+    }.toMap
+
+    // ----------------------------------------------------- direct evaluator
+    val numFields = Set("metric", "ttl")
+    val strFields = Set("host", "service", "state", "description")
+    def isNumAst(a: Ast) = a match {
+      case _: LongLit | _: DoubleLit | _: BigLit => true
+      case FieldRef(f) => numFields(f)
+      case _ => false
+    }
+    def isStrAst(a: Ast) = a match {
+      case _: StrLit => true
+      case FieldRef(f) => strFields(f) || !numFields(f)
+      case _ => false
+    }
+    // Spark's string->double cast: java parse, then the special
+    // floating-point literals (Cast.processFloatingPointSpecialLiterals:
+    // inf/infinity/nan, case-insensitive, optional sign)
+    def tryCastD(s: String): Option[Double] = {
+      val t = s.trim
+      if (t.isEmpty) None
+      else try Some(t.toDouble) catch {
+        case _: NumberFormatException => t.toLowerCase match {
+          case "inf" | "+inf" | "infinity" | "+infinity" => Some(Double.PositiveInfinity)
+          case "-inf" | "-infinity" => Some(Double.NegativeInfinity)
+          case "nan" | "+nan" | "-nan" => Some(Double.NaN)
+          case _ => None
+        }
+      }
+    }
+    def strVal(a: Ast, re: RE): Option[String] = a match {
+      case StrLit(s) => Some(s)
+      case FieldRef("host") => re.host
+      case FieldRef("service") => re.service
+      case FieldRef("state") => re.state
+      case FieldRef(f) => re.attrs.flatMap(_.get(f))
+      case _ => None
+    }
+    def numVal(a: Ast, re: RE): Option[Double] = a match {
+      case LongLit(v) => Some(v.toDouble)
+      case DoubleLit(v) => Some(v)
+      case BigLit(v) => Some(v.toDouble)
+      case StrLit(s) => tryCastD(s)
+      case FieldRef("metric") => re.metric
+      case FieldRef("ttl") => re.ttl
+      case f: FieldRef => strVal(f, re).flatMap(tryCastD)
+      case _ => None
+    }
+    // Spark double semantics: NaN = NaN, NaN greater than everything,
+    // -0.0 = 0.0 (the fixture avoids -0.0)
+    def cmpD(a: Double, b: Double): Int =
+      if (a == b) 0 else java.lang.Double.compare(a, b)
+    def kEq(l: Ast, r: Ast, re: RE): Boolean = {
+      val mixed = (isNumAst(l) && isStrAst(r)) || (isNumAst(r) && isStrAst(l))
+      if (mixed || (isNumAst(l) && isNumAst(r)))
+        (numVal(l, re), numVal(r, re)) match {
+          case (Some(a), Some(b)) => cmpD(a, b) == 0
+          case (None, None) => true
+          case _ => false
+        }
+      else if (isStrAst(l) && isStrAst(r)) strVal(l, re) == strVal(r, re)
+      else { // a nil side: lit(null) <=> x
+        def side(a: Ast): Option[Any] =
+          if (isNumAst(a)) numVal(a, re) else if (isStrAst(a)) strVal(a, re)
+          else None
+        (side(l), side(r)) match {
+          case (None, None) => true
+          case _ => false
+        }
+      }
+    }
+    def kleene(a: Ast, re: RE): Option[Boolean] = a match {
+      case And(l, r) => (kleene(l, re), kleene(r, re)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, r) => (kleene(l, re), kleene(r, re)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case Not(p) => Some(!kleene(p, re).getOrElse(false))
+      case Cmp("=", l, r) => Some(kEq(l, r, re))
+      case Cmp("!=", l, r) => Some(!kEq(l, r, re))
+      case Cmp(op, l, r) => Some((numVal(l, re), numVal(r, re)) match {
+        case (Some(x), Some(y)) => op match {
+          case "<" => cmpD(x, y) < 0
+          case ">" => cmpD(x, y) > 0
+          case "<=" => cmpD(x, y) <= 0
+          case ">=" => cmpD(x, y) >= 0
+        }
+        case _ => false // numeric guard: null operand -> false
+      })
+      case LikeMatch(t, p) => strVal(t, re).map { s =>
+        val rx = "^" + p.flatMap {
+          case '%' => ".*"
+          case c => java.util.regex.Pattern.quote(c.toString)
+        } + "$"
+        s.matches(rx)
+      }
+      case RegexMatch(t, p) => strVal(t, re).map(s =>
+        java.util.regex.Pattern.compile(p).matcher(s).find())
+      case Tagged(t) => re.tags.map(_.contains(t))
+      case BoolLit(v) => Some(v)
+      case NullLit => Some(false)
+      case StrLit(_) | LongLit(_) | DoubleLit(_) | BigLit(_) => Some(true)
+      case FieldRef(f) => Some(
+        if (numFields(f)) numVal(FieldRef(f), re).isDefined
+        else strVal(FieldRef(f), re).isDefined) // truthiness: non-nil
+    }
+
+    // ------------------------------------------------------------ the check
+    val asts = scala.collection.mutable.ArrayBuffer[Ast]()
+    forAllN(Gen.chooseNum(0, 2).flatMap(tree), 160)(a => { asts += a; () })
+    asts.foreach { a =>
+      val printed = print(a)
+      assert(norm(QueryLanguage.parse(printed)) == norm(a),
+        s"print->parse round-trip diverged for: $printed")
+    }
+    asts.grouped(40).foreach { chunk =>
+      val cols = chunk.zipWithIndex.map { case (a, i) =>
+        fcoalesce(QueryLanguage.compile(a, df.schema), flit(false)).as(s"p$i") }
+      df.select(fcol("event_id") +: cols.toIndexedSeq: _*).collect().foreach { row =>
+        val re = model(row.getLong(0))
+        chunk.zipWithIndex.foreach { case (a, i) =>
+          val got = row.getBoolean(i + 1)
+          val want = kleene(a, re).getOrElse(false)
+          assert(got == want,
+            s"compiled predicate diverged from the evaluator on row " +
+              s"${row.getLong(0)} for: ${print(a)} (compiled=$got model=$want)")
+        }
+      }
+    }
+    df.unpersist()
+    ()
+  }
 }
