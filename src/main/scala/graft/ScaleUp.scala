@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes a 10x scale-up of an existing testdata directory (the
+  * sf0.1 -> "sf1" headroom probe, r6 verdict item 6): each table is
+  * unioned 10 times with its primary/foreign keys shifted consistently
+  * per replica, so per-key join fan-out stays constant while total
+  * volume, key cardinality, and shuffle width scale 10x — the shape a
+  * real 10x scale factor has, not a 10x-denser copy of the same keys.
+  *
+  * Per-table key handling:
+  *   - events: event_id and user_id shift; ts keeps its distribution
+  *     (event time doesn't stretch when volume grows).
+  *   - documents: doc_id shifts; replicas >0 get a replica marker
+  *     appended to `text`, making each document a 10-way NEAR-duplicate
+  *     cluster — the adversarial case for minhash/LSH/simhash (exact
+  *     dedup stays un-collapsed, near-dup candidate counts scale).
+  *   - embeddings: vec_id shifts, vectors unchanged (ANN cost is
+  *     corpus x queries; duplicate points don't change the work).
+  *   - lineitem/orders/customer/supplier: orderkey/custkey/suppkey
+  *     shift consistently on both sides of every join.
+  *   - nation/region/part: dimension tables, copied as-is (real TPC-H
+  *     scale factors don't grow nation/region either).
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> [factor]
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    /** Union `factor` replicas, shifting each key column by
+      * replica * (max+1) so replicas never collide. */
+    def replicate(df: DataFrame, keys: Seq[String],
+        perReplica: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
+      val spans = keys.map(k =>
+        k -> (df.agg(max(col(k))).head.getLong(0) + 1L)).toMap
+      (0 until factor).map { i =>
+        val shifted = keys.foldLeft(df)((d, k) =>
+          d.withColumn(k, col(k) + lit(i * spans(k))))
+        perReplica(shifted, i)
+      }.reduce(_ unionAll _)
+    }
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scaleup] $name x$factor written")
+    }
+
+    def rd(name: String) = spark.read.parquet(s"$src/$name.parquet")
+
+    write("events", replicate(rd("events"), Seq("event_id", "user_id")))
+    write("documents", replicate(rd("documents"), Seq("doc_id"),
+      (d, i) => if (i == 0) d
+      else d.withColumn("text", concat(col("text"), lit(s" replica$i")))
+        .withColumn("n_chars", col("n_chars") + lit(s" replica$i".length))))
+    write("embeddings", replicate(rd("embeddings"), Seq("vec_id")))
+    write("lineitem", replicate(rd("lineitem"), Seq("l_orderkey", "l_suppkey")))
+    write("orders", replicate(rd("orders"), Seq("o_orderkey", "o_custkey")))
+    write("customer", replicate(rd("customer"), Seq("c_custkey")))
+    write("supplier", replicate(rd("supplier"), Seq("s_suppkey")))
+    Seq("nation", "region", "part").foreach(t => write(t, rd(t)))
+    spark.stop()
+  }
+}
