@@ -37,9 +37,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * relies on netty's channel watermarks for the same thing).
   *
   * Delivery: frames are acked on receipt and kept until the batch
-  * offset commits; a driver restart loses the in-memory buffer —
-  * at-most-once across restarts, same contract as Spark's socket
-  * source. Usage:
+  * offset commits. An IN-PROCESS restart (query stop/start, a
+  * [[graft.Core]] reload) loses nothing: `stop()` parks the undrained
+  * buffer in [[RiemannServers.parked]] and the next instance on the
+  * same address adopts it, offsets continuing the old lineage. A JVM
+  * crash still loses the in-memory tail — at-most-once across process
+  * death, same contract as Spark's socket source (front with Kafka for
+  * replay). Usage:
   * {{{
   * spark.readStream.format("riemann-server")
   *   .option("protocol", "tcp").option("port", 5555).load()
@@ -62,6 +66,20 @@ object RiemannServers {
 
   /** Framed `Msg{ok: true}`: field 2 (ok), wire type 0, value 1. */
   val AckFrame: Array[Byte] = RiemannProtobuf.frame(Array[Byte](0x10, 1))
+
+  /** Buffer handoff across IN-PROCESS restarts (a [[graft.Core]] reload,
+    * a stopped-and-restarted query): `stop()` parks the undrained
+    * (frames, base) here keyed by bind address, and the next stream
+    * instance on the same address adopts them, so frames that were
+    * ACKED before the stop are delivered by the restarted query instead
+    * of dying with the old instance — riemann's "reload keeps serving"
+    * (core.clj:105-161) strengthened to "reload loses nothing". Only a
+    * JVM crash still drops the in-memory tail (at-most-once across
+    * process death; front with Kafka for replay). Memory is bounded by
+    * `capacity` frames per parked address, and an entry is consumed by
+    * the next bind. */
+  private[sources] val parked =
+    new java.util.concurrent.ConcurrentHashMap[String, (ArrayBuffer[(Array[Byte], Long)], Long)]()
 }
 
 private[sources] class RiemannServerTable(options: CaseInsensitiveStringMap)
@@ -109,6 +127,23 @@ private[sources] class RiemannServerStream(protocol: String, host: String,
   // invisible to it; planInputPartitions/commit clamp against base).
   private val frames = new ArrayBuffer[(Array[Byte], Long)]()
   private var base = System.currentTimeMillis() * 1000000L
+  // in-process restart handoff: adopt a predecessor's undrained buffer
+  // AND its base — offsets then continue the old lineage exactly. The
+  // parked base is the last SOURCE-committed offset, which may TRAIL
+  // the engine's checkpoint (source.commit is lazy): frames the engine
+  // already committed are adopted too, but planInputPartitions slices
+  // each recovered batch from its checkpointed start, so the stale
+  // prefix is never re-delivered and the first commit() drops it.
+  // That only holds while base stays on the old lineage — hence
+  // handoffAdopted disables the clock-skew re-base in adopt(), which
+  // would RELABEL the stale prefix as fresh offsets (= duplicates).
+  // Must run before the listener below starts enqueueing.
+  private val handoffKey = s"$protocol://$host:$port"
+  private var handoffAdopted = false
+  locally {
+    val p = RiemannServers.parked.remove(handoffKey)
+    if (p != null) { frames ++= p._1; base = p._2; handoffAdopted = true }
+  }
   @volatile private var running = true
   private val threads = new ArrayBuffer[Thread]()
   private val clients = new ArrayBuffer[Socket]()
@@ -124,11 +159,16 @@ private[sources] class RiemannServerStream(protocol: String, host: String,
     * for the initial offset even when a checkpoint exists), and a
     * replayed batch hands BOTH its start and end through
     * deserializeOffset, hence max-until-processing rather than
-    * adopt-once. initialOffset's 0 never re-bases anything. */
+    * adopt-once. initialOffset's 0 never re-bases anything. A handoff
+    * adoption opts out entirely: its base already continues the
+    * checkpoint's own lineage (always <= the checkpointed offset), and
+    * re-basing would relabel the adopted frames — the engine would see
+    * already-committed frames as new data and deliver them twice. */
   @volatile private var processing = false
   private def adopt(n: Long, fromCheckpoint: Boolean): Unit =
     frames.synchronized {
-      if (fromCheckpoint && !processing && n > base) base = n
+      if (fromCheckpoint && !processing && !handoffAdopted && n > base)
+        base = n
     }
 
   locally {
@@ -254,7 +294,18 @@ private[sources] class RiemannServerStream(protocol: String, host: String,
     // the CLIENT hangs up, still acking into the dead buffer
     clients.synchronized { clients.foreach(c =>
       try c.close() catch { case _: IOException => () }) }
-    frames.synchronized(frames.notifyAll())
+    frames.synchronized {
+      // park the undrained tail for the next same-address instance (an
+      // in-process query restart / Core reload): acked frames are
+      // delivered by the successor, not lost. A frame enqueued during
+      // this race whose ack then failed on the closed socket is parked
+      // too — delivered once; whether the client also resends (making
+      // it at-least-once) is the client's retry policy, same boundary
+      // as any acked protocol.
+      if (frames.nonEmpty)
+        RiemannServers.parked.put(handoffKey, (frames.clone(), base))
+      frames.notifyAll()
+    }
   }
 }
 

@@ -202,14 +202,72 @@ class RiemannServerSpec extends SparkSpec {
       val p2 = phase2Got()
       // nothing lost across the restart...
       assert(p2.toSet == phaseKeys(2, 4, 25))
-      // ...and nothing delivered twice (acked-but-uncommitted frames
-      // die with the old instance's buffer — at-most-once across
-      // restarts, the documented contract; never duplication)
+      // ...and nothing delivered twice (phase 1 drained fully before
+      // the stop, so the handoff parks an empty buffer and the fresh
+      // epoch/handoff offsets introduce no replay; the undrained-stop
+      // case is the dedicated handoff test below)
       assert(p2.size == p2.toSet.size, "phase-2 duplicates")
       val all = new scala.collection.mutable.ArrayBuffer[(String, Long)]()
       SoakProbe.received.forEach(e => { all += e; () })
       assert(all.size == all.toSet.size, "duplicates across the restart")
     } finally q2.stop()
+  }
+
+  test("in-process restart handoff: acked frames sent right before a stop " +
+    "survive the restart, delivered exactly once (RiemannServers.parked)") {
+    val port = freePort()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("riemann_handoff_ckpt").toString
+    HandoffProbe.reset()
+    def startQuery(name: String) =
+      Sources.riemannTcpServer(spark, "127.0.0.1", port)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          // stage, then append atomically under the batchId guard: an
+          // interrupted batch records nothing and replays cleanly
+          val staged = batch.select("host", "time_s").collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          HandoffProbe.append(id, staged)
+        }
+        .queryName(name).start()
+
+    def send(phase: Int, n: Int): Unit = {
+      val sock = connectRetry(port)
+      try {
+        val out = new DataOutputStream(sock.getOutputStream)
+        val in = new DataInputStream(sock.getInputStream)
+        (0 until n).foreach { i =>
+          out.write(RiemannProtobuf.frame(RiemannProtobuf.encodeMsg(Seq(
+            pe("h", "handoff", "ok", 1.0, 1706000000L + phase * 1000 + i)))))
+          out.flush()
+          val len = in.readInt()
+          in.readFully(new Array[Byte](len)) // every frame is ACKED
+        }
+      } finally sock.close()
+    }
+
+    // three blast-then-kill cycles: each stop() lands with most of the
+    // just-acked burst still undrained; the parked buffer must hand off
+    // to the next instance with offsets continuing the old lineage
+    (1 to 3).foreach { phase =>
+      val q = startQuery(s"handoff$phase")
+      try send(phase, 30) finally q.stop() // no drain before the kill
+    }
+    val q = startQuery("handoff-final")
+    try {
+      val expected = (for (p <- 1 to 3; i <- 0 until 30)
+        yield ("h", 1706000000L + p * 1000 + i)).toSet
+      val deadline = System.currentTimeMillis() + 30000
+      while (HandoffProbe.size < 90) {
+        assert(System.currentTimeMillis() < deadline,
+          s"handoff lost frames: got ${HandoffProbe.size} of 90")
+        Thread.sleep(100); q.processAllAvailable()
+      }
+      val got = HandoffProbe.snapshot
+      assert(got.size == got.toSet.size, "handoff duplicated frames")
+      assert(got.toSet == expected, "handoff delivered a different set")
+    } finally q.stop()
   }
 
   test("truncated/corrupt frames are dropped, later Msgs still decode") {
@@ -244,4 +302,18 @@ class RiemannServerSpec extends SparkSpec {
 object SoakProbe {
   val received =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+}
+
+/** Probe for the handoff test: batches append atomically under a
+  * batchId guard so a replayed batch (foreachBatch is at-least-once
+  * across restarts) never double-counts. */
+object HandoffProbe {
+  private val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+  private var last = -1L
+  def reset(): Unit = synchronized { buf.clear(); last = -1L }
+  def append(id: Long, rows: Seq[(String, Long)]): Unit = synchronized {
+    if (id > last) { buf ++= rows; last = id }
+  }
+  def size: Int = synchronized(buf.size)
+  def snapshot: Seq[(String, Long)] = synchronized(buf.toList)
 }
