@@ -56,7 +56,13 @@ object RiemannProtobuf {
       pos += 4; v
     }
     def bytes(): (Int, Int) = {
-      val len = varint().toInt; val start = pos; pos += len; (start, len)
+      val len = varint().toInt
+      // a corrupt length whose varint overflows toInt negative would
+      // move pos BACKWARDS — the decode loop could revisit the same
+      // bytes forever (a wedged task, not a dropped payload). Throw
+      // into decodeMsgs' payload-isolation net instead.
+      if (len < 0) throw new IllegalArgumentException(s"negative length $len")
+      val start = pos; pos += len; (start, len)
     }
     def string(): String = {
       val (s, l) = bytes(); new String(buf, s, l, StandardCharsets.UTF_8)
@@ -64,7 +70,10 @@ object RiemannProtobuf {
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint()
       case 1 => pos += 8
-      case 2 => val l = varint().toInt; pos += l
+      case 2 =>
+        val l = varint().toInt
+        if (l < 0) throw new IllegalArgumentException(s"negative length $l")
+        pos += l
       case 5 => pos += 4
       case other => throw new IllegalArgumentException(s"wire type $other")
     }

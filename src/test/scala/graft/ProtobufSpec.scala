@@ -1,5 +1,7 @@
 package graft
 
+import org.scalacheck.Gen
+
 import graft.sources.RiemannProtobuf
 import graft.sources.RiemannProtobuf.PEvent
 
@@ -58,6 +60,97 @@ class ProtobufSpec extends SparkSpec {
   test("int32 framing round-trip (tcp.clj int32-frame-decoder)") {
     val msg = RiemannProtobuf.encodeMsg(Seq(full))
     assert(RiemannProtobuf.unframe(RiemannProtobuf.frame(msg)).toSeq == msg.toSeq)
+  }
+
+  // ---------------------------------------------------- property fuzz
+
+  /** Deterministic property driver (IndexParitySpec precedent). */
+  private def forAllN[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(11L)
+    for (_ <- 0 until n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+
+  /** Valid-UTF-8 strings (no unpaired surrogates — the wire is UTF-8
+    * bytes), including empty and escape-heavy shapes; `withNull` adds
+    * the absent-field case. */
+  private def genStr(withNull: Boolean): Gen[String] = {
+    val s = Gen.frequency(
+      1 -> Gen.const(""),
+      8 -> Gen.listOf(Gen.frequency(
+        8 -> Gen.alphaNumChar,
+        2 -> Gen.oneOf('é', '中', 'π', '\n', '"', '\\', ' ')
+      )).map(_.mkString))
+    if (withNull) Gen.frequency(1 -> Gen.const(null: String), 6 -> s) else s
+  }
+
+  private val genEvent: Gen[PEvent] = for {
+    host <- genStr(withNull = true)
+    service <- genStr(withNull = true)
+    state <- genStr(withNull = true)
+    descr <- genStr(withNull = true)
+    metric <- Gen.option(Gen.oneOf(
+      Gen.chooseNum(-1e12, 1e12),
+      Gen.oneOf(0.0, -0.0, Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity, Double.MinPositiveValue)))
+    tags <- Gen.listOf(genStr(withNull = false))
+    // full signed-Long range: negative seconds must survive the
+    // 10-byte varint path
+    time <- Gen.option(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    // ttl is float32 on the wire: generate float-exact doubles so
+    // round-trip equality is identity, not approximation
+    ttl <- Gen.option(Gen.chooseNum(-1e6f, 1e6f).map(_.toDouble))
+    attrs <- Gen.mapOf(Gen.zip(genStr(withNull = false), genStr(withNull = false)))
+  } yield PEvent(host, service, state, descr, metric, tags, time, ttl, attrs)
+
+  /** Bit-level comparison key: Scala's `Some(NaN) == Some(NaN)` is
+    * FALSE (primitive ==), but the wire round-trips NaN bit-exactly —
+    * compare double fields by their raw bits instead. */
+  private def bitKey(e: PEvent) = (e.copy(metric = None, ttl = None),
+    e.metric.map(java.lang.Double.doubleToLongBits),
+    e.ttl.map(java.lang.Double.doubleToLongBits))
+
+  test("property: arbitrary Msgs round-trip the wire format exactly " +
+    "(unicode, empty-vs-null, negative times, NaN/Inf/-0.0 metrics)") {
+    forAllN(Gen.listOfN(3, Gen.resize(12, genEvent)), 300) { evs =>
+      val bytes = RiemannProtobuf.encodeMsg(evs)
+      assert(RiemannProtobuf.decodeMsg(bytes).map(bitKey) == evs.map(bitKey),
+        s"unframed: $evs")
+      assert(RiemannProtobuf.decodeMsg(
+        RiemannProtobuf.unframe(RiemannProtobuf.frame(bytes)))
+        .map(bitKey) == evs.map(bitKey), s"framed: $evs")
+    }
+  }
+
+  test("property: corrupt payloads (bit flips, truncation, random bytes) " +
+    "never escape decodeMsgs' isolation net — and never hang") {
+    // the net in decodeMsgs: RuntimeException | ArrayIndexOutOfBounds.
+    // Anything else (or an infinite loop — see Reader.bytes' negative-
+    // length guard) would wedge a real task instead of dropping the
+    // payload.
+    val genCorrupt: Gen[Array[Byte]] = Gen.oneOf(
+      // mutated valid encoding: flip one byte anywhere
+      for {
+        evs <- Gen.listOfN(2, Gen.resize(6, genEvent))
+        bytes = RiemannProtobuf.encodeMsg(evs)
+        if bytes.nonEmpty
+        pos <- Gen.choose(0, bytes.length - 1)
+        b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+      } yield { val m = bytes.clone(); m(pos) = b; m },
+      // truncated valid encoding
+      for {
+        evs <- Gen.listOfN(2, Gen.resize(6, genEvent))
+        bytes = RiemannProtobuf.encodeMsg(evs)
+        n <- Gen.choose(0, bytes.length)
+      } yield bytes.take(n),
+      // pure noise
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    forAllN(genCorrupt, 600) { bytes =>
+      try { RiemannProtobuf.decodeMsg(bytes); () }
+      catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException => () }
+    }
   }
 
   test("DataFrame adapter decodes framed payloads on executors") {
