@@ -299,7 +299,7 @@ class PropertySpec extends SparkSpec {
     }
     // NaN breaks case-class equality (NaN != NaN); normalize for the check
     def norm(a: Ast): Ast = a match {
-      case DoubleLit(v) if v.isNaN => StrLit(" NaN")
+      case DoubleLit(v) if v.isNaN => StrLit("\u0000NaN")
       case Cmp(o, l, r) => Cmp(o, norm(l), norm(r))
       case LikeMatch(t, p) => LikeMatch(norm(t), p)
       case RegexMatch(t, p) => RegexMatch(norm(t), p)
