@@ -661,12 +661,72 @@ object SparkEntry {
       .filter(col("metric").isNotNull && col("service").isNotNull)
       .withColumn("service", concat(col("service"), lit(" p50")))
       .select(col("event_id"), graft.sinks.Metrics.kairosdbLine.as("line"))
+      .orderBy("event_id")),
+    // ---- r7: sink payload renderers promoted from spec-only to
+    // oracle-gated (slack.clj / boundary.clj / cloudwatch.clj /
+    // zabbix.clj / nagios.clj / xymon.clj). Derived null columns
+    // exercise the nil-rendering paths the oracle can now pin.
+    "q_slack_message" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .select(col("event_id"),
+        graft.sinks.Alerting.slackMessage("riemann", "#ops", ":fire:")
+          .as("body"))
+      .orderBy("event_id")),
+    // the 4-tuple stays aligned with explicit nulls (the boundary.clj
+    // contract) — null host AND null metric rows included
+    "q_boundary_tuple" -> ((s, d) => ev(s, d)
+      .withColumn("host", when(col("event_id") % 7 === 0,
+        lit(null).cast("string")).otherwise(col("host")))
+      .withColumn("metric", when(col("event_id") % 11 === 0,
+        lit(null).cast("double")).otherwise(col("metric")))
+      .withColumn("_mid",
+        graft.sinks.Forwarders.boundarify(col("service"), None))
+      .filter(col("_mid") =!= "")
+      .select(col("event_id"), graft.sinks.Forwarders.boundaryTuple.as("t"))
+      .orderBy("event_id")),
+    // unfiltered: null metric proves cheshire-style explicit-null JSON
+    "q_cloudwatch_datapoint" -> ((s, d) => ev(s, d)
+      .withColumn("metric", when(col("event_id") % 11 === 0,
+        lit(null).cast("double")).otherwise(col("metric")))
+      .select(col("event_id"),
+        graft.sinks.Forwarders.cloudwatchDatapoint.as("dp"))
+      .orderBy("event_id")),
+    "q_zabbix_datapoint" -> ((s, d) => ev(s, d)
+      .withColumn("metric", when(col("event_id") % 11 === 0,
+        lit(null).cast("double")).otherwise(col("metric")))
+      .select(col("event_id"),
+        graft.sinks.Forwarders.zabbixDatapoint.as("dp"))
+      .orderBy("event_id")),
+    // error folds to critical, null state to unknown, nils render ""
+    "q_nagios_line" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .withColumn("state", when(col("event_id") % 3 === 0, lit("error"))
+        .when(col("event_id") % 3 === 1, lit(null).cast("string"))
+        .otherwise(col("state")))
+      .select(col("event_id"),
+        coalesce(col("host"), lit("")).as("nhost"),
+        graft.sinks.Forwarders.nagiosState.as("nstate"),
+        coalesce(col("service"), lit("")).as("nservice"),
+        coalesce(col("description"), lit("")).as("ndesc"))
+      .orderBy("event_id")),
+    "q_xymon_status" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .select(col("event_id"),
+        graft.sinks.Forwarders.xymonStatus.as("status"))
       .orderBy("event_id"))
   )
+
+  /** Derived description for the sink-payload oracles: periodic nulls
+    * (the nil-rendering paths) + slack-escapable characters. */
+  private def withDerivedDesc(df: DataFrame): DataFrame =
+    df.withColumn("description",
+      when(col("event_id") % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("d&<>"), col("event_id").cast("string"))))
 
   // ------------------------------------------------------------ oracle SQL
   /** Shared DuckDB prefix (see EventView.oracleCte). */
   private val cte = EventView.oracleCte
+  /** [[cte]] plus the derived description of [[withDerivedDesc]]. */
+  private val descCte = EventView.oracleCteWith(
+    "CASE WHEN event_id % 5 = 0 THEN NULL " +
+      "ELSE 'd&<>' || CAST(event_id AS VARCHAR) END AS description")
   /** DuckDB replica of [[foldBatches]]: per-(host, 5-event batch)
     * ordered value lists for the product/quotient fold oracles. */
   private val foldCte =
@@ -1262,6 +1322,54 @@ object SparkEntry {
       "'put ' || array_to_string(string_split(service || ' p50', ' '), '.') " +
       "|| ' ' || CAST(time_s * 1000 AS VARCHAR) || ' ' || CAST(CAST(metric AS REAL) AS VARCHAR) " +
       "|| ' host=' || host AS line " +
-      "FROM ev WHERE metric IS NOT NULL AND service IS NOT NULL ORDER BY event_id")
+      "FROM ev WHERE metric IS NOT NULL AND service IS NOT NULL ORDER BY event_id"),
+    // ---- r7 sink payload oracles. descCte mirrors withDerivedDesc.
+    "q_slack_message" -> (s"$descCte, esc AS (SELECT event_id, " +
+      "replace(replace(replace('*Host:* ' || coalesce(host, '-') " +
+      "|| ' *Service:* ' || coalesce(service, '-') " +
+      "|| ' *State:* ' || coalesce(state, '-') " +
+      "|| ' *Description:* ' || coalesce(description, '-') " +
+      "|| ' *Metric:* ' || coalesce(CAST(metric AS VARCHAR), '-'), " +
+      "'&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS fb, " +
+      "replace(replace(replace('Host:   ' || coalesce(host, '-') || chr(10) " +
+      "|| 'Service:   ' || coalesce(service, '-') || chr(10) " +
+      "|| 'State:   ' || coalesce(state, '-') || chr(10) " +
+      "|| 'Description:   ' || coalesce(description, '-') || chr(10) " +
+      "|| 'Metric:   ' || coalesce(CAST(metric AS VARCHAR), '-') || chr(10) " +
+      "|| 'Tags:   [' || array_to_string(list_transform(tags, t -> '\"' || t || '\"'), ' ') || ']' || chr(10), " +
+      "'&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS fv FROM ev) " +
+      "SELECT event_id, to_json({'username': 'riemann', 'channel': '#ops', " +
+      "'icon_emoji': ':fire:', 'attachments': [{'fallback': fb, " +
+      "'fields': [{'title': 'Riemann Event', 'value': fv, 'short': true}]}]}) AS body " +
+      "FROM esc ORDER BY event_id"),
+    "q_boundary_tuple" -> (s"$cte SELECT event_id, '[' " +
+      "|| coalesce(to_json(CASE WHEN event_id % 7 = 0 THEN NULL ELSE host END), 'null') || ',' " +
+      "|| to_json(regexp_replace(upper(regexp_replace(service, '\\s+', '_', 'g')), '[^A-Z0-9_]', '', 'g')) || ',' " +
+      "|| coalesce(to_json(CASE WHEN event_id % 11 = 0 THEN NULL ELSE metric END), 'null') || ',' " +
+      "|| to_json(time_s) || ']' AS t FROM ev " +
+      "WHERE regexp_replace(upper(regexp_replace(service, '\\s+', '_', 'g')), '[^A-Z0-9_]', '', 'g') <> '' " +
+      "ORDER BY event_id"),
+    "q_cloudwatch_datapoint" -> (s"$cte SELECT event_id, " +
+      "to_json({'metric_name': service, " +
+      "'value': CASE WHEN event_id % 11 = 0 THEN NULL ELSE metric END, " +
+      "'dimensions': [{'name': 'Host', 'value': host}]}) AS dp " +
+      "FROM ev ORDER BY event_id"),
+    "q_zabbix_datapoint" -> (s"$cte SELECT event_id, " +
+      "to_json({'host': host, 'key': service, " +
+      "'value': coalesce(CAST(CASE WHEN event_id % 11 = 0 THEN NULL ELSE metric END AS VARCHAR), ''), " +
+      "'clock': time_s}) AS dp FROM ev ORDER BY event_id"),
+    "q_nagios_line" -> (s"$descCte, n AS (SELECT event_id, host, service, description, " +
+      "CASE WHEN event_id % 3 = 0 THEN 'error' WHEN event_id % 3 = 1 THEN NULL ELSE state END AS s2 FROM ev) " +
+      "SELECT event_id, coalesce(host, '') AS nhost, " +
+      "CASE WHEN s2 IN ('ok', 'warning', 'critical') THEN s2 " +
+      "WHEN s2 = 'error' THEN 'critical' ELSE 'unknown' END AS nstate, " +
+      "coalesce(service, '') AS nservice, coalesce(description, '') AS ndesc " +
+      "FROM n ORDER BY event_id"),
+    "q_xymon_status" -> (s"$descCte SELECT event_id, " +
+      "'status' || CASE WHEN ttl IS NOT NULL THEN '+' || CAST(CAST(ceil(ttl / 60) AS BIGINT) AS VARCHAR) ELSE '' END " +
+      "|| ' ' || replace(coalesce(host, ''), '.', ',') || '.' " +
+      "|| regexp_replace(coalesce(service, ''), '(\\.| )', '_', 'g') " +
+      "|| ' ' || coalesce(state, 'unknown') || ' ' || coalesce(description, '') || chr(10) AS status " +
+      "FROM ev ORDER BY event_id")
   )
 }

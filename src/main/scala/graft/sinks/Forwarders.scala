@@ -269,12 +269,19 @@ object Forwarders {
     a.substr(lit(2), length(a) - 2)
   }
 
-  /** boundary.clj:53-105: measurements tuples
-    * [host, METRIC_ID, metric, time] posted as one JSON array with
-    * email:token basic auth. The reference always posts 4-tuples with
-    * explicit nulls, so each element is rendered positionally and
-    * null-safely — never via key-stripped object JSON, which would drop
-    * null fields and misalign the tuple. */
+  /** boundary.clj:53-105 measurement tuple [host, METRIC_ID, metric,
+    * time] — always a 4-tuple with explicit nulls, each element
+    * rendered positionally and null-safely — never via key-stripped
+    * object JSON, which would drop null fields and misalign the tuple.
+    * Assumes a `_mid` column from [[boundarify]]. */
+  def boundaryTuple: Column = concat(lit("["),
+    jsonScalar(col("host")), lit(","),
+    jsonScalar(col("_mid")), lit(","),
+    jsonScalar(col("metric")), lit(","),
+    jsonScalar(col("time_s")), lit("]"))
+
+  /** boundary.clj:53-105: measurements tuples posted as one JSON array
+    * with email:token basic auth. */
   class BoundarySink(email: String, token: String, org: Option[String] = None,
       async: Boolean = false, post: (String, String, String) => Unit)
       extends Sinks.EventSink {
@@ -285,11 +292,7 @@ object Forwarders {
       batch
         .withColumn("_mid", boundarify(col("service"), org))
         .filter(col("_mid") =!= "") // the reference's reject-empty rule
-        .select(concat(lit("["),
-          jsonScalar(col("host")), lit(","),
-          jsonScalar(col("_mid")), lit(","),
-          jsonScalar(col("metric")), lit(","),
-          jsonScalar(col("time_s")), lit("]")).as("t"))
+        .select(boundaryTuple.as("t"))
         .foreachPartition { (rows: Iterator[Row]) =>
           val ts = rows.map(_.getString(0)).mkString(",")
           if (ts.nonEmpty) post(url, auth, s"[$ts]")
