@@ -710,6 +710,117 @@ object SparkEntry {
     "q_xymon_status" -> ((s, d) => withDerivedDesc(ev(s, d))
       .select(col("event_id"),
         graft.sinks.Forwarders.xymonStatus.as("status"))
+      .orderBy("event_id")),
+    // blueflood ingest point; null ttl proves the 30-day default
+    "q_blueflood_point" -> ((s, d) => ev(s, d)
+      .withColumn("ttl", when(col("event_id") % 6 === 0,
+        lit(null).cast("double")).otherwise(col("ttl")))
+      .filter(col("metric").isNotNull)
+      .select(col("event_id"), graft.sinks.Forwarders.bluefloodPoint.as("p"))
+      .orderBy("event_id")),
+    // druid tranquility event: ISO8601 UTC timestamp, explicit nulls
+    "q_druid_event" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .select(col("event_id"), graft.sinks.Forwarders.druidEvent.as("e"))
+      .orderBy("event_id")),
+    // netuitive element: service-with-spaces exercises the dot mapping
+    "q_netuitive_element" -> ((s, d) => ev(s, d)
+      .withColumn("service", concat(col("service"), lit(" p95")))
+      .select(col("event_id"),
+        graft.sinks.Forwarders.netuitiveElement("Riemann").as("e"))
+      .orderBy("event_id")),
+    // shinken ws-arbiter form fields (nils render "")
+    "q_shinken_form" -> ((s, d) => ev(s, d)
+      .select(col("event_id"),
+        col("time_s").cast("string").as("time_stamp"),
+        coalesce(col("host"), lit("")).as("host_name"),
+        coalesce(col("service"), lit("")).as("service_description"),
+        coalesce(col("state"), lit("")).as("return_code"),
+        coalesce(col("metric").cast("string"), lit("")).as("output"))
+      .orderBy("event_id")),
+    // pushover form fields incl. the full state->priority table
+    "q_pushover_fields" -> ((s, d) => ev(s, d)
+      .withColumn("state", when(col("event_id") % 4 === 0, lit("emergency"))
+        .when(col("event_id") % 4 === 1, lit("info"))
+        .otherwise(col("state")))
+      .select(col("event_id"),
+        concat(coalesce(col("host"), lit("")), lit(" "),
+          coalesce(col("service"), lit(""))).as("title"),
+        concat(coalesce(col("host"), lit("")), lit(" "),
+          coalesce(col("service"), lit("")), lit(" is "),
+          coalesce(col("state"), lit("")), lit(" ("),
+          coalesce(col("metric").cast("string"), lit("")), lit(")"))
+          .as("message"),
+        graft.sinks.Notifiers.pushoverPriority.cast("string").as("priority"),
+        col("time_s").cast("string").as("timestamp"))
+      .orderBy("event_id")),
+    // logstash wire JSON; null metric proves the explicit-null field
+    "q_logstash_line" -> ((s, d) => ev(s, d)
+      .withColumn("metric", when(col("event_id") % 11 === 0,
+        lit(null).cast("double")).otherwise(col("metric")))
+      .withColumn("source", col("host"))
+      .select(col("event_id"), graft.sinks.Sinks.cheshireJson(struct(
+        col("host"), col("service"), col("state"), col("metric"),
+        col("time_s"), col("source"))).as("line"))
+      .orderBy("event_id")),
+    // logentries k='v' line; null description drops the leading clause
+    "q_logentries_line" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .select(col("event_id"),
+        graft.sinks.Notifiers.logentriesLine.as("line"))
+      .orderBy("event_id")),
+    // hipchat block + card color (error folds red, null folds yellow)
+    "q_hipchat_message" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .withColumn("state", when(col("event_id") % 3 === 0, lit("error"))
+        .when(col("event_id") % 3 === 1, lit(null).cast("string"))
+        .otherwise(col("state")))
+      .select(col("event_id"),
+        graft.sinks.Notifiers.hipchatMessage.as("msg"),
+        graft.sinks.Notifiers.hipchatColor.as("color"))
+      .orderBy("event_id")),
+    // msteams MessageCard section: explicit-null facts for nil fields
+    "q_msteams_section" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .select(col("event_id"), graft.sinks.Sinks.cheshireJson(
+        graft.sinks.Alerting.msteamsSection).as("section"))
+      .orderBy("event_id")),
+    "q_telegram_text" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .select(col("event_id"),
+        graft.sinks.Alerting.telegramText("Markdown").as("text"))
+      .orderBy("event_id")),
+    // opsgenie body incl. the deterministic md5 alias over
+    // (host, service, sorted tags)
+    "q_opsgenie_body" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .select(col("event_id"), graft.sinks.Alerting.opsgenieBody.as("body"))
+      .orderBy("event_id")),
+    "q_victorops_body" -> ((s, d) => ev(s, d)
+      .select(col("event_id"),
+        graft.sinks.Alerting.victoropsBody("CRITICAL").as("body"))
+      .orderBy("event_id")),
+    "q_pagerduty_v1" -> ((s, d) => ev(s, d)
+      .select(col("event_id"),
+        graft.sinks.Alerting.pagerdutyV1Body("rk", "trigger").as("body"))
+      .orderBy("event_id")),
+    // v2 body: derived dedup-key attribute exercises the element_at
+    // extraction; the seconds-as-millis 1970-era timestamp quirk is
+    // reproduced bit-faithfully on both sides
+    "q_pagerduty_v2" -> ((s, d) => ev(s, d)
+      .withColumn("attributes", map_concat(col("attributes"),
+        map(lit("dedup-key"), concat(lit("dk-"), col("host")))))
+      .select(col("event_id"),
+        graft.sinks.Alerting.pagerdutyV2Body("rk", "trigger").as("body"))
+      .orderBy("event_id")),
+    // stackdriver point: whitespace runs in the name collapse to dots
+    "q_stackdriver_point" -> ((s, d) => ev(s, d)
+      .withColumn("service", concat(col("service"), lit(" x  y")))
+      .filter(col("metric").isNotNull)
+      .select(col("event_id"),
+        graft.sinks.Forwarders.stackdriverPoint.as("p"))
+      .orderBy("event_id")),
+    // keenio event body; null metric proves the explicit-null field
+    "q_keenio_body" -> ((s, d) => ev(s, d)
+      .withColumn("metric", when(col("event_id") % 11 === 0,
+        lit(null).cast("double")).otherwise(col("metric")))
+      .select(col("event_id"), graft.sinks.Sinks.cheshireJson(struct(
+        col("host"), col("service"), col("state"), col("metric"),
+        col("time_s"))).as("body"))
       .orderBy("event_id"))
   )
 
@@ -1370,6 +1481,113 @@ object SparkEntry {
       "|| ' ' || replace(coalesce(host, ''), '.', ',') || '.' " +
       "|| regexp_replace(coalesce(service, ''), '(\\.| )', '_', 'g') " +
       "|| ' ' || coalesce(state, 'unknown') || ' ' || coalesce(description, '') || chr(10) AS status " +
-      "FROM ev ORDER BY event_id")
+      "FROM ev ORDER BY event_id"),
+    "q_blueflood_point" -> (s"$cte SELECT event_id, " +
+      "to_json({'collectionTime': time_s, " +
+      "'ttlInSeconds': coalesce(CAST(CASE WHEN event_id % 6 = 0 THEN NULL ELSE ttl END AS BIGINT), 2592000), " +
+      "'metricValue': metric, 'metricName': host || '.' || service}) AS p " +
+      "FROM ev WHERE metric IS NOT NULL ORDER BY event_id"),
+    "q_druid_event" -> (s"$descCte SELECT event_id, " +
+      "to_json({'host': host, 'service': service, 'state': state, " +
+      "'timestamp': strftime(make_timestamp(time_s * 1000000), '%Y-%m-%dT%H:%M:%S.000') || 'Z', " +
+      "'tags': tags, 'description': description, 'value': metric}) AS e " +
+      "FROM ev ORDER BY event_id"),
+    "q_netuitive_element" -> (s"$cte SELECT event_id, " +
+      "to_json({'id': 'Riemann:' || coalesce(host, ''), 'name': host, 'type': 'Riemann', " +
+      "'metrics': [{'id': mid}], " +
+      "'samples': [{'metricId': mid, 'timestamp': time_s * 1000, 'val': metric}], " +
+      "'tags': list_transform(tags, t -> {'name': t, 'value': 'true'})}) AS e " +
+      "FROM (SELECT *, array_to_string(string_split(coalesce(service || ' p95', ''), ' '), '.') AS mid FROM ev) " +
+      "ORDER BY event_id"),
+    "q_shinken_form" -> (s"$cte SELECT event_id, " +
+      "CAST(time_s AS VARCHAR) AS time_stamp, coalesce(host, '') AS host_name, " +
+      "coalesce(service, '') AS service_description, coalesce(state, '') AS return_code, " +
+      "coalesce(CAST(metric AS VARCHAR), '') AS output FROM ev ORDER BY event_id"),
+    "q_pushover_fields" -> (s"$cte, p AS (SELECT event_id, host, service, metric, time_s, " +
+      "CASE WHEN event_id % 4 = 0 THEN 'emergency' WHEN event_id % 4 = 1 THEN 'info' ELSE state END AS s2 FROM ev) " +
+      "SELECT event_id, coalesce(host, '') || ' ' || coalesce(service, '') AS title, " +
+      "coalesce(host, '') || ' ' || coalesce(service, '') || ' is ' || coalesce(s2, '') " +
+      "|| ' (' || coalesce(CAST(metric AS VARCHAR), '') || ')' AS message, " +
+      "CAST(CASE WHEN s2 IN ('ok', 'error') THEN 0 WHEN s2 = 'info' THEN -2 " +
+      "WHEN s2 = 'warning' THEN -1 WHEN s2 = 'critical' THEN 1 " +
+      "WHEN s2 = 'emergency' THEN 2 ELSE -1 END AS VARCHAR) AS priority, " +
+      "CAST(time_s AS VARCHAR) AS timestamp FROM p ORDER BY event_id"),
+    "q_logstash_line" -> (s"$cte SELECT event_id, " +
+      "to_json({'host': host, 'service': service, 'state': state, " +
+      "'metric': CASE WHEN event_id % 11 = 0 THEN NULL ELSE metric END, " +
+      "'time_s': time_s, 'source': host}) AS line FROM ev ORDER BY event_id"),
+    "q_logentries_line" -> (s"$descCte SELECT event_id, " +
+      "CASE WHEN description IS NOT NULL THEN description || ',' ELSE '' END " +
+      "|| ' host=''' || coalesce(host, '') || ''' service=''' || coalesce(service, '') " +
+      "|| ''' state=''' || coalesce(state, '') || ''' metric=''' || coalesce(CAST(metric AS VARCHAR), '') " +
+      "|| ''' time=''' || CAST(time_s AS VARCHAR) || '''' AS line FROM ev ORDER BY event_id"),
+    "q_hipchat_message" -> (s"$descCte, h AS (SELECT event_id, host, service, metric, description, " +
+      "CASE WHEN event_id % 3 = 0 THEN 'error' WHEN event_id % 3 = 1 THEN NULL ELSE state END AS s2 FROM ev) " +
+      "SELECT event_id, 'Host: ' || coalesce(host, '') || ' ' || chr(10) " +
+      "|| 'Service: ' || coalesce(service, '') || ' ' || chr(10) " +
+      "|| 'State: ' || coalesce(s2, '') || ' ' || chr(10) " +
+      "|| 'Metric: ' || coalesce(CAST(metric AS VARCHAR), '') || ' ' || chr(10) " +
+      "|| 'Description: ' || coalesce(description, '') AS msg, " +
+      "CASE WHEN s2 = 'ok' THEN 'green' WHEN s2 IN ('critical', 'error') THEN 'red' " +
+      "ELSE 'yellow' END AS color FROM h ORDER BY event_id"),
+    "q_msteams_section" -> (s"$descCte SELECT event_id, " +
+      "to_json({'title': coalesce(service, '') || ' is ' || coalesce(state, ''), " +
+      "'facts': [{'name': 'Service', 'value': service}, {'name': 'Host', 'value': host}, " +
+      "{'name': 'Metric', 'value': CAST(metric AS VARCHAR)}, {'name': 'State', 'value': state}, " +
+      "{'name': 'Description', 'value': description}, " +
+      "{'name': 'Tags', 'value': array_to_string(tags, ', ')}]}) AS section " +
+      "FROM ev ORDER BY event_id"),
+    "q_telegram_text" -> (s"$descCte SELECT event_id, " +
+      "'*Host:* ' || coalesce(host, '-') || chr(10) " +
+      "|| '*Service:* ' || coalesce(service, '-') || chr(10) " +
+      "|| '*State:* ' || coalesce(state, '-') || chr(10) " +
+      "|| '*Metric:* ' || coalesce(CAST(metric AS VARCHAR), '-') || chr(10) " +
+      "|| '*Description:* ' || coalesce(description, '-') AS text " +
+      "FROM ev ORDER BY event_id"),
+    "q_opsgenie_body" -> {
+      val sep = "￿" // opsgenie.clj:43 joiner
+      s"$descCte SELECT event_id, " +
+        "to_json({'message': coalesce(host, '') || ': [' || coalesce(state, '') || '] ' || coalesce(service, ''), " +
+        "'description': 'Host: ' || coalesce(host, '') || ' ' || chr(10) " +
+        "|| 'Service: ' || coalesce(service, '') || ' ' || chr(10) " +
+        "|| 'State: ' || coalesce(state, '') || ' ' || chr(10) " +
+        "|| 'Metric: ' || coalesce(CAST(metric AS VARCHAR), '') || ' ' || chr(10) " +
+        "|| 'Description: ' || coalesce(description, ''), " +
+        s"'alias': substr(md5(host || '$sep' || service || '$sep' || array_to_string(list_sort(tags), '$sep')), 1, 15), " +
+        "'user': 'Riemann', 'tags': tags}) AS body FROM ev ORDER BY event_id"
+    },
+    "q_victorops_body" -> (s"$cte SELECT event_id, " +
+      "to_json({'message_type': 'CRITICAL', " +
+      "'entity_id': coalesce(host, '') || '/' || coalesce(service, ''), " +
+      "'timestamp': time_s, 'state_start_time': time_s, " +
+      "'state_message': coalesce(host, '') || ' ' || coalesce(service, '') || ' is ' " +
+      "|| coalesce(state, '') || ' (' || coalesce(CAST(metric AS VARCHAR), '') || ')', " +
+      "'entity_is_host': false, 'monitoring_tool': 'riemann'}) AS body " +
+      "FROM ev ORDER BY event_id"),
+    "q_pagerduty_v1" -> (s"$cte SELECT event_id, " +
+      "to_json({'service_key': 'rk', 'event_type': 'trigger', " +
+      "'incident_key': coalesce(host, '') || ' ' || coalesce(service, ''), " +
+      "'description': coalesce(host, '') || ' ' || coalesce(service, '') || ' is ' " +
+      "|| coalesce(state, '') || ' (' || coalesce(CAST(metric AS VARCHAR), '') || ')', " +
+      "'details': CAST(to_json({'host': host, 'service': service, 'state': state, " +
+      "'metric': metric, 'time_s': time_s}) AS VARCHAR)}) AS body " +
+      "FROM ev ORDER BY event_id"),
+    "q_pagerduty_v2" -> (s"$cte SELECT event_id, " +
+      "to_json({'routing_key': 'rk', 'event_action': 'trigger', " +
+      "'payload': {'summary': coalesce(host, '') || ' - ' || coalesce(service, '') || ' is ' " +
+      "|| coalesce(state, '') || ' (' || coalesce(CAST(metric AS VARCHAR), '') || ')', " +
+      "'source': host, 'severity': state, " +
+      "'timestamp': strftime(make_timestamp(time_s * 1000), '%Y-%m-%dT%H:%M:%S.%g') || 'Z', " +
+      "'custom_details': CAST(to_json({'host': host, 'service': service, 'state': state, " +
+      "'metric': metric, 'time_s': time_s}) AS VARCHAR)}, " +
+      "'dedup_key': 'dk-' || host}) AS body FROM ev ORDER BY event_id"),
+    "q_stackdriver_point" -> (s"$cte SELECT event_id, " +
+      "to_json({'name': regexp_replace(service || ' x  y', '\\s+', '.', 'g'), " +
+      "'value': metric, 'collected_at': time_s}) AS p " +
+      "FROM ev WHERE metric IS NOT NULL ORDER BY event_id"),
+    "q_keenio_body" -> (s"$cte SELECT event_id, " +
+      "to_json({'host': host, 'service': service, 'state': state, " +
+      "'metric': CASE WHEN event_id % 11 = 0 THEN NULL ELSE metric END, " +
+      "'time_s': time_s}) AS body FROM ev ORDER BY event_id")
   )
 }
