@@ -41,12 +41,12 @@ import graft.streaming.{CombineStreams, IndexProcessor, RateProcessor,
   * and the index end-state equals the BATCH oracle ([[Index.liveAt]] /
   * [[Index.expiredAt]] / [[Index.delete]]) over the same events.
   *
-  * Restarts are drain-then-stop: the riemann-server source's documented
-  * delivery contract is at-most-once across restarts (frames die with
-  * the in-memory buffer, RiemannServers.scala:39-42), so the soak
-  * quiesces each phase before killing the queries — state-store
-  * recovery, not wire redelivery, is what is under test here (the wire
-  * restart path has its own soak in RiemannServerSpec). */
+  * Restarts are drain-then-stop: state-store recovery, not wire
+  * redelivery, is what is under test here — the wire restart path
+  * (in-process handoff of acked frames via RiemannServers.parked,
+  * at-most-once only across JVM death) has its own soak in
+  * RiemannServerSpec, and the flatMapGroupsWithState family has its
+  * own kill-and-restart coverage in SoakStatefulSpec. */
 class SoakSpec extends SparkSpec {
 
   import SoakChaos._
