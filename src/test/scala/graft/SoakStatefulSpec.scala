@@ -19,7 +19,11 @@ import graft.streaming.{SEvent, StatefulOps}
   *   - sreduce (+): the running sum spans phases;
   *   - throttle: phase 1 exhausts a bucket's quota, phase 2 sends more
   *     of the SAME event-time bucket — a reset count would leak them;
-  *   - ewma-timeless: the accumulator value spans phases.
+  *   - ewma-timeless: the accumulator value spans phases;
+  *   - ddt: the phase-2 derivative is against the phase-1 last event —
+  *     a reset prev would swallow the emission;
+  *   - fixed/moving event windows: a partial buffer filled before a
+  *     restart completes/extends after it.
   * Probes append under a batchId guard, so a replayed first batch after
   * recovery (foreachBatch is at-least-once) never double-counts. */
 class SoakStatefulSpec extends SparkSpec {
@@ -29,8 +33,8 @@ class SoakStatefulSpec extends SparkSpec {
   private def se(state: String, m: Double, t: Long) =
     SEvent("h1", "s", state, Some(m), new java.sql.Timestamp(t * 1000L), None)
 
-  test("stateful-op chaos: changed/sreduce/throttle/ewma state survives " +
-    "2 kill-and-restarts on RocksDB") {
+  test("stateful-op chaos: changed/sreduce/throttle/ewma/ddt + event-window " +
+    "buffers survive 2 kill-and-restarts on RocksDB") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val sp = spark
@@ -38,22 +42,33 @@ class SoakStatefulSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     StatefulChaos.reset()
 
-    val ops = Seq("changed", "sreduce", "throttle", "ewma")
-    val streams = ops.map(op => op -> MemoryStream[SEvent]).toMap
-    val ckpts = ops.map(op => op -> java.nio.file.Files
+    val ops = Seq("changed", "sreduce", "throttle", "ewma", "ddt")
+    val winOps = Seq("fixedwin", "movingwin")
+    val streams = (ops ++ winOps).map(op => op -> MemoryStream[SEvent]).toMap
+    val ckpts = (ops ++ winOps).map(op => op -> java.nio.file.Files
       .createTempDirectory(s"soak_stateful_$op").toString).toMap
-    def startAll() = ops.map { op =>
+    def startAll() = (ops.map { op =>
       val ds: Dataset[SEvent] = op match {
         case "changed" => StatefulOps.changedState(streams(op).toDS())
         case "sreduce" => StatefulOps.sreduce(streams(op).toDS(), 0.0, _ + _)
         case "throttle" => StatefulOps.throttle(streams(op).toDS(), 2, 60)
         case "ewma" => StatefulOps.ewmaTimeless(streams(op).toDS(), 0.5)
+        case "ddt" => StatefulOps.ddt(streams(op).toDS())
       }
       op -> ds.writeStream.outputMode("append")
         .option("checkpointLocation", ckpts(op))
         .foreachBatch(StatefulChaos.probe(op) _)
         .queryName(s"soak_$op").start()
-    }.toMap
+    } ++ winOps.map { op =>
+      val ds: Dataset[Seq[SEvent]] = op match {
+        case "fixedwin" => StatefulOps.fixedEventWindow(streams(op).toDS(), 3)
+        case "movingwin" => StatefulOps.movingEventWindow(streams(op).toDS(), 3)
+      }
+      op -> ds.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpts(op))
+        .foreachBatch(StatefulChaos.probeWin(op) _)
+        .queryName(s"soak_$op").start()
+    }).toMap
 
     val phases: Seq[Map[String, Seq[SEvent]]] = Seq(
       Map( // phase 1
@@ -61,17 +76,28 @@ class SoakStatefulSpec extends SparkSpec {
         "sreduce" -> Seq(se("ok", 1, 100), se("ok", 2, 110)),
         // bucket 120/60=2 for t in [120,180): quota of 2 exhausted here
         "throttle" -> Seq(se("ok", 1, 120), se("ok", 2, 125), se("ok", 3, 130)),
-        "ewma" -> Seq(se("ok", 4, 100))),
+        "ewma" -> Seq(se("ok", 4, 100)),
+        "ddt" -> Seq(se("ok", 1, 100), se("ok", 3, 110)),
+        "fixedwin" -> Seq(se("ok", 1, 100), se("ok", 2, 110)), // partial 2/3
+        "movingwin" -> Seq(se("ok", 1, 100), se("ok", 2, 110))),
       Map( // phase 2 — state from phase 1 must still be live
         "changed" -> Seq(se("ok", 3, 120), se("critical", 4, 130)),
         "sreduce" -> Seq(se("ok", 4, 120)),
         "throttle" -> Seq(se("ok", 4, 135), se("ok", 5, 140)), // same bucket
-        "ewma" -> Seq(se("ok", 4, 110))),
+        "ewma" -> Seq(se("ok", 4, 110)),
+        "ddt" -> Seq(se("ok", 6, 120)), // (6-3)/10 only if prev recovered
+        // the recovered 2-event buffer completes here — a reset
+        // operator would instead wait for two more events
+        "fixedwin" -> Seq(se("ok", 3, 120), se("ok", 4, 130)),
+        "movingwin" -> Seq(se("ok", 3, 120), se("ok", 4, 130))),
       Map( // phase 3 — and again after a second restart
         "changed" -> Seq(se("critical", 5, 140), se("ok", 6, 150)),
         "sreduce" -> Seq(se("ok", 5, 130)),
         "throttle" -> Seq(se("ok", 6, 200)), // new bucket 200/60=3
-        "ewma" -> Seq(se("ok", 4, 120))))
+        "ewma" -> Seq(se("ok", 4, 120)),
+        "ddt" -> Seq(se("ok", 6, 130)), // flat: derivative 0
+        "fixedwin" -> Seq(se("ok", 5, 140), se("ok", 6, 150)),
+        "movingwin" -> Seq(se("ok", 5, 140))))
 
     phases.zipWithIndex.foreach { case (phase, i) =>
       val queries = startAll() // phase 0 starts fresh; later ones recover
@@ -93,6 +119,14 @@ class SoakStatefulSpec extends SparkSpec {
       Seq(120L, 125L, 200L))
     // ewma r=0.5 from 0: 2 | 3 | 3.5
     assert(got("ewma").flatMap(_.metric) == Seq(2.0, 3.0, 3.5))
+    // ddt: (3-1)/10 | (6-3)/10 across the restart | flat 0 — a reset
+    // prev would swallow the phase-2 emission entirely
+    assert(got("ddt").flatMap(_.metric) == Seq(0.2, 0.3, 0.0))
+    // fixed window n=3: the phase-1 partial buffer completes in phase 2
+    assert(gotWin("fixedwin") == Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)))
+    // moving window n=3: phase-2/3 windows reach back across restarts
+    assert(gotWin("movingwin") == Seq(Seq(1.0), Seq(1.0, 2.0),
+      Seq(1.0, 2.0, 3.0), Seq(2.0, 3.0, 4.0), Seq(3.0, 4.0, 5.0)))
   }
 }
 
@@ -102,7 +136,8 @@ object StatefulChaos {
   private val outs =
     scala.collection.mutable.Map[String, ArrayBuffer[SEvent]]()
   private val lastBatch = scala.collection.mutable.Map[String, Long]()
-  def reset(): Unit = synchronized { outs.clear(); lastBatch.clear() }
+  def reset(): Unit =
+    synchronized { outs.clear(); winOuts.clear(); lastBatch.clear() }
   def probe(op: String)(b: Dataset[SEvent], id: Long): Unit = {
     val rows = b.collect().toSeq // stage outside the guard
     synchronized {
@@ -114,5 +149,21 @@ object StatefulChaos {
   }
   def got(op: String): Seq[SEvent] = synchronized {
     outs.getOrElse(op, ArrayBuffer()).sortBy(_.time.getTime).toList
+  }
+
+  private val winOuts =
+    scala.collection.mutable.Map[String, ArrayBuffer[Seq[Double]]]()
+  def probeWin(op: String)(b: Dataset[Seq[SEvent]], id: Long): Unit = {
+    val rows = b.collect().toSeq.map(_.flatMap(_.metric).toSeq)
+    synchronized {
+      if (id > lastBatch.getOrElse(op, -1L)) {
+        winOuts.getOrElseUpdate(op, ArrayBuffer()) ++= rows
+        lastBatch(op) = id
+      }
+    }
+  }
+  /** Windows ordered by their last element (arrival order per key). */
+  def gotWin(op: String): Seq[Seq[Double]] = synchronized {
+    winOuts.getOrElse(op, ArrayBuffer()).sortBy(w => w.lastOption.getOrElse(0.0)).toList
   }
 }
