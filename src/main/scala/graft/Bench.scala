@@ -131,8 +131,11 @@ object Bench {
     // stable, self-describing copy for the driver round artifact: the
     // driver's BENCH_r{N}.json capture truncates long stdout tails, so
     // anything reading the round artifact can fall back to this file
-    // instead of regexing a partial line (r6 judge request)
-    save(s"BENCH_parsed$sfTag.json")
+    // instead of regexing a partial line (r6 judge request). Subset
+    // runs (SPARK_GRAFT_ONLY) must not clobber it — a partial artifact
+    // would masquerade as the full measurement (bench_last keeps the
+    // subset result for local spot-checks)
+    if (only.isEmpty) save(s"BENCH_parsed$sfTag.json")
     // "idle" = the machine had < half a core of competing load per 8
     // cores when the run began (loadavg is the only portable signal);
     // subset runs (SPARK_GRAFT_ONLY) never qualify — a partial

@@ -41,18 +41,28 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def maxOf(df: DataFrame, k: String): Long =
+      df.agg(max(col(k))).head.getLong(0)
+
     /** Union `factor` replicas, shifting each key column by
-      * replica * (max+1) so replicas never collide. */
+      * replica * span so replicas never collide. A key that is a JOIN
+      * key across tables MUST use the same span on every table carrying
+      * it (spanOverride) — per-table `max+1` spans silently misalign
+      * foreign keys whenever the two sides' maxima differ (e.g. TPC-H's
+      * orderless customers), pointing every replica's orders at wrong
+      * or missing customers. */
     def replicate(df: DataFrame, keys: Seq[String],
+        spanOverride: Map[String, Long] = Map.empty,
         perReplica: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
       val spans = keys.map(k =>
-        k -> (df.agg(max(col(k))).head.getLong(0) + 1L)).toMap
+        k -> spanOverride.getOrElse(k, maxOf(df, k) + 1L)).toMap
       (0 until factor).map { i =>
         val shifted = keys.foldLeft(df)((d, k) =>
           d.withColumn(k, col(k) + lit(i * spans(k))))
         perReplica(shifted, i)
       }.reduce(_ unionAll _)
     }
+
 
     def write(name: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -61,16 +71,29 @@ object ScaleUp {
 
     def rd(name: String) = spark.read.parquet(s"$src/$name.parquet")
 
+    // shared spans for FK-linked keys: greatest max across all tables
+    // carrying the logical key
+    val custSpan = math.max(maxOf(rd("customer"), "c_custkey"),
+      maxOf(rd("orders"), "o_custkey")) + 1L
+    val suppSpan = math.max(maxOf(rd("supplier"), "s_suppkey"),
+      maxOf(rd("lineitem"), "l_suppkey")) + 1L
+    val orderSpan = math.max(maxOf(rd("orders"), "o_orderkey"),
+      maxOf(rd("lineitem"), "l_orderkey")) + 1L
+
     write("events", replicate(rd("events"), Seq("event_id", "user_id")))
     write("documents", replicate(rd("documents"), Seq("doc_id"),
-      (d, i) => if (i == 0) d
+      perReplica = (d, i) => if (i == 0) d
       else d.withColumn("text", concat(col("text"), lit(s" replica$i")))
         .withColumn("n_chars", col("n_chars") + lit(s" replica$i".length))))
     write("embeddings", replicate(rd("embeddings"), Seq("vec_id")))
-    write("lineitem", replicate(rd("lineitem"), Seq("l_orderkey", "l_suppkey")))
-    write("orders", replicate(rd("orders"), Seq("o_orderkey", "o_custkey")))
-    write("customer", replicate(rd("customer"), Seq("c_custkey")))
-    write("supplier", replicate(rd("supplier"), Seq("s_suppkey")))
+    write("lineitem", replicate(rd("lineitem"), Seq("l_orderkey", "l_suppkey"),
+      Map("l_orderkey" -> orderSpan, "l_suppkey" -> suppSpan)))
+    write("orders", replicate(rd("orders"), Seq("o_orderkey", "o_custkey"),
+      Map("o_orderkey" -> orderSpan, "o_custkey" -> custSpan)))
+    write("customer", replicate(rd("customer"), Seq("c_custkey"),
+      Map("c_custkey" -> custSpan)))
+    write("supplier", replicate(rd("supplier"), Seq("s_suppkey"),
+      Map("s_suppkey" -> suppSpan)))
     Seq("nation", "region", "part").foreach(t => write(t, rd(t)))
     spark.stop()
   }

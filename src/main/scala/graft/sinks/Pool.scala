@@ -80,7 +80,21 @@ object Pool {
       t.start()
     }
 
-    if (blockStart) (1 to size).foreach(_ => grow())
+    /** blockStart tries each slot's open ONCE synchronously (so a
+      * healthy downstream yields a fully-connected pool before the
+      * constructor returns) and hands failures to the async regen loop
+      * — a downstream that is down at first use must degrade to claim
+      * timeouts, not wedge the constructing task in grow() forever
+      * (`closed` can't even be set until the constructor returns). */
+    if (blockStart) (1 to size).foreach { _ =>
+      val opened =
+        try Some(open())
+        catch { case NonFatal(_) => None }
+      opened match {
+        case Some(a) => queue.put(a); if (closed) drainAndClose()
+        case None => growAsync()
+      }
+    }
     else (1 to size).foreach(_ => growAsync())
 
     /** Resources currently idle in the pool (diagnostics/tests). */
@@ -92,7 +106,14 @@ object Pool {
       a
     }
 
-    def release(a: A): Unit = if (a != null) queue.put(a)
+    /** Return a claimed resource; after shutdown the pool is drained,
+      * so re-queue and immediately re-drain (grow()'s race pattern) —
+      * otherwise a release racing shutdown would park a live
+      * connection in an orphaned queue, unclosed forever. */
+    def release(a: A): Unit = if (a != null) {
+      queue.put(a)
+      if (closed) drainAndClose()
+    }
 
     def invalidate(a: A): Unit = if (a != null) {
       try close(a)
@@ -141,11 +162,21 @@ object Pool {
   private[sinks] def poolFor[A <: AnyRef](
       id: String, open: () => A, close: A => Unit, size: Int,
       regenerateIntervalMs: Long, blockStart: Boolean): FixedPool[A] =
-    pools.getOrElseUpdate(id,
-      new FixedPool[AnyRef](
-        () => open(), a => close(a.asInstanceOf[A]), size,
-        regenerateIntervalMs, blockStart)
-      ).asInstanceOf[FixedPool[A]]
+    (pools.get(id) match {
+      case Some(p) => p
+      case None =>
+        // getOrElseUpdate evaluates its thunk OUTSIDE the atomic
+        // insert: two first-use tasks racing would each open `size`
+        // real connections and leak the loser's. Insert atomically and
+        // shut the loser down.
+        val fresh = new FixedPool[AnyRef](
+          () => open(), a => close(a.asInstanceOf[A]), size,
+          regenerateIntervalMs, blockStart)
+        pools.putIfAbsent(id, fresh) match {
+          case None => fresh
+          case Some(existing) => fresh.shutdown(); existing
+        }
+    }).asInstanceOf[FixedPool[A]]
 
   /** Drop (and close) the pool registered under `id` — tests and
     * explicit teardown. */
@@ -188,8 +219,10 @@ object Pool {
           pool.withResource(claimTimeoutMs)(c => send(c, buffered.iterator))
           done = true
         } catch {
-          case e: Throwable if attempt < retries =>
-            attempt += 1
+          // NonFatal only: an interrupt (Spark task kill) or a fatal VM
+          // error must propagate, not be retried against a downstream
+          // the task was told to abandon
+          case NonFatal(_) if attempt < retries => attempt += 1
         }
       }
     }

@@ -56,12 +56,16 @@ object RiemannProtobuf {
       pos += 4; v
     }
     def bytes(): (Int, Int) = {
-      val len = varint().toInt
-      // a corrupt length whose varint overflows toInt negative would
-      // move pos BACKWARDS — the decode loop could revisit the same
-      // bytes forever (a wedged task, not a dropped payload). Throw
-      // into decodeMsgs' payload-isolation net instead.
-      if (len < 0) throw new IllegalArgumentException(s"negative length $len")
+      val len64 = varint()
+      // guard the 64-bit value, not its truncation: toInt of e.g.
+      // 2^32+5 is a plausible-looking 5 that silently mis-aligns the
+      // parse, and a negative truncation would move pos BACKWARDS —
+      // the decode loop could revisit the same bytes forever (a wedged
+      // task, not a dropped payload). Throw into decodeMsgs'
+      // payload-isolation net instead.
+      if (len64 < 0 || len64 > end.toLong)
+        throw new IllegalArgumentException(s"bad field length $len64")
+      val len = len64.toInt
       val start = pos; pos += len; (start, len)
     }
     def string(): String = {
@@ -71,9 +75,10 @@ object RiemannProtobuf {
       case 0 => varint()
       case 1 => pos += 8
       case 2 =>
-        val l = varint().toInt
-        if (l < 0) throw new IllegalArgumentException(s"negative length $l")
-        pos += l
+        val l = varint()
+        if (l < 0 || l > end.toLong)
+          throw new IllegalArgumentException(s"bad field length $l")
+        pos += l.toInt
       case 5 => pos += 4
       case other => throw new IllegalArgumentException(s"wire type $other")
     }

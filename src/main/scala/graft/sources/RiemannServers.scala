@@ -77,7 +77,18 @@ object RiemannServers {
     * JVM crash still drops the in-memory tail (at-most-once across
     * process death; front with Kafka for replay). Memory is bounded by
     * `capacity` frames per parked address, and an entry is consumed by
-    * the next bind. */
+    * the next bind.
+    *
+    * Contract: the successor is assumed to CONTINUE the predecessor's
+    * checkpoint (a query restart / Core reload — the in-process paths
+    * that rebind an address). A successor on a FRESH or different
+    * checkpoint re-delivers the whole adopted buffer, including any
+    * prefix the old checkpoint had committed: deleting a checkpoint is
+    * an explicit request to reprocess, so that boundary is
+    * at-least-once (same contract as re-reading Kafka with a new
+    * group). If no successor ever binds, the one parked entry stays
+    * until process exit — bounded per address; a long-lived JVM should
+    * keep stable ports per stream rather than cycling fresh ones. */
   private[sources] val parked =
     new java.util.concurrent.ConcurrentHashMap[String, (ArrayBuffer[(Array[Byte], Long)], Long)]()
 }

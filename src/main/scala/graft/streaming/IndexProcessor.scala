@@ -37,16 +37,12 @@ class IndexProcessor(keepKeys: Set[String] = IndexProcessor.DefaultKeep,
     // deletes (config.clj:258-271 delete-from-index, marked by the
     // `deleteState` convention) interleave with inserts in event-time
     // order: a delete drops the entry and its timer, emits nothing, and
-    // a later insert re-creates the key. Ties on time are broken by a
-    // TOTAL order over every non-key field — (metric presence, metric,
-    // state, ttl presence, ttl) — so shuffle arrival order can never
-    // decide the winner: metric None sorts below Some(0.0) instead of
-    // conflating with it, and events equal on (time, metric, state) but
-    // differing in ttl still land deterministically. The rule: the
-    // greatest row in this total order wins (the LAST in sorted order).
-    def totalKey(e: SEvent) =
-      (e.time.getTime, e.metric.isDefined, e.metric.getOrElse(0.0),
-        Option(e.state).getOrElse(""), e.ttl.isDefined, e.ttl.getOrElse(0.0))
+    // a later insert re-creates the key. Ties on time are broken by
+    // [[SEvent.totalKey]] — the SHARED total order over every non-key
+    // field, so shuffle arrival order can never decide the winner and
+    // StreamingIndex agrees event-for-event. The rule: the greatest
+    // row in this total order wins (the LAST in sorted order).
+    def totalKey(e: SEvent) = SEvent.totalKey(e)
     val rs = rows.toSeq.sortBy(totalKey)
     var cur = Option(latest.get())
     for (e <- rs) {

@@ -13,6 +13,20 @@ case class SEvent(
     time: java.sql.Timestamp,
     ttl: Option[Double])
 
+object SEvent {
+  /** TOTAL order over every non-key field for same-key latest-wins
+    * ties — (time, metric presence, metric, state, ttl presence, ttl).
+    * Both index forms ([[StreamingIndex]], [[IndexProcessor]]) break
+    * ties with THIS key so shuffle arrival order can never decide the
+    * winner and the two implementations agree event-for-event: metric
+    * None sorts below Some(0.0) instead of conflating with it, and
+    * events equal on (time, metric, state) but differing in ttl still
+    * land deterministically. */
+  def totalKey(e: SEvent): (Long, Boolean, Double, String, Boolean, Double) =
+    (e.time.getTime, e.metric.isDefined, e.metric.getOrElse(0.0),
+      Option(e.state).getOrElse(""), e.ttl.isDefined, e.ttl.getOrElse(0.0))
+}
+
 /** The riemann index as Structured Streaming keyed state
   * (reference src/riemann/index.clj:58-126): latest event per
   * [host, service], with the reaper (src/riemann/core.clj:276-309,
@@ -59,8 +73,12 @@ object StreamingIndex {
               Iterator.empty
             }
           } else {
+            // same total order as IndexProcessor (SEvent.totalKey):
+            // maxBy keeps the first maximal element, so an exact
+            // full-key duplicate of the stored event keeps the stored
+            // one — identical semantics in both implementations
             val latest = (state.getOption.iterator ++ rows)
-              .maxBy(e => (e.time.getTime, e.metric.getOrElse(0.0)))
+              .maxBy(SEvent.totalKey)
             state.update(latest)
             latest.ttl.foreach { t =>
               val deadline = latest.time.getTime + (t * 1000).toLong

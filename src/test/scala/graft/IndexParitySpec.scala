@@ -114,4 +114,45 @@ class IndexParitySpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("tie-break corners: both streaming indexes pick the SAME winner " +
+    "(metric None vs Some, ttl-presence, state on exact time ties)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark0 = spark
+    import spark0.implicits._
+    def se(state: String, m: Option[Double], ttl: Option[Double]) =
+      SEvent("h", "s", state, m, ts(100), ttl)
+    def winner(wire: org.apache.spark.sql.Dataset[SEvent] =>
+        org.apache.spark.sql.Dataset[SEvent], name: String,
+        evs: Seq[SEvent]): SEvent = {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[SEvent]
+      val q = wire(input.toDS()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        input.addData(evs)
+        q.processAllAvailable()
+        val rows = spark.table(name).as[SEvent].collect()
+        assert(rows.length == 1, s"$name emitted ${rows.length} rows")
+        rows.head
+      } finally q.stop()
+    }
+    val corners = Seq(
+      // metric None must lose to Some(-1.0), not conflate with 0.0
+      Seq(se("ok", None, None), se("ok", Some(-1.0), None)),
+      // exact (time, metric, state) tie: ttl presence decides — the
+      // immortal event must not silently win in one impl only
+      Seq(se("ok", Some(1.0), None), se("ok", Some(1.0), Some(5000.0))),
+      // state breaks a (time, metric) tie identically
+      Seq(se("b", Some(1.0), None), se("a", Some(1.0), None)))
+    try corners.zipWithIndex.foreach { case (evs, i) =>
+      val gs = winner(StreamingIndex(_), s"corner_gs_$i", evs)
+      val tws = winner(IndexProcessor(_), s"corner_tws_$i", evs)
+      val expect = evs.maxBy(SEvent.totalKey)
+      assert(gs == expect, s"StreamingIndex corner $i picked $gs")
+      assert(tws == expect, s"IndexProcessor corner $i picked $tws")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

@@ -73,6 +73,35 @@ class PoolSpec extends SparkSpec {
     pool.shutdown()
   }
 
+  test("fixed-pool: blockStart with a dead downstream returns promptly, " +
+    "degrades to claim timeouts, and recovers via the regen loop") {
+    val down = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val t0 = System.currentTimeMillis()
+    val pool = new Pool.FixedPool[FakeConn](
+      () => { if (down.get) throw new java.io.IOException("down")
+        else new FakeConn },
+      _ => (), size = 2, regenerateIntervalMs = 10, blockStart = true)
+    // the constructor must NOT wedge in grow() retrying a dead open
+    assert(System.currentTimeMillis() - t0 < 2000, "constructor wedged")
+    intercept[Pool.PoolTimeoutException](pool.claim(50))
+    down.set(false) // downstream comes back: async regen refills
+    assert(awaitTrue(3000)(pool.available == 2), "regen never refilled")
+    pool.shutdown()
+  }
+
+  test("fixed-pool: a release racing shutdown closes the resource " +
+    "instead of parking it in the orphaned queue") {
+    val closeN = new AtomicInteger(0)
+    val pool = new Pool.FixedPool[FakeConn](
+      () => new FakeConn, _ => { closeN.incrementAndGet(); () },
+      size = 1, regenerateIntervalMs = 10, blockStart = true)
+    val a = pool.claim(100)
+    pool.shutdown() // drains the (empty) queue; a is still claimed
+    pool.release(a)
+    assert(closeN.get == 1, "released-after-shutdown resource not closed")
+    assert(pool.available == 0)
+  }
+
   test("with-pool: releases on success, invalidates + rethrows on failure (pool.clj:95-117)") {
     val closeN = new AtomicInteger(0)
     val pool = new Pool.FixedPool[FakeConn](

@@ -57,6 +57,14 @@ class ProtobufSpec extends SparkSpec {
     out.toArray
   }
 
+  test("64-bit field length overflowing toInt is rejected, not misparsed") {
+    // Msg field 6 (0x32) with length varint 2^32+5 (bytes 85 80 80 80
+    // 10): a toInt guard would see a plausible 5 and misalign the parse
+    val msg = Array[Byte](0x32, 0x85.toByte, 0x80.toByte, 0x80.toByte,
+      0x80.toByte, 0x10) ++ Array.fill(5)(0x1a.toByte)
+    intercept[IllegalArgumentException](RiemannProtobuf.decodeMsg(msg))
+  }
+
   test("int32 framing round-trip (tcp.clj int32-frame-decoder)") {
     val msg = RiemannProtobuf.encodeMsg(Seq(full))
     assert(RiemannProtobuf.unframe(RiemannProtobuf.frame(msg)).toSeq == msg.toSeq)
