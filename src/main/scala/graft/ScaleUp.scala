@@ -72,13 +72,19 @@ object ScaleUp {
     def rd(name: String) = spark.read.parquet(s"$src/$name.parquet")
 
     // shared spans for FK-linked keys: greatest max across all tables
-    // carrying the logical key
-    val custSpan = math.max(maxOf(rd("customer"), "c_custkey"),
-      maxOf(rd("orders"), "o_custkey")) + 1L
-    val suppSpan = math.max(maxOf(rd("supplier"), "s_suppkey"),
-      maxOf(rd("lineitem"), "l_suppkey")) + 1L
-    val orderSpan = math.max(maxOf(rd("orders"), "o_orderkey"),
-      maxOf(rd("lineitem"), "l_orderkey")) + 1L
+    // carrying the logical key — one agg per table, not one per key
+    // (orders and lineitem are the largest inputs; don't scan twice)
+    val (orderMax, custFkMax) = {
+      val r = rd("orders").agg(max(col("o_orderkey")), max(col("o_custkey"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (lOrderMax, lSuppMax) = {
+      val r = rd("lineitem").agg(max(col("l_orderkey")), max(col("l_suppkey"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val custSpan = math.max(maxOf(rd("customer"), "c_custkey"), custFkMax) + 1L
+    val suppSpan = math.max(maxOf(rd("supplier"), "s_suppkey"), lSuppMax) + 1L
+    val orderSpan = math.max(orderMax, lOrderMax) + 1L
 
     write("events", replicate(rd("events"), Seq("event_id", "user_id")))
     write("documents", replicate(rd("documents"), Seq("doc_id"),

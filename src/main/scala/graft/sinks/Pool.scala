@@ -87,13 +87,10 @@ object Pool {
       * timeouts, not wedge the constructing task in grow() forever
       * (`closed` can't even be set until the constructor returns). */
     if (blockStart) (1 to size).foreach { _ =>
-      val opened =
-        try Some(open())
-        catch { case NonFatal(_) => None }
-      opened match {
-        case Some(a) => queue.put(a); if (closed) drainAndClose()
-        case None => growAsync()
-      }
+      // no shutdown race here: `closed` cannot be set until the
+      // constructor returns, so a successful open goes straight in
+      try queue.put(open())
+      catch { case NonFatal(_) => growAsync() }
     }
     else (1 to size).foreach(_ => growAsync())
 

@@ -57,13 +57,15 @@ object RiemannProtobuf {
     }
     def bytes(): (Int, Int) = {
       val len64 = varint()
-      // guard the 64-bit value, not its truncation: toInt of e.g.
-      // 2^32+5 is a plausible-looking 5 that silently mis-aligns the
-      // parse, and a negative truncation would move pos BACKWARDS —
-      // the decode loop could revisit the same bytes forever (a wedged
-      // task, not a dropped payload). Throw into decodeMsgs'
+      // guard the 64-bit value against the REMAINING bytes, not its
+      // toInt truncation: 2^32+5 truncates to a plausible-looking 5
+      // that silently mis-aligns the parse, a negative truncation
+      // would move pos BACKWARDS (the decode loop could revisit the
+      // same bytes forever — a wedged task), and a length in
+      // (remaining, end] would overrun this scope's boundary and read
+      // a sibling field's bytes as content. Throw into decodeMsgs'
       // payload-isolation net instead.
-      if (len64 < 0 || len64 > end.toLong)
+      if (len64 < 0 || len64 > (end - pos).toLong)
         throw new IllegalArgumentException(s"bad field length $len64")
       val len = len64.toInt
       val start = pos; pos += len; (start, len)
@@ -76,7 +78,7 @@ object RiemannProtobuf {
       case 1 => pos += 8
       case 2 =>
         val l = varint()
-        if (l < 0 || l > end.toLong)
+        if (l < 0 || l > (end - pos).toLong)
           throw new IllegalArgumentException(s"bad field length $l")
         pos += l.toInt
       case 5 => pos += 4

@@ -21,10 +21,14 @@ object SEvent {
     * winner and the two implementations agree event-for-event: metric
     * None sorts below Some(0.0) instead of conflating with it, and
     * events equal on (time, metric, state) but differing in ttl still
-    * land deterministically. */
-  def totalKey(e: SEvent): (Long, Boolean, Double, String, Boolean, Double) =
+    * land deterministically. State needs the same presence component
+    * as the Options: the wire decoder emits null state for events
+    * lacking the field, and null must not conflate with "". */
+  def totalKey(e: SEvent)
+      : (Long, Boolean, Double, Boolean, String, Boolean, Double) =
     (e.time.getTime, e.metric.isDefined, e.metric.getOrElse(0.0),
-      Option(e.state).getOrElse(""), e.ttl.isDefined, e.ttl.getOrElse(0.0))
+      e.state != null, Option(e.state).getOrElse(""),
+      e.ttl.isDefined, e.ttl.getOrElse(0.0))
 }
 
 /** The riemann index as Structured Streaming keyed state

@@ -145,7 +145,10 @@ class IndexParitySpec extends SparkSpec {
       // immortal event must not silently win in one impl only
       Seq(se("ok", Some(1.0), None), se("ok", Some(1.0), Some(5000.0))),
       // state breaks a (time, metric) tie identically
-      Seq(se("b", Some(1.0), None), se("a", Some(1.0), None)))
+      Seq(se("b", Some(1.0), None), se("a", Some(1.0), None)),
+      // null state must not conflate with "" (wire events may lack the
+      // field entirely): presence ranks below any string
+      Seq(se(null, Some(1.0), None), se("", Some(1.0), None)))
     try corners.zipWithIndex.foreach { case (evs, i) =>
       val gs = winner(StreamingIndex(_), s"corner_gs_$i", evs)
       val tws = winner(IndexProcessor(_), s"corner_tws_$i", evs)

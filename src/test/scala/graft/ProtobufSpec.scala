@@ -65,6 +65,17 @@ class ProtobufSpec extends SparkSpec {
     intercept[IllegalArgumentException](RiemannProtobuf.decodeMsg(msg))
   }
 
+  test("field length overrunning its scope is rejected, not read across " +
+    "sibling fields") {
+    // event sub-message: service (0x1a) declares 10 bytes, scope has 2
+    // — a guard bounded by the whole buffer instead of the remaining
+    // scope would read the NEXT event's bytes as the service string
+    val inner = Array[Byte](0x1a, 0x0a, 'a'.toByte, 'b'.toByte)
+    val msg = Array[Byte](0x32, inner.length.toByte) ++ inner ++
+      Array[Byte](0x32, 0x02, 0x1a, 0x00)
+    intercept[IllegalArgumentException](RiemannProtobuf.decodeMsg(msg))
+  }
+
   test("int32 framing round-trip (tcp.clj int32-frame-decoder)") {
     val msg = RiemannProtobuf.encodeMsg(Seq(full))
     assert(RiemannProtobuf.unframe(RiemannProtobuf.frame(msg)).toSeq == msg.toSeq)
