@@ -162,16 +162,17 @@ object Pool {
     (pools.get(id) match {
       case Some(p) => p
       case None =>
-        // getOrElseUpdate evaluates its thunk OUTSIDE the atomic
-        // insert: two first-use tasks racing would each open `size`
-        // real connections and leak the loser's. Insert atomically and
-        // shut the loser down.
-        val fresh = new FixedPool[AnyRef](
-          () => open(), a => close(a.asInstanceOf[A]), size,
-          regenerateIntervalMs, blockStart)
-        pools.putIfAbsent(id, fresh) match {
-          case None => fresh
-          case Some(existing) => fresh.shutdown(); existing
+        // creation-only lock: TrieMap.getOrElseUpdate evaluates its
+        // thunk OUTSIDE the atomic insert, so two first-use tasks
+        // racing would each dial `size` real connections (blockStart)
+        // and one set would be torn down immediately — a 2x connect
+        // burst against rate-limited downstreams. Creation happens
+        // once per (executor, id); the steady-state path above never
+        // takes the lock.
+        Pool.synchronized {
+          pools.getOrElseUpdate(id, new FixedPool[AnyRef](
+            () => open(), a => close(a.asInstanceOf[A]), size,
+            regenerateIntervalMs, blockStart))
         }
     }).asInstanceOf[FixedPool[A]]
 
