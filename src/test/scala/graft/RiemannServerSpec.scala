@@ -270,6 +270,49 @@ class RiemannServerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("udp handoff: datagrams enqueued before a stop survive the " +
+    "restart (same parked-buffer path as tcp, no acks)") {
+    val port = freePort()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("riemann_udp_handoff_ckpt").toString
+    HandoffProbe.reset()
+    def startQuery(name: String) =
+      Sources.riemannUdpServer(spark, "127.0.0.1", port)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val staged = batch.select("host", "time_s").collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          HandoffProbe.append(id, staged)
+        }
+        .queryName(name).start()
+    val q1 = startQuery("udp_handoff1")
+    val sock = new DatagramSocket()
+    try {
+      val addr = InetAddress.getByName("127.0.0.1")
+      (0 until 30).foreach { i =>
+        val payload = RiemannProtobuf.encodeMsg(Seq(
+          pe("u", "handoff", "ok", 1.0, 1706100000L + i)))
+        sock.send(new DatagramPacket(payload, payload.length, addr, port))
+        Thread.sleep(5) // loopback: give the receive loop room
+      }
+      Thread.sleep(500) // let the last datagrams enqueue before the kill
+    } finally { sock.close(); q1.stop() } // no drain before the stop
+    val q2 = startQuery("udp_handoff2")
+    try {
+      val expected = (0 until 30).map(i => ("u", 1706100000L + i)).toSet
+      val deadline = System.currentTimeMillis() + 30000
+      while (HandoffProbe.size < 30) {
+        assert(System.currentTimeMillis() < deadline,
+          s"udp handoff lost frames: got ${HandoffProbe.size} of 30")
+        Thread.sleep(100); q2.processAllAvailable()
+      }
+      val got = HandoffProbe.snapshot
+      assert(got.size == got.toSet.size, "udp handoff duplicated frames")
+      assert(got.toSet == expected, "udp handoff delivered a different set")
+    } finally q2.stop()
+  }
+
   test("truncated/corrupt frames are dropped, later Msgs still decode") {
     val port = freePort()
     val q = Sources.riemannTcpServer(spark, "127.0.0.1", port)
