@@ -115,7 +115,11 @@ object Email {
     * count-string-bytes/truncate/truncate-bytes): payload-limited sinks
     * cut strings to a byte budget without splitting a character.
     * Char-by-char like the reference (UTF-16 units — a lone surrogate
-    * counts as its replacement byte, matching Clojure's reduce). */
+    * counts as its replacement byte, matching Clojure's reduce).
+    * Consequence, reproduced bug-for-bug: an astral char (surrogate
+    * pair, 4 UTF-8 bytes) is budgeted as 2 bytes, so emoji-heavy
+    * strings can exceed the nominal byte budget — EmailSpec pins the
+    * exact behavior. */
   object Text {
     def countStringBytes(s: String): Int = s.getBytes("UTF-8").length
 

@@ -88,6 +88,36 @@ class EmailSpec extends SparkSpec {
     assert(countStringBytes("あいう") == 9)
   }
 
+  test("truncate-bytes property: longest prefix fitting the budget " +
+    "(BMP strings); astral chars reproduce the reference's per-UTF-16 " +
+    "accounting") {
+    import Email.Text._
+    // BMP property: result is a prefix, fits the budget in real UTF-8
+    // bytes, and is maximal (one more char would exceed)
+    val rnd = new scala.util.Random(0xbeef)
+    val bmp = "aZ9 é中あ!€".toCharArray
+    (1 to 500).foreach { _ =>
+      val s = new String((0 until rnd.nextInt(12)).map(_ =>
+        bmp(rnd.nextInt(bmp.length))).toArray)
+      val n = rnd.nextInt(20)
+      val t = truncateBytes(s, n)
+      assert(s.startsWith(t), s"not a prefix: '$t' of '$s'")
+      assert(countStringBytes(t) <= math.max(0, n),
+        s"'$t' exceeds $n bytes")
+      if (t.length < s.length)
+        assert(countStringBytes(s.substring(0, t.length + 1)) > n,
+          s"'$t' not maximal for '$s' at $n")
+    }
+    // astral divergence, reproduced bug-for-bug (common.clj:297-322
+    // reduces per UTF-16 unit; a surrogate counts as its 1-byte
+    // replacement): U+1F44D is budgeted as 2 bytes though its UTF-8 is
+    // 4, and an odd budget can cut between the surrogates
+    val thumb = new String(Character.toChars(0x1F44D))
+    assert(truncateBytes(thumb, 2) == thumb)   // 4 real bytes pass as 2
+    assert(truncateBytes(thumb, 1) == thumb.substring(0, 1)) // lone hi
+    assert(truncateBytes(thumb, 0) == "")
+  }
+
   test("SnsSink applies the 100-byte subject budget (sns.clj:19-26)") {
     val sent = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
     val sink = new Email.SnsSink("arn:x", (a, s, b) => sent += ((a, s, b)))
