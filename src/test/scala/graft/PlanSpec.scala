@@ -283,4 +283,25 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(ps).length
     assert(exchanges == 1, s"subject wants one hash exchange:\n$ps")
   }
+
+  test("sink payload renderers plan as pure per-row projections: one " +
+    "scan, no join or aggregate, only the determinism sort's exchange") {
+    // representative slice of the r7 oracle-gated renderer family —
+    // the render itself must ride the scan; at 100 TB a sink formatter
+    // that shuffles or aggregates would dominate the write path
+    // (the sort exists only for the oracle compare; sinks don't sort)
+    val qs = Seq("q_slack_message", "q_boundary_tuple", "q_opsgenie_body",
+      "q_pagerduty_v2", "q_netuitive_element", "q_xymon_status",
+      "q_druid_event")
+    qs.foreach { name =>
+      val p = plan(SparkEntry.queries(name)(spark, dir))
+      assert(!p.contains("Join"), s"$name plans a join:\n$p")
+      assert(!p.contains("HashAggregate"), s"$name aggregates:\n$p")
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"$name reads the source $scans times:\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 1,
+        s"$name wants only the sort's range exchange:\n$p")
+    }
+  }
 }
