@@ -730,12 +730,7 @@ object SparkEntry {
       .orderBy("event_id")),
     // shinken ws-arbiter form fields (nils render "")
     "q_shinken_form" -> ((s, d) => ev(s, d)
-      .select(col("event_id"),
-        col("time_s").cast("string").as("time_stamp"),
-        coalesce(col("host"), lit("")).as("host_name"),
-        coalesce(col("service"), lit("")).as("service_description"),
-        coalesce(col("state"), lit("")).as("return_code"),
-        coalesce(col("metric").cast("string"), lit("")).as("output"))
+      .select(col("event_id") +: graft.sinks.Forwarders.shinkenFields: _*)
       .orderBy("event_id")),
     // pushover form fields incl. the full state->priority table
     "q_pushover_fields" -> ((s, d) => ev(s, d)
@@ -743,13 +738,8 @@ object SparkEntry {
         .when(col("event_id") % 4 === 1, lit("info"))
         .otherwise(col("state")))
       .select(col("event_id"),
-        concat(coalesce(col("host"), lit("")), lit(" "),
-          coalesce(col("service"), lit(""))).as("title"),
-        concat(coalesce(col("host"), lit("")), lit(" "),
-          coalesce(col("service"), lit("")), lit(" is "),
-          coalesce(col("state"), lit("")), lit(" ("),
-          coalesce(col("metric").cast("string"), lit("")), lit(")"))
-          .as("message"),
+        graft.sinks.Notifiers.pushoverTitle.as("title"),
+        graft.sinks.Notifiers.pushoverMessage.as("message"),
         graft.sinks.Notifiers.pushoverPriority.cast("string").as("priority"),
         col("time_s").cast("string").as("timestamp"))
       .orderBy("event_id")),

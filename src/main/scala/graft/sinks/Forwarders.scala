@@ -201,15 +201,22 @@ object Forwarders {
   /** shinken.clj:13-20: ws-arbiter check result — time_stamp,
     * host_name, service_description, return_code = state, output =
     * metric; one form POST per event with basic auth. */
+  /** The five ws-arbiter form columns, shared by the sink and the
+    * `q_shinken_form` oracle gate so the renderings cannot drift. */
+  def shinkenFields: Seq[Column] = Seq(
+    col("time_s").cast("string").as("time_stamp"),
+    orEmpty(col("host")).as("host_name"),
+    orEmpty(col("service")).as("service_description"),
+    orEmpty(col("state")).as("return_code"),
+    orEmpty(col("metric")).as("output"))
+
   class ShinkenSink(hostname: String, port: Int, username: String,
       password: String, post: (String, String, Map[String, String]) => Unit)
       extends Sinks.EventSink {
     override def write(batch: DataFrame, batchId: Long): Unit = {
       val url = s"http://$hostname:$port/push_check_result"
       val auth = s"$username:$password"
-      batch.select(col("time_s").cast("string"), orEmpty(col("host")),
-          orEmpty(col("service")), orEmpty(col("state")),
-          orEmpty(col("metric")))
+      batch.select(shinkenFields: _*)
         .foreachPartition { (rows: Iterator[Row]) =>
           rows.foreach(r => post(url, auth, Map(
             "time_stamp" -> r.getString(0), "host_name" -> r.getString(1),

@@ -24,16 +24,21 @@ object Notifiers {
       .when(col("state") === "emergency", 2)
       .otherwise(-1)
 
+  def pushoverTitle: Column =
+    concat(orEmpty(col("host")), lit(" "), orEmpty(col("service")))
+
+  def pushoverMessage: Column =
+    concat(orEmpty(col("host")), lit(" "), orEmpty(col("service")),
+      lit(" is "), orEmpty(col("state")), lit(" ("),
+      orEmpty(col("metric")), lit(")"))
+
   class PushoverSink(token: String, user: String,
       post: Map[String, String] => Unit) extends Sinks.EventSink {
     override def write(batch: DataFrame, batchId: Long): Unit = {
       val (tk, us) = (token, user)
       batch.select(
-          concat(orEmpty(col("host")), lit(" "), orEmpty(col("service")))
-            .as("title"),
-          concat(orEmpty(col("host")), lit(" "), orEmpty(col("service")),
-            lit(" is "), orEmpty(col("state")), lit(" ("),
-            orEmpty(col("metric")), lit(")")).as("message"),
+          pushoverTitle.as("title"),
+          pushoverMessage.as("message"),
           pushoverPriority.cast("string").as("priority"),
           orEmpty(col("time_s")).as("timestamp"))
         .foreachPartition { (rows: Iterator[Row]) =>
