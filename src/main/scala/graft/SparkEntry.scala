@@ -701,11 +701,7 @@ object SparkEntry {
       .withColumn("state", when(col("event_id") % 3 === 0, lit("error"))
         .when(col("event_id") % 3 === 1, lit(null).cast("string"))
         .otherwise(col("state")))
-      .select(col("event_id"),
-        coalesce(col("host"), lit("")).as("nhost"),
-        graft.sinks.Forwarders.nagiosState.as("nstate"),
-        coalesce(col("service"), lit("")).as("nservice"),
-        coalesce(col("description"), lit("")).as("ndesc"))
+      .select(col("event_id") +: graft.sinks.Forwarders.nagiosFields: _*)
       .orderBy("event_id")),
     "q_xymon_status" -> ((s, d) => withDerivedDesc(ev(s, d))
       .select(col("event_id"),
@@ -747,10 +743,8 @@ object SparkEntry {
     "q_logstash_line" -> ((s, d) => ev(s, d)
       .withColumn("metric", when(col("event_id") % 11 === 0,
         lit(null).cast("double")).otherwise(col("metric")))
-      .withColumn("source", col("host"))
-      .select(col("event_id"), graft.sinks.Sinks.cheshireJson(struct(
-        col("host"), col("service"), col("state"), col("metric"),
-        col("time_s"), col("source"))).as("line"))
+      .select(col("event_id"),
+        graft.sinks.Notifiers.logstashLine.as("line"))
       .orderBy("event_id")),
     // logentries k='v' line; null description drops the leading clause
     "q_logentries_line" -> ((s, d) => withDerivedDesc(ev(s, d))
@@ -808,9 +802,8 @@ object SparkEntry {
     "q_keenio_body" -> ((s, d) => ev(s, d)
       .withColumn("metric", when(col("event_id") % 11 === 0,
         lit(null).cast("double")).otherwise(col("metric")))
-      .select(col("event_id"), graft.sinks.Sinks.cheshireJson(struct(
-        col("host"), col("service"), col("state"), col("metric"),
-        col("time_s"))).as("body"))
+      .select(col("event_id"),
+        graft.sinks.Notifiers.keenioBody.as("body"))
       .orderBy("event_id"))
   )
 

@@ -117,14 +117,21 @@ object Forwarders {
       .when(col("state") === "error", "critical")
       .otherwise("unknown")
 
+  /** The four NSCA message columns (nils render "", the reference's
+    * `str`), shared by the sink and the `q_nagios_line` oracle gate. */
+  def nagiosFields: Seq[Column] = Seq(
+    orEmpty(col("host")).as("nhost"),
+    nagiosState.as("nstate"),
+    orEmpty(col("service")).as("nservice"),
+    orEmpty(col("description")).as("ndesc"))
+
   /** nagios.clj:20-46: one NSCA message per event — (host, state,
-    * service, description), nils rendered "" (the reference's `str`);
-    * the NSCA client (host/port/password/encryption) is injected. */
+    * service, description); the NSCA client (host/port/password/
+    * encryption) is injected. */
   class NagiosSink(send: (String, String, String, String) => Unit)
       extends Sinks.EventSink {
     override def write(batch: DataFrame, batchId: Long): Unit =
-      batch.select(orEmpty(col("host")), nagiosState,
-          orEmpty(col("service")), orEmpty(col("description")))
+      batch.select(nagiosFields: _*)
         .foreachPartition { (rows: Iterator[Row]) =>
           rows.foreach(r =>
             send(r.getString(0), r.getString(1), r.getString(2), r.getString(3)))

@@ -55,14 +55,17 @@ object Notifiers {
 
   // -------------------------------------------------------------- Logstash
 
-  /** logstash.clj:121-127: the event as wire JSON with `source` set to
-    * the host, one "\n"-terminated line per event over the injected
-    * TCP/TLS/UDP client. */
+  /** logstash.clj:121-127 wire JSON: the event with `source` set to
+    * the host — shared by the sink and `q_logstash_line`. */
+  def logstashLine: Column =
+    Sinks.cheshireJson(struct(col("host"), col("service"), col("state"),
+      col("metric"), col("time_s"), col("host").as("source")))
+
+  /** One "\n"-terminated line per event over the injected TCP/TLS/UDP
+    * client. */
   class LogstashSink(sendLine: String => Unit) extends Sinks.EventSink {
     override def write(batch: DataFrame, batchId: Long): Unit =
-      batch.withColumn("source", col("host"))
-        .select(Sinks.cheshireJson(struct(col("host"), col("service"), col("state"),
-          col("metric"), col("time_s"), col("source"))).as("line"))
+      batch.select(logstashLine.as("line"))
         .foreachPartition { (rows: Iterator[Row]) =>
           rows.foreach(r => sendLine(r.getString(0) + "\n"))
         }
@@ -157,15 +160,20 @@ object Notifiers {
 
   // ---------------------------------------------------------------- KeenIO
 
-  /** keenio.clj:9-35: the full event as JSON to
+  /** keenio.clj:9-35 event body — shared by the sink and
+    * `q_keenio_body`. */
+  def keenioBody: Column =
+    Sinks.cheshireJson(struct(col("host"), col("service"), col("state"),
+      col("metric"), col("time_s")))
+
+  /** The full event as JSON to
     * /3.0/projects/<pid>/events/<collection>?api_key=<key>. */
   class KeenIoSink(collection: String, projectId: String, writeKey: String,
       post: (String, String) => Unit) extends Sinks.EventSink {
     override def write(batch: DataFrame, batchId: Long): Unit = {
       val url = "https://api.keen.io/3.0/projects/" + projectId +
         s"/events/$collection?api_key=$writeKey"
-      batch.select(Sinks.cheshireJson(struct(col("host"), col("service"), col("state"),
-          col("metric"), col("time_s"))).as("body"))
+      batch.select(keenioBody.as("body"))
         .foreachPartition { (rows: Iterator[Row]) =>
           rows.foreach(r => post(url, r.getString(0)))
         }
