@@ -43,7 +43,7 @@ class SoakStatefulSpec extends SparkSpec {
     StatefulChaos.reset()
 
     val ops = Seq("changed", "sreduce", "throttle", "ewma", "ddt")
-    val winOps = Seq("fixedwin", "movingwin")
+    val winOps = Seq("fixedwin", "movingwin", "movingtime")
     val streams = (ops ++ winOps).map(op => op -> MemoryStream[SEvent]).toMap
     val ckpts = (ops ++ winOps).map(op => op -> java.nio.file.Files
       .createTempDirectory(s"soak_stateful_$op").toString).toMap
@@ -63,6 +63,7 @@ class SoakStatefulSpec extends SparkSpec {
       val ds: Dataset[Seq[SEvent]] = op match {
         case "fixedwin" => StatefulOps.fixedEventWindow(streams(op).toDS(), 3)
         case "movingwin" => StatefulOps.movingEventWindow(streams(op).toDS(), 3)
+        case "movingtime" => StatefulOps.movingTimeWindow(streams(op).toDS(), 30)
       }
       op -> ds.writeStream.outputMode("append")
         .option("checkpointLocation", ckpts(op))
@@ -79,7 +80,8 @@ class SoakStatefulSpec extends SparkSpec {
         "ewma" -> Seq(se("ok", 4, 100)),
         "ddt" -> Seq(se("ok", 1, 100), se("ok", 3, 110)),
         "fixedwin" -> Seq(se("ok", 1, 100), se("ok", 2, 110)), // partial 2/3
-        "movingwin" -> Seq(se("ok", 1, 100), se("ok", 2, 110))),
+        "movingwin" -> Seq(se("ok", 1, 100), se("ok", 2, 110)),
+        "movingtime" -> Seq(se("ok", 1, 100), se("ok", 2, 110))),
       Map( // phase 2 — state from phase 1 must still be live
         "changed" -> Seq(se("ok", 3, 120), se("critical", 4, 130)),
         "sreduce" -> Seq(se("ok", 4, 120)),
@@ -89,7 +91,10 @@ class SoakStatefulSpec extends SparkSpec {
         // the recovered 2-event buffer completes here — a reset
         // operator would instead wait for two more events
         "fixedwin" -> Seq(se("ok", 3, 120), se("ok", 4, 130)),
-        "movingwin" -> Seq(se("ok", 3, 120), se("ok", 4, 130))),
+        "movingwin" -> Seq(se("ok", 3, 120), se("ok", 4, 130)),
+        // t=120: the 30s window must reach back to the recovered
+        // phase-1 events (a reset horizon/buffer would emit just [3])
+        "movingtime" -> Seq(se("ok", 3, 120))),
       Map( // phase 3 — and again after a second restart
         "changed" -> Seq(se("critical", 5, 140), se("ok", 6, 150)),
         "sreduce" -> Seq(se("ok", 5, 130)),
@@ -97,7 +102,9 @@ class SoakStatefulSpec extends SparkSpec {
         "ewma" -> Seq(se("ok", 4, 120)),
         "ddt" -> Seq(se("ok", 6, 130)), // flat: derivative 0
         "fixedwin" -> Seq(se("ok", 5, 140), se("ok", 6, 150)),
-        "movingwin" -> Seq(se("ok", 5, 140))))
+        "movingwin" -> Seq(se("ok", 5, 140)),
+        // t=140: horizon 140 prunes t<=110, keeps recovered t=120
+        "movingtime" -> Seq(se("ok", 4, 140))))
 
     phases.zipWithIndex.foreach { case (phase, i) =>
       val queries = startAll() // phase 0 starts fresh; later ones recover
@@ -127,6 +134,10 @@ class SoakStatefulSpec extends SparkSpec {
     // moving window n=3: phase-2/3 windows reach back across restarts
     assert(gotWin("movingwin") == Seq(Seq(1.0), Seq(1.0, 2.0),
       Seq(1.0, 2.0, 3.0), Seq(2.0, 3.0, 4.0), Seq(3.0, 4.0, 5.0)))
+    // moving TIME window 30s: the recovered horizon+buffer admits the
+    // phase-1 events at t=120 and prunes t<=110 at t=140
+    assert(gotWin("movingtime") == Seq(Seq(1.0), Seq(1.0, 2.0),
+      Seq(1.0, 2.0, 3.0), Seq(3.0, 4.0)))
   }
 }
 
