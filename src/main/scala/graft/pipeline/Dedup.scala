@@ -122,16 +122,10 @@ object Dedup {
   }
 
   /** Drop (band, bucket) groups larger than `maxBucket` — the hot-bucket
-    * escape hatch every LSH consumer shares. Counting on the already
-    * narrow banded relation adds one cheap aggregate, no recompute of
-    * the signature. */
+    * guard every LSH consumer shares ([[Caps.cap]]: one cheap aggregate
+    * on the narrow banded relation, engaged drops logged). */
   private def capBands(banded: DataFrame, maxBucket: Int): DataFrame =
-    if (maxBucket == Int.MaxValue) banded
-    else {
-      val sizes = banded.groupBy("band", "bucket")
-        .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucket)
-      banded.join(sizes.select("band", "bucket"), Seq("band", "bucket"))
-    }
+    Caps.cap(banded, Seq("band", "bucket"), maxBucket, "minhash_lsh")
 
   /** Distinct colliding (doc_a < doc_b) pairs from a banded relation —
     * the one candidate-generation self-join all LSH paths share. */
@@ -149,10 +143,12 @@ object Dedup {
     * (band, band-hash), then estimate Jaccard as the fraction of equal
     * signature elements. Only bucket-colliding pairs are compared — the
     * scale path. `maxBucket` drops pathological hot buckets (boilerplate
-    * docs) that would go quadratic; default keeps everything. */
+    * docs) that would go quadratic; capped by default
+    * ([[Caps.DefaultMaxBucket]], drops logged) — pass `Int.MaxValue` to
+    * keep everything. */
   def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, w: Int = 3,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Caps.DefaultMaxBucket): DataFrame = {
     val capped = capBands(lshBands(minhashSignature(docs, k, w), k, bands),
       maxBucket)
     val a = capped.as("a")
@@ -170,7 +166,7 @@ object Dedup {
   /** LSH candidate pairs (no similarity filter): the blocking stage that
     * exact verification passes consume. */
   def lshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
-      w: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame =
+      w: Int = 3, maxBucket: Int = Caps.DefaultMaxBucket): DataFrame =
     collidingPairs(capBands(
       lshBands(minhashSignature(docs, k, w), k, bands)
         .select("doc_id", "band", "bucket"), maxBucket))
@@ -204,7 +200,7 @@ object Dedup {
     * cache() for persist(DISK_ONLY) or recompute if memory is tight. */
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, threshold: Double = 0.3,
       k: Int = 16, bands: Int = 8,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Caps.DefaultMaxBucket): DataFrame = {
     val sh = shingles(docs, w).select(col("doc_id"), col("shingles")).cache()
     val banded = lshBands(minhashSignatureFromShingles(sh, k), k, bands)
       .select("doc_id", "band", "bucket")
@@ -394,10 +390,12 @@ object Dedup {
     * on candidates only: hamming = bit_count(fp_a XOR fp_b), pure
     * codegen'd long arithmetic. `maxBucket` drops pathological hot
     * blocks (e.g. the all-zeros block of boilerplate-heavy corpora)
-    * exactly like the MinHash-LSH paths. One shuffle on (blk, v); the
-    * self-join stays linear in candidates at 100 TB. */
+    * exactly like the MinHash-LSH paths — capped by default
+    * ([[Caps.DefaultMaxBucket]], drops logged), `Int.MaxValue` opts
+    * out. One shuffle on (blk, v); the self-join stays linear in
+    * candidates at 100 TB. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Caps.DefaultMaxBucket): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming ($maxHamming) must be in [0, 64)")
     val nBlocks = maxHamming + 1
@@ -422,13 +420,7 @@ object Dedup {
       .select(col("doc_id"), col("simhash"),
         explode(array(blocks: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.blk"), col("b.v"))
-    val capped =
-      if (maxBucket == Int.MaxValue) blocked
-      else {
-        val sizes = blocked.groupBy("blk", "v")
-          .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucket)
-        blocked.join(sizes.select("blk", "v"), Seq("blk", "v"))
-      }
+    val capped = Caps.cap(blocked, Seq("blk", "v"), maxBucket, "simhash")
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
@@ -449,7 +441,7 @@ object Dedup {
     * construction. */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.4,
       bands: Int = 4, planesPerBand: Int = 6, dims: Int = 64,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Caps.DefaultMaxBucket): DataFrame = {
     // candidates + cached units from the shared banded-LSH machinery
     // (Similarity.bandedCandUnits — one implementation for dedup and
     // ANN); undirected a<b pairing for the dedup relation

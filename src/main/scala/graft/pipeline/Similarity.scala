@@ -168,13 +168,8 @@ object Similarity {
     // normalized join — counting on `joined` would re-run the whole
     // normalization pass just to size buckets
     val buckets = lshBuckets(embeddings, planes, dims)
-    val kept =
-      if (maxBucket == Int.MaxValue) buckets.select("vec_id", "bucket")
-      else {
-        val ok = buckets.groupBy("bucket").agg(count(lit(1)).as("_bsz"))
-          .filter(col("_bsz") <= maxBucket).select("bucket")
-        buckets.select("vec_id", "bucket").join(ok, "bucket")
-      }
+    val kept = Caps.cap(buckets.select("vec_id", "bucket"), Seq("bucket"),
+      maxBucket, "ann_lsh")
     val e = embeddings
       .select(col("vec_id"), normalized(col("embedding")).as("unit"))
       .join(kept, "vec_id")
@@ -283,14 +278,8 @@ object Similarity {
     val banded = e.select(col("vec_id"), explode(col("bb")).as("b1"))
       .select(col("vec_id"), col("b1.band").as("band"),
         col("b1.bucket").as("bucket"))
-    val capped =
-      if (maxBucket == Int.MaxValue) banded
-      else {
-        val ok = banded.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucket)
-          .select("band", "bucket")
-        banded.join(ok, Seq("band", "bucket"))
-      }
+    val capped = Caps.cap(banded, Seq("band", "bucket"), maxBucket,
+      "banded_lsh")
     val idCond = if (directed) col("a.vec_id") =!= col("b.vec_id")
       else col("a.vec_id") < col("b.vec_id")
     val cand = capped.as("a")

@@ -181,6 +181,51 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain) // decimal partials: exactly equal, not ≈
   }
 
+  test("the DEFAULT maxBucket engages on a >1000-member hot bucket " +
+    "and the drop is observed, not silent") {
+    import scala.jdk.CollectionConverters._
+    val spark0 = spark
+    import spark0.implicits._
+    // 1100 identical docs (one bucket per band, each over the default
+    // cap of 1000 — the boilerplate corpus a 100 TB user hits first)
+    // plus 15 genuine near-dup pairs that must survive the cap: the
+    // realistic mixed shape, and non-degenerate on purpose — a query
+    // whose ENTIRE result collapses to empty can have its observation
+    // node pruned by AQE's empty-relation propagation (see Caps.cap).
+    val docs = ((0 until 1100).map(i => (i.toLong, boiler)) ++
+      (0 until 30).map { i =>
+        val pair = i / 2
+        (2000L + i, s"pair $pair document with its own words " +
+          (1 to 12).map(j => s"p${pair}_$j").mkString(" "))
+      }).toDF("doc_id", "text")
+    graft.pipeline.Caps.recentDrops.clear()
+    val cand = Dedup.lshCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the boilerplate bucket is dropped whole: no candidate touches it
+    assert(cand.nonEmpty, "true near-dup pairs were lost with the cap on")
+    assert(!cand.exists { case (a, b) => a < 2000 || b < 2000 },
+      s"default cap did not engage on an 1100-member bucket: ${cand.take(5).toList}")
+    // every true pair is still found
+    (0 until 15).foreach { p =>
+      assert(cand.contains((2000L + 2 * p, 2001L + 2 * p)),
+        s"pair $p lost")
+    }
+    // explicit opt-out still keeps everything (quadratic, by request)
+    assert(Dedup.lshCandidates(docs, maxBucket = Int.MaxValue)
+      .filter(col("doc_a") < 2000).head(1).nonEmpty)
+    // "no silent caps": the engaged cap surfaced through the observed
+    // metrics (listener bus is async — poll until delivered)
+    var spins = 0
+    while (graft.pipeline.Caps.recentDrops.isEmpty && spins < 200) {
+      Thread.sleep(50); spins += 1
+    }
+    val drops = graft.pipeline.Caps.recentDrops.asScala.toList
+    assert(drops.exists { case (name, nBuckets, nRows, maxB) =>
+      name.contains("minhash_lsh") && nBuckets == 4 &&
+        nRows == 4400 && maxB == 1100
+    }, s"expected a minhash_lsh drop of 4 buckets / 4400 rows, saw $drops")
+  }
+
   test("skewed plans stay AQE-eligible: no Window over the hot hash, " +
     "partial aggregation present") {
     val p = Curation.segmentDedup(skewedCorpus(50), 10)
