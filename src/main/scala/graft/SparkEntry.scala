@@ -535,6 +535,19 @@ object SparkEntry {
         .toDF().select("media_id", "modality", "n_bytes", "checksum")
         .orderBy("media_id")
     }),
+    // REAL javax.imageio decode: each doc becomes an actual png/jpeg/
+    // bmp file (dims derived from n_chars), then the decoder sniffs the
+    // container from magic bytes and reads dims back out of the real
+    // image bytes; the oracle predicts the round trip from doc columns
+    "q_media_decode" -> ((s, d) => {
+      val spark0 = s
+      import spark0.implicits._
+      graft.pipeline.Multimodal.decodeImages(
+        graft.pipeline.Multimodal.syntheticImages(docs(s, d)))
+        .toDF().select("media_id", "format", "width", "height",
+          "channels", "ok")
+        .orderBy("media_id")
+    }),
 
     // ---- LLM pipeline: text analysis
     "q_text_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))
@@ -1146,6 +1159,12 @@ object SparkEntry {
       "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality, " +
       "CAST(length(text) AS BIGINT) AS n_bytes, " +
       "CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)), i -> CAST(unicode(text[i]) AS BIGINT) * i)), 0) AS BIGINT) AS checksum " +
+      "FROM documents ORDER BY media_id"),
+    "q_media_decode" -> ("SELECT doc_id AS media_id, " +
+      "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'bmp' END AS format, " +
+      "CAST((n_chars % 64) + 1 AS INT) AS width, " +
+      "CAST((n_chars % 48) + 1 AS INT) AS height, " +
+      "CAST(3 AS INT) AS channels, TRUE AS ok " +
       "FROM documents ORDER BY media_id"),
     "q_dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1",
     "q_minhash_sig" -> (s"$shCte$hsCte SELECT doc_id, array_to_string(list_transform(" +

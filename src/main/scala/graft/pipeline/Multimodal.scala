@@ -8,9 +8,13 @@ import org.apache.spark.sql.types._
   * `binary` columns plus typed metadata, with decode / feature-extract /
   * frame-sample as partition-local transforms.
   *
-  * The actual codecs are STUBBED (this container has no image/audio
-  * libraries): [[decodeStub]] derives a deterministic fake feature
-  * vector from the bytes. Everything around the stub — schema, batch
+  * IMAGE decode is REAL: [[decodeImages]] hands the bytes to the JDK's
+  * `javax.imageio` (PNG / JPEG / GIF / BMP readers ship with every
+  * JRE — zero added dependencies), sniffing the container from magic
+  * bytes and reporting decoded width / height / channels. Only the
+  * audio/video codecs remain stubbed ([[decodeStub]] derives a
+  * deterministic fake feature vector from the bytes; no AV libraries in
+  * this container). Everything around the codecs — schema, batch
   * iteration via `mapPartitions`, partition sizing, output shape — is
   * the real 100 TB plumbing: media rows are large, so operators must
   * stream partition iterators (never materialize a partition) and
@@ -49,7 +53,9 @@ object Multimodal {
       (col("n_chars") * 10).cast("long").as("duration_ms"),
       map(lit("src"), col("source")).as("meta"))
 
-  /** STUB decode: a real implementation hands `bytes` to a codec; this
+  /** STUB decode for AUDIO / VIDEO (image decode is real — see
+    * [[decodeImages]]; no AV codec libraries ship with the JDK or this
+    * container): a real implementation hands `bytes` to a codec; this
     * one emits a deterministic pseudo-feature (dim-d) from a positional
     * byte checksum (Σ byte·position, 1-based) so tests can assert exact
     * values — and, unlike a rolling hash that wraps on long overflow,
@@ -74,6 +80,90 @@ object Multimodal {
           MediaFeature(id, modality, n.toLong, sum, feat)
         }
       }
+  }
+
+  case class DecodedImage(media_id: Long, format: String, width: Int,
+      height: Int, channels: Int, n_bytes: Long, ok: Boolean)
+
+  /** Sniff the container format from magic bytes — never trust the
+    * `mime` column at 100 TB (crawled metadata lies). */
+  private[graft] def sniffFormat(bytes: Array[Byte]): String = {
+    def b(i: Int) = bytes(i) & 0xff
+    if (bytes == null || bytes.length < 4) "unknown"
+    else if (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) "jpeg"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else "unknown"
+  }
+
+  /** REAL image decode via the JDK's `javax.imageio` readers (PNG /
+    * JPEG / GIF / BMP — present in every JRE, nothing to install).
+    * Streams each partition's iterator — one image in flight per task
+    * thread, never a materialized partition — and disables ImageIO's
+    * temp-file disk cache so executors decode from memory. Corrupt or
+    * unsupported bytes become an `ok = false` row with null-ish zero
+    * dims instead of a task failure: at 100 TB some crawled images are
+    * always broken, and one bad row must not kill a 10^6-row task. */
+  def decodeImages(media: DataFrame): Dataset[DecodedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val n = if (bytes == null) 0L else bytes.length.toLong
+          val fmt = if (bytes == null) "unknown" else sniffFormat(bytes)
+          val img =
+            if (fmt == "unknown") null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) DecodedImage(id, fmt, 0, 0, 0, n, ok = false)
+          else DecodedImage(id, fmt, img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents, n, ok = true)
+        }
+      }
+  }
+
+  /** Deterministic image relation derived from the `documents` table
+    * (the driver ships no binary media): each doc becomes a REAL
+    * png/jpeg/bmp file — dimensions derived from `n_chars`, pixels from
+    * `doc_id` — encoded with the same `javax.imageio` writers the
+    * decode path reads back. The DuckDB oracle predicts
+    * [[decodeImages]]' output straight from the doc columns, so the
+    * gate proves the decoded dims came through actual image bytes. */
+  def syntheticImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' " +
+          "WHEN 1 THEN 'jpeg' ELSE 'bmp' END").as("fmt"),
+        (pmod(col("n_chars"), lit(64)) + 1).cast("int").as("w"),
+        (pmod(col("n_chars"), lit(48)) + 1).cast("int").as("h"))
+      .as[(Long, String, Int, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, fmt, w, h) =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { // deterministic pixels; JPEG may lossy-shift
+              img.setRGB(x, y, ((id * 2654435761L + x * 31 + y) & 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, out)
+          (id, fmt, out.toByteArray)
+        }
+      }
+      .toDF("media_id", "mime", "bytes")
   }
 
   /** Frame sampling plan for video rows: every `everyMs` milliseconds,

@@ -39,6 +39,52 @@ class MultimodalSpec extends SparkSpec {
     assert(fs(0).feature.length == 4)
   }
 
+  test("real image decode: png/jpeg/bmp/gif round-trip through " +
+    "javax.imageio with sniffed formats and exact dims") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (0L, "x" * 70, "en", "s0", 70L),   // png, 7x23
+      (1L, "y" * 130, "en", "s1", 130L), // jpeg, 3x35
+      (2L, "z" * 50, "en", "s2", 50L))   // bmp, 51x3
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val imgs = Multimodal.syntheticImages(docs)
+    val out = Multimodal.decodeImages(imgs).collect().sortBy(_.media_id)
+    assert(out.map(_.format).toSeq == Seq("png", "jpeg", "bmp"))
+    assert(out.forall(_.ok))
+    assert(out.map(d => (d.width, d.height)).toSeq ==
+      Seq((7, 23), (3, 35), (51, 3)))
+    assert(out.forall(_.channels == 3))
+    // bytes are genuinely containerized: re-decode one with ImageIO
+    val png = imgs.filter(col("media_id") === 0L)
+      .select("bytes").head().getAs[Array[Byte]](0)
+    assert(Multimodal.sniffFormat(png) == "png")
+    // gif too (not in the oracle gate: palette quantization makes
+    // channel count writer-dependent, but dims must survive)
+    val gifImg = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gifImg, "gif", buf)
+    val gif = Seq((9L, buf.toByteArray)).toDF("media_id", "bytes")
+    val g = Multimodal.decodeImages(gif).head()
+    assert(g.format == "gif" && g.ok && g.width == 5 && g.height == 4)
+  }
+
+  test("corrupt or unsupported bytes become ok=false rows, not task " +
+    "failures") {
+    val spark0 = spark
+    import spark0.implicits._
+    val junk = Seq(
+      (1L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)), // truncated png
+      (2L, "not an image at all".getBytes("UTF-8")),          // unknown
+      (3L, null.asInstanceOf[Array[Byte]]))                   // null bytes
+      .toDF("media_id", "bytes")
+    val out = Multimodal.decodeImages(junk).collect().sortBy(_.media_id)
+    assert(out.forall(!_.ok))
+    assert(out.map(_.format).toSeq == Seq("png", "unknown", "unknown"))
+    assert(out.forall(d => d.width == 0 && d.channels == 0))
+  }
+
   test("sampleFrames fans out video rows only") {
     val frames = Multimodal.sampleFrames(media(), 400)
     val got = frames.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
