@@ -47,8 +47,11 @@ object Bench {
     // the 1-minute loadavg to drop under the gate before measuring —
     // bounded, so a persistently busy machine still produces an
     // artifact (with its loadavg_start recorded for the reader).
+    // r8 started at exactly the old 1.8 gate and untouched queries still
+    // read up to 2.5x slower — 1.8 is the contamination boundary, not
+    // below it; gate well under it instead.
     val gateMax = sys.env.get("SPARK_GRAFT_LOADAVG_MAX")
-      .map(_.toDouble).getOrElse(1.8)
+      .map(_.toDouble).getOrElse(1.0)
     val gateDeadlineS = sys.env.get("SPARK_GRAFT_LOADAVG_WAIT_S")
       .map(_.toLong).getOrElse(600L)
     var gateWaitedS = 0L

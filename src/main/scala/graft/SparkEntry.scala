@@ -898,11 +898,16 @@ object SparkEntry {
 
   /** Shared DuckDB chain: minhash signatures → 4-band LSH buckets →
     * colliding pairs with estimated Jaccard (k=16, w=3) — the base of
-    * both the pair query and the component clustering. */
+    * both the pair query and the component clustering. The default
+    * hot-bucket cap ([[graft.pipeline.Caps.DefaultMaxBucket]]) is
+    * mirrored (`okb`/`bk`) so Spark and oracle agree at EVERY scale
+    * factor, not just ones where no bucket exceeds the cap. */
   private lazy val minhashPairsCte: String =
     s"$shCte$hsCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh), " +
       "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM sg), " +
-      "bk AS (SELECT doc_id, sig, band, md5(array_to_string(list_transform(sig[band*4+1:band*4+4], x -> CAST(x AS VARCHAR)), ',')) AS bucket FROM banded), " +
+      "bk0 AS (SELECT doc_id, sig, band, md5(array_to_string(list_transform(sig[band*4+1:band*4+4], x -> CAST(x AS VARCHAR)), ',')) AS bucket FROM banded), " +
+      s"okb AS (SELECT band, bucket FROM bk0 GROUP BY band, bucket HAVING count(*) <= ${pipeline.Caps.DefaultMaxBucket}), " +
+      "bk AS (SELECT bk0.* FROM bk0 JOIN okb USING (band, bucket)), " +
       "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2])) AS DOUBLE) / 16 AS est_jaccard " +
       "FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"
 
@@ -943,11 +948,14 @@ object SparkEntry {
 
   /** Pigeonhole blocking mirror of Dedup.simhashPairs: 4 blocks of 16
     * bits for maxHamming = 3; DuckDB's arithmetic >> then mask keeps
-    * the same bits as Spark's shiftright+mask. */
+    * the same bits as Spark's shiftright+mask. The default hot-block
+    * cap is mirrored (`okblk`/`blocks`) to match Spark at every scale. */
   private val simhashPairsSql: String =
-    s"$simhashCte, blocks AS (SELECT doc_id, simhash, i AS blk, " +
+    s"$simhashCte, blocks0 AS (SELECT doc_id, simhash, i AS blk, " +
       "(simhash >> (i*16)) & 65535 AS v FROM fp " +
-      "CROSS JOIN (SELECT unnest(range(4)) AS i)) " +
+      "CROSS JOIN (SELECT unnest(range(4)) AS i)), " +
+      s"okblk AS (SELECT blk, v FROM blocks0 GROUP BY blk, v HAVING count(*) <= ${pipeline.Caps.DefaultMaxBucket}), " +
+      "blocks AS (SELECT blocks0.* FROM blocks0 JOIN okblk USING (blk, v)) " +
       "SELECT * FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
       "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming " +
       "FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.v = b.v " +
@@ -1184,7 +1192,9 @@ object SparkEntry {
       "SELECT d.doc_id, d.lang, d.n_chars FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM dropids) ORDER BY d.doc_id"),
     "q_ngram_jaccard" -> (s"$shCte$hsCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh), " +
       "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 7)) AS band FROM sg), " +
-      "bk AS (SELECT doc_id, band, md5(array_to_string(list_transform(sig[band*2+1:band*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket FROM banded), " +
+      "bk0 AS (SELECT doc_id, band, md5(array_to_string(list_transform(sig[band*2+1:band*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket FROM banded), " +
+      s"okb AS (SELECT band, bucket FROM bk0 GROUP BY band, bucket HAVING count(*) <= ${pipeline.Caps.DefaultMaxBucket}), " +
+      "bk AS (SELECT bk0.* FROM bk0 JOIN okb USING (band, bucket)), " +
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
       "jj AS (SELECT doc_a, doc_b, CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard " +
       "FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id) " +
@@ -1197,7 +1207,9 @@ object SparkEntry {
       val banded = (0 until 4).map(b =>
         s"SELECT vec_id, $b AS band, ${bucketSql(6, "dv", b * 6)} AS bucket FROM u")
         .mkString(" UNION ALL ")
-      s"$unitCte, banded AS ($banded), " +
+      s"$unitCte, banded0 AS ($banded), " +
+        s"okb AS (SELECT band, bucket FROM banded0 GROUP BY band, bucket HAVING count(*) <= ${pipeline.Caps.DefaultMaxBucket}), " +
+        "banded AS (SELECT banded0.* FROM banded0 JOIN okb USING (band, bucket)), " +
         "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
         "j AS (SELECT vec_a, vec_b, round(CAST(list_sum(list_transform(list_zip(ua.unit, ub.unit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine " +
         "FROM cand JOIN u ua ON cand.vec_a = ua.vec_id JOIN u ub ON cand.vec_b = ub.vec_id) " +

@@ -42,23 +42,39 @@ object Caps {
   private[graft] val recentDrops =
     new ConcurrentLinkedQueue[(String, Long, Long, Long)]()
 
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  // weak keys: a stopped-and-dropped session must not be pinned forever
+  // in a long-running driver that cycles sessions; synchronized because
+  // WeakHashMap is not thread-safe
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Drop groups of `keys` larger than `maxBucket` from `banded`,
-    * keeping its column set. One cheap aggregate on the (already
-    * narrow) banded relation, then an ANTI-join of `banded` against the
-    * oversized groups — the anti side is the handful of hot buckets
-    * (broadcastable at any corpus size), not the near-total kept set.
-    * The dropped-bucket counters are collected on that same aggregate
-    * pass. The anti shape also keeps the `CollectMetrics` node alive
-    * exactly when it matters: with drops engaged the oversized relation
-    * is non-empty so AQE's empty-relation propagation cannot prune the
-    * observation out of the final plan (it may prune it in the
-    * no-drops case, where the counters are all zero and nothing would
-    * be logged anyway). */
+    * keeping its column set: annotate every row with its bucket size via
+    * `count(*) OVER (PARTITION BY keys)`, then filter.
+    *
+    * The window's required hash partitioning on `keys` is exactly the
+    * distribution the downstream within-bucket self-join needs, so the
+    * (expensive — the minhash/simhash kernels live upstream) banded
+    * relation is shuffled ONCE and the kernels run ONCE; the cap costs
+    * one cheap count-window plus a sort that the self-join's SMJ wanted
+    * anyway, riding the join's own exchange. (The r8 shape — a sizing
+    * aggregate plus a forced-broadcast ANTI join against the oversized
+    * bucket keys — recomputed the whole upstream for the aggregate's
+    * separate exchange, and broadcast a relation whose size is bounded
+    * only by totalRows/maxBucket: a driver OOM at 100 TB. Measured on
+    * the r8 bench, that second pass roughly doubled the LSH family.)
+    * An over-full bucket's rows do co-locate in one window group before
+    * being dropped — linear, spill-backed buffering in `WindowExec`,
+    * never the quadratic join fan-out the cap exists to prevent.
+    *
+    * The dropped-bucket counters ride the same pass via `observe`,
+    * placed between the window and the cap filter so they see every
+    * row. Buckets are recovered from per-row sizes as Σ 1/size per
+    * dropped row (each dropped bucket contributes exactly 1.0), rounded
+    * — exact for any bucket size a double can count. */
   def cap(banded: DataFrame, keys: Seq[String], maxBucket: Int,
       what: String): DataFrame =
     if (maxBucket == Int.MaxValue) banded
@@ -66,17 +82,18 @@ object Caps {
       require(maxBucket > 0, s"maxBucket ($maxBucket) must be positive")
       registerListener(banded.sparkSession)
       val name = s"graft_cap_${what}_${nameCounter.incrementAndGet()}"
-      val oversized = banded.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("_bsz"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+      banded.withColumn("_bsz", count(lit(1)).over(w))
         .observe(name,
+          coalesce(round(sum(when(col("_bsz") > maxBucket,
+            lit(1.0) / col("_bsz")).otherwise(lit(0.0)))), lit(0.0))
+            .cast("long").as("dropped_buckets"),
           coalesce(sum(when(col("_bsz") > maxBucket, 1L).otherwise(0L)),
-            lit(0L)).as("dropped_buckets"),
-          coalesce(sum(when(col("_bsz") > maxBucket, col("_bsz"))
-            .otherwise(0L)), lit(0L)).as("dropped_rows"),
+            lit(0L)).as("dropped_rows"),
           coalesce(max(col("_bsz")), lit(0L)).as("max_bucket"))
-        .filter(col("_bsz") > maxBucket)
-        .select(keys.map(col): _*)
-      banded.join(broadcast(oversized), keys, "left_anti")
+        .filter(col("_bsz") <= maxBucket)
+        .drop("_bsz")
     }
 
   private def registerListener(spark: SparkSession): Unit =

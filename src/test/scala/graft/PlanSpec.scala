@@ -230,6 +230,30 @@ class PlanSpec extends SparkSpec {
     assert(!gf.contains("Exchange"), s"gopherFilter should be a pure map:\n$gf")
   }
 
+  test("default LSH cap rides the self-join's own exchange: banded " +
+    "relation shuffled once, upstream kernels run once") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // executed (AQE-final) plans: the reuse decision is made at runtime
+    for ((name, q, key) <- Seq(
+        ("lshCandidates", Dedup.lshCandidates(docs), "band"),
+        ("simhashPairs", Dedup.simhashPairs(docs), "blk"))) {
+      q.collect()
+      // count within the final adaptive plan only — the toString also
+      // echoes the initial (pre-reuse) plan
+      val p = plan(q).split("== Initial Plan ==").head
+      // anchor to the tree-node prefix: a ReusedExchange line echoes the
+      // referenced exchange's description and must not be counted
+      val shuffles =
+        s"\\+- Exchange hashpartitioning\\($key".r.findAllIn(p).length
+      assert(shuffles == 1,
+        s"$name: capped relation shuffled $shuffles times (want 1 + " +
+          s"ReusedExchange):\n$p")
+      assert(p.contains("ReusedExchange"),
+        s"$name: self-join side recomputed the upstream instead of " +
+          s"reusing the exchange:\n$p")
+    }
+  }
+
   test("curation ops: splitAssign is exchange-free; cap/pack take one hash exchange") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val split = graft.pipeline.Curation.splitAssign(docs)
