@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * deterministic derivation so the DuckDB oracle can reproduce it
   * bit-for-bit (see [[EventView.oracleCte]]).
   *
-  * The driver writes `ts` as parquet TIMESTAMP(NANOS), which Spark 4.x
-  * rejects at scan time unless `spark.sql.legacy.parquet.nanosAsLong`
-  * is set — then `ts` arrives as a LONG of epoch nanoseconds. We set
-  * that conf defensively on the session here (it is runtime-settable)
-  * and derive `time_s = ts div 1e9` with *integer* division: epoch-ns
-  * magnitudes (~1.7e18) exceed double's 53-bit mantissa, so a
-  * floating-point path could mis-floor at second boundaries.
+  * The driver's `ts` column has shipped as both parquet
+  * TIMESTAMP(NANOS) (rounds 1-8) and TIMESTAMP(MICROS) (round 9+), so
+  * the derivation is schema-adaptive. NANOS is rejected by Spark 4.x at
+  * scan time unless `spark.sql.legacy.parquet.nanosAsLong` is set — we
+  * set that conf defensively (it is runtime-settable), and `ts` then
+  * arrives as a LONG of epoch nanoseconds, where `time_s = ts div 1e9`
+  * uses *integer* division: epoch-ns magnitudes (~1.7e18) exceed
+  * double's 53-bit mantissa, so a floating-point path could mis-floor
+  * at second boundaries. MICROS arrives as a genuine TimestampType and
+  * `unix_seconds` (truncating) gives the identical epoch-seconds value.
   *
   * Derived columns:
   *   - host    = user_id as string
@@ -38,6 +41,13 @@ object EventView {
     * ordering. */
   def apply(spark: SparkSession, sfDir: String): DataFrame = {
     val df = events(spark, sfDir)
+    val timeS = df.schema("ts").dataType match {
+      case types.LongType => expr("ts div 1000000000") // epoch-ns as long
+      // TIMESTAMP or TIMESTAMP_NTZ: the NTZ→LTZ cast interprets the
+      // naive value in the session timezone, which every entrypoint pins
+      // to UTC — identical to DuckDB's naive epoch_ns on the same bytes
+      case _ => unix_seconds(col("ts").cast(types.TimestampType))
+    }
     df.select(
       col("event_id"),
       col("user_id").cast("string").as("host"),
@@ -48,8 +58,8 @@ object EventView {
       col("value").as("metric"),
       when(col("value") > 100, array(col("event_type"), lit("big")))
         .otherwise(array(col("event_type"))).as("tags"),
-      expr("ts div 1000000000").as("time_s"),
-      timestamp_seconds(expr("ts div 1000000000")).as("time"),
+      timeS.as("time_s"),
+      timestamp_seconds(timeS).as("time"),
       (lit(60) + (col("user_id") % 10) * 30).cast("double").as("ttl"),
       from_json(col("props"), types.MapType(types.StringType, types.StringType))
         .as("attributes"))
