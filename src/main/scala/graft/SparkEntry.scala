@@ -548,6 +548,19 @@ object SparkEntry {
           "channels", "ok")
         .orderBy("media_id")
     }),
+    // REAL javax.sound.sampled decode: each doc becomes an actual
+    // WAV/AIFF clip (rate/channels/frames from doc columns), then the
+    // decoder sniffs the container from magic bytes and parses the
+    // header back out; the oracle predicts the round trip
+    "q_media_audio" -> ((s, d) => {
+      val spark0 = s
+      import spark0.implicits._
+      graft.pipeline.Multimodal.decodeAudio(
+        graft.pipeline.Multimodal.syntheticAudio(docs(s, d)))
+        .toDF().select("media_id", "format", "sample_rate", "channels",
+          "frames", "duration_ms", "ok")
+        .orderBy("media_id")
+    }),
 
     // ---- LLM pipeline: text analysis
     "q_text_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))
@@ -1174,6 +1187,13 @@ object SparkEntry {
       "CAST((n_chars % 48) + 1 AS INT) AS height, " +
       "CAST(3 AS INT) AS channels, TRUE AS ok " +
       "FROM documents ORDER BY media_id"),
+    "q_media_audio" -> ("SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'wave' ELSE 'aiff' END AS format, " +
+      "CAST(8000 + (n_chars % 4) * 4000 AS INT) AS sample_rate, " +
+      "CAST(1 + (n_chars % 2) AS INT) AS channels, " +
+      "CAST((n_chars % 500) + 100 AS BIGINT) AS frames, " +
+      "((n_chars % 500) + 100) * 1000 // (8000 + (n_chars % 4) * 4000) AS duration_ms, " +
+      "TRUE AS ok FROM documents ORDER BY media_id"),
     "q_dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1",
     "q_minhash_sig" -> (s"$shCte$hsCte SELECT doc_id, array_to_string(list_transform(" +
       s"${minhashSigSql(8)}, h -> CAST(h AS VARCHAR)), ',') AS sig FROM hh ORDER BY doc_id"),

@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: [[decodeImages]] hands the bytes to the JDK's
   * `javax.imageio` (PNG / JPEG / GIF / BMP readers ship with every
   * JRE — zero added dependencies), sniffing the container from magic
-  * bytes and reporting decoded width / height / channels. Only the
-  * audio/video codecs remain stubbed ([[decodeStub]] derives a
-  * deterministic fake feature vector from the bytes; no AV libraries in
-  * this container). Everything around the codecs — schema, batch
+  * bytes and reporting decoded width / height / channels. AUDIO
+  * metadata decode is REAL too: [[decodeAudio]] parses WAV/AIFF
+  * headers via `javax.sound.sampled` (also JDK-shipped). Only the
+  * video codec remains stubbed ([[decodeStub]] derives a
+  * deterministic fake feature vector from the bytes; no video library
+  * in this container). Everything around the codecs — schema, batch
   * iteration via `mapPartitions`, partition sizing, output shape — is
   * the real 100 TB plumbing: media rows are large, so operators must
   * stream partition iterators (never materialize a partition) and
@@ -53,9 +55,10 @@ object Multimodal {
       (col("n_chars") * 10).cast("long").as("duration_ms"),
       map(lit("src"), col("source")).as("meta"))
 
-  /** STUB decode for AUDIO / VIDEO (image decode is real — see
-    * [[decodeImages]]; no AV codec libraries ship with the JDK or this
-    * container): a real implementation hands `bytes` to a codec; this
+  /** STUB decode for VIDEO (image and audio decode are real — see
+    * [[decodeImages]] / [[decodeAudio]]; no video codec ships with the
+    * JDK or this container): a real implementation hands `bytes` to a
+    * codec; this
     * one emits a deterministic pseudo-feature (dim-d) from a positional
     * byte checksum (Σ byte·position, 1-based) so tests can assert exact
     * values — and, unlike a rolling hash that wraps on long overflow,
@@ -160,6 +163,93 @@ object Multimodal {
           }
           val out = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, fmt, out)
+          (id, fmt, out.toByteArray)
+        }
+      }
+      .toDF("media_id", "mime", "bytes")
+  }
+
+  case class DecodedAudio(media_id: Long, format: String, sample_rate: Int,
+      channels: Int, frames: Long, duration_ms: Long, n_bytes: Long,
+      ok: Boolean)
+
+  /** Sniff the audio container from magic bytes (same never-trust-
+    * metadata rule as [[sniffFormat]]): RIFF/WAVE and FORM/AIFF. */
+  private[graft] def sniffAudio(bytes: Array[Byte]): String = {
+    def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (bytes == null || bytes.length < 12) "unknown"
+    else if (tag(0) == "RIFF" && tag(8) == "WAVE") "wave"
+    else if (tag(0) == "FORM" && (tag(8) == "AIFF" || tag(8) == "AIFC")) "aiff"
+    else "unknown"
+  }
+
+  /** REAL audio metadata decode via the JDK's `javax.sound.sampled`
+    * (WAV / AIFF / AU parsers ship with every JRE — zero added
+    * dependencies, the same move as [[decodeImages]]). Reads the header
+    * only — `getAudioFileFormat` parses fmt/COMM chunks without
+    * touching sample data, so cost is O(1) per row regardless of clip
+    * length. Corrupt bytes become `ok = false` rows, never task
+    * failures. Video remains the one stubbed codec
+    * ([[decodeStub]] — no video library in the JDK or this container). */
+  def decodeAudio(media: DataFrame): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val n = if (bytes == null) 0L else bytes.length.toLong
+          val fmt = sniffAudio(bytes)
+          val aff =
+            if (fmt == "unknown") null
+            else
+              try javax.sound.sampled.AudioSystem.getAudioFileFormat(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (aff == null) DecodedAudio(id, fmt, 0, 0, 0L, 0L, n, ok = false)
+          else {
+            val rate = aff.getFormat.getSampleRate.toInt
+            val frames = aff.getFrameLength.toLong
+            DecodedAudio(id, fmt, rate, aff.getFormat.getChannels, frames,
+              if (rate > 0) frames * 1000L / rate else 0L, n, ok = true)
+          }
+        }
+      }
+  }
+
+  /** Deterministic audio relation derived from the `documents` table
+    * (the driver ships no binary media): each doc becomes a REAL
+    * WAV/AIFF clip — rate/channels/frames derived from doc columns,
+    * PCM samples from `doc_id` — written with the same
+    * `javax.sound.sampled` writers the decode path reads back, so the
+    * DuckDB oracle predicts [[decodeAudio]]'s output straight from the
+    * doc columns and the gate proves the metadata came through actual
+    * container bytes. */
+  def syntheticAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        expr("CASE WHEN doc_id % 2 = 0 THEN 'wave' ELSE 'aiff' END").as("fmt"),
+        (lit(8000) + pmod(col("n_chars"), lit(4)) * 4000).cast("int").as("rate"),
+        (lit(1) + pmod(col("n_chars"), lit(2))).cast("int").as("ch"),
+        (pmod(col("n_chars"), lit(500)) + 100).cast("int").as("frames"))
+      .as[(Long, String, Int, Int, Int)]
+      .mapPartitions { rows =>
+        import javax.sound.sampled._
+        rows.map { case (id, fmt, rate, ch, frames) =>
+          // AIFF is big-endian PCM, WAV little-endian — the writer
+          // rejects a mismatched AudioFormat rather than converting
+          val af = new AudioFormat(rate.toFloat, 16, ch, true, fmt == "aiff")
+          val data = new Array[Byte](frames * 2 * ch)
+          var i = 0
+          while (i < data.length) {
+            data(i) = ((id * 31 + i) & 0xff).toByte; i += 1
+          }
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(data), af, frames.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(ais, if (fmt == "aiff")
+            AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE, out)
           (id, fmt, out.toByteArray)
         }
       }

@@ -85,6 +85,43 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(d => d.width == 0 && d.channels == 0))
   }
 
+  test("real audio decode: wav/aiff round-trip through " +
+    "javax.sound.sampled with sniffed containers and exact metadata") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (0L, "x" * 7, "en", "s0", 7L),     // wave: rate 8000+3*4000, 2ch, 107f
+      (1L, "y" * 504, "en", "s1", 504L), // aiff: rate 8000, 1ch, 104f
+      (2L, "z" * 10, "en", "s2", 10L))   // wave: rate 16000, 1ch, 110f
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val clips = Multimodal.syntheticAudio(docs)
+    val out = Multimodal.decodeAudio(clips).collect().sortBy(_.media_id)
+    assert(out.map(_.format).toSeq == Seq("wave", "aiff", "wave"))
+    assert(out.forall(_.ok))
+    assert(out.map(_.sample_rate).toSeq == Seq(20000, 8000, 16000))
+    assert(out.map(_.channels).toSeq == Seq(2, 1, 1))
+    assert(out.map(_.frames).toSeq == Seq(107L, 104L, 110L))
+    assert(out.map(_.duration_ms).toSeq == Seq(5L, 13L, 6L))
+    // bytes are genuinely containerized: sniff one directly
+    val wav = clips.filter(col("media_id") === 0L)
+      .select("bytes").head().getAs[Array[Byte]](0)
+    assert(Multimodal.sniffAudio(wav) == "wave")
+  }
+
+  test("corrupt audio bytes become ok=false rows, not task failures") {
+    val spark0 = spark
+    import spark0.implicits._
+    val junk = Seq(
+      (1L, ("RIFF" + "\u0001\u0002\u0003\u0004" + "WAVEgarbage").getBytes("US-ASCII")),
+      (2L, "definitely not audio".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.decodeAudio(junk).collect().sortBy(_.media_id)
+    assert(out.forall(!_.ok))
+    assert(out.map(_.format).toSeq == Seq("wave", "unknown", "unknown"))
+    assert(out.forall(d => d.sample_rate == 0 && d.frames == 0L))
+  }
+
   test("sampleFrames fans out video rows only") {
     val frames = Multimodal.sampleFrames(media(), 400)
     val got = frames.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
