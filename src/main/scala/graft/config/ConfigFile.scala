@@ -1,0 +1,265 @@
+package graft.config
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.concurrent.TrieMap
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.Core
+import graft.sinks.Sinks
+import graft.streaming.{IndexProcessor, SEvent}
+
+/** External config-file surface — the riemann.config analog (reference
+  * `src/riemann/config.clj:444-467` `include`, `src/riemann/bin.clj:39-77`
+  * SIGHUP-triggered reload).
+  *
+  * The reference's config is a Clojure *program* evaluated into stream
+  * functions; a Spark-first engine declares plans, so the file is a
+  * declarative JSON pipeline spec instead: each stream names a source,
+  * a chain of ops, and a sink. Compilation targets the proven
+  * [[graft.Core]] transition!/equiv? lifecycle: a stream's signature is
+  * its canonical JSON subtree, so an edited file only restarts streams
+  * whose definition actually changed — unchanged streams keep running
+  * (and keep their checkpointed state), removed streams stop, new ones
+  * start. `include` merges sub-files (cycle-guarded, paths relative to
+  * the including file) before compilation, like config.clj's eval'd
+  * include but without arbitrary code execution.
+  *
+  * Op vocabulary (all compile to Catalyst plans — filters and
+  * projections stay codegen'd; windows are watermarked groupBys; the
+  * index is the transformWithState processor):
+  *
+  *   {"op":"where",   "expr": "<SQL boolean expr>"}
+  *   {"op":"query",   "q": "<riemann query language>"}
+  *   {"op":"with",    "set": {"field": "<SQL expr>", ...}}
+  *   {"op":"default", "set": {"field": "<SQL expr>", ...}}   // only-if-null
+  *   {"op":"scale",   "factor": <num>}                        // metric *= f
+  *   {"op":"select",  "cols": ["a","b",...]}
+  *   {"op":"window",  "agg":"sum|mean|count|max|min", "field":"metric",
+  *                    "seconds":N, "by":["host",...], "watermark":"10 seconds"}
+  *   {"op":"rate",    "seconds":N, "by":[...], "watermark":"..."}  // count/s
+  *   {"op":"index",   "watermark":"..."}   // latest-state + TTL expiry
+  *
+  * Sink spec: {"kind":"memory"|"console"|<registered>, "outputMode":...,
+  * "checkpoint": "<dir>"} — `memory` instances are cached per stream
+  * name so a reload's restarted query appends to the same sink the
+  * test/operator is already reading; other kinds come from the injected
+  * factory map (graphite/influx/... transports are constructor-injected
+  * everywhere in this library, and the config layer follows suit).
+  */
+object ConfigFile {
+
+  /** Parse `path` (+ transitive includes) into one merged document.
+    * Includes resolve relative to the including file and are
+    * cycle-guarded; streams concatenate in include order, includer
+    * last, so an includer can shadow an included stream by name (last
+    * definition of a name wins, matching LinkedHashMap replacement in
+    * [[Core.stream]]). */
+  def load(path: Path, seen: Set[Path] = Set.empty): List[JObject] = {
+    val real = path.toRealPath()
+    if (seen.contains(real))
+      throw new IllegalArgumentException(s"include cycle at $real")
+    val doc = JsonMethods.parse(Files.readString(real))
+    val included = (doc \ "include") match {
+      case JArray(vs) => vs.flatMap {
+        case JString(rel) => load(real.getParent.resolve(rel), seen + real)
+        case other => throw new IllegalArgumentException(
+          s"include entries must be strings, got $other")
+      }
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(
+        s"include must be an array, got $other")
+    }
+    val own = (doc \ "streams") match {
+      case JArray(vs) => vs.collect { case o: JObject => o }
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(
+        s"streams must be an array, got $other")
+    }
+    included ++ own
+  }
+
+  private def str(v: JValue, what: String): String = v match {
+    case JString(s) => s
+    case other => throw new IllegalArgumentException(s"$what: got $other")
+  }
+
+  private def strings(v: JValue): Seq[String] = v match {
+    case JArray(vs) => vs.map(str(_, "list element"))
+    case JNothing => Nil
+    case other => throw new IllegalArgumentException(s"expected array: $other")
+  }
+
+  private def num(v: JValue, what: String): Double = v match {
+    case JInt(n) => n.toDouble
+    case JLong(n) => n.toDouble
+    case JDouble(n) => n
+    case JDecimal(n) => n.toDouble
+    case other => throw new IllegalArgumentException(s"$what: got $other")
+  }
+
+  /** Compile one op onto a DataFrame. Separate from the chain so specs
+    * can exercise ops individually on batch frames (every op except
+    * index/window is batch-streaming agnostic). */
+  def applyOp(df: DataFrame, op: JObject): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    str(op \ "op", "op") match {
+      case "where" => df.filter(expr(str(op \ "expr", "where.expr")))
+      case "query" =>
+        val ast = graft.query.QueryLanguage.parse(str(op \ "q", "query.q"))
+        df.filter(graft.query.QueryLanguage.compile(ast, df.schema))
+      case "with" => (op \ "set") match {
+        case JObject(fields) => fields.foldLeft(df) { case (d, (k, v)) =>
+          d.withColumn(k, expr(str(v, s"with.$k")))
+        }
+        case other => throw new IllegalArgumentException(s"with.set: $other")
+      }
+      case "default" => (op \ "set") match {
+        case JObject(fields) => fields.foldLeft(df) { case (d, (k, v)) =>
+          val e = expr(str(v, s"default.$k"))
+          d.withColumn(k,
+            if (d.columns.contains(k)) coalesce(col(k), e) else e)
+        }
+        case other => throw new IllegalArgumentException(s"default.set: $other")
+      }
+      case "scale" =>
+        df.withColumn("metric", col("metric") * num(op \ "factor", "scale.factor"))
+      case "select" => df.select(strings(op \ "cols").map(col): _*)
+      case "window" | "rate" =>
+        val secs = num(op \ "seconds", "window.seconds")
+        val by = strings(op \ "by")
+        val wm = (op \ "watermark") match {
+          case JString(s) => s
+          case _ => "0 seconds"
+        }
+        val kind = str(op \ "op", "op")
+        val field = (op \ "field") match {
+          case JString(s) => s
+          case _ => "metric"
+        }
+        val agg = if (kind == "rate") count(lit(1)) / lit(secs)
+        else str(op \ "agg", "window.agg") match {
+          case "sum" => sum(col(field))
+          case "mean" => avg(col(field))
+          case "count" => count(col(field)).cast("double")
+          case "max" => max(col(field))
+          case "min" => min(col(field))
+          case other =>
+            throw new IllegalArgumentException(s"window.agg: $other")
+        }
+        df.withWatermark("time", wm)
+          .groupBy(window(col("time"), s"${secs.toLong} seconds") +:
+            by.map(col): _*)
+          .agg(agg.as("metric"))
+          .select(by.map(col) :+ col("window.start").as("time") :+
+            col("metric"): _*)
+      case "index" =>
+        val wm = (op \ "watermark") match {
+          case JString(s) => s
+          case _ => "0 seconds"
+        }
+        IndexProcessor(df.as[SEvent], wm).toDF()
+      case other => throw new IllegalArgumentException(s"unknown op: $other")
+    }
+  }
+
+  def compilePipeline(df: DataFrame, stream: JObject): DataFrame =
+    (stream \ "pipeline") match {
+      case JArray(ops) => ops.foldLeft(df) {
+        case (d, o: JObject) => applyOp(d, o)
+        case (_, other) =>
+          throw new IllegalArgumentException(s"pipeline op: $other")
+      }
+      case JNothing => df
+      case other => throw new IllegalArgumentException(s"pipeline: $other")
+    }
+
+  /** File-driven Core assembly with reload. `sources` maps config
+    * source names to streaming DataFrames (servers, kafka, testkit
+    * MemoryStreams — transports are injected, as everywhere);
+    * `sinkFactories` maps extra sink kinds to builders over the sink's
+    * own JSON spec. */
+  final class Loader(core: Core, spark: SparkSession, path: Path,
+      sources: Map[String, () => DataFrame],
+      sinkFactories: Map[String, JValue => Sinks.EventSink] = Map.empty) {
+
+    /** Per-stream-name memory sinks, stable across reloads so a
+      * restarted query keeps appending where readers are looking. */
+    val memorySinks = TrieMap[String, Sinks.MemorySink]()
+    private var current: Set[String] = Set.empty
+
+    private def build(stream: JObject): DataStreamWriter[_] = {
+      val name = str(stream \ "name", "stream.name")
+      val src = sources.getOrElse(str(stream \ "source", s"$name.source"),
+        throw new IllegalArgumentException(
+          s"$name: unknown source '${stream \ "source"}'"))
+      val out = compilePipeline(src(), stream)
+      val sinkSpec = (stream \ "sink") match {
+        case o: JObject => o
+        case _ => JObject("kind" -> JString("console"))
+      }
+      val writer = str(sinkSpec \ "kind", s"$name.sink.kind") match {
+        case "memory" =>
+          Sinks.attach(out,
+            memorySinks.getOrElseUpdate(name, new Sinks.MemorySink))
+        case "console" => out.writeStream.format("console")
+        case kind =>
+          val factory = sinkFactories.getOrElse(kind,
+            throw new IllegalArgumentException(s"$name: unknown sink '$kind'"))
+          Sinks.attach(out, factory(sinkSpec))
+      }
+      val mode = (sinkSpec \ "outputMode") match {
+        case JString(m) => m
+        case _ => "append"
+      }
+      (sinkSpec \ "checkpoint") match {
+        case JString(dir) =>
+          writer.outputMode(mode).option("checkpointLocation", dir)
+        case _ => writer.outputMode(mode)
+      }
+    }
+
+    /** Re-read the file, re-register every stream (signature = its
+      * canonical JSON subtree), drop streams no longer present, and
+      * transition the Core: only added/changed streams (re)start —
+      * bin.clj:39-77's reload on the transition!/equiv? lifecycle.
+      * Returns the (re)started names. */
+    def reload(): Seq[String] = synchronized {
+      val streams = load(path)
+      val names = streams.map(s => str(s \ "name", "stream.name"))
+      require(names.distinct.size == names.size,
+        s"duplicate stream names in $path: $names")
+      (current -- names).foreach(core.removeStream)
+      for (s <- streams)
+        core.stream(str(s \ "name", "stream.name"),
+          signature = JsonMethods.compact(JsonMethods.render(s)))(build(s))
+      current = names.toSet
+      core.applyConfig()
+    }
+
+    /** bin.clj:39-77: SIGHUP → reload. Best-effort (sun.misc.Signal is
+      * in jdk.unsupported; absent or sandboxed JVMs just return false
+      * and callers fall back to explicit [[reload]]). A failed reload
+      * logs and keeps the old topology running — same contract as the
+      * reference, which catches and logs config errors on reload
+      * rather than killing the core. */
+    def installSighup(): Boolean =
+      try {
+        sun.misc.Signal.handle(new sun.misc.Signal("HUP"),
+          (_: sun.misc.Signal) =>
+            try reload()
+            catch {
+              case NonFatal(e) =>
+                System.err.println(s"[config] reload failed: ${e.getMessage}")
+            })
+        true
+      } catch { case NonFatal(_) => false }
+  }
+}
