@@ -40,6 +40,19 @@ object Metrics {
         }
   }
 
+  object InfluxDbSink {
+    /** The user-facing default, matching influxdb.clj:135-231's v1
+      * connect defaults (port 8086, db "riemann"): each partition's
+      * points POST as one line-protocol body to `/write?db=…` through
+      * the bounded pooled HTTP transport (claim-timeout and retry
+      * semantics from pool.clj; see [[Pool.httpPostTransport]]). */
+    def apply(host: String, port: Int = 8086, db: String = "riemann",
+        poolSize: Int = 4, claimTimeoutMs: Long = 100): InfluxDbSink =
+      new InfluxDbSink(Pool.httpPostTransport(
+        s"http://$host:$port/write?db=$db", size = poolSize,
+        claimTimeoutMs = claimTimeoutMs))
+  }
+
   /** InfluxDB v2 write options (reference src/riemann/influxdb2.clj:55-63
     * default-opts): org/bucket/token replace v1's db/user/password, and
     * the write endpoint is `/api/v2/write` with a `Token` auth header. */

@@ -225,4 +225,78 @@ object Pool {
       }
     }
   }
+
+  /** The production default line transport: pooled TCP sockets with
+    * graphite.clj:128-170's defaults (pool-size 4, claim-timeout 0.1 s,
+    * reconnect-interval 5 s, block-start) — what `(graphite {:host …})`
+    * gives a riemann user out of the box. Newline-terminated UTF-8
+    * lines, flushed once per partition batch; a send failure closes the
+    * socket (invalidate) and the regen loop redials until the
+    * downstream returns. */
+  def tcpLineTransport(
+      host: String, port: Int,
+      size: Int = 4,
+      claimTimeoutMs: Long = 100,
+      regenerateIntervalMs: Long = 5000,
+      blockStart: Boolean = true,
+      retries: Int = 1,
+      connectTimeoutMs: Int = 5000): PooledTransport[java.net.Socket] =
+    new PooledTransport[java.net.Socket](
+      id = s"tcp:$host:$port",
+      open = () => {
+        val s = new java.net.Socket()
+        s.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+        s
+      },
+      close = s => try s.close() catch { case NonFatal(_) => () },
+      send = (s, lines) => {
+        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          s.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+        lines.foreach { l => w.write(l); w.write('\n') }
+        w.flush()
+      },
+      size = size, claimTimeoutMs = claimTimeoutMs,
+      regenerateIntervalMs = regenerateIntervalMs, blockStart = blockStart,
+      retries = retries)
+
+  /** Pooled HTTP POST transport for body-per-batch sinks (InfluxDB's
+    * `/write`, OpenTSDB's `/api/put`, …): each partition's lines join
+    * into one newline-separated body POSTed to `url`. Divergence from
+    * the TCP pool, documented: HTTP connections are not long-lived
+    * resources here (the JDK's keep-alive cache reuses sockets under
+    * the hood), so what the pool bounds is in-flight request
+    * concurrency per executor — claim-timeout and retry semantics are
+    * identical to the reference's with-pool wrapping. Non-2xx responses
+    * throw, so a failing downstream dead-letters through
+    * [[Sinks.Guarded]] exactly like a TCP failure. */
+  def httpPostTransport(
+      url: String,
+      headers: Map[String, String] = Map.empty,
+      size: Int = 4,
+      claimTimeoutMs: Long = 100,
+      retries: Int = 1,
+      connectTimeoutMs: Int = 5000): PooledTransport[java.net.URL] =
+    new PooledTransport[java.net.URL](
+      id = s"http:$url",
+      open = () => new java.net.URI(url).toURL,
+      close = _ => (),
+      send = (u, lines) => {
+        val body = lines.mkString("\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)
+        val conn = u.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        try {
+          conn.setConnectTimeout(connectTimeoutMs)
+          conn.setReadTimeout(connectTimeoutMs)
+          conn.setRequestMethod("POST")
+          headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(body)
+          val code = conn.getResponseCode
+          if (code >= 300)
+            throw new java.io.IOException(s"HTTP $code from $u")
+        } finally conn.disconnect()
+      },
+      size = size, claimTimeoutMs = claimTimeoutMs,
+      regenerateIntervalMs = 1000, blockStart = true, retries = retries)
 }

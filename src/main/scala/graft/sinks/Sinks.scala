@@ -63,6 +63,18 @@ object Sinks {
         }
   }
 
+  object GraphiteSink {
+    /** The user-facing default, matching `(graphite {:host …})`
+      * (graphite.clj:128-170): pooled TCP to host:2003 with the
+      * reference's pool defaults (size 4, claim-timeout 0.1 s,
+      * reconnect-interval 5 s, block-start). The transport-injected
+      * constructor above remains for tests and exotic carriers. */
+    def apply(host: String, port: Int = 2003, poolSize: Int = 4,
+        claimTimeoutMs: Long = 100): GraphiteSink =
+      new GraphiteSink(Pool.tcpLineTransport(host, port, size = poolSize,
+        claimTimeoutMs = claimTimeoutMs))
+  }
+
   /** `exception-stream` / dead-letter (streams.clj:81-121): the
     * reference isolates child failures per event and routes the
     * exception AS an event to a handler stream. The Spark analog

@@ -182,4 +182,55 @@ class PoolSpec extends SparkSpec {
       s"pool churned ${PoolProbe.opened.get} opens")
     Pool.shutdownPool("poolspec-graphite")
   }
+
+  test("default GraphiteSink pools REAL TCP sockets out of the box " +
+    "(graphite.clj:128-170 `(graphite {:host …})` defaults)") {
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val received = new ConcurrentLinkedQueue[String]()
+    val acceptor = new Thread(() =>
+      try while (!server.isClosed) {
+        val s = server.accept()
+        val reader = new Thread(() =>
+          try {
+            val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+              s.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+            var l = r.readLine()
+            while (l != null) { received.add(l); l = r.readLine() }
+          } catch { case _: Throwable => () })
+        reader.setDaemon(true); reader.start()
+      } catch { case _: Throwable => () })
+    acceptor.setDaemon(true); acceptor.start()
+
+    try {
+      val sink = Sinks.GraphiteSink("127.0.0.1", port)
+      sink.write(events(
+        E(id = 1, host = "web01", service = "cpu", metric = 0.5, time = 100L))
+        .coalesce(1), 0L)
+      assert(awaitTrue(3000)(received.size == 1),
+        s"expected 1 line over the wire, got ${received.size}")
+      assert(received.peek == "cpu 0.5 100")
+    } finally {
+      Pool.shutdownPool(s"tcp:127.0.0.1:$port")
+      server.close()
+    }
+  }
+
+  test("default GraphiteSink against a dead port dead-letters via " +
+    "Guarded without crashing, with the pool redialing in background") {
+    // grab a port that refuses connections
+    val probe = new java.net.ServerSocket(0)
+    val deadPort = probe.getLocalPort
+    probe.close()
+
+    try {
+      val dead = new Sinks.MemorySink
+      val guarded = new Sinks.Guarded(
+        Sinks.GraphiteSink("127.0.0.1", deadPort), dead)
+      guarded.write(events(
+        E(id = 1, host = "h", service = "cpu", metric = 1.0, time = 100L))
+        .coalesce(1), 0L)
+      assert(dead.size == 2, "dead letter = 1 batch row + 1 exception event")
+    } finally Pool.shutdownPool(s"tcp:127.0.0.1:$deadPort")
+  }
 }
