@@ -1,0 +1,332 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.EventView
+import graft.operators.{Combine, Index, Streams, Windows}
+import graft.operators.Streams.EventOps
+import graft.functions.Folds
+import graft.pipeline.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.EntryShared._
+
+/** Driver-contract queries, part 2 of the [[SparkEntry]] split:
+  * multimodal plumbing / text analysis / corpus curation / sink
+  * payload renderer gates. */
+private[graft] object EntryPipeline {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- LLM pipeline: multimodal plumbing (media derived from documents)
+    "q_frames" -> ((s, d) =>
+      graft.pipeline.Multimodal.sampleFrames(
+        graft.pipeline.Multimodal.deriveMedia(docs(s, d)), 500)
+        .orderBy("media_id", "frame_ts")),
+    // decode stub runs the real mapPartitions/iterator contract; the
+    // positional byte checksum is ANSI-expressible (documents are
+    // ASCII, so DuckDB's per-char unicode() equals the byte value)
+    "q_media_features" -> ((s, d) => {
+      val spark0 = s
+      import spark0.implicits._
+      graft.pipeline.Multimodal.decodeStub(
+        graft.pipeline.Multimodal.deriveMedia(docs(s, d)), 8)
+        .toDF().select("media_id", "modality", "n_bytes", "checksum")
+        .orderBy("media_id")
+    }),
+    // REAL javax.imageio decode: each doc becomes an actual png/jpeg/
+    // bmp file (dims derived from n_chars), then the decoder sniffs the
+    // container from magic bytes and reads dims back out of the real
+    // image bytes; the oracle predicts the round trip from doc columns
+    "q_media_decode" -> ((s, d) => {
+      val spark0 = s
+      import spark0.implicits._
+      graft.pipeline.Multimodal.decodeImages(
+        graft.pipeline.Multimodal.syntheticImages(docs(s, d)))
+        .toDF().select("media_id", "format", "width", "height",
+          "channels", "ok")
+        .orderBy("media_id")
+    }),
+    // REAL javax.sound.sampled decode: each doc becomes an actual
+    // WAV/AIFF clip (rate/channels/frames from doc columns), then the
+    // decoder sniffs the container from magic bytes and parses the
+    // header back out; the oracle predicts the round trip
+    "q_media_audio" -> ((s, d) => {
+      val spark0 = s
+      import spark0.implicits._
+      graft.pipeline.Multimodal.decodeAudio(
+        graft.pipeline.Multimodal.syntheticAudio(docs(s, d)))
+        .toDF().select("media_id", "format", "sample_rate", "channels",
+          "frames", "duration_ms", "ok")
+        .orderBy("media_id")
+    }),
+
+    // ---- LLM pipeline: text analysis
+    "q_text_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))
+      .orderBy("doc_id")),
+    "q_quality" -> ((s, d) => TextAnalysis.qualityScores(docs(s, d))
+      .orderBy("doc_id")),
+    "q_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
+    "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))
+      .orderBy("doc_id")),
+    "q_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(docs(s, d)).orderBy("doc_id")),
+    // PII scan over deterministically planted spans (the synthetic
+    // corpus carries none): the encode-then-decode gate pattern
+    "q_pii" -> ((s, d) => {
+      val planted = docs(s, d).withColumn("text2", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit(" contact alice@example.com or bob.smith@mail.org"))
+          .when(col("doc_id") % 5 === 1,
+            lit(" server at 10.0.0.1 and 192.168.1.100"))
+          .when(col("doc_id") % 5 === 2, lit(" call +1 555-123-4567"))
+          .when(col("doc_id") % 5 === 3, lit(" mixed: c@d.io 8.8.8.8"))
+          .otherwise(lit(""))))
+      TextAnalysis.piiScan(planted, "text2").orderBy("doc_id")
+    }),
+    "q_tfidf" -> ((s, d) => TextAnalysis.tfIdf(docs(s, d), 5)
+      .orderBy("doc_id", "rk")),
+    // decontamination: every 10th doc plays the held-out benchmark set
+    "q_contamination" -> ((s, d) => {
+      val all = docs(s, d)
+      TextAnalysis.contamination(all.filter(col("doc_id") % 10 =!= 0),
+        all.filter(col("doc_id") % 10 === 0), 3)
+        .orderBy("doc_id")
+    }),
+
+    // ---- LLM pipeline: corpus curation (caps, splits, packing)
+    "q_source_cap" -> ((s, d) => Curation.sourceCap(docs(s, d), 40)
+      .select("doc_id", "source", "source_rank")
+      .orderBy("source", "source_rank")),
+    "q_split_assign" -> ((s, d) => Curation.splitAssign(docs(s, d))
+      .select("doc_id", "split_u", "split").orderBy("doc_id")),
+    "q_pack" -> ((s, d) => Curation.packSequences(docs(s, d), 2048, 8)
+      .orderBy("doc_id")),
+    // segment-level (line) dedup: compare the reassembled text via md5
+    // so the driver hashes short rows, not whole documents
+    "q_segment_dedup" -> ((s, d) => Curation.segmentDedup(docs(s, d), 10)
+      .select(col("doc_id"), col("n_segments"), col("n_kept"),
+        md5(col("text_deduped")).as("text_hash"))
+      .orderBy("doc_id")),
+    // skew stress (SkewSpec's corpora at oracle scale): segment dedup
+    // under a 50%-hot segment, and the LSH hot-bucket cap engaging —
+    // the bench rows for these ARE the skewed-corpus evidence
+    "q_skew_segment_dedup" -> ((s, d) =>
+      Curation.segmentDedup(skewedDocs(s, d), 10)
+        .select(col("doc_id"), col("n_segments"), col("n_kept"),
+          md5(col("text_deduped")).as("text_hash"))
+        .orderBy("doc_id")),
+    "q_skew_lsh_capped" -> ((s, d) =>
+      Dedup.lshCandidates(skewedDocs(s, d), 16, 4, 3, maxBucket = 64)
+        .orderBy("doc_a", "doc_b")),
+    "q_temp_sample" -> ((s, d) => Curation.temperatureSample(docs(s, d), 0.5, 0.5)
+      .select(col("doc_id"), col("source"), col("n_source"),
+        round(col("keep_rate"), 6).as("keep_rate"), col("sample_u"))
+      .orderBy("doc_id")),
+    // changed with :pairs? — the previous value rides along with each
+    // transition (streams_test.clj changed-test "with previous event")
+    "q_changed_pairs" -> ((s, d) =>
+      Windows.changed(ev(s, d), "state", Seq("host"), init = Some("ok"))
+        .select("event_id", "host", "prev_value", "state")
+        .orderBy("event_id")),
+    // email formatter (common.clj subject/body, email.clj mailer)
+    "q_email_subject" -> ((s, d) =>
+      graft.sinks.Email.subject(ev(s, d), Seq("service"))
+        .orderBy("service")),
+    "q_email_body" -> ((s, d) => ev(s, d)
+      .select(col("event_id"),
+        md5(graft.sinks.Email.bodyBlock()).as("body_hash"))
+      .orderBy("event_id")),
+    // delete-from-index: every pkey that ever went critical is removed
+    // from the snapshot via the broadcast anti-join
+    "q_index_delete" -> ((s, d) => {
+      val e = ev(s, d)
+      Index.delete(Index.snapshot(e), e.filter(col("state") === "critical"))
+        .select("event_id", "host", "service", "state", "metric", "time_s")
+        .orderBy("host", "service")
+    }),
+    // prometheus exposition datapoint (name sanitize + labels + float)
+    "q_prometheus_line" -> ((s, d) => ev(s, d)
+      .filter(col("metric").isNotNull && col("service").isNotNull)
+      .select(col("event_id"), graft.sinks.Metrics.prometheusLine.as("line"))
+      .orderBy("event_id")),
+    // graphite path rendering: reversed fqdn + dotted service with the
+    // percentile-suffix collapse
+    "q_graphite_path" -> ((s, d) => ev(s, d)
+      .withColumn("host", concat(col("host"), lit(".node.example.com")))
+      .withColumn("service", concat(col("service"), lit(" latency 0.95")))
+      .select(col("event_id"),
+        graft.sources.LineProtocols.graphitePathPercentiles.as("path"))
+      .orderBy("event_id")),
+    // opentsdb put-line encode (the decode counterpart is
+    // q_opentsdb_decode): round-trip-able through decodeOpenTsdb
+    "q_opentsdb_encode" -> ((s, d) => ev(s, d)
+      .filter(col("metric").isNotNull && col("service").isNotNull)
+      .withColumn("service", concat(col("service"), lit(" p99")))
+      .select(col("event_id"), graft.sinks.Metrics.opentsdbLine.as("line"))
+      .orderBy("event_id")),
+    // datadog series entry: byte-exact gauge JSON per event
+    "q_datadog_event" -> ((s, d) => ev(s, d)
+      .filter(col("metric").isNotNull && col("service").isNotNull)
+      .select(col("event_id"), graft.sinks.Metrics.datadogEvent.as("entry"))
+      .orderBy("event_id")),
+    // combined Gopher-rules quality filter (minWords=20 so the corpus
+    // mixes keep/drop outcomes at test scale)
+    "q_gopher_filter" -> ((s, d) =>
+      TextAnalysis.gopherFilter(docs(s, d), minWords = 20)
+        .orderBy("doc_id")),
+    // librato gauge JSON with the safe-name sanitizer exercised
+    "q_librato_gauge" -> ((s, d) => ev(s, d)
+      .filter(col("metric").isNotNull)
+      .withColumn("service", concat(col("service"), lit(" p99!!")))
+      .select(col("event_id"), graft.sinks.Metrics.libratoGauge.as("entry"))
+      .orderBy("event_id")),
+    // kairosdb telnet metric (millisecond timestamps)
+    "q_kairosdb_line" -> ((s, d) => ev(s, d)
+      .filter(col("metric").isNotNull && col("service").isNotNull)
+      .withColumn("service", concat(col("service"), lit(" p50")))
+      .select(col("event_id"), graft.sinks.Metrics.kairosdbLine.as("line"))
+      .orderBy("event_id")),
+    // ---- r7: sink payload renderers promoted from spec-only to
+    // oracle-gated (slack.clj / boundary.clj / cloudwatch.clj /
+    // zabbix.clj / nagios.clj / xymon.clj). Derived null columns
+    // exercise the nil-rendering paths the oracle can now pin.
+    "q_slack_message" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .select(col("event_id"),
+        graft.sinks.Alerting.slackMessage("riemann", "#ops", ":fire:")
+          .as("body"))
+      .orderBy("event_id")),
+    // the 4-tuple stays aligned with explicit nulls (the boundary.clj
+    // contract) — null host AND null metric rows included
+    "q_boundary_tuple" -> ((s, d) => ev(s, d)
+      .withColumn("host", when(col("event_id") % 7 === 0,
+        lit(null).cast("string")).otherwise(col("host")))
+      .withColumn("metric", when(col("event_id") % 11 === 0,
+        lit(null).cast("double")).otherwise(col("metric")))
+      .withColumn("_mid",
+        graft.sinks.Forwarders.boundarify(col("service"), None))
+      .filter(col("_mid") =!= "")
+      .select(col("event_id"), graft.sinks.Forwarders.boundaryTuple.as("t"))
+      .orderBy("event_id")),
+    // unfiltered: null metric proves cheshire-style explicit-null JSON
+    "q_cloudwatch_datapoint" -> ((s, d) => ev(s, d)
+      .withColumn("metric", when(col("event_id") % 11 === 0,
+        lit(null).cast("double")).otherwise(col("metric")))
+      .select(col("event_id"),
+        graft.sinks.Forwarders.cloudwatchDatapoint.as("dp"))
+      .orderBy("event_id")),
+    "q_zabbix_datapoint" -> ((s, d) => ev(s, d)
+      .withColumn("metric", when(col("event_id") % 11 === 0,
+        lit(null).cast("double")).otherwise(col("metric")))
+      .select(col("event_id"),
+        graft.sinks.Forwarders.zabbixDatapoint.as("dp"))
+      .orderBy("event_id")),
+    // error folds to critical, null state to unknown, nils render ""
+    "q_nagios_line" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .withColumn("state", when(col("event_id") % 3 === 0, lit("error"))
+        .when(col("event_id") % 3 === 1, lit(null).cast("string"))
+        .otherwise(col("state")))
+      .select(col("event_id") +: graft.sinks.Forwarders.nagiosFields: _*)
+      .orderBy("event_id")),
+    "q_xymon_status" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .select(col("event_id"),
+        graft.sinks.Forwarders.xymonStatus.as("status"))
+      .orderBy("event_id")),
+    // blueflood ingest point; null ttl proves the 30-day default
+    "q_blueflood_point" -> ((s, d) => ev(s, d)
+      .withColumn("ttl", when(col("event_id") % 6 === 0,
+        lit(null).cast("double")).otherwise(col("ttl")))
+      .filter(col("metric").isNotNull)
+      .select(col("event_id"), graft.sinks.Forwarders.bluefloodPoint.as("p"))
+      .orderBy("event_id")),
+    // druid tranquility event: ISO8601 UTC timestamp, explicit nulls
+    "q_druid_event" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .select(col("event_id"), graft.sinks.Forwarders.druidEvent.as("e"))
+      .orderBy("event_id")),
+    // netuitive element: service-with-spaces exercises the dot mapping
+    "q_netuitive_element" -> ((s, d) => ev(s, d)
+      .withColumn("service", concat(col("service"), lit(" p95")))
+      .select(col("event_id"),
+        graft.sinks.Forwarders.netuitiveElement("Riemann").as("e"))
+      .orderBy("event_id")),
+    // shinken ws-arbiter form fields (nils render "")
+    "q_shinken_form" -> ((s, d) => ev(s, d)
+      .select(col("event_id") +: graft.sinks.Forwarders.shinkenFields: _*)
+      .orderBy("event_id")),
+    // pushover form fields incl. the full state->priority table
+    "q_pushover_fields" -> ((s, d) => ev(s, d)
+      .withColumn("state", when(col("event_id") % 4 === 0, lit("emergency"))
+        .when(col("event_id") % 4 === 1, lit("info"))
+        .otherwise(col("state")))
+      .select(col("event_id"),
+        graft.sinks.Notifiers.pushoverTitle.as("title"),
+        graft.sinks.Notifiers.pushoverMessage.as("message"),
+        graft.sinks.Notifiers.pushoverPriority.cast("string").as("priority"),
+        col("time_s").cast("string").as("timestamp"))
+      .orderBy("event_id")),
+    // logstash wire JSON; null metric proves the explicit-null field
+    "q_logstash_line" -> ((s, d) => ev(s, d)
+      .withColumn("metric", when(col("event_id") % 11 === 0,
+        lit(null).cast("double")).otherwise(col("metric")))
+      .select(col("event_id"),
+        graft.sinks.Notifiers.logstashLine.as("line"))
+      .orderBy("event_id")),
+    // logentries k='v' line; null description drops the leading clause
+    "q_logentries_line" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .select(col("event_id"),
+        graft.sinks.Notifiers.logentriesLine.as("line"))
+      .orderBy("event_id")),
+    // hipchat block + card color (error folds red, null folds yellow)
+    "q_hipchat_message" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .withColumn("state", when(col("event_id") % 3 === 0, lit("error"))
+        .when(col("event_id") % 3 === 1, lit(null).cast("string"))
+        .otherwise(col("state")))
+      .select(col("event_id"),
+        graft.sinks.Notifiers.hipchatMessage.as("msg"),
+        graft.sinks.Notifiers.hipchatColor.as("color"))
+      .orderBy("event_id")),
+    // msteams MessageCard section: explicit-null facts for nil fields
+    "q_msteams_section" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .select(col("event_id"), graft.sinks.Sinks.cheshireJson(
+        graft.sinks.Alerting.msteamsSection).as("section"))
+      .orderBy("event_id")),
+    "q_telegram_text" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .select(col("event_id"),
+        graft.sinks.Alerting.telegramText("Markdown").as("text"))
+      .orderBy("event_id")),
+    // opsgenie body incl. the deterministic md5 alias over
+    // (host, service, sorted tags)
+    "q_opsgenie_body" -> ((s, d) => withDerivedDesc(ev(s, d))
+      .select(col("event_id"), graft.sinks.Alerting.opsgenieBody.as("body"))
+      .orderBy("event_id")),
+    "q_victorops_body" -> ((s, d) => ev(s, d)
+      .select(col("event_id"),
+        graft.sinks.Alerting.victoropsBody("CRITICAL").as("body"))
+      .orderBy("event_id")),
+    "q_pagerduty_v1" -> ((s, d) => ev(s, d)
+      .select(col("event_id"),
+        graft.sinks.Alerting.pagerdutyV1Body("rk", "trigger").as("body"))
+      .orderBy("event_id")),
+    // v2 body: derived dedup-key attribute exercises the element_at
+    // extraction; the seconds-as-millis 1970-era timestamp quirk is
+    // reproduced bit-faithfully on both sides
+    "q_pagerduty_v2" -> ((s, d) => ev(s, d)
+      .withColumn("attributes", map_concat(col("attributes"),
+        map(lit("dedup-key"), concat(lit("dk-"), col("host")))))
+      .select(col("event_id"),
+        graft.sinks.Alerting.pagerdutyV2Body("rk", "trigger").as("body"))
+      .orderBy("event_id")),
+    // stackdriver point: whitespace runs in the name collapse to dots
+    "q_stackdriver_point" -> ((s, d) => ev(s, d)
+      .withColumn("service", concat(col("service"), lit(" x  y")))
+      .filter(col("metric").isNotNull)
+      .select(col("event_id"),
+        graft.sinks.Forwarders.stackdriverPoint.as("p"))
+      .orderBy("event_id")),
+    // keenio event body; null metric proves the explicit-null field
+    "q_keenio_body" -> ((s, d) => ev(s, d)
+      .withColumn("metric", when(col("event_id") % 11 === 0,
+        lit(null).cast("double")).otherwise(col("metric")))
+      .select(col("event_id"),
+        graft.sinks.Notifiers.keenioBody.as("body"))
+      .orderBy("event_id"))
+  )
+}

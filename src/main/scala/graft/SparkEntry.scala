@@ -9,7 +9,6 @@ import graft.operators.{Combine, Index, Streams, Windows}
 import graft.operators.Streams.EventOps
 import graft.functions.Folds
 import graft.pipeline.{Curation, Dedup, Similarity, TextAnalysis}
-
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` where
   * SQL-expressible) per implemented operator from SURVEY.md §2.
   *
@@ -21,6 +20,12 @@ import graft.pipeline.{Curation, Dedup, Similarity, TextAnalysis}
   *    of partition merge order and engine,
   *  - DuckDB arithmetic always has an explicit DOUBLE operand (bare
   *    numeric literals are DECIMAL there, unlike Spark).
+  *
+  * The maps themselves live in [[EntryStreams]] / [[EntryPipeline]]
+  * (queries) and [[EntryOracle]] (SQL), split along the section
+  * boundaries the file grew in; [[EntryShared]] carries the common
+  * inputs and derivations. Key sets are asserted disjoint here so a
+  * split-file merge can never silently shadow a query.
   */
 object SparkEntry {
 
@@ -33,1595 +38,11 @@ object SparkEntry {
       """state = "critical" or (metric > 120 and tagged "big")""")
   }
 
-  private val D = DecimalType(18, 6)
-  private def ev(s: SparkSession, dir: String): DataFrame = EventView(s, dir)
-  /** Shared input for the product/quotient UDAF gates: 5-event batches
-    * per host, metric mapped to small integers (incl. zeros and
-    * negatives) so products stay exact at the rounded precision. */
-  private def foldBatches(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("host").orderBy("time_s", "event_id")
-    ev(s, dir).filter(col("metric").isNotNull)
-      .withColumn("ord", row_number().over(w).cast("long"))
-      .withColumn("vi", (floor(abs(col("metric"))) % 7 - 3).cast("double"))
-      .withColumn("batch_id", expr("(ord - 1) div 5"))
-  }
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
-  /** Boilerplate text stamped onto half the corpus by the skew probes
-    * — long enough to span several 10-word segments. */
-  private val skewBoiler = "common header line repeated across half " +
-    "of the corpus with exactly twenty five words of boilerplate " +
-    "filler so it spans multiple ten word segments"
-  /** The skew-stress corpus: every even doc_id gets the SAME text —
-    * one dominant segment for line dedup, one dominant LSH bucket for
-    * minhash. Oracles apply the identical CASE substitution. */
-  private def skewedDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).withColumn("text",
-      when(col("doc_id") % 2 === 0, lit(skewBoiler)).otherwise(col("text")))
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
-
-  // --------------------------------------------------------------- queries
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- §2.3 filters / routing
-    "q_where" -> ((s, d) => ev(s, d)
-      .where(col("metric") > 100 && col("service") === "purchase")
-      .select("event_id", "host", "service", "metric").orderBy("event_id")),
-    "q_over_under" -> ((s, d) => ev(s, d).over(50).under(150)
-      .select("event_id", "metric").orderBy("event_id")),
-    "q_tagged_any" -> ((s, d) => ev(s, d).taggedAny(Seq("big"))
-      .select("event_id", "service", "metric").orderBy("event_id")),
-    "q_tagged_all" -> ((s, d) => ev(s, d).taggedAll(Seq("purchase", "big"))
-      .select("event_id", "metric").orderBy("event_id")),
-    "q_expired" -> ((s, d) => ev(s, d).expired(lit(1706620000L))
-      .select("event_id", "host", "service", "time_s", "ttl")
-      .orderBy("event_id")),
-    "q_split" -> ((s, d) => ev(s, d)
-      .splitRoutes(Seq((col("metric") > 150, "high"),
-        (col("metric") > 50, "mid")), "low")
-      .select("event_id", "route").orderBy("event_id")),
-    "q_splitp" -> ((s, d) => ev(s, d)
-      .splitp(col("state"), Seq(("critical", "page"), ("warning", "notify")),
-        "ignore")
-      .select("event_id", "route").orderBy("event_id")),
-    "q_dual" -> ((s, d) => ev(s, d).dual(col("metric") > 50)._2
-      .select("event_id", "state").orderBy("event_id")),
-    "q_match" -> ((s, d) => ev(s, d)
-      .matching("service", "purchase|signup".r)
-      .select("event_id", "service").orderBy("event_id")),
-
-    // ---- §2.4 projections
-    "q_project_fields" -> ((s, d) => ev(s, d)
-      .withFields("description" -> lit("evt")).scale(0.5)
-      .select("event_id", "description", "metric").orderBy("event_id")),
-    "q_default" -> ((s, d) => ev(s, d)
-      .defaultFields("state" -> lit("ok"), "site" -> lit("dc1"))
-      .select("event_id", "state", "site").orderBy("event_id")),
-    // array columns are serialized to strings: the driver's comparator
-    // sorts rows via pandas, which can't hash numpy arrays
-    "q_tag_untag" -> ((s, d) => ev(s, d).tag("x").untag("big")
-      .select(col("event_id"),
-        array_join(array_sort(col("tags")), ",").as("tags"))
-      .orderBy("event_id")),
-    "q_smap" -> ((s, d) => ev(s, d)
-      .smap(col("metric") > 10, "metric" -> (col("metric") / 10))
-      .select("event_id", "metric").orderBy("event_id")),
-    "q_smapcat" -> ((s, d) => ev(s, d).smapcat(col("tags"), "tag")
-      .select("event_id", "tag").orderBy("event_id", "tag")),
-    "q_adjust" -> ((s, d) => ev(s, d)
-      // (adjust [:service str "!"] ...) — streams_test.clj adjust-test
-      .adjust("service", c => concat(c, lit("!")))
-      .select("event_id", "service").orderBy("event_id")),
-    // sflatten inverts the window operators' vector emission: group
-    // events into per-host vectors, flatten back, recover the rows
-    "q_sflatten" -> ((s, d) => {
-      val grouped = ev(s, d).groupBy("host")
-        .agg(collect_list(struct(col("event_id"), col("service"),
-          col("metric"))).as("events_v"))
-      grouped.sflatten("events_v").orderBy("event_id")
-    }),
-
-    // ---- §2.8 query language + index
-    "q_query_search" -> ((s, d) =>
-      Index.search(Index.snapshot(ev(s, d)),
-        """state = "critical" or (metric > 120 and tagged "big")""")
-        .select("event_id", "host", "service", "state", "metric", "time_s")
-        .orderBy("event_id")),
-    "q_query_attrs" -> ((s, d) =>
-      Index.search(Index.snapshot(ev(s, d)), """k > 50 and metric < 100""")
-        .select("event_id", "host", "service", "metric").orderBy("event_id")),
-    // the SQL surface: same predicate semantics, entered via
-    // spark.sql(... WHERE riemann_query('...')). This gate exists to
-    // exercise the SQL path specifically, so a session without the
-    // RiemannExtensions rule fails loudly instead of silently passing
-    // via the DataFrame predicate (Verify/Bench both install it).
-    "q_query_sql" -> ((s, d) => {
-      val q = """state = "critical" or (metric > 120 and tagged "big")"""
-      val snap = Index.snapshot(ev(s, d))
-      if (!graft.query.RiemannSql.isInstalled(s))
-        throw new IllegalStateException(
-          "q_query_sql requires spark.sql.extensions=graft.query.RiemannExtensions " +
-            "(the gate checks the SQL surface, not the DataFrame fallback)")
-      snap.createOrReplaceTempView("graft_index_snapshot")
-      s.sql("SELECT event_id, host, service, state, metric, time_s " +
-        "FROM graft_index_snapshot " +
-        s"WHERE riemann_query('${q.replace("'", "''")}')")
-        .orderBy("event_id")
-    }),
-    "q_index_snapshot" -> ((s, d) => Index.snapshot(ev(s, d))
-      .select("event_id", "host", "service", "state", "metric", "time_s")
-      .orderBy("host", "service")),
-    "q_index_expired" -> ((s, d) => Index.expiredAt(ev(s, d), lit(1706620000L))
-      .select("host", "service", "state", "time_s").orderBy("host", "service")),
-
-    // ---- §2.5 grouping / combine
-    "q_coalesce" -> ((s, d) => Combine.coalesce(ev(s, d))
-      .select("service", "host", "time_s", "event_id", "metric", "state")
-      .orderBy("service", "host")),
-    "q_coalesce_fold" -> ((s, d) => Combine.coalesceFold(ev(s, d),
-      "n_hosts" -> count(lit(1)),
-      "mean_latest" -> Folds.meanExact(col("metric")))
-      .orderBy("service")),
-    "q_project_quotient" -> ((s, d) => Combine.projectQuotient(ev(s, d),
-      col("service") === "purchase", col("service") === "error", Seq("host"))
-      .orderBy("host")),
-
-    // ---- §2.6 windows / temporal
-    "q_fixed_offset_window" -> ((s, d) =>
-      Windows.fixedOffsetTimeWindow(ev(s, d), 3600, Seq("service"))
-        .orderBy("service", "window_start")),
-    "q_fixed_event_window" -> ((s, d) =>
-      Windows.fixedEventWindow(ev(s, d), 5, Seq("host"))
-        .orderBy("host", "batch_id")),
-    "q_moving_event_window" -> ((s, d) =>
-      Windows.movingEventWindow(ev(s, d), 3, Seq("host"))
-        .select("event_id", "moving_sum", "moving_n").orderBy("event_id")),
-    "q_moving_time_window" -> ((s, d) =>
-      Windows.movingTimeWindow(ev(s, d), 3600, Seq("host"))
-        .select("event_id", "window_sum", "window_n").orderBy("event_id")),
-    "q_fixed_time_window" -> ((s, d) =>
-      Windows.fixedTimeWindow(ev(s, d), 7200, Seq("host"))
-        .orderBy("host", "window_id")),
-    "q_rate" -> ((s, d) => Windows.rate(ev(s, d), 3600, Seq("service"))
-      .orderBy("service", "window_start")),
-    // rate with the reference's ttl-decay emission (rate-expiration):
-    // 60 s buckets so the 60-330 s event ttls actually gate the
-    // zero-fill span between observed buckets
-    "q_rate_expiring" -> ((s, d) =>
-      Windows.rateExpiring(ev(s, d), 60, Seq("service"))
-        .orderBy("service", "time_s")),
-    "q_percentiles" -> ((s, d) =>
-      Windows.percentiles(ev(s, d), 86400, Seq(0.5, 0.9, 0.99))
-        .orderBy("service_pt", "window_start")),
-    // rate+latency self-instrumentation; metric-as-milliseconds plays
-    // the latency sample (floor'd to integral ns so both engines'
-    // double->long conversions agree)
-    "q_instrument" -> ((s, d) =>
-      Windows.instrument(ev(s, d).filter(col("metric").isNotNull), 86400,
-        floor(col("metric") * lit(1e6)))
-        .orderBy("service_out", "window_start")),
-    "q_apdex" -> ((s, d) => Windows.apdex(ev(s, d), 86400,
-      col("metric") <= 50, col("metric") > 50 && col("metric") <= 150,
-      Seq("service")).orderBy("service", "window_start")),
-    "q_ddt" -> ((s, d) => Windows.ddt(ev(s, d), Seq("host"))
-      .select("event_id", "ddt").orderBy("event_id")),
-    "q_counter" -> ((s, d) => Windows.counter(ev(s, d), Seq("host"), "big")
-      .select("event_id", "running_sum").orderBy("event_id")),
-    "q_sum_over_time" -> ((s, d) => Windows.sumOverTime(ev(s, d), Seq("host"))
-      .select("event_id", "running_sum").orderBy("event_id")),
-    "q_mean_over_time" -> ((s, d) => Windows.meanOverTime(ev(s, d), Seq("host"))
-      .select("event_id", "running_mean").orderBy("event_id")),
-    "q_ewma_timeless" -> ((s, d) =>
-      Windows.ewmaTimeless(ev(s, d), 0.3, Seq("host")).orderBy("host")),
-    "q_ewma" -> ((s, d) =>
-      Windows.ewma(ev(s, d), 3600.0, Seq("host")).orderBy("host")),
-    "q_top_k" -> ((s, d) => Windows.topK(ev(s, d), 5, Seq("host", "service"))
-      .orderBy(col("total_metric").desc, col("host"), col("service"))),
-    "q_throttle" -> ((s, d) => Windows.throttle(ev(s, d), 2, 3600, Seq("host"))
-      .select("event_id").orderBy("event_id")),
-    "q_rollup" -> ((s, d) => Windows.rollup(ev(s, d), 2, 3600, Seq("service"))
-      .withColumn("rolled_metrics",
-        array_join(transform(col("rolled_metrics"),
-          x => floor(x * lit(1e6)).cast("string")), ","))
-      .orderBy("service", "window_start")),
-    "q_ddt_real" -> ((s, d) => Windows.ddtReal(ev(s, d), 3600, Seq("host"))
-      .orderBy("host", "window_start")),
-    "q_changed" -> ((s, d) => Windows.changed(ev(s, d), "state", Seq("host"))
-      .select("event_id", "state", "prev_value").orderBy("event_id")),
-    "q_runs" -> ((s, d) => Windows.runs(ev(s, d), 2, "state", Seq("host"))
-      .select("event_id").orderBy("event_id")),
-    "q_stable" -> ((s, d) => Windows.stable(ev(s, d), 7200, "state", Seq("host"))
-      .select("event_id").orderBy("event_id")),
-    "q_predict_linear" -> ((s, d) =>
-      Windows.predictLinear(ev(s, d), 3600, Seq("host")).orderBy("host")),
-    "q_clock_skew" -> ((s, d) => Windows.clockSkew(ev(s, d)).orderBy("host")),
-    "q_fold_interval" -> ((s, d) => Windows.foldInterval(ev(s, d), 86400,
-      Seq("service"),
-      "sum_m" -> Folds.sumExact(col("metric")),
-      "mean_m" -> Folds.meanExact(col("metric")),
-      "min_m" -> min(col("metric")),
-      "max_m" -> max(col("metric")),
-      "sd_m" -> Folds.stddevPopExact(col("metric")),
-      "n" -> count(lit(1))).orderBy("service", "window_start")),
-    "q_batch" -> ((s, d) => Windows.batchNDt(ev(s, d), 3, 3600, Seq("host"))
-      .orderBy("host", "window_start", "batch_seq")),
-    "q_fill_in" -> ((s, d) => Windows.fillIn(ev(s, d), 3600, Seq("service"), 0.0)
-      .orderBy("service", "window_start")),
-    "q_fill_in_last" -> ((s, d) =>
-      Windows.fillInLast(ev(s, d), 3600, Seq("service"))
-        .orderBy("service", "window_start")),
-    "q_interpolate" -> ((s, d) =>
-      Windows.interpolateConstant(ev(s, d), 3600, Seq("host"))
-        .orderBy("host", "window_start")),
-    "q_sreduce" -> ((s, d) => Windows.sreduceRunning(ev(s, d), Seq("host"),
-      "running_max" -> max(col("metric")),
-      "running_sum" -> sum(col("metric").cast(D)))
-      .withColumn("running_sum", col("running_sum").cast("double"))
-      .select("event_id", "running_max", "running_sum").orderBy("event_id")),
-    "q_mode" -> ((s, d) =>
-      Folds.modeDeterministic(ev(s, d), "metric", Seq("service"))
-        .orderBy("service")),
-    "q_median" -> ((s, d) => ev(s, d).filter(col("metric").isNotNull)
-      .groupBy("service")
-      .agg(Folds.medianFold(col("metric")).as("median")).orderBy("service")),
-    // §2.9: the order-sensitive typed Aggregator on the real UDAF path
-    // (first − Σrest in event order; decimal-exact so the oracle's
-    // closed form 2·first − Σall matches bit-for-bit before rounding)
-    "q_fold_difference" -> ((s, d) => {
-      val diffU = org.apache.spark.sql.functions.udaf(
-        new graft.functions.Aggregators.Difference(),
-        org.apache.spark.sql.Encoders.product[
-          graft.functions.Aggregators.OrdMetric])
-      // rank-based order key: a radix like time_s*K+event_id silently
-      // breaks once event_id >= K; the window shares the groupBy's hash
-      // partitioning on host, so no extra shuffle
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("host").orderBy("time_s", "event_id")
-      ev(s, d).filter(col("metric").isNotNull)
-        .withColumn("ord", row_number().over(w).cast("long"))
-        .groupBy("host")
-        .agg(round(diffU(col("ord"), col("metric")), 4).as("difference"))
-        .orderBy("host")
-    }),
-    "q_modes" -> ((s, d) =>
-      Folds.modesAll(ev(s, d), "metric", Seq("service"))
-        .select(col("service"), explode(col("modes")).as("mode_value"),
-          col("mode_count"))
-        .orderBy("service", "mode_value")),
-    // §2.9: product / quotient typed Aggregators on the real UDAF path,
-    // gated over small-integer inputs (vi ∈ [-3,3] with natural zeros)
-    // so the log-space magnitude is deterministic at the rounded
-    // precision (true values are integers / small rationals) while the
-    // sign/zero/IEEE edges of folds.clj:103-154 are all exercised
-    "q_fold_product" -> ((s, d) => {
-      val prodU = org.apache.spark.sql.functions.udaf(
-        new graft.functions.Aggregators.Product(),
-        org.apache.spark.sql.Encoders.scalaDouble)
-      foldBatches(s, d).groupBy("host", "batch_id")
-        .agg(round(prodU(col("vi")), 4).as("product_m"))
-        .orderBy("host", "batch_id")
-    }),
-    // IEEE classes (NaN / ±Inf from zero divisors) are emitted as a
-    // label column and the numeric column nulled for non-finite rows:
-    // DuckDB's `/` yields NULL on zero divisors, so the oracle derives
-    // the class from zero/sign counts instead of dividing
-    "q_fold_quotient" -> ((s, d) => {
-      val quotU = org.apache.spark.sql.functions.udaf(
-        new graft.functions.Aggregators.Quotient(),
-        org.apache.spark.sql.Encoders.product[
-          graft.functions.Aggregators.OrdMetric])
-      foldBatches(s, d).groupBy("host", "batch_id")
-        .agg(quotU(col("ord"), col("vi")).as("q"))
-        .select(col("host"), col("batch_id"),
-          when(isnan(col("q")), "nan")
-            .when(col("q") === Double.PositiveInfinity, "inf")
-            .when(col("q") === Double.NegativeInfinity, "-inf")
-            .otherwise("finite").as("q_class"),
-          when(isnan(col("q")) || col("q") === Double.PositiveInfinity ||
-            col("q") === Double.NegativeInfinity, lit(null).cast("double"))
-            .otherwise(round(col("q"), 6)).as("quotient"))
-        .orderBy("host", "batch_id")
-    }),
-    "q_fold_quotient_sloppy" -> ((s, d) => {
-      val quotU = org.apache.spark.sql.functions.udaf(
-        new graft.functions.Aggregators.Quotient(sloppy = true),
-        org.apache.spark.sql.Encoders.product[
-          graft.functions.Aggregators.OrdMetric])
-      foldBatches(s, d).groupBy("host", "batch_id")
-        .agg(round(quotU(col("ord"), col("vi")), 6).as("quotient_sloppy"))
-        .orderBy("host", "batch_id")
-    }),
-
-    // ---- deps rules + skew-safe aggregation
-    "q_deps" -> ((s, d) => {
-      val events = ev(s, d)
-      graft.operators.Deps.tagSatisfied(events,
-        Index.liveAt(events, lit(1706620000L)),
-        graft.operators.Deps.Localhost(graft.operators.Deps.Matches(
-          Map("service" -> "purchase", "state" -> "ok"))))
-        .select("event_id", "deps_satisfied").orderBy("event_id")
-    }),
-    "q_salted_agg" -> ((s, d) =>
-      Windows.saltedSumCount(ev(s, d), Seq("service"), "metric")
-        .orderBy("service")),
-
-    // ---- star-schema sanity: decimal-exact pricing summary over lineitem
-    "q_tpch_pricing" -> ((s, d) => {
-      val li = s.read.parquet(s"$d/lineitem.parquet")
-      li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
-          sum(col("l_extendedprice").cast(D)).cast("double").as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(D))
-            .cast("double").as("sum_disc_price"),
-          (sum(col("l_quantity").cast(D)).cast("double") /
-            count(col("l_quantity"))).as("avg_qty"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    }),
-
-    // ---- star-schema join path: broadcast the dimension chain
-    "q_tpch_regional" -> ((s, d) => {
-      val orders = s.read.parquet(s"$d/orders.parquet")
-      val cust = s.read.parquet(s"$d/customer.parquet")
-      val nation = s.read.parquet(s"$d/nation.parquet")
-      val region = s.read.parquet(s"$d/region.parquet")
-      val dim = broadcast(cust
-        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
-        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
-        .select(col("c_custkey"), col("r_name")))
-      orders.join(dim, orders("o_custkey") === dim("c_custkey"))
-        .groupBy("r_name")
-        .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(D)).cast("double").as("total_price"))
-        .orderBy("r_name")
-    }),
-
-    // ---- LLM pipeline: dedup
-    "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))
-      .orderBy("content_hash")),
-    "q_minhash_sig" -> ((s, d) => Dedup.minhashSignature(docs(s, d), 8, 3)
-      .select(col("doc_id"),
-        array_join(transform(col("sig"), _.cast("string")), ",").as("sig"))
-      .orderBy("doc_id")),
-    "q_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(docs(s, d), 16, 4, 0.5, 3)
-      .orderBy("doc_a", "doc_b")),
-    "q_dedup_clusters" -> ((s, d) =>
-      Dedup.nearDupComponents(Dedup.minhashPairs(docs(s, d), 16, 4, 0.5, 3))
-        .orderBy("doc_id")),
-    "q_deduped_corpus" -> ((s, d) =>
-      Dedup.dedupedCorpus(docs(s, d), Dedup.minhashPairs(docs(s, d), 16, 4, 0.5, 3))
-        .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
-    "q_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(docs(s, d), 3, 0.3, 16, 8)
-        .orderBy("doc_a", "doc_b")),
-    "q_simhash" -> ((s, d) => Dedup.simhash(docs(s, d), 64).orderBy("doc_id")),
-    "q_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(docs(s, d), 3).orderBy("doc_a", "doc_b")),
-    "q_embedding_neardups" -> ((s, d) =>
-      Dedup.embeddingNearDups(emb(s, d), 0.4).orderBy("vec_a", "vec_b")),
-
-    // ---- LLM pipeline: similarity
-    "q_ann_brute" -> ((s, d) =>
-      Similarity.bruteForceTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)
-        .orderBy("query_id", "rk")),
-    "q_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(emb(s, d), 8)
-      .orderBy("vec_id")),
-    "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(emb(s, d), 5, 8)
-      .orderBy("query_id", "rk")),
-    "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(emb(s, d))
-      .orderBy("label")),
-    "q_ann_ivf" -> ((s, d) =>
-      Similarity.ivfTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 3)
-        .orderBy("query_id", "rk")),
-    "q_ann_recall" -> ((s, d) =>
-      Similarity.annRecall(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 8, 3)
-        .orderBy("query_id")),
-    "q_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))
-      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
-        array_join(transform(col("qvec"), _.cast("string")), ",").as("qvec"))
-      .orderBy("vec_id")),
-    "q_quant_error" -> ((s, d) => Similarity.quantError(emb(s, d))
-      .orderBy("vec_id")),
-
-    // ---- §2.1 line-protocol sources: encode events to wire lines in
-    // Spark, decode with the real parser; the oracle states the
-    // expected identity directly (the string round-trip is Spark-only,
-    // and Double.toString/parse round-trips exactly)
-    "q_graphite_decode" -> ((s, d) => {
-      val e = ev(s, d)
-      val lines = e.select(concat_ws(" ",
-        concat(col("service"), lit(";host="), col("host"),
-          lit(";idx="), col("event_id")),
-        col("metric").cast("string"), col("time_s").cast("string")).as("line"))
-      graft.sources.LineProtocols.decodeGraphite(lines)
-        .select(element_at(col("attributes"), "idx").cast("long").as("event_id"),
-          col("service"), col("metric"), col("time_s"),
-          element_at(col("attributes"), "host").as("host"))
-        .orderBy("event_id")
-    }),
-    "q_opentsdb_decode" -> ((s, d) => {
-      val e = ev(s, d)
-      val lines = e.select(concat_ws(" ", lit("put"), col("service"),
-        col("time_s").cast("string"), col("metric").cast("string"),
-        concat(lit("host="), col("host")),
-        concat(lit("idx="), col("event_id"))).as("line"))
-      graft.sources.LineProtocols.decodeOpenTsdb(lines)
-        .select(element_at(col("attributes"), "idx").cast("long").as("event_id"),
-          col("description").as("metric_name"), col("service"),
-          col("metric"), col("time_s"), col("host"))
-        .orderBy("event_id")
-    }),
-
-    // §2.1 protobuf wire transport: encode events to int32-framed Msg
-    // bytes with the forward-sink encoder, decode with the server-side
-    // wire reader — all distributed — and state the identity in the
-    // oracle (doubles, varint seconds, and integer-valued float ttls
-    // round-trip exactly; event_id and the k attribute ride the
-    // attribute map)
-    "q_protobuf_roundtrip" -> ((s, d) => {
-      import s.implicits._
-      val pes = ev(s, d).select(
-        col("host"), col("service"), col("state"),
-        lit(null).cast("string").as("description"),
-        col("metric"), col("tags"), col("time_s"), col("ttl"),
-        map_concat(
-          map(lit("idx"), col("event_id").cast("string")),
-          // a missing/unparseable k drops the entry (a null map value
-          // has no proto3 wire form — the encoder also skips them);
-          // the oracle's attr_k is NULL either way
-          expr("map_filter(map('k', attributes['k']), (k, v) -> v IS NOT NULL)"))
-          .as("attributes"))
-        .as[graft.sources.RiemannProtobuf.PEvent]
-      val framed = pes.map(p => graft.sources.RiemannProtobuf.frame(
-        graft.sources.RiemannProtobuf.encodeMsg(Seq(p))))(
-        org.apache.spark.sql.Encoders.BINARY).toDF("value")
-      graft.sources.RiemannProtobuf.decodeMsgs(framed, "value", framed = true)
-        .toDF()
-        .select(
-          element_at(col("attributes"), "idx").cast("long").as("event_id"),
-          col("host"), col("service"), col("state"), col("metric"),
-          coalesce(array_join(col("tags"), ","), lit("")).as("tags"),
-          col("time_s"), col("ttl"),
-          element_at(col("attributes"), "k").as("attr_k"))
-        .orderBy("event_id")
-    }),
-    // §2.2 influxdb sink: the line-protocol encode (shared with
-    // InfluxDbSink) gated as text — escaping, value render, ns clock
-    "q_influx_lines" -> ((s, d) => ev(s, d)
-      .filter(col("metric").isNotNull)
-      .select(col("event_id"), graft.sinks.Metrics.influxLine.as("line"))
-      .orderBy("event_id")),
-    // §2.2 influxdb v2 sink: the point encode (shared with Influx2Sink)
-    // at ms precision — host-tag drop rule + precision clock scaling
-    "q_influx2_line" -> ((s, d) => ev(s, d)
-      .filter(col("metric").isNotNull)
-      .select(col("event_id"),
-        graft.sinks.Metrics.influx2Line("ms").as("line"))
-      .orderBy("event_id")),
-    // §2.1 kafka/ws JSON codec: render each event with the wire
-    // encoder (to_json), decode through the same Event-schema path the
-    // kafka consumer and ws /events ingest use, and state the identity
-    "q_json_roundtrip" -> ((s, d) => {
-      val payload = ev(s, d).select(to_json(struct(
-        col("host"), col("service"), col("state"), col("metric"),
-        col("tags"), col("time"), col("ttl"),
-        map(lit("idx"), col("event_id").cast("string")).as("attributes")))
-        .as("value"))
-      payload.select(from_json(col("value"), graft.model.Event.schema).as("e"))
-        .select(
-          expr("CAST(e.attributes['idx'] AS LONG)").as("event_id"),
-          col("e.host"), col("e.service"), col("e.state"), col("e.metric"),
-          coalesce(array_join(col("e.tags"), ","), lit("")).as("tags"),
-          unix_timestamp(col("e.time")).as("time_s"), col("e.ttl"))
-        .orderBy("event_id")
-    }),
-
-    // ---- LLM pipeline: multimodal plumbing (media derived from documents)
-    "q_frames" -> ((s, d) =>
-      graft.pipeline.Multimodal.sampleFrames(
-        graft.pipeline.Multimodal.deriveMedia(docs(s, d)), 500)
-        .orderBy("media_id", "frame_ts")),
-    // decode stub runs the real mapPartitions/iterator contract; the
-    // positional byte checksum is ANSI-expressible (documents are
-    // ASCII, so DuckDB's per-char unicode() equals the byte value)
-    "q_media_features" -> ((s, d) => {
-      val spark0 = s
-      import spark0.implicits._
-      graft.pipeline.Multimodal.decodeStub(
-        graft.pipeline.Multimodal.deriveMedia(docs(s, d)), 8)
-        .toDF().select("media_id", "modality", "n_bytes", "checksum")
-        .orderBy("media_id")
-    }),
-    // REAL javax.imageio decode: each doc becomes an actual png/jpeg/
-    // bmp file (dims derived from n_chars), then the decoder sniffs the
-    // container from magic bytes and reads dims back out of the real
-    // image bytes; the oracle predicts the round trip from doc columns
-    "q_media_decode" -> ((s, d) => {
-      val spark0 = s
-      import spark0.implicits._
-      graft.pipeline.Multimodal.decodeImages(
-        graft.pipeline.Multimodal.syntheticImages(docs(s, d)))
-        .toDF().select("media_id", "format", "width", "height",
-          "channels", "ok")
-        .orderBy("media_id")
-    }),
-    // REAL javax.sound.sampled decode: each doc becomes an actual
-    // WAV/AIFF clip (rate/channels/frames from doc columns), then the
-    // decoder sniffs the container from magic bytes and parses the
-    // header back out; the oracle predicts the round trip
-    "q_media_audio" -> ((s, d) => {
-      val spark0 = s
-      import spark0.implicits._
-      graft.pipeline.Multimodal.decodeAudio(
-        graft.pipeline.Multimodal.syntheticAudio(docs(s, d)))
-        .toDF().select("media_id", "format", "sample_rate", "channels",
-          "frames", "duration_ms", "ok")
-        .orderBy("media_id")
-    }),
-
-    // ---- LLM pipeline: text analysis
-    "q_text_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))
-      .orderBy("doc_id")),
-    "q_quality" -> ((s, d) => TextAnalysis.qualityScores(docs(s, d))
-      .orderBy("doc_id")),
-    "q_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
-    "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))
-      .orderBy("doc_id")),
-    "q_repetition" -> ((s, d) =>
-      TextAnalysis.repetitionSignals(docs(s, d)).orderBy("doc_id")),
-    // PII scan over deterministically planted spans (the synthetic
-    // corpus carries none): the encode-then-decode gate pattern
-    "q_pii" -> ((s, d) => {
-      val planted = docs(s, d).withColumn("text2", concat(col("text"),
-        when(col("doc_id") % 5 === 0,
-          lit(" contact alice@example.com or bob.smith@mail.org"))
-          .when(col("doc_id") % 5 === 1,
-            lit(" server at 10.0.0.1 and 192.168.1.100"))
-          .when(col("doc_id") % 5 === 2, lit(" call +1 555-123-4567"))
-          .when(col("doc_id") % 5 === 3, lit(" mixed: c@d.io 8.8.8.8"))
-          .otherwise(lit(""))))
-      TextAnalysis.piiScan(planted, "text2").orderBy("doc_id")
-    }),
-    "q_tfidf" -> ((s, d) => TextAnalysis.tfIdf(docs(s, d), 5)
-      .orderBy("doc_id", "rk")),
-    // decontamination: every 10th doc plays the held-out benchmark set
-    "q_contamination" -> ((s, d) => {
-      val all = docs(s, d)
-      TextAnalysis.contamination(all.filter(col("doc_id") % 10 =!= 0),
-        all.filter(col("doc_id") % 10 === 0), 3)
-        .orderBy("doc_id")
-    }),
-
-    // ---- LLM pipeline: corpus curation (caps, splits, packing)
-    "q_source_cap" -> ((s, d) => Curation.sourceCap(docs(s, d), 40)
-      .select("doc_id", "source", "source_rank")
-      .orderBy("source", "source_rank")),
-    "q_split_assign" -> ((s, d) => Curation.splitAssign(docs(s, d))
-      .select("doc_id", "split_u", "split").orderBy("doc_id")),
-    "q_pack" -> ((s, d) => Curation.packSequences(docs(s, d), 2048, 8)
-      .orderBy("doc_id")),
-    // segment-level (line) dedup: compare the reassembled text via md5
-    // so the driver hashes short rows, not whole documents
-    "q_segment_dedup" -> ((s, d) => Curation.segmentDedup(docs(s, d), 10)
-      .select(col("doc_id"), col("n_segments"), col("n_kept"),
-        md5(col("text_deduped")).as("text_hash"))
-      .orderBy("doc_id")),
-    // skew stress (SkewSpec's corpora at oracle scale): segment dedup
-    // under a 50%-hot segment, and the LSH hot-bucket cap engaging —
-    // the bench rows for these ARE the skewed-corpus evidence
-    "q_skew_segment_dedup" -> ((s, d) =>
-      Curation.segmentDedup(skewedDocs(s, d), 10)
-        .select(col("doc_id"), col("n_segments"), col("n_kept"),
-          md5(col("text_deduped")).as("text_hash"))
-        .orderBy("doc_id")),
-    "q_skew_lsh_capped" -> ((s, d) =>
-      Dedup.lshCandidates(skewedDocs(s, d), 16, 4, 3, maxBucket = 64)
-        .orderBy("doc_a", "doc_b")),
-    "q_temp_sample" -> ((s, d) => Curation.temperatureSample(docs(s, d), 0.5, 0.5)
-      .select(col("doc_id"), col("source"), col("n_source"),
-        round(col("keep_rate"), 6).as("keep_rate"), col("sample_u"))
-      .orderBy("doc_id")),
-    // changed with :pairs? — the previous value rides along with each
-    // transition (streams_test.clj changed-test "with previous event")
-    "q_changed_pairs" -> ((s, d) =>
-      Windows.changed(ev(s, d), "state", Seq("host"), init = Some("ok"))
-        .select("event_id", "host", "prev_value", "state")
-        .orderBy("event_id")),
-    // email formatter (common.clj subject/body, email.clj mailer)
-    "q_email_subject" -> ((s, d) =>
-      graft.sinks.Email.subject(ev(s, d), Seq("service"))
-        .orderBy("service")),
-    "q_email_body" -> ((s, d) => ev(s, d)
-      .select(col("event_id"),
-        md5(graft.sinks.Email.bodyBlock()).as("body_hash"))
-      .orderBy("event_id")),
-    // delete-from-index: every pkey that ever went critical is removed
-    // from the snapshot via the broadcast anti-join
-    "q_index_delete" -> ((s, d) => {
-      val e = ev(s, d)
-      Index.delete(Index.snapshot(e), e.filter(col("state") === "critical"))
-        .select("event_id", "host", "service", "state", "metric", "time_s")
-        .orderBy("host", "service")
-    }),
-    // prometheus exposition datapoint (name sanitize + labels + float)
-    "q_prometheus_line" -> ((s, d) => ev(s, d)
-      .filter(col("metric").isNotNull && col("service").isNotNull)
-      .select(col("event_id"), graft.sinks.Metrics.prometheusLine.as("line"))
-      .orderBy("event_id")),
-    // graphite path rendering: reversed fqdn + dotted service with the
-    // percentile-suffix collapse
-    "q_graphite_path" -> ((s, d) => ev(s, d)
-      .withColumn("host", concat(col("host"), lit(".node.example.com")))
-      .withColumn("service", concat(col("service"), lit(" latency 0.95")))
-      .select(col("event_id"),
-        graft.sources.LineProtocols.graphitePathPercentiles.as("path"))
-      .orderBy("event_id")),
-    // opentsdb put-line encode (the decode counterpart is
-    // q_opentsdb_decode): round-trip-able through decodeOpenTsdb
-    "q_opentsdb_encode" -> ((s, d) => ev(s, d)
-      .filter(col("metric").isNotNull && col("service").isNotNull)
-      .withColumn("service", concat(col("service"), lit(" p99")))
-      .select(col("event_id"), graft.sinks.Metrics.opentsdbLine.as("line"))
-      .orderBy("event_id")),
-    // datadog series entry: byte-exact gauge JSON per event
-    "q_datadog_event" -> ((s, d) => ev(s, d)
-      .filter(col("metric").isNotNull && col("service").isNotNull)
-      .select(col("event_id"), graft.sinks.Metrics.datadogEvent.as("entry"))
-      .orderBy("event_id")),
-    // combined Gopher-rules quality filter (minWords=20 so the corpus
-    // mixes keep/drop outcomes at test scale)
-    "q_gopher_filter" -> ((s, d) =>
-      TextAnalysis.gopherFilter(docs(s, d), minWords = 20)
-        .orderBy("doc_id")),
-    // librato gauge JSON with the safe-name sanitizer exercised
-    "q_librato_gauge" -> ((s, d) => ev(s, d)
-      .filter(col("metric").isNotNull)
-      .withColumn("service", concat(col("service"), lit(" p99!!")))
-      .select(col("event_id"), graft.sinks.Metrics.libratoGauge.as("entry"))
-      .orderBy("event_id")),
-    // kairosdb telnet metric (millisecond timestamps)
-    "q_kairosdb_line" -> ((s, d) => ev(s, d)
-      .filter(col("metric").isNotNull && col("service").isNotNull)
-      .withColumn("service", concat(col("service"), lit(" p50")))
-      .select(col("event_id"), graft.sinks.Metrics.kairosdbLine.as("line"))
-      .orderBy("event_id")),
-    // ---- r7: sink payload renderers promoted from spec-only to
-    // oracle-gated (slack.clj / boundary.clj / cloudwatch.clj /
-    // zabbix.clj / nagios.clj / xymon.clj). Derived null columns
-    // exercise the nil-rendering paths the oracle can now pin.
-    "q_slack_message" -> ((s, d) => withDerivedDesc(ev(s, d))
-      .select(col("event_id"),
-        graft.sinks.Alerting.slackMessage("riemann", "#ops", ":fire:")
-          .as("body"))
-      .orderBy("event_id")),
-    // the 4-tuple stays aligned with explicit nulls (the boundary.clj
-    // contract) — null host AND null metric rows included
-    "q_boundary_tuple" -> ((s, d) => ev(s, d)
-      .withColumn("host", when(col("event_id") % 7 === 0,
-        lit(null).cast("string")).otherwise(col("host")))
-      .withColumn("metric", when(col("event_id") % 11 === 0,
-        lit(null).cast("double")).otherwise(col("metric")))
-      .withColumn("_mid",
-        graft.sinks.Forwarders.boundarify(col("service"), None))
-      .filter(col("_mid") =!= "")
-      .select(col("event_id"), graft.sinks.Forwarders.boundaryTuple.as("t"))
-      .orderBy("event_id")),
-    // unfiltered: null metric proves cheshire-style explicit-null JSON
-    "q_cloudwatch_datapoint" -> ((s, d) => ev(s, d)
-      .withColumn("metric", when(col("event_id") % 11 === 0,
-        lit(null).cast("double")).otherwise(col("metric")))
-      .select(col("event_id"),
-        graft.sinks.Forwarders.cloudwatchDatapoint.as("dp"))
-      .orderBy("event_id")),
-    "q_zabbix_datapoint" -> ((s, d) => ev(s, d)
-      .withColumn("metric", when(col("event_id") % 11 === 0,
-        lit(null).cast("double")).otherwise(col("metric")))
-      .select(col("event_id"),
-        graft.sinks.Forwarders.zabbixDatapoint.as("dp"))
-      .orderBy("event_id")),
-    // error folds to critical, null state to unknown, nils render ""
-    "q_nagios_line" -> ((s, d) => withDerivedDesc(ev(s, d))
-      .withColumn("state", when(col("event_id") % 3 === 0, lit("error"))
-        .when(col("event_id") % 3 === 1, lit(null).cast("string"))
-        .otherwise(col("state")))
-      .select(col("event_id") +: graft.sinks.Forwarders.nagiosFields: _*)
-      .orderBy("event_id")),
-    "q_xymon_status" -> ((s, d) => withDerivedDesc(ev(s, d))
-      .select(col("event_id"),
-        graft.sinks.Forwarders.xymonStatus.as("status"))
-      .orderBy("event_id")),
-    // blueflood ingest point; null ttl proves the 30-day default
-    "q_blueflood_point" -> ((s, d) => ev(s, d)
-      .withColumn("ttl", when(col("event_id") % 6 === 0,
-        lit(null).cast("double")).otherwise(col("ttl")))
-      .filter(col("metric").isNotNull)
-      .select(col("event_id"), graft.sinks.Forwarders.bluefloodPoint.as("p"))
-      .orderBy("event_id")),
-    // druid tranquility event: ISO8601 UTC timestamp, explicit nulls
-    "q_druid_event" -> ((s, d) => withDerivedDesc(ev(s, d))
-      .select(col("event_id"), graft.sinks.Forwarders.druidEvent.as("e"))
-      .orderBy("event_id")),
-    // netuitive element: service-with-spaces exercises the dot mapping
-    "q_netuitive_element" -> ((s, d) => ev(s, d)
-      .withColumn("service", concat(col("service"), lit(" p95")))
-      .select(col("event_id"),
-        graft.sinks.Forwarders.netuitiveElement("Riemann").as("e"))
-      .orderBy("event_id")),
-    // shinken ws-arbiter form fields (nils render "")
-    "q_shinken_form" -> ((s, d) => ev(s, d)
-      .select(col("event_id") +: graft.sinks.Forwarders.shinkenFields: _*)
-      .orderBy("event_id")),
-    // pushover form fields incl. the full state->priority table
-    "q_pushover_fields" -> ((s, d) => ev(s, d)
-      .withColumn("state", when(col("event_id") % 4 === 0, lit("emergency"))
-        .when(col("event_id") % 4 === 1, lit("info"))
-        .otherwise(col("state")))
-      .select(col("event_id"),
-        graft.sinks.Notifiers.pushoverTitle.as("title"),
-        graft.sinks.Notifiers.pushoverMessage.as("message"),
-        graft.sinks.Notifiers.pushoverPriority.cast("string").as("priority"),
-        col("time_s").cast("string").as("timestamp"))
-      .orderBy("event_id")),
-    // logstash wire JSON; null metric proves the explicit-null field
-    "q_logstash_line" -> ((s, d) => ev(s, d)
-      .withColumn("metric", when(col("event_id") % 11 === 0,
-        lit(null).cast("double")).otherwise(col("metric")))
-      .select(col("event_id"),
-        graft.sinks.Notifiers.logstashLine.as("line"))
-      .orderBy("event_id")),
-    // logentries k='v' line; null description drops the leading clause
-    "q_logentries_line" -> ((s, d) => withDerivedDesc(ev(s, d))
-      .select(col("event_id"),
-        graft.sinks.Notifiers.logentriesLine.as("line"))
-      .orderBy("event_id")),
-    // hipchat block + card color (error folds red, null folds yellow)
-    "q_hipchat_message" -> ((s, d) => withDerivedDesc(ev(s, d))
-      .withColumn("state", when(col("event_id") % 3 === 0, lit("error"))
-        .when(col("event_id") % 3 === 1, lit(null).cast("string"))
-        .otherwise(col("state")))
-      .select(col("event_id"),
-        graft.sinks.Notifiers.hipchatMessage.as("msg"),
-        graft.sinks.Notifiers.hipchatColor.as("color"))
-      .orderBy("event_id")),
-    // msteams MessageCard section: explicit-null facts for nil fields
-    "q_msteams_section" -> ((s, d) => withDerivedDesc(ev(s, d))
-      .select(col("event_id"), graft.sinks.Sinks.cheshireJson(
-        graft.sinks.Alerting.msteamsSection).as("section"))
-      .orderBy("event_id")),
-    "q_telegram_text" -> ((s, d) => withDerivedDesc(ev(s, d))
-      .select(col("event_id"),
-        graft.sinks.Alerting.telegramText("Markdown").as("text"))
-      .orderBy("event_id")),
-    // opsgenie body incl. the deterministic md5 alias over
-    // (host, service, sorted tags)
-    "q_opsgenie_body" -> ((s, d) => withDerivedDesc(ev(s, d))
-      .select(col("event_id"), graft.sinks.Alerting.opsgenieBody.as("body"))
-      .orderBy("event_id")),
-    "q_victorops_body" -> ((s, d) => ev(s, d)
-      .select(col("event_id"),
-        graft.sinks.Alerting.victoropsBody("CRITICAL").as("body"))
-      .orderBy("event_id")),
-    "q_pagerduty_v1" -> ((s, d) => ev(s, d)
-      .select(col("event_id"),
-        graft.sinks.Alerting.pagerdutyV1Body("rk", "trigger").as("body"))
-      .orderBy("event_id")),
-    // v2 body: derived dedup-key attribute exercises the element_at
-    // extraction; the seconds-as-millis 1970-era timestamp quirk is
-    // reproduced bit-faithfully on both sides
-    "q_pagerduty_v2" -> ((s, d) => ev(s, d)
-      .withColumn("attributes", map_concat(col("attributes"),
-        map(lit("dedup-key"), concat(lit("dk-"), col("host")))))
-      .select(col("event_id"),
-        graft.sinks.Alerting.pagerdutyV2Body("rk", "trigger").as("body"))
-      .orderBy("event_id")),
-    // stackdriver point: whitespace runs in the name collapse to dots
-    "q_stackdriver_point" -> ((s, d) => ev(s, d)
-      .withColumn("service", concat(col("service"), lit(" x  y")))
-      .filter(col("metric").isNotNull)
-      .select(col("event_id"),
-        graft.sinks.Forwarders.stackdriverPoint.as("p"))
-      .orderBy("event_id")),
-    // keenio event body; null metric proves the explicit-null field
-    "q_keenio_body" -> ((s, d) => ev(s, d)
-      .withColumn("metric", when(col("event_id") % 11 === 0,
-        lit(null).cast("double")).otherwise(col("metric")))
-      .select(col("event_id"),
-        graft.sinks.Notifiers.keenioBody.as("body"))
-      .orderBy("event_id"))
-  )
-
-  /** Derived description for the sink-payload oracles: periodic nulls
-    * (the nil-rendering paths) + slack-escapable characters. */
-  private def withDerivedDesc(df: DataFrame): DataFrame =
-    df.withColumn("description",
-      when(col("event_id") % 5 === 0, lit(null).cast("string"))
-        .otherwise(concat(lit("d&<>"), col("event_id").cast("string"))))
-
-  // ------------------------------------------------------------ oracle SQL
-  /** Shared DuckDB prefix (see EventView.oracleCte). */
-  private val cte = EventView.oracleCte
-  /** [[cte]] plus the derived description of [[withDerivedDesc]]. */
-  private val descCte = EventView.oracleCteWith(
-    "CASE WHEN event_id % 5 = 0 THEN NULL " +
-      "ELSE 'd&<>' || CAST(event_id AS VARCHAR) END AS description")
-  /** DuckDB replica of [[foldBatches]]: per-(host, 5-event batch)
-    * ordered value lists for the product/quotient fold oracles. */
-  private val foldCte =
-    s"$cte, f AS (SELECT host, time_s, event_id, metric, " +
-      "row_number() OVER (PARTITION BY host ORDER BY time_s, event_id) AS ord " +
-      "FROM ev WHERE metric IS NOT NULL), " +
-      "v AS (SELECT host, (ord - 1) // 5 AS batch_id, time_s, event_id, " +
-      "CAST(CAST(FLOOR(ABS(metric)) AS BIGINT) % 7 - 3 AS DOUBLE) AS vi FROM f), " +
-      "g AS (SELECT host, batch_id, list(vi ORDER BY time_s, event_id) AS ms FROM v GROUP BY 1, 2)"
-  /** DuckDB snapshot-of-latest CTE built on `ev`. */
-  private val snapCte =
-    s"""$cte, snap AS (SELECT *, row_number() OVER (PARTITION BY host, service
-       | ORDER BY time_s DESC, event_id DESC) AS rn FROM ev)"""
-      .stripMargin.replace("\n", "")
-  /** DuckDB shingles CTE on `documents` (w=3, matching Dedup.shingles). */
-  private val shCte =
-    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-      | sh AS (SELECT doc_id, list_distinct(list_transform(
-      |   generate_series(0, GREATEST(len(words)-3, 0)),
-      |   i -> array_to_string(words[i+1:i+3], ' '))) AS shingles FROM s)"""
-      .stripMargin.replace("\n", "")
-  /** DuckDB unit-normalized embeddings CTE (matches Similarity.normalized). */
-  private val unitCte =
-    """WITH e AS (SELECT vec_id, label,
-      |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings),
-      | nn AS (SELECT vec_id, label, dv, sqrt(CAST(list_sum(list_transform(dv,
-      |   x -> CAST(x*x AS DECIMAL(38,18)))) AS DOUBLE)) AS nrm FROM e),
-      | u AS (SELECT vec_id, label, dv, list_transform(dv, x -> x/nrm) AS unit FROM nn)"""
-      .stripMargin.replace("\n", "")
-  private val stopList =
-    TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
-
-  /** DuckDB replica of Dedup.minhashSignature: same driver-derived
-    * affine coefficients, same one-md5-per-shingle scheme. Relies on a
-    * CTE exposing `hs` (see [[hsCte]]). */
-  private def minhashSigSql(k: Int): String = {
-    val P = Dedup.MinhashP
-    (0 until k).map { i =>
-      val (a, b) = Dedup.minhashCoeff(i)
-      s"list_min(list_transform(hs, h -> (h * $a + $b) % $P))"
-    }.mkString("[", ", ", "]")
-  }
-  private val hsCte =
-    s", hh AS (SELECT doc_id, shingles, list_transform(shingles, s -> " +
-      s"CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % ${Dedup.MinhashP}) AS hs FROM sh)"
-
-  /** DuckDB IVF chain on top of [[unitCte]]: label centroids →
-    * nearest-cell assignment → nprobe=3 probes → per-query ranked
-    * cosine (`ivf_rk`). Shared by the IVF search query and the recall
-    * probe. */
-  private lazy val ivfChain: String =
-    "cd AS (SELECT label, unnest(unit) AS v, unnest(generate_series(0, len(unit)-1)) AS dim FROM u), " +
-      "cc AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c FROM cd GROUP BY 1, 2), " +
-      "cent AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cc GROUP BY label), " +
-      "asg0 AS (SELECT u.vec_id, u.unit, c.label, list_sum(list_transform(list_zip(u.unit, c.cvec), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS score FROM u CROSS JOIN cent c), " +
-      "asg AS (SELECT vec_id, unit, label AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, label) AS rn FROM asg0) WHERE rn = 1), " +
-      "q AS (SELECT vec_id AS query_id, unit AS qunit FROM asg WHERE vec_id IN (0,1,2,3,4)), " +
-      "pr0 AS (SELECT q.query_id, q.qunit, c.label, list_sum(list_transform(list_zip(q.qunit, c.cvec), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS score FROM q CROSS JOIN cent c), " +
-      "pr AS (SELECT query_id, qunit, label AS cell FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, label) AS rn FROM pr0) WHERE rn <= 3), " +
-      "sc AS (SELECT pr.query_id, asg.vec_id, round(CAST(list_sum(list_transform(list_zip(asg.unit, pr.qunit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM pr JOIN asg ON pr.cell = asg.cell AND asg.vec_id <> pr.query_id), " +
-      "ivf_rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM sc)"
-
-  /** Shared DuckDB chain: minhash signatures → 4-band LSH buckets →
-    * colliding pairs with estimated Jaccard (k=16, w=3) — the base of
-    * both the pair query and the component clustering. The default
-    * hot-bucket cap ([[graft.pipeline.Caps.DefaultMaxBucket]]) is
-    * mirrored (`okb`/`bk`) so Spark and oracle agree at EVERY scale
-    * factor, not just ones where no bucket exceeds the cap. */
-  private lazy val minhashPairsCte: String =
-    s"$shCte$hsCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh), " +
-      "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM sg), " +
-      "bk0 AS (SELECT doc_id, sig, band, md5(array_to_string(list_transform(sig[band*4+1:band*4+4], x -> CAST(x AS VARCHAR)), ',')) AS bucket FROM banded), " +
-      s"okb AS (SELECT band, bucket FROM bk0 GROUP BY band, bucket HAVING count(*) <= ${pipeline.Caps.DefaultMaxBucket}), " +
-      "bk AS (SELECT bk0.* FROM bk0 JOIN okb USING (band, bucket)), " +
-      "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2])) AS DOUBLE) / 16 AS est_jaccard " +
-      "FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"
-
-  /** DuckDB replica of Similarity.bucketExpr: the same driver-computed
-    * hyperplane constants are embedded as list literals on both sides
-    * (Double.toString round-trips, and every constant is an exact
-    * multiple of 1e-5, so the parsed doubles are identical). */
-  private def bucketSql(planes: Int, src: String = "dv",
-      planeOffset: Int = 0): String =
-    (0 until planes).map { p =>
-      val arr = Array.tabulate(64)(d =>
-        Similarity.planeComponent(planeOffset + p, d)).mkString("[", ",", "]")
-      s"(CASE WHEN list_sum(list_transform(list_zip($src, CAST($arr AS DOUBLE[]))," +
-        s" z -> CAST(FLOOR(z[1]*z[2]*1e12) AS BIGINT))) >= 0" +
-        s" THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    }.mkString("(", " + ", ")")
-
-  private val simhashCte: String = {
-    val bitSums = (0 until 64).map { b =>
-      val h = if (b < 60) s"(h1 >> $b)" else s"(h2 >> ${b - 60})"
-      s"SUM(CASE WHEN $h & 1 = 1 THEN cnt ELSE -cnt END) AS b$b"
-    }.mkString(", ")
-    val pack = (0 until 64).map { b =>
-      val w = if (b == 63) "(-9223372036854775807 - 1)" else s"CAST(${1L << b} AS BIGINT)"
-      s"CASE WHEN b$b > 0 THEN $w ELSE CAST(0 AS BIGINT) END"
-    }.mkString(" + ")
-    "WITH toks AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt, " +
-      "CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS h1, " +
-      "CAST(('0x'||substr(md5(tok),16,15)) AS BIGINT) AS h2 " +
-      "FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents) " +
-      s"GROUP BY doc_id, tok, h1, h2), agg AS (SELECT doc_id, $bitSums " +
-      s"FROM toks GROUP BY doc_id), fp AS (SELECT doc_id, $pack AS simhash " +
-      "FROM agg)"
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val dup = EntryStreams.queries.keySet intersect EntryPipeline.queries.keySet
+    require(dup.isEmpty, s"duplicate query keys across split files: $dup")
+    EntryStreams.queries ++ EntryPipeline.queries
   }
 
-  private val simhashSql: String =
-    s"$simhashCte SELECT doc_id, simhash FROM fp ORDER BY doc_id"
-
-  /** Pigeonhole blocking mirror of Dedup.simhashPairs: 4 blocks of 16
-    * bits for maxHamming = 3; DuckDB's arithmetic >> then mask keeps
-    * the same bits as Spark's shiftright+mask. The default hot-block
-    * cap is mirrored (`okblk`/`blocks`) to match Spark at every scale. */
-  private val simhashPairsSql: String =
-    s"$simhashCte, blocks0 AS (SELECT doc_id, simhash, i AS blk, " +
-      "(simhash >> (i*16)) & 65535 AS v FROM fp " +
-      "CROSS JOIN (SELECT unnest(range(4)) AS i)), " +
-      s"okblk AS (SELECT blk, v FROM blocks0 GROUP BY blk, v HAVING count(*) <= ${pipeline.Caps.DefaultMaxBucket}), " +
-      "blocks AS (SELECT blocks0.* FROM blocks0 JOIN okblk USING (blk, v)) " +
-      "SELECT * FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-      "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming " +
-      "FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.v = b.v " +
-      "AND a.doc_id < b.doc_id) " +
-      "WHERE hamming <= 3 ORDER BY doc_a, doc_b"
-
-  def oracleSql: Map[String, String] = Map(
-    "q_where" -> s"$cte SELECT event_id, host, service, metric FROM ev WHERE metric > 100 AND service = 'purchase' ORDER BY event_id",
-    "q_over_under" -> s"$cte SELECT event_id, metric FROM ev WHERE metric > 50 AND metric < 150 ORDER BY event_id",
-    "q_tagged_any" -> s"$cte SELECT event_id, service, metric FROM ev WHERE list_has_any(tags, ['big']) ORDER BY event_id",
-    "q_tagged_all" -> s"$cte SELECT event_id, metric FROM ev WHERE list_has_all(tags, ['purchase','big']) ORDER BY event_id",
-    "q_expired" -> s"$cte SELECT event_id, host, service, time_s, ttl FROM ev WHERE state = 'expired' OR (ttl IS NOT NULL AND 1706620000 - time_s > ttl) ORDER BY event_id",
-    "q_split" -> s"$cte SELECT event_id, CASE WHEN metric > 150 THEN 'high' WHEN metric > 50 THEN 'mid' ELSE 'low' END AS route FROM ev ORDER BY event_id",
-    "q_splitp" -> s"$cte SELECT event_id, CASE WHEN state = 'critical' THEN 'page' WHEN state = 'warning' THEN 'notify' ELSE 'ignore' END AS route FROM ev ORDER BY event_id",
-    "q_dual" -> s"$cte SELECT event_id, 'expired' AS state FROM ev WHERE NOT coalesce(metric > 50, false) ORDER BY event_id",
-    "q_match" -> s"$cte SELECT event_id, service FROM ev WHERE regexp_matches(service, 'purchase|signup') ORDER BY event_id",
-    "q_project_fields" -> s"$cte SELECT event_id, 'evt' AS description, metric * CAST(0.5 AS DOUBLE) AS metric FROM ev ORDER BY event_id",
-    "q_default" -> s"$cte SELECT event_id, coalesce(state, 'ok') AS state, 'dc1' AS site FROM ev ORDER BY event_id",
-    "q_tag_untag" -> s"$cte SELECT event_id, array_to_string(list_sort(list_distinct(list_filter(list_concat(tags, ['x']), t -> t <> 'big'))), ',') AS tags FROM ev ORDER BY event_id",
-    "q_smap" -> s"$cte, m AS (SELECT event_id, metric / CAST(10 AS DOUBLE) AS metric FROM ev) SELECT event_id, metric FROM m WHERE metric > 10 ORDER BY event_id",
-    "q_smapcat" -> s"$cte SELECT event_id, unnest(tags) AS tag FROM ev ORDER BY event_id, tag",
-    "q_adjust" -> s"$cte SELECT event_id, service || '!' AS service FROM ev ORDER BY event_id",
-    // sflatten is vector->rows: the group/flatten roundtrip is identity
-    "q_sflatten" -> s"$cte SELECT event_id, service, metric FROM ev ORDER BY event_id",
-    // no event in the derived view carries line-protocol specials, so
-    // the escape regexes are identity here (escaping itself is golden-
-    // tested in SinksExtraSpec); doubles render identically
-    "q_influx_lines" -> (s"$cte SELECT event_id, service || ',host=' || host || " +
-      "' value=' || CAST(CAST(metric AS DOUBLE) AS VARCHAR) || ' ' || " +
-      "CAST(time_s * 1000000000 AS VARCHAR) AS line FROM ev WHERE metric IS NOT NULL ORDER BY event_id"),
-    "q_influx2_line" -> (s"$cte SELECT event_id, service || " +
-      "(CASE WHEN host IS NOT NULL AND host <> '' THEN ',host=' || host ELSE '' END) || " +
-      "' value=' || CAST(CAST(metric AS DOUBLE) AS VARCHAR) || ' ' || " +
-      "CAST(time_s * 1000 AS VARCHAR) AS line FROM ev WHERE metric IS NOT NULL ORDER BY event_id"),
-    // JSON wire codec round-trips every field losslessly
-    "q_json_roundtrip" -> (s"$cte SELECT event_id, host, service, state, metric, " +
-      "COALESCE(array_to_string(tags, ','), '') AS tags, time_s, ttl FROM ev ORDER BY event_id"),
-    "q_query_search" -> s"$snapCte SELECT event_id, host, service, state, metric, time_s FROM snap WHERE rn = 1 AND (state = 'critical' OR (metric > 120 AND list_contains(tags, 'big'))) ORDER BY event_id",
-    "q_query_sql" -> s"$snapCte SELECT event_id, host, service, state, metric, time_s FROM snap WHERE rn = 1 AND (state = 'critical' OR (metric > 120 AND list_contains(tags, 'big'))) ORDER BY event_id",
-    "q_query_attrs" -> (EventView.oracleCteWith(
-      "CAST(json_extract_string(props, '$.k') AS DOUBLE) AS kval") +
-      ", snap AS (SELECT *, row_number() OVER (PARTITION BY host, service ORDER BY time_s DESC, event_id DESC) AS rn FROM ev) " +
-      "SELECT event_id, host, service, metric FROM snap WHERE rn = 1 AND kval > 50 AND metric < 100 ORDER BY event_id"),
-    "q_index_snapshot" -> s"$snapCte SELECT event_id, host, service, state, metric, time_s FROM snap WHERE rn = 1 ORDER BY host, service",
-    "q_index_expired" -> s"$snapCte SELECT host, service, 'expired' AS state, CAST(1706620000 AS BIGINT) AS time_s FROM snap WHERE rn = 1 AND (state = 'expired' OR (ttl IS NOT NULL AND 1706620000 - time_s > ttl)) ORDER BY host, service",
-    "q_coalesce" -> s"$snapCte SELECT service, host, time_s, event_id, metric, state FROM snap WHERE rn = 1 ORDER BY service, host",
-    "q_coalesce_fold" -> s"$snapCte SELECT service, count(*) AS n_hosts, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) / count(metric) AS mean_latest FROM snap WHERE rn = 1 GROUP BY service ORDER BY service",
-    "q_project_quotient" -> (s"$cte, hosts AS (SELECT DISTINCT host FROM ev), " +
-      "r AS (SELECT host, service, metric, row_number() OVER (PARTITION BY host, service ORDER BY time_s DESC, event_id DESC) AS rn FROM ev WHERE service IN ('purchase', 'error')) " +
-      "SELECT hosts.host, a.metric AS metric_a, b.metric AS metric_b, round(a.metric / b.metric, 6) AS quotient FROM hosts " +
-      "LEFT JOIN (SELECT host, metric FROM r WHERE rn = 1 AND service = 'purchase') a ON hosts.host = a.host " +
-      "LEFT JOIN (SELECT host, metric FROM r WHERE rn = 1 AND service = 'error') b ON hosts.host = b.host ORDER BY hosts.host"),
-    "q_fixed_offset_window" -> s"$cte SELECT service, time_s - time_s % 3600 AS window_start, count(*) AS n_events, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric FROM ev GROUP BY 1, 2 ORDER BY 1, 2",
-    "q_fixed_event_window" -> (s"$cte, r AS (SELECT *, (row_number() OVER (PARTITION BY host ORDER BY time_s, event_id) - 1) // 5 AS batch_id FROM ev) " +
-      "SELECT host, batch_id, count(*) AS n_events, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric, max(time_s) AS last_time FROM r GROUP BY host, batch_id ORDER BY host, batch_id"),
-    "q_moving_event_window" -> (s"$cte SELECT event_id, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER w AS DOUBLE) AS moving_sum, count(*) OVER w AS moving_n FROM ev " +
-      "WINDOW w AS (PARTITION BY host ORDER BY time_s, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
-    "q_moving_time_window" -> (s"$cte SELECT event_id, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER w AS DOUBLE) AS window_sum, count(*) OVER w AS window_n FROM ev " +
-      "WINDOW w AS (PARTITION BY host ORDER BY time_s RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
-    "q_fixed_time_window" -> (s"$cte, t AS (SELECT *, min(time_s) OVER (PARTITION BY host) AS t0 FROM ev) " +
-      "SELECT host, (time_s - t0) // 7200 AS window_id, count(*) AS n_events, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric, min(time_s) AS window_min_time " +
-      "FROM t GROUP BY 1, 2 ORDER BY 1, 2"),
-    "q_rate" -> s"$cte SELECT service, time_s - time_s % 3600 AS window_start, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) / CAST(3600 AS DOUBLE) AS rate FROM ev GROUP BY 1, 2 ORDER BY 1, 2",
-    // mirrors Windows.rateExpiring: observed buckets + zero-fill while
-    // the carried ttl decays, fill ends at min(next bucket, ttl lapse);
-    // DuckDB least() skips NULLs exactly like Spark's
-    "q_rate_expiring" -> (s"$cte, obs AS (SELECT service, time_s - time_s % 60 AS window_start, " +
-      "CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric, " +
-      "arg_max(ttl, time_s * 10000000 + event_id) AS carry_ttl FROM ev GROUP BY 1, 2), " +
-      "wn AS (SELECT *, lead(window_start) OVER (PARTITION BY service ORDER BY window_start) AS next_ws FROM obs), " +
-      "fills AS (SELECT service, window_start AS ows, carry_ttl, unnest(generate_series(window_start + 60, " +
-      "least(coalesce(next_ws - 60, window_start + (CAST(ceil(carry_ttl / CAST(60 AS DOUBLE)) AS BIGINT) - 1) * 60), " +
-      "coalesce(window_start + (CAST(ceil(carry_ttl / CAST(60 AS DOUBLE)) AS BIGINT) - 1) * 60, next_ws - 60)), 60)) AS window_start FROM wn), " +
-      "un AS (SELECT service, window_start, sum_metric / CAST(60 AS DOUBLE) AS rate, carry_ttl AS ttl FROM obs " +
-      "UNION ALL SELECT service, window_start, CAST(0 AS DOUBLE) AS rate, carry_ttl - (window_start - ows) AS ttl FROM fills) " +
-      "SELECT service, window_start, rate, ttl, window_start + 60 AS time_s FROM un ORDER BY service, time_s"),
-    "q_percentiles" -> (s"$cte, b AS (SELECT service, time_s - time_s % 86400 AS window_start, list(metric ORDER BY metric) AS ms FROM ev GROUP BY 1, 2), " +
-      "p AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS point) " +
-      "SELECT service || ' ' || CAST(point AS VARCHAR) AS service_pt, window_start, point, ms[CAST(LEAST(FLOOR(point * len(ms)), len(ms) - 1) AS INT) + 1] AS metric " +
-      "FROM b, p ORDER BY service_pt, window_start"),
-    "q_instrument" -> (s"$cte, e2 AS (SELECT service, time_s, CAST(floor(metric * CAST(1000000 AS DOUBLE)) AS BIGINT) AS latns FROM ev WHERE metric IS NOT NULL), " +
-      "b AS (SELECT service, time_s - time_s % 86400 AS window_start, count(*) AS n, list(latns ORDER BY latns) AS ls FROM e2 GROUP BY 1, 2), " +
-      "q AS (SELECT unnest([CAST(0.0 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE), CAST(0.99 AS DOUBLE), CAST(0.999 AS DOUBLE)]) AS q), " +
-      "r AS (SELECT 'riemann ' || service || ' rate' AS service_out, window_start, n / CAST(86400 AS DOUBLE) AS metric FROM b), " +
-      "l AS (SELECT 'riemann ' || service || ' latency ' || CAST(q AS VARCHAR) AS service_out, window_start, " +
-      "ls[CAST(LEAST(FLOOR(q * len(ls)), len(ls) - 1) AS INT) + 1] * CAST(0.000001 AS DOUBLE) AS metric FROM b, q) " +
-      "SELECT * FROM r UNION ALL SELECT * FROM l ORDER BY service_out, window_start"),
-    "q_apdex" -> (s"$cte SELECT service, time_s - time_s % 86400 AS window_start, " +
-      "(CAST(SUM(CASE WHEN metric <= 50 THEN 1 ELSE 0 END) AS BIGINT) + CAST(SUM(CASE WHEN metric > 50 AND metric <= 150 THEN 1 ELSE 0 END) AS BIGINT) / CAST(2.0 AS DOUBLE)) / count(*) AS apdex " +
-      "FROM ev WHERE NOT coalesce(state = 'expired', false) GROUP BY 1, 2 ORDER BY 1, 2"),
-    "q_ddt" -> (s"$cte, l AS (SELECT event_id, time_s, metric, lag(metric) OVER w AS prev_metric, lag(time_s) OVER w AS prev_time FROM ev " +
-      "WINDOW w AS (PARTITION BY host ORDER BY time_s, event_id)) " +
-      "SELECT event_id, (metric - prev_metric) / (time_s - prev_time) AS ddt FROM l WHERE prev_time IS NOT NULL AND time_s <> prev_time ORDER BY event_id"),
-    "q_counter" -> (s"$cte, seg AS (SELECT *, SUM(CASE WHEN list_contains(tags, 'big') THEN 1 ELSE 0 END) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS segment FROM ev) " +
-      "SELECT event_id, CAST(COALESCE(SUM(CAST(metric AS DECIMAL(18,6))) OVER (PARTITION BY host, segment ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING), 0) AS DOUBLE) AS running_sum FROM seg ORDER BY event_id"),
-    "q_sum_over_time" -> (s"$cte SELECT event_id, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum FROM ev WHERE metric IS NOT NULL ORDER BY event_id"),
-    "q_mean_over_time" -> (s"$cte SELECT event_id, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) / (count(*) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING)) AS running_mean FROM ev WHERE metric IS NOT NULL ORDER BY event_id"),
-    "q_ewma_timeless" -> (s"$cte, o AS (SELECT host, metric, row_number() OVER (PARTITION BY host ORDER BY time_s, event_id) AS idx, count(*) OVER (PARTITION BY host) AS n FROM ev WHERE metric IS NOT NULL) " +
-      "SELECT host, round(CAST(SUM(CAST(CAST(0.3 AS DOUBLE) * pow(CAST(0.7 AS DOUBLE), n - idx) * metric AS DECIMAL(38,18))) AS DOUBLE), 4) AS ewma FROM o GROUP BY host ORDER BY host"),
-    "q_ewma" -> {
-      // embed the exact Scala-computed decay constants; Double.toString
-      // round-trips, so DuckDB parses the identical double
-      val r = math.pow(2.0, -1.0 / 3600.0)
-      s"$cte, o AS (SELECT host, metric, time_s, max(time_s) OVER (PARTITION BY host) AS t_max FROM ev WHERE metric IS NOT NULL) " +
-        s"SELECT host, round(CAST(SUM(CAST(CAST(${1 - r} AS DOUBLE) * metric * pow(CAST($r AS DOUBLE), t_max - time_s) AS DECIMAL(38,18))) AS DOUBLE), 4) AS ewma FROM o GROUP BY host ORDER BY host"
-    },
-    "q_top_k" -> s"$cte SELECT host, service, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS total_metric FROM ev GROUP BY 1, 2 ORDER BY total_metric DESC, host, service LIMIT 5",
-    "q_throttle" -> (s"$cte, r AS (SELECT *, row_number() OVER (PARTITION BY host, time_s - time_s % 3600 ORDER BY time_s, event_id) AS rnk FROM ev) " +
-      "SELECT event_id FROM r WHERE rnk <= 2 ORDER BY event_id"),
-    "q_rollup" -> (s"$cte, r AS (SELECT *, time_s - time_s % 3600 AS window_start, row_number() OVER (PARTITION BY service, time_s - time_s % 3600 ORDER BY time_s, event_id) AS rnk FROM ev) " +
-      "SELECT service, window_start, CAST(SUM(CASE WHEN rnk <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS passed, CAST(SUM(CASE WHEN rnk > 2 THEN 1 ELSE 0 END) AS BIGINT) AS rolled, " +
-      "COALESCE(array_to_string(list_transform(list(metric ORDER BY time_s, event_id) FILTER (WHERE rnk > 2), x -> CAST(CAST(FLOOR(x * CAST(1e6 AS DOUBLE)) AS BIGINT) AS VARCHAR)), ','), '') AS rolled_metrics FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
-    "q_ddt_real" -> (s"$cte, r AS (SELECT host, time_s - time_s % 3600 AS window_start, metric, row_number() OVER (PARTITION BY host, time_s - time_s % 3600 ORDER BY time_s DESC, event_id DESC) AS rn FROM ev), " +
-      "s AS (SELECT host, window_start, metric AS sample FROM r WHERE rn = 1), " +
-      "l AS (SELECT host, window_start, sample, lag(sample) OVER w AS prev_sample, lag(window_start) OVER w AS prev_start FROM s WINDOW w AS (PARTITION BY host ORDER BY window_start)) " +
-      "SELECT host, window_start, sample, (sample - prev_sample) / (window_start - prev_start) AS ddt FROM l WHERE prev_start IS NOT NULL ORDER BY host, window_start"),
-    "q_changed" -> (s"$cte, l AS (SELECT event_id, state, lag(state) OVER (PARTITION BY host ORDER BY time_s, event_id) AS prev_value FROM ev) " +
-      "SELECT event_id, state, prev_value FROM l WHERE state IS DISTINCT FROM prev_value ORDER BY event_id"),
-    "q_runs" -> (s"$cte, c AS (SELECT *, CASE WHEN state IS NOT DISTINCT FROM lag(state) OVER (PARTITION BY host ORDER BY time_s, event_id) THEN 0 ELSE 1 END AS chg FROM ev), " +
-      "g AS (SELECT *, SUM(chg) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS segment FROM c), " +
-      "rl AS (SELECT *, row_number() OVER (PARTITION BY host, segment ORDER BY time_s, event_id) AS run_len FROM g) " +
-      "SELECT event_id FROM rl WHERE run_len >= 2 ORDER BY event_id"),
-    "q_stable" -> (s"$cte, c AS (SELECT *, CASE WHEN state IS NOT DISTINCT FROM lag(state) OVER (PARTITION BY host ORDER BY time_s, event_id) THEN 0 ELSE 1 END AS chg FROM ev), " +
-      "g AS (SELECT *, SUM(chg) OVER (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) AS segment FROM c), " +
-      "ss AS (SELECT *, min(time_s) OVER (PARTITION BY host, segment) AS segment_start, max(time_s) OVER (PARTITION BY host, segment) AS segment_last FROM g) " +
-      "SELECT event_id FROM ss WHERE segment_last - segment_start >= 7200 ORDER BY event_id"),
-    "q_predict_linear" -> (s"$cte, x AS (SELECT host, metric, time_s, CAST(time_s - min(time_s) OVER (PARTITION BY host) AS DECIMAL(38,6)) AS xv FROM ev WHERE metric IS NOT NULL), " +
-      "m AS (SELECT host, CAST(count(*) AS DOUBLE) AS n, CAST(SUM(xv) AS DOUBLE) AS sx, CAST(SUM(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS sy, CAST(SUM(xv * CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS sxy, CAST(SUM(xv * xv) AS DOUBLE) AS sxx, max(time_s) AS last_time, CAST(max(xv) AS DOUBLE) AS x_last FROM x GROUP BY host), " +
-      "sl AS (SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM m) " +
-      "SELECT host, last_time, round((sy - slope * sx) / n + slope * (x_last + 3600), 4) AS predicted FROM sl ORDER BY host"),
-    "q_clock_skew" -> (s"$cte, latest AS (SELECT host, max(time_s) AS host_time FROM ev GROUP BY host), " +
-      "med AS (SELECT quantile_cont(host_time, 0.5) AS median_time FROM latest) " +
-      "SELECT host, host_time, round(host_time - median_time, 1) AS skew_s FROM latest, med ORDER BY host"),
-    "q_fold_interval" -> (s"$cte SELECT service, time_s - time_s % 86400 AS window_start, " +
-      "CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_m, " +
-      "CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) / count(metric) AS mean_m, " +
-      "min(metric) AS min_m, max(metric) AS max_m, " +
-      "sqrt(CAST(SUM(CAST(metric AS DECIMAL(18,6)) * CAST(metric AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(metric) AS DOUBLE) - (CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(metric) AS DOUBLE)) * (CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(metric) AS DOUBLE))) AS sd_m, " +
-      "count(*) AS n FROM ev GROUP BY 1, 2 ORDER BY 1, 2"),
-    "q_batch" -> (s"$cte, r AS (SELECT *, time_s - time_s % 3600 AS window_start, (row_number() OVER (PARTITION BY host, time_s - time_s % 3600 ORDER BY time_s, event_id) - 1) // 3 AS batch_seq FROM ev) " +
-      "SELECT host, window_start, batch_seq, count(*) AS n_events, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric, max(time_s) AS flush_time FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
-    "q_fill_in" -> (s"$cte, obs AS (SELECT service, time_s - time_s % 3600 AS window_start, count(*) AS n_events, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric FROM ev GROUP BY 1, 2), " +
-      "spans AS (SELECT service, min(window_start) AS w0, max(window_start) AS w1 FROM obs GROUP BY service), " +
-      "al AS (SELECT service, unnest(generate_series(w0, w1, 3600)) AS window_start FROM spans) " +
-      "SELECT al.service, al.window_start, coalesce(obs.n_events, 0) AS n_events, CASE WHEN coalesce(obs.n_events, 0) > 0 THEN obs.sum_metric ELSE CAST(0 AS DOUBLE) END AS sum_metric FROM al LEFT JOIN obs ON al.service = obs.service AND al.window_start = obs.window_start ORDER BY 1, 2"),
-    "q_fill_in_last" -> (s"$cte, obs AS (SELECT service, time_s - time_s % 3600 AS window_start, count(*) AS n_events, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric FROM ev GROUP BY 1, 2), " +
-      "spans AS (SELECT service, min(window_start) AS w0, max(window_start) AS w1 FROM obs GROUP BY service), " +
-      "al AS (SELECT service, unnest(generate_series(w0, w1, 3600)) AS window_start FROM spans), " +
-      "j AS (SELECT al.service, al.window_start, coalesce(obs.n_events, 0) AS n_events, CASE WHEN coalesce(obs.n_events, 0) > 0 THEN obs.sum_metric ELSE CAST(0 AS DOUBLE) END AS sum_metric FROM al LEFT JOIN obs ON al.service = obs.service AND al.window_start = obs.window_start) " +
-      "SELECT service, window_start, n_events, CASE WHEN n_events > 0 THEN sum_metric ELSE last_value(CASE WHEN n_events > 0 THEN sum_metric END IGNORE NULLS) OVER (PARTITION BY service ORDER BY window_start ROWS UNBOUNDED PRECEDING) END AS sum_metric FROM j ORDER BY 1, 2"),
-    "q_interpolate" -> (s"$cte, obs AS (SELECT host, window_start, n_events, obs_metric, obs_state FROM (" +
-      "SELECT host, time_s - time_s % 3600 AS window_start, " +
-      "count(*) OVER (PARTITION BY host, time_s - time_s % 3600) AS n_events, " +
-      "metric AS obs_metric, state AS obs_state, " +
-      "row_number() OVER (PARTITION BY host, time_s - time_s % 3600 ORDER BY time_s DESC, event_id DESC) AS rn FROM ev) WHERE rn = 1), " +
-      "spans AS (SELECT host, min(window_start) AS w0, max(window_start) AS w1 FROM obs GROUP BY host), " +
-      "al AS (SELECT host, unnest(generate_series(w0, w1, 3600)) AS window_start FROM spans), " +
-      "j AS (SELECT al.host, al.window_start, obs.n_events, " +
-      "last_value(CASE WHEN obs.n_events IS NOT NULL THEN struct_pack(m := obs.obs_metric, st := obs.obs_state) END IGNORE NULLS) " +
-      "OVER (PARTITION BY al.host ORDER BY al.window_start ROWS UNBOUNDED PRECEDING) AS carry " +
-      "FROM al LEFT JOIN obs ON al.host = obs.host AND al.window_start = obs.window_start) " +
-      "SELECT host, window_start, struct_extract(carry, 'm') AS metric, struct_extract(carry, 'st') AS state, coalesce(n_events, 0) AS n_events " +
-      "FROM j WHERE n_events IS NOT NULL OR struct_extract(carry, 'st') IS DISTINCT FROM 'expired' ORDER BY 1, 2"),
-    "q_sreduce" -> (s"$cte SELECT event_id, max(metric) OVER w AS running_max, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_sum FROM ev " +
-      "WINDOW w AS (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) ORDER BY event_id"),
-    "q_fold_difference" -> (s"$cte SELECT host, round(CAST(CAST(first(metric ORDER BY time_s, event_id) AS DECIMAL(28,10)) * 2 - SUM(CAST(metric AS DECIMAL(28,10))) AS DOUBLE), 4) AS difference " +
-      "FROM ev WHERE metric IS NOT NULL GROUP BY host ORDER BY host"),
-    "q_median" -> (s"$cte, b AS (SELECT service, list(metric ORDER BY metric) AS ms FROM ev WHERE metric IS NOT NULL GROUP BY 1) " +
-      "SELECT service, ms[CAST(LEAST(FLOOR(CAST(0.5 AS DOUBLE) * len(ms)), len(ms) - 1) AS INT) + 1] AS median FROM b ORDER BY service"),
-    "q_mode" -> (s"$cte, c AS (SELECT service, metric, count(*) AS cnt FROM ev WHERE metric IS NOT NULL GROUP BY 1, 2), " +
-      "r AS (SELECT *, row_number() OVER (PARTITION BY service ORDER BY cnt DESC, metric ASC) AS rk FROM c) " +
-      "SELECT service, metric AS mode, cnt AS mode_count FROM r WHERE rk = 1 ORDER BY service"),
-    "q_deps" -> (s"$snapCte, live AS (SELECT * FROM snap WHERE rn = 1 AND NOT (state = 'expired' OR (ttl IS NOT NULL AND 1706620000 - time_s > ttl))) " +
-      "SELECT e.event_id, EXISTS(SELECT 1 FROM live l WHERE l.host = e.host AND l.service = 'purchase' AND l.state = 'ok') AS deps_satisfied " +
-      "FROM ev e ORDER BY e.event_id"),
-    "q_salted_agg" -> s"$cte SELECT service, CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) AS sum_metric, count(metric) AS n_metric FROM ev GROUP BY service ORDER BY service",
-    "q_tpch_pricing" -> ("SELECT l_returnflag, l_linestatus, " +
-      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, " +
-      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price, " +
-      "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price, " +
-      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity) AS avg_qty, " +
-      "count(*) AS count_order " +
-      "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2 ORDER BY 1, 2"),
-    "q_tpch_regional" -> ("SELECT r.r_name, count(*) AS n_orders, " +
-      "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price " +
-      "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
-      "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
-      "JOIN region r ON n.n_regionkey = r.r_regionkey " +
-      "GROUP BY r.r_name ORDER BY r.r_name"),
-    "q_modes" -> (s"$cte, c AS (SELECT service, metric, count(*) AS cnt FROM ev WHERE metric IS NOT NULL GROUP BY 1, 2), " +
-      "m AS (SELECT *, max(cnt) OVER (PARTITION BY service) AS mx FROM c) " +
-      "SELECT service, metric AS mode_value, CAST(mx AS BIGINT) AS mode_count FROM m WHERE cnt = mx ORDER BY service, mode_value"),
-    "q_fold_product" -> (s"$foldCte SELECT host, batch_id, " +
-      "CASE WHEN len(list_filter(ms, x -> x = 0)) > 0 THEN CAST(0.0 AS DOUBLE) " +
-      "ELSE round(list_aggregate(ms, 'product'), 4) END AS product_m " +
-      "FROM g ORDER BY host, batch_id"),
-    "q_fold_quotient" -> (s"$foldCte, q AS (SELECT host, batch_id, ms[1] AS fv, " +
-      "len(list_filter(ms[2:], x -> x = 0)) AS rz, len(list_filter(ms[2:], x -> x < 0)) AS rnn, " +
-      "COALESCE(list_aggregate(ms[2:], 'product'), CAST(1.0 AS DOUBLE)) AS rp FROM g) " +
-      "SELECT host, batch_id, " +
-      "CASE WHEN rz > 0 AND fv = 0 THEN 'nan' WHEN rz > 0 THEN (CASE WHEN (fv < 0) <> (rnn % 2 = 1) THEN '-inf' ELSE 'inf' END) ELSE 'finite' END AS q_class, " +
-      "CASE WHEN rz > 0 THEN NULL WHEN fv = 0 THEN CAST(0.0 AS DOUBLE) ELSE round(fv / rp, 6) END AS quotient " +
-      "FROM q ORDER BY host, batch_id"),
-    "q_fold_quotient_sloppy" -> (s"$foldCte SELECT host, batch_id, " +
-      "CASE WHEN len(list_filter(ms, x -> x = 0)) > 0 THEN CAST(0.0 AS DOUBLE) " +
-      "ELSE round(ms[1] / COALESCE(list_aggregate(ms[2:], 'product'), CAST(1.0 AS DOUBLE)), 6) END AS quotient_sloppy " +
-      "FROM g ORDER BY host, batch_id"),
-    "q_media_features" -> ("SELECT doc_id AS media_id, " +
-      "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality, " +
-      "CAST(length(text) AS BIGINT) AS n_bytes, " +
-      "CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)), i -> CAST(unicode(text[i]) AS BIGINT) * i)), 0) AS BIGINT) AS checksum " +
-      "FROM documents ORDER BY media_id"),
-    "q_media_decode" -> ("SELECT doc_id AS media_id, " +
-      "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'bmp' END AS format, " +
-      "CAST((n_chars % 64) + 1 AS INT) AS width, " +
-      "CAST((n_chars % 48) + 1 AS INT) AS height, " +
-      "CAST(3 AS INT) AS channels, TRUE AS ok " +
-      "FROM documents ORDER BY media_id"),
-    "q_media_audio" -> ("SELECT doc_id AS media_id, " +
-      "CASE WHEN doc_id % 2 = 0 THEN 'wave' ELSE 'aiff' END AS format, " +
-      "CAST(8000 + (n_chars % 4) * 4000 AS INT) AS sample_rate, " +
-      "CAST(1 + (n_chars % 2) AS INT) AS channels, " +
-      "CAST((n_chars % 500) + 100 AS BIGINT) AS frames, " +
-      "((n_chars % 500) + 100) * 1000 // (8000 + (n_chars % 4) * 4000) AS duration_ms, " +
-      "TRUE AS ok FROM documents ORDER BY media_id"),
-    "q_dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1",
-    "q_minhash_sig" -> (s"$shCte$hsCte SELECT doc_id, array_to_string(list_transform(" +
-      s"${minhashSigSql(8)}, h -> CAST(h AS VARCHAR)), ',') AS sig FROM hh ORDER BY doc_id"),
-    "q_minhash_pairs" -> s"$minhashPairsCte SELECT doc_a, doc_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b",
-    "q_dedup_clusters" -> (minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      ", fp AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5), " +
-      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM fp UNION SELECT doc_b, doc_a FROM fp), " +
-      "r(doc, comp) AS (SELECT src, src FROM edges UNION SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.doc) " +
-      "SELECT doc AS doc_id, min(comp) AS component FROM r GROUP BY doc ORDER BY doc_id"),
-    "q_deduped_corpus" -> (minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      ", fp AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5), " +
-      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM fp UNION SELECT doc_b, doc_a FROM fp), " +
-      "r(doc, comp) AS (SELECT src, src FROM edges UNION SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.doc), " +
-      "cmp AS (SELECT doc AS doc_id, min(comp) AS component FROM r GROUP BY doc), " +
-      "dropids AS (SELECT doc_id FROM cmp WHERE doc_id <> component) " +
-      "SELECT d.doc_id, d.lang, d.n_chars FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM dropids) ORDER BY d.doc_id"),
-    "q_ngram_jaccard" -> (s"$shCte$hsCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh), " +
-      "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 7)) AS band FROM sg), " +
-      "bk0 AS (SELECT doc_id, band, md5(array_to_string(list_transform(sig[band*2+1:band*2+2], x -> CAST(x AS VARCHAR)), ',')) AS bucket FROM banded), " +
-      s"okb AS (SELECT band, bucket FROM bk0 GROUP BY band, bucket HAVING count(*) <= ${pipeline.Caps.DefaultMaxBucket}), " +
-      "bk AS (SELECT bk0.* FROM bk0 JOIN okb USING (band, bucket)), " +
-      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
-      "jj AS (SELECT doc_a, doc_b, CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard " +
-      "FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id) " +
-      "SELECT doc_a, doc_b, jaccard FROM jj WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"),
-    "q_simhash" -> simhashSql,
-    "q_simhash_pairs" -> simhashPairsSql,
-    "q_frames" -> ("SELECT doc_id AS media_id, unnest(generate_series(0, n_chars * 10, 500)) AS frame_ts " +
-      "FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id, frame_ts"),
-    "q_embedding_neardups" -> {
-      val banded = (0 until 4).map(b =>
-        s"SELECT vec_id, $b AS band, ${bucketSql(6, "dv", b * 6)} AS bucket FROM u")
-        .mkString(" UNION ALL ")
-      s"$unitCte, banded0 AS ($banded), " +
-        s"okb AS (SELECT band, bucket FROM banded0 GROUP BY band, bucket HAVING count(*) <= ${pipeline.Caps.DefaultMaxBucket}), " +
-        "banded AS (SELECT banded0.* FROM banded0 JOIN okb USING (band, bucket)), " +
-        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
-        "j AS (SELECT vec_a, vec_b, round(CAST(list_sum(list_transform(list_zip(ua.unit, ub.unit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine " +
-        "FROM cand JOIN u ua ON cand.vec_a = ua.vec_id JOIN u ub ON cand.vec_b = ub.vec_id) " +
-        "SELECT vec_a, vec_b, cosine FROM j WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"
-    },
-    "q_ann_brute" -> (s"$unitCte, q AS (SELECT vec_id AS query_id, unit AS qunit FROM u WHERE vec_id IN (0,1,2,3,4)), " +
-      "scored AS (SELECT query_id, vec_id, round(CAST(list_sum(list_transform(list_zip(unit, qunit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM u, q WHERE vec_id <> query_id), " +
-      "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM scored) " +
-      "SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 10 ORDER BY query_id, rk"),
-    "q_lsh_buckets" -> s"$unitCte SELECT vec_id, label, ${bucketSql(8)} AS bucket FROM u ORDER BY vec_id",
-    "q_ann_lsh" -> (s"$unitCte, bk AS (SELECT vec_id, unit, ${bucketSql(8)} AS bucket FROM u), " +
-      "scored AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, round(CAST(list_sum(list_transform(list_zip(a.unit, b.unit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine " +
-      "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
-      "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM scored) " +
-      "SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 5 ORDER BY query_id, rk"),
-    "q_ann_ivf" -> s"$unitCte, $ivfChain SELECT query_id, vec_id, cosine, rk FROM ivf_rk WHERE rk <= 10 ORDER BY query_id, rk",
-    "q_ann_recall" -> (s"$unitCte, $ivfChain, " +
-      "br0 AS (SELECT q.query_id, u.vec_id, round(CAST(list_sum(list_transform(list_zip(u.unit, q.qunit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM u, q WHERE u.vec_id <> q.query_id), " +
-      "br AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM br0) WHERE rk <= 10), " +
-      s"lbk AS (SELECT vec_id, unit, ${bucketSql(8)} AS bucket FROM u), " +
-      "l0 AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, round(CAST(list_sum(list_transform(list_zip(a.unit, b.unit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM lbk a JOIN lbk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id WHERE a.vec_id IN (0,1,2,3,4)), " +
-      "lsh AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM l0) WHERE rk <= 10), " +
-      {
-        val bnd = (0 until 4).map(b =>
-          s"SELECT vec_id, $b AS band, ${bucketSql(6, "dv", b * 6)} AS bucket FROM u")
-          .mkString(" UNION ALL ")
-        s"bnd AS ($bnd), " +
-          "c0 AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS vec_id FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id WHERE a.vec_id IN (0,1,2,3,4)), " +
-          "b0 AS (SELECT c.query_id, c.vec_id, round(CAST(list_sum(list_transform(list_zip(uq.unit, uv.unit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM c0 c JOIN u uq ON c.query_id = uq.vec_id JOIN u uv ON c.vec_id = uv.vec_id), " +
-          "blsh AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM b0) WHERE rk <= 10), "
-      } +
-      "ivf AS (SELECT query_id, vec_id FROM ivf_rk WHERE rk <= 10), " +
-      "rec AS (SELECT br.query_id, count(*) AS k, CAST(SUM(CASE WHEN lsh.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits, CAST(SUM(CASE WHEN blsh.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS blsh_hits, CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits " +
-      "FROM br LEFT JOIN lsh ON br.query_id = lsh.query_id AND br.vec_id = lsh.vec_id LEFT JOIN blsh ON br.query_id = blsh.query_id AND br.vec_id = blsh.vec_id LEFT JOIN ivf ON br.query_id = ivf.query_id AND br.vec_id = ivf.vec_id GROUP BY br.query_id) " +
-      "SELECT query_id, k, lsh_hits, blsh_hits, ivf_hits, round(CAST(lsh_hits AS DOUBLE)/k, 6) AS lsh_recall, round(CAST(blsh_hits AS DOUBLE)/k, 6) AS blsh_recall, round(CAST(ivf_hits AS DOUBLE)/k, 6) AS ivf_recall FROM rec ORDER BY query_id"),
-    "q_quantize" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings), " +
-      "m AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS scale FROM e) " +
-      "SELECT vec_id, round(scale, 6) AS scale, " +
-      "CASE WHEN scale = 0 THEN array_to_string(list_transform(dv, x -> '0'), ',') " +
-      "ELSE array_to_string(list_transform(dv, x -> CAST(CAST(FLOOR(x / scale * CAST(127 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS VARCHAR)), ',') END AS qvec " +
-      "FROM m ORDER BY vec_id"),
-    "q_quant_error" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings), " +
-      "m AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS scale FROM e), " +
-      "q AS (SELECT vec_id, dv, scale, CASE WHEN scale = 0 THEN list_transform(dv, x -> CAST(0 AS BIGINT)) " +
-      "ELSE list_transform(dv, x -> CAST(FLOOR(x / scale * CAST(127 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) END AS qvec FROM m) " +
-      "SELECT vec_id, round(scale, 6) AS scale, " +
-      "round(list_sum(list_transform(list_zip(dv, qvec), z -> abs(z[1] - CAST(z[2] AS DOUBLE) / CAST(127 AS DOUBLE) * scale))) / len(dv), 6) AS mean_abs_err " +
-      "FROM q ORDER BY vec_id"),
-    "q_graphite_decode" -> s"$cte SELECT event_id, service, metric, time_s, host FROM ev ORDER BY event_id",
-    "q_protobuf_roundtrip" -> (EventView.oracleCteWith(
-      "json_extract_string(props, '$.k') AS attr_k") +
-      " SELECT event_id, host, service, state, metric, COALESCE(array_to_string(tags, ','), '') AS tags, time_s, ttl, attr_k " +
-      "FROM ev ORDER BY event_id"),
-    "q_opentsdb_decode" -> (s"$cte SELECT event_id, service AS metric_name, " +
-      "service || ' idx=' || CAST(event_id AS VARCHAR) AS service, metric, time_s, host FROM ev ORDER BY event_id"),
-    "q_label_centroids" -> (s"$unitCte, dims AS (SELECT label, unnest(unit) AS v, unnest(generate_series(0, len(unit)-1)) AS dim FROM u), " +
-      "cc AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c FROM dims GROUP BY 1, 2) " +
-      "SELECT label, round(sqrt(CAST(SUM(CAST(c*c AS DECIMAL(38,18))) AS DOUBLE)), 4) AS centroid_norm, count(*) AS dims FROM cc GROUP BY label ORDER BY label"),
-    "q_text_stats" -> ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-      "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens, CAST(length(text) AS BIGINT) // 4 AS est_bpe_tokens " +
-      "FROM documents ORDER BY doc_id"),
-    "q_quality" -> (s"WITH t AS (SELECT doc_id, length(text) AS nch, string_split(text, ' ') AS toks FROM documents), " +
-      s"m AS (SELECT doc_id, CAST(nch AS DOUBLE) AS nchars, CAST(len(toks) AS DOUBLE) AS ntok, CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) AS nstop, CAST(len(list_distinct(toks)) AS DOUBLE) AS ndis FROM t) " +
-      "SELECT doc_id, round(nchars / ntok, 4) AS mean_token_len, round(ndis / ntok, 4) AS type_token_ratio, round(nstop / ntok, 4) AS stopword_ratio, round(CAST(1.0 AS DOUBLE) - ndis / ntok, 4) AS repetition FROM m ORDER BY doc_id"),
-    "q_langid" -> (s"WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents), " +
-      s"m AS (SELECT doc_id, lang, CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks) AS sc FROM t) " +
-      "SELECT doc_id, lang AS declared_lang, round(sc, 4) AS en_score, CASE WHEN sc >= 0.05 THEN 'en' ELSE 'other' END AS predicted_lang FROM m ORDER BY doc_id"),
-    "q_fingerprint" -> ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fingerprint, md5(text) AS exact_fingerprint FROM documents ORDER BY doc_id"),
-    "q_repetition" -> ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-      "b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS g FROM t), " +
-      "bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2), " +
-      "bs AS (SELECT doc_id, round(max(c)/CAST(sum(c) AS DOUBLE), 4) AS top_bigram_frac, round((sum(c)-count(*))/CAST(sum(c) AS DOUBLE), 4) AS dup_2gram_frac FROM bc GROUP BY 1), " +
-      "tr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM t), " +
-      "tc AS (SELECT doc_id, g, count(*) AS c FROM tr GROUP BY 1, 2), " +
-      "ts AS (SELECT doc_id, round((sum(c)-count(*))/CAST(sum(c) AS DOUBLE), 4) AS dup_3gram_frac FROM tc GROUP BY 1) " +
-      "SELECT bs.doc_id AS doc_id, top_bigram_frac, dup_2gram_frac, dup_3gram_frac FROM bs JOIN ts ON bs.doc_id = ts.doc_id ORDER BY bs.doc_id"),
-    "q_pii" -> ("WITH t AS (SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 THEN ' contact alice@example.com or bob.smith@mail.org' " +
-      "WHEN doc_id % 5 = 1 THEN ' server at 10.0.0.1 and 192.168.1.100' WHEN doc_id % 5 = 2 THEN ' call +1 555-123-4567' " +
-      "WHEN doc_id % 5 = 3 THEN ' mixed: c@d.io 8.8.8.8' ELSE '' END AS text2 FROM documents) " +
-      "SELECT doc_id, CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +
-      "CAST(len(regexp_extract_all(text2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4, " +
-      "CAST(len(regexp_extract_all(text2, '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}')) AS INT) AS n_phones FROM t ORDER BY doc_id"),
-    "q_tfidf" -> ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
-      "tf AS (SELECT doc_id, term, count(*) AS cnt FROM t GROUP BY 1, 2), " +
-      "dl AS (SELECT doc_id, term, cnt, SUM(cnt) OVER (PARTITION BY doc_id) AS doc_len FROM tf), " +
-      "df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY term), " +
-      "sc AS (SELECT dl.doc_id, dl.term, round((CAST(cnt AS DOUBLE) / doc_len) * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS tfidf FROM dl JOIN df USING (term)), " +
-      "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM sc) " +
-      "SELECT doc_id, term, tfidf, rk FROM rk WHERE rk <= 5 ORDER BY doc_id, rk"),
-    "q_contamination" -> (s"$shCte, d AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 10 <> 0), " +
-      "b AS (SELECT DISTINCT s FROM (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 10 = 0)), " +
-      "j AS (SELECT d.doc_id, count(*) AS n_shingles, CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated " +
-      "FROM d LEFT JOIN b ON d.s = b.s GROUP BY d.doc_id) " +
-      "SELECT doc_id, n_shingles, n_contaminated, round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination FROM j ORDER BY doc_id"),
-
-    // curation: per-source cap / split assignment / sequence packing
-    "q_source_cap" -> ("WITH r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS source_rank FROM documents) " +
-      "SELECT doc_id, source, source_rank FROM r WHERE source_rank <= 40 ORDER BY source, source_rank"),
-    "q_split_assign" -> ("WITH h AS (SELECT doc_id, CAST(('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS hv FROM documents), " +
-      "u AS (SELECT doc_id, CAST(hv AS DOUBLE) / 4294967296.0 AS uu FROM h) " +
-      "SELECT doc_id, round(uu, 8) AS split_u, CASE WHEN uu < 0.9 THEN 'train' WHEN uu < 0.95 THEN 'val' ELSE 'test' END AS split FROM u ORDER BY doc_id"),
-    "q_pack" -> ("WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard, len(string_split(text, ' ')) AS n_tokens FROM documents), " +
-      "c AS (SELECT doc_id, lang, shard, n_tokens, CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok FROM t) " +
-      "SELECT doc_id, lang, shard, n_tokens, start_tok, start_tok // 2048 AS chunk, start_tok % 2048 AS chunk_offset FROM c ORDER BY doc_id"),
-
-    // segment-level dedup: global first occurrence per 10-word segment,
-    // survivors reassembled in order (text compared via md5)
-    "q_segment_dedup" -> ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), " +
-      "sg AS (SELECT doc_id, " +
-      "unnest(generate_series(0, CAST(CEIL(len(words) / 10.0) AS BIGINT) - 1)) AS seg_idx, " +
-      "unnest(list_transform(generate_series(0, CAST(CEIL(len(words) / 10.0) AS BIGINT) - 1), " +
-      "i -> array_to_string(list_slice(words, i * 10 + 1, i * 10 + 10), ' '))) AS seg FROM w), " +
-      "f AS (SELECT doc_id, seg_idx, seg, " +
-      "row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn FROM sg) " +
-      "SELECT doc_id, count(*) AS n_segments, " +
-      "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
-      "md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')) AS text_hash " +
-      "FROM f GROUP BY doc_id ORDER BY doc_id"),
-    // skew stress: the same segment-dedup and LSH-cap semantics over
-    // the 50%-boilerplate corpus (CASE substitution mirrors skewedDocs)
-    "q_skew_segment_dedup" -> (s"WITH w AS (SELECT doc_id, string_split(CASE WHEN doc_id % 2 = 0 THEN '$skewBoiler' ELSE text END, ' ') AS words FROM documents), " +
-      "sg AS (SELECT doc_id, " +
-      "unnest(generate_series(0, CAST(CEIL(len(words) / 10.0) AS BIGINT) - 1)) AS seg_idx, " +
-      "unnest(list_transform(generate_series(0, CAST(CEIL(len(words) / 10.0) AS BIGINT) - 1), " +
-      "i -> array_to_string(list_slice(words, i * 10 + 1, i * 10 + 10), ' '))) AS seg FROM w), " +
-      "f AS (SELECT doc_id, seg_idx, seg, " +
-      "row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn FROM sg) " +
-      "SELECT doc_id, count(*) AS n_segments, " +
-      "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
-      "md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')) AS text_hash " +
-      "FROM f GROUP BY doc_id ORDER BY doc_id"),
-    "q_skew_lsh_capped" -> (minhashPairsCte
-      .replace("FROM documents",
-        s"FROM (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN '$skewBoiler' ELSE text END AS text FROM documents)")
-      .replace(
-        "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2])) AS DOUBLE) / 16 AS est_jaccard " +
-          "FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)",
-        "ok AS (SELECT band, bucket FROM bk GROUP BY band, bucket HAVING count(*) <= 64), " +
-          "bk2 AS (SELECT bk.* FROM bk JOIN ok USING (band, bucket)), " +
-          "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-          "FROM bk2 a JOIN bk2 b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)") +
-      " SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"),
-    // temperature sampling: keep-rate ∝ count^alpha, decimal-exact
-    // normalizer, md5-derived deterministic uniform per doc
-    "q_temp_sample" -> ("WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source), " +
-      "r AS (SELECT source, n_source, CAST(round(pow(CAST(n_source AS DOUBLE), CAST(0.5 AS DOUBLE)), 6) AS DECIMAL(38,6)) AS wgt FROM c), " +
-      "r2 AS (SELECT source, n_source, least(CAST(1.0 AS DOUBLE), " +
-      "CAST(0.5 AS DOUBLE) * CAST(SUM(n_source) OVER () AS DOUBLE) * CAST(wgt AS DOUBLE) " +
-      "/ CAST(SUM(wgt) OVER () AS DOUBLE) / CAST(n_source AS DOUBLE)) AS keep_rate FROM r), " +
-      "u AS (SELECT d.doc_id, d.source, r2.n_source, r2.keep_rate, " +
-      "round(CAST(CAST(('0x'||substr(md5('sample:'||CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT) AS DOUBLE) / 4294967296.0, 8) AS sample_u " +
-      "FROM documents d JOIN r2 USING (source)) " +
-      "SELECT doc_id, source, n_source, round(keep_rate, 6) AS keep_rate, sample_u " +
-      "FROM u WHERE sample_u < round(keep_rate, 8) ORDER BY doc_id"),
-    "q_changed_pairs" -> (s"$cte, l AS (SELECT event_id, host, state, " +
-      "lag(state, 1, 'ok') OVER (PARTITION BY host ORDER BY time_s, event_id) AS prev_value FROM ev) " +
-      "SELECT event_id, host, prev_value, state FROM l " +
-      "WHERE state IS DISTINCT FROM prev_value ORDER BY event_id"),
-
-    // email subject: human-uniq'd hosts/services/states per service
-    // group, distinct values in first-appearance (time, id) order
-    "q_email_subject" -> (s"$cte, " +
-      "rh AS (SELECT service, host, time_s, event_id, row_number() OVER (PARTITION BY service, host ORDER BY time_s, event_id) AS rn FROM ev WHERE host IS NOT NULL), " +
-      "hl AS (SELECT service, list(host ORDER BY time_s, event_id) AS d FROM rh WHERE rn = 1 GROUP BY service), " +
-      "rs AS (SELECT service, service AS v, time_s, event_id, row_number() OVER (PARTITION BY service ORDER BY time_s, event_id) AS rn FROM ev), " +
-      "sl AS (SELECT service, list(v ORDER BY time_s, event_id) AS d FROM rs WHERE rn = 1 GROUP BY service), " +
-      "rt AS (SELECT service, state, time_s, event_id, row_number() OVER (PARTITION BY service, state ORDER BY time_s, event_id) AS rn FROM ev WHERE state IS NOT NULL), " +
-      "tl AS (SELECT service, list(state ORDER BY time_s, event_id) AS d FROM rt WHERE rn = 1 GROUP BY service) " +
-      "SELECT hl.service, concat_ws(' ', " +
-      "CASE WHEN len(hl.d) = 0 THEN NULL WHEN len(hl.d) = 1 THEN hl.d[1] WHEN len(hl.d) = 2 THEN hl.d[1] || ' and ' || hl.d[2] WHEN len(hl.d) <= 4 THEN array_to_string(hl.d, ', ') ELSE CAST(len(hl.d) AS VARCHAR) || ' hosts' END, " +
-      "CASE WHEN len(sl.d) = 0 THEN NULL WHEN len(sl.d) = 1 THEN sl.d[1] WHEN len(sl.d) = 2 THEN sl.d[1] || ' and ' || sl.d[2] WHEN len(sl.d) <= 4 THEN array_to_string(sl.d, ', ') ELSE CAST(len(sl.d) AS VARCHAR) || ' services' END, " +
-      "CASE WHEN len(tl.d) = 0 THEN NULL WHEN len(tl.d) = 1 THEN tl.d[1] WHEN len(tl.d) = 2 THEN tl.d[1] || ' and ' || tl.d[2] WHEN len(tl.d) <= 4 THEN array_to_string(tl.d, ', ') ELSE CAST(len(tl.d) AS VARCHAR) || ' states' END) AS subject " +
-      "FROM hl JOIN sl USING (service) JOIN tl USING (service) ORDER BY service"),
-    // email body block per event (time line, h/s/state/metric, tags,
-    // custom attributes, empty description), compared via md5
-    "q_email_body" -> (EventView.oracleCteWith(
-      "json_extract_string(props, '$.k') AS kstr") +
-      " SELECT event_id, md5('At ' || strftime(make_timestamp(time_s * 1000000), '%a %b %d %H:%M:%S UTC %Y') || chr(10) || " +
-      "COALESCE(host, '') || ' ' || COALESCE(service, '') || ' ' || COALESCE(state, '') || ' (' || " +
-      "COALESCE(CAST(metric AS VARCHAR), '') || ')' || chr(10) || " +
-      "'Tags: [' || array_to_string(tags, ', ') || ']' || chr(10) || " +
-      "'Custom Attributes: ' || (CASE WHEN kstr IS NULL THEN '' ELSE '{:k \"' || kstr || '\"}' END) || chr(10) || chr(10)) AS body_hash " +
-      "FROM ev ORDER BY event_id"),
-    "q_index_delete" -> (s"$snapCte SELECT event_id, host, service, state, metric, time_s " +
-      "FROM snap WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM ev e2 " +
-      "WHERE e2.state = 'critical' AND e2.host = snap.host AND e2.service = snap.service) " +
-      "ORDER BY host, service"),
-    // prometheus datapoint: sanitized name + sorted labels + float value
-    "q_prometheus_line" -> (EventView.oracleCteWith(
-      "json_extract_string(props, '$.k') AS kstr") +
-      " SELECT event_id, regexp_replace(regexp_replace(service, '[^a-zA-Z0-9_]', '_', 'g'), '_{2,}', '_', 'g') " +
-      "|| '{host=' || host || ',k=' || kstr || ',state=' || state || '} ' " +
-      "|| CAST(CAST(metric AS REAL) AS VARCHAR) AS line " +
-      "FROM ev WHERE metric IS NOT NULL AND service IS NOT NULL ORDER BY event_id"),
-    "q_graphite_path" -> (s"$cte SELECT event_id, " +
-      "array_to_string(list_concat(" +
-      "list_reverse(string_split(host || '.node.example.com', '.')), " +
-      "string_split(regexp_replace(service || ' latency 0.95', " +
-      "'(\\d+)\\.(\\d+)$', '\\2'), ' ')), '.') AS path " +
-      "FROM ev ORDER BY event_id"),
-    "q_opentsdb_encode" -> (s"$cte SELECT event_id, " +
-      "'put ' || array_to_string(string_split(service || ' p99', ' '), '.') " +
-      "|| ' ' || CAST(time_s AS VARCHAR) || ' ' || CAST(CAST(metric AS REAL) AS VARCHAR) " +
-      "|| ' host=' || host AS line " +
-      "FROM ev WHERE metric IS NOT NULL AND service IS NOT NULL ORDER BY event_id"),
-    // datadog gauge JSON (event services/hosts/tags are alphanumeric in
-    // this relation, so the escape pass is the identity on both sides)
-    "q_datadog_event" -> (s"$cte SELECT event_id, " +
-      "'{\"metric\":\"' || service || '\",\"type\":\"gauge\",\"host\":\"' || host " +
-      "|| '\",\"tags\":[\"' || array_to_string(tags, '\",\"') " +
-      "|| '\"],\"points\":[[' || CAST(time_s AS VARCHAR) || ',' || CAST(metric AS VARCHAR) || ']]}' AS entry " +
-      "FROM ev WHERE metric IS NOT NULL AND service IS NOT NULL ORDER BY event_id"),
-    "q_gopher_filter" -> (s"WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), " +
-      "g AS (SELECT doc_id, text, w, CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS g3 FROM t), " +
-      s"m AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, " +
-      "round(CAST(length(text) AS DOUBLE) / CAST(len(w) AS DOUBLE), 4) AS mean_token_len, " +
-      s"CAST(len(list_filter(w, x -> list_contains($stopList, x))) AS INT) AS n_stopwords, " +
-      "round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / CAST(len(w) AS DOUBLE), 4) AS symbol_ratio, " +
-      "round(CASE WHEN len(g3) > 0 THEN CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END, 4) AS dup_3gram_frac FROM g) " +
-      "SELECT doc_id, n_tokens, mean_token_len, n_stopwords, symbol_ratio, dup_3gram_frac, " +
-      "n_tokens >= 20 AND n_tokens <= 100000 AS ok_words, " +
-      "mean_token_len >= CAST(3.0 AS DOUBLE) AND mean_token_len <= CAST(10.0 AS DOUBLE) AS ok_token_len, " +
-      "n_stopwords >= 2 AS ok_stopwords, " +
-      "symbol_ratio <= CAST(0.1 AS DOUBLE) AS ok_symbols, " +
-      "dup_3gram_frac <= CAST(0.3 AS DOUBLE) AS ok_repetition, " +
-      "(n_tokens >= 20 AND n_tokens <= 100000 AND mean_token_len >= CAST(3.0 AS DOUBLE) AND mean_token_len <= CAST(10.0 AS DOUBLE) " +
-      "AND n_stopwords >= 2 AND symbol_ratio <= CAST(0.1 AS DOUBLE) AND dup_3gram_frac <= CAST(0.3 AS DOUBLE)) AS keep " +
-      "FROM m ORDER BY doc_id"),
-    "q_librato_gauge" -> (s"$cte SELECT event_id, " +
-      "'{\"name\":\"' || substr(regexp_replace(replace(service || ' p99!!', ' ', '.'), '[^-.:_A-Za-z0-9]', '', 'g'), 1, 255) " +
-      "|| '\",\"source\":\"' || substr(regexp_replace(replace(host, ' ', '.'), '[^-.:_A-Za-z0-9]', '', 'g'), 1, 255) " +
-      "|| '\",\"value\":' || CAST(metric AS VARCHAR) || ',\"measure_time\":' || CAST(time_s AS VARCHAR) || '}' AS entry " +
-      "FROM ev WHERE metric IS NOT NULL ORDER BY event_id"),
-    "q_kairosdb_line" -> (s"$cte SELECT event_id, " +
-      "'put ' || array_to_string(string_split(service || ' p50', ' '), '.') " +
-      "|| ' ' || CAST(time_s * 1000 AS VARCHAR) || ' ' || CAST(CAST(metric AS REAL) AS VARCHAR) " +
-      "|| ' host=' || host AS line " +
-      "FROM ev WHERE metric IS NOT NULL AND service IS NOT NULL ORDER BY event_id"),
-    // ---- r7 sink payload oracles. descCte mirrors withDerivedDesc.
-    "q_slack_message" -> (s"$descCte, esc AS (SELECT event_id, " +
-      "replace(replace(replace('*Host:* ' || coalesce(host, '-') " +
-      "|| ' *Service:* ' || coalesce(service, '-') " +
-      "|| ' *State:* ' || coalesce(state, '-') " +
-      "|| ' *Description:* ' || coalesce(description, '-') " +
-      "|| ' *Metric:* ' || coalesce(CAST(metric AS VARCHAR), '-'), " +
-      "'&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS fb, " +
-      "replace(replace(replace('Host:   ' || coalesce(host, '-') || chr(10) " +
-      "|| 'Service:   ' || coalesce(service, '-') || chr(10) " +
-      "|| 'State:   ' || coalesce(state, '-') || chr(10) " +
-      "|| 'Description:   ' || coalesce(description, '-') || chr(10) " +
-      "|| 'Metric:   ' || coalesce(CAST(metric AS VARCHAR), '-') || chr(10) " +
-      "|| 'Tags:   [' || array_to_string(list_transform(tags, t -> '\"' || t || '\"'), ' ') || ']' || chr(10), " +
-      "'&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS fv FROM ev) " +
-      "SELECT event_id, to_json({'username': 'riemann', 'channel': '#ops', " +
-      "'icon_emoji': ':fire:', 'attachments': [{'fallback': fb, " +
-      "'fields': [{'title': 'Riemann Event', 'value': fv, 'short': true}]}]}) AS body " +
-      "FROM esc ORDER BY event_id"),
-    "q_boundary_tuple" -> (s"$cte SELECT event_id, '[' " +
-      "|| coalesce(to_json(CASE WHEN event_id % 7 = 0 THEN NULL ELSE host END), 'null') || ',' " +
-      "|| to_json(regexp_replace(upper(regexp_replace(service, '\\s+', '_', 'g')), '[^A-Z0-9_]', '', 'g')) || ',' " +
-      "|| coalesce(to_json(CASE WHEN event_id % 11 = 0 THEN NULL ELSE metric END), 'null') || ',' " +
-      "|| to_json(time_s) || ']' AS t FROM ev " +
-      "WHERE regexp_replace(upper(regexp_replace(service, '\\s+', '_', 'g')), '[^A-Z0-9_]', '', 'g') <> '' " +
-      "ORDER BY event_id"),
-    "q_cloudwatch_datapoint" -> (s"$cte SELECT event_id, " +
-      "to_json({'metric_name': service, " +
-      "'value': CASE WHEN event_id % 11 = 0 THEN NULL ELSE metric END, " +
-      "'dimensions': [{'name': 'Host', 'value': host}]}) AS dp " +
-      "FROM ev ORDER BY event_id"),
-    "q_zabbix_datapoint" -> (s"$cte SELECT event_id, " +
-      "to_json({'host': host, 'key': service, " +
-      "'value': coalesce(CAST(CASE WHEN event_id % 11 = 0 THEN NULL ELSE metric END AS VARCHAR), ''), " +
-      "'clock': time_s}) AS dp FROM ev ORDER BY event_id"),
-    "q_nagios_line" -> (s"$descCte, n AS (SELECT event_id, host, service, description, " +
-      "CASE WHEN event_id % 3 = 0 THEN 'error' WHEN event_id % 3 = 1 THEN NULL ELSE state END AS s2 FROM ev) " +
-      "SELECT event_id, coalesce(host, '') AS nhost, " +
-      "CASE WHEN s2 IN ('ok', 'warning', 'critical') THEN s2 " +
-      "WHEN s2 = 'error' THEN 'critical' ELSE 'unknown' END AS nstate, " +
-      "coalesce(service, '') AS nservice, coalesce(description, '') AS ndesc " +
-      "FROM n ORDER BY event_id"),
-    "q_xymon_status" -> (s"$descCte SELECT event_id, " +
-      "'status' || CASE WHEN ttl IS NOT NULL THEN '+' || CAST(CAST(ceil(ttl / 60) AS BIGINT) AS VARCHAR) ELSE '' END " +
-      "|| ' ' || replace(coalesce(host, ''), '.', ',') || '.' " +
-      "|| regexp_replace(coalesce(service, ''), '(\\.| )', '_', 'g') " +
-      "|| ' ' || coalesce(state, 'unknown') || ' ' || coalesce(description, '') || chr(10) AS status " +
-      "FROM ev ORDER BY event_id"),
-    "q_blueflood_point" -> (s"$cte SELECT event_id, " +
-      "to_json({'collectionTime': time_s, " +
-      "'ttlInSeconds': coalesce(CAST(CASE WHEN event_id % 6 = 0 THEN NULL ELSE ttl END AS BIGINT), 2592000), " +
-      "'metricValue': metric, 'metricName': host || '.' || service}) AS p " +
-      "FROM ev WHERE metric IS NOT NULL ORDER BY event_id"),
-    "q_druid_event" -> (s"$descCte SELECT event_id, " +
-      "to_json({'host': host, 'service': service, 'state': state, " +
-      "'timestamp': strftime(make_timestamp(time_s * 1000000), '%Y-%m-%dT%H:%M:%S.000') || 'Z', " +
-      "'tags': tags, 'description': description, 'value': metric}) AS e " +
-      "FROM ev ORDER BY event_id"),
-    "q_netuitive_element" -> (s"$cte SELECT event_id, " +
-      "to_json({'id': 'Riemann:' || coalesce(host, ''), 'name': host, 'type': 'Riemann', " +
-      "'metrics': [{'id': mid}], " +
-      "'samples': [{'metricId': mid, 'timestamp': time_s * 1000, 'val': metric}], " +
-      "'tags': list_transform(tags, t -> {'name': t, 'value': 'true'})}) AS e " +
-      "FROM (SELECT *, array_to_string(string_split(coalesce(service || ' p95', ''), ' '), '.') AS mid FROM ev) " +
-      "ORDER BY event_id"),
-    "q_shinken_form" -> (s"$cte SELECT event_id, " +
-      "CAST(time_s AS VARCHAR) AS time_stamp, coalesce(host, '') AS host_name, " +
-      "coalesce(service, '') AS service_description, coalesce(state, '') AS return_code, " +
-      "coalesce(CAST(metric AS VARCHAR), '') AS output FROM ev ORDER BY event_id"),
-    "q_pushover_fields" -> (s"$cte, p AS (SELECT event_id, host, service, metric, time_s, " +
-      "CASE WHEN event_id % 4 = 0 THEN 'emergency' WHEN event_id % 4 = 1 THEN 'info' ELSE state END AS s2 FROM ev) " +
-      "SELECT event_id, coalesce(host, '') || ' ' || coalesce(service, '') AS title, " +
-      "coalesce(host, '') || ' ' || coalesce(service, '') || ' is ' || coalesce(s2, '') " +
-      "|| ' (' || coalesce(CAST(metric AS VARCHAR), '') || ')' AS message, " +
-      "CAST(CASE WHEN s2 IN ('ok', 'error') THEN 0 WHEN s2 = 'info' THEN -2 " +
-      "WHEN s2 = 'warning' THEN -1 WHEN s2 = 'critical' THEN 1 " +
-      "WHEN s2 = 'emergency' THEN 2 ELSE -1 END AS VARCHAR) AS priority, " +
-      "CAST(time_s AS VARCHAR) AS timestamp FROM p ORDER BY event_id"),
-    "q_logstash_line" -> (s"$cte SELECT event_id, " +
-      "to_json({'host': host, 'service': service, 'state': state, " +
-      "'metric': CASE WHEN event_id % 11 = 0 THEN NULL ELSE metric END, " +
-      "'time_s': time_s, 'source': host}) AS line FROM ev ORDER BY event_id"),
-    "q_logentries_line" -> (s"$descCte SELECT event_id, " +
-      "CASE WHEN description IS NOT NULL THEN description || ',' ELSE '' END " +
-      "|| ' host=''' || coalesce(host, '') || ''' service=''' || coalesce(service, '') " +
-      "|| ''' state=''' || coalesce(state, '') || ''' metric=''' || coalesce(CAST(metric AS VARCHAR), '') " +
-      "|| ''' time=''' || CAST(time_s AS VARCHAR) || '''' AS line FROM ev ORDER BY event_id"),
-    "q_hipchat_message" -> (s"$descCte, h AS (SELECT event_id, host, service, metric, description, " +
-      "CASE WHEN event_id % 3 = 0 THEN 'error' WHEN event_id % 3 = 1 THEN NULL ELSE state END AS s2 FROM ev) " +
-      "SELECT event_id, 'Host: ' || coalesce(host, '') || ' ' || chr(10) " +
-      "|| 'Service: ' || coalesce(service, '') || ' ' || chr(10) " +
-      "|| 'State: ' || coalesce(s2, '') || ' ' || chr(10) " +
-      "|| 'Metric: ' || coalesce(CAST(metric AS VARCHAR), '') || ' ' || chr(10) " +
-      "|| 'Description: ' || coalesce(description, '') AS msg, " +
-      "CASE WHEN s2 = 'ok' THEN 'green' WHEN s2 IN ('critical', 'error') THEN 'red' " +
-      "ELSE 'yellow' END AS color FROM h ORDER BY event_id"),
-    "q_msteams_section" -> (s"$descCte SELECT event_id, " +
-      "to_json({'title': coalesce(service, '') || ' is ' || coalesce(state, ''), " +
-      "'facts': [{'name': 'Service', 'value': service}, {'name': 'Host', 'value': host}, " +
-      "{'name': 'Metric', 'value': CAST(metric AS VARCHAR)}, {'name': 'State', 'value': state}, " +
-      "{'name': 'Description', 'value': description}, " +
-      "{'name': 'Tags', 'value': array_to_string(tags, ', ')}]}) AS section " +
-      "FROM ev ORDER BY event_id"),
-    "q_telegram_text" -> (s"$descCte SELECT event_id, " +
-      "'*Host:* ' || coalesce(host, '-') || chr(10) " +
-      "|| '*Service:* ' || coalesce(service, '-') || chr(10) " +
-      "|| '*State:* ' || coalesce(state, '-') || chr(10) " +
-      "|| '*Metric:* ' || coalesce(CAST(metric AS VARCHAR), '-') || chr(10) " +
-      "|| '*Description:* ' || coalesce(description, '-') AS text " +
-      "FROM ev ORDER BY event_id"),
-    "q_opsgenie_body" -> {
-      val sep = "￿" // opsgenie.clj:43 joiner
-      s"$descCte SELECT event_id, " +
-        "to_json({'message': coalesce(host, '') || ': [' || coalesce(state, '') || '] ' || coalesce(service, ''), " +
-        "'description': 'Host: ' || coalesce(host, '') || ' ' || chr(10) " +
-        "|| 'Service: ' || coalesce(service, '') || ' ' || chr(10) " +
-        "|| 'State: ' || coalesce(state, '') || ' ' || chr(10) " +
-        "|| 'Metric: ' || coalesce(CAST(metric AS VARCHAR), '') || ' ' || chr(10) " +
-        "|| 'Description: ' || coalesce(description, ''), " +
-        s"'alias': substr(md5(host || '$sep' || service || '$sep' || array_to_string(list_sort(tags), '$sep')), 1, 15), " +
-        "'user': 'Riemann', 'tags': tags}) AS body FROM ev ORDER BY event_id"
-    },
-    "q_victorops_body" -> (s"$cte SELECT event_id, " +
-      "to_json({'message_type': 'CRITICAL', " +
-      "'entity_id': coalesce(host, '') || '/' || coalesce(service, ''), " +
-      "'timestamp': time_s, 'state_start_time': time_s, " +
-      "'state_message': coalesce(host, '') || ' ' || coalesce(service, '') || ' is ' " +
-      "|| coalesce(state, '') || ' (' || coalesce(CAST(metric AS VARCHAR), '') || ')', " +
-      "'entity_is_host': false, 'monitoring_tool': 'riemann'}) AS body " +
-      "FROM ev ORDER BY event_id"),
-    "q_pagerduty_v1" -> (s"$cte SELECT event_id, " +
-      "to_json({'service_key': 'rk', 'event_type': 'trigger', " +
-      "'incident_key': coalesce(host, '') || ' ' || coalesce(service, ''), " +
-      "'description': coalesce(host, '') || ' ' || coalesce(service, '') || ' is ' " +
-      "|| coalesce(state, '') || ' (' || coalesce(CAST(metric AS VARCHAR), '') || ')', " +
-      "'details': CAST(to_json({'host': host, 'service': service, 'state': state, " +
-      "'metric': metric, 'time_s': time_s}) AS VARCHAR)}) AS body " +
-      "FROM ev ORDER BY event_id"),
-    "q_pagerduty_v2" -> (s"$cte SELECT event_id, " +
-      "to_json({'routing_key': 'rk', 'event_action': 'trigger', " +
-      "'payload': {'summary': coalesce(host, '') || ' - ' || coalesce(service, '') || ' is ' " +
-      "|| coalesce(state, '') || ' (' || coalesce(CAST(metric AS VARCHAR), '') || ')', " +
-      "'source': host, 'severity': state, " +
-      "'timestamp': strftime(make_timestamp(time_s * 1000), '%Y-%m-%dT%H:%M:%S.%g') || 'Z', " +
-      "'custom_details': CAST(to_json({'host': host, 'service': service, 'state': state, " +
-      "'metric': metric, 'time_s': time_s}) AS VARCHAR)}, " +
-      "'dedup_key': 'dk-' || host}) AS body FROM ev ORDER BY event_id"),
-    "q_stackdriver_point" -> (s"$cte SELECT event_id, " +
-      "to_json({'name': regexp_replace(service || ' x  y', '\\s+', '.', 'g'), " +
-      "'value': metric, 'collected_at': time_s}) AS p " +
-      "FROM ev WHERE metric IS NOT NULL ORDER BY event_id"),
-    "q_keenio_body" -> (s"$cte SELECT event_id, " +
-      "to_json({'host': host, 'service': service, 'state': state, " +
-      "'metric': CASE WHEN event_id % 11 = 0 THEN NULL ELSE metric END, " +
-      "'time_s': time_s}) AS body FROM ev ORDER BY event_id")
-  )
+  def oracleSql: Map[String, String] = EntryOracle.sql
 }
