@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{IndexProcessor, SEvent}
+
+/** Long-haul soak main (the r7/r8 verdicts' carried item): sustained
+  * throughput for `SOAK_MINUTES` (default 30) against the two state
+  * shapes a riemann core keeps forever — the index (per-key latest +
+  * TTL timers, transformWithState on RocksDB) and a watermarked
+  * window aggregation — with a kill-and-restart every
+  * `SOAK_RESTART_EVERY_S` (default 300 s) through the [[Core]]
+  * lifecycle on shared checkpoints.
+  *
+  * What it measures (the question behind riemann's documented
+  * `by`-substream leak, reference src/riemann/streams.clj:1556-1583:
+  * substream state there grows with key cardinality and is never
+  * dropped): per-batch RocksDB state rows + on-disk bytes over wall
+  * time, appended to `SOAK_OUT` (default soak_state.jsonl). With a
+  * bounded key universe and TTL-driven expiry the series must
+  * PLATEAU; monotonic growth would reproduce the leak. The final
+  * line is a summary JSON with first/mid/last-third maxima so a
+  * reader (or the README table) can see boundedness at a glance.
+  *
+  * Input is the built-in `rate` source — deterministic sustained
+  * load with no external dependency: `value` maps onto a rotating
+  * key universe of `SOAK_KEYS` hosts (default 20,000) × 3 services,
+  * event-time = source timestamp, ttl 60 s, watermark 30 s.
+  */
+object SoakMain {
+  def main(args: Array[String]): Unit = {
+    val minutes = sys.env.getOrElse("SOAK_MINUTES", "30").toLong
+    val restartEveryS = sys.env.getOrElse("SOAK_RESTART_EVERY_S", "300").toLong
+    val rowsPerSec = sys.env.getOrElse("SOAK_ROWS_PER_SEC", "50000").toInt
+    val nKeys = sys.env.getOrElse("SOAK_KEYS", "20000").toInt
+    val out = Paths.get(sys.env.getOrElse("SOAK_OUT", "soak_state.jsonl"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val ckptRoot = Files.createTempDirectory("graft-soak-ckpt")
+    Files.deleteIfExists(out)
+
+    def events() = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSec)
+      .option("numPartitions", cpus.toInt)
+      .load()
+      .select(
+        concat(lit("host-"), (col("value") % nKeys).cast("string")).as("host"),
+        concat(lit("svc-"), (col("value") % 3).cast("string")).as("service"),
+        when(col("value") % 100 === 0, "critical").otherwise("ok").as("state"),
+        (col("value") % 1000).cast("double").as("metric"),
+        col("timestamp").as("time"),
+        lit(60.0).as("ttl"))
+      .as[SEvent]
+
+    def writerFor(name: String)(df: org.apache.spark.sql.DataFrame) =
+      df.writeStream.format("noop")
+        .option("checkpointLocation", s"$ckptRoot/$name")
+
+    val core = new Core(spark)
+    def register(): Unit = {
+      // index: per-key latest + TTL expiry — state rows bounded by the
+      // live key universe (nKeys * 3), NOT by events processed
+      core.stream("soak-index", signature = "v1") {
+        writerFor("index")(IndexProcessor(events(), "30 seconds").toDF())
+      }
+      // windowed agg: 10 s windows, watermark-bounded retention
+      core.stream("soak-window", signature = "v1") {
+        writerFor("window")(
+          events().withWatermark("time", "30 seconds")
+            .groupBy(window(col("time"), "10 seconds"), col("service"))
+            .agg(sum(col("metric")).as("sum_metric"),
+              count(lit(1)).as("n"))
+            .select(col("service"), col("window.start").as("time"),
+              col("sum_metric"), col("n")))
+      }
+    }
+
+    // state-size sampler: StreamingQueryProgress stateOperators carry
+    // numRowsTotal + RocksDB custom metrics (sst files bytes)
+    def sample(): Seq[String] =
+      core.activeQueries.toSeq.flatMap { case (name, q) =>
+        Option(q.lastProgress).map { p =>
+          val ops = p.stateOperators
+          val rows = ops.map(_.numRowsTotal).sum
+          val sst = ops.map(o =>
+            Option(o.customMetrics.get("rocksdbSstFileSize"))
+              .map(_.longValue).getOrElse(0L)).sum
+          val mem = ops.map(_.memoryUsedBytes).sum
+          s"""{"t":${System.currentTimeMillis / 1000},"query":"$name",""" +
+            s""""batch":${p.batchId},"state_rows":$rows,""" +
+            s""""sst_bytes":$sst,"mem_bytes":$mem,""" +
+            s""""rows_per_sec":${p.processedRowsPerSecond}}"""
+        }
+      }
+
+    register()
+    core.applyConfig()
+    System.err.println(s"[soak] running $minutes min, restart every " +
+      s"$restartEveryS s, $rowsPerSec rows/s, $nKeys hosts; -> $out")
+
+    val t0 = System.currentTimeMillis()
+    val deadline = t0 + minutes * 60000
+    var lastRestart = t0
+    var nRestarts = 0
+    val series = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    while (System.currentTimeMillis() < deadline) {
+      Thread.sleep(10000)
+      val lines = sample()
+      Files.writeString(out,
+        lines.map(_ + "\n").mkString,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      // total state across queries for the plateau check
+      val rows = core.activeQueries.values.flatMap(q =>
+        Option(q.lastProgress).toSeq.flatMap(_.stateOperators.map(_.numRowsTotal)))
+        .sum
+      val sst = core.activeQueries.values.flatMap(q =>
+        Option(q.lastProgress).toSeq.flatMap(_.stateOperators.map(o =>
+          Option(o.customMetrics.get("rocksdbSstFileSize"))
+            .map(_.longValue).getOrElse(0L))))
+        .sum
+      series += (((System.currentTimeMillis() - t0) / 1000, rows, sst))
+      System.err.println(s"[soak] +${(System.currentTimeMillis() - t0) / 1000}s" +
+        s" state_rows=$rows sst_bytes=$sst restarts=$nRestarts")
+
+      if (System.currentTimeMillis() - lastRestart >= restartEveryS * 1000 &&
+        System.currentTimeMillis() < deadline - 30000) {
+        // the chaos leg: full stop (as in SoakSpec), re-register, same
+        // checkpoints -> RocksDB recovery, state must carry over
+        core.stop()
+        register()
+        core.applyConfig()
+        nRestarts += 1
+        lastRestart = System.currentTimeMillis()
+        System.err.println(s"[soak] restart #$nRestarts done")
+      }
+    }
+    core.stop()
+
+    def thirdMax(sel: ((Long, Long, Long)) => Long, third: Int): Long = {
+      val n = series.length
+      val slice = series.slice(n * third / 3, n * (third + 1) / 3)
+      if (slice.isEmpty) 0L else slice.map(sel).max
+    }
+    val summary =
+      s"""{"minutes":$minutes,"rows_per_sec":$rowsPerSec,"keys":${nKeys * 3},""" +
+        s""""restarts":$nRestarts,"samples":${series.length},""" +
+        s""""state_rows_max_third1":${thirdMax(_._2, 0)},""" +
+        s""""state_rows_max_third2":${thirdMax(_._2, 1)},""" +
+        s""""state_rows_max_third3":${thirdMax(_._2, 2)},""" +
+        s""""sst_bytes_max_third1":${thirdMax(_._3, 0)},""" +
+        s""""sst_bytes_max_third2":${thirdMax(_._3, 1)},""" +
+        s""""sst_bytes_max_third3":${thirdMax(_._3, 2)}}"""
+    Files.writeString(out, summary + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    println(summary)
+    spark.stop()
+  }
+}
