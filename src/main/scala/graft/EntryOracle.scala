@@ -791,6 +791,12 @@ private[graft] object EntryOracle {
     "q_keenio_body" -> (s"$cte SELECT event_id, " +
       "to_json({'host': host, 'service': service, 'state': state, " +
       "'metric': CASE WHEN event_id % 11 = 0 THEN NULL ELSE metric END, " +
-      "'time_s': time_s}) AS body FROM ev ORDER BY event_id")
+      "'time_s': time_s}) AS body FROM ev ORDER BY event_id"),
+    // the config-file pipeline gate: ops applied in file order — the
+    // `checked` projection sees the pre-scale metric, `scale` halves it
+    "q_config_pipeline" -> (s"$cte SELECT event_id, host, service, state, " +
+      "metric * 0.5 AS metric, metric * 2 AS checked, 'none' AS description " +
+      "FROM ev WHERE metric IS NOT NULL AND state <> 'ok' " +
+      "AND (service = 'error' OR metric > 120) ORDER BY event_id")
   )
 }

@@ -327,6 +327,25 @@ private[graft] object EntryPipeline {
         lit(null).cast("double")).otherwise(col("metric")))
       .select(col("event_id"),
         graft.sinks.Notifiers.keenioBody.as("body"))
-      .orderBy("event_id"))
+      .orderBy("event_id")),
+
+    // ---- config-file surface: a literal JSON pipeline (where ->
+    // riemann-query -> with -> default -> scale -> select) compiled by
+    // graft.config.ConfigFile onto the event view — proves the file
+    // surface produces the exact relation the equivalent SQL does
+    "q_config_pipeline" -> ((s, d) => {
+      val spec = org.json4s.jackson.JsonMethods.parse(
+        """{"name":"gate","pipeline":[
+          |  {"op":"where","expr":"metric IS NOT NULL AND state <> 'ok'"},
+          |  {"op":"query","q":"service = \"error\" or metric > 120"},
+          |  {"op":"with","set":{"checked":"metric * 2"}},
+          |  {"op":"default","set":{"description":"'none'"}},
+          |  {"op":"scale","factor":0.5},
+          |  {"op":"select","cols":["event_id","host","service","state",
+          |    "metric","checked","description"]}
+          |]}""".stripMargin).asInstanceOf[org.json4s.JObject]
+      graft.config.ConfigFile.compilePipeline(ev(s, d), spec)
+        .orderBy("event_id")
+    })
   )
 }
