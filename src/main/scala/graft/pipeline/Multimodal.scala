@@ -173,6 +173,45 @@ object Multimodal {
       channels: Int, frames: Long, duration_ms: Long, n_bytes: Long,
       ok: Boolean)
 
+  /** Per-JVM audio SPI providers, loaded once: `AudioSystem.*` routes
+    * every call through a globally-synchronized provider lookup
+    * (JDK13Services), which serializes all executor threads — measured
+    * 1.6x super-linear on the sf1 probe at 32 threads. Calling the
+    * public `javax.sound.sampled.spi` providers directly keeps the
+    * decode embarrassingly parallel. */
+  private[graft] object AudioProviders {
+    import scala.jdk.CollectionConverters._
+    lazy val readers: List[javax.sound.sampled.spi.AudioFileReader] =
+      java.util.ServiceLoader.load(
+        classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toList
+    lazy val writers: List[javax.sound.sampled.spi.AudioFileWriter] =
+      java.util.ServiceLoader.load(
+        classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala.toList
+
+    def fileFormat(bytes: Array[Byte]): javax.sound.sampled.AudioFileFormat = {
+      val it = readers.iterator
+      while (it.hasNext) {
+        try return it.next().getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+      }
+      null
+    }
+
+    def write(ais: javax.sound.sampled.AudioInputStream,
+        tpe: javax.sound.sampled.AudioFileFormat.Type,
+        out: java.io.OutputStream): Unit =
+      writers.find(_.isFileTypeSupported(tpe, ais)) match {
+        case Some(w) => w.write(ais, tpe, out); ()
+        case None => throw new IllegalArgumentException(
+          s"no AudioFileWriter for $tpe")
+      }
+  }
+
   /** Sniff the audio container from magic bytes (same never-trust-
     * metadata rule as [[sniffFormat]]): RIFF/WAVE and FORM/AIFF. */
   private[graft] def sniffAudio(bytes: Array[Byte]): String = {
@@ -202,8 +241,7 @@ object Multimodal {
           val aff =
             if (fmt == "unknown") null
             else
-              try javax.sound.sampled.AudioSystem.getAudioFileFormat(
-                new java.io.ByteArrayInputStream(bytes))
+              try AudioProviders.fileFormat(bytes)
               catch { case scala.util.control.NonFatal(_) => null }
           if (aff == null) DecodedAudio(id, fmt, 0, 0, 0L, 0L, n, ok = false)
           else {
@@ -248,7 +286,7 @@ object Multimodal {
           val ais = new AudioInputStream(
             new java.io.ByteArrayInputStream(data), af, frames.toLong)
           val out = new java.io.ByteArrayOutputStream()
-          AudioSystem.write(ais, if (fmt == "aiff")
+          AudioProviders.write(ais, if (fmt == "aiff")
             AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE, out)
           (id, fmt, out.toByteArray)
         }
