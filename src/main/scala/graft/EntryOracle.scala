@@ -363,6 +363,12 @@ private[graft] object EntryOracle {
       "CAST((n_chars % 500) + 100 AS BIGINT) AS frames, " +
       "((n_chars % 500) + 100) * 1000 // (8000 + (n_chars % 4) * 4000) AS duration_ms, " +
       "TRUE AS ok FROM documents ORDER BY media_id"),
+    "q_media_video" -> ("SELECT doc_id AS media_id, 'mp4' AS format, " +
+      "CAST((n_chars % 1280) + 16 AS INT) AS width, " +
+      "CAST((n_chars % 720) + 16 AS INT) AS height, " +
+      "CAST((n_chars % 900) + 100 AS BIGINT) AS duration_ms, " +
+      "CAST(1 + (doc_id % 2) AS INT) AS n_tracks, " +
+      "TRUE AS ok FROM documents ORDER BY media_id"),
     "q_dedup_exact" -> "SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1",
     "q_minhash_sig" -> (s"$shCte$hsCte SELECT doc_id, array_to_string(list_transform(" +
       s"${minhashSigSql(8)}, h -> CAST(h AS VARCHAR)), ',') AS sig FROM hh ORDER BY doc_id"),

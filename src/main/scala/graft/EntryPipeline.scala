@@ -58,6 +58,19 @@ private[graft] object EntryPipeline {
           "frames", "duration_ms", "ok")
         .orderBy("media_id")
     }),
+    // REAL ISO-BMFF metadata decode: each doc becomes an actual
+    // minimal MP4 (ftyp + moov/mvhd/tkhd, mixing v0/v1 box layouts),
+    // then the hand-rolled box parser walks the real bytes back out;
+    // the oracle predicts the round trip from doc columns
+    "q_media_video" -> ((s, d) => {
+      val spark0 = s
+      import spark0.implicits._
+      graft.pipeline.Multimodal.decodeVideo(
+        graft.pipeline.Multimodal.syntheticVideos(docs(s, d)))
+        .toDF().select("media_id", "format", "width", "height",
+          "duration_ms", "n_tracks", "ok")
+        .orderBy("media_id")
+    }),
 
     // ---- LLM pipeline: text analysis
     "q_text_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))

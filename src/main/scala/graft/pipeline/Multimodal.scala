@@ -13,10 +13,12 @@ import org.apache.spark.sql.types._
   * JRE — zero added dependencies), sniffing the container from magic
   * bytes and reporting decoded width / height / channels. AUDIO
   * metadata decode is REAL too: [[decodeAudio]] parses WAV/AIFF
-  * headers via `javax.sound.sampled` (also JDK-shipped). Only the
-  * video codec remains stubbed ([[decodeStub]] derives a
-  * deterministic fake feature vector from the bytes; no video library
-  * in this container). Everything around the codecs — schema, batch
+  * headers via `javax.sound.sampled` (also JDK-shipped). VIDEO
+  * container metadata decode is REAL as well: [[decodeVideo]] walks
+  * ISO-BMFF (MP4) boxes by hand — only pixel/frame decode remains
+  * stubbed ([[decodeStub]] derives a deterministic fake feature
+  * vector from the bytes; no video *codec* library in this
+  * container). Everything around the codecs — schema, batch
   * iteration via `mapPartitions`, partition sizing, output shape — is
   * the real 100 TB plumbing: media rows are large, so operators must
   * stream partition iterators (never materialize a partition) and
@@ -55,10 +57,10 @@ object Multimodal {
       (col("n_chars") * 10).cast("long").as("duration_ms"),
       map(lit("src"), col("source")).as("meta"))
 
-  /** STUB decode for VIDEO (image and audio decode are real — see
-    * [[decodeImages]] / [[decodeAudio]]; no video codec ships with the
-    * JDK or this container): a real implementation hands `bytes` to a
-    * codec; this
+  /** STUB decode for VIDEO FRAMES (image / audio / video-container
+    * metadata decode are real — see [[decodeImages]] / [[decodeAudio]]
+    * / [[decodeVideo]]; no video codec ships with the JDK or this
+    * container): a real implementation hands `bytes` to a codec; this
     * one emits a deterministic pseudo-feature (dim-d) from a positional
     * byte checksum (Σ byte·position, 1-based) so tests can assert exact
     * values — and, unlike a rolling hash that wraps on long overflow,
@@ -228,8 +230,9 @@ object Multimodal {
     * only — `getAudioFileFormat` parses fmt/COMM chunks without
     * touching sample data, so cost is O(1) per row regardless of clip
     * length. Corrupt bytes become `ok = false` rows, never task
-    * failures. Video remains the one stubbed codec
-    * ([[decodeStub]] — no video library in the JDK or this container). */
+    * failures. Video frame decode remains the one stubbed codec
+    * ([[decodeStub]] — no video library in the JDK or this container);
+    * video *container* metadata is real, see [[decodeVideo]]. */
   def decodeAudio(media: DataFrame): Dataset[DecodedAudio] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -289,6 +292,187 @@ object Multimodal {
           AudioProviders.write(ais, if (fmt == "aiff")
             AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE, out)
           (id, fmt, out.toByteArray)
+        }
+      }
+      .toDF("media_id", "mime", "bytes")
+  }
+
+  case class DecodedVideo(media_id: Long, format: String, width: Int,
+      height: Int, duration_ms: Long, n_tracks: Int, n_bytes: Long,
+      ok: Boolean)
+
+  /** Sniff the video container from magic bytes (same never-trust-
+    * metadata rule as [[sniffFormat]]): ISO-BMFF files open with a
+    * size-prefixed `ftyp` box (ISO/IEC 14496-12 §4.3). */
+  private[graft] def sniffVideo(bytes: Array[Byte]): String =
+    if (bytes == null || bytes.length < 12) "unknown"
+    else if (new String(bytes, 4, 4, "US-ASCII") == "ftyp") "mp4"
+    else "unknown"
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  /** One parsed ISO-BMFF box: (type, payload start, payload end). */
+  private def walkBoxes(b: Array[Byte], lo: Int, hi: Int)
+      : Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
+    private var pos = lo
+    def hasNext: Boolean = pos + 8 <= hi
+    def next(): (String, Int, Int) = {
+      val size0 = be32(b, pos)
+      val tpe = new String(b, pos + 4, 4, "US-ASCII")
+      // size==1 → 64-bit largesize follows the type; size==0 → to EOF
+      val (start, size) =
+        if (size0 == 1 && pos + 16 <= hi) (pos + 16, be64(b, pos + 8))
+        else if (size0 == 0) (pos + 8, (hi - pos).toLong)
+        else (pos + 8, size0)
+      val end = pos + size
+      if (size < 8 || end > hi || end <= pos)
+        throw new IllegalArgumentException(s"bad box $tpe size=$size")
+      pos = end.toInt
+      (tpe, start, end.toInt)
+    }
+  }
+
+  private def findBox(b: Array[Byte], lo: Int, hi: Int, tpe: String)
+      : Option[(Int, Int)] =
+    walkBoxes(b, lo, hi).collectFirst { case (`tpe`, s, e) => (s, e) }
+
+  /** REAL video metadata decode: a hand-rolled ISO-BMFF (MP4) box
+    * parser — no video library ships with the JDK or this container,
+    * but the *container* format (ISO/IEC 14496-12) is plain
+    * length-prefixed boxes, so movie metadata needs no codec. Walks
+    * `moov`/`mvhd` for timescale+duration (v0 and v1 box layouts, and
+    * 64-bit largesize headers) and each `trak`/`tkhd` for the 16.16
+    * fixed-point visual dimensions, taking the max across tracks
+    * (audio tracks carry 0×0). Header-only: cost is O(moov) per row
+    * regardless of mdat size. Corrupt bytes → `ok = false` rows, never
+    * task failures. Only pixel/frame decode remains stubbed
+    * ([[decodeStub]]) — that genuinely needs a codec library. */
+  def decodeVideo(media: DataFrame): Dataset[DecodedVideo] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val n = if (bytes == null) 0L else bytes.length.toLong
+          val fmt = sniffVideo(bytes)
+          if (fmt == "unknown") DecodedVideo(id, fmt, 0, 0, 0L, 0, n, ok = false)
+          else try {
+            val (ms, me) = findBox(bytes, 0, bytes.length, "moov")
+              .getOrElse(throw new IllegalArgumentException("no moov"))
+            val (hs, _) = findBox(bytes, ms, me, "mvhd")
+              .getOrElse(throw new IllegalArgumentException("no mvhd"))
+            val mv = bytes(hs) & 0xff // version; then 3 flag bytes
+            // v0: creation(4) modification(4) timescale(4) duration(4)
+            // v1: creation(8) modification(8) timescale(4) duration(8)
+            val timescale =
+              if (mv == 1) be32(bytes, hs + 4 + 16) else be32(bytes, hs + 4 + 8)
+            val duration =
+              if (mv == 1) be64(bytes, hs + 4 + 20) else be32(bytes, hs + 4 + 12)
+            var w = 0L; var h = 0L; var tracks = 0
+            walkBoxes(bytes, ms, me).foreach {
+              case ("trak", ts, te) =>
+                tracks += 1
+                findBox(bytes, ts, te, "tkhd").foreach { case (ks, _) =>
+                  val tv = bytes(ks) & 0xff
+                  // after version+flags: v0 creation(4) mod(4) id(4)
+                  // rsvd(4) duration(4); v1 widens the three times to 8.
+                  // Then rsvd(8) layer(2) altgrp(2) vol(2) rsvd(2)
+                  // matrix(36), width(4, 16.16), height(4, 16.16).
+                  val dims = ks + 4 + (if (tv == 1) 32 else 20) + 52
+                  w = math.max(w, be32(bytes, dims) >> 16)
+                  h = math.max(h, be32(bytes, dims + 4) >> 16)
+                }
+              case _ => ()
+            }
+            DecodedVideo(id, fmt, w.toInt, h.toInt,
+              if (timescale > 0) duration * 1000L / timescale else 0L,
+              tracks, n, ok = true)
+          } catch { case scala.util.control.NonFatal(_) =>
+            DecodedVideo(id, fmt, 0, 0, 0L, 0, n, ok = false)
+          }
+        }
+      }
+  }
+
+  /** ISO-BMFF box builder for [[syntheticVideos]]: size-prefixed
+    * type + concatenated payload. */
+  private def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(8 + payload.map(_.length).sum)
+    buf.putInt(buf.capacity).put(tpe.getBytes("US-ASCII"))
+    payload.foreach(buf.put)
+    buf.array()
+  }
+
+  private def fullBoxHeader(version: Int, flags: Int = 0): Array[Byte] =
+    Array[Byte]((version & 0xff).toByte, 0, 0, (flags & 0xff).toByte)
+
+  private val unityMatrix: Array[Byte] = {
+    val m = java.nio.ByteBuffer.allocate(36)
+    m.putInt(0x00010000).putInt(0).putInt(0)
+    m.putInt(0).putInt(0x00010000).putInt(0)
+    m.putInt(0).putInt(0).putInt(0x40000000)
+    m.array()
+  }
+
+  /** Deterministic video relation derived from the `documents` table
+    * (the driver ships no binary media): each doc becomes a REAL
+    * minimal MP4 — `ftyp` + `moov`(`mvhd` + one or two `trak`/`tkhd`)
+    * — with timescale/duration/dims derived from doc columns, so the
+    * DuckDB oracle predicts [[decodeVideo]]'s output straight from the
+    * doc columns and the gate proves the metadata came through actual
+    * ISO-BMFF bytes. Odd doc_ids write v1 (64-bit-time) mvhd/tkhd
+    * layouts so both parser paths stay exercised; a golden hand-hexed
+    * header in MultimodalSpec keeps writer and parser honest about the
+    * spec independently of each other. */
+  def syntheticVideos(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        // timescale multiplies the target ms so duration ticks stay
+        // integral: duration_ms round-trips exactly
+        (lit(1000) * (lit(1) + pmod(col("n_chars"), lit(3)))).cast("int")
+          .as("timescale"),
+        (pmod(col("n_chars"), lit(900)) + 100).cast("long").as("dur_ms"),
+        (pmod(col("n_chars"), lit(1280)) + 16).cast("int").as("w"),
+        (pmod(col("n_chars"), lit(720)) + 16).cast("int").as("h"),
+        (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("n_tracks"),
+        pmod(col("doc_id"), lit(2)).cast("int").as("ver"))
+      .as[(Long, Int, Long, Int, Int, Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, timescale, durMs, w, h, nTracks, ver) =>
+          val ticks = durMs * timescale / 1000L
+          def times(n: Int) = // creation + modification, v-sized
+            new Array[Byte](if (ver == 1) 8 * n else 4 * n)
+          def u(v: Long, wide: Boolean): Array[Byte] =
+            if (wide) java.nio.ByteBuffer.allocate(8).putLong(v).array()
+            else java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+          val i32 = (v: Int) =>
+            java.nio.ByteBuffer.allocate(4).putInt(v).array()
+          val i16 = (v: Int) => Array[Byte]((v >> 8).toByte, v.toByte)
+          val mvhd = box("mvhd", fullBoxHeader(ver), times(2),
+            i32(timescale), u(ticks, ver == 1),
+            i32(0x00010000), i16(0x0100), new Array[Byte](10),
+            unityMatrix, new Array[Byte](24), i32(nTracks + 1))
+          def tkhd(trackId: Int, tw: Int, th: Int, vol: Int) =
+            // flags 7 = track_enabled | track_in_movie | track_in_preview
+            box("tkhd", fullBoxHeader(ver, 7), times(2), i32(trackId),
+              new Array[Byte](4), u(ticks, ver == 1),
+              new Array[Byte](8), i16(0), i16(0), i16(vol), i16(0),
+              unityMatrix, i32(tw << 16), i32(th << 16))
+          val traks = (1 to nTracks).map { t =>
+            if (t == 1) box("trak", tkhd(1, w, h, 0))      // visual
+            else box("trak", tkhd(t, 0, 0, 0x0100))        // audio: 0×0
+          }
+          val moov = box("moov", (mvhd +: traks): _*)
+          val ftyp = box("ftyp", "isom".getBytes("US-ASCII"),
+            i32(512), "isommp42".getBytes("US-ASCII"))
+          (id, "video/mp4", ftyp ++ moov)
         }
       }
       .toDF("media_id", "mime", "bytes")

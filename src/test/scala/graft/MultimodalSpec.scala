@@ -122,6 +122,87 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(d => d.sample_rate == 0 && d.frames == 0L))
   }
 
+  test("real video metadata decode: mp4 round-trip through the " +
+    "ISO-BMFF parser with sniffed container and exact metadata") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      // even doc_id: v0 boxes, 1 track; odd: v1 boxes, 2 tracks
+      (0L, "x" * 20, "en", "s0", 20L),   // ts 3000, 120ms, 36x36
+      (1L, "y" * 703, "en", "s1", 703L), // ts 2000, 803ms, 719x719
+      (2L, "z" * 901, "en", "s2", 901L)) // ts 2000, 101ms, 917x197
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vids = Multimodal.syntheticVideos(docs)
+    val out = Multimodal.decodeVideo(vids).collect().sortBy(_.media_id)
+    assert(out.forall(_.ok))
+    assert(out.forall(_.format == "mp4"))
+    assert(out.map(_.duration_ms).toSeq == Seq(120L, 803L, 101L))
+    assert(out.map(d => (d.width, d.height)).toSeq ==
+      Seq((36, 36), (719, 719), (917, 197)))
+    // the audio track (0x0) must not override the visual dims
+    assert(out.map(_.n_tracks).toSeq == Seq(1, 2, 1))
+    // bytes are genuinely containerized: sniff one directly
+    val mp4 = vids.filter(col("media_id") === 0L)
+      .select("bytes").head().getAs[Array[Byte]](0)
+    assert(Multimodal.sniffVideo(mp4) == "mp4")
+  }
+
+  test("golden ISO-BMFF header hand-built per 14496-12 parses " +
+    "correctly (keeps writer and parser independently honest)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // Build the file field-by-field from the published box layouts —
+    // deliberately NOT via syntheticVideos' builder, so a shared
+    // misreading of the spec cannot round-trip invisibly.
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 8 + 92)
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0x200)
+    bb.putInt(8 + 108 + 8 + 92).put("moov".getBytes("US-ASCII"))
+    // mvhd v0: 8 hdr + 4 ver/flags + 4+4 times + 4 timescale +
+    // 4 duration + 4 rate + 2 vol + 10 rsvd + 36 matrix + 24 pre + 4 next
+    bb.putInt(108).put("mvhd".getBytes("US-ASCII")).putInt(0)
+      .putInt(0).putInt(0).putInt(1000).putInt(2500)
+      .putInt(0x00010000).putShort(0x0100).put(new Array[Byte](10))
+      .putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .put(new Array[Byte](24)).putInt(2)
+    // trak > tkhd v0: 8 + 4 + 4+4 times + 4 id + 4 rsvd + 4 duration +
+    // 8 rsvd + 2+2+2+2 + 36 matrix + 4 width(16.16) + 4 height(16.16)
+    bb.putInt(8 + 92).put("trak".getBytes("US-ASCII"))
+    bb.putInt(92).put("tkhd".getBytes("US-ASCII")).putInt(7)
+      .putInt(0).putInt(0).putInt(1).putInt(0).putInt(2500)
+      .put(new Array[Byte](8)).putShort(0).putShort(0).putShort(0).putShort(0)
+      .putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(320 << 16).putInt(240 << 16)
+    val golden = Seq((7L, bb.array())).toDF("media_id", "bytes")
+    val d = Multimodal.decodeVideo(golden).head()
+    assert(d.ok && d.format == "mp4")
+    assert(d.duration_ms == 2500L) // 2500 ticks at timescale 1000
+    assert(d.width == 320 && d.height == 240 && d.n_tracks == 1)
+  }
+
+  test("corrupt video bytes become ok=false rows, not task failures") {
+    val spark0 = spark
+    import spark0.implicits._
+    val good = Multimodal.syntheticVideos(
+      Seq((0L, "x" * 20, "en", "s0", 20L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("bytes").head().getAs[Array[Byte]](0)
+    val junk = Seq(
+      (1L, good.take(40)),                       // truncated mid-moov
+      (2L, "definitely not a video".getBytes("UTF-8")), // unknown
+      (3L, null.asInstanceOf[Array[Byte]]),      // null bytes
+      (4L, good.take(16)))                       // ftyp only, no moov
+      .toDF("media_id", "bytes")
+    val out = Multimodal.decodeVideo(junk).collect().sortBy(_.media_id)
+    assert(out.forall(!_.ok))
+    assert(out.map(_.format).toSeq == Seq("mp4", "unknown", "unknown", "mp4"))
+    assert(out.forall(d => d.width == 0 && d.duration_ms == 0L))
+  }
+
   test("sampleFrames fans out video rows only") {
     val frames = Multimodal.sampleFrames(media(), 400)
     val got = frames.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
