@@ -36,6 +36,20 @@ private[graft] object EntryOracle {
       |   generate_series(0, GREATEST(len(words)-3, 0)),
       |   i -> array_to_string(words[i+1:i+3], ' '))) AS shingles FROM s)"""
       .stripMargin.replace("\n", "")
+  /** DuckDB replica of TextAnalysis.winnow (k=20, w=8): stride-1 char
+    * 20-gram hashes (the MinHash md5-prefix-mod-P scheme), minimum per
+    * 8-window, distinct + sorted — exposes `f(doc_id, fps)`. */
+  val winnowCte: String = {
+    val P = graft.pipeline.Dedup.MinhashP
+    "WITH g AS (SELECT doc_id, list_transform(" +
+      "generate_series(0, GREATEST(length(text)-20, 0)), " +
+      s"i -> CAST(('0x'||substr(md5(substr(text, i+1, 20)),1,15)) AS BIGINT) % $P) AS hs " +
+      "FROM documents), " +
+      "f AS (SELECT doc_id, list_sort(list_distinct(list_transform(" +
+      "generate_series(0, GREATEST(len(hs)-8, 0)), " +
+      "s -> list_min(hs[s+1:s+8])))) AS fps FROM g)"
+  }
+
   /** DuckDB unit-normalized embeddings CTE (matches Similarity.normalized). */
   val unitCte =
     """WITH e AS (SELECT vec_id, label,
@@ -473,6 +487,14 @@ private[graft] object EntryOracle {
       s"m AS (SELECT doc_id, lang, CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks) AS sc FROM t) " +
       "SELECT doc_id, lang AS declared_lang, round(sc, 4) AS en_score, CASE WHEN sc >= 0.05 THEN 'en' ELSE 'other' END AS predicted_lang FROM m ORDER BY doc_id"),
     "q_fingerprint" -> ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fingerprint, md5(text) AS exact_fingerprint FROM documents ORDER BY doc_id"),
+    "q_winnow" -> (s"$winnowCte SELECT doc_id, array_to_string(" +
+      "list_transform(fps, h -> CAST(h AS VARCHAR)), ',') AS fps " +
+      "FROM f ORDER BY doc_id"),
+    "q_winnow_overlap" -> (s"$winnowCte, x AS (SELECT doc_id, " +
+      "unnest(fps) AS fp FROM f) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared " +
+      "FROM x a JOIN x b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY doc_a, doc_b"),
     "q_repetition" -> ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
       "b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS g FROM t), " +
       "bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2), " +

@@ -80,6 +80,17 @@ private[graft] object EntryPipeline {
     "q_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))
       .orderBy("doc_id")),
+    // winnowing fingerprints (Schleimer et al. 2003): codegen'd kernel,
+    // fingerprint set serialized for the comparator
+    "q_winnow" -> ((s, d) => TextAnalysis.winnow(docs(s, d))
+      .select(col("doc_id"), concat_ws(",",
+        expr("transform(fps, h -> CAST(h AS STRING))")).as("fps"))
+      .orderBy("doc_id")),
+    // span-level overlap pairs via shared winnowed fingerprints: the
+    // partial-verbatim-copy detector (one hash exchange on fp, capped)
+    "q_winnow_overlap" -> ((s, d) =>
+      graft.pipeline.Dedup.winnowOverlapPairs(docs(s, d))
+        .orderBy("doc_a", "doc_b")),
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(docs(s, d)).orderBy("doc_id")),
     // PII scan over deterministically planted spans (the synthetic

@@ -163,6 +163,29 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Winnowing span-overlap pairs: documents sharing ≥ `minShared`
+    * winnowed fingerprints ([[TextAnalysis.winnow]] — Schleimer et al.
+    * 2003). MinHash estimates whole-document similarity; winnowing
+    * overlap catches PARTIAL verbatim overlap (a copied paragraph
+    * inside otherwise-different documents): any shared substring of
+    * ≥ k+w-1 chars guarantees ≥ 1 shared fingerprint. Same scale shape
+    * as the LSH family — explode to (fp, doc), one hash exchange on
+    * fp, within-fingerprint join only, hot fingerprints (boilerplate)
+    * capped by default with observed drops. */
+  def winnowOverlapPairs(docs: DataFrame, k: Int = 20, w: Int = 8,
+      minShared: Int = 3,
+      maxBucket: Int = Caps.DefaultMaxBucket): DataFrame = {
+    val fps = TextAnalysis.winnow(docs, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val capped = Caps.cap(fps, Seq("fp"), maxBucket, "winnow_fp")
+    capped.as("a")
+      .join(capped.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** LSH candidate pairs (no similarity filter): the blocking stage that
     * exact verification passes consume. */
   def lshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,

@@ -102,6 +102,40 @@ object TextAnalysis {
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003): sorted distinct
+    * selected k-gram hashes per document as `fps: array<long>` — a
+    * position-robust span-level signature (any verbatim shared
+    * substring of length ≥ k+w-1 guarantees a shared fingerprint).
+    * Hot path: one codegen'd [[WinnowExpr]] pass per document, no
+    * explode, no shuffle; [[winnowColumns]] is the column-form spec it
+    * is parity-pinned to (WinnowParitySpec), and — modulo syntax — the
+    * DuckDB oracle's formulation. */
+  def winnow(docs: DataFrame, k: Int = 20, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.select(col("doc_id"), ColumnBridge.column(
+      graft.pipeline.WinnowExpr(
+        ColumnBridge.expression(col("text")), k, w)).as("fps"))
+  }
+
+  /** The column-expression spec of [[winnow]]: stride-1 char k-grams
+    * hashed with the MinHash md5-prefix scheme, then each w-window's
+    * minimum, distinct + sorted. O(n·w) interpreted lambdas — kept as
+    * the executable reference, not the hot path. */
+  private[graft] def winnowColumns(docs: DataFrame, k: Int, w: Int): DataFrame =
+    docs
+      // greatest() skips nulls, so without the explicit guard a null
+      // text would produce [null] instead of null (the kernel's value)
+      .withColumn("hs", expr(
+        s"CASE WHEN text IS NULL THEN NULL ELSE " +
+        s"transform(sequence(0, greatest(length(text)-$k, 0)), i -> " +
+        s"CAST(conv(substring(md5(substring(text, i+1, $k)), 1, 15), 16, 10) " +
+        s"AS BIGINT) % ${Dedup.MinhashP}L) END"))
+      .withColumn("fps", expr(
+        s"CASE WHEN hs IS NULL THEN NULL ELSE " +
+        s"sort_array(array_distinct(transform(sequence(0, greatest(size(hs)-$w, 0)), " +
+        s"s -> array_min(slice(hs, s+1, $w))))) END"))
+      .select(col("doc_id"), col("fps"))
+
   /** Content fingerprint: md5 over the sorted distinct token bag —
     * word-order-insensitive near-dup key (cheap complement to MinHash). */
   def fingerprint(docs: DataFrame): DataFrame =
