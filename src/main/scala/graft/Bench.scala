@@ -89,13 +89,20 @@ object Bench {
       if (ok) dt else -1.0
     }
     val loadAtStart = loadavg()
-    // two full passes, keep the per-query minimum: a transiently loaded
-    // machine (the driver benches while doing other work) inflates
-    // one-shot timings 2-7x; min-of-2 recovers the intrinsic cost
-    val pass1 = selected.map { case (n, f) => n -> timeOne(n, f) }
-    val pass2 = selected.map { case (n, f) => n -> timeOne(n, f) }
-    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
-      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+    // N full passes (default 2), keep the per-query minimum: a
+    // transiently loaded machine (the driver benches while doing other
+    // work) inflates one-shot timings 2-7x; min-of-N recovers the
+    // intrinsic cost. Two passes still let a single sustained
+    // contamination window (GC churn, a driver task) land on the same
+    // query twice — r10 measured 4-6x outliers on one query per run
+    // surviving min-of-2 — so baseline-quality runs use PASSES=3.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
+    val allPasses = (1 to passes).map { _ =>
+      selected.map { case (n, f) => n -> timeOne(n, f) }
+    }
+    val results = selected.map(_._1).zipWithIndex.map { case (n, i) =>
+      val ts = allPasses.map(_(i)._2).filter(_ >= 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
