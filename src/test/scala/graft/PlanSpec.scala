@@ -328,4 +328,23 @@ class PlanSpec extends SparkSpec {
         s"$name wants only the sort's range exchange:\n$p")
     }
   }
+
+  test("media decode paths are narrow: scan feeds the codec " +
+    "mapPartitions with no exchange in between") {
+    // at 100 TB the media bytes are the dominant IO; any exchange
+    // between the scan and the decode would re-shuffle the payloads
+    import graft.pipeline.Multimodal
+    val media = Multimodal.deriveMedia(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    Seq[org.apache.spark.sql.Dataset[_]](
+      Multimodal.decodeImages(media),
+      Multimodal.decodeAudio(media),
+      Multimodal.decodeVideo(media),
+      Multimodal.decodeStub(media)).foreach { ds =>
+      val p = ds.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"decode shuffles payload bytes:\n$p")
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"decode reads the source $scans times:\n$p")
+    }
+  }
 }
