@@ -203,6 +203,37 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(d => d.width == 0 && d.duration_ms == 0L))
   }
 
+  test("ISO-BMFF parser survives fuzzed bytes: random corruption of " +
+    "valid files yields ok=false or a parse, never a task failure") {
+    val spark0 = spark
+    import spark0.implicits._
+    val good = Multimodal.syntheticVideos(
+      Seq((0L, "x" * 200, "en", "s0", 200L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("bytes").head().getAs[Array[Byte]](0)
+    val rnd = new scala.util.Random(42) // deterministic corpus
+    val fuzzed = (1 to 200).map { i =>
+      val b = good.clone()
+      // flip 1-8 random bytes (sizes, types, payloads all get hit)
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      (i.toLong, b)
+    } ++ (201 to 240).map { i => // random truncations
+      (i.toLong, good.take(rnd.nextInt(good.length)))
+    } ++ (241 to 260).map { i => // pure noise
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      (i.toLong, b)
+    }
+    val out = Multimodal.decodeVideo(fuzzed.toDF("media_id", "bytes"))
+      .collect() // must not throw
+    assert(out.length == 260)
+    // corrupt rows degrade to ok=false; rows whose moov survived the
+    // flips may still parse - both are acceptable, crashing is not
+    assert(out.forall(d => d.ok || (d.width == 0 && d.duration_ms == 0L)))
+  }
+
   test("sampleFrames fans out video rows only") {
     val frames = Multimodal.sampleFrames(media(), 400)
     val got = frames.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
