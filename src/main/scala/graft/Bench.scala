@@ -131,10 +131,14 @@ object Bench {
         nEvents / ((System.nanoTime() - t0) / 1e9)
       }
       run() // untimed warm-up: codegen compile + first cached scan
-      // median of 3: single runs swung 0.9-1.9M events/s with JIT state
+      // max of 3, for the same reason query timings take min-of-N:
+      // ambient contamination only ever SLOWS a run, so the fastest
+      // measurement is the closest to the intrinsic rate (median still
+      // carried one contaminated run's drag — r10 saw a 25% spread
+      // across back-to-back full benches on the same build)
       val runs = (1 to 3).map(_ => run())
       ev1.unpersist()
-      runs.sorted.apply(1)
+      runs.max
     } catch { case _: Throwable => -1.0 }
 
     // system load when the run STARTED (captured below, before pass 1):

@@ -98,6 +98,43 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)))
   }
 
+  test("randomized parity: for any corpus and batch split inside the " +
+    "horizon, streamed pairs equal batch minhashPairs") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(7) // deterministic
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "omega",
+      "stream", "spark", "dedup", "window", "state")
+    (1 to 3).foreach { trial =>
+      // clustered corpus: a few base texts, each with light mutations
+      val bases = Vector.fill(3)(
+        Vector.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val corpus = (1 to 8).map { id =>
+        val b = bases(rnd.nextInt(bases.size)).split(" ").toVector
+        val mutated = if (rnd.nextBoolean()) b
+          else b.updated(rnd.nextInt(b.size), vocab(rnd.nextInt(vocab.size)))
+        (id.toLong, mutated.mkString(" "))
+      }
+      val batch = graft.pipeline.Dedup.minhashPairs(
+          corpus.toDF("doc_id", "text"), maxBucket = Int.MaxValue)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+      val streamed = run() { (in, q) =>
+        // random batch split; event times all inside one horizon
+        var rest = corpus.zipWithIndex
+          .map { case ((id, tx), i) => (id, tx, t(100 + i)) }
+        while (rest.nonEmpty) {
+          val n = 1 + rnd.nextInt(rest.size)
+          in.addData(rest.take(n))
+          q.processAllAvailable()
+          rest = rest.drop(n)
+        }
+      }
+      assert(streamed == batch, s"trial $trial")
+    }
+  }
+
   test("a saturated bucket is forgiven after a quiet horizon") {
     val got = run(maxBucket = 2) { (in, q) =>
       (1 to 3).foreach { i => // 3rd member saturates the bucket
