@@ -30,31 +30,55 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object WinnowKernel {
 
-  /** First 60 bits of the md5 digest (= the 15 hex chars the column
-    * form parses) reduced mod P — identical to MinhashKernel's scheme. */
-  private def gramHash(md: java.security.MessageDigest,
-      s: UTF8String): Long = {
-    md.reset()
-    val d = md.digest(s.getBytes)
-    var h = 0L
-    var i = 0
-    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    h = (h << 4) | ((d(7) >> 4) & 0xfL)
-    h % Dedup.MinhashP
-  }
+  /** UTF-8 sequence length from its first byte (invalid lead bytes
+    * count 1, mirroring UTF8String's forgiving walk). */
+  private def seqLen(b: Byte): Int =
+    if (b >= 0) 1
+    else if ((b & 0xe0) == 0xc0) 2
+    else if ((b & 0xf0) == 0xe0) 3
+    else if ((b & 0xf8) == 0xf0) 4
+    else 1
 
   /** Sorted distinct winnowed fingerprints of `text`, or null for null
     * text (matching the column form's null propagation). A document
-    * shorter than k contributes its whole text as the single gram. */
+    * shorter than k contributes its whole text as the single gram.
+    *
+    * Hot-loop discipline (this runs once per k-gram, ~n times per
+    * document): grams are hashed as byte RANGES of the one UTF-8
+    * buffer — the identical bytes `substring` would copy out — via a
+    * reusable digest buffer, so the loop allocates nothing. A
+    * codepoint-offset table keeps gram boundaries in the same
+    * character units Spark's `substring` uses (WinnowParitySpec pins
+    * parity with the column form). The first cut of this kernel
+    * allocated a UTF8String + digest array per gram and box-sorted a
+    * TreeSet: 3x slower on the sf0.1 bench. */
   def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
     if (text == null) return null
-    val n = text.numChars()
+    val bytes = text.getBytes
+    // codepoint start offsets: off(j) = byte offset of char j
+    var n = 0
+    var i = 0
+    while (i < bytes.length) { i += seqLen(bytes(i)); n += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0; var j = 0
+    while (i < bytes.length) { off(j) = i; i += seqLen(bytes(i)); j += 1 }
+    off(n) = bytes.length
     val nGrams = math.max(n - k, 0) + 1
     val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = new Array[Byte](16)
     val hs = new Array[Long](nGrams)
-    var i = 0
+    i = 0
     while (i < nGrams) {
-      hs(i) = gramHash(md, text.substringSQL(i + 1, k))
+      val start = off(i)
+      val end = off(math.min(i + k, n))
+      md.reset()
+      md.update(bytes, start, end - start)
+      md.digest(dig, 0, 16)
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((dig(7) >> 4) & 0xfL)
+      hs(i) = h % Dedup.MinhashP
       i += 1
     }
     val nWin = math.max(nGrams - w, 0) + 1
@@ -62,7 +86,8 @@ object WinnowKernel {
     val deque = new Array[Int](nGrams)
     var head = 0
     var tail = 0 // deque occupies [head, tail)
-    val selected = new java.util.TreeSet[java.lang.Long]()
+    val sel = new Array[Long](nWin)
+    var selLen = 0
     i = 0
     while (i < nGrams) {
       while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
@@ -71,14 +96,20 @@ object WinnowKernel {
       while (deque(head) < windowStart) head += 1 // i itself is enqueued
       // windows are complete once i >= w-1; if the doc has fewer grams
       // than w there is exactly one (clamped) window, emitted at the end
-      if (i >= w - 1) selected.add(hs(deque(head)))
+      if (i >= w - 1) { sel(selLen) = hs(deque(head)); selLen += 1 }
       i += 1
     }
-    if (nWin == 1 && nGrams < w) selected.add(hs(deque(head)))
-    val out = new Array[Any](selected.size)
-    val it = selected.iterator()
+    if (nWin == 1 && nGrams < w) { sel(0) = hs(deque(head)); selLen = 1 }
+    java.util.Arrays.sort(sel, 0, selLen)
+    var distinct = 0
     i = 0
-    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    while (i < selLen) { // count + compact in place
+      if (i == 0 || sel(i) != sel(i - 1)) { sel(distinct) = sel(i); distinct += 1 }
+      i += 1
+    }
+    val out = new Array[Any](distinct)
+    i = 0
+    while (i < distinct) { out(i) = sel(i); i += 1 }
     new GenericArrayData(out)
   }
 }
