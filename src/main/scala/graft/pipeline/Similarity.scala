@@ -210,10 +210,30 @@ object Similarity {
   }
 
   /** IVF vector→cell assignment: nearest centroid by inner product
-    * (ties by label). The centroid table is tiny — broadcast — so
-    * assignment is a narrow map over the corpus: the 100 TB scale
-    * shape (one pass, no shuffle of the big side). */
+    * (ties by label). The centroid table is tiny — collapsed to ONE
+    * broadcast array row — so assignment is a pure narrow map over the
+    * corpus (a codegen'd per-row argmax, [[CellArgmaxExpr]]): the
+    * 100 TB scale shape. The earlier windowed form (broadcast-join to
+    * corpus×C rows, then `row_number` per vector — a corpus-wide sort
+    * the argmax never needed) is retained as the parity-pinned spec
+    * ([[ivfAssignWindowed]], PipelineSpec). */
   def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val cents = centroids
+      .agg(collect_list(struct(col("label"), col("cvec"))).as("cents"))
+    embeddings
+      .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("unit"), ColumnBridge.column(
+        CellArgmaxExpr(ColumnBridge.expression(col("unit")),
+          ColumnBridge.expression(col("cents")))).as("cell"))
+  }
+
+  /** The windowed executable spec of [[ivfAssign]] — identical
+    * assignments, materialized via corpus×C scoring + a per-vector
+    * row_number (and, modulo syntax, the DuckDB oracle's formulation). */
+  private[graft] def ivfAssignWindowed(embeddings: DataFrame,
+      centroids: DataFrame): DataFrame = {
     val scored = embeddings
       .select(col("vec_id"), normalized(col("embedding")).as("unit"))
       .join(broadcast(centroids))

@@ -71,6 +71,43 @@ object VectorKernels {
     }
     bucket
   }
+
+  /** Nearest-centroid label by scaled dot, ties to the SMALLEST label —
+    * exactly the ordering `row_number over (order by score desc, label)`
+    * materializes in the windowed spec (including its nulls-last desc
+    * rule for a null score). `cents` is an array of
+    * struct(label int, cvec array double). Null unit or empty cents →
+    * null. */
+  def argmaxCell(unit: ArrayData, cents: ArrayData): java.lang.Integer = {
+    if (unit == null || cents == null) return null
+    val n = cents.numElements()
+    var found = false
+    var bestLabel = 0
+    var bestScore = 0L
+    var bestHasScore = false
+    var i = 0
+    while (i < n) {
+      if (!cents.isNullAt(i)) {
+        val row = cents.getStruct(i, 2)
+        val label = row.getInt(0)
+        val s = dotScaled(unit, row.getArray(1), 1e16)
+        val better =
+          if (!found) true
+          else if (s == null) !bestHasScore && label < bestLabel
+          else if (!bestHasScore) true
+          else if (s.longValue != bestScore) s.longValue > bestScore
+          else label < bestLabel
+        if (better) {
+          bestLabel = label
+          bestHasScore = s != null
+          bestScore = if (s == null) 0L else s.longValue
+          found = true
+        }
+      }
+      i += 1
+    }
+    if (found) java.lang.Integer.valueOf(bestLabel) else null
+  }
 }
 
 /** `dot_scaled(a, b)`: Σ floor(aᵢ·bᵢ·scale) as a long; null on any
@@ -123,4 +160,35 @@ case class PlaneBucketExpr(child: Expression, nPlanes: Int, dims: Int,
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `argmax_cell(unit, cents)`: the nearest centroid's label by scaled
+  * dot, ties to the smallest label; null on null unit / empty cents. */
+case class CellArgmaxExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val r = VectorKernels.argmaxCell(
+      left.eval(input).asInstanceOf[ArrayData],
+      right.eval(input).asInstanceOf[ArrayData])
+    if (r == null) null else r.intValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val boxed = ctx.freshName("cellBoxed")
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      java.lang.Integer $boxed = graft.pipeline.VectorKernels.argmaxCell(
+        ${l.isNull} ? null : ${l.value},
+        ${r.isNull} ? null : ${r.value});
+      boolean ${ev.isNull} = $boxed == null;
+      int ${ev.value} = ${ev.isNull} ? -1 : $boxed.intValue();
+      """)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

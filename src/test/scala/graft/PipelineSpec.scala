@@ -44,6 +44,27 @@ class PipelineSpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L).forall(cells(_) == 1))
   }
 
+  test("ivfAssign argmax kernel matches the windowed spec on the real " +
+    "embeddings table (incl. tie ordering)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfCentroids(emb)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(Similarity.ivfAssign(emb, cents)) ==
+      cells(Similarity.ivfAssignWindowed(emb, cents)))
+    // identical-score ties resolve to the smallest label in both forms
+    val spark0 = spark
+    import spark0.implicits._
+    val dup = Seq((0L, Seq.fill(4)(1.0f), 7), (1L, Seq.fill(4)(1.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val cdup = Similarity.ivfCentroids(dup) // two identical centroids
+    assert(cells(Similarity.ivfAssign(dup, cdup)) ==
+      Map(0L -> 3, 1L -> 3))
+    assert(cells(Similarity.ivfAssignWindowed(dup, cdup)) ==
+      Map(0L -> 3, 1L -> 3))
+  }
+
   test("ivfTopK with nprobe=1 returns only cluster-mates, ranked by cosine") {
     val top = Similarity.ivfTopK(corpus, Seq(0L, 10L), k = 5, nprobe = 1)
       .select("query_id", "vec_id", "rk").collect()

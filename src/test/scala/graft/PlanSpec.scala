@@ -89,9 +89,10 @@ class PlanSpec extends SparkSpec {
     val p = plan(Similarity.ivfAssign(emb, Similarity.ivfCentroids(emb)))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"centroids not broadcast:\n$p")
-    // the only exchange below the per-vector window is the broadcast —
-    // the corpus is scored in place, never hash-repartitioned pre-join
     assert(!p.contains("SortMergeJoin"), s"corpus side shuffled for the join:\n$p")
+    // the argmax kernel replaced the corpus×C row_number: the corpus is
+    // scored in ONE narrow pass — no window, no per-vector sort
+    assert(!p.contains("Window"), s"assignment still windows the corpus:\n$p")
   }
 
   test("IVF probe search broadcasts probes; no cartesian product") {
