@@ -114,7 +114,12 @@ private[sources] class RiemannServerTable(options: CaseInsensitiveStringMap)
             // send, ~32k frames bounds the buffer near a few hundred MB
             // of driver heap — small enough that backpressure actually
             // engages before memory pressure does
-            capacity = options.getInt("capacity", 1 << 15))
+            capacity = options.getInt("capacity", 1 << 15),
+            tls = Option(options.get("tlskeystore")).map(ks =>
+              TlsConfig(ks,
+                Option(options.get("tlspassword")).getOrElse(""),
+                Option(options.get("tlstruststore")),
+                options.getBoolean("tlsclientauth", false))))
       }
     }
 }
@@ -125,8 +130,37 @@ private[sources] case class FrameOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
+/** TLS termination for the TCP server (reference
+  * src/riemann/transport/tcp.clj tls? path — riemann's TLS is mutual
+  * by default; here client-auth is opt-in via `tlsclientauth`).
+  * `keystore` is a PKCS12 file carrying the server key + cert;
+  * `truststore` (defaults to the keystore) anchors client-cert
+  * verification when `clientAuth` is on. */
+private[sources] case class TlsConfig(keystore: String, password: String,
+    truststore: Option[String], clientAuth: Boolean) {
+  def context(): javax.net.ssl.SSLContext = {
+    import javax.net.ssl._
+    def load(path: String): java.security.KeyStore = {
+      val ks = java.security.KeyStore.getInstance("PKCS12")
+      val in = new java.io.FileInputStream(path)
+      try ks.load(in, password.toCharArray) finally in.close()
+      ks
+    }
+    val kmf = KeyManagerFactory.getInstance(
+      KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(load(keystore), password.toCharArray)
+    val tmf = TrustManagerFactory.getInstance(
+      TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(load(truststore.getOrElse(keystore)))
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, tmf.getTrustManagers, null)
+    ctx
+  }
+}
+
 private[sources] class RiemannServerStream(protocol: String, host: String,
-    port: Int, maxFrame: Int, capacity: Int) extends MicroBatchStream {
+    port: Int, maxFrame: Int, capacity: Int,
+    tls: Option[TlsConfig] = None) extends MicroBatchStream {
 
   // (payload, receive-time-micros); `base` = offset of frames(0).
   // The epoch start (wall-clock ms * 1e6) makes a fresh instance's
@@ -185,7 +219,18 @@ private[sources] class RiemannServerStream(protocol: String, host: String,
   locally {
     protocol match {
       case "tcp" =>
-        serverSocket = new ServerSocket()
+        // a TLS config swaps in an SSLServerSocket; everything below
+        // (framing, acks, handoff) is stream-identical — the handshake
+        // happens lazily inside the per-connection serve() reads, so a
+        // handshake failure kills only that connection's thread
+        serverSocket = tls match {
+          case Some(cfg) =>
+            val s = cfg.context().getServerSocketFactory.createServerSocket()
+              .asInstanceOf[javax.net.ssl.SSLServerSocket]
+            if (cfg.clientAuth) s.setNeedClientAuth(true)
+            s
+          case None => new ServerSocket()
+        }
         serverSocket.bind(new InetSocketAddress(host, port))
         spawn("riemann-tcp-accept") { () =>
           while (running) {

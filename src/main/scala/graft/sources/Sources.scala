@@ -17,16 +17,32 @@ object Sources {
   def riemannTcpServer(spark: SparkSession, host: String, port: Int): DataFrame =
     decodedServer(spark, "tcp", host, port)
 
+  /** TLS-terminated `tcp-server` (transport/tcp.clj tls? path —
+    * riemann's TLS is mutual; client-cert verification here is the
+    * `clientAuth` flag). `keystore` is a PKCS12 file with the server
+    * key + cert; `truststore` (defaults to the keystore) anchors
+    * client-cert checks. */
+  def riemannTlsServer(spark: SparkSession, host: String, port: Int,
+      keystore: String, password: String, truststore: Option[String] = None,
+      clientAuth: Boolean = false): DataFrame =
+    decodedServer(spark, "tcp", host, port,
+      Map("tlskeystore" -> keystore, "tlspassword" -> password,
+        "tlsclientauth" -> clientAuth.toString) ++
+        truststore.map("tlstruststore" -> _))
+
   /** `udp-server` (transport/udp.clj:147-181): one un-framed `Msg`
     * per datagram, no acks. */
   def riemannUdpServer(spark: SparkSession, host: String, port: Int): DataFrame =
     decodedServer(spark, "udp", host, port)
 
   private def decodedServer(spark: SparkSession, protocol: String,
-      host: String, port: Int): DataFrame = {
-    val raw = spark.readStream.format("riemann-server")
-      .option("protocol", protocol).option("host", host)
-      .option("port", port).load()
+      host: String, port: Int,
+      extra: Map[String, String] = Map.empty): DataFrame = {
+    val raw = extra.foldLeft(
+        spark.readStream.format("riemann-server")
+          .option("protocol", protocol).option("host", host)
+          .option("port", port)) { case (r, (k, v)) => r.option(k, v) }
+      .load()
     RiemannProtobuf.decodeMsgs(raw).toDF()
       // decode-time default clock (common.clj:86-89): events arriving
       // without a time get the processing time

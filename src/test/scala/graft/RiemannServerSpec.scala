@@ -337,6 +337,100 @@ class RiemannServerSpec extends SparkSpec {
       assert(one[String](spark.table("tcp_corrupt"), "host") == "ok01")
     } finally q.stop()
   }
+
+  test("tls tcp server: mutual-TLS framed round trip; a plaintext " +
+    "client is rejected without disturbing the stream " +
+    "(transport_test.clj tls-test)") {
+    // one self-signed PKCS12 is both the server identity and the trust
+    // anchor for client certs — the same shape as riemann's
+    // less-awful-ssl key/cert/ca-cert trio collapsed to a test triple
+    val ks = new java.io.File("/tmp/graft_tls_test.p12")
+    if (!ks.exists()) {
+      val cmd = Seq("keytool", "-genkeypair", "-alias", "graft",
+        "-keyalg", "RSA", "-keysize", "2048", "-validity", "3650",
+        "-storetype", "PKCS12", "-keystore", ks.getPath,
+        "-storepass", "changeit", "-keypass", "changeit",
+        "-dname", "CN=localhost")
+      assert(new ProcessBuilder(cmd: _*).inheritIO().start().waitFor() == 0)
+    }
+    def clientContext(): javax.net.ssl.SSLContext = {
+      import javax.net.ssl._
+      val store = java.security.KeyStore.getInstance("PKCS12")
+      val in = new java.io.FileInputStream(ks)
+      try store.load(in, "changeit".toCharArray) finally in.close()
+      val kmf = KeyManagerFactory.getInstance(
+        KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(store, "changeit".toCharArray)
+      val tmf = TrustManagerFactory.getInstance(
+        TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(store)
+      val ctx = SSLContext.getInstance("TLS")
+      ctx.init(kmf.getKeyManagers, tmf.getTrustManagers, null)
+      ctx
+    }
+    val port = freePort()
+    val q = Sources.riemannTlsServer(spark, "127.0.0.1", port,
+        ks.getPath, "changeit", clientAuth = true)
+      .writeStream.format("memory").queryName("tls_e2e")
+      .outputMode("append").start()
+    try {
+      // TLS client presenting the trusted cert: full framed round trip
+      val ctx = clientContext()
+      def tlsConnect(attempts: Int = 100): java.net.Socket = {
+        var last: Exception = null
+        (1 to attempts).foreach { _ =>
+          try return ctx.getSocketFactory.createSocket("127.0.0.1", port)
+          catch { case e: java.io.IOException =>
+            last = e; Thread.sleep(100) }
+        }
+        throw last
+      }
+      val sock = tlsConnect()
+      try {
+        val out = new DataOutputStream(sock.getOutputStream)
+        val in = new DataInputStream(sock.getInputStream)
+        out.write(RiemannProtobuf.frame(RiemannProtobuf.encodeMsg(Seq(
+          pe("secure01", "cpu", "ok", 0.5, 1706000100L)))))
+        out.flush()
+        val len = in.readInt()
+        val ack = new Array[Byte](len)
+        in.readFully(ack)
+        assert(ack.sameElements(Array[Byte](0x10, 1)))
+      } finally sock.close()
+      awaitRows(q, "tls_e2e", 1)
+      assert(one[String](spark.table("tls_e2e"), "host") == "secure01")
+
+      // plaintext client on the TLS port: the handshake rejects it and
+      // only that connection dies — the stream keeps serving
+      val plain = connectRetry(port)
+      try {
+        val out = new DataOutputStream(plain.getOutputStream)
+        out.write(RiemannProtobuf.frame(RiemannProtobuf.encodeMsg(Seq(
+          pe("intruder", "cpu", "ok", 1.0, 1706000200L)))))
+        out.flush()
+        // server closes on handshake failure; reads reach EOF or reset
+        try {
+          while (plain.getInputStream.read() != -1) ()
+        } catch { case _: java.io.IOException => () }
+      } catch { case _: java.io.IOException => () // reset mid-write is fine
+      } finally plain.close()
+
+      // a second TLS client still round-trips after the rejected one
+      val sock2 = tlsConnect()
+      try {
+        val out = new DataOutputStream(sock2.getOutputStream)
+        val in = new DataInputStream(sock2.getInputStream)
+        out.write(RiemannProtobuf.frame(RiemannProtobuf.encodeMsg(Seq(
+          pe("secure02", "mem", "ok", 128.0, 1706000300L)))))
+        out.flush()
+        val len = in.readInt(); in.readFully(new Array[Byte](len))
+      } finally sock2.close()
+      awaitRows(q, "tls_e2e", 2)
+      val hosts = spark.table("tls_e2e").select("host")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(hosts == Seq("secure01", "secure02")) // no "intruder"
+    } finally q.stop()
+  }
 }
 
 /** Static so the foreachBatch closure reaches the SAME queue after

@@ -322,6 +322,65 @@ class StreamsSpec extends SparkSpec {
     assert(dep == Seq(true, false, false))
   }
 
+  test("deps real-match golden: the production-shaped composite rule " +
+    "(deps_test.clj real-match) host by host") {
+    import graft.operators.Deps._
+    // the reference's 15-entry index: riak pair, memcached/redis/cpu on
+    // hosts 1-4, postgres on db
+    val idx = events(
+      E(id = 1, host = "r1", service = "riak 1", state = "ok", time = 1L),
+      E(id = 2, host = "r2", service = "riak 2", state = "warning", time = 1L),
+      E(id = 3, host = "1", service = "memcached", state = "ok", time = 1L),
+      E(id = 4, host = "2", service = "memcached", state = "critical", time = 1L),
+      E(id = 5, host = "3", service = "memcached", state = "ok", time = 1L),
+      E(id = 6, host = "4", service = "memcached", state = "critical", time = 1L),
+      E(id = 7, host = "1", service = "redis", state = "ok", time = 1L),
+      E(id = 8, host = "2", service = "redis", state = "ok", time = 1L),
+      E(id = 9, host = "3", service = "redis", state = "critical", time = 1L),
+      E(id = 10, host = "4", service = "redis", state = "critical", time = 1L),
+      E(id = 11, host = "1", service = "cpu", state = "ok", time = 1L),
+      E(id = 12, host = "2", service = "cpu", state = "warning", time = 1L),
+      E(id = 13, host = "3", service = "cpu", state = "warning", time = 1L),
+      E(id = 14, host = "4", service = "cpu", state = "ok", time = 1L),
+      E(id = 15, host = "db", service = "postgres", state = "ok", time = 1L))
+    // all(depends(lbapp, any(riak1 ok, riak2 ok)),
+    //     depends(api, localhost(any(memcached ok, redis ok),
+    //                            any(cpu ok, cpu warning))
+    //                  AND postgres@db ok))
+    val rule = All(Seq(
+      Depends(Matches(Map("service" -> "lbapp")),
+        Any(Seq(Matches(Map("service" -> "riak 1", "state" -> "ok")),
+          Matches(Map("service" -> "riak 2", "state" -> "ok"))))),
+      Depends(Matches(Map("service" -> "api")),
+        All(Seq(
+          Localhost(All(Seq(
+            Any(Seq(Matches(Map("service" -> "memcached", "state" -> "ok")),
+              Matches(Map("service" -> "redis", "state" -> "ok")))),
+            Any(Seq(Matches(Map("service" -> "cpu", "state" -> "ok")),
+              Matches(Map("service" -> "cpu", "state" -> "warning"))))))),
+          Matches(Map("host" -> "db", "service" -> "postgres",
+            "state" -> "ok")))))))
+    val evs = events(
+      E(id = 20, host = "lb", service = "lbapp", time = 2L),
+      E(id = 21, host = "1", service = "api", time = 2L),
+      E(id = 22, host = "2", service = "api", time = 2L),
+      E(id = 23, host = "3", service = "api", time = 2L),
+      E(id = 24, host = "4", service = "api", time = 2L),
+      E(id = 25, host = "invisible", service = "api", time = 2L))
+    val got = graft.operators.Deps.tagSatisfied(evs, idx, rule)
+      .orderBy("event_id").select("deps_satisfied")
+      .collect().map(_.getBoolean(0)).toSeq
+    // hosts 1-3 have a healthy cache AND an acceptable cpu; host 4's
+    // caches are both down; an unknown host has no local entries at all
+    assert(got == Seq(true, true, true, true, false, false))
+    // hash-match's empty-index case: nothing matches an empty index
+    val empty = events().limit(0)
+    val none = graft.operators.Deps.tagSatisfied(evs, empty,
+      Matches(Map("service" -> "riak 1")))
+      .select("deps_satisfied").collect().map(_.getBoolean(0)).toSeq
+    assert(none.forall(_ == false))
+  }
+
   test("index expiry view emits reaper events (core.clj:276-309)") {
     val df = events(
       E(id = 1, host = "a", service = "x", state = "ok", time = 100L, ttl = 10.0),
