@@ -135,6 +135,39 @@ class StreamingNearDupSpec extends SparkSpec {
     }
   }
 
+  test("bucket state survives a kill-and-restart on RocksDB: a near-dup " +
+    "arriving after recovery pairs with a pre-restart member") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    NearDupChaosProbe.reset()
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup_ckpt").toString
+    def start() = StreamingNearDup(
+        input.toDF().toDF("doc_id", "text", "arrived"), "arrived",
+        horizonSeconds = 10L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(NearDupChaosProbe.probe _)
+      .queryName("neardup_chaos").start()
+    try {
+      var q = start()
+      input.addData((1L, a1, t(100)))
+      q.processAllAvailable()
+      q.stop() // kill between the member arriving and its near-dup
+      q = start()
+      try {
+        input.addData((2L, a2, t(105)))
+        q.processAllAvailable()
+        // a reset bucket would have no member for doc 2 to pair with
+        assert(NearDupChaosProbe.pairs.contains((1L, 2L)))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("a saturated bucket is forgiven after a quiet horizon") {
     val got = run(maxBucket = 2) { (in, q) =>
       (1 to 3).foreach { i => // 3rd member saturates the bucket
@@ -150,4 +183,19 @@ class StreamingNearDupSpec extends SparkSpec {
     }
     assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L), (10L, 11L)))
   }
+}
+
+/** Restart-test probe: batches append under a batchId guard so a
+  * replayed batch after recovery (foreachBatch is at-least-once) never
+  * double-counts. */
+object NearDupChaosProbe {
+  private val buf = scala.collection.mutable.LinkedHashSet[(Long, Long)]()
+  private var last = -1L
+  def reset(): Unit = synchronized { buf.clear(); last = -1L }
+  def probe(batch: org.apache.spark.sql.Dataset[graft.streaming.NearDupPair],
+      id: Long): Unit = {
+    val rows = batch.collect().map(p => (p.doc_a, p.doc_b))
+    synchronized { if (id > last) { buf ++= rows; last = id } }
+  }
+  def pairs: Set[(Long, Long)] = synchronized(buf.toSet)
 }
