@@ -192,19 +192,19 @@ object Pool {
     * dead-letter sink, the Spark reading of "silently drops events when
     * graphite is down" (graphite.clj:117-119) with the drop made
     * observable instead of silent. */
-  final class PooledTransport[C <: AnyRef](
+  final class PooledTransportOf[C <: AnyRef, P](
       id: String,
       open: () => C,
       close: C => Unit,
-      send: (C, Iterator[String]) => Unit,
+      send: (C, Iterator[P]) => Unit,
       size: Int = 4,
       claimTimeoutMs: Long = 100,
       regenerateIntervalMs: Long = 5000,
       blockStart: Boolean = true,
       retries: Int = 1)
-      extends (Iterator[String] => Unit) with Serializable {
+      extends (Iterator[P] => Unit) with Serializable {
 
-    override def apply(lines: Iterator[String]): Unit = {
+    override def apply(lines: Iterator[P]): Unit = {
       val pool = Pool.poolFor(id, open, close, size,
         regenerateIntervalMs, blockStart)
       // the claim-send-release cycle may consume the iterator: buffer
@@ -225,6 +225,10 @@ object Pool {
       }
     }
   }
+
+  /** Line-payload pooled transport — the shape every text-protocol
+    * sink consumes (`Iterator[String] => Unit`). */
+  type PooledTransport[C <: AnyRef] = PooledTransportOf[C, String]
 
   /** The production default line transport: pooled TCP sockets with
     * graphite.clj:128-170's defaults (pool-size 4, claim-timeout 0.1 s,
@@ -254,6 +258,52 @@ object Pool {
           s.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
         lines.foreach { l => w.write(l); w.write('\n') }
         w.flush()
+      },
+      size = size, claimTimeoutMs = claimTimeoutMs,
+      regenerateIntervalMs = regenerateIntervalMs, blockStart = blockStart,
+      retries = retries)
+
+  /** Pooled framed riemann-forward transport (the client side of the
+    * wire: streams.clj:1255-1261 `forward` / the riemann TCP client):
+    * writes int32-framed protobuf Msg payloads, then reads ONE ack
+    * frame per Msg sent — the synchronous-client contract, so a dead
+    * or slow downstream is detected on THIS batch (and dead-letters
+    * via Guarded) rather than silently buffering in the socket.
+    * `tls` speaks mutual TLS to a `tlskeystore`-configured riemann
+    * server ([[graft.TlsFiles]]). */
+  def tcpFrameTransport(
+      host: String, port: Int,
+      tls: Option[graft.TlsFiles] = None,
+      size: Int = 4,
+      claimTimeoutMs: Long = 100,
+      regenerateIntervalMs: Long = 5000,
+      blockStart: Boolean = true,
+      retries: Int = 1,
+      connectTimeoutMs: Int = 5000)
+      : PooledTransportOf[java.net.Socket, Array[Byte]] =
+    new PooledTransportOf[java.net.Socket, Array[Byte]](
+      id = s"riemann:${if (tls.isDefined) "tls" else "tcp"}:$host:$port",
+      open = () => {
+        val s = tls match {
+          case Some(t) => t.context().getSocketFactory.createSocket()
+          case None => new java.net.Socket()
+        }
+        s.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+        s
+      },
+      close = s => try s.close() catch { case NonFatal(_) => () },
+      send = (s, frames) => {
+        val out = new java.io.BufferedOutputStream(s.getOutputStream)
+        val in = new java.io.DataInputStream(s.getInputStream)
+        var sent = 0
+        frames.foreach { f => out.write(f); sent += 1 }
+        out.flush()
+        var i = 0
+        while (i < sent) { // drain the per-Msg acks
+          val len = in.readInt()
+          in.skipNBytes(len.toLong)
+          i += 1
+        }
       },
       size = size, claimTimeoutMs = claimTimeoutMs,
       regenerateIntervalMs = regenerateIntervalMs, blockStart = blockStart,

@@ -172,6 +172,14 @@ object Sinks {
     }
   }
 
+  /** [[ForwardSink]] with the production transport out of the box:
+    * pooled synchronous framed TCP ([[Pool.tcpFrameTransport]] — one
+    * ack read per Msg), optionally over mutual TLS to a
+    * `tlskeystore`-configured riemann server. */
+  def forwardSink(host: String, port: Int,
+      tls: Option[graft.TlsFiles] = None, batchSize: Int = 100): ForwardSink =
+    new ForwardSink(Pool.tcpFrameTransport(host, port, tls), batchSize)
+
   /** `forward` (streams.clj:1255-1261): riemann→riemann forwarding —
     * events re-encoded to framed protobuf Msg payloads per partition,
     * handed to the injected TCP transport. */

@@ -115,8 +115,11 @@ private[sources] class RiemannServerTable(options: CaseInsensitiveStringMap)
             // of driver heap — small enough that backpressure actually
             // engages before memory pressure does
             capacity = options.getInt("capacity", 1 << 15),
+            // TLS termination (reference transport/tcp.clj tls? path —
+            // riemann's TLS is mutual by default; client auth is the
+            // opt-in `tlsclientauth` here)
             tls = Option(options.get("tlskeystore")).map(ks =>
-              TlsConfig(ks,
+              graft.TlsFiles(ks,
                 Option(options.get("tlspassword")).getOrElse(""),
                 Option(options.get("tlstruststore")),
                 options.getBoolean("tlsclientauth", false))))
@@ -130,37 +133,9 @@ private[sources] case class FrameOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-/** TLS termination for the TCP server (reference
-  * src/riemann/transport/tcp.clj tls? path — riemann's TLS is mutual
-  * by default; here client-auth is opt-in via `tlsclientauth`).
-  * `keystore` is a PKCS12 file carrying the server key + cert;
-  * `truststore` (defaults to the keystore) anchors client-cert
-  * verification when `clientAuth` is on. */
-private[sources] case class TlsConfig(keystore: String, password: String,
-    truststore: Option[String], clientAuth: Boolean) {
-  def context(): javax.net.ssl.SSLContext = {
-    import javax.net.ssl._
-    def load(path: String): java.security.KeyStore = {
-      val ks = java.security.KeyStore.getInstance("PKCS12")
-      val in = new java.io.FileInputStream(path)
-      try ks.load(in, password.toCharArray) finally in.close()
-      ks
-    }
-    val kmf = KeyManagerFactory.getInstance(
-      KeyManagerFactory.getDefaultAlgorithm)
-    kmf.init(load(keystore), password.toCharArray)
-    val tmf = TrustManagerFactory.getInstance(
-      TrustManagerFactory.getDefaultAlgorithm)
-    tmf.init(load(truststore.getOrElse(keystore)))
-    val ctx = SSLContext.getInstance("TLS")
-    ctx.init(kmf.getKeyManagers, tmf.getTrustManagers, null)
-    ctx
-  }
-}
-
 private[sources] class RiemannServerStream(protocol: String, host: String,
     port: Int, maxFrame: Int, capacity: Int,
-    tls: Option[TlsConfig] = None) extends MicroBatchStream {
+    tls: Option[graft.TlsFiles] = None) extends MicroBatchStream {
 
   // (payload, receive-time-micros); `base` = offset of frames(0).
   // The epoch start (wall-clock ms * 1e6) makes a fresh instance's

@@ -120,7 +120,7 @@ class PoolSpec extends SparkSpec {
     PoolProbe.sent.clear()
     PoolProbe.failOnce.set(1)
     Pool.shutdownPool("poolspec-transient")
-    val transport = new Pool.PooledTransport[FakeConn](
+    val transport = new Pool.PooledTransportOf[FakeConn, String](
       id = "poolspec-transient",
       open = () => new FakeConn,
       close = _ => (),
@@ -143,7 +143,7 @@ class PoolSpec extends SparkSpec {
     PoolProbe.closed.set(0)
     PoolProbe.sent.clear()
     Pool.shutdownPool("poolspec-graphite")
-    val transport = new Pool.PooledTransport[FakeConn](
+    val transport = new Pool.PooledTransportOf[FakeConn, String](
       id = "poolspec-graphite",
       open = () => { PoolProbe.opened.incrementAndGet(); new FakeConn },
       close = _ => { PoolProbe.closed.incrementAndGet(); () },

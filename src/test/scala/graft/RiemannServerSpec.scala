@@ -429,6 +429,19 @@ class RiemannServerSpec extends SparkSpec {
       val hosts = spark.table("tls_e2e").select("host")
         .collect().map(_.getString(0)).sorted.toSeq
       assert(hosts == Seq("secure01", "secure02")) // no "intruder"
+
+      // the CLIENT side of the same wire: the out-of-the-box pooled
+      // forward sink speaks mutual TLS into this server — a full
+      // riemann→riemann forwarding loop with per-Msg ack reads
+      val fwd = graft.sinks.Sinks.forwardSink("127.0.0.1", port,
+        Some(graft.TlsFiles(ks.getPath, "changeit")))
+      fwd.write(events(
+        E(id = 30, host = "fwd01", service = "cpu", state = "ok",
+          metric = 0.25, time = 1706000400L, ttl = 60.0)), 0L)
+      awaitRows(q, "tls_e2e", 3)
+      assert(spark.table("tls_e2e").select("host")
+        .collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("fwd01", "secure01", "secure02"))
     } finally q.stop()
   }
 }
