@@ -241,6 +241,31 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Seq((2L, 0L), (2L, 400L), (2L, 800L)))
   }
 
+  test("decode runs unchanged on a stream: the mapPartitions plumbing " +
+    "is stateless, so a media ingest stream decodes per micro-batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mp4 = Multimodal.syntheticVideos(
+      Seq((5L, "x" * 20, "en", "s0", 20L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("bytes").head().getAs[Array[Byte]](0)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val q = Multimodal.decodeVideo(
+        input.toDF().toDF("media_id", "bytes"))
+      .writeStream.format("memory").queryName("stream_decode")
+      .outputMode("append").start()
+    try {
+      input.addData((5L, mp4), (6L, "junk".getBytes("UTF-8")))
+      q.processAllAvailable()
+      val rows = spark.table("stream_decode")
+        .select("media_id", "ok", "duration_ms").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+      assert(rows(5L) == ((true, 120L)) && !rows(6L)._1)
+    } finally q.stop()
+  }
+
   test("repartitionBySize spreads tiers across partitions") {
     val df = media()
     val parts = Multimodal.repartitionBySize(df, 2)

@@ -91,6 +91,34 @@ class WinnowParitySpec extends SparkSpec {
     assert(strict.count() == 0)
   }
 
+  test("randomized unicode parity: kernel matches the column form on " +
+    "mixed-width codepoints (the byte-offset table vs substring)") {
+    val rnd = new scala.util.Random(11) // deterministic
+    val alphabet: IndexedSeq[String] = // 1-, 2-, 3-, and 4-byte UTF-8
+      ("abc XYZ 09".map(_.toString) ++ Seq("é", "ß", "中", "日", "€", "🙂", "𝕊"))
+    val docs = (1 to 40).map { id =>
+      val n = 1 + rnd.nextInt(60)
+      (id.toLong, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString)
+    }
+    val d = docsDf(docs: _*)
+    for ((k, w) <- Seq((12, 8), (5, 3), (2, 1)))
+      assert(fpsOf(TextAnalysis.winnow(d, k, w)) ==
+        fpsOf(TextAnalysis.winnowColumns(d, k, w)), s"k=$k w=$w")
+  }
+
+  test("overlap pairs reuse the fingerprint exchange: kernel runs once, " +
+    "one scan (AQE-final plan)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = Dedup.winnowOverlapPairs(d)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"),
+      s"self-join side recomputed the winnow kernel:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"documents scanned more than once:\n$p")
+  }
+
   test("winnow plans narrow: no exchange before the kernel projection") {
     val d = docsDf(0L -> "plans should not shuffle for a per-row kernel")
     val p = TextAnalysis.winnow(d, 12, 8)
