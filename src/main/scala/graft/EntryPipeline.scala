@@ -71,6 +71,30 @@ private[graft] object EntryPipeline {
           "duration_ms", "n_tracks", "ok")
         .orderBy("media_id")
     }),
+    // REAL video FRAME decode: each doc becomes an actual RIFF/AVI
+    // file whose movi chunks are real JPEGs (MJPEG) or raw DIBs, then
+    // the chunk walker + javax.imageio decode every frame back out;
+    // the oracle predicts frame count, per-frame codec and dims
+    "q_media_frames_decode" -> ((s, d) => {
+      val spark0 = s
+      import spark0.implicits._
+      graft.pipeline.Multimodal.decodeVideoFrames(
+        graft.pipeline.Multimodal.syntheticAviVideos(docs(s, d)))
+        .toDF().select("media_id", "frame_idx", "codec", "width",
+          "height", "ok")
+        .orderBy("media_id", "frame_idx")
+    }),
+    // every-Nth frame sampling: the chunk walk visits all frames but
+    // only every 2nd pays the codec — the decode-cost throttle at scale
+    "q_media_frames_sampled" -> ((s, d) => {
+      val spark0 = s
+      import spark0.implicits._
+      graft.pipeline.Multimodal.decodeVideoFrames(
+        graft.pipeline.Multimodal.syntheticAviVideos(docs(s, d)), 2)
+        .toDF().select("media_id", "frame_idx", "codec", "width",
+          "height", "ok")
+        .orderBy("media_id", "frame_idx")
+    }),
 
     // ---- LLM pipeline: text analysis
     "q_text_stats" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))

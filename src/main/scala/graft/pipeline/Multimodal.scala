@@ -15,9 +15,12 @@ import org.apache.spark.sql.types._
   * metadata decode is REAL too: [[decodeAudio]] parses WAV/AIFF
   * headers via `javax.sound.sampled` (also JDK-shipped). VIDEO
   * container metadata decode is REAL as well: [[decodeVideo]] walks
-  * ISO-BMFF (MP4) boxes by hand — only pixel/frame decode remains
-  * stubbed ([[decodeStub]] derives a deterministic fake feature
-  * vector from the bytes; no video *codec* library in this
+  * ISO-BMFF (MP4) boxes by hand, and VIDEO FRAME decode is REAL for
+  * intra-frame codecs: [[decodeVideoFrames]] walks RIFF/AVI `movi`
+  * chunks and decodes MJPEG / raw-DIB frames through `javax.imageio`.
+  * Only inter-frame codecs (H.264 etc.) remain stubbed
+  * ([[decodeStub]] derives a deterministic fake feature vector from
+  * the bytes; no such codec library ships with the JDK or this
   * container). Everything around the codecs — schema, batch
   * iteration via `mapPartitions`, partition sizing, output shape — is
   * the real 100 TB plumbing: media rows are large, so operators must
@@ -57,10 +60,11 @@ object Multimodal {
       (col("n_chars") * 10).cast("long").as("duration_ms"),
       map(lit("src"), col("source")).as("meta"))
 
-  /** STUB decode for VIDEO FRAMES (image / audio / video-container
-    * metadata decode are real — see [[decodeImages]] / [[decodeAudio]]
-    * / [[decodeVideo]]; no video codec ships with the JDK or this
-    * container): a real implementation hands `bytes` to a codec; this
+  /** STUB decode for INTER-FRAME video codecs (image / audio /
+    * video-container metadata / AVI intra-frame decode are real — see
+    * [[decodeImages]] / [[decodeAudio]] / [[decodeVideo]] /
+    * [[decodeVideoFrames]]; no H.264-class codec ships with the JDK or
+    * this container): a real implementation hands `bytes` to a codec; this
     * one emits a deterministic pseudo-feature (dim-d) from a positional
     * byte checksum (Σ byte·position, 1-based) so tests can assert exact
     * values — and, unlike a rolling hash that wraps on long overflow,
@@ -230,9 +234,9 @@ object Multimodal {
     * only — `getAudioFileFormat` parses fmt/COMM chunks without
     * touching sample data, so cost is O(1) per row regardless of clip
     * length. Corrupt bytes become `ok = false` rows, never task
-    * failures. Video frame decode remains the one stubbed codec
-    * ([[decodeStub]] — no video library in the JDK or this container);
-    * video *container* metadata is real, see [[decodeVideo]]. */
+    * failures. Video container metadata and intra-frame decode are
+    * real too ([[decodeVideo]] / [[decodeVideoFrames]]); only
+    * inter-frame video codecs stay stubbed ([[decodeStub]]). */
   def decodeAudio(media: DataFrame): Dataset[DecodedAudio] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -350,8 +354,10 @@ object Multimodal {
     * fixed-point visual dimensions, taking the max across tracks
     * (audio tracks carry 0×0). Header-only: cost is O(moov) per row
     * regardless of mdat size. Corrupt bytes → `ok = false` rows, never
-    * task failures. Only pixel/frame decode remains stubbed
-    * ([[decodeStub]]) — that genuinely needs a codec library. */
+    * task failures. Frame decode is real too for intra-frame codecs
+    * ([[decodeVideoFrames]], RIFF/AVI MJPEG + DIB); only inter-frame
+    * codecs remain stubbed ([[decodeStub]]) — those genuinely need a
+    * codec library. */
   def decodeVideo(media: DataFrame): Dataset[DecodedVideo] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -473,6 +479,246 @@ object Multimodal {
           val ftyp = box("ftyp", "isom".getBytes("US-ASCII"),
             i32(512), "isommp42".getBytes("US-ASCII"))
           (id, "video/mp4", ftyp ++ moov)
+        }
+      }
+      .toDF("media_id", "mime", "bytes")
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL video FRAME decode: RIFF/AVI containers with MJPEG or DIB frames
+  // ---------------------------------------------------------------------
+
+  /** `px_sum` = Σ (rgb & 0xffffff) over decoded pixels: lossless (DIB)
+    * frames reproduce it exactly from [[framePixel]], which the parity
+    * spec asserts; JPEG frames carry whatever the lossy codec returns
+    * (oracle queries simply don't project it). */
+  case class DecodedFrame(media_id: Long, frame_idx: Long, codec: String,
+      width: Int, height: Int, px_sum: Long, ok: Boolean)
+
+  /** Sniff the AVI container from magic bytes (never trust `mime`):
+    * RIFF files open `"RIFF" size4 formType`; AVI's form type is
+    * `"AVI "` (msdn AVI RIFF File Reference). */
+  private[graft] def sniffAvi(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "AVI "
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** RIFF chunk walk: fourcc + LE32 size + payload, padded to even
+    * offsets (the WORD-alignment rule that trips naive parsers on
+    * odd-sized JPEG frames). Yields (fourcc, payload start, payload
+    * end); malformed sizes terminate the walk by throwing — callers
+    * convert to `ok = false` rows. */
+  private def leChunks(b: Array[Byte], lo: Int, hi: Int)
+      : Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
+    private var pos = lo
+    def hasNext: Boolean = pos + 8 <= hi
+    def next(): (String, Int, Int) = {
+      val tpe = new String(b, pos, 4, "US-ASCII")
+      val size = le32(b, pos + 4)
+      val start = pos + 8
+      val end = start + size
+      if (size < 0 || end > hi)
+        throw new IllegalArgumentException(s"bad RIFF chunk $tpe size=$size")
+      pos = (end + (size & 1)).toInt // odd sizes carry a pad byte
+      (tpe, start, end.toInt)
+    }
+  }
+
+  /** First LIST chunk of the given list type within [lo, hi). */
+  private def findList(b: Array[Byte], lo: Int, hi: Int, listType: String)
+      : Option[(Int, Int)] =
+    leChunks(b, lo, hi).collectFirst {
+      case ("LIST", s, e)
+          if e - s >= 4 && new String(b, s, 4, "US-ASCII") == listType =>
+        (s + 4, e)
+    }
+
+  /** REAL video frame decode — the codec gap is closed for intra-frame
+    * codecs: a hand-rolled RIFF/AVI chunk walker finds the `movi` LIST
+    * and decodes every video frame chunk for real, with zero added
+    * dependencies. `00dc` frames sniffing as JPEG (MJPEG — each frame
+    * is a standalone JPEG) go through the same `javax.imageio` readers
+    * as [[decodeImages]]; `00db` frames are uncompressed DIBs
+    * (BITMAPINFOHEADER + pixels), turned into in-memory BMPs by
+    * prepending the 14-byte BITMAPFILEHEADER and read the same way.
+    * Only inter-frame codecs (H.264 etc.) still need a library that
+    * does not ship with the JDK. Codec is reported from the actual
+    * frame bytes (magic sniff / chunk id), never from container
+    * metadata. Corrupt containers yield a single `frame_idx = -1,
+    * ok = false` row; a corrupt individual frame yields its own
+    * `ok = false` row without killing the rest of the file — at
+    * 100 TB one truncated frame must cost one row, not a task.
+    *
+    * `everyNth` is the decode-cost throttle for scale: the chunk walk
+    * is O(frame count) pointer arithmetic, but the JPEG/DIB decode is
+    * the real CPU spend, so sampling every Nth frame (the common
+    * training-data pattern) skips the expensive step entirely for the
+    * frames between — same plan shape, 1/N the codec work. */
+  def decodeVideoFrames(media: DataFrame, everyNth: Int = 1)
+      : Dataset[DecodedFrame] = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          if (!sniffAvi(bytes))
+            Seq(DecodedFrame(id, -1L, "unknown", 0, 0, 0L, ok = false))
+          else try {
+            val (ms, me) = findList(bytes, 12, bytes.length, "movi")
+              .getOrElse(throw new IllegalArgumentException("no movi"))
+            var idx = -1L
+            leChunks(bytes, ms, me).collect {
+              case (tpe, s, e) if tpe.endsWith("dc") || tpe.endsWith("db") =>
+                idx += 1
+                if (idx % everyNth == 0L)
+                  Some(decodeFrameChunk(id, idx, bytes, s, e))
+                else None
+            }.flatten.toVector
+          } catch { case scala.util.control.NonFatal(_) =>
+            Seq(DecodedFrame(id, -1L, "avi", 0, 0, 0L, ok = false))
+          }
+        }
+      }
+  }
+
+  /** Decode one movi frame chunk: JPEG magic → MJPEG via imageio; a
+    * leading LE32 == biSize 40 → raw DIB wrapped as BMP. */
+  private def decodeFrameChunk(id: Long, idx: Long, b: Array[Byte],
+      s: Int, e: Int): DecodedFrame = {
+    val n = e - s
+    val isJpeg = n >= 3 && (b(s) & 0xff) == 0xff && (b(s + 1) & 0xff) == 0xd8
+    val isDib = !isJpeg && n >= 40 && le32(b, s) == 40L
+    val codec = if (isJpeg) "mjpeg" else if (isDib) "dib" else "unknown"
+    val img =
+      if (codec == "unknown") null
+      else try {
+        val in =
+          if (isJpeg) new java.io.ByteArrayInputStream(b, s, n)
+          else {
+            // BITMAPFILEHEADER: "BM" + file size + 2×0 + pixel offset
+            // (14 + header + palette; palette only at ≤ 8 bpp)
+            val bitCount = (le32(b, s + 14) & 0xffff).toInt
+            val clrUsed = le32(b, s + 32).toInt
+            val palette =
+              if (bitCount <= 8)
+                (if (clrUsed > 0) clrUsed else 1 << bitCount) * 4
+              else clrUsed * 4
+            val head = java.nio.ByteBuffer.allocate(14)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            head.put('B'.toByte).put('M'.toByte).putInt(14 + n)
+              .putInt(0).putInt(14 + 40 + palette)
+            val bmp = new Array[Byte](14 + n)
+            System.arraycopy(head.array(), 0, bmp, 0, 14)
+            System.arraycopy(b, s, bmp, 14, n)
+            new java.io.ByteArrayInputStream(bmp)
+          }
+        javax.imageio.ImageIO.read(in)
+      } catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) DecodedFrame(id, idx, codec, 0, 0, 0L, ok = false)
+    else {
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          sum += (img.getRGB(x, y) & 0xffffff); x += 1
+        }
+        y += 1
+      }
+      DecodedFrame(id, idx, codec, img.getWidth, img.getHeight, sum, ok = true)
+    }
+  }
+
+  private def leChunkBytes(fourcc: String, payload: Array[Byte]*)
+      : Array[Byte] = {
+    val size = payload.map(_.length).sum
+    val buf = java.nio.ByteBuffer.allocate(8 + size + (size & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(fourcc.getBytes("US-ASCII")).putInt(size)
+    payload.foreach(buf.put)
+    buf.array() // odd payloads leave one zeroed pad byte
+  }
+
+  private def leListBytes(listType: String, sub: Array[Byte]*): Array[Byte] =
+    leChunkBytes("LIST", listType.getBytes("US-ASCII") +: sub: _*)
+
+  /** Deterministic frame pixel function shared by the writer and the
+    * parity spec: DIB frames survive the container losslessly, so the
+    * spec re-derives exact pixels from (id, frame, x, y). */
+  private[graft] def framePixel(id: Long, frame: Long, x: Int, y: Int): Int =
+    ((id * 2654435761L + frame * 97L + x * 31L + y) & 0xffffff).toInt
+
+  /** Deterministic AVI relation derived from the `documents` table:
+    * each doc becomes a REAL RIFF/AVI file — spec-layout `hdrl`
+    * (`avih` + `strl`/`strh`/`strf`) then a `movi` LIST whose frame
+    * chunks are actual JPEGs (`00dc`, even doc_ids) or raw DIBs
+    * (`00db`, odd doc_ids — written by the JDK's own BMP writer with
+    * the file header stripped), frame count and dims derived from doc
+    * columns. The DuckDB oracle predicts [[decodeVideoFrames]]' output
+    * straight from the doc columns, so the gate proves every frame
+    * came back out of real container bytes through a real image
+    * decoder. JPEG frame sizes vary per frame, so odd-sized chunks
+    * exercise the RIFF pad rule continuously. */
+  def syntheticAviVideos(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        (pmod(col("n_chars"), lit(4)) + 2).cast("int").as("n_frames"),
+        (pmod(col("n_chars"), lit(32)) + 8).cast("int").as("w"),
+        (pmod(col("n_chars"), lit(24)) + 8).cast("int").as("h"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, nFrames, w, h) =>
+          val mjpeg = id % 2 == 0
+          val frames = (0 until nFrames).map { f =>
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y, framePixel(id, f, x, y)); x += 1
+              }
+              y += 1
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, if (mjpeg) "jpeg" else "bmp", out)
+            val enc = out.toByteArray
+            if (mjpeg) leChunkBytes("00dc", enc)
+            else leChunkBytes("00db", enc.drop(14)) // BMP minus file header
+          }
+          val le32b = (v: Int) => java.nio.ByteBuffer.allocate(4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+          val le16b = (v: Int) => Array[Byte](v.toByte, (v >> 8).toByte)
+          // avih: 56 bytes (AVIMAINHEADER minus fcc/size)
+          val avih = leChunkBytes("avih", le32b(40000), le32b(0), le32b(0),
+            le32b(0), le32b(nFrames), le32b(0), le32b(1), le32b(0),
+            le32b(w), le32b(h), new Array[Byte](16))
+          // strh: AVISTREAMHEADER for the single video stream
+          val strh = leChunkBytes("strh",
+            "vids".getBytes("US-ASCII"),
+            (if (mjpeg) "MJPG" else "DIB ").getBytes("US-ASCII"),
+            le32b(0), le16b(0), le16b(0), le32b(0), le32b(1), le32b(25),
+            le32b(0), le32b(nFrames), le32b(0), le32b(-1), le32b(0),
+            le16b(0), le16b(0), le16b(w), le16b(h))
+          // strf: BITMAPINFOHEADER; biCompression = 'MJPG' fourcc or 0
+          val strf = leChunkBytes("strf", le32b(40), le32b(w), le32b(h),
+            le16b(1), le16b(24),
+            if (mjpeg) "MJPG".getBytes("US-ASCII") else le32b(0),
+            le32b(w * h * 3), le32b(0), le32b(0), le32b(0), le32b(0))
+          val hdrl = leListBytes("hdrl", avih, leListBytes("strl", strh, strf))
+          val movi = leListBytes("movi", frames: _*)
+          val riff = leChunkBytes("RIFF",
+            "AVI ".getBytes("US-ASCII"), hdrl, movi)
+          (id, "video/x-msvideo", riff)
         }
       }
       .toDF("media_id", "mime", "bytes")

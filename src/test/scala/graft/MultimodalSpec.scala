@@ -234,6 +234,163 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(d => d.ok || (d.width == 0 && d.duration_ms == 0L)))
   }
 
+  test("real video FRAME decode: AVI MJPEG/DIB round-trip through " +
+    "the RIFF walker and javax.imageio with exact frame counts/dims") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (0L, "x" * 21, "en", "s0", 21L),   // even id → MJPEG; 3 frames, 29x29
+      (1L, "y" * 30, "en", "s1", 30L),   // odd id → DIB; 4 frames, 38x14
+      (2L, "z" * 100, "en", "s2", 100L)) // MJPEG; 2 frames, 12x12
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val avis = Multimodal.syntheticAviVideos(docs)
+    val out = Multimodal.decodeVideoFrames(avis).collect()
+      .sortBy(f => (f.media_id, f.frame_idx))
+    assert(out.forall(_.ok))
+    val byDoc = out.groupBy(_.media_id)
+    assert(byDoc(0L).length == 3 && byDoc(1L).length == 4 &&
+      byDoc(2L).length == 2)
+    assert(byDoc(0L).forall(f => f.codec == "mjpeg" &&
+      f.width == 29 && f.height == 29))
+    assert(byDoc(1L).forall(f => f.codec == "dib" &&
+      f.width == 38 && f.height == 14))
+    assert(byDoc(2L).forall(f => f.codec == "mjpeg" &&
+      f.width == 12 && f.height == 12))
+    assert(byDoc.values.forall(fs =>
+      fs.map(_.frame_idx).sorted.toSeq == (0L until fs.length).toSeq))
+    // bytes are genuinely containerized RIFF/AVI
+    val raw = avis.filter(col("media_id") === 1L)
+      .select("bytes").head().getAs[Array[Byte]](0)
+    assert(Multimodal.sniffAvi(raw))
+  }
+
+  test("DIB frames round-trip PIXEL-exact through the AVI container " +
+    "(lossless path pins the decode to the generating pixel function)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((5L, "w" * 17, "en", "s5", 17L)) // odd → DIB; 3 fr, 25x17
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.decodeVideoFrames(
+      Multimodal.syntheticAviVideos(docs)).collect().sortBy(_.frame_idx)
+    assert(out.length == 3 && out.forall(f => f.ok && f.codec == "dib"))
+    out.foreach { f =>
+      var expect = 0L
+      (0 until f.height).foreach { y =>
+        (0 until f.width).foreach { x =>
+          expect += Multimodal.framePixel(5L, f.frame_idx, x, y) & 0xffffff
+        }
+      }
+      assert(f.px_sum == expect,
+        s"frame ${f.frame_idx} pixel sum drifted through the container")
+    }
+    // MJPEG frames are lossy: dims survive, pixels need not — assert
+    // the decode reports a plausible nonzero sum without pinning it
+    val mj = Multimodal.decodeVideoFrames(Multimodal.syntheticAviVideos(
+      Seq((6L, "v" * 17, "en", "s6", 17L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")))
+      .collect()
+    assert(mj.forall(f => f.ok && f.codec == "mjpeg" && f.px_sum > 0L))
+  }
+
+  test("everyNth frame sampling skips the codec, keeps true indices") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((1L, "y" * 30, "en", "s1", 30L)) // 4 frames
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val avis = Multimodal.syntheticAviVideos(docs)
+    val sampled = Multimodal.decodeVideoFrames(avis, everyNth = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0L, 2L))
+    assert(sampled.forall(f => f.ok && f.width == 38 && f.height == 14))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoFrames(avis, everyNth = 0)
+    }
+  }
+
+  test("golden RIFF/AVI file hand-built per the AVI RIFF reference " +
+    "parses correctly (keeps writer and walker independently honest)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // one 2x2 24-bit DIB frame, built field-by-field — deliberately
+    // NOT via syntheticAviVideos' builder. Pixel rows are bottom-up,
+    // BGR, padded to 4-byte boundaries (2*3 = 6 → pad 2).
+    val dib = java.nio.ByteBuffer.allocate(40 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dib.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(16).putInt(0).putInt(0).putInt(0).putInt(0)
+    // bottom row: (0,1)=rgb(1,2,3) (1,1)=rgb(4,5,6); top row:
+    // (0,0)=rgb(7,8,9) (1,0)=rgb(10,11,12); DIB stores B,G,R
+    dib.put(Array[Byte](3, 2, 1, 6, 5, 4, 0, 0))
+    dib.put(Array[Byte](9, 8, 7, 12, 11, 10, 0, 0))
+    val frame = dib.array()
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(cc.getBytes("US-ASCII")).putInt(body.length).put(body)
+      b.array()
+    }
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      chunk("00db", frame))
+    val avi = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ movi)
+    val d = Multimodal.decodeVideoFrames(
+      Seq((9L, avi)).toDF("media_id", "bytes")).collect()
+    assert(d.length == 1)
+    val f = d.head
+    assert(f.ok && f.codec == "dib" && f.width == 2 && f.height == 2)
+    val expect = Seq((7, 8, 9), (10, 11, 12), (1, 2, 3), (4, 5, 6))
+      .map { case (r, g, b) => (r << 16 | g << 8 | b).toLong }.sum
+    assert(f.px_sum == expect)
+  }
+
+  test("corrupt AVI bytes become ok=false rows, not task failures") {
+    val spark0 = spark
+    import spark0.implicits._
+    val good = Multimodal.syntheticAviVideos(
+      Seq((0L, "x" * 20, "en", "s0", 20L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("bytes").head().getAs[Array[Byte]](0)
+    val junk = Seq(
+      (1L, good.take(40)),                        // truncated mid-hdrl
+      (2L, "not remotely an avi".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]]),
+      (4L, good.take(12)))                        // RIFF header only
+      .toDF("media_id", "bytes")
+    val out = Multimodal.decodeVideoFrames(junk).collect()
+      .sortBy(_.media_id)
+    assert(out.forall(f => !f.ok && f.frame_idx == -1L))
+  }
+
+  test("RIFF walker survives fuzzed AVI bytes: corruption yields " +
+    "ok=false rows or fewer frames, never a task failure or hang") {
+    val spark0 = spark
+    import spark0.implicits._
+    val good = Multimodal.syntheticAviVideos(
+      Seq((0L, "x" * 50, "en", "s0", 50L), (1L, "y" * 51, "en", "s1", 51L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("media_id", "bytes").as[(Long, Array[Byte])].collect()
+    val rnd = new scala.util.Random(43) // deterministic corpus
+    val fuzzed = (1 to 200).map { i =>
+      val src = good(i % 2)._2
+      val b = src.clone()
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      (i.toLong, b)
+    } ++ (201 to 240).map { i =>
+      (i.toLong, good(i % 2)._2.take(rnd.nextInt(good(i % 2)._2.length)))
+    } ++ (241 to 260).map { i =>
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      (i.toLong, b)
+    }
+    val out = Multimodal.decodeVideoFrames(
+      fuzzed.toDF("media_id", "bytes")).collect() // must not throw
+    // every input row surfaces at least one output row (frames or a
+    // container-level failure marker)
+    assert(out.map(_.media_id).distinct.length == 260)
+    assert(out.forall(f => f.ok || f.px_sum == 0L))
+  }
+
   test("sampleFrames fans out video rows only") {
     val frames = Multimodal.sampleFrames(media(), 400)
     val got = frames.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted

@@ -341,6 +341,7 @@ class PlanSpec extends SparkSpec {
       Multimodal.decodeImages(media),
       Multimodal.decodeAudio(media),
       Multimodal.decodeVideo(media),
+      Multimodal.decodeVideoFrames(media),
       Multimodal.decodeStub(media)).foreach { ds =>
       val p = ds.queryExecution.executedPlan.toString
       assert(!p.contains("Exchange"), s"decode shuffles payload bytes:\n$p")
