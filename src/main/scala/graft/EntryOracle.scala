@@ -378,12 +378,14 @@ private[graft] object EntryOracle {
       "((n_chars % 500) + 100) * 1000 // (8000 + (n_chars % 4) * 4000) AS duration_ms, " +
       "TRUE AS ok FROM documents ORDER BY media_id"),
     "q_media_frames_decode" -> ("SELECT doc_id AS media_id, " +
+      "CAST(0 AS INT) AS stream, " +
       "unnest(generate_series(0, (n_chars % 4) + 1)) AS frame_idx, " +
       "CASE WHEN doc_id % 2 = 0 THEN 'mjpeg' ELSE 'dib' END AS codec, " +
       "CAST((n_chars % 32) + 8 AS INT) AS width, " +
       "CAST((n_chars % 24) + 8 AS INT) AS height, " +
       "TRUE AS ok FROM documents ORDER BY media_id, frame_idx"),
     "q_media_frames_sampled" -> ("SELECT * FROM (SELECT doc_id AS media_id, " +
+      "CAST(0 AS INT) AS stream, " +
       "unnest(generate_series(0, (n_chars % 4) + 1)) AS frame_idx, " +
       "CASE WHEN doc_id % 2 = 0 THEN 'mjpeg' ELSE 'dib' END AS codec, " +
       "CAST((n_chars % 32) + 8 AS INT) AS width, " +

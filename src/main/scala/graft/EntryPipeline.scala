@@ -80,8 +80,8 @@ private[graft] object EntryPipeline {
       import spark0.implicits._
       graft.pipeline.Multimodal.decodeVideoFrames(
         graft.pipeline.Multimodal.syntheticAviVideos(docs(s, d)))
-        .toDF().select("media_id", "frame_idx", "codec", "width",
-          "height", "ok")
+        .toDF().select("media_id", "stream", "frame_idx", "codec",
+          "width", "height", "ok")
         .orderBy("media_id", "frame_idx")
     }),
     // every-Nth frame sampling: the chunk walk visits all frames but
@@ -91,8 +91,8 @@ private[graft] object EntryPipeline {
       import spark0.implicits._
       graft.pipeline.Multimodal.decodeVideoFrames(
         graft.pipeline.Multimodal.syntheticAviVideos(docs(s, d)), 2)
-        .toDF().select("media_id", "frame_idx", "codec", "width",
-          "height", "ok")
+        .toDF().select("media_id", "stream", "frame_idx", "codec",
+          "width", "height", "ok")
         .orderBy("media_id", "frame_idx")
     }),
 

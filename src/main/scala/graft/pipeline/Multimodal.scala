@@ -488,12 +488,15 @@ object Multimodal {
   // REAL video FRAME decode: RIFF/AVI containers with MJPEG or DIB frames
   // ---------------------------------------------------------------------
 
-  /** `px_sum` = Σ (rgb & 0xffffff) over decoded pixels: lossless (DIB)
-    * frames reproduce it exactly from [[framePixel]], which the parity
-    * spec asserts; JPEG frames carry whatever the lossy codec returns
+  /** `stream` is the AVI stream number the frame chunk belongs to
+    * (`##dc`/`##db` → ##) with its own frame counter — interleaved
+    * multi-stream files index correctly per stream. `px_sum` =
+    * Σ (rgb & 0xffffff) over decoded pixels: lossless (DIB) frames
+    * reproduce it exactly from [[framePixel]], which the parity spec
+    * asserts; JPEG frames carry whatever the lossy codec returns
     * (oracle queries simply don't project it). */
-  case class DecodedFrame(media_id: Long, frame_idx: Long, codec: String,
-      width: Int, height: Int, px_sum: Long, ok: Boolean)
+  case class DecodedFrame(media_id: Long, stream: Int, frame_idx: Long,
+      codec: String, width: Int, height: Int, px_sum: Long, ok: Boolean)
 
   /** Sniff the AVI container from magic bytes (never trust `mime`):
     * RIFF files open `"RIFF" size4 formType`; AVI's form type is
@@ -568,20 +571,31 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         rows.flatMap { case (id, bytes) =>
           if (!sniffAvi(bytes))
-            Seq(DecodedFrame(id, -1L, "unknown", 0, 0, 0L, ok = false))
+            Seq(DecodedFrame(id, -1, -1L, "unknown", 0, 0, 0L, ok = false))
           else try {
             val (ms, me) = findList(bytes, 12, bytes.length, "movi")
               .getOrElse(throw new IllegalArgumentException("no movi"))
-            var idx = -1L
+            // per-stream frame counters: interleaved multi-stream files
+            // ("00dc 01dc 00dc ...") index correctly within each stream
+            val counters = scala.collection.mutable.Map.empty[Int, Long]
+            def streamNo(tpe: String): Int = {
+              val d0 = tpe.charAt(0); val d1 = tpe.charAt(1)
+              if (d0.isDigit && d1.isDigit) (d0 - '0') * 10 + (d1 - '0')
+              else -1
+            }
             leChunks(bytes, ms, me).collect {
-              case (tpe, s, e) if tpe.endsWith("dc") || tpe.endsWith("db") =>
-                idx += 1
+              case (tpe, s, e)
+                  if (tpe.endsWith("dc") || tpe.endsWith("db")) &&
+                    streamNo(tpe) >= 0 =>
+                val sn = streamNo(tpe)
+                val idx = counters.getOrElse(sn, -1L) + 1
+                counters(sn) = idx
                 if (idx % everyNth == 0L)
-                  Some(decodeFrameChunk(id, idx, bytes, s, e))
+                  Some(decodeFrameChunk(id, sn, idx, bytes, s, e))
                 else None
             }.flatten.toVector
           } catch { case scala.util.control.NonFatal(_) =>
-            Seq(DecodedFrame(id, -1L, "avi", 0, 0, 0L, ok = false))
+            Seq(DecodedFrame(id, -1, -1L, "avi", 0, 0, 0L, ok = false))
           }
         }
       }
@@ -589,7 +603,7 @@ object Multimodal {
 
   /** Decode one movi frame chunk: JPEG magic → MJPEG via imageio; a
     * leading LE32 == biSize 40 → raw DIB wrapped as BMP. */
-  private def decodeFrameChunk(id: Long, idx: Long, b: Array[Byte],
+  private def decodeFrameChunk(id: Long, sn: Int, idx: Long, b: Array[Byte],
       s: Int, e: Int): DecodedFrame = {
     val n = e - s
     val isJpeg = n >= 3 && (b(s) & 0xff) == 0xff && (b(s + 1) & 0xff) == 0xd8
@@ -620,7 +634,7 @@ object Multimodal {
           }
         javax.imageio.ImageIO.read(in)
       } catch { case scala.util.control.NonFatal(_) => null }
-    if (img == null) DecodedFrame(id, idx, codec, 0, 0, 0L, ok = false)
+    if (img == null) DecodedFrame(id, sn, idx, codec, 0, 0, 0L, ok = false)
     else {
       var sum = 0L
       var y = 0
@@ -631,7 +645,8 @@ object Multimodal {
         }
         y += 1
       }
-      DecodedFrame(id, idx, codec, img.getWidth, img.getHeight, sum, ok = true)
+      DecodedFrame(id, sn, idx, codec, img.getWidth, img.getHeight, sum,
+        ok = true)
     }
   }
 

@@ -342,6 +342,69 @@ class MultimodalSpec extends SparkSpec {
     assert(f.px_sum == expect)
   }
 
+  test("interleaved multi-stream AVI: per-stream frame counters keep " +
+    "each stream's indices dense (00dc 01db 00dc ... never misindex)") {
+    val spark0 = spark
+    import spark0.implicits._
+    def jpeg(px: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(3, 3,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 3).foreach(y => (0 until 3).foreach(x => img.setRGB(x, y, px)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", out)
+      out.toByteArray
+    }
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(cc.getBytes("US-ASCII")).putInt(body.length).put(body)
+      b.array()
+    }
+    // two video streams interleaved: 00dc 01dc 00dc 01dc 00dc
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      chunk("00dc", jpeg(0x111111)) ++ chunk("01dc", jpeg(0x222222)) ++
+      chunk("00dc", jpeg(0x333333)) ++ chunk("01dc", jpeg(0x444444)) ++
+      chunk("00dc", jpeg(0x555555)))
+    val avi = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ movi)
+    val out = Multimodal.decodeVideoFrames(
+      Seq((11L, avi)).toDF("media_id", "bytes")).collect()
+    assert(out.forall(_.ok))
+    assert(out.filter(_.stream == 0).map(_.frame_idx).sorted.toSeq ==
+      Seq(0L, 1L, 2L))
+    assert(out.filter(_.stream == 1).map(_.frame_idx).sorted.toSeq ==
+      Seq(0L, 1L))
+    // everyNth samples per stream, not across the interleave
+    val sampled = Multimodal.decodeVideoFrames(
+      Seq((11L, avi)).toDF("media_id", "bytes"), everyNth = 2).collect()
+    assert(sampled.filter(_.stream == 0).map(_.frame_idx).sorted.toSeq ==
+      Seq(0L, 2L))
+    assert(sampled.filter(_.stream == 1).map(_.frame_idx).toSeq == Seq(0L))
+  }
+
+  test("frame decode runs unchanged on a stream: stateless " +
+    "mapPartitions plumbing decodes AVI rows per micro-batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val avis = Multimodal.syntheticAviVideos(
+      Seq((0L, "x" * 21, "en", "s0", 21L), (1L, "y" * 30, "en", "s1", 30L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("media_id", "bytes").as[(Long, Array[Byte])].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val q = Multimodal.decodeVideoFrames(
+        in.toDF().toDF("media_id", "bytes"))
+      .writeStream.format("memory").queryName("avi_frames_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(avis.toIndexedSeq)
+      q.processAllAvailable()
+      val rows = spark0.table("avi_frames_stream").collect()
+      assert(rows.length == 7) // 3 + 4 frames
+      assert(rows.forall(_.getAs[Boolean]("ok")))
+    } finally q.stop()
+  }
+
   test("corrupt AVI bytes become ok=false rows, not task failures") {
     val spark0 = spark
     import spark0.implicits._
