@@ -91,6 +91,26 @@ private[graft] object EntryOracle {
       "sc AS (SELECT pr.query_id, asg.vec_id, round(CAST(list_sum(list_transform(list_zip(asg.unit, pr.qunit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM pr JOIN asg ON pr.cell = asg.cell AND asg.vec_id <> pr.query_id), " +
       "ivf_rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM sc)"
 
+  /** DuckDB PQ chain on top of [[unitCte]] (m = 8 subspaces of 8 dims,
+    * label-seeded codebooks): per-(sub,label) decimal-mean codewords →
+    * per-(vec,sub) argmax encode → per-query LUT → ADC scores as
+    * scaled-long sums — the exact integers `Similarity.pqTopK`
+    * computes. */
+  private lazy val pqChain: String =
+    "pd AS (SELECT vec_id, label, unnest(unit) AS v, unnest(generate_series(0, len(unit)-1)) AS dim FROM u), " +
+      "ps AS (SELECT vec_id, label, v, dim, CAST(dim // 8 AS INT) AS sub FROM pd), " +
+      "pcc AS (SELECT sub, label, dim, CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c FROM ps GROUP BY 1, 2, 3), " +
+      "pcb AS (SELECT sub, label, list(c ORDER BY dim) AS cvec FROM pcc GROUP BY 1, 2), " +
+      "psv AS (SELECT vec_id, sub, list(v ORDER BY dim) AS svec FROM ps GROUP BY 1, 2), " +
+      "pen0 AS (SELECT psv.vec_id, psv.sub, cb.label, list_sum(list_transform(list_zip(psv.svec, cb.cvec), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS score FROM psv JOIN pcb cb ON psv.sub = cb.sub), " +
+      "pen AS (SELECT vec_id, sub, label AS code FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY score DESC, label) AS rn FROM pen0) WHERE rn = 1), " +
+      "pq AS (SELECT vec_id AS query_id, unit AS qunit FROM u WHERE vec_id IN (0,1,2,3,4)), " +
+      "pqd AS (SELECT query_id, unnest(qunit) AS v, unnest(generate_series(0, len(qunit)-1)) AS dim FROM pq), " +
+      "pqs AS (SELECT query_id, CAST(dim // 8 AS INT) AS sub, list(v ORDER BY dim) AS qsvec FROM pqd GROUP BY 1, 2), " +
+      "plut AS (SELECT pqs.query_id, pqs.sub, cb.label, list_sum(list_transform(list_zip(pqs.qsvec, cb.cvec), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS d FROM pqs JOIN pcb cb ON pqs.sub = cb.sub), " +
+      "psc AS (SELECT l.query_id, pen.vec_id, round(CAST(SUM(l.d) AS DOUBLE)/1e16, 6) AS adc FROM pen JOIN plut l ON pen.sub = l.sub AND pen.code = l.label WHERE pen.vec_id <> l.query_id GROUP BY 1, 2), " +
+      "pq_rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rk FROM psc)"
+
   /** Shared DuckDB chain: minhash signatures → 4-band LSH buckets →
     * colliding pairs with estimated Jaccard (k=16, w=3) — the base of
     * both the pair query and the component clustering. The default
@@ -450,7 +470,17 @@ private[graft] object EntryOracle {
       "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM scored) " +
       "SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 5 ORDER BY query_id, rk"),
     "q_ann_ivf" -> s"$unitCte, $ivfChain SELECT query_id, vec_id, cosine, rk FROM ivf_rk WHERE rk <= 10 ORDER BY query_id, rk",
-    "q_ann_recall" -> (s"$unitCte, $ivfChain, " +
+    "q_ann_pq" -> s"$unitCte, $pqChain SELECT query_id, vec_id, adc, rk FROM pq_rk WHERE rk <= 10 ORDER BY query_id, rk",
+    "q_ann_pq_rerank" -> (s"$unitCte, $pqChain, " +
+      "sl AS (SELECT query_id, vec_id, adc FROM pq_rk WHERE rk <= 50), " +
+      "ex AS (SELECT sl.query_id, sl.vec_id, sl.adc, round(CAST(list_sum(list_transform(list_zip(uq.unit, uv.unit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine " +
+      "FROM sl JOIN u uq ON sl.query_id = uq.vec_id JOIN u uv ON sl.vec_id = uv.vec_id), " +
+      "rr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM ex) " +
+      "SELECT query_id, vec_id, adc, cosine, rk FROM rr WHERE rk <= 10 ORDER BY query_id, rk"),
+    "q_pq_codes" -> (s"$unitCte, $pqChain SELECT vec_id, " +
+      "array_to_string(list(code ORDER BY sub), ',') AS codes " +
+      "FROM pen GROUP BY vec_id ORDER BY vec_id"),
+    "q_ann_recall" -> (s"$unitCte, $ivfChain, $pqChain, " +
       "br0 AS (SELECT q.query_id, u.vec_id, round(CAST(list_sum(list_transform(list_zip(u.unit, q.qunit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM u, q WHERE u.vec_id <> q.query_id), " +
       "br AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM br0) WHERE rk <= 10), " +
       s"lbk AS (SELECT vec_id, unit, ${bucketSql(8)} AS bucket FROM u), " +
@@ -466,9 +496,10 @@ private[graft] object EntryOracle {
           "blsh AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM b0) WHERE rk <= 10), "
       } +
       "ivf AS (SELECT query_id, vec_id FROM ivf_rk WHERE rk <= 10), " +
-      "rec AS (SELECT br.query_id, count(*) AS k, CAST(SUM(CASE WHEN lsh.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits, CAST(SUM(CASE WHEN blsh.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS blsh_hits, CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits " +
-      "FROM br LEFT JOIN lsh ON br.query_id = lsh.query_id AND br.vec_id = lsh.vec_id LEFT JOIN blsh ON br.query_id = blsh.query_id AND br.vec_id = blsh.vec_id LEFT JOIN ivf ON br.query_id = ivf.query_id AND br.vec_id = ivf.vec_id GROUP BY br.query_id) " +
-      "SELECT query_id, k, lsh_hits, blsh_hits, ivf_hits, round(CAST(lsh_hits AS DOUBLE)/k, 6) AS lsh_recall, round(CAST(blsh_hits AS DOUBLE)/k, 6) AS blsh_recall, round(CAST(ivf_hits AS DOUBLE)/k, 6) AS ivf_recall FROM rec ORDER BY query_id"),
+      "pqt AS (SELECT query_id, vec_id FROM pq_rk WHERE rk <= 10), " +
+      "rec AS (SELECT br.query_id, count(*) AS k, CAST(SUM(CASE WHEN lsh.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits, CAST(SUM(CASE WHEN blsh.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS blsh_hits, CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits, CAST(SUM(CASE WHEN pqt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_hits " +
+      "FROM br LEFT JOIN lsh ON br.query_id = lsh.query_id AND br.vec_id = lsh.vec_id LEFT JOIN blsh ON br.query_id = blsh.query_id AND br.vec_id = blsh.vec_id LEFT JOIN ivf ON br.query_id = ivf.query_id AND br.vec_id = ivf.vec_id LEFT JOIN pqt ON br.query_id = pqt.query_id AND br.vec_id = pqt.vec_id GROUP BY br.query_id) " +
+      "SELECT query_id, k, lsh_hits, blsh_hits, ivf_hits, pq_hits, round(CAST(lsh_hits AS DOUBLE)/k, 6) AS lsh_recall, round(CAST(blsh_hits AS DOUBLE)/k, 6) AS blsh_recall, round(CAST(ivf_hits AS DOUBLE)/k, 6) AS ivf_recall, round(CAST(pq_hits AS DOUBLE)/k, 6) AS pq_recall FROM rec ORDER BY query_id"),
     "q_quantize" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings), " +
       "m AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS scale FROM e) " +
       "SELECT vec_id, round(scale, 6) AS scale, " +

@@ -372,6 +372,22 @@ private[graft] object EntryStreams {
     "q_ann_recall" -> ((s, d) =>
       Similarity.annRecall(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 8, 3)
         .orderBy("query_id")),
+    // product quantization (Jégou et al. 2011): label-seeded subspace
+    // codebooks, m-byte codes, ADC scoring via per-query lookup tables
+    "q_ann_pq" -> ((s, d) =>
+      Similarity.pqTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 8)
+        .orderBy("query_id", "rk")),
+    // two-stage retrieval: ADC shortlist (50) -> exact-cosine re-rank
+    "q_ann_pq_rerank" -> ((s, d) =>
+      Similarity.pqTopKReranked(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 50, 8)
+        .orderBy("query_id", "rk")),
+    "q_pq_codes" -> ((s, d) =>
+      Similarity.pqEncode(emb(s, d),
+          Similarity.pqCodebooks(emb(s, d), 8), 8)
+        .select(col("vec_id"),
+          array_join(transform(col("codes"), _.cast("string")), ",")
+            .as("codes"))
+        .orderBy("vec_id")),
     "q_quantize" -> ((s, d) => Similarity.quantizeInt8(emb(s, d))
       .select(col("vec_id"), round(col("scale"), 6).as("scale"),
         array_join(transform(col("qvec"), _.cast("string")), ",").as("qvec"))

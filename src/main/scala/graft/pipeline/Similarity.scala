@@ -421,21 +421,81 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(dotExact(col("unit"), col("qunit")), 6).as("cosine")))
 
+    // PQ ranker: subspace codebooks are SLICES of the full-dim label
+    // centroids already computed for IVF (the mean commutes with the
+    // projection onto a subspace), so PQ costs no extra corpus pass
+    // here; encode + ADC reproduce [[pqTopK]]'s arithmetic exactly.
+    val pq = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val m = 8
+      val dsub = dims / m
+      val pqcb = cents.select(col("label"),
+          explode(array((0 until m).map { s =>
+            struct(lit(s).as("sub"),
+              slice(col("cvec"), s * dsub + 1, dsub).as("cw"))
+          }: _*)).as("sc"))
+        .select(col("sc.sub").as("sub"), col("label"),
+          col("sc.cw").as("cvec"))
+      val cbs = pqcb.groupBy("sub")
+        .agg(sort_array(collect_list(struct(col("label"), col("cvec"))))
+          .as("cents"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("sub"), col("cents")))),
+          s => s("cents")).as("cbs"))
+      val enc = units.crossJoin(broadcast(cbs))
+        .select(col("vec_id"),
+          array((0 until m).map { s =>
+            ColumnBridge.column(CellArgmaxExpr(
+              ColumnBridge.expression(slice(col("unit"), s * dsub + 1, dsub)),
+              ColumnBridge.expression(element_at(col("cbs"), s + 1))))
+          }: _*).as("codes"))
+      val luts = q.crossJoin(broadcast(pqcb))
+        .select(col("query_id"), col("sub"), col("label"),
+          dotScaled(slice(col("qunit"), col("sub") * dsub + 1, lit(dsub)),
+            col("cvec")).as("d"))
+        .groupBy("query_id", "sub")
+        .agg(sort_array(collect_list(struct(col("label"), col("d"))))
+          .as("entries"))
+        .groupBy("query_id")
+        .agg(transform(
+          sort_array(collect_list(struct(col("sub"), col("entries")))),
+          s => map_from_entries(s("entries"))).as("luts"))
+      val qluts = luts
+        .agg(collect_list(struct(col("query_id"), col("luts"))).as("qs"))
+      val scored = enc.crossJoin(broadcast(qluts))
+        .select(col("vec_id"), col("codes"), explode(col("qs")).as("qq"))
+        .filter(col("qq.query_id") =!= col("vec_id"))
+        .select(col("qq.query_id").as("query_id"), col("vec_id"),
+          round(aggregate(
+              zip_with(col("codes"), col("qq.luts"),
+                (c, mp) => element_at(mp, c)),
+              lit(0L), (acc, x) => acc + x).cast("double") / lit(1e16), 6)
+            .as("adc"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select("query_id", "vec_id")
+    }
+
     brute
       .join(lsh.withColumn("lsh_hit", lit(1)), Seq("query_id", "vec_id"), "left")
       .join(blsh.withColumn("blsh_hit", lit(1)), Seq("query_id", "vec_id"), "left")
       .join(ivf.withColumn("ivf_hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .join(pq.withColumn("pq_hit", lit(1)), Seq("query_id", "vec_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("k"),
         sum(coalesce(col("lsh_hit"), lit(0))).cast("long").as("lsh_hits"),
         sum(coalesce(col("blsh_hit"), lit(0))).cast("long").as("blsh_hits"),
-        sum(coalesce(col("ivf_hit"), lit(0))).cast("long").as("ivf_hits"))
+        sum(coalesce(col("ivf_hit"), lit(0))).cast("long").as("ivf_hits"),
+        sum(coalesce(col("pq_hit"), lit(0))).cast("long").as("pq_hits"))
       .withColumn("lsh_recall",
         round(col("lsh_hits").cast("double") / col("k"), 6))
       .withColumn("blsh_recall",
         round(col("blsh_hits").cast("double") / col("k"), 6))
       .withColumn("ivf_recall",
         round(col("ivf_hits").cast("double") / col("k"), 6))
+      .withColumn("pq_recall",
+        round(col("pq_hits").cast("double") / col("k"), 6))
   }
 
   /** Scalar int8 quantization with a per-vector absmax scale — the
@@ -476,6 +536,137 @@ object Similarity {
             (x, xh) => abs(x - xh)),
           lit(0.0d), (acc, x) => acc + x) / size(col("dv")), 6)
         .as("mean_abs_err"))
+  }
+
+  // --------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011): subspace codebooks + ADC
+  // --------------------------------------------------------------------
+
+  /** PQ codebooks: the embedding space splits into `m` contiguous
+    * subspaces of dims/m dimensions; each gets its own codebook with
+    * one codeword per label (label seeding — the same deterministic
+    * move as [[ivfCentroids]]; real deployments run k-means per
+    * subspace, but the encode/ADC machinery is identical and a
+    * deterministic quantizer lets the DuckDB oracle re-derive it).
+    * Decimal-exact per-dim means. Output: (sub, label,
+    * cvec: array<double> of dims/m components). */
+  def pqCodebooks(embeddings: DataFrame, m: Int, dims: Int = 64)
+      : DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+    embeddings
+      .select(col("label"),
+        posexplode(normalized(col("embedding"))).as(Seq("dim", "v")))
+      .withColumn("sub", (col("dim") / dsub).cast("int"))
+      .groupBy(col("sub"), col("label"), col("dim"))
+      .agg((sum(col("v").cast(DecimalType(38, 18))).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy("sub", "label")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+        s => s("c")).as("cvec"))
+  }
+
+  /** PQ encode: each corpus vector becomes `m` small codes — the
+    * nearest codeword per subspace by scaled inner product (ties to the
+    * smallest label; [[CellArgmaxExpr]] per subspace, the same codegen'd
+    * kernel as IVF assignment). The codebook relation is tiny (m × ksub
+    * rows) and collapses to ONE broadcast row, so encoding is a pure
+    * narrow map over the corpus. This is the memory move that makes
+    * 100 TB ANN tractable: 64 float dims (256 B) become m=8 codes
+    * (8 B) — a 32× smaller index that fits in RAM. */
+  def pqEncode(embeddings: DataFrame, codebooks: DataFrame, m: Int,
+      dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val dsub = dims / m
+    val cbs = codebooks
+      .groupBy("sub")
+      // struct(sub, entries-array) keeps the collected rows orderable
+      .agg(sort_array(collect_list(struct(col("label"), col("cvec"))))
+        .as("cents"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("cents")))),
+        s => s("cents")).as("cbs"))
+    embeddings.crossJoin(broadcast(cbs))
+      .select(col("vec_id"), normalized(col("embedding")).as("unit"),
+        col("cbs"))
+      .select(col("vec_id"), col("unit"),
+        array((0 until m).map { s =>
+          ColumnBridge.column(CellArgmaxExpr(
+            ColumnBridge.expression(slice(col("unit"), s * dsub + 1, dsub)),
+            ColumnBridge.expression(element_at(col("cbs"), s + 1))))
+        }: _*).as("codes"))
+  }
+
+  /** PQ ANN top-k via asymmetric distance computation (ADC): queries
+    * stay full-precision; each query precomputes a lookup table of its
+    * subvector dot against every codeword (m × ksub scaled longs —
+    * tiny, broadcast as maps), then every corpus vector is scored by
+    * summing m integer table lookups over its codes. The d-multiply
+    * cosine collapses to m lookups against an m-byte code: one narrow
+    * scan of the encoded corpus, and the only exchange is the final
+    * per-query top-k window (the same shape as [[bruteForceTopK]]).
+    * Scores are the scaled-long sums the oracle reproduces exactly. */
+  def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 8, dims: Int = 64): DataFrame = {
+    val dsub = dims / m
+    val cb = pqCodebooks(embeddings, m, dims).cache()
+    val enc = pqEncode(embeddings, cb, m, dims)
+    val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"),
+        normalized(col("embedding")).as("qunit"))
+    // LUT: per (query, sub) a map codeword-label -> scaled dot
+    val lutEntries = q.crossJoin(broadcast(cb))
+      .select(col("query_id"), col("sub"), col("label"),
+        dotScaled(slice(col("qunit"), col("sub") * dsub + 1, lit(dsub)),
+          col("cvec")).as("d"))
+      .groupBy("query_id", "sub")
+      .agg(sort_array(collect_list(struct(col("label"), col("d"))))
+        .as("entries"))
+      .groupBy("query_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("entries")))),
+        s => map_from_entries(s("entries"))).as("luts"))
+    val qluts = lutEntries
+      .agg(collect_list(struct(col("query_id"), col("luts"))).as("qs"))
+    val scored = enc.crossJoin(broadcast(qluts))
+      .select(col("vec_id"), col("codes"), explode(col("qs")).as("q"))
+      .filter(col("q.query_id") =!= col("vec_id"))
+      .select(col("q.query_id").as("query_id"), col("vec_id"),
+        round(aggregate(
+            zip_with(col("codes"), col("q.luts"),
+              (c, mp) => element_at(mp, c)),
+            lit(0L), (acc, x) => acc + x).cast("double") / lit(1e16), 6)
+          .as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Two-stage PQ retrieval — the production ANN pattern at scale:
+    * stage 1 shortlists `shortlist` candidates per query by ADC (m
+    * integer lookups per corpus vector, the cheap pass over 100 TB);
+    * stage 2 re-ranks ONLY the shortlist by exact cosine against the
+    * full-precision vectors (a lookup join on shortlist×queries rows —
+    * thousands, not billions). Recovers exact-ordering quality wherever
+    * the true neighbors survive the shortlist, at the scan cost of the
+    * compressed index. */
+  def pqTopKReranked(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      shortlist: Int, m: Int = 8, dims: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val units = embeddings.select(col("vec_id"),
+      normalized(col("embedding")).as("unit"))
+    val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"),
+        normalized(col("embedding")).as("qunit"))
+    val cand = pqTopK(embeddings, queryIds, shortlist, m, dims)
+      .select(col("query_id"), col("vec_id"), col("adc"))
+    val exact = cand
+      .join(broadcast(q), "query_id").join(units, "vec_id")
+      .select(col("query_id"), col("vec_id"), col("adc"),
+        round(dotExact(col("qunit"), col("unit")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
   /** Corpus-level embedding stats — norms and per-label centroids

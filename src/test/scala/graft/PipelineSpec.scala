@@ -91,6 +91,63 @@ class PipelineSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("pqEncode assigns each cluster its own codeword in every " +
+    "subspace (m=2 over the 4-dim two-cluster corpus)") {
+    val cb = Similarity.pqCodebooks(corpus, m = 2, dims = 4)
+    assert(cb.count() == 4) // 2 subspaces x 2 labels
+    val codes = Similarity.pqEncode(corpus, cb, m = 2, dims = 4)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(Seq(0L, 1L, 2L).forall(codes(_) == Seq(0, 0)))
+    assert(Seq(10L, 11L, 12L).forall(codes(_) == Seq(1, 1)))
+  }
+
+  test("pqTopK ADC scores equal the scaled dot against the " +
+    "reconstructed (codeword-concatenated) vector, re-derived on the " +
+    "driver from the real embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = 8
+    val dsub = 8
+    val out = Similarity.pqTopK(emb, Seq(0L, 1L), k = 5, m = m).collect()
+    assert(out.length == 10 && out.forall(_.getInt(3) <= 5))
+    val cbDf = Similarity.pqCodebooks(emb, m)
+    val cb = cbDf.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    assert(cb.keys.map(_._1).toSet == (0 until m).toSet)
+    val codes = Similarity.pqEncode(emb, cbDf, m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(codes.values.forall(c => c.length == m && c.forall(x =>
+      x >= 0 && x <= 9)))
+    val units = emb
+      .select(col("vec_id"), Similarity.normalized(col("embedding")).as("u"))
+      .filter(col("vec_id").isin(0L, 1L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    out.foreach { r =>
+      val (q, v, adc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val qu = units(q)
+      val scaled = (0 until m).map { sub =>
+        val cw = cb((sub, codes(v)(sub)))
+        qu.slice(sub * dsub, sub * dsub + dsub).zip(cw)
+          .map { case (x, y) => math.floor(x * y * 1e16).toLong }.sum
+      }.sum
+      val expect = BigDecimal(scaled.toDouble / 1e16)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(adc == expect, s"ADC drifted for ($q,$v)")
+    }
+  }
+
+  test("pqTopKReranked with a full-corpus shortlist recovers the " +
+    "exact brute-force ranking") {
+    val rr = Similarity.pqTopKReranked(corpus, Seq(0L), k = 5,
+        shortlist = 5, m = 2, dims = 4)
+      .select("vec_id", "rk").collect().sortBy(_.getInt(1))
+      .map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(corpus, Seq(0L), 5)
+      .select("vec_id", "rk").collect().sortBy(_.getInt(1))
+      .map(_.getLong(0)).toSeq
+    assert(rr == brute)
+  }
+
   test("lshTopK maxBucket drops hot buckets entirely") {
     // all six vectors land in some bucket; cap of 1 removes every
     // bucket with >1 member, so no pairs remain
