@@ -111,6 +111,18 @@ private[graft] object EntryOracle {
       "psc AS (SELECT l.query_id, pen.vec_id, round(CAST(SUM(l.d) AS DOUBLE)/1e16, 6) AS adc FROM pen JOIN plut l ON pen.sub = l.sub AND pen.code = l.label WHERE pen.vec_id <> l.query_id GROUP BY 1, 2), " +
       "pq_rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rk FROM psc)"
 
+  /** One unrolled Lloyd round on top of [[pqChain]]: re-mean each
+    * codeword over its `pen`-assigned members (decimal-exact, global
+    * dim order — identical values to Spark's subdim order), empty
+    * codewords keep their seed position, then re-encode against the
+    * refined books. */
+  private lazy val pqRefChain: String =
+    "rnc AS (SELECT ps.sub, pen.code, ps.dim, CAST(SUM(CAST(ps.v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c FROM ps JOIN pen ON ps.vec_id = pen.vec_id AND ps.sub = pen.sub GROUP BY 1, 2, 3), " +
+      "rcb0 AS (SELECT sub, code AS label, list(c ORDER BY dim) AS cvec FROM rnc GROUP BY 1, 2), " +
+      "rcb AS (SELECT p.sub, p.label, COALESCE(r.cvec, p.cvec) AS cvec FROM pcb p LEFT JOIN rcb0 r ON p.sub = r.sub AND p.label = r.label), " +
+      "ren0 AS (SELECT psv.vec_id, psv.sub, cb.label, list_sum(list_transform(list_zip(psv.svec, cb.cvec), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS score FROM psv JOIN rcb cb ON psv.sub = cb.sub), " +
+      "ren AS (SELECT vec_id, sub, label AS code FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY score DESC, label) AS rn FROM ren0) WHERE rn = 1)"
+
   /** Shared DuckDB chain: minhash signatures → 4-band LSH buckets →
     * colliding pairs with estimated Jaccard (k=16, w=3) — the base of
     * both the pair query and the component clustering. The default
@@ -480,6 +492,9 @@ private[graft] object EntryOracle {
     "q_pq_codes" -> (s"$unitCte, $pqChain SELECT vec_id, " +
       "array_to_string(list(code ORDER BY sub), ',') AS codes " +
       "FROM pen GROUP BY vec_id ORDER BY vec_id"),
+    "q_pq_kmeans" -> (s"$unitCte, $pqChain, $pqRefChain SELECT vec_id, " +
+      "array_to_string(list(code ORDER BY sub), ',') AS codes " +
+      "FROM ren GROUP BY vec_id ORDER BY vec_id"),
     "q_ann_recall" -> (s"$unitCte, $ivfChain, $pqChain, " +
       "br0 AS (SELECT q.query_id, u.vec_id, round(CAST(list_sum(list_transform(list_zip(u.unit, q.qunit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM u, q WHERE u.vec_id <> q.query_id), " +
       "br AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM br0) WHERE rk <= 10), " +

@@ -381,6 +381,16 @@ private[graft] object EntryStreams {
     "q_ann_pq_rerank" -> ((s, d) =>
       Similarity.pqTopKReranked(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 50, 8)
         .orderBy("query_id", "rk")),
+    // one Lloyd round of real k-means on the codebooks (deterministic:
+    // seeded init, tie-broken argmax assignment, decimal-exact means,
+    // empty codewords hold position), then encode against the result
+    "q_pq_kmeans" -> ((s, d) =>
+      Similarity.pqEncode(emb(s, d),
+          Similarity.pqCodebooksRefined(emb(s, d), 8, 1), 8)
+        .select(col("vec_id"),
+          array_join(transform(col("codes"), _.cast("string")), ",")
+            .as("codes"))
+        .orderBy("vec_id")),
     "q_pq_codes" -> ((s, d) =>
       Similarity.pqEncode(emb(s, d),
           Similarity.pqCodebooks(emb(s, d), 8), 8)

@@ -566,6 +566,62 @@ object Similarity {
         s => s("c")).as("cvec"))
   }
 
+  /** Lloyd-refined PQ codebooks — real k-means training on top of the
+    * label-seeded init: each of `iters` rounds assigns every subvector
+    * to its max-dot codeword (the scaled-long argmax kernel, ties to
+    * the smallest label — max-dot keeps training consistent with the
+    * ADC retrieval metric) and recomputes each codeword as the
+    * decimal-exact mean of its assigned subvectors; a codeword that
+    * attracts nothing keeps its previous position. Every step is
+    * deterministic — seeded init, tie-broken assignment,
+    * order-independent decimal means — so the DuckDB oracle replays
+    * the identical iterations. Cost: one corpus pass per round (the
+    * codes are derived inline from the subvector relation, so the
+    * re-mean needs no corpus self-join — explode, aggregate, done). */
+  def pqCodebooksRefined(embeddings: DataFrame, m: Int, iters: Int,
+      dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val dsub = dims / m
+    // one cached subvector relation feeds every round
+    val svecs = embeddings
+      .select(col("vec_id"),
+        posexplode(normalized(col("embedding"))).as(Seq("dim", "v")))
+      .withColumn("sub", (col("dim") / dsub).cast("int"))
+      .groupBy("vec_id", "sub")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("v")))),
+        s => s("v")).as("svec"))
+      .cache()
+    var cb = pqCodebooks(embeddings, m, dims)
+    for (_ <- 1 to iters) {
+      val cents = cb.groupBy("sub")
+        .agg(sort_array(collect_list(struct(col("label"), col("cvec"))))
+          .as("cents"))
+      val coded = svecs.join(broadcast(cents), "sub")
+        .select(col("sub"),
+          ColumnBridge.column(CellArgmaxExpr(
+            ColumnBridge.expression(col("svec")),
+            ColumnBridge.expression(col("cents")))).as("code"),
+          col("svec"))
+      val newCb = coded
+        .select(col("sub"), col("code"),
+          posexplode(col("svec")).as(Seq("sd", "v")))
+        .groupBy("sub", "code", "sd")
+        .agg((sum(col("v").cast(DecimalType(38, 18))).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy("sub", "code")
+        .agg(transform(sort_array(collect_list(struct(col("sd"), col("c")))),
+          s => s("c")).as("ncvec"))
+      cb = cb.as("p")
+        .join(newCb.as("n"),
+          col("p.sub") === col("n.sub") && col("p.label") === col("n.code"),
+          "left")
+        .select(col("p.sub").as("sub"), col("p.label").as("label"),
+          coalesce(col("n.ncvec"), col("p.cvec")).as("cvec"))
+    }
+    cb
+  }
+
   /** PQ encode: each corpus vector becomes `m` small codes — the
     * nearest codeword per subspace by scaled inner product (ties to the
     * smallest label; [[CellArgmaxExpr]] per subspace, the same codegen'd

@@ -136,6 +136,53 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pqCodebooksRefined: one Lloyd round recovers the geometric " +
+    "clusters from scrambled label seeds, then converges") {
+    // labels deliberately DISAGREE with geometry: axis-0 vectors carry
+    // labels 0,1,0 and axis-1 vectors labels 1,0,1, so the seeded
+    // codewords are mixtures. Max-dot assignment still routes each
+    // vector to the codeword its own cluster dominates, and the
+    // re-mean snaps both codewords onto the pure cluster means.
+    val scrambled = embeddings(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(1f, 0f, 0f, 0f), 1),
+      (2L, Seq(1f, 0f, 0f, 0f), 0),
+      (10L, Seq(0f, 1f, 0f, 0f), 1), (11L, Seq(0f, 1f, 0f, 0f), 0),
+      (12L, Seq(0f, 1f, 0f, 0f), 1))
+    val r1 = Similarity.pqCodebooksRefined(scrambled, m = 1, iters = 1,
+      dims = 4)
+    val cw = r1.collect()
+      .map(r => r.getInt(1) -> r.getSeq[Double](2)).toMap
+    // codeword 0 = pure axis-0 mean, codeword 1 = pure axis-1 mean
+    assert(cw(0) == Seq(1.0, 0.0, 0.0, 0.0))
+    assert(cw(1) == Seq(0.0, 1.0, 0.0, 0.0))
+    // converged: a second round changes nothing
+    val r2 = Similarity.pqCodebooksRefined(scrambled, m = 1, iters = 2,
+      dims = 4).collect().map(r => r.getInt(1) -> r.getSeq[Double](2)).toMap
+    assert(r2 == cw)
+    // encode against the refined books groups by geometry, not label
+    val codes = Similarity.pqEncode(scrambled, r1, m = 1, dims = 4)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(Seq(0L, 1L, 2L).forall(codes(_) == Seq(0)))
+    assert(Seq(10L, 11L, 12L).forall(codes(_) == Seq(1)))
+  }
+
+  test("pqCodebooksRefined: a codeword that attracts no members holds " +
+    "its seeded position (no NaN, no dropped row)") {
+    // identical vectors under two labels: seeds coincide, the argmax
+    // tie routes everything to label 0, label 1 goes empty
+    val dup = embeddings(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(1f, 0f, 0f, 0f), 1))
+    val seed = Similarity.pqCodebooks(dup, m = 2, dims = 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val ref = Similarity.pqCodebooksRefined(dup, m = 2, iters = 1, dims = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    assert(ref.keySet == seed.keySet) // 2 subs x 2 labels, nothing lost
+    assert((0 until 2).forall(s => ref((s, 1)) == seed((s, 1))))
+  }
+
   test("pqTopKReranked with a full-corpus shortlist recovers the " +
     "exact brute-force ranking") {
     val rr = Similarity.pqTopKReranked(corpus, Seq(0L), k = 5,
