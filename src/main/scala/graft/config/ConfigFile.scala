@@ -232,13 +232,17 @@ object ConfigFile {
       * bin.clj:39-77's reload on the transition!/equiv? lifecycle.
       * Returns the (re)started names. */
     def reload(): Seq[String] = synchronized {
-      val streams = load(path)
-      val names = streams.map(s => str(s \ "name", "stream.name"))
-      require(names.distinct.size == names.size,
-        s"duplicate stream names in $path: $names")
+      // last definition of a name wins — the include-shadowing contract
+      // [[load]] documents (includer concatenates after its includes,
+      // so it shadows them; a diamond include's repeated streams
+      // collapse to one). LinkedHashMap keeps first-seen order while
+      // the value updates to the last definition.
+      val streams = scala.collection.mutable.LinkedHashMap.empty[String, JObject]
+      load(path).foreach(s => streams(str(s \ "name", "stream.name")) = s)
+      val names = streams.keys.toSeq
       (current -- names).foreach(core.removeStream)
-      for (s <- streams)
-        core.stream(str(s \ "name", "stream.name"),
+      for ((name, s) <- streams)
+        core.stream(name,
           signature = JsonMethods.compact(JsonMethods.render(s)))(build(s))
       current = names.toSet
       core.applyConfig()

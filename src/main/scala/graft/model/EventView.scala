@@ -34,6 +34,11 @@ object EventView {
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→LTZ cast below interprets naive values in the session
+    // timezone; every entrypoint pins UTC, but pin it here too so the
+    // epoch derivation cannot silently shift by a UTC offset in a
+    // session that forgot (same defensive move as nanosAsLong above)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 

@@ -424,9 +424,9 @@ object Similarity {
     // PQ ranker: subspace codebooks are SLICES of the full-dim label
     // centroids already computed for IVF (the mean commutes with the
     // projection onto a subspace), so PQ costs no extra corpus pass
-    // here; encode + ADC reproduce [[pqTopK]]'s arithmetic exactly.
+    // here; encode + ADC are the [[adcTopK]] shared pipeline, so the
+    // recall measurement cannot drift from the ranker it measures.
     val pq = {
-      import org.apache.spark.sql.graft.ColumnBridge
       val m = 8
       val dsub = dims / m
       val pqcb = cents.select(col("label"),
@@ -436,45 +436,7 @@ object Similarity {
           }: _*)).as("sc"))
         .select(col("sc.sub").as("sub"), col("label"),
           col("sc.cw").as("cvec"))
-      val cbs = pqcb.groupBy("sub")
-        .agg(sort_array(collect_list(struct(col("label"), col("cvec"))))
-          .as("cents"))
-        .agg(transform(
-          sort_array(collect_list(struct(col("sub"), col("cents")))),
-          s => s("cents")).as("cbs"))
-      val enc = units.crossJoin(broadcast(cbs))
-        .select(col("vec_id"),
-          array((0 until m).map { s =>
-            ColumnBridge.column(CellArgmaxExpr(
-              ColumnBridge.expression(slice(col("unit"), s * dsub + 1, dsub)),
-              ColumnBridge.expression(element_at(col("cbs"), s + 1))))
-          }: _*).as("codes"))
-      val luts = q.crossJoin(broadcast(pqcb))
-        .select(col("query_id"), col("sub"), col("label"),
-          dotScaled(slice(col("qunit"), col("sub") * dsub + 1, lit(dsub)),
-            col("cvec")).as("d"))
-        .groupBy("query_id", "sub")
-        .agg(sort_array(collect_list(struct(col("label"), col("d"))))
-          .as("entries"))
-        .groupBy("query_id")
-        .agg(transform(
-          sort_array(collect_list(struct(col("sub"), col("entries")))),
-          s => map_from_entries(s("entries"))).as("luts"))
-      val qluts = luts
-        .agg(collect_list(struct(col("query_id"), col("luts"))).as("qs"))
-      val scored = enc.crossJoin(broadcast(qluts))
-        .select(col("vec_id"), col("codes"), explode(col("qs")).as("qq"))
-        .filter(col("qq.query_id") =!= col("vec_id"))
-        .select(col("qq.query_id").as("query_id"), col("vec_id"),
-          round(aggregate(
-              zip_with(col("codes"), col("qq.luts"),
-                (c, mp) => element_at(mp, c)),
-              lit(0L), (acc, x) => acc + x).cast("double") / lit(1e16), 6)
-            .as("adc"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("adc").desc, col("vec_id"))
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-        .select("query_id", "vec_id")
+      adcTopK(units, q, pqcb, k, m, dims).select("query_id", "vec_id")
     }
 
     brute
@@ -592,7 +554,10 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("v")))),
         s => s("v")).as("svec"))
       .cache()
-    var cb = pqCodebooks(embeddings, m, dims)
+    // each round references the previous books twice (assignment cents
+    // + the hold-position join); cache every round and retire the
+    // previous one, or the uncached lineage doubles per iteration
+    var cb = pqCodebooks(embeddings, m, dims).cache()
     for (_ <- 1 to iters) {
       val cents = cb.groupBy("sub")
         .agg(sort_array(collect_list(struct(col("label"), col("cvec"))))
@@ -612,12 +577,16 @@ object Similarity {
         .groupBy("sub", "code")
         .agg(transform(sort_array(collect_list(struct(col("sd"), col("c")))),
           s => s("c")).as("ncvec"))
-      cb = cb.as("p")
+      val next = cb.as("p")
         .join(newCb.as("n"),
           col("p.sub") === col("n.sub") && col("p.label") === col("n.code"),
           "left")
         .select(col("p.sub").as("sub"), col("p.label").as("label"),
           coalesce(col("n.ncvec"), col("p.cvec")).as("cvec"))
+        .cache()
+      next.count() // materialize before retiring the books it reads
+      cb.unpersist()
+      cb = next
     }
     cb
   }
@@ -631,7 +600,15 @@ object Similarity {
     * 100 TB ANN tractable: 64 float dims (256 B) become m=8 codes
     * (8 B) — a 32× smaller index that fits in RAM. */
   def pqEncode(embeddings: DataFrame, codebooks: DataFrame, m: Int,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64): DataFrame =
+    encodeUnits(embeddings.select(col("vec_id"),
+      normalized(col("embedding")).as("unit")), codebooks, m, dims)
+
+  /** [[pqEncode]] over an already-normalized (vec_id, unit) relation —
+    * shared with [[adcTopK]] so recall paths reuse their one corpus
+    * pass. */
+  private def encodeUnits(units: DataFrame, codebooks: DataFrame, m: Int,
+      dims: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val dsub = dims / m
     val cbs = codebooks
@@ -642,9 +619,7 @@ object Similarity {
       .agg(transform(
         sort_array(collect_list(struct(col("sub"), col("cents")))),
         s => s("cents")).as("cbs"))
-    embeddings.crossJoin(broadcast(cbs))
-      .select(col("vec_id"), normalized(col("embedding")).as("unit"),
-        col("cbs"))
+    units.crossJoin(broadcast(cbs))
       .select(col("vec_id"), col("unit"),
         array((0 until m).map { s =>
           ColumnBridge.column(CellArgmaxExpr(
@@ -653,25 +628,18 @@ object Similarity {
         }: _*).as("codes"))
   }
 
-  /** PQ ANN top-k via asymmetric distance computation (ADC): queries
-    * stay full-precision; each query precomputes a lookup table of its
-    * subvector dot against every codeword (m × ksub scaled longs —
-    * tiny, broadcast as maps), then every corpus vector is scored by
-    * summing m integer table lookups over its codes. The d-multiply
-    * cosine collapses to m lookups against an m-byte code: one narrow
-    * scan of the encoded corpus, and the only exchange is the final
-    * per-query top-k window (the same shape as [[bruteForceTopK]]).
-    * Scores are the scaled-long sums the oracle reproduces exactly. */
-  def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      m: Int = 8, dims: Int = 64): DataFrame = {
+  /** Shared ADC scoring pipeline — encode `units` against `cb`, build
+    * each query's LUT of scaled-long subvector dots (broadcast as
+    * maps), score every corpus vector by m integer lookups, return the
+    * per-query top-k with `adc` and `rk`. ONE implementation so
+    * [[pqTopK]] and [[annRecall]]'s PQ ranker cannot drift apart — the
+    * arithmetic here is what the DuckDB oracle replays. */
+  private def adcTopK(units: DataFrame, q: DataFrame, cb: DataFrame,
+      k: Int, m: Int, dims: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val dsub = dims / m
-    val cb = pqCodebooks(embeddings, m, dims).cache()
-    val enc = pqEncode(embeddings, cb, m, dims)
-    val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"),
-        normalized(col("embedding")).as("qunit"))
-    // LUT: per (query, sub) a map codeword-label -> scaled dot
-    val lutEntries = q.crossJoin(broadcast(cb))
+    val enc = encodeUnits(units, cb, m, dims)
+    val luts = q.crossJoin(broadcast(cb))
       .select(col("query_id"), col("sub"), col("label"),
         dotScaled(slice(col("qunit"), col("sub") * dsub + 1, lit(dsub)),
           col("cvec")).as("d"))
@@ -682,7 +650,7 @@ object Similarity {
       .agg(transform(
         sort_array(collect_list(struct(col("sub"), col("entries")))),
         s => map_from_entries(s("entries"))).as("luts"))
-    val qluts = lutEntries
+    val qluts = luts
       .agg(collect_list(struct(col("query_id"), col("luts"))).as("qs"))
     val scored = enc.crossJoin(broadcast(qluts))
       .select(col("vec_id"), col("codes"), explode(col("qs")).as("q"))
@@ -696,6 +664,26 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** PQ ANN top-k via asymmetric distance computation (ADC): queries
+    * stay full-precision; each query precomputes a lookup table of its
+    * subvector dot against every codeword (m × ksub scaled longs —
+    * tiny, broadcast as maps), then every corpus vector is scored by
+    * summing m integer table lookups over its codes. The d-multiply
+    * cosine collapses to m lookups against an m-byte code: one narrow
+    * scan of the encoded corpus, and the only exchange is the final
+    * per-query top-k window (the same shape as [[bruteForceTopK]]).
+    * Scores are the scaled-long sums the oracle reproduces exactly. */
+  def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 8, dims: Int = 64): DataFrame = {
+    val cb = pqCodebooks(embeddings, m, dims).cache()
+    val units = embeddings.select(col("vec_id"),
+      normalized(col("embedding")).as("unit"))
+    val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"),
+        normalized(col("embedding")).as("qunit"))
+    adcTopK(units, q, cb, k, m, dims)
   }
 
   /** Two-stage PQ retrieval — the production ANN pattern at scale:

@@ -279,7 +279,8 @@ object Pool {
       regenerateIntervalMs: Long = 5000,
       blockStart: Boolean = true,
       retries: Int = 1,
-      connectTimeoutMs: Int = 5000)
+      connectTimeoutMs: Int = 5000,
+      readTimeoutMs: Int = 10000)
       : PooledTransportOf[java.net.Socket, Array[Byte]] =
     new PooledTransportOf[java.net.Socket, Array[Byte]](
       id = s"riemann:${if (tls.isDefined) "tls" else "tcp"}:$host:$port",
@@ -289,6 +290,11 @@ object Pool {
           case None => new java.net.Socket()
         }
         s.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+        // the ack-drain loop below does blocking reads; without a read
+        // timeout a downstream that accepts frames but never acks (GC
+        // pause, half-dead NAT flow) would wedge the executor task
+        // forever — the exact failure this transport exists to surface
+        s.setSoTimeout(readTimeoutMs)
         s
       },
       close = s => try s.close() catch { case NonFatal(_) => () },
@@ -345,7 +351,18 @@ object Pool {
           val code = conn.getResponseCode
           if (code >= 300)
             throw new java.io.IOException(s"HTTP $code from $u")
-        } finally conn.disconnect()
+        } finally {
+          // drain + close the streams WITHOUT disconnect(): disconnect
+          // closes the underlying socket, which would defeat the JDK
+          // keep-alive reuse the doc above relies on — every batch
+          // would pay a fresh TCP (and TLS) handshake
+          def drain(s: java.io.InputStream): Unit =
+            if (s != null) try {
+              while (s.read() != -1) (); s.close()
+            } catch { case NonFatal(_) => () }
+          drain(try conn.getInputStream catch { case NonFatal(_) => null })
+          drain(conn.getErrorStream)
+        }
       },
       size = size, claimTimeoutMs = claimTimeoutMs,
       regenerateIntervalMs = 1000, blockStart = true, retries = retries)

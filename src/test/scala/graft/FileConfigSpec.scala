@@ -151,7 +151,12 @@ class FileConfigSpec extends SparkSpec {
     core.stop()
   }
 
-  test("Loader rejects include cycles and duplicate stream names") {
+  test("Loader rejects include cycles; duplicate stream names collapse " +
+    "last-wins, so an includer shadows an included stream (load's " +
+    "documented include-shadowing contract)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-config-bad")
     val a = dir.resolve("a.json")
     val b = dir.resolve("b.json")
@@ -159,15 +164,35 @@ class FileConfigSpec extends SparkSpec {
     write(b, """{"include":["a.json"],"streams":[]}""")
     intercept[IllegalArgumentException](ConfigFile.load(a))
 
-    val dup = dir.resolve("dup.json")
-    write(dup,
-      """{"streams":[
-        |{"name":"x","source":"input","sink":{"kind":"memory"}},
-        |{"name":"x","source":"input","sink":{"kind":"memory"}}]}""".stripMargin)
+    // base defines "x" as a critical-only filter; the includer
+    // redefines "x" as a pass-everything scale — the includer's
+    // definition (concatenated last) must win, and exactly one "x"
+    // stream starts
+    val base = dir.resolve("base.json")
+    val main = dir.resolve("main.json")
+    write(base,
+      """{"streams":[{"name":"x","source":"input",
+        |  "pipeline":[{"op":"where","expr":"state = 'critical'"}],
+        |  "sink":{"kind":"memory"}}]}""".stripMargin)
+    write(main,
+      """{"include":["base.json"],
+        |"streams":[{"name":"x","source":"input",
+        |  "pipeline":[{"op":"scale","factor":2.0}],
+        |  "sink":{"kind":"memory"}}]}""".stripMargin)
+    val input = MemoryStream[SEvent]
     val core = new Core(spark)
-    val loader = new ConfigFile.Loader(core, spark, dup,
-      sources = Map("input" -> (() => spark.range(1).toDF())))
-    intercept[IllegalArgumentException](loader.reload())
+    val loader = new ConfigFile.Loader(core, spark, main,
+      sources = Map("input" -> (() => input.toDF())))
+    assert(loader.reload() == Seq("x"))
+    assert(core.activeQueries.keySet == Set("x"))
+    input.addData(
+      SEvent("h1", "s", "critical", Some(5.0), new Timestamp(1000), None),
+      SEvent("h2", "s", "ok", Some(3.0), new Timestamp(2000), None))
+    core.activeQueries.values.foreach(_.processAllAvailable())
+    // the shadowing scale stream passes BOTH events (the shadowed
+    // critical-only filter would have passed one)
+    assert(loader.memorySinks("x").rows.size == 2)
+    core.stop()
   }
 
   test("installSighup wires a HUP handler (or degrades gracefully)") {

@@ -233,4 +233,35 @@ class PoolSpec extends SparkSpec {
       assert(dead.size == 2, "dead letter = 1 batch row + 1 exception event")
     } finally Pool.shutdownPool(s"tcp:127.0.0.1:$deadPort")
   }
+
+  test("tcpFrameTransport: a downstream that accepts frames but never " +
+    "acks times out the read instead of wedging the task forever") {
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    // accept and swallow bytes, never write an ack
+    val sink = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = s.getInputStream
+        while (in.read() != -1) ()
+      } catch { case _: Throwable => () }
+    })
+    sink.setDaemon(true)
+    sink.start()
+    try {
+      val t = Pool.tcpFrameTransport("127.0.0.1", port, size = 1,
+        retries = 0, readTimeoutMs = 300)
+      val frame = Array[Byte](0, 0, 0, 1, 42) // int32 len + 1 payload byte
+      val t0 = System.nanoTime()
+      intercept[java.net.SocketTimeoutException] {
+        t(Iterator(frame))
+      }
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(elapsedMs < 5000,
+        s"read timed out after ${elapsedMs}ms - SO_TIMEOUT not applied?")
+    } finally {
+      Pool.shutdownPool(s"riemann:tcp:127.0.0.1:$port")
+      server.close()
+    }
+  }
 }
