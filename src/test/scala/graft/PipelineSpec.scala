@@ -183,6 +183,33 @@ class PipelineSpec extends SparkSpec {
     assert((0 until 2).forall(s => ref((s, 1)) == seed((s, 1))))
   }
 
+  test("pqEncode runs unchanged on a stream: arriving vectors encode " +
+    "against static codebooks per micro-batch (incremental indexing)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // codebooks trained on the static corpus; the stream carries new
+    // arrivals that must become m-byte codes incrementally
+    val cb = Similarity.pqCodebooks(corpus, m = 2, dims = 4)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float], Int)]
+    val q = Similarity.pqEncode(
+        in.toDF().toDF("vec_id", "embedding", "label"), cb, m = 2, dims = 4)
+      .select("vec_id", "codes")
+      .writeStream.format("memory").queryName("pq_stream")
+      .outputMode("append").start()
+    try {
+      // jittered like the training clusters so BOTH subspaces carry
+      // signal (an all-zero subvector would tie to the smallest label)
+      in.addData((100L, Seq(1f, 0f, 0.2f, 0f), 9),
+        (101L, Seq(0f, 1f, 0f, 0.2f), 9))
+      q.processAllAvailable()
+      val rows = spark.table("pq_stream").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(rows(100L) == Seq(0, 0) && rows(101L) == Seq(1, 1))
+    } finally q.stop()
+  }
+
   test("pqTopKReranked with a full-corpus shortlist recovers the " +
     "exact brute-force ranking") {
     val rr = Similarity.pqTopKReranked(corpus, Seq(0L), k = 5,
