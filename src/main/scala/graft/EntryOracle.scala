@@ -642,6 +642,16 @@ private[graft] object EntryOracle {
       "FROM documents d JOIN r2 USING (source)) " +
       "SELECT doc_id, source, n_source, round(keep_rate, 6) AS keep_rate, sample_u " +
       "FROM u WHERE sample_u < round(keep_rate, 8) ORDER BY doc_id"),
+    "q_temp_sample_lang" -> ("WITH c AS (SELECT lang, count(*) AS n_source FROM documents GROUP BY lang), " +
+      "r AS (SELECT lang, n_source, CAST(round(pow(CAST(n_source AS DOUBLE), CAST(0.3 AS DOUBLE)), 6) AS DECIMAL(38,6)) AS wgt FROM c), " +
+      "r2 AS (SELECT lang, n_source, least(CAST(1.0 AS DOUBLE), " +
+      "CAST(0.5 AS DOUBLE) * CAST(SUM(n_source) OVER () AS DOUBLE) * CAST(wgt AS DOUBLE) " +
+      "/ CAST(SUM(wgt) OVER () AS DOUBLE) / CAST(n_source AS DOUBLE)) AS keep_rate FROM r), " +
+      "u AS (SELECT d.doc_id, d.lang, r2.n_source, r2.keep_rate, " +
+      "round(CAST(CAST(('0x'||substr(md5('sample:'||CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT) AS DOUBLE) / 4294967296.0, 8) AS sample_u " +
+      "FROM documents d JOIN r2 USING (lang)) " +
+      "SELECT doc_id, lang, n_source, round(keep_rate, 6) AS keep_rate, sample_u " +
+      "FROM u WHERE sample_u < round(keep_rate, 8) ORDER BY doc_id"),
     "q_changed_pairs" -> (s"$cte, l AS (SELECT event_id, host, state, " +
       "lag(state, 1, 'ok') OVER (PARTITION BY host ORDER BY time_s, event_id) AS prev_value FROM ev) " +
       "SELECT event_id, host, prev_value, state FROM l " +

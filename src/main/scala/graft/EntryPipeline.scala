@@ -169,6 +169,13 @@ private[graft] object EntryPipeline {
       .select(col("doc_id"), col("source"), col("n_source"),
         round(col("keep_rate"), 6).as("keep_rate"), col("sample_u"))
       .orderBy("doc_id")),
+    // same mixture rule along the lang column: the multilingual
+    // rebalancing use (up-sample low-resource languages toward uniform)
+    "q_temp_sample_lang" -> ((s, d) =>
+      Curation.temperatureSample(docs(s, d), 0.3, 0.5, byCol = "lang")
+        .select(col("doc_id"), col("lang"), col("n_source"),
+          round(col("keep_rate"), 6).as("keep_rate"), col("sample_u"))
+        .orderBy("doc_id")),
     // changed with :pairs? — the previous value rides along with each
     // transition (streams_test.clj changed-test "with previous event")
     "q_changed_pairs" -> ((s, d) =>

@@ -143,12 +143,18 @@ object Curation {
     * and broadcast-joins back; the keep test is a narrow codegen'd
     * filter. No global sort, no driver-side randomness.
     *
+    * `byCol` chooses the mixture dimension: `source` (the default) for
+    * provenance rebalancing, `lang` for the multilingual-corpus
+    * rebalancing rule (up-sample low-resource languages toward
+    * uniform) — any low-cardinality column works, the plan shape is
+    * identical.
+    *
     * Output: input columns + (n_source, keep_rate, sample_u) for kept
     * rows only. */
   def temperatureSample(docs: DataFrame, alpha: Double = 0.5,
-      targetFrac: Double = 0.5): DataFrame = {
+      targetFrac: Double = 0.5, byCol: String = "source"): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val counts = docs.groupBy("source")
+    val counts = docs.groupBy(byCol)
       .agg(count(lit(1)).as("n_source"))
     // w_s = n^alpha / Σ n^alpha over a one-row-per-source relation (the
     // window total is |sources| rows — thousands at worst, and the
@@ -166,11 +172,11 @@ object Curation {
           col("wgt").cast("double") /
           sum("wgt").over(Window.partitionBy()).cast("double") /
           col("n_source").cast("double")))
-      .select("source", "n_source", "keep_rate")
+      .select(byCol, "n_source", "keep_rate")
     val u = conv(substring(md5(concat(lit("sample:"),
       col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("long").cast("double") / lit(4294967296.0)
-    docs.join(broadcast(rates), "source")
+    docs.join(broadcast(rates), byCol)
       .withColumn("sample_u", round(u, 8))
       .filter(col("sample_u") < round(col("keep_rate"), 8))
   }
