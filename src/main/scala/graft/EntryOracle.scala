@@ -416,6 +416,12 @@ private[graft] object EntryOracle {
       "CAST((n_chars % 32) + 8 AS INT) AS width, " +
       "CAST((n_chars % 24) + 8 AS INT) AS height, " +
       "TRUE AS ok FROM documents ORDER BY media_id, frame_idx"),
+    "q_media_gif_frames" -> ("SELECT doc_id AS media_id, " +
+      "unnest(generate_series(0, (n_chars % 3) + 1)) AS frame_idx, " +
+      "'gif' AS codec, " +
+      "CAST((n_chars % 24) + 4 AS INT) AS width, " +
+      "CAST((n_chars % 16) + 4 AS INT) AS height, " +
+      "TRUE AS ok FROM documents ORDER BY media_id, frame_idx"),
     "q_media_frames_sampled" -> ("SELECT * FROM (SELECT doc_id AS media_id, " +
       "CAST(0 AS INT) AS stream, " +
       "unnest(generate_series(0, (n_chars % 4) + 1)) AS frame_idx, " +

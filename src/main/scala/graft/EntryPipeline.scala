@@ -84,6 +84,18 @@ private[graft] object EntryPipeline {
           "width", "height", "ok")
         .orderBy("media_id", "frame_idx")
     }),
+    // REAL animated-GIF frame decode: each doc becomes an actual
+    // multi-frame GIF (JDK sequence writer), then the multi-frame GIF
+    // reader extracts every frame; the oracle predicts count and dims
+    "q_media_gif_frames" -> ((s, d) => {
+      val spark0 = s
+      import spark0.implicits._
+      graft.pipeline.Multimodal.decodeGifFrames(
+        graft.pipeline.Multimodal.syntheticAnimatedGifs(docs(s, d)))
+        .toDF().select("media_id", "frame_idx", "codec", "width",
+          "height", "ok")
+        .orderBy("media_id", "frame_idx")
+    }),
     // every-Nth frame sampling: the chunk walk visits all frames but
     // only every 2nd pays the codec — the decode-cost throttle at scale
     "q_media_frames_sampled" -> ((s, d) => {

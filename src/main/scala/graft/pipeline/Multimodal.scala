@@ -650,6 +650,117 @@ object Multimodal {
     }
   }
 
+  /** REAL animated-GIF frame decode: the JDK's GIF reader is fully
+    * multi-frame (`getNumImages(true)` + `read(i)`), so animated GIFs
+    * — the other moving-image container a stock JRE can decode end to
+    * end — need no AVI wrapper. Emits one [[DecodedFrame]] per frame
+    * (stream 0; GIF has a single image stream), with the same
+    * `everyNth` codec throttle and corrupt-bytes contract as
+    * [[decodeVideoFrames]]. Frames whose own decode fails yield their
+    * `ok = false` row; a container-level failure yields the single
+    * `frame_idx = -1` marker row. */
+  def decodeGifFrames(media: DataFrame, everyNth: Int = 1)
+      : Dataset[DecodedFrame] = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          if (bytes == null || sniffFormat(bytes) != "gif")
+            Seq(DecodedFrame(id, -1, -1L, "unknown", 0, 0, 0L, ok = false))
+          else {
+            val reader = javax.imageio.ImageIO
+              .getImageReadersByFormatName("gif").next()
+            try {
+              reader.setInput(new javax.imageio.stream
+                .MemoryCacheImageInputStream(
+                  new java.io.ByteArrayInputStream(bytes)))
+              val n = reader.getNumImages(true)
+              // a "GIF" with zero decodable frames must surface, not
+              // vanish — no silent drops at 100 TB
+              if (n <= 0)
+                throw new IllegalArgumentException("no frames")
+              (0 until n).collect {
+                case i if i % everyNth == 0 =>
+                  try {
+                    val img = reader.read(i)
+                    var sum = 0L
+                    var y = 0
+                    while (y < img.getHeight) {
+                      var x = 0
+                      while (x < img.getWidth) {
+                        sum += (img.getRGB(x, y) & 0xffffff); x += 1
+                      }
+                      y += 1
+                    }
+                    DecodedFrame(id, 0, i.toLong, "gif", img.getWidth,
+                      img.getHeight, sum, ok = true)
+                  } catch { case scala.util.control.NonFatal(_) =>
+                    DecodedFrame(id, 0, i.toLong, "gif", 0, 0, 0L,
+                      ok = false)
+                  }
+              }
+            } catch { case scala.util.control.NonFatal(_) =>
+              Seq(DecodedFrame(id, -1, -1L, "gif", 0, 0, 0L, ok = false))
+            } finally reader.dispose()
+          }
+        }
+      }
+  }
+
+  /** Deterministic animated-GIF relation derived from the `documents`
+    * table: each doc becomes a REAL multi-frame GIF written with the
+    * JDK's own sequence writer (`prepareWriteSequence` /
+    * `writeToSequence`), frame count and dims from doc columns, so the
+    * DuckDB oracle predicts [[decodeGifFrames]]' output straight from
+    * the doc columns. Pixels quantize through the GIF palette (the
+    * format is indexed-color), so the gate pins count/dims/ok; pixel
+    * determinism is spec-pinned as same-bytes → same-sums. */
+  def syntheticAnimatedGifs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        (pmod(col("n_chars"), lit(3)) + 2).cast("int").as("n_frames"),
+        (pmod(col("n_chars"), lit(24)) + 4).cast("int").as("w"),
+        (pmod(col("n_chars"), lit(16)) + 4).cast("int").as("h"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, nFrames, w, h) =>
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          val out = new java.io.ByteArrayOutputStream()
+          val ios = new javax.imageio.stream
+            .MemoryCacheImageOutputStream(out)
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            (0 until nFrames).foreach { f =>
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  img.setRGB(x, y, framePixel(id, f, x, y)); x += 1
+                }
+                y += 1
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+            }
+            writer.endWriteSequence()
+            ios.flush()
+          } finally { writer.dispose(); ios.close() }
+          (id, "image/gif", out.toByteArray)
+        }
+      }
+      .toDF("media_id", "mime", "bytes")
+  }
+
   private def leChunkBytes(fourcc: String, payload: Array[Byte]*)
       : Array[Byte] = {
     val size = payload.map(_.length).sum

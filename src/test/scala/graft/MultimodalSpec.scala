@@ -405,6 +405,59 @@ class MultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("real animated-GIF frame decode: multi-frame round-trip " +
+    "through the JDK's sequence writer and reader, deterministic sums") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (0L, "x" * 25, "en", "s0", 25L),  // 3 frames, 5x13
+      (1L, "y" * 30, "en", "s1", 30L))  // 2 frames, 10x18
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val gifs = Multimodal.syntheticAnimatedGifs(docs)
+    val out = Multimodal.decodeGifFrames(gifs).collect()
+      .sortBy(f => (f.media_id, f.frame_idx))
+    assert(out.forall(f => f.ok && f.codec == "gif" && f.stream == 0))
+    val byDoc = out.groupBy(_.media_id)
+    assert(byDoc(0L).map(_.frame_idx).toSeq == Seq(0L, 1L, 2L))
+    assert(byDoc(1L).map(_.frame_idx).toSeq == Seq(0L, 1L))
+    assert(byDoc(0L).forall(f => f.width == 5 && f.height == 13))
+    assert(byDoc(1L).forall(f => f.width == 10 && f.height == 18))
+    // pixels quantize through the GIF palette, so sums aren't the raw
+    // framePixel sums — but decode is deterministic: same bytes, same
+    // sums on a second pass, and distinct frames carry distinct pixels
+    val again = Multimodal.decodeGifFrames(gifs).collect()
+      .sortBy(f => (f.media_id, f.frame_idx))
+    assert(out.map(_.px_sum).toSeq == again.map(_.px_sum).toSeq)
+    assert(byDoc(0L).map(_.px_sum).distinct.length == 3)
+    // everyNth skips the codec per stream
+    val sampled = Multimodal.decodeGifFrames(gifs, everyNth = 2)
+      .collect().filter(_.media_id == 0L).map(_.frame_idx).sorted.toSeq
+    assert(sampled == Seq(0L, 2L))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeGifFrames(gifs, everyNth = 0)
+    }
+  }
+
+  test("corrupt GIF bytes become ok=false rows, not task failures") {
+    val spark0 = spark
+    import spark0.implicits._
+    val good = Multimodal.syntheticAnimatedGifs(
+      Seq((0L, "x" * 25, "en", "s0", 25L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("bytes").head().getAs[Array[Byte]](0)
+    val junk = Seq(
+      (1L, good.take(20)),                  // truncated mid-header
+      (2L, "GIF8 but not really".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]]),
+      (4L, "png?".getBytes("UTF-8")))       // wrong magic entirely
+      .toDF("media_id", "bytes")
+    val out = Multimodal.decodeGifFrames(junk).collect()
+    // every row surfaces; nothing decodes ok (truncation may surface
+    // as a container marker or zero frames followed by the marker)
+    assert(out.forall(!_.ok))
+    assert(out.map(_.media_id).distinct.length == 4)
+  }
+
   test("corrupt AVI bytes become ok=false rows, not task failures") {
     val spark0 = spark
     import spark0.implicits._
