@@ -123,6 +123,31 @@ private[graft] object EntryOracle {
       "ren0 AS (SELECT psv.vec_id, psv.sub, cb.label, list_sum(list_transform(list_zip(psv.svec, cb.cvec), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS score FROM psv JOIN rcb cb ON psv.sub = cb.sub), " +
       "ren AS (SELECT vec_id, sub, label AS code FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY score DESC, label) AS rn FROM ren0) WHERE rn = 1)"
 
+  /** DuckDB IVF×PQ chain (IVFADC) on top of [[ivfChain]]'s `cent`,
+    * `asg`, `q`: residuals (unit − centroid[cell]) → per-(vec, sub)
+    * residual subvectors → data-point seeds (vec_id < 16) → ONE Lloyd
+    * round of min-scaled-L2 assignment + decimal re-mean (empty
+    * codewords hold) → final encode → nprobe=3 probes carrying the
+    * scaled q·c_cell term → per-query LUT → ADC over probed cells only:
+    * adc = (q·c_cell + Σ_s LUT[sub][code]) / 1e16 — the exact longs
+    * `Similarity.ivfPqTopK` computes. */
+  private lazy val ivfPqChain: String =
+    "ipr AS (SELECT asg.vec_id, asg.cell, list_transform(list_zip(asg.unit, c.cvec), z -> z[1]-z[2]) AS rvec FROM asg JOIN cent c ON asg.cell = c.label), " +
+      "iprs AS (SELECT vec_id, cell, s.sub, list_slice(rvec, s.sub*8+1, s.sub*8+8) AS svec FROM ipr, (SELECT unnest(generate_series(0, 7)) AS sub) s), " +
+      "iseed AS (SELECT sub, CAST(vec_id AS INT) AS label, svec AS cvec FROM iprs WHERE vec_id < 16), " +
+      "ias0 AS (SELECT iprs.vec_id, iprs.sub, s.label, list_sum(list_transform(list_zip(iprs.svec, s.cvec), z -> CAST(FLOOR((z[1]-z[2])*(z[1]-z[2])*1e12) AS BIGINT))) AS d FROM iprs JOIN iseed s ON iprs.sub = s.sub), " +
+      "ias AS (SELECT vec_id, sub, label AS code FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, label) AS rn FROM ias0) WHERE rn = 1), " +
+      "irm AS (SELECT iprs.sub, ias.code, sd.sd, CAST(SUM(CAST(list_extract(iprs.svec, sd.sd+1) AS DECIMAL(38,18))) AS DOUBLE)/count(*) AS c FROM iprs JOIN ias ON iprs.vec_id = ias.vec_id AND iprs.sub = ias.sub, (SELECT unnest(generate_series(0, 7)) AS sd) sd GROUP BY 1, 2, 3), " +
+      "ircb0 AS (SELECT sub, code AS label, list(c ORDER BY sd) AS cvec FROM irm GROUP BY 1, 2), " +
+      "ircb AS (SELECT s.sub, s.label, COALESCE(r.cvec, s.cvec) AS cvec FROM iseed s LEFT JOIN ircb0 r ON s.sub = r.sub AND s.label = r.label), " +
+      "ien0 AS (SELECT iprs.vec_id, iprs.sub, cb.label, list_sum(list_transform(list_zip(iprs.svec, cb.cvec), z -> CAST(FLOOR((z[1]-z[2])*(z[1]-z[2])*1e12) AS BIGINT))) AS d FROM iprs JOIN ircb cb ON iprs.sub = cb.sub), " +
+      "ien AS (SELECT vec_id, sub, label AS code FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, label) AS rn FROM ien0) WHERE rn = 1), " +
+      "ipp0 AS (SELECT q.query_id, q.qunit, c.label, list_sum(list_transform(list_zip(q.qunit, c.cvec), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS score FROM q CROSS JOIN cent c), " +
+      "ipp AS (SELECT query_id, qunit, label AS cell, score FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, label) AS rn FROM ipp0) WHERE rn <= 3), " +
+      "ilut AS (SELECT q.query_id, cb.sub, cb.label, list_sum(list_transform(list_zip(list_slice(q.qunit, cb.sub*8+1, cb.sub*8+8), cb.cvec), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS d FROM q CROSS JOIN ircb cb), " +
+      "isc AS (SELECT ipp.query_id, asg.vec_id, round(CAST(ipp.score + SUM(l.d) AS DOUBLE)/1e16, 6) AS adc FROM ipp JOIN asg ON asg.cell = ipp.cell AND asg.vec_id <> ipp.query_id JOIN ien ON ien.vec_id = asg.vec_id JOIN ilut l ON l.query_id = ipp.query_id AND l.sub = ien.sub AND l.label = ien.code GROUP BY ipp.query_id, asg.vec_id, ipp.score), " +
+      "ivfpq_rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rk FROM isc)"
+
   /** Shared DuckDB chain: minhash signatures → 4-band LSH buckets →
     * colliding pairs with estimated Jaccard (k=16, w=3) — the base of
     * both the pair query and the component clustering. The default
@@ -489,6 +514,7 @@ private[graft] object EntryOracle {
       "SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 5 ORDER BY query_id, rk"),
     "q_ann_ivf" -> s"$unitCte, $ivfChain SELECT query_id, vec_id, cosine, rk FROM ivf_rk WHERE rk <= 10 ORDER BY query_id, rk",
     "q_ann_pq" -> s"$unitCte, $pqChain SELECT query_id, vec_id, adc, rk FROM pq_rk WHERE rk <= 10 ORDER BY query_id, rk",
+    "q_ann_ivfpq" -> s"$unitCte, $ivfChain, $ivfPqChain SELECT query_id, vec_id, adc, rk FROM ivfpq_rk WHERE rk <= 10 ORDER BY query_id, rk",
     "q_ann_pq_rerank" -> (s"$unitCte, $pqChain, " +
       "sl AS (SELECT query_id, vec_id, adc FROM pq_rk WHERE rk <= 50), " +
       "ex AS (SELECT sl.query_id, sl.vec_id, sl.adc, round(CAST(list_sum(list_transform(list_zip(uq.unit, uv.unit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine " +
@@ -501,7 +527,7 @@ private[graft] object EntryOracle {
     "q_pq_kmeans" -> (s"$unitCte, $pqChain, $pqRefChain SELECT vec_id, " +
       "array_to_string(list(code ORDER BY sub), ',') AS codes " +
       "FROM ren GROUP BY vec_id ORDER BY vec_id"),
-    "q_ann_recall" -> (s"$unitCte, $ivfChain, $pqChain, " +
+    "q_ann_recall" -> (s"$unitCte, $ivfChain, $pqChain, $ivfPqChain, " +
       "br0 AS (SELECT q.query_id, u.vec_id, round(CAST(list_sum(list_transform(list_zip(u.unit, q.qunit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM u, q WHERE u.vec_id <> q.query_id), " +
       "br AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM br0) WHERE rk <= 10), " +
       s"lbk AS (SELECT vec_id, unit, ${bucketSql(8)} AS bucket FROM u), " +
@@ -518,9 +544,10 @@ private[graft] object EntryOracle {
       } +
       "ivf AS (SELECT query_id, vec_id FROM ivf_rk WHERE rk <= 10), " +
       "pqt AS (SELECT query_id, vec_id FROM pq_rk WHERE rk <= 10), " +
-      "rec AS (SELECT br.query_id, count(*) AS k, CAST(SUM(CASE WHEN lsh.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits, CAST(SUM(CASE WHEN blsh.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS blsh_hits, CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits, CAST(SUM(CASE WHEN pqt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_hits " +
-      "FROM br LEFT JOIN lsh ON br.query_id = lsh.query_id AND br.vec_id = lsh.vec_id LEFT JOIN blsh ON br.query_id = blsh.query_id AND br.vec_id = blsh.vec_id LEFT JOIN ivf ON br.query_id = ivf.query_id AND br.vec_id = ivf.vec_id LEFT JOIN pqt ON br.query_id = pqt.query_id AND br.vec_id = pqt.vec_id GROUP BY br.query_id) " +
-      "SELECT query_id, k, lsh_hits, blsh_hits, ivf_hits, pq_hits, round(CAST(lsh_hits AS DOUBLE)/k, 6) AS lsh_recall, round(CAST(blsh_hits AS DOUBLE)/k, 6) AS blsh_recall, round(CAST(ivf_hits AS DOUBLE)/k, 6) AS ivf_recall, round(CAST(pq_hits AS DOUBLE)/k, 6) AS pq_recall FROM rec ORDER BY query_id"),
+      "ipqt AS (SELECT query_id, vec_id FROM ivfpq_rk WHERE rk <= 10), " +
+      "rec AS (SELECT br.query_id, count(*) AS k, CAST(SUM(CASE WHEN lsh.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits, CAST(SUM(CASE WHEN blsh.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS blsh_hits, CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits, CAST(SUM(CASE WHEN pqt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_hits, CAST(SUM(CASE WHEN ipqt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivfpq_hits " +
+      "FROM br LEFT JOIN lsh ON br.query_id = lsh.query_id AND br.vec_id = lsh.vec_id LEFT JOIN blsh ON br.query_id = blsh.query_id AND br.vec_id = blsh.vec_id LEFT JOIN ivf ON br.query_id = ivf.query_id AND br.vec_id = ivf.vec_id LEFT JOIN pqt ON br.query_id = pqt.query_id AND br.vec_id = pqt.vec_id LEFT JOIN ipqt ON br.query_id = ipqt.query_id AND br.vec_id = ipqt.vec_id GROUP BY br.query_id) " +
+      "SELECT query_id, k, lsh_hits, blsh_hits, ivf_hits, pq_hits, ivfpq_hits, round(CAST(lsh_hits AS DOUBLE)/k, 6) AS lsh_recall, round(CAST(blsh_hits AS DOUBLE)/k, 6) AS blsh_recall, round(CAST(ivf_hits AS DOUBLE)/k, 6) AS ivf_recall, round(CAST(pq_hits AS DOUBLE)/k, 6) AS pq_recall, round(CAST(ivfpq_hits AS DOUBLE)/k, 6) AS ivfpq_recall FROM rec ORDER BY query_id"),
     "q_quantize" -> ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings), " +
       "m AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS scale FROM e) " +
       "SELECT vec_id, round(scale, 6) AS scale, " +

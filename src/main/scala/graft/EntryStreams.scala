@@ -381,6 +381,11 @@ private[graft] object EntryStreams {
     "q_ann_pq_rerank" -> ((s, d) =>
       Similarity.pqTopKReranked(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 50, 8)
         .orderBy("query_id", "rk")),
+    // IVFADC (Jégou et al. 2011 §IV): IVF cells × Lloyd-refined
+    // residual PQ codebooks, ADC restricted to probed cells
+    "q_ann_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 3, 8, 16, 1)
+        .orderBy("query_id", "rk")),
     // one Lloyd round of real k-means on the codebooks (deterministic:
     // seeded init, tie-broken argmax assignment, decimal-exact means,
     // empty codewords hold position), then encode against the result

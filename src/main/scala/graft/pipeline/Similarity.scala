@@ -439,17 +439,26 @@ object Similarity {
       adcTopK(units, q, pqcb, k, m, dims).select("query_id", "vec_id")
     }
 
+    // IVF×PQ ranker: the shared [[ivfPqRanked]] pipeline over the
+    // recall probe's own assignment — recall here is capped by the IVF
+    // cell restriction but measured against the residual quantizer,
+    // the honest cost/quality point of the composed index.
+    val ivfpq = ivfPqRanked(assigned, cents, q, k, nprobe, 8, 16, 1, dims)
+      .select("query_id", "vec_id")
+
     brute
       .join(lsh.withColumn("lsh_hit", lit(1)), Seq("query_id", "vec_id"), "left")
       .join(blsh.withColumn("blsh_hit", lit(1)), Seq("query_id", "vec_id"), "left")
       .join(ivf.withColumn("ivf_hit", lit(1)), Seq("query_id", "vec_id"), "left")
       .join(pq.withColumn("pq_hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .join(ivfpq.withColumn("ivfpq_hit", lit(1)), Seq("query_id", "vec_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("k"),
         sum(coalesce(col("lsh_hit"), lit(0))).cast("long").as("lsh_hits"),
         sum(coalesce(col("blsh_hit"), lit(0))).cast("long").as("blsh_hits"),
         sum(coalesce(col("ivf_hit"), lit(0))).cast("long").as("ivf_hits"),
-        sum(coalesce(col("pq_hit"), lit(0))).cast("long").as("pq_hits"))
+        sum(coalesce(col("pq_hit"), lit(0))).cast("long").as("pq_hits"),
+        sum(coalesce(col("ivfpq_hit"), lit(0))).cast("long").as("ivfpq_hits"))
       .withColumn("lsh_recall",
         round(col("lsh_hits").cast("double") / col("k"), 6))
       .withColumn("blsh_recall",
@@ -458,6 +467,8 @@ object Similarity {
         round(col("ivf_hits").cast("double") / col("k"), 6))
       .withColumn("pq_recall",
         round(col("pq_hits").cast("double") / col("k"), 6))
+      .withColumn("ivfpq_recall",
+        round(col("ivfpq_hits").cast("double") / col("k"), 6))
   }
 
   /** Scalar int8 quantization with a per-vector absmax scale — the
@@ -578,7 +589,7 @@ object Similarity {
         .agg(transform(sort_array(collect_list(struct(col("sd"), col("c")))),
           s => s("c")).as("ncvec"))
       val next = cb.as("p")
-        .join(newCb.as("n"),
+        .join(broadcast(newCb.as("n")),
           col("p.sub") === col("n.sub") && col("p.label") === col("n.code"),
           "left")
         .select(col("p.sub").as("sub"), col("p.label").as("label"),
@@ -588,6 +599,8 @@ object Similarity {
       cb.unpersist()
       cb = next
     }
+    cb.count() // materialize before releasing the subvector relation
+    svecs.unpersist()
     cb
   }
 
@@ -711,6 +724,164 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  // --------------------------------------------------------------------
+  // IVF×PQ — IVFADC (Jégou et al. 2011 §IV): coarse cells + residual PQ
+  // --------------------------------------------------------------------
+
+  private def argminL2(svec: Column, cents: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(CellArgminL2Expr(ColumnBridge.expression(svec),
+      ColumnBridge.expression(cents)))
+  }
+
+  /** Residual relation for IVFADC: unit − centroid[cell], per assigned
+    * vector. The centroid table is tiny → broadcast; the residual is a
+    * narrow elementwise map over the corpus. */
+  private[pipeline] def ivfResiduals(assigned: DataFrame,
+      cents: DataFrame): DataFrame =
+    assigned.join(broadcast(cents), assigned("cell") === cents("label"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("unit"), col("cvec"), (x, c) => x - c).as("rvec"))
+
+  /** Lloyd-refined RESIDUAL codebooks (the PQ stage of IVFADC): seeds
+    * are the residual subvectors of the `ksub` smallest vec_ids —
+    * data-point seeding, because any group-MEAN seed collapses to ~0
+    * (residuals average to zero within a cell) and degenerates the
+    * quantizer. Then `iters` Lloyd rounds: min-scaled-L2 assignment
+    * ([[CellArgminL2Expr]] — the quantization objective that bounds
+    * |q·x − q·x̂| on non-unit residuals, where max-dot would chase
+    * large-norm codewords), decimal-exact re-means, empty codewords
+    * hold position. Deterministic end to end — the DuckDB oracle
+    * replays seeding, assignment, and re-mean exactly. */
+  def ivfPqResidualCodebooks(resid: DataFrame, m: Int, ksub: Int,
+      iters: Int, dims: Int = 64): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+    // narrow subvector explode (slice, not posexplode+groupBy: no
+    // shuffle to build the per-(vec, sub) relation)
+    val rsv = resid.select(col("vec_id"), explode(array((0 until m).map { s =>
+        struct(lit(s).as("sub"),
+          slice(col("rvec"), s * dsub + 1, dsub).as("svec"))
+      }: _*)).as("sc"))
+      .select(col("vec_id"), col("sc.sub").as("sub"), col("sc.svec").as("svec"))
+      .cache()
+    var cb = rsv.filter(col("vec_id") < ksub)
+      .select(col("sub"), col("vec_id").cast("int").as("label"),
+        col("svec").as("cvec"))
+      .cache()
+    for (_ <- 1 to iters) {
+      val cents = cb.groupBy("sub")
+        .agg(sort_array(collect_list(struct(col("label"), col("cvec"))))
+          .as("cents"))
+      val coded = rsv.join(broadcast(cents), "sub")
+        .select(col("sub"), argminL2(col("svec"), col("cents")).as("code"),
+          col("svec"))
+      val newCb = coded
+        .select(col("sub"), col("code"), posexplode(col("svec")).as(Seq("sd", "v")))
+        .groupBy("sub", "code", "sd")
+        .agg((sum(col("v").cast(DecimalType(38, 18))).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy("sub", "code")
+        .agg(transform(sort_array(collect_list(struct(col("sd"), col("c")))),
+          s => s("c")).as("ncvec"))
+      // both sides are m × ksub rows — broadcast keeps the round free
+      // of a sort-merge exchange pair
+      val next = cb.as("p")
+        .join(broadcast(newCb.as("n")),
+          col("p.sub") === col("n.sub") && col("p.label") === col("n.code"),
+          "left")
+        .select(col("p.sub").as("sub"), col("p.label").as("label"),
+          coalesce(col("n.ncvec"), col("p.cvec")).as("cvec"))
+        .cache()
+      next.count() // materialize before retiring the books it reads
+      cb.unpersist()
+      cb = next
+    }
+    cb.count() // materialize before releasing the subvector relation
+    rsv.unpersist()
+    cb
+  }
+
+  /** Shared IVF×PQ scoring pipeline over an assigned corpus: residual
+    * codebooks → narrow residual encode (m codes per vector, broadcast
+    * codebooks) → per-query cell probes + LUTs → ADC restricted to
+    * probed cells: score(q, x) = q·c_cell + Σ_s LUT[q][s][code_s],
+    * every term a scaled long the oracle reproduces. ONE implementation
+    * feeds [[ivfPqTopK]] and [[annRecall]]'s ivfpq column. */
+  private def ivfPqRanked(assigned: DataFrame, cents: DataFrame,
+      q: DataFrame, k: Int, nprobe: Int, m: Int, ksub: Int, iters: Int,
+      dims: Int): DataFrame = {
+    val dsub = dims / m
+    val resid = ivfResiduals(assigned, cents)
+    val cb = ivfPqResidualCodebooks(resid, m, ksub, iters, dims)
+    val cbs = cb.groupBy("sub")
+      .agg(sort_array(collect_list(struct(col("label"), col("cvec"))))
+        .as("cents"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("cents")))),
+        s => s("cents")).as("cbs"))
+    // encode = pure narrow map: corpus residuals never reshuffle
+    val enc = resid.crossJoin(broadcast(cbs))
+      .select(col("vec_id"), col("cell"),
+        array((0 until m).map { s =>
+          argminL2(slice(col("rvec"), s * dsub + 1, dsub),
+            element_at(col("cbs"), s + 1))
+        }: _*).as("codes"))
+    val probeScored = q.join(broadcast(cents))
+      .select(col("query_id"), col("qunit"), col("label"),
+        dotScaled(col("qunit"), col("cvec")).as("score"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("label"))
+    // keep the scaled-long q·c_cell — it is the first ADC term
+    val probes = probeScored.withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qunit"), col("label").as("cell"),
+        col("score").as("cell_score"))
+    val luts = q.crossJoin(broadcast(cb))
+      .select(col("query_id"), col("sub"), col("label"),
+        dotScaled(slice(col("qunit"), col("sub") * dsub + 1, lit(dsub)),
+          col("cvec")).as("d"))
+      .groupBy("query_id", "sub")
+      .agg(sort_array(collect_list(struct(col("label"), col("d"))))
+        .as("entries"))
+      .groupBy("query_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("entries")))),
+        s => map_from_entries(s("entries"))).as("luts"))
+    val pqSide = probes.join(broadcast(luts), "query_id") // tiny × tiny
+    val scored = enc.join(broadcast(pqSide),
+        enc("cell") === pqSide("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round((col("cell_score") + aggregate(
+            zip_with(col("codes"), col("luts"), (c, mp) => element_at(mp, c)),
+            lit(0L), (acc, x) => acc + x)).cast("double") / lit(1e16), 6)
+          .as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** IVF×PQ ANN top-k — the billion-scale composition (IVFADC): coarse
+    * cells prune the corpus to `nprobe`/C of its cells, PQ codes of the
+    * RESIDUAL vector compress what remains 32×, and ADC scores probed
+    * cells only: score = q·c_cell + Σ_s q_s·codeword_s[code]. Against
+    * [[pqTopK]] (which ADC-scans the WHOLE corpus) this scores a
+    * fraction of the rows; against [[ivfTopK]] it replaces exact
+    * full-precision cosine inside cells with m integer lookups — the
+    * combined move that makes a RAM-resident 100 TB index answer
+    * queries without touching the raw vectors. Deterministic:
+    * label-seeded cells, data-point-seeded Lloyd-refined residual
+    * codebooks, scaled-long everything. */
+  def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nprobe: Int = 3, m: Int = 8, ksub: Int = 16, iters: Int = 1,
+      dims: Int = 64): DataFrame = {
+    val cents = ivfCentroids(embeddings).cache()
+    val assigned = ivfAssign(embeddings, cents).cache()
+    val q = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("qunit"))
+    ivfPqRanked(assigned, cents, q, k, nprobe, m, ksub, iters, dims)
   }
 
   /** Corpus-level embedding stats — norms and per-label centroids

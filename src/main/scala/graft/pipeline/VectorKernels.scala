@@ -72,6 +72,62 @@ object VectorKernels {
     bucket
   }
 
+  /** `aggregate(zip_with(a, b, (x, y) => floor((x-y)*(x-y)*scale)), 0L, _+_)`
+    * — the scaled squared-L2 distance used for PQ residual encoding
+    * (min-L2 is the quantization objective that bounds |q·x − q·x̂|;
+    * max-dot would favor large-norm codewords on non-unit residuals).
+    * Null conventions identical to [[dotScaled]]. */
+  def l2Scaled(a: ArrayData, b: ArrayData, scale: Double): java.lang.Long = {
+    if (a == null || b == null) return null
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na != nb) return null
+    var acc = 0L
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += math.floor(d * d * scale).toLong
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  /** Nearest-codeword label by scaled squared-L2 ([[l2Scaled]], 1e12),
+    * ties to the SMALLEST label — the ordering `row_number over
+    * (order by d ASC NULLS LAST, label)` materializes (a null distance
+    * loses to every real one). Null svec or empty cents → null. */
+  def argminCellL2(svec: ArrayData, cents: ArrayData): java.lang.Integer = {
+    if (svec == null || cents == null) return null
+    val n = cents.numElements()
+    var found = false
+    var bestLabel = 0
+    var bestScore = 0L
+    var bestHasScore = false
+    var i = 0
+    while (i < n) {
+      if (!cents.isNullAt(i)) {
+        val row = cents.getStruct(i, 2)
+        val label = row.getInt(0)
+        val s = l2Scaled(svec, row.getArray(1), 1e12)
+        val better =
+          if (!found) true
+          else if (s == null) !bestHasScore && label < bestLabel
+          else if (!bestHasScore) true
+          else if (s.longValue != bestScore) s.longValue < bestScore
+          else label < bestLabel
+        if (better) {
+          bestLabel = label
+          bestHasScore = s != null
+          bestScore = if (s == null) 0L else s.longValue
+          found = true
+        }
+      }
+      i += 1
+    }
+    if (found) java.lang.Integer.valueOf(bestLabel) else null
+  }
+
   /** Nearest-centroid label by scaled dot, ties to the SMALLEST label —
     * exactly the ordering `row_number over (order by score desc, label)`
     * materializes in the windowed spec (including its nulls-last desc
@@ -134,6 +190,38 @@ case class DotScaledExpr(left: Expression, right: Expression, scale: Double)
         ${r.isNull} ? null : ${r.value}, $scale);
       boolean ${ev.isNull} = $boxed == null;
       long ${ev.value} = ${ev.isNull} ? -1L : $boxed.longValue();
+      """)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `argmin_cell_l2(svec, cents)`: the nearest codeword's label by
+  * scaled squared-L2 distance, ties to the smallest label; null on
+  * null svec / empty cents. The PQ-residual encode kernel. */
+case class CellArgminL2Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val r = VectorKernels.argminCellL2(
+      left.eval(input).asInstanceOf[ArrayData],
+      right.eval(input).asInstanceOf[ArrayData])
+    if (r == null) null else r.intValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val boxed = ctx.freshName("cellL2Boxed")
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      java.lang.Integer $boxed = graft.pipeline.VectorKernels.argminCellL2(
+        ${l.isNull} ? null : ${l.value},
+        ${r.isNull} ? null : ${r.value});
+      boolean ${ev.isNull} = $boxed == null;
+      int ${ev.value} = ${ev.isNull} ? -1 : $boxed.intValue();
       """)
   }
   override protected def withNewChildrenInternal(

@@ -222,6 +222,36 @@ class PipelineSpec extends SparkSpec {
     assert(rr == brute)
   }
 
+  test("ivfPqTopK with nprobe=1 stays within the query's probed cell") {
+    val top = Similarity.ivfPqTopK(corpus, Seq(0L, 10L), k = 5, nprobe = 1,
+        m = 2, ksub = 16, iters = 1, dims = 4)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // residual-ADC ranking still only ever touches probed-cell members
+    assert(top(0L) == Set(1L, 2L))
+    assert(top(10L) == Set(11L, 12L))
+  }
+
+  test("IVF×PQ beats plain PQ's recall while scoring a fraction of its rows " +
+    "(real embeddings table)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rec = Similarity.annRecall(emb, Seq(0L, 1L, 2L, 3L, 4L), 10)
+      .select("query_id", "pq_recall", "ivfpq_recall").collect()
+    assert(rec.length == 5)
+    rec.foreach { r =>
+      assert(r.getDouble(2) >= r.getDouble(1),
+        s"query ${r.getLong(0)}: ivfpq ${r.getDouble(2)} < pq ${r.getDouble(1)}")
+    }
+    // scored-row budgets: plain PQ ADC-scans the WHOLE corpus per query;
+    // IVF×PQ touches only members of the nprobe=3 probed cells — bounded
+    // by 3 × the largest cell, well under the corpus
+    val n = emb.count()
+    val cellSizes = Similarity.ivfAssign(emb, Similarity.ivfCentroids(emb))
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    assert(3 * cellSizes.max < n - 1,
+      s"probed-cell budget 3×${cellSizes.max} is not under the corpus $n")
+  }
+
   test("lshTopK maxBucket drops hot buckets entirely") {
     // all six vectors land in some bucket; cap of 1 removes every
     // bucket with >1 member, so no pairs remain

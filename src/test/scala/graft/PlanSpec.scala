@@ -103,6 +103,38 @@ class PlanSpec extends SparkSpec {
       s"probe side not broadcast:\n$p")
   }
 
+  test("IVF×PQ: codebooks/probes/LUTs broadcast, corpus side never reshuffled") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(Similarity.ivfPqTopK(emb, Seq(0L, 1L), 3, nprobe = 2))
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"small sides not broadcast:\n$p")
+    // the encoded corpus joins probes+LUTs by broadcast: a sort-merge
+    // join here would reshuffle the full corpus per query batch
+    assert(!p.contains("SortMergeJoin"), s"corpus side shuffled:\n$p")
+  }
+
+  test("every top-k ranker keeps Spark's rank-limit pushdown (WindowGroupLimit)") {
+    // adcTopK/ivfTopK/lshTopK/ivfPqTopK/tfIdf all rank via
+    // row_number() <= k; WindowGroupLimit bounds the per-partition
+    // buffer to ~k rows BEFORE the full window sort materializes. An
+    // expression change that defeats the pushdown would silently
+    // reintroduce a full-corpus-per-query shuffle — assert the node.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for ((name, df) <- Seq(
+        "bruteForceTopK" -> Similarity.bruteForceTopK(emb, Seq(0L, 1L), 3),
+        "lshTopK" -> Similarity.lshTopK(emb, 3),
+        "ivfTopK" -> Similarity.ivfTopK(emb, Seq(0L, 1L), 3),
+        "pqTopK" -> Similarity.pqTopK(emb, Seq(0L, 1L), 3),
+        "ivfPqTopK" -> Similarity.ivfPqTopK(emb, Seq(0L, 1L), 3),
+        "tfIdf" -> graft.pipeline.TextAnalysis.tfIdf(docs))) {
+      val p = plan(df)
+      assert(p.contains("WindowGroupLimit"),
+        s"$name: rank-limit pushdown did not engage:\n$p")
+    }
+  }
+
   test("line decoders are narrow: no exchange before the parse projection") {
     val lines = spark.createDataFrame(
       Seq(Tuple1("api.req;dc=a 1.5 1000"), Tuple1("bad")).map(t => t)
