@@ -178,10 +178,20 @@ object Dedup {
     val fps = TextAnalysis.winnow(docs, k, w)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
     val capped = Caps.cap(fps, Seq("fp"), maxBucket, "winnow_fp")
-    capped.as("a")
-      .join(capped.as("b"), col("a.fp") === col("b.fp") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // pair generation happens INSIDE each fingerprint's partition: the
+    // cap's count-window already hash-partitioned on fp, so collecting
+    // the (deduped — winnow emits distinct fps per doc) member list
+    // adds NO exchange, and the a<b pairs come from one narrow nested
+    // transform over the sorted list instead of a self-join's
+    // build+probe over the same exchange. Hot fps are pre-capped, so
+    // the per-fp pair array is bounded by maxBucket².
+    capped.groupBy("fp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }

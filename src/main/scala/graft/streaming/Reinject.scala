@@ -19,9 +19,17 @@ import graft.sinks.Sinks
   * The sink collects each (derived, low-volume — alerts, rollups)
   * batch to the driver before appending, like the reference's
   * `append`; reinjecting a full-volume stream would make the driver
-  * the bottleneck — fan such loops through kafka instead. */
-class ReinjectLoop(implicit sqlCtx: SQLContext) extends Serializable {
+  * the bottleneck — fan such loops through kafka instead. That
+  * contract is ENFORCED: a batch larger than `maxBatchRows` fails the
+  * sink loudly (wrap in [[Sinks.Guarded]] to dead-letter the overflow
+  * instead of failing the query), and the collect itself is
+  * limit-bounded so a misconfigured full-volume topology can never
+  * silently melt the driver. */
+class ReinjectLoop(maxBatchRows: Int = ReinjectLoop.DefaultMaxBatchRows)(
+    implicit sqlCtx: SQLContext) extends Serializable {
   import sqlCtx.implicits._
+
+  require(maxBatchRows > 0, s"maxBatchRows must be > 0, got $maxBatchRows")
 
   private val loop = MemoryStream[SEvent]
   private var lastBatch = Long.MinValue
@@ -37,10 +45,25 @@ class ReinjectLoop(implicit sqlCtx: SQLContext) extends Serializable {
     override def write(batch: DataFrame, batchId: Long): Unit =
       ReinjectLoop.this.synchronized {
         if (batchId > lastBatch) {
-          val rows = batch.as[SEvent].collect()
+          // limit(cap + 1) bounds driver memory even on the failing
+          // path: we learn "over cap" from one extra row, not from
+          // materializing the runaway batch
+          val rows = batch.limit(maxBatchRows + 1).as[SEvent].collect()
+          if (rows.length > maxBatchRows)
+            throw new IllegalStateException(
+              s"reinject batch $batchId exceeds maxBatchRows=$maxBatchRows: " +
+                "reinject is for derived low-volume streams (alerts, " +
+                "rollups); fan full-volume loops through kafka, or wrap " +
+                "this sink in Sinks.Guarded to dead-letter the overflow")
           if (rows.nonEmpty) loop.addData(rows.toSeq)
           lastBatch = batchId
         }
       }
   }
+}
+
+object ReinjectLoop {
+  /** Default per-batch reinjection cap — far above any alert-scale
+    * feedback, far below a full-volume stream. */
+  val DefaultMaxBatchRows = 10000
 }

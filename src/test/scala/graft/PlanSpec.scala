@@ -135,6 +135,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("winnowOverlapPairs: map-side partial aggregation engages on the " +
+    "shared-fingerprint count; pair relation exchanges once") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(Dedup.winnowOverlapPairs(docs))
+    // the post-join groupBy(doc_a, doc_b) count must split into
+    // partial + final HashAggregate around its exchange — without the
+    // partial, every shared-fp occurrence of a hot pair crosses the
+    // wire instead of one pre-summed row per (pair, task)
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side partial count:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"partial+final aggregate pair missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    // exactly two exchanges: the cap's fp partitioning (which the
+    // member-list aggregation reuses — pair synthesis is in-partition)
+    // and the final pair count's
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"want 2 hash exchanges, got $exchanges:\n$p")
+  }
+
   test("line decoders are narrow: no exchange before the parse projection") {
     val lines = spark.createDataFrame(
       Seq(Tuple1("api.req;dc=a 1.5 1000"), Tuple1("bad")).map(t => t)

@@ -55,4 +55,63 @@ class ReinjectSpec extends SparkSpec {
       assert(!seen.contains(("web02", "cpu-alert", "ok")))
     } finally { topo.stop(); alertQ.stop() }
   }
+
+  test("reinject volume guard: an over-cap batch fails the query loudly; " +
+    "Guarded routes the overflow to the dead letter instead") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def ev(i: Int) = SEvent(s"h$i", "cpu", "critical", Some(0.9),
+      new Timestamp(1000L * i), None)
+
+    // bare sink: the 3-row batch against cap 2 must fail the query —
+    // a misconfigured full-volume loop is a topology bug, not a
+    // silently-melting driver
+    val primary = MemoryStream[SEvent]
+    val loop = new ReinjectLoop(maxBatchRows = 2)
+    val q = Sinks.attach(primary.toDS(), loop.sink)
+      .queryName("rein_guard").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("reing").toString)
+      .start()
+    try {
+      primary.addData(ev(1), ev(2), ev(3))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def rootChain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      assert(rootChain(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("maxBatchRows=2")), s"wrong failure: $e")
+    } finally q.stop()
+
+    // Guarded wrapper: the same overflow dead-letters and the query
+    // keeps running; under-cap batches still reinject
+    val primary2 = MemoryStream[SEvent]
+    val loop2 = new ReinjectLoop(maxBatchRows = 2)
+    val dead = new Sinks.MemorySink
+    val q2 = Sinks.attach(primary2.toDS(),
+        new Sinks.Guarded(loop2.sink, dead))
+      .queryName("rein_guard2").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("reing2").toString)
+      .start()
+    val topo2 = loop2.source.writeStream.format("memory")
+      .queryName("rein_guard2_loop").outputMode("append").start()
+    try {
+      primary2.addData(ev(1), ev(2), ev(3))
+      q2.processAllAvailable() // over cap -> dead letter, no failure
+      primary2.addData(ev(4))
+      q2.processAllAvailable() // under cap -> reinjects normally
+      topo2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(dead.rows.asScala.exists(_.getAs[String]("host") == "h1"),
+        "overflow batch did not reach the dead letter")
+      val looped = spark.table("rein_guard2_loop").as[SEvent].collect()
+        .map(_.host).toSet
+      assert(looped == Set("h4"),
+        s"loopback saw $looped — overflow must not reinject")
+    } finally { q2.stop(); topo2.stop() }
+  }
 }

@@ -106,15 +106,18 @@ class WinnowParitySpec extends SparkSpec {
         fpsOf(TextAnalysis.winnowColumns(d, k, w)), s"k=$k w=$w")
   }
 
-  test("overlap pairs reuse the fingerprint exchange: kernel runs once, " +
-    "one scan (AQE-final plan)") {
+  test("overlap pairs run the kernel once: no self-join at all, one scan " +
+    "(AQE-final plan)") {
+    // r11: pair synthesis moved inside the fp partition (member-list
+    // aggregation on the cap's own exchange + a narrow nested
+    // transform) — the self-join whose exchange-reuse this test used
+    // to pin no longer exists, which is strictly stronger
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = Dedup.winnowOverlapPairs(d)
     q.collect()
     val p = q.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(p.contains("ReusedExchange"),
-      s"self-join side recomputed the winnow kernel:\n$p")
+    assert(!p.contains("Join"), s"pair synthesis should not join:\n$p")
     assert("Scan parquet".r.findAllIn(p).length == 1,
       s"documents scanned more than once:\n$p")
   }
