@@ -55,6 +55,8 @@ import graft.streaming.{IndexProcessor, SEvent}
   */
 object ConfigFile {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Parse `path` (+ transitive includes) into one merged document.
     * Includes resolve relative to the including file and are
     * cycle-guarded; streams concatenate in include order, includer
@@ -82,6 +84,18 @@ object ConfigFile {
       case other => throw new IllegalArgumentException(
         s"streams must be an array, got $other")
     }
+    // two definitions of one name in the SAME file is the pasted-twice
+    // typo, not the include-shadowing contract — reject it here, where
+    // the origin file is still known (reload's last-wins collapse
+    // would silently never run the first definition). Shadowing across
+    // include boundaries (includer after its includes) stays legal.
+    val ownNames = own.map(s => str(s \ "name", "stream.name"))
+    val dups = ownNames.diff(ownNames.distinct).distinct
+    if (dups.nonEmpty)
+      throw new IllegalArgumentException(
+        s"duplicate stream name(s) ${dups.mkString(", ")} defined in $real" +
+          " — names must be unique within one file; use an include to" +
+          " shadow a stream")
     included ++ own
   }
 
@@ -238,7 +252,14 @@ object ConfigFile {
       // collapse to one). LinkedHashMap keeps first-seen order while
       // the value updates to the last definition.
       val streams = scala.collection.mutable.LinkedHashMap.empty[String, JObject]
-      load(path).foreach(s => streams(str(s \ "name", "stream.name")) = s)
+      load(path).foreach { s =>
+        val n = str(s \ "name", "stream.name")
+        if (streams.contains(n))
+          log.warn(s"stream '$n': a later definition shadows an included " +
+            "one (include-shadowing contract); the earlier definition " +
+            "will not run")
+        streams(n) = s
+      }
       val names = streams.keys.toSeq
       (current -- names).foreach(core.removeStream)
       for ((name, s) <- streams)

@@ -34,25 +34,41 @@ object EventView {
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the NTZ→LTZ cast below interprets naive values in the session
-    // timezone; every entrypoint pins UTC, but pin it here too so the
-    // epoch derivation cannot silently shift by a UTC offset in a
-    // session that forgot (same defensive move as nanosAsLong above)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
+
+  /** Pin the session timezone to UTC only for the duration of `f` —
+    * Dataset construction analyzes eagerly, so a cast built under the
+    * pin keeps its UTC zone after restore. A reader must not overwrite
+    * global session state as a side effect: a caller relying on a
+    * non-UTC session timezone for unrelated queries would be silently
+    * flipped. */
+  private def withUtc[T](spark: SparkSession, needed: Boolean)(f: => T): T =
+    if (!needed) f
+    else {
+      val prev = spark.conf.getOption("spark.sql.session.timeZone")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      try f
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.session.timeZone", v)
+        case None => spark.conf.unset("spark.sql.session.timeZone")
+      }
+    }
 
   /** The riemann-shaped event relation. Keeps event_id for deterministic
     * ordering. */
   def apply(spark: SparkSession, sfDir: String): DataFrame = {
     val df = events(spark, sfDir)
-    val timeS = df.schema("ts").dataType match {
+    val tsType = df.schema("ts").dataType
+    val timeS = tsType match {
       case types.LongType => expr("ts div 1000000000") // epoch-ns as long
       // TIMESTAMP or TIMESTAMP_NTZ: the NTZ→LTZ cast interprets the
-      // naive value in the session timezone, which every entrypoint pins
-      // to UTC — identical to DuckDB's naive epoch_ns on the same bytes
+      // naive value in the session timezone — pinned to UTC around the
+      // (eager) analysis below, so the epoch derivation cannot shift by
+      // a UTC offset even in a session that runs non-UTC
       case _ => unix_seconds(col("ts").cast(types.TimestampType))
     }
+    withUtc(spark, needed = tsType == types.TimestampNTZType) {
     df.select(
       col("event_id"),
       col("user_id").cast("string").as("host"),
@@ -68,6 +84,7 @@ object EventView {
       (lit(60) + (col("user_id") % 10) * 30).cast("double").as("ttl"),
       from_json(col("props"), types.MapType(types.StringType, types.StringType))
         .as("attributes"))
+    }
   }
 
   /** DuckDB CTE producing the identical relation from the raw parquet

@@ -355,13 +355,20 @@ object Pool {
           // drain + close the streams WITHOUT disconnect(): disconnect
           // closes the underlying socket, which would defeat the JDK
           // keep-alive reuse the doc above relies on — every batch
-          // would pay a fresh TCP (and TLS) handshake
-          def drain(s: java.io.InputStream): Unit =
-            if (s != null) try {
-              while (s.read() != -1) (); s.close()
-            } catch { case NonFatal(_) => () }
-          drain(try conn.getInputStream catch { case NonFatal(_) => null })
-          drain(conn.getErrorStream)
+          // would pay a fresh TCP (and TLS) handshake. close() runs in
+          // a finally so a mid-drain reset/timeout cannot leak the
+          // stream; a connection whose drain failed is broken mid-body,
+          // so it IS disconnected — keep-alive must never hand the
+          // poisoned socket to the next batch.
+          def drain(s: java.io.InputStream): Boolean =
+            if (s == null) true
+            else try { while (s.read() != -1) (); true }
+            catch { case NonFatal(_) => false }
+            finally { try s.close() catch { case NonFatal(_) => () } }
+          val drained =
+            drain(try conn.getInputStream catch { case NonFatal(_) => null }) &
+              drain(conn.getErrorStream)
+          if (!drained) conn.disconnect()
         }
       },
       size = size, claimTimeoutMs = claimTimeoutMs,

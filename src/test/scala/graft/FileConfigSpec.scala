@@ -195,6 +195,20 @@ class FileConfigSpec extends SparkSpec {
     core.stop()
   }
 
+  test("duplicate stream names in the SAME file are rejected (pasted-twice " +
+    "typo), while include shadowing stays legal") {
+    val dir = Files.createTempDirectory("graft-config-dup")
+    val f = dir.resolve("dup.json")
+    write(f,
+      """{"streams":[
+        | {"name":"y","source":"input","pipeline":[],"sink":{"kind":"memory"}},
+        | {"name":"y","source":"input","pipeline":[],"sink":{"kind":"memory"}}]}"""
+        .stripMargin)
+    val e = intercept[IllegalArgumentException](ConfigFile.load(f))
+    assert(e.getMessage.contains("duplicate stream name"))
+    assert(e.getMessage.contains("y"))
+  }
+
   test("installSighup wires a HUP handler (or degrades gracefully)") {
     val dir = Files.createTempDirectory("graft-config-hup")
     val f = dir.resolve("c.json")
