@@ -1,0 +1,225 @@
+package graft
+
+import java.nio.file.{Path, Paths}
+import java.util.concurrent.CountDownLatch
+
+import scala.collection.concurrent.TrieMap
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.config.ConfigFile
+import graft.sinks.{Sinks, SseServer, WsServer}
+import graft.sources.Sources
+import graft.streaming.SEvent
+
+/** The deployable process entry point — the `bin.clj` equivalent
+  * (reference src/riemann/bin.clj:135-167 `-main`): load a config
+  * file, start Core + servers, install the SIGHUP reload hook, block.
+  *
+  * Commands (mirroring bin.clj's):
+  *   - `graft.Main <config.json>` / `graft.Main start <config.json>`
+  *   - `graft.Main version`
+  *
+  * The config file is the [[ConfigFile]] surface (streams/include)
+  * plus a root `servers` object read ONCE at startup (stream
+  * topology reloads on SIGHUP via the transition!/equiv? lifecycle;
+  * server sockets are fixed for the process lifetime — the reference
+  * restarts servers on reload, a delta documented in SURVEY §3.3):
+  *
+  * {{{
+  * { "servers": {
+  *     "tcp":      {"host": "127.0.0.1", "port": 5555},
+  *     "udp":      {"host": "127.0.0.1", "port": 5555},
+  *     "graphite": {"host": "127.0.0.1", "port": 2003},
+  *     "opentsdb": {"host": "127.0.0.1", "port": 4242},
+  *     "ws":       {"port": 5556},
+  *     "sse":      {"port": 5557} },
+  *   "streams": [
+  *     {"name": "index", "source": "tcp",
+  *      "pipeline": [{"op": "index"}],
+  *      "sink": {"kind": "index", "checkpoint": "/var/lib/graft/ckpt"}}
+  * ]}
+  * }}}
+  *
+  * Ingest servers register as config sources by name (`tcp`, `udp`,
+  * `graphite`, `opentsdb`); the `index` sink kind feeds the served
+  * in-memory index that the ws/sse query surfaces answer from
+  * (`GET /index?query=…`).
+  *
+  * Each server source binds ONE socket and therefore feeds exactly one
+  * stream (a second stream naming the same source would try to re-bind
+  * the port): fan several pipelines off one ingest INSIDE a stream's
+  * pipeline, or declare one server block per stream. The name a server
+  * block registers under doubles as its source name.
+  */
+object Main {
+
+  val Version = "riemann-capability engine (Spark) 0.11"
+
+  /** The served riemann index: latest event per (host, service),
+    * updated from the `index`-sink stream (IndexProcessor upserts +
+    * `state="expired"` tombstones), answering snapshot dumps and query
+    * filters for the ws/sse servers.
+    *
+    * Driver-side by design, like the reference's index — an in-memory
+    * map on the serving node (index.clj:58-126 nbhm-index). The
+    * per-batch collect is bounded by the keys the batch UPDATED (the
+    * index stream emits latest-per-key, never raw volume), and the map
+    * itself by index cardinality — the same RAM contract the reference
+    * runs under. */
+  final class ServedIndex(spark: SparkSession) {
+    private val state = TrieMap[(String, String), SEvent]()
+
+    val sink: Sinks.EventSink = new Sinks.EventSink {
+      override def write(batch: DataFrame, batchId: Long): Unit = {
+        val spark0 = batch.sparkSession
+        import spark0.implicits._
+        batch.selectExpr("host", "service", "state", "metric", "time", "ttl")
+          .as[SEvent].collect()
+          .foreach { e =>
+            if (e.state == "expired") state.remove((e.host, e.service))
+            else state((e.host, e.service)) = e
+          }
+      }
+    }
+
+    def snapshot: DataFrame = {
+      import spark.implicits._
+      spark.createDataset(state.values.toSeq).toDF()
+    }
+
+    def size: Int = state.size
+  }
+
+  /** A started process: the handle `main` blocks on and specs drive. */
+  final class Running(
+      val spark: SparkSession,
+      val core: Core,
+      val loader: ConfigFile.Loader,
+      val pubsub: Sinks.Pubsub,
+      val index: ServedIndex,
+      val wsServer: Option[WsServer],
+      val sseServer: Option[SseServer]) {
+    private[Main] val done = new CountDownLatch(1)
+    def stop(): Unit = {
+      try core.stop() catch { case NonFatal(_) => () }
+      wsServer.foreach(s => try s.stop() catch { case NonFatal(_) => () })
+      sseServer.foreach(s => try s.stop() catch { case NonFatal(_) => () })
+      done.countDown()
+    }
+  }
+
+  private def obj(v: JValue): Option[JObject] = v match {
+    case o: JObject => Some(o)
+    case _ => None
+  }
+  private def int(v: JValue, what: String): Int = v match {
+    case JInt(n) => n.toInt
+    case JLong(n) => n.toInt
+    case other => throw new IllegalArgumentException(s"$what: got $other")
+  }
+  private def strOr(v: JValue, dflt: String): String = v match {
+    case JString(s) => s
+    case _ => dflt
+  }
+
+  /** Decoded-wire columns → the SEvent shape the config ops consume. */
+  private def asSEvents(df: DataFrame): DataFrame =
+    df.select(col("host"), col("service"), col("state"), col("metric"),
+      timestamp_seconds(col("time_s")).as("time"), col("ttl"))
+
+  /** Assemble the process from a config file: servers, sources, Core +
+    * Loader, the served index, and the ws/sse query surfaces. The
+    * returned handle owns everything [[main]] blocks on. */
+  def start(path: Path, spark0: Option[SparkSession] = None): Running = {
+    val spark = spark0.getOrElse {
+      SparkSession.builder()
+        .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.query.RiemannExtensions")
+        .getOrCreate()
+    }
+    // the index op runs on transformWithState, which needs a state
+    // store with column families — RocksDB, the production store for
+    // every stateful operator here (the HDFSBacked default cannot
+    // serve it, and conf.getOption cannot distinguish "defaulted" from
+    // "explicitly chosen", so the process entry point just sets it)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val doc = JsonMethods.parse(
+      java.nio.file.Files.readString(path.toRealPath()))
+    val servers = obj(doc \ "servers").getOrElse(JObject())
+
+    def hostOf(o: JObject) = strOr(o \ "host", "127.0.0.1")
+    // every non-ws/sse server block is an ingest source named after its
+    // key; `protocol` defaults to that key, so {"tcp": {...}} just
+    // works and {"tcp2": {"protocol": "tcp", ...}} opens a second one
+    val sources: Map[String, () => DataFrame] = servers.obj.collect {
+      case JField(name, o: JObject) if name != "ws" && name != "sse" =>
+        def port = int(o \ "port", s"servers.$name.port")
+        val mk: () => DataFrame = strOr(o \ "protocol", name) match {
+          case "tcp" =>
+            () => asSEvents(Sources.riemannTcpServer(spark, hostOf(o), port))
+          case "udp" =>
+            () => asSEvents(Sources.riemannUdpServer(spark, hostOf(o), port))
+          case "graphite" =>
+            () => Sources.graphiteServer(spark, hostOf(o), port)
+          case "opentsdb" =>
+            () => Sources.opentsdbServer(spark, hostOf(o), port)
+          case other => throw new IllegalArgumentException(
+            s"servers.$name: unknown protocol '$other'")
+        }
+        name -> mk
+    }.toMap
+
+    val pubsub = new Sinks.Pubsub
+    val index = new ServedIndex(spark)
+    // the index sink also publishes each batch to the "index" pubsub
+    // channel, so ws/sse subscribers see live pushes after their dump
+    val indexSink: Sinks.EventSink = new Sinks.EventSink {
+      override def write(batch: DataFrame, batchId: Long): Unit = {
+        val cached = batch.cache()
+        try {
+          index.sink.write(cached, batchId)
+          pubsub.publish("index", cached, batchId)
+        } finally { cached.unpersist(); () }
+      }
+    }
+
+    val core = new Core(spark)
+    val loader = new ConfigFile.Loader(core, spark, path, sources,
+      sinkFactories = Map("index" -> (_ => indexSink)))
+    loader.reload()
+
+    val ws = obj(servers \ "ws").map(o =>
+      new WsServer(pubsub, int(o \ "port", "servers.ws.port"),
+        () => Some(index.snapshot), host = hostOf(o)))
+    val sse = obj(servers \ "sse").map(o =>
+      new SseServer(pubsub, int(o \ "port", "servers.sse.port"),
+        () => Some(index.snapshot), host = hostOf(o)))
+    new Running(spark, core, loader, pubsub, index, ws, sse)
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "version" :: _ => println(Version)
+    case rest =>
+      val cfg = rest match {
+        case "start" :: p :: _ => p
+        case p :: _ => p
+        case Nil => "graft.config.json"
+      }
+      val running = start(Paths.get(cfg))
+      running.loader.installSighup()
+      sys.addShutdownHook(running.stop())
+      // bin.clj's run-app!: the streaming queries and server threads
+      // ARE the process; block until stop()
+      running.done.await()
+  }
+}

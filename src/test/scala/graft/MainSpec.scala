@@ -1,0 +1,187 @@
+package graft
+
+import java.io.{BufferedInputStream, DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.security.MessageDigest
+import java.util.Base64
+
+import graft.sources.RiemannProtobuf
+import graft.sources.RiemannProtobuf.PEvent
+
+/** The packaged process (bin.clj:135-167 analog) end to end: a config
+  * file defines the servers and the index topology, [[Main.start]]
+  * assembles it, events arrive over a REAL framed-protobuf TCP socket,
+  * and `GET /index?query=…` over a REAL websocket answers from the
+  * served index — then a mid-traffic reload preserves both the index
+  * and undrained acked frames. */
+class MainSpec extends SparkSpec {
+
+  private def freePort(): Int = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+
+  private def connect(port: Int): Socket = {
+    var s: Socket = null
+    var last: Exception = null
+    (1 to 100).foreach { _ =>
+      if (s == null) try s = new Socket("127.0.0.1", port)
+      catch { case e: java.io.IOException => last = e; Thread.sleep(100) }
+    }
+    if (s == null) throw last
+    s
+  }
+
+  private def sendEvents(port: Int, events: Seq[PEvent]): Unit = {
+    val sock = connect(port)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      events.foreach { e =>
+        out.write(RiemannProtobuf.frame(RiemannProtobuf.encodeMsg(Seq(e))))
+        out.flush()
+        val len = in.readInt()
+        in.readFully(new Array[Byte](len)) // the ok-ack
+      }
+    } finally sock.close()
+  }
+
+  private def wsHandshake(sock: Socket, path: String): Unit = {
+    val key = Base64.getEncoder.encodeToString(
+      Array.tabulate[Byte](16)(i => (i * 5 + 1).toByte))
+    sock.getOutputStream.write(
+      (s"GET $path HTTP/1.1\r\nHost: localhost\r\nUpgrade: websocket\r\n" +
+        s"Connection: Upgrade\r\nSec-WebSocket-Key: $key\r\n" +
+        "Sec-WebSocket-Version: 13\r\n\r\n").getBytes(StandardCharsets.UTF_8))
+    sock.getOutputStream.flush()
+    val in = sock.getInputStream
+    val head = new StringBuilder
+    var c = in.read()
+    while (c != -1 && !head.endsWith("\r\n\r\n")) {
+      head.append(c.toChar)
+      c = if (head.endsWith("\r\n\r\n")) -1 else in.read()
+    }
+    assert(head.toString.contains("101 Switching Protocols"))
+    val expect = Base64.getEncoder.encodeToString(
+      MessageDigest.getInstance("SHA-1").digest(
+        (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11")
+          .getBytes(StandardCharsets.US_ASCII)))
+    assert(head.toString.contains(s"Sec-WebSocket-Accept: $expect"))
+  }
+
+  private def readFrame(in: DataInputStream): (Int, String) = {
+    val b0 = in.readUnsignedByte()
+    val b1 = in.readUnsignedByte()
+    var len: Int = b1 & 0x7f
+    if (len == 126) len = in.readUnsignedShort()
+    val payload = new Array[Byte](len)
+    in.readFully(payload)
+    (b0 & 0x0f, new String(payload, StandardCharsets.UTF_8))
+  }
+
+  /** Dump the current /index hits for a query over a fresh ws client. */
+  private def wsIndexDump(port: Int, query: String, atLeast: Int): Seq[String] = {
+    val sock = connect(port)
+    sock.setSoTimeout(20000)
+    try {
+      wsHandshake(sock,
+        "/index?query=" + java.net.URLEncoder.encode(query, "UTF-8"))
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      (1 to atLeast).map(_ => readFrame(in)._2)
+    } finally sock.close()
+  }
+
+  test("config file -> Main.start -> TCP ingest -> ws index query; " +
+    "reload mid-traffic preserves index state and acked frames") {
+    val tcpPort = freePort()
+    val tcp2Port = freePort()
+    val wsPort = freePort()
+    val dir = Files.createTempDirectory("graft-main")
+    val cfg = dir.resolve("graft.json")
+    val ckpt = dir.resolve("ckpt").toString
+    // two ingest servers (each server source feeds exactly one stream):
+    // tcp -> the index topology, tcp2 -> a filtering stream whose
+    // definition the reload changes mid-traffic
+    def writeCfg(hotExpr: String): Unit = Files.writeString(cfg,
+      s"""{"servers": {
+         |   "tcp":  {"host": "127.0.0.1", "port": $tcpPort},
+         |   "tcp2": {"protocol": "tcp", "host": "127.0.0.1", "port": $tcp2Port},
+         |   "ws":   {"port": $wsPort} },
+         | "streams": [
+         |   {"name": "index", "source": "tcp",
+         |    "pipeline": [{"op": "index"}],
+         |    "sink": {"kind": "index", "outputMode": "update",
+         |             "checkpoint": "$ckpt"}},
+         |   {"name": "hot", "source": "tcp2",
+         |    "pipeline": [{"op": "where", "expr": "$hotExpr"}],
+         |    "sink": {"kind": "memory"}}
+         |]}""".stripMargin)
+    writeCfg("metric > 0.5")
+
+    val running = Main.start(cfg, Some(spark))
+    try {
+      def drain(): Unit =
+        running.core.activeQueries.values.foreach(_.processAllAvailable())
+
+      def ev(host: String, metric: Double, t: Long) =
+        PEvent(host, "cpu", if (metric > 0.8) "critical" else "ok", null,
+          Some(metric), Nil, Some(t), Some(3600.0), Map.empty)
+
+      sendEvents(tcpPort, Seq(
+        ev("web01", 0.95, 1706000000L), ev("web02", 0.30, 1706000010L)))
+      drain()
+      val deadline = System.currentTimeMillis() + 30000
+      while (running.index.size < 2 &&
+          System.currentTimeMillis() < deadline) { drain(); Thread.sleep(100) }
+      assert(running.index.size == 2, s"index has ${running.index.size} keys")
+
+      // the query surface, over the wire: only web01 is critical
+      val hits = wsIndexDump(wsPort, """state = "critical"""", 1)
+      assert(hits.exists(_.contains("web01")), s"hits: $hits")
+      assert(!hits.exists(_.contains("web02")))
+
+      // ACK some frames on tcp2 that its query has not drained yet,
+      // then reload with a CHANGED hot definition: the restarted query
+      // must adopt the parked frames (CoreSpec's handoff, here driven
+      // through the packaged process); the untouched index stream must
+      // keep running with its served state intact
+      sendEvents(tcp2Port, Seq(ev("app01", 0.70, 1706000050L)))
+      val beforeId = running.core.activeQueries("index").id
+      writeCfg("metric > 0.6")
+      val restarted = running.loader.reload() // what SIGHUP invokes
+      assert(restarted == Seq("hot"), s"restarted: $restarted")
+      assert(running.core.activeQueries("index").id == beforeId,
+        "unchanged index stream must not restart on reload")
+      assert(running.index.size == 2, "reload lost served index state")
+
+      // post-reload traffic still flows into both topologies
+      sendEvents(tcpPort, Seq(ev("web03", 0.99, 1706000100L)))
+      sendEvents(tcp2Port, Seq(ev("app02", 0.65, 1706000110L)))
+      drain()
+      while ((running.index.size < 3 ||
+          running.loader.memorySinks("hot").size < 2) &&
+          System.currentTimeMillis() < deadline) { drain(); Thread.sleep(100) }
+      assert(running.index.size == 3)
+      val hits2 = wsIndexDump(wsPort, """state = "critical"""", 2)
+      assert(hits2.exists(_.contains("web01")) &&
+        hits2.exists(_.contains("web03")), s"hits: $hits2")
+      // app01 was acked pre-reload and adopted by the restarted query;
+      // app02 arrived after — both pass the new metric > 0.6 filter
+      import scala.jdk.CollectionConverters._
+      val hotHosts = running.loader.memorySinks("hot").rows.asScala
+        .map(_.getAs[String]("host")).toSet
+      assert(hotHosts == Set("app01", "app02"), s"hot saw $hotHosts")
+    } finally {
+      running.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("version command prints and exits") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { Main.main(Array("version")) }
+    assert(out.toString.contains("0.11"))
+  }
+}
