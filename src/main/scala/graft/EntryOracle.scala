@@ -585,9 +585,13 @@ private[graft] object EntryOracle {
       "list_transform(fps, h -> CAST(h AS VARCHAR)), ',') AS fps " +
       "FROM f ORDER BY doc_id"),
     "q_winnow_overlap" -> (s"$winnowCte, x AS (SELECT doc_id, " +
-      "unnest(fps) AS fp FROM f) " +
+      "unnest(fps) AS fp FROM f), " +
+      // mirror the boilerplate-fingerprint cap (WinnowMaxFpDocs) so
+      // Spark and oracle agree at every scale factor
+      s"okf AS (SELECT fp FROM x GROUP BY fp HAVING count(*) <= ${Dedup.WinnowMaxFpDocs}), " +
+      "xc AS (SELECT x.* FROM x JOIN okf USING (fp)) " +
       "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared " +
-      "FROM x a JOIN x b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+      "FROM xc a JOIN xc b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
       "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY doc_a, doc_b"),
     "q_repetition" -> ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
       "b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS g FROM t), " +

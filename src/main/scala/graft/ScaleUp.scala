@@ -24,13 +24,18 @@ import org.apache.spark.sql.functions._
   *   - nation/region/part: dimension tables, copied as-is (real TPC-H
   *     scale factors don't grow nation/region either).
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <outDir> [factor]
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> [factor] [tables]
+  * `tables` (comma-separated) restricts the synthesis — e.g. the 100x
+  * pair-generating-family probe only needs documents/embeddings (and
+  * events for the bench warmup), not a 100x lineitem.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val only: Option[Set[String]] =
+      args.lift(3).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,10 +69,11 @@ object ScaleUp {
     }
 
 
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scaleup] $name x$factor written")
-    }
+    def write(name: String, df: => DataFrame): Unit =
+      if (only.forall(_.contains(name))) {
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"[scaleup] $name x$factor written")
+      }
 
     def rd(name: String) = spark.read.parquet(s"$src/$name.parquet")
 

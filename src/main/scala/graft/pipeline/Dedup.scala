@@ -172,26 +172,42 @@ object Dedup {
     * as the LSH family — explode to (fp, doc), one hash exchange on
     * fp, within-fingerprint join only, hot fingerprints (boilerplate)
     * capped by default with observed drops. */
+  /** Default cap on DOCS PER FINGERPRINT for winnow overlap — tighter
+    * than the LSH [[Caps.DefaultMaxBucket]] on purpose. A fingerprint
+    * shared by this many documents is template/boilerplate: winnowing's
+    * setting (Schleimer et al. 2003) is partial copies among
+    * mostly-DISTINCT documents, while whole-corpus near-dup clusters
+    * are the minhash family's job — and pair fan-out per fingerprint
+    * is quadratic in its doc count, so a loose cap turns a 100-way
+    * duplicated corpus into billions of pre-aggregation evidence rows
+    * (measured: the 1000-cap ran out of heap on the 100x probe).
+    * Mirrored in the DuckDB oracle so Spark and oracle agree at every
+    * scale factor. */
+  val WinnowMaxFpDocs = 64
+
   def winnowOverlapPairs(docs: DataFrame, k: Int = 20, w: Int = 8,
       minShared: Int = 3,
-      maxBucket: Int = Caps.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = WinnowMaxFpDocs): DataFrame = {
     val fps = TextAnalysis.winnow(docs, k, w)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
     val capped = Caps.cap(fps, Seq("fp"), maxBucket, "winnow_fp")
     // pair generation happens INSIDE each fingerprint's partition: the
     // cap's count-window already hash-partitioned on fp, so collecting
     // the (deduped — winnow emits distinct fps per doc) member list
-    // adds NO exchange, and the a<b pairs come from one narrow nested
-    // transform over the sorted list instead of a self-join's
-    // build+probe over the same exchange. Hot fps are pre-capped, so
-    // the per-fp pair array is bounded by maxBucket².
+    // adds NO exchange, and the a<b pairs come from two CHAINED
+    // generators over the sorted list instead of a self-join's
+    // build+probe over the same exchange. The two-step explode streams
+    // pairs row-by-row — a single flatten(transform) pair array per fp
+    // (up to maxBucket²/2 structs materialized at once) was the 100x
+    // probe's heap killer.
     capped.groupBy("fp")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(flatten(transform(col("ds"), (a, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"), explode(
+        slice(col("ds"), col("i") + lit(2), size(col("ds")) - col("i") - lit(1)))
+        .as("doc_b"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }

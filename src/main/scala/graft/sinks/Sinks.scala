@@ -182,10 +182,28 @@ object Sinks {
 
   /** `forward` (streams.clj:1255-1261): riemann→riemann forwarding —
     * events re-encoded to framed protobuf Msg payloads per partition,
-    * handed to the injected TCP transport. */
+    * handed to the injected TCP transport.
+    *
+    * Delivery contract (pinned by ForwardersSpec): the pooled framed
+    * transport acks every Msg, which confirms TRANSPORT delivery, not
+    * end-to-end idempotence. foreachBatch is at-least-once, so this
+    * sink carries the same in-process batchId guard as
+    * [[graft.streaming.ReinjectLoop]]: a same-process re-invocation of
+    * an already-forwarded batchId is dropped. What the guard cannot
+    * cover: a task RETRY re-sends its partition inside a batch (the
+    * send happens on executors), and a JVM restart resets the guard so
+    * the recovered query's replayed batch forwards again — both are
+    * at-least-once, exactly like the reference's forward (reconnect +
+    * resend). Downstream, riemann's index is latest-per-key and
+    * absorbs replays idempotently; only downstream counters/rates
+    * would double-count, and deduplicating there (e.g. streaming exact
+    * dedup on an event id) is the receiving topology's call. */
   class ForwardSink(transport: Iterator[Array[Byte]] => Unit,
       batchSize: Int = 100) extends EventSink {
-    override def write(batch: DataFrame, batchId: Long): Unit = {
+    private var lastBatch = Long.MinValue
+    override def write(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatch) return
+      lastBatch = batchId
       import graft.sources.RiemannProtobuf
       val spark = batch.sparkSession
       import spark.implicits._

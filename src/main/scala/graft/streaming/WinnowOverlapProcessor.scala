@@ -55,7 +55,7 @@ object StreamingWinnowOverlap {
     * parity). */
   def apply(docs: DataFrame, eventTimeCol: String,
       horizonSeconds: Long = 3600L, k: Int = 20, w: Int = 8,
-      maxBucket: Int = graft.pipeline.Caps.DefaultMaxBucket)
+      maxBucket: Int = graft.pipeline.Dedup.WinnowMaxFpDocs)
       : Dataset[WinnowShared] = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -111,6 +111,24 @@ class SinksExtraSpec extends SparkSpec {
       Set(("a", 1.5), ("b", 2.5)))
   }
 
+  test("forward sink replay contract: a same-process batchId replay is " +
+    "dropped, a fresh sink (process restart) re-forwards — at-least-once") {
+    ForwardProbe.msgs.clear()
+    val batch = events(
+      E(id = 1, host = "a", service = "s", state = "ok", metric = 1.5, time = 10L))
+      .coalesce(1)
+    val sink = new Sinks.ForwardSink(ms => ms.foreach(ForwardProbe.msgs.add))
+    sink.write(batch, 7L)
+    sink.write(batch, 7L) // foreachBatch replay, same process: dropped
+    sink.write(batch, 6L) // older id after a newer one: dropped too
+    assert(ForwardProbe.msgs.size() == 1)
+    // a restarted process reconstructs the sink; the recovered query's
+    // replayed batch forwards again — the documented at-least-once tail
+    val fresh = new Sinks.ForwardSink(ms => ms.foreach(ForwardProbe.msgs.add))
+    fresh.write(batch, 7L)
+    assert(ForwardProbe.msgs.size() == 2)
+  }
+
   test("typed smap drops None results (streams.clj:163-175)") {
     val spark0 = spark
     import spark0.implicits._
