@@ -93,6 +93,33 @@ object Main {
     }
 
     def size: Int = state.size
+
+    /** The riemann-wire query handler (transport.clj:175-189): parse
+      * the query language, filter the snapshot with the compiled
+      * Catalyst predicate, return hits as wire events. Parse failures
+      * reply `parse error: …` like the reference. */
+    def queryHandler: String => Either[String, Seq[
+        graft.sources.RiemannProtobuf.PEvent]] = q => {
+      import graft.query.QueryLanguage
+      import graft.sources.RiemannProtobuf.PEvent
+      (try { QueryLanguage.parse(q); Right(()) }
+      catch { case NonFatal(e) => Left(s"parse error: ${e.getMessage}") })
+        .flatMap { _ =>
+          try {
+            val spark0 = spark
+            import spark0.implicits._
+            val snap = snapshot
+            val hits = snap
+              .filter(QueryLanguage.predicate(q, snap.schema))
+              .as[SEvent].collect()
+            Right(hits.toSeq.map(e => PEvent(e.host, e.service, e.state,
+              null, e.metric, Nil, Some(e.time.getTime / 1000L), e.ttl,
+              Map.empty)))
+          } catch {
+            case NonFatal(e) => Left(String.valueOf(e.getMessage))
+          }
+        }
+    }
   }
 
   /** A started process: the handle `main` blocks on and specs drive. */
@@ -103,12 +130,14 @@ object Main {
       val pubsub: Sinks.Pubsub,
       val index: ServedIndex,
       val wsServer: Option[WsServer],
-      val sseServer: Option[SseServer]) {
+      val sseServer: Option[SseServer],
+      tcpQueryPorts: Seq[Int]) {
     private[Main] val done = new CountDownLatch(1)
     def stop(): Unit = {
       try core.stop() catch { case NonFatal(_) => () }
       wsServer.foreach(s => try s.stop() catch { case NonFatal(_) => () })
       sseServer.foreach(s => try s.stop() catch { case NonFatal(_) => () })
+      tcpQueryPorts.foreach(graft.sources.RiemannServers.unregisterQueryHandler)
       done.countDown()
     }
   }
@@ -204,7 +233,17 @@ object Main {
     val sse = obj(servers \ "sse").map(o =>
       new SseServer(pubsub, int(o \ "port", "servers.sse.port"),
         () => Some(index.snapshot), host = hostOf(o)))
-    new Running(spark, core, loader, pubsub, index, ws, sse)
+    // riemann-wire index queries (transport.clj:175-181): every tcp
+    // ingest server also answers `Msg{query}` from the served index
+    val tcpPorts = servers.obj.collect {
+      case JField(name, o: JObject)
+          if name != "ws" && name != "sse" &&
+            strOr(o \ "protocol", name) == "tcp" =>
+        int(o \ "port", s"servers.$name.port")
+    }
+    tcpPorts.foreach(p =>
+      graft.sources.RiemannServers.registerQueryHandler(p, index.queryHandler))
+    new Running(spark, core, loader, pubsub, index, ws, sse, tcpPorts)
   }
 
   def main(args: Array[String]): Unit = args.toList match {

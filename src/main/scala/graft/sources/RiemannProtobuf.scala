@@ -152,6 +152,59 @@ object RiemannProtobuf {
     out.result()
   }
 
+  /** One-pass Msg scan for the server's reply decision
+    * (transport.clj:167-189 `handle`): does the Msg carry events (or
+    * legacy states) to stream, and does it carry a query (field 5,
+    * `Query{string=1}`) to answer from the index? */
+  def scanMsg(buf: Array[Byte]): (Boolean, Option[String]) = {
+    val r = new Reader(buf, 0, buf.length)
+    var hasEvents = false
+    var query: Option[String] = None
+    while (r.hasNext) {
+      val tag = r.varint().toInt
+      (tag >> 3, tag & 7) match {
+        case (4, 2) | (6, 2) => hasEvents = true; r.skip(2)
+        case (5, 2) =>
+          val (s, l) = r.bytes()
+          val q = new Reader(buf, s, s + l)
+          while (q.hasNext) {
+            val qt = q.varint().toInt
+            (qt >> 3, qt & 7) match {
+              case (1, 2) =>
+                val (qs, ql) = q.bytes()
+                query = Some(new String(buf, qs, ql, StandardCharsets.UTF_8))
+              case (_, wt) => q.skip(wt)
+            }
+          }
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    (hasEvents, query)
+  }
+
+  /** Decode a reply Msg's control fields: (ok, error, events) —
+    * what a client sees back from `handle`'s query path. */
+  def decodeReply(buf: Array[Byte])
+      : (Option[Boolean], Option[String], Seq[PEvent]) = {
+    val r = new Reader(buf, 0, buf.length)
+    var ok: Option[Boolean] = None
+    var error: Option[String] = None
+    val events = Seq.newBuilder[PEvent]
+    while (r.hasNext) {
+      val tag = r.varint().toInt
+      (tag >> 3, tag & 7) match {
+        case (2, 0) => ok = Some(r.varint() != 0L)
+        case (3, 2) =>
+          val (s, l) = r.bytes()
+          error = Some(new String(buf, s, l, StandardCharsets.UTF_8))
+        case (4, 2) | (6, 2) =>
+          val (s, l) = r.bytes(); events += decodeEvent(buf, s, l)
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    (ok, error, events.result())
+  }
+
   /** Strip the TCP transport's int32 big-endian length frame
     * (tcp.clj:220-244 int32-frame-decoder). */
   def unframe(buf: Array[Byte]): Array[Byte] = {
@@ -236,6 +289,27 @@ object RiemannProtobuf {
 
   def encodeMsg(events: Seq[PEvent]): Array[Byte] = {
     val w = new Writer
+    events.foreach(e => w.sub(6, encodeEvent(e)))
+    w.toBytes
+  }
+
+  /** A query Msg (the client side of the index-query wire:
+    * tcp.clj:175, `Msg{query: Query{string}}`). */
+  def encodeQueryMsg(query: String): Array[Byte] = {
+    val q = new Writer
+    q.str(1, query)
+    val w = new Writer
+    w.sub(5, q.toBytes)
+    w.toBytes
+  }
+
+  /** A reply Msg: ok flag, optional error, result events —
+    * `handle`'s response shape (transport.clj:175-189). */
+  def encodeReply(ok: Boolean, error: Option[String],
+      events: Seq[PEvent]): Array[Byte] = {
+    val w = new Writer
+    w.key(2, 0); w.varint(if (ok) 1L else 0L)
+    error.foreach(w.str(3, _))
     events.foreach(e => w.sub(6, encodeEvent(e)))
     w.toBytes
   }

@@ -67,6 +67,41 @@ object RiemannServers {
   /** Framed `Msg{ok: true}`: field 2 (ok), wire type 0, value 1. */
   val AckFrame: Array[Byte] = RiemannProtobuf.frame(Array[Byte](0x10, 1))
 
+  /** Per-port index-query handlers (transport.clj:175-181: a Msg
+    * carrying `query` is answered with the index search's events).
+    * The process assembly ([[graft.Main]]) registers its served
+    * index's handler under each ingest server's BOUND port; an
+    * unregistered port answers `{ok: false, error: "no index"}`,
+    * exactly the reference's no-index reply. The handler returns
+    * Left(error) for parse/search failures → `{ok: false, error}`. */
+  private val queryHandlers = new java.util.concurrent.ConcurrentHashMap[
+    Int, String => Either[String, Seq[RiemannProtobuf.PEvent]]]()
+
+  def registerQueryHandler(port: Int,
+      handler: String => Either[String, Seq[RiemannProtobuf.PEvent]]): Unit = {
+    queryHandlers.put(port, handler); ()
+  }
+
+  def unregisterQueryHandler(port: Int): Unit = {
+    queryHandlers.remove(port); ()
+  }
+
+  private[sources] def answerQuery(port: Int, query: String): Array[Byte] = {
+    val reply = queryHandlers.get(port) match {
+      case null => RiemannProtobuf.encodeReply(ok = false, Some("no index"), Nil)
+      case h =>
+        try h(query) match {
+          case Right(events) => RiemannProtobuf.encodeReply(ok = true, None, events)
+          case Left(err) => RiemannProtobuf.encodeReply(ok = false, Some(err), Nil)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            RiemannProtobuf.encodeReply(ok = false,
+              Some(String.valueOf(e.getMessage)), Nil)
+        }
+    }
+    RiemannProtobuf.frame(reply)
+  }
+
   /** Buffer handoff across IN-PROCESS restarts (a [[graft.Core]] reload,
     * a stopped-and-restarted query): `stop()` parks the undrained
     * (frames, base) here keyed by bind address, and the next stream
@@ -241,8 +276,13 @@ private[sources] class RiemannServerStream(protocol: String, host: String,
     threads.synchronized(threads += t)
   }
 
-  /** Per-connection loop: unframe, enqueue, ack — one Msg at a time,
-    * blocking (backpressure) when the buffer is full. */
+  /** Per-connection loop: unframe, enqueue, reply — one Msg at a time,
+    * blocking (backpressure) when the buffer is full. A Msg carrying a
+    * `query` is answered from the registered index handler
+    * (transport.clj:167-189 `handle`: stream the Msg's events, then
+    * answer the query — both can ride one Msg); a query-only Msg skips
+    * the ingest buffer entirely so backpressure from full ingest never
+    * delays index reads. */
   private def serve(client: Socket): Unit = {
     val in = new DataInputStream(client.getInputStream)
     val out = new BufferedOutputStream(client.getOutputStream)
@@ -253,8 +293,18 @@ private[sources] class RiemannServerStream(protocol: String, host: String,
           throw new IOException(s"bad frame length $len")
         val payload = new Array[Byte](len)
         in.readFully(payload)
-        enqueue(payload)
-        out.write(RiemannServers.AckFrame)
+        // a corrupt payload must not kill the connection: treat it as
+        // a (possible) event Msg — buffered, acked, and dropped by the
+        // executor-side decode, the pre-query contract for bad frames
+        val (hasEvents, query) =
+          try RiemannProtobuf.scanMsg(payload)
+          catch { case scala.util.control.NonFatal(_) => (true, None) }
+        if (hasEvents) enqueue(payload)
+        out.write(query match {
+          case Some(q) =>
+            RiemannServers.answerQuery(client.getLocalPort, q)
+          case None => RiemannServers.AckFrame
+        })
         out.flush()
       }
     } finally {

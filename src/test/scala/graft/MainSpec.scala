@@ -142,6 +142,30 @@ class MainSpec extends SparkSpec {
       assert(hits.exists(_.contains("web01")), s"hits: $hits")
       assert(!hits.exists(_.contains("web02")))
 
+      // the riemann-wire query path (transport.clj:175-181): a
+      // Msg{query} on the INGEST socket answers from the same index
+      def wireQuery(q: String): (Option[Boolean], Option[String],
+          Seq[RiemannProtobuf.PEvent]) = {
+        val sock = connect(tcpPort)
+        sock.setSoTimeout(20000)
+        try {
+          val out = new DataOutputStream(sock.getOutputStream)
+          val in = new DataInputStream(sock.getInputStream)
+          out.write(RiemannProtobuf.frame(RiemannProtobuf.encodeQueryMsg(q)))
+          out.flush()
+          val len = in.readInt()
+          val reply = new Array[Byte](len)
+          in.readFully(reply)
+          RiemannProtobuf.decodeReply(reply)
+        } finally sock.close()
+      }
+      val (ok, err, evs) = wireQuery("""state = "critical"""")
+      assert(ok.contains(true) && err.isEmpty, s"reply: $ok $err")
+      assert(evs.map(_.host) == Seq("web01"), s"events: $evs")
+      val (bok, berr, bevs) = wireQuery("state ===== not a query")
+      assert(bok.contains(false) && bevs.isEmpty)
+      assert(berr.exists(_.startsWith("parse error")), s"error: $berr")
+
       // ACK some frames on tcp2 that its query has not drained yet,
       // then reload with a CHANGED hot definition: the restarted query
       // must adopt the parked frames (CoreSpec's handoff, here driven

@@ -95,6 +95,40 @@ class RiemannServerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tcp server: a query Msg with no registered index answers " +
+    "{ok: false, error: \"no index\"} and never enters the ingest buffer " +
+    "(transport.clj:175-181)") {
+    val port = freePort()
+    val q = Sources.riemannTcpServer(spark, "127.0.0.1", port)
+      .writeStream.format("memory").queryName("tcp_noidx")
+      .outputMode("append").start()
+    try {
+      val sock = connectRetry(port)
+      try {
+        val out = new DataOutputStream(sock.getOutputStream)
+        val in = new DataInputStream(sock.getInputStream)
+        out.write(RiemannProtobuf.frame(
+          RiemannProtobuf.encodeQueryMsg("""state = "ok"""")))
+        out.flush()
+        val len = in.readInt()
+        val reply = new Array[Byte](len)
+        in.readFully(reply)
+        val (ok, err, evs) = RiemannProtobuf.decodeReply(reply)
+        assert(ok.contains(false) && evs.isEmpty)
+        assert(err.contains("no index"))
+        // a normal event Msg on the same connection still ingests + acks
+        out.write(RiemannProtobuf.frame(RiemannProtobuf.encodeMsg(Seq(
+          pe("web09", "cpu", "ok", 0.1, 1706000000L)))))
+        out.flush()
+        val alen = in.readInt()
+        in.readFully(new Array[Byte](alen))
+      } finally sock.close()
+      awaitRows(q, "tcp_noidx", 1)
+      // the query Msg contributed no rows — only the event Msg landed
+      assert(spark.table("tcp_noidx").count() == 1)
+    } finally q.stop()
+  }
+
   test("udp server: one un-framed Msg per datagram, no ack") {
     val port = freePort()
     val q = Sources.riemannUdpServer(spark, "127.0.0.1", port)
