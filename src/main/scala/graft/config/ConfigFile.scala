@@ -146,6 +146,27 @@ object ConfigFile {
       case "scale" =>
         df.withColumn("metric", col("metric") * num(op \ "factor", "scale.factor"))
       case "select" => df.select(strings(op \ "cols").map(col): _*)
+      case "tag" =>
+        df.withColumn("tags", array_union(
+          coalesce(col("tags"), array()),
+          lit(strings(op \ "tags").toArray)))
+      case "untag" =>
+        df.withColumn("tags",
+          array_except(col("tags"), lit(strings(op \ "tags").toArray)))
+      case "tagged-all" =>
+        df.filter(strings(op \ "tags").map(t => array_contains(col("tags"), t))
+          .reduceOption(_ && _).getOrElse(lit(true)))
+      case "tagged-any" =>
+        df.filter(arrays_overlap(col("tags"),
+          lit(strings(op \ "tags").toArray)))
+      case "over" => df.filter(col("metric") > num(op \ "x", "over.x"))
+      case "under" => df.filter(col("metric") < num(op \ "x", "under.x"))
+      case "throttle" =>
+        // streaming-stateful: at most n events per (host, service) per
+        // dt-second event-time bucket (streams.clj:1102-1118)
+        graft.streaming.StatefulOps.throttle(df.as[SEvent],
+          num(op \ "n", "throttle.n").toInt,
+          num(op \ "dt", "throttle.dt").toLong).toDF()
       case "window" | "rate" =>
         val secs = num(op \ "seconds", "window.seconds")
         val by = strings(op \ "by")

@@ -401,11 +401,15 @@ object Similarity {
         s => s("c")).as("cvec")).cache()
     val aw = Window.partitionBy(col("vec_id"))
       .orderBy(col("score").desc, col("label"))
+    // cached: the ivf ranker reads it twice and the ivfpq ranker's
+    // residual/encode/scoring passes read it three more times — without
+    // the cache each pass re-runs the assignment window
     val assigned = units.join(broadcast(cents))
       .select(col("vec_id"), col("unit"), col("label"),
         dotScaled(col("unit"), col("cvec")).as("score"))
       .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
       .select(col("vec_id"), col("unit"), col("label").as("cell"))
+      .cache()
     val pw = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("label"))
     val probes = assigned.filter(col("vec_id").isin(queryIds: _*))

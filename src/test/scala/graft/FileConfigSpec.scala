@@ -56,6 +56,45 @@ class FileConfigSpec extends SparkSpec {
     val selected = ConfigFile.applyOp(df,
       op("""{"op":"select","cols":["host","metric"]}"""))
     assert(selected.columns.toSeq == Seq("host", "metric"))
+
+    // tag family (streams.clj:1284-1330, 1463-1488)
+    val tagged = ConfigFile.applyOp(df.withColumn("tags", array(col("service"))),
+      op("""{"op":"tag","tags":["prod","api"]}"""))
+    assert(one[scala.collection.Seq[String]](
+      tagged.filter(col("event_id") === 1), "tags").toSet ==
+      Set("api", "prod"))
+    val untagged = ConfigFile.applyOp(tagged,
+      op("""{"op":"untag","tags":["prod"]}"""))
+    assert(!one[scala.collection.Seq[String]](
+      untagged.filter(col("event_id") === 1), "tags").contains("prod"))
+    assert(ids(ConfigFile.applyOp(tagged,
+      op("""{"op":"tagged-all","tags":["prod","db"]}"""))) == Seq(3))
+    assert(ids(ConfigFile.applyOp(tagged,
+      op("""{"op":"tagged-any","tags":["db","nope"]}"""))) == Seq(3))
+    assert(ids(ConfigFile.applyOp(df, op("""{"op":"over","x":4}"""))) ==
+      Seq(1, 3))
+    assert(ids(ConfigFile.applyOp(df, op("""{"op":"under","x":4}"""))) ==
+      Seq(2))
+  }
+
+  test("throttle op: streaming-stateful n-per-dt through the config surface") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SEvent]
+    val out = ConfigFile.applyOp(input.toDF(),
+      op("""{"op":"throttle","n":2,"dt":60}"""))
+    val q = out.writeStream.format("memory").queryName("cfg_throttle")
+      .outputMode("append").start()
+    try {
+      input.addData((1 to 5).map(i =>
+        SEvent("h", "s", "ok", Some(i.toDouble),
+          new java.sql.Timestamp(1000L * i), None)))
+      q.processAllAvailable()
+      // all five land in one 60 s bucket; only the first 2 pass
+      assert(spark.table("cfg_throttle").count() == 2)
+    } finally q.stop()
   }
 
   test("window/rate ops: watermarked per-key time-window aggregation") {
