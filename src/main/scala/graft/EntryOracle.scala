@@ -515,6 +515,16 @@ private[graft] object EntryOracle {
     "q_ann_ivf" -> s"$unitCte, $ivfChain SELECT query_id, vec_id, cosine, rk FROM ivf_rk WHERE rk <= 10 ORDER BY query_id, rk",
     "q_ann_pq" -> s"$unitCte, $pqChain SELECT query_id, vec_id, adc, rk FROM pq_rk WHERE rk <= 10 ORDER BY query_id, rk",
     "q_ann_ivfpq" -> s"$unitCte, $ivfChain, $ivfPqChain SELECT query_id, vec_id, adc, rk FROM ivfpq_rk WHERE rk <= 10 ORDER BY query_id, rk",
+    // one unrolled Lloyd round on the IVF coarse quantizer: re-mean
+    // each cell over asg's members (decimal-exact), empty cells hold
+    // their seed centroid, then re-assign the corpus
+    "q_ivf_kmeans" -> (s"$unitCte, $ivfChain, " +
+      "ircc AS (SELECT asg.cell, d.dim, CAST(SUM(CAST(list_extract(asg.unit, d.dim+1) AS DECIMAL(38,18))) AS DOUBLE)/count(*) AS c FROM asg, (SELECT unnest(generate_series(0, 63)) AS dim) d GROUP BY 1, 2), " +
+      "irc0 AS (SELECT cell AS label, list(c ORDER BY dim) AS cvec FROM ircc GROUP BY 1), " +
+      "ircent AS (SELECT c.label, COALESCE(r.cvec, c.cvec) AS cvec FROM cent c LEFT JOIN irc0 r ON c.label = r.label), " +
+      "iras0 AS (SELECT u.vec_id, c.label, list_sum(list_transform(list_zip(u.unit, c.cvec), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS score FROM u CROSS JOIN ircent c), " +
+      "iras AS (SELECT vec_id, label AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, label) AS rn FROM iras0) WHERE rn = 1) " +
+      "SELECT vec_id, cell FROM iras ORDER BY vec_id"),
     "q_ann_pq_rerank" -> (s"$unitCte, $pqChain, " +
       "sl AS (SELECT query_id, vec_id, adc FROM pq_rk WHERE rk <= 50), " +
       "ex AS (SELECT sl.query_id, sl.vec_id, sl.adc, round(CAST(list_sum(list_transform(list_zip(uq.unit, uv.unit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine " +

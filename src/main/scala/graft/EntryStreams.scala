@@ -386,6 +386,12 @@ private[graft] object EntryStreams {
     "q_ann_ivfpq" -> ((s, d) =>
       Similarity.ivfPqTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 3, 8, 16, 1)
         .orderBy("query_id", "rk")),
+    // one Lloyd round of real k-means on the IVF coarse quantizer
+    // (full-dim sibling of q_pq_kmeans), then the refined assignment
+    "q_ivf_kmeans" -> ((s, d) =>
+      Similarity.ivfAssign(emb(s, d),
+          Similarity.ivfCentroidsRefined(emb(s, d), 1))
+        .select("vec_id", "cell").orderBy("vec_id")),
     // one Lloyd round of real k-means on the codebooks (deterministic:
     // seeded init, tie-broken argmax assignment, decimal-exact means,
     // empty codewords hold position), then encode against the result

@@ -201,6 +201,53 @@ object Similarity {
         s => s("c")).as("cvec"))
   }
 
+  /** Lloyd-refined IVF centroids — real k-means on the coarse
+    * quantizer, the full-dimension sibling of [[pqCodebooksRefined]]:
+    * label-seeded init ([[ivfCentroids]]), then `iters` rounds of
+    * max-scaled-dot assignment ([[CellArgmaxExpr]] — on UNIT vectors
+    * max-dot IS min-L2, so training stays consistent with
+    * [[ivfAssign]]) and decimal-exact per-dim re-means; a cell that
+    * attracts nothing holds its previous centroid. Deterministic end
+    * to end, so the DuckDB oracle replays the iteration. Cost: one
+    * corpus pass per round (assignment is the narrow argmax map;
+    * re-mean is one explode + two-stage aggregation). */
+  def ivfCentroidsRefined(embeddings: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val units = embeddings
+      .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+      .cache()
+    var cents = ivfCentroids(embeddings).cache()
+    for (_ <- 1 to iters) {
+      val cc = cents
+        .agg(collect_list(struct(col("label"), col("cvec"))).as("cents"))
+      val coded = units.crossJoin(broadcast(cc))
+        .select(col("unit"), ColumnBridge.column(
+          CellArgmaxExpr(ColumnBridge.expression(col("unit")),
+            ColumnBridge.expression(col("cents")))).as("cell"))
+      val newC = coded
+        .select(col("cell"), posexplode(col("unit")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg((sum(col("v").cast(DecimalType(38, 18))).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy("cell")
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+          s => s("c")).as("ncvec"))
+      val next = cents.as("p")
+        .join(broadcast(newC.as("n")), col("p.label") === col("n.cell"),
+          "left")
+        .select(col("p.label").as("label"),
+          coalesce(col("n.ncvec"), col("p.cvec")).as("cvec"))
+        .cache()
+      next.count() // materialize before retiring the centroids it reads
+      cents.unpersist()
+      cents = next
+    }
+    cents.count() // materialize before releasing the unit relation
+    units.unpersist()
+    cents
+  }
+
   /** Deterministic scaled-long dot used for IVF cell ranking (same
     * trick as [[dotExact]], without the double rescale). */
   private def dotScaled(a: Column, b: Column): Column = {

@@ -222,6 +222,23 @@ class PipelineSpec extends SparkSpec {
     assert(rr == brute)
   }
 
+  test("ivfCentroidsRefined: iters=0 equals the seed; one Lloyd round " +
+    "on a label-separable corpus is a fixed point of the assignment") {
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(cents(Similarity.ivfCentroidsRefined(corpus, 0)) ==
+      cents(Similarity.ivfCentroids(corpus)))
+    val refined = Similarity.ivfCentroidsRefined(corpus, 1)
+    val cells = Similarity.ivfAssign(corpus, refined)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the two clusters are linearly separable: re-meaning members of a
+    // correct assignment reproduces an assignment-equivalent quantizer
+    assert(Seq(0L, 1L, 2L).forall(cells(_) == 0))
+    assert(Seq(10L, 11L, 12L).forall(cells(_) == 1))
+  }
+
   test("ivfPqTopK with nprobe=1 stays within the query's probed cell") {
     val top = Similarity.ivfPqTopK(corpus, Seq(0L, 10L), k = 5, nprobe = 1,
         m = 2, ksub = 16, iters = 1, dims = 4)
