@@ -87,6 +87,27 @@ object SoakMain {
             .select(col("service"), col("window.start").as("time"),
               col("sum_metric"), col("n")))
       }
+      // r11: the saturating-bucket dedup kernel under sustained load —
+      // rotating near-dup doc variants drive every (band, bucket) into
+      // horizon eviction AND saturation; state must plateau exactly
+      // like the index (a tenth of the event rate: the minhash kernel
+      // is per-doc CPU, and the plateau question is about STATE, not
+      // about racing the codec)
+      core.stream("soak-neardup", signature = "v1") {
+        val docs = spark.readStream.format("rate")
+          .option("rowsPerSecond", math.max(1, rowsPerSec / 10))
+          .option("numPartitions", cpus.toInt)
+          .load()
+          .select(col("value").as("doc_id"),
+            concat(lit("rotating base document "),
+              (col("value") % 500).cast("string"),
+              lit(" with a shared verbatim span of boilerplate words "),
+              lit("variant "), (col("value") % 7).cast("string")).as("text"),
+            col("timestamp").as("arrived"))
+        writerFor("neardup")(
+          graft.streaming.StreamingNearDup(docs, "arrived",
+            horizonSeconds = 60L).toDF())
+      }
     }
 
     // state-size sampler: StreamingQueryProgress stateOperators carry

@@ -927,8 +927,12 @@ object Similarity {
     * codebooks, scaled-long everything. */
   def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       nprobe: Int = 3, m: Int = 8, ksub: Int = 16, iters: Int = 1,
-      dims: Int = 64): DataFrame = {
-    val cents = ivfCentroids(embeddings).cache()
+      dims: Int = 64, ivfIters: Int = 0): DataFrame = {
+    // ivfIters > 0 trains the coarse quantizer with real Lloyd rounds
+    // ([[ivfCentroidsRefined]]) before the residual stage; the default
+    // keeps the label-seeded quantizer the oracle replays
+    val cents = (if (ivfIters == 0) ivfCentroids(embeddings)
+      else ivfCentroidsRefined(embeddings, ivfIters)).cache()
     val assigned = ivfAssign(embeddings, cents).cache()
     val q = assigned.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("unit").as("qunit"))
