@@ -148,6 +148,21 @@ private[graft] object EntryOracle {
       "isc AS (SELECT ipp.query_id, asg.vec_id, round(CAST(ipp.score + SUM(l.d) AS DOUBLE)/1e16, 6) AS adc FROM ipp JOIN asg ON asg.cell = ipp.cell AND asg.vec_id <> ipp.query_id JOIN ien ON ien.vec_id = asg.vec_id JOIN ilut l ON l.query_id = ipp.query_id AND l.sub = ien.sub AND l.label = ien.code GROUP BY ipp.query_id, asg.vec_id, ipp.score), " +
       "ivfpq_rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rk FROM isc)"
 
+  /** Shared DuckDB chain on [[unitCte]]: banded hyperplane buckets →
+    * capped → colliding pairs with exact cosine (`j`) — the base of
+    * the embedding near-dup pair query and the SemDeDup components. */
+  private lazy val embNearDupChain: String = {
+    val banded = (0 until 4).map(b =>
+      s"SELECT vec_id, $b AS band, ${bucketSql(6, "dv", b * 6)} AS bucket FROM u")
+      .mkString(" UNION ALL ")
+    s"banded0 AS ($banded), " +
+      s"okb AS (SELECT band, bucket FROM banded0 GROUP BY band, bucket HAVING count(*) <= ${pipeline.Caps.DefaultMaxBucket}), " +
+      "banded AS (SELECT banded0.* FROM banded0 JOIN okb USING (band, bucket)), " +
+      "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+      "j AS (SELECT vec_a, vec_b, round(CAST(list_sum(list_transform(list_zip(ua.unit, ub.unit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine " +
+      "FROM cand JOIN u ua ON cand.vec_a = ua.vec_id JOIN u ub ON cand.vec_b = ub.vec_id)"
+  }
+
   /** Shared DuckDB chain: minhash signatures → 4-band LSH buckets →
     * colliding pairs with estimated Jaccard (k=16, w=3) — the base of
     * both the pair query and the component clustering. The default
@@ -490,18 +505,19 @@ private[graft] object EntryOracle {
     "q_simhash_pairs" -> simhashPairsSql,
     "q_frames" -> ("SELECT doc_id AS media_id, unnest(generate_series(0, n_chars * 10, 500)) AS frame_ts " +
       "FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id, frame_ts"),
-    "q_embedding_neardups" -> {
-      val banded = (0 until 4).map(b =>
-        s"SELECT vec_id, $b AS band, ${bucketSql(6, "dv", b * 6)} AS bucket FROM u")
-        .mkString(" UNION ALL ")
-      s"$unitCte, banded0 AS ($banded), " +
-        s"okb AS (SELECT band, bucket FROM banded0 GROUP BY band, bucket HAVING count(*) <= ${pipeline.Caps.DefaultMaxBucket}), " +
-        "banded AS (SELECT banded0.* FROM banded0 JOIN okb USING (band, bucket)), " +
-        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
-        "j AS (SELECT vec_a, vec_b, round(CAST(list_sum(list_transform(list_zip(ua.unit, ub.unit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine " +
-        "FROM cand JOIN u ua ON cand.vec_a = ua.vec_id JOIN u ub ON cand.vec_b = ub.vec_id) " +
-        "SELECT vec_a, vec_b, cosine FROM j WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"
-    },
+    "q_embedding_neardups" ->
+      s"$unitCte, $embNearDupChain SELECT vec_a, vec_b, cosine FROM j WHERE cosine >= 0.4 ORDER BY vec_a, vec_b",
+    // SemDeDup: components over the embedding near-dup pairs, keep the
+    // min vec_id per component (the same recursive-CTE machinery as
+    // q_dedup_clusters)
+    "q_semantic_dedup" ->
+      (s"$unitCte, $embNearDupChain, ".replaceFirst("WITH ", "WITH RECURSIVE ") +
+        "fp AS (SELECT vec_a, vec_b FROM j WHERE cosine >= 0.4), " +
+        "edges AS (SELECT vec_a AS src, vec_b AS dst FROM fp UNION SELECT vec_b, vec_a FROM fp), " +
+        "r(v, comp) AS (SELECT src, src FROM edges UNION SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.v), " +
+        "cmp AS (SELECT v AS vec_id, min(comp) AS component FROM r GROUP BY v), " +
+        "dropids AS (SELECT vec_id FROM cmp WHERE vec_id <> component) " +
+        "SELECT e.vec_id, e.label FROM embeddings e WHERE e.vec_id NOT IN (SELECT vec_id FROM dropids) ORDER BY e.vec_id"),
     "q_ann_brute" -> (s"$unitCte, q AS (SELECT vec_id AS query_id, unit AS qunit FROM u WHERE vec_id IN (0,1,2,3,4)), " +
       "scored AS (SELECT query_id, vec_id, round(CAST(list_sum(list_transform(list_zip(unit, qunit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine FROM u, q WHERE vec_id <> query_id), " +
       "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM scored) " +

@@ -355,6 +355,10 @@ private[graft] object EntryStreams {
       Dedup.simhashPairs(docs(s, d), 3).orderBy("doc_a", "doc_b")),
     "q_embedding_neardups" -> ((s, d) =>
       Dedup.embeddingNearDups(emb(s, d), 0.4).orderBy("vec_a", "vec_b")),
+    // SemDeDup (Abbas et al. 2023): one survivor per embedding-cosine
+    // near-dup component
+    "q_semantic_dedup" -> ((s, d) =>
+      Dedup.semanticDedup(emb(s, d), 0.4).orderBy("vec_id")),
 
     // ---- LLM pipeline: similarity
     "q_ann_brute" -> ((s, d) =>

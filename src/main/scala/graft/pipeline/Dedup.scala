@@ -389,6 +389,27 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Semantic (embedding-space) dedup — the SemDeDup shape (Abbas et
+    * al. 2023: drop all but one member of each embedding-cosine
+    * near-dup cluster): connected components over
+    * [[embeddingNearDups]]' capped banded-LSH pairs, keeping the
+    * minimum vec_id per component. The survivors relation is what a
+    * training pipeline joins its documents against. Same scale posture
+    * as the textual dedup family: pair generation is banded + capped,
+    * components are the bounded union-find/min-label machinery. */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.4,
+      bands: Int = 4, planesPerBand: Int = 6, dims: Int = 64,
+      maxBucket: Int = Caps.DefaultMaxBucket): DataFrame = {
+    val pairs = embeddingNearDups(embeddings, threshold, bands,
+        planesPerBand, dims, maxBucket)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val drop = nearDupComponents(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("vec_id"))
+    embeddings.join(drop, Seq("vec_id"), "left_anti")
+      .select("vec_id", "label")
+  }
+
   /** SimHash fingerprint from token counts: per-token md5-derived bits,
     * weighted-majority per bit position. Near-dups = fingerprints within
     * a small Hamming distance; pairs found by exact-match on fingerprint

@@ -269,6 +269,17 @@ class PipelineSpec extends SparkSpec {
       s"probed-cell budget 3×${cellSizes.max} is not under the corpus $n")
   }
 
+  test("semanticDedup keeps one survivor (min vec_id) per embedding " +
+    "near-dup component") {
+    // the two jitter clusters are internally cosine-close (>= 0.9) and
+    // mutually orthogonal: each collapses to its min id
+    val kept = Similarity.ivfCentroids(corpus) // force corpus shape reuse
+    assert(kept.count() == 2)
+    val survivors = Dedup.semanticDedup(corpus, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 10L), s"survivors: $survivors")
+  }
+
   test("lshTopK maxBucket drops hot buckets entirely") {
     // all six vectors land in some bucket; cap of 1 removes every
     // bucket with >1 member, so no pairs remain
