@@ -114,6 +114,16 @@ private[graft] object EntryPipeline {
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(docs(s, d))
       .orderBy("doc_id")),
     "q_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
+    // corpus-trained bigram LM likelihood (the CCNet-style LM quality
+    // filter shape, deterministic long/floor arithmetic)
+    "q_lm_likelihood" -> ((s, d) =>
+      TextAnalysis.bigramLikelihood(docs(s, d)).orderBy("doc_id")),
+    // DSIR importance weights toward the English slice as the target
+    // domain (hashed-bigram likelihood ratios)
+    "q_importance" -> ((s, d) =>
+      TextAnalysis.importanceWeights(docs(s, d),
+          docs(s, d).filter(col("lang") === "en"))
+        .orderBy("doc_id")),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))
       .orderBy("doc_id")),
     // winnowing fingerprints (Schleimer et al. 2003): codegen'd kernel,

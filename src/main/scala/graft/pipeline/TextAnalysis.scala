@@ -87,6 +87,84 @@ object TextAnalysis {
     * set is distinct-deduped and joined on the shingle (hash-partitioned
     * equijoin; broadcast when the benchmark is small), so the cost is
     * one shuffle of the corpus' exploded shingles. */
+  /** Corpus-trained bigram language-model likelihood — the CCNet-style
+    * LM quality filter's shape (score each document under a model of
+    * the corpus; low likelihood = noise/garble, tails get dropped), in
+    * fully deterministic arithmetic: per-bigram add-one-smoothed
+    * conditional likelihood (c(w1 w2)+1)/(c(w1)+V) as an IEEE double
+    * of exact longs, floored to a 1e-6-scaled long; the document score
+    * is the mean of those terms (monotone in the smoothed likelihood —
+    * an LM-likelihood signal, deliberately NOT log-perplexity: ln()
+    * is not bit-identical across engines, long division and floor
+    * are). Scale shape: two corpus-level aggregations (bigram and
+    * prefix counts) joined back on their own keys — co-partitioned
+    * hash joins, no broadcast of the (large) count tables. */
+  def bigramLikelihood(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws)-1), " +
+          "i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val biCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val prefixCounts = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = bi.agg(countDistinct(col("w2")).as("v"))
+    bi.join(biCounts, Seq("w1", "w2"))
+      .join(prefixCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(lit(1e6) * (col("c12") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")).as("tl"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("tl")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("lm_score"))
+  }
+
+  /** DSIR-shape importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each raw
+    * document by how target-like its hashed-bigram features are, for
+    * importance resampling toward a target domain. Features are md5
+    * bigram hashes into `buckets` bins (the paper's hashed n-gram
+    * model); per-feature ratio = p̂_target(b) / p̂_raw(b) with add-one
+    * smoothing, composed as exact-long doubles and floored to a
+    * 1e-6-scaled long; the document weight is the mean ratio (a
+    * monotone importance signal — the paper's log-sum needs ln(),
+    * which is not bit-identical across engines; long division and
+    * floor are). Scale: two bounded-size (≤ `buckets` rows) count
+    * tables broadcast back over one narrow feature pass. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    val P = Dedup.MinhashP
+    def feats(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws)-1), " +
+          s"i -> CAST(conv(substring(md5(concat(ws[i-1], ' ', ws[i])), 1, 15), 16, 10) AS BIGINT) % ${P}L)"))
+        .as("h"))
+      .select(col("doc_id"), (col("h") % buckets).cast("int").as("b"))
+    val rawF = feats(raw)
+    val tCounts = feats(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    val rCounts = rawF.groupBy("b").agg(count(lit(1)).as("cr"))
+    val totals = tCounts.agg(sum(col("ct")).as("nt"))
+      .crossJoin(rCounts.agg(sum(col("cr")).as("nr")))
+    rawF
+      .join(broadcast(rCounts), Seq("b"))
+      .join(broadcast(tCounts), Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        // association mirrored exactly in the oracle: 1e6 × (num / den)
+        floor(lit(1e6) * (
+          ((coalesce(col("ct"), lit(0L)) + 1).cast("double") *
+            (col("nr") + buckets).cast("double")) /
+          ((col("nt") + buckets).cast("double") *
+            (col("cr") + 1).cast("double")))).as("tw"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("tw")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("importance"))
+  }
+
   def contamination(docs: DataFrame, benchmark: DataFrame,
       w: Int = 3): DataFrame = {
     val ds = Dedup.shingles(docs, w)

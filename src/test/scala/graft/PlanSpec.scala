@@ -155,6 +155,41 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 2, s"want 2 hash exchanges, got $exchanges:\n$p")
   }
 
+  test("bigramLikelihood: count tables join on their own keys (no " +
+    "cartesian product beyond the broadcast vocab scalar), and a " +
+    "repeated phrase outscores unique text") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.pipeline.TextAnalysis.bigramLikelihood(docs))
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"count aggregations lost their partials:\n$p")
+    // behavior: a corpus-dominant repeated phrase must score far above
+    // a one-off word salad under the corpus-trained model
+    val spark0 = spark
+    import spark0.implicits._
+    val tiny = (Seq.fill(9)("the quick brown fox jumps").zipWithIndex.map {
+      case (t, i) => (i.toLong, t)
+    } :+ (9L, "zebra quartz lonely vortex glyph"))
+      .toDF("doc_id", "text")
+    val scores = graft.pipeline.TextAnalysis.bigramLikelihood(tiny)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(0L) > 2 * scores(9L),
+      s"repeated ${scores(0L)} vs unique ${scores(9L)}")
+  }
+
+  test("importanceWeights rank target-domain documents above the rest " +
+    "(English-target DSIR on the real table)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val iw = graft.pipeline.TextAnalysis.importanceWeights(
+        docs, docs.filter(col("lang") === "en"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val means = iw.groupBy(col("lang") === "en")
+      .agg(avg(col("importance")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"en mean ${means(true)} <= other mean ${means(false)}")
+  }
+
   test("line decoders are narrow: no exchange before the parse projection") {
     val lines = spark.createDataFrame(
       Seq(Tuple1("api.req;dc=a 1.5 1000"), Tuple1("bad")).map(t => t)
