@@ -598,7 +598,8 @@ private[graft] object EntryOracle {
       "cc AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c FROM dims GROUP BY 1, 2) " +
       "SELECT label, round(sqrt(CAST(SUM(CAST(c*c AS DECIMAL(38,18))) AS DOUBLE)), 4) AS centroid_norm, count(*) AS dims FROM cc GROUP BY label ORDER BY label"),
     "q_text_stats" -> ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-      "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens, CAST(length(text) AS BIGINT) // 4 AS est_bpe_tokens " +
+      "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens, CAST(length(text) AS BIGINT) // 4 AS est_bpe_tokens, " +
+      s"CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeSplitRe.replace("'", "''")}')) AS BIGINT) AS bpe_regex_tokens " +
       "FROM documents ORDER BY doc_id"),
     "q_quality" -> (s"WITH t AS (SELECT doc_id, length(text) AS nch, string_split(text, ' ') AS toks FROM documents), " +
       s"m AS (SELECT doc_id, CAST(nch AS DOUBLE) AS nchars, CAST(len(toks) AS DOUBLE) AS ntok, CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) AS nstop, CAST(len(list_distinct(toks)) AS DOUBLE) AS ndis FROM t) " +

@@ -18,12 +18,22 @@ object TextAnalysis {
 
   /** Token/char counts + a BPE-ish subword estimate (≈ chars/4 is the
     * standard heuristic for byte-pair encodings). */
+  /** GPT-2-style pre-tokenizer split, lookahead-free so Java regex and
+    * RE2 (the DuckDB oracle) agree: contraction suffixes, space-glued
+    * letter runs, digit runs, punctuation runs. Counting its matches
+    * is the standard fast BPE-token estimate (each pre-token becomes
+    * ≥1 BPE token; the chars/4 column stays as the cruder bound). */
+  val BpeSplitRe: String =
+    "'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       length(col("text")).as("n_chars"),
       size(tokens(col("text"))).as("n_tokens"),
       size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"),
-      (length(col("text")) / lit(4)).cast("long").as("est_bpe_tokens"))
+      (length(col("text")) / lit(4)).cast("long").as("est_bpe_tokens"),
+      regexp_count(col("text"), lit(BpeSplitRe)).cast("long")
+        .as("bpe_regex_tokens"))
 
   /** Quality score: mean token length, type-token ratio, stopword
     * ratio, repetition (1 - distinct/total). Deterministic rational
