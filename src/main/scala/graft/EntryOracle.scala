@@ -626,7 +626,7 @@ private[graft] object EntryOracle {
       "uc AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1), " +
       "vv AS (SELECT count(DISTINCT w2) AS v FROM b), " +
       "terms AS (SELECT b.doc_id, CAST(FLOOR(1e6 * (bc.c12 + 1) / (uc.c1 + vv.v)) AS BIGINT) AS tl FROM b JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vv) " +
-      "SELECT doc_id, count(*) AS n_bigrams, round(CAST(SUM(tl) AS DOUBLE)/count(*)/1e6, 6) AS lm_score FROM terms GROUP BY 1 ORDER BY doc_id"),
+      "SELECT doc_id, count(*) AS n_bigrams, CAST((2*SUM(tl) + count(*)) // (2*count(*)) AS DOUBLE)/1e6 AS lm_score FROM terms GROUP BY 1 ORDER BY doc_id"),
     "q_importance" -> (s"WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents), " +
       "b0 AS (SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(ws)-1), i -> {'w1': ws[i], 'w2': ws[i+1]}), recursive := true) FROM t), " +
       s"f AS (SELECT doc_id, lang, CAST((CAST(('0x'||substr(md5(w1 || ' ' || w2),1,15)) AS BIGINT) % ${Dedup.MinhashP}) % 4096 AS INT) AS b FROM b0), " +
@@ -634,7 +634,7 @@ private[graft] object EntryOracle {
       "rc AS (SELECT b, count(*) AS cr FROM f GROUP BY 1), " +
       "tot AS (SELECT (SELECT SUM(ct) FROM tc) AS nt, (SELECT SUM(cr) FROM rc) AS nr), " +
       "terms AS (SELECT f.doc_id, CAST(FLOOR(1e6 * ((CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) * CAST(tot.nr + 4096 AS DOUBLE)) / (CAST(tot.nt + 4096 AS DOUBLE) * CAST(rc.cr + 1 AS DOUBLE)))) AS BIGINT) AS tw FROM f JOIN rc USING (b) LEFT JOIN tc USING (b) CROSS JOIN tot) " +
-      "SELECT doc_id, count(*) AS n_feats, round(CAST(SUM(tw) AS DOUBLE)/count(*)/1e6, 6) AS importance FROM terms GROUP BY 1 ORDER BY doc_id"),
+      "SELECT doc_id, count(*) AS n_feats, CAST((2*SUM(tw) + count(*)) // (2*count(*)) AS DOUBLE)/1e6 AS importance FROM terms GROUP BY 1 ORDER BY doc_id"),
     "q_repetition" -> ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
       "b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS g FROM t), " +
       "bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2), " +

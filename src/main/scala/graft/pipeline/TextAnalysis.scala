@@ -126,9 +126,14 @@ object TextAnalysis {
         floor(lit(1e6) * (col("c12") + 1).cast("double") /
           (col("c1") + col("v")).cast("double")).as("tl"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("tl")).cast("double") / count(lit(1)) / 1e6, 6)
-          .as("lm_score"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("tl")).as("s"))
+      // half-up rounding of the exact rational mean in INTEGER
+      // arithmetic — round(double, 6) disagrees across engines exactly
+      // at .5 micro-unit boundaries (sf0.1 hit one); (2s+n) div (2n)
+      // is the same half-up value, bit-identical everywhere
+      .select(col("doc_id"), col("n_bigrams"),
+        (expr("(2*s + n_bigrams) div (2*n_bigrams)").cast("double") /
+          1e6).as("lm_score"))
   }
 
   /** DSIR-shape importance weights (Xie et al. 2023, "Data Selection
@@ -170,9 +175,11 @@ object TextAnalysis {
           ((col("nt") + buckets).cast("double") *
             (col("cr") + 1).cast("double")))).as("tw"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"),
-        round(sum(col("tw")).cast("double") / count(lit(1)) / 1e6, 6)
-          .as("importance"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("tw")).as("s"))
+      // same integer half-up mean as bigramLikelihood (see there)
+      .select(col("doc_id"), col("n_feats"),
+        (expr("(2*s + n_feats) div (2*n_feats)").cast("double") /
+          1e6).as("importance"))
   }
 
   def contamination(docs: DataFrame, benchmark: DataFrame,
