@@ -627,6 +627,41 @@ private[graft] object EntryOracle {
       "vv AS (SELECT count(DISTINCT w2) AS v FROM b), " +
       "terms AS (SELECT b.doc_id, CAST(FLOOR(1e6 * (bc.c12 + 1) / (uc.c1 + vv.v)) AS BIGINT) AS tl FROM b JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vv) " +
       "SELECT doc_id, count(*) AS n_bigrams, CAST((2*SUM(tl) + count(*)) // (2*count(*)) AS DOUBLE)/1e6 AS lm_score FROM terms GROUP BY 1 ORDER BY doc_id"),
+    // the full curation funnel: every stage's SQL is the corresponding
+    // standalone oracle's fragment re-rooted on the prior stage's
+    // survivors (constants identical: Gopher thresholds, minhash
+    // k=16/bands=4/threshold 0.5/cap, w=3 shingles); decontamination
+    // compares 2·hits < shingles in integers (no rounding boundary)
+    "q_curation_funnel" -> (
+      "WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0), " +
+      "gt AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM corpus), " +
+      "gg AS (SELECT doc_id, text, w, CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS g3 FROM gt), " +
+      s"gm AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, round(CAST(length(text) AS DOUBLE) / CAST(len(w) AS DOUBLE), 4) AS mean_token_len, CAST(len(list_filter(w, x -> list_contains($stopList, x))) AS INT) AS n_stopwords, round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / CAST(len(w) AS DOUBLE), 4) AS symbol_ratio, round(CASE WHEN len(g3) > 0 THEN CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END, 4) AS dup_3gram_frac FROM gg), " +
+      "gq AS (SELECT doc_id FROM gm WHERE n_tokens >= 20 AND n_tokens <= 100000 AND mean_token_len >= CAST(3.0 AS DOUBLE) AND mean_token_len <= CAST(10.0 AS DOUBLE) AND n_stopwords >= 2 AND symbol_ratio <= CAST(0.1 AS DOUBLE) AND dup_3gram_frac <= CAST(0.3 AS DOUBLE)), " +
+      "qdocs AS (SELECT c.* FROM corpus c JOIN gq USING (doc_id)), " +
+      "ek AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, md5(text) AS h FROM qdocs) GROUP BY h), " +
+      "edocs AS (SELECT q.* FROM qdocs q JOIN ek USING (doc_id)), " +
+      "s2 AS (SELECT doc_id, string_split(text, ' ') AS words FROM edocs), " +
+      "sh2 AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, GREATEST(len(words)-3, 0)), i -> array_to_string(words[i+1:i+3], ' '))) AS shingles FROM s2), " +
+      s"hh2 AS (SELECT doc_id, shingles, list_transform(shingles, s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % ${Dedup.MinhashP}) AS hs FROM sh2), " +
+      s"sg2 AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh2), " +
+      "banded2 AS (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM sg2), " +
+      "bk02 AS (SELECT doc_id, sig, band, md5(array_to_string(list_transform(sig[band*4+1:band*4+4], x -> CAST(x AS VARCHAR)), ',')) AS bucket FROM banded2), " +
+      s"okb2 AS (SELECT band, bucket FROM bk02 GROUP BY band, bucket HAVING count(*) <= ${pipeline.Caps.DefaultMaxBucket}), " +
+      "bk2 AS (SELECT bk02.* FROM bk02 JOIN okb2 USING (band, bucket)), " +
+      "pairs2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2])) AS DOUBLE) / 16 AS est_jaccard FROM bk2 a JOIN bk2 b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+      "fp2 AS (SELECT doc_a, doc_b FROM pairs2 WHERE est_jaccard >= 0.5), " +
+      "edges2 AS (SELECT doc_a AS src, doc_b AS dst FROM fp2 UNION SELECT doc_b, doc_a FROM fp2), " +
+      "r2(doc, comp) AS (SELECT src, src FROM edges2 UNION SELECT e.dst, r2.comp FROM r2 JOIN edges2 e ON e.src = r2.doc), " +
+      "cmp2 AS (SELECT doc AS doc_id, min(comp) AS component FROM r2 GROUP BY doc), " +
+      "drop2 AS (SELECT doc_id FROM cmp2 WHERE doc_id <> component), " +
+      "ndocs AS (SELECT e.* FROM edocs e WHERE e.doc_id NOT IN (SELECT doc_id FROM drop2)), " +
+      "bs2 AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id % 10 = 0), " +
+      "bsh AS (SELECT DISTINCT s FROM (SELECT unnest(list_distinct(list_transform(generate_series(0, GREATEST(len(words)-3, 0)), i -> array_to_string(words[i+1:i+3], ' ')))) AS s FROM bs2)), " +
+      "nsh AS (SELECT doc_id, unnest(shingles) AS s FROM (SELECT n.doc_id, sh2.shingles FROM ndocs n JOIN sh2 ON n.doc_id = sh2.doc_id)), " +
+      "cj AS (SELECT nsh.doc_id, count(*) AS n, CAST(SUM(CASE WHEN bsh.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits FROM nsh LEFT JOIN bsh ON nsh.s = bsh.s GROUP BY 1), " +
+      "clean AS (SELECT doc_id FROM cj WHERE hits * 2 < n) " +
+      "SELECT (SELECT count(*) FROM corpus) AS n_corpus, (SELECT count(*) FROM qdocs) AS n_quality, (SELECT count(*) FROM edocs) AS n_exact, (SELECT count(*) FROM ndocs) AS n_neardup, (SELECT count(*) FROM clean) AS n_clean"),
     "q_importance" -> (s"WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents), " +
       "b0 AS (SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(ws)-1), i -> {'w1': ws[i], 'w2': ws[i+1]}), recursive := true) FROM t), " +
       s"f AS (SELECT doc_id, lang, CAST((CAST(('0x'||substr(md5(w1 || ' ' || w2),1,15)) AS BIGINT) % ${Dedup.MinhashP}) % 4096 AS INT) AS b FROM b0), " +

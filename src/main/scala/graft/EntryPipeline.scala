@@ -124,6 +124,9 @@ private[graft] object EntryPipeline {
       TextAnalysis.importanceWeights(docs(s, d),
           docs(s, d).filter(col("lang") === "en"))
         .orderBy("doc_id")),
+    // the full curation recipe with auditable per-stage attrition
+    "q_curation_funnel" -> ((s, d) =>
+      graft.pipeline.Curation.curationFunnel(docs(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))
       .orderBy("doc_id")),
     // winnowing fingerprints (Schleimer et al. 2003): codegen'd kernel,

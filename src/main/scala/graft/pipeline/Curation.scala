@@ -151,6 +151,40 @@ object Curation {
     *
     * Output: input columns + (n_source, keep_rate, sample_u) for kept
     * rows only. */
+  /** The end-to-end curation recipe as ONE relation — the funnel a
+    * training-data pipeline actually runs, with the per-stage counts
+    * that make its attrition auditable (the C4/Gopher reporting
+    * convention): corpus (the benchmark slice `doc_id % 10 == 0` held
+    * out) → Gopher quality rules → exact dedup (min doc_id per
+    * content hash) → MinHash-LSH near-dup dedup → benchmark
+    * decontamination (docs sharing ≥ half their shingles with the
+    * benchmark are dropped — compared in INTEGER arithmetic,
+    * 2·hits < shingles, so no cross-engine rounding boundary exists).
+    * Each stage runs on the previous stage's survivors, exactly like
+    * the production ordering (quality first: it is the cheap narrow
+    * pass; pair generation only sees what survived it). Output: one
+    * row (n_corpus, n_quality, n_exact, n_neardup, n_clean). */
+  def curationFunnel(docs: DataFrame): DataFrame = {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val quality = TextAnalysis.gopherFilter(corpus, 20, 100000)
+      .filter(col("keep")).select("doc_id")
+    val qdocs = corpus.join(quality, "doc_id")
+    val exactKeep = qdocs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val edocs = qdocs.join(exactKeep, "doc_id")
+    val ndocs = Dedup.dedupedCorpus(edocs, Dedup.minhashPairs(edocs))
+    val clean = TextAnalysis.contamination(ndocs, bench)
+      .filter(col("n_contaminated") * 2 < col("n_shingles"))
+      .select("doc_id")
+    corpus.agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(qdocs.agg(count(lit(1)).as("n_quality")))
+      .crossJoin(edocs.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(ndocs.agg(count(lit(1)).as("n_neardup")))
+      .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+  }
+
   def temperatureSample(docs: DataFrame, alpha: Double = 0.5,
       targetFrac: Double = 0.5, byCol: String = "source"): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
