@@ -57,6 +57,9 @@ class PlanSpec extends SparkSpec {
       Dedup.minhashPairs(spark.read.parquet(s"$dir/documents.parquet"), 16, 4, 0.5),
       Dedup.ngramJaccardPairs(spark.read.parquet(s"$dir/documents.parquet")),
       Dedup.embeddingNearDups(spark.read.parquet(s"$dir/embeddings.parquet"), 0.4),
+      Dedup.semanticDedup(spark.read.parquet(s"$dir/embeddings.parquet"), 0.4),
+      graft.pipeline.Curation.curationFunnel(
+        spark.read.parquet(s"$dir/documents.parquet")),
       Similarity.lshTopK(spark.read.parquet(s"$dir/embeddings.parquet"), 5))
     suspects.foreach { df =>
       val p = plan(df)
