@@ -165,16 +165,21 @@ object Curation {
     * pass; pair generation only sees what survived it). Output: one
     * row (n_corpus, n_quality, n_exact, n_neardup, n_clean). */
   def curationFunnel(docs: DataFrame): DataFrame = {
-    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    // every stage feeds BOTH the next stage and its own count branch —
+    // uncached, each of the five count aggregations re-executed its
+    // whole upstream chain (measured 19 s at sf0.1; the pair stage ran
+    // twice, the Gopher kernel four times). The stage caches make the
+    // funnel one forward pass plus five cache-local counts.
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0).cache()
     val bench = docs.filter(col("doc_id") % 10 === 0)
     val quality = TextAnalysis.gopherFilter(corpus, 20, 100000)
       .filter(col("keep")).select("doc_id")
-    val qdocs = corpus.join(quality, "doc_id")
+    val qdocs = corpus.join(quality, "doc_id").cache()
     val exactKeep = qdocs
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val edocs = qdocs.join(exactKeep, "doc_id")
-    val ndocs = Dedup.dedupedCorpus(edocs, Dedup.minhashPairs(edocs))
+    val edocs = qdocs.join(exactKeep, "doc_id").cache()
+    val ndocs = Dedup.dedupedCorpus(edocs, Dedup.minhashPairs(edocs)).cache()
     val clean = TextAnalysis.contamination(ndocs, bench)
       .filter(col("n_contaminated") * 2 < col("n_shingles"))
       .select("doc_id")
