@@ -172,6 +172,48 @@ class ProtobufSpec extends SparkSpec {
     }
   }
 
+  test("property: query/reply wire round-trips, and scanMsg sees " +
+    "exactly the events/query the Msg carries") {
+    forAllN(Gen.zip(genStr(withNull = false),
+        Gen.listOfN(2, Gen.resize(8, genEvent)), Gen.oneOf(true, false),
+        Gen.option(genStr(withNull = false))), 300) {
+      case (q, evs, ok, err) =>
+        // query Msg: scanMsg finds the query string, no events
+        val qm = RiemannProtobuf.encodeQueryMsg(q)
+        assert(RiemannProtobuf.scanMsg(qm) == ((false, Some(q))))
+        // event Msg: events present, no query
+        val em = RiemannProtobuf.encodeMsg(evs)
+        assert(RiemannProtobuf.scanMsg(em) == ((evs.nonEmpty, None)))
+        // both on one Msg (transport.clj handle's combined case)
+        assert(RiemannProtobuf.scanMsg(em ++ qm) ==
+          ((evs.nonEmpty, Some(q))))
+        // reply round-trip
+        val (rok, rerr, revs) = RiemannProtobuf.decodeReply(
+          RiemannProtobuf.encodeReply(ok, err, evs))
+        assert(rok == Some(ok) && rerr == err &&
+          revs.map(bitKey) == evs.map(bitKey))
+    }
+  }
+
+  test("property: corrupt payloads never escape scanMsg/decodeReply's " +
+    "isolation net either (the serve loop catches and falls back)") {
+    val genCorrupt: Gen[Array[Byte]] = Gen.oneOf(
+      for {
+        q <- genStr(withNull = false)
+        bytes = RiemannProtobuf.encodeQueryMsg(q)
+        if bytes.nonEmpty
+        pos <- Gen.choose(0, bytes.length - 1)
+        b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+      } yield { val m = bytes.clone(); m(pos) = b; m },
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    forAllN(genCorrupt, 600) { bytes =>
+      try { RiemannProtobuf.scanMsg(bytes); () }
+      catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException => () }
+      try { RiemannProtobuf.decodeReply(bytes); () }
+      catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException => () }
+    }
+  }
+
   test("DataFrame adapter decodes framed payloads on executors") {
     val spark0 = spark
     import spark0.implicits._
