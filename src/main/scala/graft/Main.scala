@@ -146,20 +146,21 @@ object Main {
     case o: JObject => Some(o)
     case _ => None
   }
-  private def int(v: JValue, what: String): Int = v match {
-    case JInt(n) => n.toInt
-    case JLong(n) => n.toInt
-    case other => throw new IllegalArgumentException(s"$what: got $other")
-  }
+  // strict numeric extraction shares ConfigFile's accessor; strOr is
+  // deliberately lenient (absent server fields default, they don't throw)
+  private def int(v: JValue, what: String): Int =
+    ConfigFile.num(v, what).toInt
   private def strOr(v: JValue, dflt: String): String = v match {
     case JString(s) => s
     case _ => dflt
   }
 
-  /** Decoded-wire columns → the SEvent shape the config ops consume. */
+  /** Decoded-wire columns → the SEvent shape the config ops consume
+    * (plus the wire tags, which the config tag/tagged-* ops filter
+    * on; extra columns pass through `.as[SEvent]` untouched). */
   private def asSEvents(df: DataFrame): DataFrame =
     df.select(col("host"), col("service"), col("state"), col("metric"),
-      timestamp_seconds(col("time_s")).as("time"), col("ttl"))
+      timestamp_seconds(col("time_s")).as("time"), col("ttl"), col("tags"))
 
   /** Assemble the process from a config file: servers, sources, Core +
     * Loader, the served index, and the ws/sse query surfaces. The

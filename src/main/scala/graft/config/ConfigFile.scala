@@ -99,24 +99,31 @@ object ConfigFile {
     included ++ own
   }
 
-  private def str(v: JValue, what: String): String = v match {
+  private[graft] def str(v: JValue, what: String): String = v match {
     case JString(s) => s
     case other => throw new IllegalArgumentException(s"$what: got $other")
   }
 
-  private def strings(v: JValue): Seq[String] = v match {
+  private[graft] def strings(v: JValue): Seq[String] = v match {
     case JArray(vs) => vs.map(str(_, "list element"))
     case JNothing => Nil
     case other => throw new IllegalArgumentException(s"expected array: $other")
   }
 
-  private def num(v: JValue, what: String): Double = v match {
+  private[graft] def num(v: JValue, what: String): Double = v match {
     case JInt(n) => n.toDouble
     case JLong(n) => n.toDouble
     case JDouble(n) => n
     case JDecimal(n) => n.toDouble
     case other => throw new IllegalArgumentException(s"$what: got $other")
   }
+
+  /** The tags column if the source carries one, else an empty array —
+    * a sourceless/stripped stream must not fail ANALYSIS on a tag op
+    * (the reference treats a tagless event as having no tags). */
+  private def tagsCol(df: DataFrame) =
+    if (df.columns.contains("tags")) col("tags")
+    else lit(Array.empty[String])
 
   /** Compile one op onto a DataFrame. Separate from the chain so specs
     * can exercise ops individually on batch frames (every op except
@@ -148,16 +155,18 @@ object ConfigFile {
       case "select" => df.select(strings(op \ "cols").map(col): _*)
       case "tag" =>
         df.withColumn("tags", array_union(
-          coalesce(col("tags"), array()),
+          coalesce(tagsCol(df), array()),
           lit(strings(op \ "tags").toArray)))
       case "untag" =>
         df.withColumn("tags",
-          array_except(col("tags"), lit(strings(op \ "tags").toArray)))
+          array_except(coalesce(tagsCol(df), array()),
+            lit(strings(op \ "tags").toArray)))
       case "tagged-all" =>
-        df.filter(strings(op \ "tags").map(t => array_contains(col("tags"), t))
+        df.filter(strings(op \ "tags")
+          .map(t => array_contains(coalesce(tagsCol(df), array()), t))
           .reduceOption(_ && _).getOrElse(lit(true)))
       case "tagged-any" =>
-        df.filter(arrays_overlap(col("tags"),
+        df.filter(arrays_overlap(coalesce(tagsCol(df), array()),
           lit(strings(op \ "tags").toArray)))
       case "over" => df.filter(col("metric") > num(op \ "x", "over.x"))
       case "under" => df.filter(col("metric") < num(op \ "x", "under.x"))

@@ -183,11 +183,17 @@ object Curation {
     val clean = TextAnalysis.contamination(ndocs, bench)
       .filter(col("n_contaminated") * 2 < col("n_shingles"))
       .select("doc_id")
-    corpus.agg(count(lit(1)).as("n_corpus"))
-      .crossJoin(qdocs.agg(count(lit(1)).as("n_quality")))
-      .crossJoin(edocs.agg(count(lit(1)).as("n_exact")))
-      .crossJoin(ndocs.agg(count(lit(1)).as("n_neardup")))
-      .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+    // eager, like the components machinery it already contains: the
+    // result is ONE row of counts, so compute it now and RELEASE the
+    // stage caches instead of pinning four corpus-scale relations for
+    // the rest of the session
+    val counts = (corpus.count(), qdocs.count(), edocs.count(),
+      ndocs.count(), clean.count())
+    Seq(corpus, qdocs, edocs, ndocs).foreach { df => df.unpersist(); () }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(counts)
+      .toDF("n_corpus", "n_quality", "n_exact", "n_neardup", "n_clean")
   }
 
   def temperatureSample(docs: DataFrame, alpha: Double = 0.5,

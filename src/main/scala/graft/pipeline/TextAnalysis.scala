@@ -112,6 +112,10 @@ object TextAnalysis {
   def bigramLikelihood(docs: DataFrame): DataFrame = {
     val bi = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // single-token docs MUST drop here: sequence(1, 0) is Spark's
+      // DESCENDING [1, 0] (not DuckDB's empty series) — ws[1] throws
+      // under ANSI, and phantom null bigrams would poison V otherwise
+      .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws)-1), " +
           "i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
@@ -153,6 +157,8 @@ object TextAnalysis {
     val P = Dedup.MinhashP
     def feats(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // see bigramLikelihood: sequence(1, 0) descends on 1-token docs
+      .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws)-1), " +
           s"i -> CAST(conv(substring(md5(concat(ws[i-1], ' ', ws[i])), 1, 15), 16, 10) AS BIGINT) % ${P}L)"))

@@ -203,7 +203,10 @@ object Sinks {
     private var lastBatch = Long.MinValue
     override def write(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (batchId <= lastBatch) return
-      lastBatch = batchId
+      // the guard advances only AFTER the forwarding job succeeds
+      // (ReinjectLoop's discipline): marking first would record a
+      // batch whose transport send FAILED as forwarded, and the
+      // recovery replay would be silently dropped — event loss
       import graft.sources.RiemannProtobuf
       val spark = batch.sparkSession
       import spark.implicits._
@@ -223,6 +226,7 @@ object Sinks {
               }.toSeq))
             })
         }
+      lastBatch = batchId
     }
   }
 

@@ -75,6 +75,15 @@ class FileConfigSpec extends SparkSpec {
       Seq(1, 3))
     assert(ids(ConfigFile.applyOp(df, op("""{"op":"under","x":4}"""))) ==
       Seq(2))
+    // tag ops on a TAGLESS frame (a stripped source) must treat tags
+    // as empty, never fail analysis
+    val bare = ConfigFile.applyOp(df, op("""{"op":"tag","tags":["x"]}"""))
+    assert(one[scala.collection.Seq[String]](
+      bare.filter(col("event_id") === 1), "tags") == Seq("x"))
+    assert(ConfigFile.applyOp(df,
+      op("""{"op":"tagged-any","tags":["x"]}""")).count() == 0)
+    assert(ConfigFile.applyOp(df,
+      op("""{"op":"untag","tags":["x"]}""")).columns.contains("tags"))
   }
 
   test("throttle op: streaming-stateful n-per-dt through the config surface") {

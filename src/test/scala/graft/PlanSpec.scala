@@ -178,6 +178,17 @@ class PlanSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(scores(0L) > 2 * scores(9L),
       s"repeated ${scores(0L)} vs unique ${scores(9L)}")
+    // single-token (and empty) docs must DROP, not crash or emit
+    // phantom bigrams: sequence(1, 0) is Spark's DESCENDING [1, 0]
+    val degenerate = Seq((1L, "hello"), (2L, ""), (3L, "two words"))
+      .toDF("doc_id", "text")
+    val lm = graft.pipeline.TextAnalysis.bigramLikelihood(degenerate)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lm == Set(3L), s"degenerate docs leaked: $lm")
+    val iw = graft.pipeline.TextAnalysis
+      .importanceWeights(degenerate, degenerate)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(iw == Set(3L), s"degenerate docs leaked: $iw")
   }
 
   test("importanceWeights rank target-domain documents above the rest " +

@@ -127,6 +127,20 @@ class SinksExtraSpec extends SparkSpec {
     val fresh = new Sinks.ForwardSink(ms => ms.foreach(ForwardProbe.msgs.add))
     fresh.write(batch, 7L)
     assert(ForwardProbe.msgs.size() == 2)
+
+    // a batch whose transport FAILED must not advance the guard: the
+    // recovery replay of the same batchId must go through (marking
+    // before the send would silently drop those events)
+    var fail = true
+    val flaky = new Sinks.ForwardSink(ms => {
+      val mats = ms.toSeq // force encode before deciding
+      if (fail) throw new java.io.IOException("downstream reset")
+      mats.foreach(ForwardProbe.msgs.add)
+    })
+    intercept[Exception](flaky.write(batch, 9L))
+    fail = false
+    flaky.write(batch, 9L) // replay after failure: must forward
+    assert(ForwardProbe.msgs.size() == 3)
   }
 
   test("typed smap drops None results (streams.clj:163-175)") {
