@@ -247,8 +247,141 @@ object Main {
     new Running(spark, core, loader, pubsub, index, ws, sse, tcpPorts)
   }
 
+  /** `graft.Main test <config>` — the bin.clj "test" command: run the
+    * config file's `tests` array against its stream definitions. Each
+    * test drives ONE named stream as a REAL streaming query (so every
+    * op — index, throttle, windows — behaves exactly as deployed): the
+    * stream's source is replaced by an in-memory input, `inject`ed
+    * events flow through the compiled pipeline into a memory sink, and
+    * every `expect` entry must match some output row on ALL the fields
+    * it names (subset semantics, like the reference's tap assertions);
+    * `expect_count`, when given, pins the exact row count.
+    *
+    * {{{
+    * "tests": [
+    *   {"name": "hot", "stream": "hot",
+    *    "inject": [{"host":"h1","service":"cpu","state":"critical",
+    *                "metric":0.9,"time_s":100}],
+    *    "expect": [{"host":"h1"}], "expect_count": 1}
+    * ]
+    * }}}
+    *
+    * Returns (passed, failed) and prints one line per test. */
+  def runTests(path: Path, spark: SparkSession): (Int, Int) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val doc = JsonMethods.parse(
+      java.nio.file.Files.readString(path.toRealPath()))
+    val streams = ConfigFile.load(path)
+      .map(s => ConfigFile.str(s \ "name", "stream.name") -> s).toMap
+    val tests = (doc \ "tests") match {
+      case JArray(ts) => ts.collect { case o: JObject => o }
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(
+        s"tests must be an array, got $other")
+    }
+    var passed, failed = 0
+    for (t <- tests) {
+      val name = ConfigFile.str(t \ "name", "test.name")
+      val streamName = ConfigFile.str(t \ "stream", s"$name.stream")
+      val stream = streams.getOrElse(streamName,
+        throw new IllegalArgumentException(
+          s"test '$name': unknown stream '$streamName'"))
+      val failures = runOneTest(spark, name, stream, t)
+      if (failures.isEmpty) { passed += 1; println(s"PASS $name") }
+      else {
+        failed += 1
+        println(s"FAIL $name: ${failures.mkString("; ")}")
+      }
+    }
+    println(s"== $passed passed, $failed failed ==")
+    (passed, failed)
+  }
+
+  private def runOneTest(spark: SparkSession, name: String,
+      stream: JObject, t: JObject): Seq[String] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SEvent]
+    val out = ConfigFile.compilePipeline(input.toDF(), stream)
+    val sinkName = s"graft_test_${name.replaceAll("[^A-Za-z0-9_]", "_")}" +
+      s"_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory(s"graft-test-$name").toString)
+      .start()
+    try {
+      val events = (t \ "inject") match {
+        case JArray(es) => es.collect { case o: JObject =>
+          SEvent(
+            strOr(o \ "host", null), strOr(o \ "service", null),
+            strOr(o \ "state", null),
+            (o \ "metric") match {
+              case JNothing => None
+              case v => Some(ConfigFile.num(v, s"$name.metric"))
+            },
+            new java.sql.Timestamp(
+              (ConfigFile.num(o \ "time_s", s"$name.time_s") * 1000).toLong),
+            (o \ "ttl") match {
+              case JNothing => None
+              case v => Some(ConfigFile.num(v, s"$name.ttl"))
+            })
+        }
+        case _ => Nil
+      }
+      input.addData(events)
+      q.processAllAvailable()
+      val rows = spark.table(sinkName).collect()
+      def matches(exp: JObject, row: org.apache.spark.sql.Row): Boolean =
+        exp.obj.forall { case JField(k, v) =>
+          if (!row.schema.fieldNames.contains(k)) false
+          else {
+            val i = row.fieldIndex(k)
+            v match {
+              case JNull => row.isNullAt(i)
+              case JString(s) => !row.isNullAt(i) && row.get(i).toString == s
+              case JBool(b) => !row.isNullAt(i) && row.get(i) == b
+              case n => !row.isNullAt(i) &&
+                math.abs(row.get(i).toString.toDouble -
+                  ConfigFile.num(n, k)) < 1e-9
+            }
+          }
+        }
+      val expects = (t \ "expect") match {
+        case JArray(es) => es.collect { case o: JObject => o }
+        case _ => Nil
+      }
+      val misses = expects.filterNot(e => rows.exists(matches(e, _)))
+        .map(e => s"no row matches ${JsonMethods.compact(JsonMethods.render(e))}")
+      val countMiss = (t \ "expect_count") match {
+        case JNothing => Nil
+        case v =>
+          val want = ConfigFile.num(v, s"$name.expect_count").toInt
+          if (rows.length == want) Nil
+          else Seq(s"expected $want rows, got ${rows.length}")
+      }
+      misses ++ countMiss
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "version" :: _ => println(Version)
+    case "test" :: cfg :: _ =>
+      // bin.clj's "test" command: exit 0 iff every config test passes
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+        .appName("graft-test")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "8"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val (_, failedN) = runTests(Paths.get(cfg), spark)
+      spark.stop()
+      sys.exit(if (failedN == 0) 0 else 1)
     case rest =>
       val cfg = rest match {
         case "start" :: p :: _ => p

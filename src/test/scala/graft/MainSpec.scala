@@ -203,6 +203,35 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("config test mode (bin.clj 'test'): passing and failing tests " +
+    "report correctly, driven through a real streaming query") {
+    val dir = Files.createTempDirectory("graft-main-test")
+    val cfg = dir.resolve("graft.json")
+    Files.writeString(cfg,
+      """{"streams": [
+        |   {"name": "hot", "source": "unused",
+        |    "pipeline": [{"op": "where", "expr": "metric > 0.5"},
+        |                 {"op": "tag", "tags": ["hot"]}],
+        |    "sink": {"kind": "memory"}}],
+        | "tests": [
+        |   {"name": "keeps-hot", "stream": "hot",
+        |    "inject": [
+        |      {"host": "h1", "service": "cpu", "state": "critical",
+        |       "metric": 0.9, "time_s": 100},
+        |      {"host": "h2", "service": "cpu", "state": "ok",
+        |       "metric": 0.2, "time_s": 101}],
+        |    "expect": [{"host": "h1", "metric": 0.9}],
+        |    "expect_count": 1},
+        |   {"name": "wrong-expectation", "stream": "hot",
+        |    "inject": [{"host": "h3", "service": "cpu", "state": "ok",
+        |                "metric": 0.1, "time_s": 102}],
+        |    "expect": [{"host": "h3"}]}
+        |]}""".stripMargin)
+    val (passed, failedN) = Main.runTests(cfg, spark)
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert(passed == 1 && failedN == 1, s"got $passed passed, $failedN failed")
+  }
+
   test("version command prints and exits") {
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(out) { Main.main(Array("version")) }
