@@ -195,6 +195,15 @@ object Main {
       case JField(name, o: JObject) if name != "ws" && name != "sse" =>
         def port = int(o \ "port", s"servers.$name.port")
         val mk: () => DataFrame = strOr(o \ "protocol", name) match {
+          case "tcp" if strOr(o \ "tlskeystore", null) != null =>
+            // mutual-TLS termination (the reference's tls? server):
+            // keystore = server identity, truststore (defaults to the
+            // keystore) anchors client certs when tlsclientauth is set
+            () => asSEvents(Sources.riemannTlsServer(spark, hostOf(o), port,
+              ConfigFile.str(o \ "tlskeystore", s"servers.$name.tlskeystore"),
+              ConfigFile.str(o \ "tlspassword", s"servers.$name.tlspassword"),
+              truststore = Option(strOr(o \ "tlstruststore", null)),
+              clientAuth = strOr(o \ "tlsclientauth", "false") == "true"))
           case "tcp" =>
             () => asSEvents(Sources.riemannTcpServer(spark, hostOf(o), port))
           case "udp" =>

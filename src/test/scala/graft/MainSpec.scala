@@ -203,6 +203,75 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("a tls-configured tcp server block terminates mutual TLS through " +
+    "the packaged process") {
+    // same self-signed PKCS12 triple as RiemannServerSpec's tls case
+    val ks = new java.io.File("/tmp/graft_tls_test.p12")
+    if (!ks.exists()) {
+      val cmd = Seq("keytool", "-genkeypair", "-alias", "graft",
+        "-keyalg", "RSA", "-keysize", "2048", "-validity", "3650",
+        "-storetype", "PKCS12", "-keystore", ks.getPath,
+        "-storepass", "changeit", "-keypass", "changeit",
+        "-dname", "CN=localhost")
+      assert(new ProcessBuilder(cmd: _*).inheritIO().start().waitFor() == 0)
+    }
+    val tlsPort = freePort()
+    val dir = Files.createTempDirectory("graft-main-tls")
+    val cfg = dir.resolve("graft.json")
+    Files.writeString(cfg,
+      s"""{"servers": {
+         |   "tcp": {"host": "127.0.0.1", "port": $tlsPort,
+         |           "tlskeystore": "${ks.getPath}",
+         |           "tlspassword": "changeit", "tlsclientauth": "true"}},
+         | "streams": [
+         |   {"name": "secure", "source": "tcp", "pipeline": [],
+         |    "sink": {"kind": "memory"}}]}""".stripMargin)
+    val running = Main.start(cfg, Some(spark))
+    try {
+      import javax.net.ssl._
+      val store = java.security.KeyStore.getInstance("PKCS12")
+      val in0 = new java.io.FileInputStream(ks)
+      try store.load(in0, "changeit".toCharArray) finally in0.close()
+      val kmf = KeyManagerFactory.getInstance(
+        KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(store, "changeit".toCharArray)
+      val tmf = TrustManagerFactory.getInstance(
+        TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(store)
+      val ctx = SSLContext.getInstance("TLS")
+      ctx.init(kmf.getKeyManagers, tmf.getTrustManagers, null)
+      var sock: Socket = null
+      var last: Exception = null
+      (1 to 100).foreach { _ =>
+        if (sock == null)
+          try sock = ctx.getSocketFactory.createSocket("127.0.0.1", tlsPort)
+          catch { case e: java.io.IOException => last = e; Thread.sleep(100) }
+      }
+      if (sock == null) throw last
+      try {
+        val out = new DataOutputStream(sock.getOutputStream)
+        val in = new DataInputStream(sock.getInputStream)
+        out.write(RiemannProtobuf.frame(RiemannProtobuf.encodeMsg(Seq(
+          PEvent("secure01", "cpu", "ok", null, Some(0.5), Nil,
+            Some(1706000100L), Some(60.0), Map.empty)))))
+        out.flush()
+        val len = in.readInt()
+        in.readFully(new Array[Byte](len)) // the ok-ack over TLS
+      } finally sock.close()
+      val deadline = System.currentTimeMillis() + 30000
+      def rows() = running.loader.memorySinks.get("secure")
+        .map(_.size).getOrElse(0)
+      while (rows() < 1 && System.currentTimeMillis() < deadline) {
+        running.core.activeQueries.values.foreach(_.processAllAvailable())
+        Thread.sleep(100)
+      }
+      assert(rows() == 1, "TLS-ingested event did not land")
+    } finally {
+      running.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("config test mode (bin.clj 'test'): passing and failing tests " +
     "report correctly, driven through a real streaming query") {
     val dir = Files.createTempDirectory("graft-main-test")
