@@ -154,6 +154,14 @@ object Main {
     case JString(s) => s
     case _ => dflt
   }
+  /** Accepts the natural JSON boolean AND "true"/"false" strings — a
+    * security flag silently defaulting because the operator wrote
+    * `true` instead of `"true"` would disable client-cert checks. */
+  private def boolOf(v: JValue): Boolean = v match {
+    case JBool(b) => b
+    case JString(s) => s == "true"
+    case _ => false
+  }
 
   /** Decoded-wire columns → the SEvent shape the config ops consume
     * (plus the wire tags, which the config tag/tagged-* ops filter
@@ -195,15 +203,17 @@ object Main {
       case JField(name, o: JObject) if name != "ws" && name != "sse" =>
         def port = int(o \ "port", s"servers.$name.port")
         val mk: () => DataFrame = strOr(o \ "protocol", name) match {
-          case "tcp" if strOr(o \ "tlskeystore", null) != null =>
+          case "tcp" if (o \ "tlskeystore") != JNothing =>
             // mutual-TLS termination (the reference's tls? server):
             // keystore = server identity, truststore (defaults to the
-            // keystore) anchors client certs when tlsclientauth is set
+            // keystore) anchors client certs when tlsclientauth is set.
+            // Strict extraction: a non-string keystore must THROW, not
+            // silently fall back to a plaintext server
             () => asSEvents(Sources.riemannTlsServer(spark, hostOf(o), port,
               ConfigFile.str(o \ "tlskeystore", s"servers.$name.tlskeystore"),
               ConfigFile.str(o \ "tlspassword", s"servers.$name.tlspassword"),
               truststore = Option(strOr(o \ "tlstruststore", null)),
-              clientAuth = strOr(o \ "tlsclientauth", "false") == "true"))
+              clientAuth = boolOf(o \ "tlsclientauth")))
           case "tcp" =>
             () => asSEvents(Sources.riemannTcpServer(spark, hostOf(o), port))
           case "udp" =>
@@ -277,55 +287,79 @@ object Main {
     *
     * Returns (passed, failed) and prints one line per test. */
   def runTests(path: Path, spark: SparkSession): (Int, Int) = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // the stateful ops need RocksDB; snapshot the caller's provider and
+    // restore it on every exit path — a test run must not leak session
+    // conf into whatever shares the SparkSession
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val doc = JsonMethods.parse(
-      java.nio.file.Files.readString(path.toRealPath()))
-    val streams = ConfigFile.load(path)
-      .map(s => ConfigFile.str(s \ "name", "stream.name") -> s).toMap
-    val tests = (doc \ "tests") match {
-      case JArray(ts) => ts.collect { case o: JObject => o }
-      case JNothing => Nil
-      case other => throw new IllegalArgumentException(
-        s"tests must be an array, got $other")
-    }
-    var passed, failed = 0
-    for (t <- tests) {
-      val name = ConfigFile.str(t \ "name", "test.name")
-      val streamName = ConfigFile.str(t \ "stream", s"$name.stream")
-      val stream = streams.getOrElse(streamName,
-        throw new IllegalArgumentException(
-          s"test '$name': unknown stream '$streamName'"))
-      val failures = runOneTest(spark, name, stream, t)
-      if (failures.isEmpty) { passed += 1; println(s"PASS $name") }
-      else {
-        failed += 1
-        println(s"FAIL $name: ${failures.mkString("; ")}")
+    try {
+      val streams = ConfigFile.load(path)
+        .map(s => ConfigFile.str(s \ "name", "stream.name") -> s).toMap
+      // include-merged like the streams: a suite split across includes
+      // runs whole
+      val tests = ConfigFile.loadTests(path)
+      var passed, failed = 0
+      for (t <- tests) {
+        val name = ConfigFile.str(t \ "name", "test.name")
+        // one broken test must not abort the run: report it as FAIL
+        // and keep going (the reference's runner reports per-deftest)
+        val failures =
+          try {
+            val streamName = ConfigFile.str(t \ "stream", s"$name.stream")
+            val stream = streams.getOrElse(streamName,
+              throw new IllegalArgumentException(
+                s"unknown stream '$streamName'"))
+            runOneTest(spark, name, stream, t)
+          } catch {
+            case NonFatal(e) => Seq(s"error: ${e.getMessage}")
+          }
+        if (failures.isEmpty) { passed += 1; println(s"PASS $name") }
+        else {
+          failed += 1
+          println(s"FAIL $name: ${failures.mkString("; ")}")
+        }
       }
+      println(s"== $passed passed, $failed failed ==")
+      (passed, failed)
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
     }
-    println(s"== $passed passed, $failed failed ==")
-    (passed, failed)
   }
+
+  /** An injected test event: SEvent's fields plus tags, so streams
+    * using the tag/tagged-* ops are testable. */
+  private case class TestEvent(host: String, service: String,
+      state: String, metric: Option[Double], time: java.sql.Timestamp,
+      ttl: Option[Double], tags: Seq[String])
 
   private def runOneTest(spark: SparkSession, name: String,
       stream: JObject, t: JObject): Seq[String] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
-    val input = MemoryStream[SEvent]
+    val input = MemoryStream[TestEvent]
     val out = ConfigFile.compilePipeline(input.toDF(), stream)
     val sinkName = s"graft_test_${name.replaceAll("[^A-Za-z0-9_]", "_")}" +
       s"_${System.nanoTime()}"
+    // honor the stream's configured outputMode ("behaves exactly as
+    // deployed"): an update-mode window stream must not spuriously
+    // fail because the harness forced append
+    val mode = (stream \ "sink" \ "outputMode") match {
+      case JString(m) => m
+      case _ => "append"
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-test-$name")
     val q = out.writeStream.format("memory").queryName(sinkName)
-      .outputMode("append")
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory(s"graft-test-$name").toString)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     try {
       val events = (t \ "inject") match {
         case JArray(es) => es.collect { case o: JObject =>
-          SEvent(
+          TestEvent(
             strOr(o \ "host", null), strOr(o \ "service", null),
             strOr(o \ "state", null),
             (o \ "metric") match {
@@ -337,28 +371,38 @@ object Main {
             (o \ "ttl") match {
               case JNothing => None
               case v => Some(ConfigFile.num(v, s"$name.ttl"))
-            })
+            },
+            ConfigFile.strings(o \ "tags"))
         }
         case _ => Nil
       }
       input.addData(events)
       q.processAllAvailable()
       val rows = spark.table(sinkName).collect()
-      def matches(exp: JObject, row: org.apache.spark.sql.Row): Boolean =
-        exp.obj.forall { case JField(k, v) =>
-          if (!row.schema.fieldNames.contains(k)) false
-          else {
-            val i = row.fieldIndex(k)
-            v match {
-              case JNull => row.isNullAt(i)
-              case JString(s) => !row.isNullAt(i) && row.get(i).toString == s
-              case JBool(b) => !row.isNullAt(i) && row.get(i) == b
-              case n => !row.isNullAt(i) &&
-                math.abs(row.get(i).toString.toDouble -
-                  ConfigFile.num(n, k)) < 1e-9
-            }
-          }
+      def fieldMatches(k: String, v: JValue,
+          row: org.apache.spark.sql.Row): Boolean = {
+        if (!row.schema.fieldNames.contains(k)) return false
+        val i = row.fieldIndex(k)
+        v match {
+          case JNull => row.isNullAt(i)
+          case JString(s) => !row.isNullAt(i) && row.get(i).toString == s
+          case JBool(b) => !row.isNullAt(i) && row.get(i) == b
+          case JArray(vs) => !row.isNullAt(i) && (row.get(i) match {
+            case seq: scala.collection.Seq[_] =>
+              seq.map(String.valueOf(_)) ==
+                vs.map(x => ConfigFile.str(x, k))
+            case _ => false
+          })
+          case n => !row.isNullAt(i) &&
+            // a non-numeric column compared to a number is a MISMATCH,
+            // not a crash (the test reports "no row matches")
+            (try math.abs(row.get(i).toString.toDouble -
+              ConfigFile.num(n, k)) < 1e-9
+            catch { case _: NumberFormatException => false })
         }
+      }
+      def matches(exp: JObject, row: org.apache.spark.sql.Row): Boolean =
+        exp.obj.forall { case JField(k, v) => fieldMatches(k, v, row) }
       val expects = (t \ "expect") match {
         case JArray(es) => es.collect { case o: JObject => o }
         case _ => Nil
@@ -373,7 +417,17 @@ object Main {
           else Seq(s"expected $want rows, got ${rows.length}")
       }
       misses ++ countMiss
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(sinkName)
+      // best-effort checkpoint cleanup — repeated runs must not
+      // accumulate /tmp directories
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case NonFatal(_) => () }
+    }
   }
 
   def main(args: Array[String]): Unit = args.toList match {

@@ -99,6 +99,31 @@ object ConfigFile {
     included ++ own
   }
 
+  /** The include-merged `tests` arrays (the `riemann test` workflow) —
+    * same walk and ordering as [[load]]: included files' tests first,
+    * includer's last. A test suite split across includes runs whole. */
+  def loadTests(path: Path, seen: Set[Path] = Set.empty): List[JObject] = {
+    val real = path.toRealPath()
+    if (seen.contains(real))
+      throw new IllegalArgumentException(s"include cycle at $real")
+    val doc = JsonMethods.parse(Files.readString(real))
+    val included = (doc \ "include") match {
+      case JArray(vs) => vs.flatMap {
+        case JString(rel) => loadTests(real.getParent.resolve(rel), seen + real)
+        case other => throw new IllegalArgumentException(
+          s"include entries must be strings, got $other")
+      }
+      case _ => Nil
+    }
+    val own = (doc \ "tests") match {
+      case JArray(ts) => ts.collect { case o: JObject => o }
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(
+        s"tests must be an array, got $other")
+    }
+    included ++ own
+  }
+
   private[graft] def str(v: JValue, what: String): String = v match {
     case JString(s) => s
     case other => throw new IllegalArgumentException(s"$what: got $other")
@@ -172,7 +197,10 @@ object ConfigFile {
       case "under" => df.filter(col("metric") < num(op \ "x", "under.x"))
       case "throttle" =>
         // streaming-stateful: at most n events per (host, service) per
-        // dt-second event-time bucket (streams.clj:1102-1118)
+        // dt-second event-time bucket (streams.clj:1102-1118). The
+        // typed round-trip keeps ONLY SEvent's fields — columns a
+        // prior op added (e.g. tags) are dropped, so place throttle
+        // BEFORE projections whose output must reach the sink
         graft.streaming.StatefulOps.throttle(df.as[SEvent],
           num(op \ "n", "throttle.n").toInt,
           num(op \ "dt", "throttle.dt").toLong).toDF()

@@ -10,7 +10,6 @@ class ExampleConfigSpec extends SparkSpec {
       graft.config.ConfigFile.str(s \ "name", "name")).toSet ==
       Set("index", "graphite-index", "hot-alerts"))
     val (passed, failed) = Main.runTests(path, spark)
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert(passed == 2 && failed == 0, s"$passed passed, $failed failed")
   }
 }

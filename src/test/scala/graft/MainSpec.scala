@@ -204,17 +204,8 @@ class MainSpec extends SparkSpec {
   }
 
   test("a tls-configured tcp server block terminates mutual TLS through " +
-    "the packaged process") {
-    // same self-signed PKCS12 triple as RiemannServerSpec's tls case
-    val ks = new java.io.File("/tmp/graft_tls_test.p12")
-    if (!ks.exists()) {
-      val cmd = Seq("keytool", "-genkeypair", "-alias", "graft",
-        "-keyalg", "RSA", "-keysize", "2048", "-validity", "3650",
-        "-storetype", "PKCS12", "-keystore", ks.getPath,
-        "-storepass", "changeit", "-keypass", "changeit",
-        "-dname", "CN=localhost")
-      assert(new ProcessBuilder(cmd: _*).inheritIO().start().waitFor() == 0)
-    }
+    "the packaged process (tlsclientauth as a NATIVE json boolean)") {
+    val ks = TlsTestSupport.keystore
     val tlsPort = freePort()
     val dir = Files.createTempDirectory("graft-main-tls")
     val cfg = dir.resolve("graft.json")
@@ -222,24 +213,13 @@ class MainSpec extends SparkSpec {
       s"""{"servers": {
          |   "tcp": {"host": "127.0.0.1", "port": $tlsPort,
          |           "tlskeystore": "${ks.getPath}",
-         |           "tlspassword": "changeit", "tlsclientauth": "true"}},
+         |           "tlspassword": "changeit", "tlsclientauth": true}},
          | "streams": [
          |   {"name": "secure", "source": "tcp", "pipeline": [],
          |    "sink": {"kind": "memory"}}]}""".stripMargin)
     val running = Main.start(cfg, Some(spark))
     try {
-      import javax.net.ssl._
-      val store = java.security.KeyStore.getInstance("PKCS12")
-      val in0 = new java.io.FileInputStream(ks)
-      try store.load(in0, "changeit".toCharArray) finally in0.close()
-      val kmf = KeyManagerFactory.getInstance(
-        KeyManagerFactory.getDefaultAlgorithm)
-      kmf.init(store, "changeit".toCharArray)
-      val tmf = TrustManagerFactory.getInstance(
-        TrustManagerFactory.getDefaultAlgorithm)
-      tmf.init(store)
-      val ctx = SSLContext.getInstance("TLS")
-      ctx.init(kmf.getKeyManagers, tmf.getTrustManagers, null)
+      val ctx = TlsTestSupport.clientContext()
       var sock: Socket = null
       var last: Exception = null
       (1 to 100).foreach { _ =>
@@ -296,8 +276,12 @@ class MainSpec extends SparkSpec {
         |                "metric": 0.1, "time_s": 102}],
         |    "expect": [{"host": "h3"}]}
         |]}""".stripMargin)
+    val before = spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
     val (passed, failedN) = Main.runTests(cfg, spark)
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    // runTests restores the caller's provider conf itself
+    assert(spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass") == before)
     assert(passed == 1 && failedN == 1, s"got $passed passed, $failedN failed")
   }
 

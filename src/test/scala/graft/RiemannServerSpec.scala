@@ -375,33 +375,10 @@ class RiemannServerSpec extends SparkSpec {
   test("tls tcp server: mutual-TLS framed round trip; a plaintext " +
     "client is rejected without disturbing the stream " +
     "(transport_test.clj tls-test)") {
-    // one self-signed PKCS12 is both the server identity and the trust
-    // anchor for client certs — the same shape as riemann's
-    // less-awful-ssl key/cert/ca-cert trio collapsed to a test triple
-    val ks = new java.io.File("/tmp/graft_tls_test.p12")
-    if (!ks.exists()) {
-      val cmd = Seq("keytool", "-genkeypair", "-alias", "graft",
-        "-keyalg", "RSA", "-keysize", "2048", "-validity", "3650",
-        "-storetype", "PKCS12", "-keystore", ks.getPath,
-        "-storepass", "changeit", "-keypass", "changeit",
-        "-dname", "CN=localhost")
-      assert(new ProcessBuilder(cmd: _*).inheritIO().start().waitFor() == 0)
-    }
-    def clientContext(): javax.net.ssl.SSLContext = {
-      import javax.net.ssl._
-      val store = java.security.KeyStore.getInstance("PKCS12")
-      val in = new java.io.FileInputStream(ks)
-      try store.load(in, "changeit".toCharArray) finally in.close()
-      val kmf = KeyManagerFactory.getInstance(
-        KeyManagerFactory.getDefaultAlgorithm)
-      kmf.init(store, "changeit".toCharArray)
-      val tmf = TrustManagerFactory.getInstance(
-        TrustManagerFactory.getDefaultAlgorithm)
-      tmf.init(store)
-      val ctx = SSLContext.getInstance("TLS")
-      ctx.init(kmf.getKeyManagers, tmf.getTrustManagers, null)
-      ctx
-    }
+    // shared self-signed PKCS12 fixture (TlsTestSupport): server
+    // identity AND client-cert trust anchor in one store
+    val ks = TlsTestSupport.keystore
+    def clientContext() = TlsTestSupport.clientContext()
     val port = freePort()
     val q = Sources.riemannTlsServer(spark, "127.0.0.1", port,
         ks.getPath, "changeit", clientAuth = true)
