@@ -531,6 +531,12 @@ private[graft] object EntryOracle {
     "q_ann_ivf" -> s"$unitCte, $ivfChain SELECT query_id, vec_id, cosine, rk FROM ivf_rk WHERE rk <= 10 ORDER BY query_id, rk",
     "q_ann_pq" -> s"$unitCte, $pqChain SELECT query_id, vec_id, adc, rk FROM pq_rk WHERE rk <= 10 ORDER BY query_id, rk",
     "q_ann_ivfpq" -> s"$unitCte, $ivfChain, $ivfPqChain SELECT query_id, vec_id, adc, rk FROM ivfpq_rk WHERE rk <= 10 ORDER BY query_id, rk",
+    "q_ann_ivfpq_rerank" -> (s"$unitCte, $ivfChain, $ivfPqChain, " +
+      "isl AS (SELECT query_id, vec_id, adc FROM ivfpq_rk WHERE rk <= 25), " +
+      "iex AS (SELECT isl.query_id, isl.vec_id, isl.adc, round(CAST(list_sum(list_transform(list_zip(uq.unit, uv.unit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) AS cosine " +
+      "FROM isl JOIN u uq ON isl.query_id = uq.vec_id JOIN u uv ON isl.vec_id = uv.vec_id), " +
+      "irr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk FROM iex) " +
+      "SELECT query_id, vec_id, adc, cosine, rk FROM irr WHERE rk <= 10 ORDER BY query_id, rk"),
     // one unrolled Lloyd round on the IVF coarse quantizer: re-mean
     // each cell over asg's members (decimal-exact), empty cells hold
     // their seed centroid, then re-assign the corpus

@@ -396,6 +396,12 @@ private[graft] object EntryStreams {
       Similarity.ivfAssign(emb(s, d),
           Similarity.ivfCentroidsRefined(emb(s, d), 1))
         .select("vec_id", "cell").orderBy("vec_id")),
+    // two-stage IVFADC: cell-restricted residual-ADC shortlist (25)
+    // -> exact-cosine re-rank
+    "q_ann_ivfpq_rerank" -> ((s, d) =>
+      Similarity.ivfPqTopKReranked(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L),
+          10, 25)
+        .orderBy("query_id", "rk")),
     // one Lloyd round of real k-means on the codebooks (deterministic:
     // seeded init, tie-broken argmax assignment, decimal-exact means,
     // empty codewords hold position), then encode against the result

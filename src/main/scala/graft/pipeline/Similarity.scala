@@ -939,6 +939,34 @@ object Similarity {
     ivfPqRanked(assigned, cents, q, k, nprobe, m, ksub, iters, dims)
   }
 
+  /** Two-stage IVFADC retrieval — [[pqTopKReranked]]'s shape on the
+    * composed index: stage 1 shortlists per query by cell-restricted
+    * residual ADC ([[ivfPqTopK]] — the pass that never touches raw
+    * vectors), stage 2 re-ranks ONLY the shortlist by exact cosine.
+    * The production billion-scale pattern end to end: coarse pruning ×
+    * 32× code compression for the scan, full precision only for the
+    * final handful of rows. */
+  def ivfPqTopKReranked(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      shortlist: Int, nprobe: Int = 3, m: Int = 8, ksub: Int = 16,
+      iters: Int = 1, dims: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val units = embeddings.select(col("vec_id"),
+      normalized(col("embedding")).as("unit"))
+    val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"),
+        normalized(col("embedding")).as("qunit"))
+    val cand = ivfPqTopK(embeddings, queryIds, shortlist, nprobe, m, ksub,
+        iters, dims)
+      .select(col("query_id"), col("vec_id"), col("adc"))
+    val exact = cand
+      .join(broadcast(q), "query_id").join(units, "vec_id")
+      .select(col("query_id"), col("vec_id"), col("adc"),
+        round(dotExact(col("qunit"), col("unit")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Corpus-level embedding stats — norms and per-label centroids
     * (IVF coarse quantizer seed; centroid = mean of unit vectors).
     * Decimal-exact sums at every reduction so the result is independent
