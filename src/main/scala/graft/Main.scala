@@ -154,13 +154,19 @@ object Main {
     case JString(s) => s
     case _ => dflt
   }
-  /** Accepts the natural JSON boolean AND "true"/"false" strings — a
-    * security flag silently defaulting because the operator wrote
-    * `true` instead of `"true"` would disable client-cert checks. */
-  private def boolOf(v: JValue): Boolean = v match {
+  /** Accepts the natural JSON boolean and EXACTLY "true"/"false";
+    * absent means false. Anything else ("True", "yes", 1, …) throws —
+    * this guards security flags like tlsclientauth, where a typo'd
+    * value silently reading as false would disable client-cert
+    * verification. Same strict-extraction rule as tlskeystore. */
+  private def boolOf(v: JValue, what: String): Boolean = v match {
     case JBool(b) => b
-    case JString(s) => s == "true"
-    case _ => false
+    case JString("true") => true
+    case JString("false") => false
+    case JNothing | JNull => false
+    case other => throw new IllegalArgumentException(
+      s"$what: expected a boolean or \"true\"/\"false\", got " +
+        JsonMethods.compact(JsonMethods.render(other)))
   }
 
   /** Decoded-wire columns → the SEvent shape the config ops consume
@@ -207,13 +213,20 @@ object Main {
             // mutual-TLS termination (the reference's tls? server):
             // keystore = server identity, truststore (defaults to the
             // keystore) anchors client certs when tlsclientauth is set.
-            // Strict extraction: a non-string keystore must THROW, not
-            // silently fall back to a plaintext server
+            // Strict extraction, EAGER (outside the thunk): a
+            // malformed keystore or tlsclientauth value must throw at
+            // config load, not silently fall back to a plaintext or
+            // no-client-auth server when the stream first starts
+            val keystore =
+              ConfigFile.str(o \ "tlskeystore", s"servers.$name.tlskeystore")
+            val password =
+              ConfigFile.str(o \ "tlspassword", s"servers.$name.tlspassword")
+            val truststore = Option(strOr(o \ "tlstruststore", null))
+            val clientAuth =
+              boolOf(o \ "tlsclientauth", s"servers.$name.tlsclientauth")
             () => asSEvents(Sources.riemannTlsServer(spark, hostOf(o), port,
-              ConfigFile.str(o \ "tlskeystore", s"servers.$name.tlskeystore"),
-              ConfigFile.str(o \ "tlspassword", s"servers.$name.tlspassword"),
-              truststore = Option(strOr(o \ "tlstruststore", null)),
-              clientAuth = boolOf(o \ "tlsclientauth")))
+              keystore, password, truststore = truststore,
+              clientAuth = clientAuth))
           case "tcp" =>
             () => asSEvents(Sources.riemannTcpServer(spark, hostOf(o), port))
           case "udp" =>

@@ -15,6 +15,19 @@ import graft.Core
 import graft.sinks.Sinks
 import graft.streaming.{IndexProcessor, SEvent}
 
+/** [[SEvent]] plus one JSON-packed column carrying whatever non-SEvent
+  * columns a config pipeline accumulated before a stateful op — the
+  * typed shape [[ConfigFile.applyOp]]'s throttle rides through
+  * [[graft.streaming.StatefulOps.throttleBy]]. */
+case class SEventX(
+    host: String,
+    service: String,
+    state: String,
+    metric: Option[Double],
+    time: java.sql.Timestamp,
+    ttl: Option[Double],
+    extra: String)
+
 /** External config-file surface — the riemann.config analog (reference
   * `src/riemann/config.clj:444-467` `include`, `src/riemann/bin.clj:39-77`
   * SIGHUP-triggered reload).
@@ -197,13 +210,31 @@ object ConfigFile {
       case "under" => df.filter(col("metric") < num(op \ "x", "under.x"))
       case "throttle" =>
         // streaming-stateful: at most n events per (host, service) per
-        // dt-second event-time bucket (streams.clj:1102-1118). The
-        // typed round-trip keeps ONLY SEvent's fields — columns a
-        // prior op added (e.g. tags) are dropped, so place throttle
-        // BEFORE projections whose output must reach the sink
-        graft.streaming.StatefulOps.throttle(df.as[SEvent],
-          num(op \ "n", "throttle.n").toInt,
-          num(op \ "dt", "throttle.dt").toLong).toDF()
+        // dt-second event-time bucket (streams.clj:1102-1118). Columns
+        // beyond SEvent's fields (tags, projection output) ride
+        // through the typed round-trip packed as one JSON struct
+        // column and are restored after — a pipeline
+        // tag -> throttle -> tagged-any keeps its tags
+        val n = num(op \ "n", "throttle.n").toInt
+        val dt = num(op \ "dt", "throttle.dt").toLong
+        val base = Seq("host", "service", "state", "metric", "time", "ttl")
+        val extras = df.columns.toSeq.filterNot(base.contains)
+        if (extras.isEmpty)
+          graft.streaming.StatefulOps.throttle(df.as[SEvent], n, dt).toDF()
+        else {
+          val extraSchema = org.apache.spark.sql.types.StructType(
+            extras.map(c => df.schema(c)))
+          val packed = df.select(base.map(col) :+
+            to_json(struct(extras.map(col): _*)).as("extra"): _*)
+            .as[SEventX]
+          graft.streaming.StatefulOps.throttleBy[SEventX](packed, n, dt,
+              e => (e.host, e.service), _.time)
+            .toDF()
+            .withColumn("extra", from_json(col("extra"), extraSchema))
+            .select(df.columns.toSeq.map(c =>
+              if (base.contains(c)) col(c)
+              else col("extra").getField(c).as(c)): _*)
+        }
       case "window" | "rate" =>
         val secs = num(op \ "seconds", "window.seconds")
         val by = strings(op \ "by")

@@ -200,8 +200,19 @@ object Sinks {
     * dedup on an event id) is the receiving topology's call. */
   class ForwardSink(transport: Iterator[Array[Byte]] => Unit,
       batchSize: Int = 100) extends EventSink {
+    private var lastRun: String = null
     private var lastBatch = Long.MinValue
     override def write(batch: DataFrame, batchId: Long): Unit = synchronized {
+      // batchIds are monotonic only within one streaming RUN: a
+      // redeploy with a fresh checkpoint restarts them at 0, and a
+      // guard carried across runs would silently drop every batch
+      // until the counter caught up. foreachBatch executes on the
+      // query thread, where StreamExecution sets the runId as a local
+      // property — key the guard on it and reset on change (null in
+      // batch/test use, which still gets the in-run replay guard).
+      val runId = batch.sparkSession.sparkContext
+        .getLocalProperty("sql.streaming.runId")
+      if (runId != lastRun) { lastRun = runId; lastBatch = Long.MinValue }
       if (batchId <= lastBatch) return
       // the guard advances only AFTER the forwarding job succeeds
       // (ReinjectLoop's discipline): marking first would record a

@@ -32,6 +32,7 @@ class ReinjectLoop(maxBatchRows: Int = ReinjectLoop.DefaultMaxBatchRows)(
   require(maxBatchRows > 0, s"maxBatchRows must be > 0, got $maxBatchRows")
 
   private val loop = MemoryStream[SEvent]
+  private var lastRun: String = null
   private var lastBatch = Long.MinValue
 
   /** The loopback source: union this with the primary input. */
@@ -44,6 +45,11 @@ class ReinjectLoop(maxBatchRows: Int = ReinjectLoop.DefaultMaxBatchRows)(
   def sink: Sinks.EventSink = new Sinks.EventSink {
     override def write(batch: DataFrame, batchId: Long): Unit =
       ReinjectLoop.this.synchronized {
+        // batchIds restart at 0 under a fresh checkpoint — key the
+        // replay guard on the run (same discipline as ForwardSink)
+        val runId = batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.runId")
+        if (runId != lastRun) { lastRun = runId; lastBatch = Long.MinValue }
         if (batchId > lastBatch) {
           // limit(cap + 1) bounds driver memory even on the failing
           // path: we learn "over cap" from one extra row, not from

@@ -21,7 +21,20 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   *
   * Timers: one live timer per key at (newest member + horizon); on
   * expiry every member is eviction-due, so the key's state clears
-  * entirely — a quiet bucket costs nothing forever after. */
+  * entirely — a quiet bucket costs nothing forever after.
+  *
+  * Cap-boundary divergence from batch `Caps.cap` (by construction):
+  * batch sees the whole bucket before pairing, so an over-cap bucket
+  * contributes ZERO pairs; the streaming kernel cannot know a bucket
+  * will later exceed the cap, so by the time the (maxBucket+1)-th
+  * member arrives it has already emitted all pairs among the first
+  * maxBucket members — and append-mode output cannot retract them.
+  * Batch/stream parity therefore holds exactly for every bucket that
+  * never reaches the cap, and the parity specs
+  * (StreamingWinnowOverlapSpec / StreamingEmbeddingNearDupSpec /
+  * StreamingNearDupSpec) pin that regime; at the boundary the stream
+  * over-reports relative to batch by at most the pre-saturation
+  * pairs of that one bucket. */
 abstract class SaturatingBucketProcessor[K, In, Member <: Product, Out](
     horizonMs: Long, maxBucket: Int, memberEncoder: Encoder[Member])
     extends StatefulProcessor[K, In, Out] with ArmedTimer[K, In, Out] {

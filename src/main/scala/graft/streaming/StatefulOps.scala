@@ -319,14 +319,27 @@ object StatefulOps {
       : Dataset[SEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(e => (e.host, e.service))
-      .flatMapGroupsWithState[(Long, Int), SEvent](
+    throttleBy[SEvent](events, n, dtSeconds,
+      e => (e.host, e.service), _.time)
+  }
+
+  /** Generic throttle over any typed row: same (bucket, count) state,
+    * caller supplies the key and the event-time accessor. Lets config
+    * pipelines carry columns SEvent lacks (tags, projection output)
+    * through the stateful op instead of dropping them. */
+  def throttleBy[T](events: Dataset[T], n: Int, dtSeconds: Long,
+      key: T => (String, String), time: T => java.sql.Timestamp)
+      (implicit te: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(key)
+      .flatMapGroupsWithState[(Long, Int), T](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, rows, st: GroupState[(Long, Int)]) =>
           var (bucket, cnt) = st.getOption.getOrElse((Long.MinValue, 0))
-          val out = Seq.newBuilder[SEvent]
-          for (e <- sorted(rows)) {
-            val b = e.time.getTime / 1000 / dtSeconds
+          val out = Seq.newBuilder[T]
+          for (e <- rows.toSeq.sortBy(time(_).getTime)) {
+            val b = time(e).getTime / 1000 / dtSeconds
             // buckets only move forward: a late event from an older
             // bucket must not reset the current bucket's count (it is
             // dropped — its own bucket's quota is unknowable by then)

@@ -106,6 +106,38 @@ class FileConfigSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("throttle carries non-SEvent columns (tags) through the typed " +
+    "round-trip: tag -> throttle -> tagged-any keeps its events") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SEvent]
+    val out = Seq(
+      op("""{"op":"tag","tags":["alert"]}"""),
+      op("""{"op":"throttle","n":2,"dt":60}"""),
+      op("""{"op":"tagged-any","tags":["alert"]}"""))
+      .foldLeft(input.toDF(): org.apache.spark.sql.DataFrame)(
+        ConfigFile.applyOp)
+    val q = out.writeStream.format("memory").queryName("cfg_throttle_tags")
+      .outputMode("append").start()
+    try {
+      input.addData((1 to 5).map(i =>
+        SEvent("h", "s", "ok", Some(i.toDouble),
+          new java.sql.Timestamp(1000L * i), None)))
+      q.processAllAvailable()
+      val rows = spark.table("cfg_throttle_tags")
+      // throttle passes 2; the tags a PRIOR op added survive it, so
+      // the downstream tagged-any matches instead of dropping all
+      assert(rows.count() == 2)
+      assert(rows.select("tags").as[Seq[String]].collect()
+        .forall(_ == Seq("alert")))
+      // the SEvent payload itself also round-trips
+      assert(rows.select("metric").as[Option[Double]].collect().toSet ==
+        Set(Some(1.0), Some(2.0)))
+    } finally q.stop()
+  }
+
   test("window/rate ops: watermarked per-key time-window aggregation") {
     val spark0 = spark
     import spark0.implicits._

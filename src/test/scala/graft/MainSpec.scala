@@ -252,6 +252,24 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("a typo'd tlsclientauth value THROWS instead of silently " +
+    "disabling client-cert verification") {
+    val ks = TlsTestSupport.keystore
+    val dir = Files.createTempDirectory("graft-main-tls-bad")
+    val cfg = dir.resolve("graft.json")
+    Files.writeString(cfg,
+      s"""{"servers": {
+         |   "tcp": {"host": "127.0.0.1", "port": ${freePort()},
+         |           "tlskeystore": "${ks.getPath}",
+         |           "tlspassword": "changeit", "tlsclientauth": "yes"}},
+         | "streams": []}""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      Main.start(cfg, Some(spark)).stop()
+    }
+    assert(e.getMessage.contains("tlsclientauth"))
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("config test mode (bin.clj 'test'): passing and failing tests " +
     "report correctly, driven through a real streaming query") {
     val dir = Files.createTempDirectory("graft-main-test")

@@ -105,7 +105,11 @@ class StreamingWinnowOverlapSpec extends SparkSpec {
       }
     }
     // identical docs share every fingerprint; only the pre-saturation
-    // pair (1,2) survives, docs 3-5 hit saturated buckets
+    // pair (1,2) survives, docs 3-5 hit saturated buckets.
+    // This (1,2) pair is ALSO the pinned cap-boundary divergence from
+    // batch Caps.cap, which sees the whole bucket up front and drops
+    // it with ZERO pairs — append mode cannot retract what was emitted
+    // before the cap tripped (SaturatingBucketProcessor scaladoc)
     assert(got.keySet == Set((1L, 2L)))
   }
 
