@@ -141,13 +141,50 @@ object Bench {
       runs.max
     } catch { case _: Throwable => -1.0 }
 
+    // serving-path probe: wire index queries through the compiled-
+    // closure evaluator (Main.ServedIndex.queryHandler — parse, LRU'd
+    // closure / pkey fast path, wire-event mapping; the socket leg is
+    // excluded here, MainSpec measures it end-to-end). 10K-key index,
+    // queries alternating point lookups, a selective scan, and a
+    // like-scan — the reference serves thousands/s from its nbhm
+    // index; a Spark-job-per-query path reads ~10-20 here.
+    val wireQps = try {
+      val idx = new Main.ServedIndex(spark)
+      (0 until 10000).foreach { i =>
+        idx.put(graft.streaming.SEvent(s"host-${i % 1000}", s"svc-${i / 1000}",
+          if (i % 17 == 0) "critical" else "ok", Some((i % 100) / 100.0),
+          new java.sql.Timestamp(1706000000000L + i), Some(60.0)))
+      }
+      def run(): Double = {
+        val n = 2000
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < n) {
+          val q =
+            if (i % 2 == 0)
+              s"""host = "host-${i % 1000}" and service = "svc-1""""
+            else if (i % 4 == 1) """state = "critical" and metric > 0.5"""
+            else """metric > 0.9 and host =~ "host-1%""""
+          idx.queryHandler(q)
+            .fold(e => throw new IllegalStateException(e), _ => ())
+          i += 1
+        }
+        n / ((System.nanoTime() - t0) / 1e9)
+      }
+      run() // warm-up: JIT the closure paths
+      (1 to 3).map(_ => run()).max
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] wire_qps probe failed: ${e.getMessage}")
+      -1.0
+    }
+
     // system load when the run STARTED (captured below, before pass 1):
     // the driver benches while doing other work, which inflates one-shot
     // timings 2-7x; min-of-2 helps but can't fully cancel it. The
     // loadavg in the artifact lets a reader judge contamination without
     // re-measuring, and a run that started quiet is additionally
     // persisted as bench_idle.json — the authoritative number.
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"events_per_sec":$throughput%.0f,"loadavg_start":$loadAtStart%.2f,"loadavg_gate_waited_s":$gateWaitedS,"sf":"$sfDir"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"events_per_sec":$throughput%.0f,"wire_qps":$wireQps%.0f,"loadavg_start":$loadAtStart%.2f,"loadavg_gate_waited_s":$gateWaitedS,"sf":"$sfDir"}"""
     println(json)
     // sbt's logger prefixes stdout with "[info] "; also drop a clean copy
     // on disk for anything that wants to parse the line verbatim

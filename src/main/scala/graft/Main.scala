@@ -92,30 +92,50 @@ object Main {
       spark.createDataset(state.values.toSeq).toDF()
     }
 
+    /** The live events, for Spark-free serving (ws/sse dumps, the wire
+      * handler, specs). A TrieMap iterator is a weakly-consistent O(n)
+      * walk — no lock, no Spark job. */
+    def events: Seq[SEvent] = state.values.toSeq
+
+    /** Direct upsert, for probes and specs (the streaming path goes
+      * through [[sink]]). */
+    private[graft] def put(e: SEvent): Unit =
+      if (e.state == "expired") { state.remove((e.host, e.service)); () }
+      else state((e.host, e.service)) = e
+
     def size: Int = state.size
 
-    /** The riemann-wire query handler (transport.clj:175-189): parse
-      * the query language, filter the snapshot with the compiled
-      * Catalyst predicate, return hits as wire events. Parse failures
-      * reply `parse error: …` like the reference. */
+    /** Spark-free query search (transport.clj:175-189 semantics): the
+      * pkey fast path for `host = "h" and service = "s"` point lookups
+      * (index.clj:44-56), the LRU-cached compiled closure for
+      * everything else. The Catalyst path over [[snapshot]] remains
+      * the parity oracle (EventPredicateSpec / MainSpec). */
+    def search(q: String): Seq[SEvent] = {
+      import graft.query.{EventPredicate, QueryLanguage}
+      val ast = QueryLanguage.parse(q)
+      EventPredicate.pkeyLookup(ast) match {
+        case Some(key) => state.get(key).toSeq
+        case None =>
+          val pred = EventPredicate(q)
+          state.values.iterator.filter(pred).toSeq
+      }
+    }
+
+    /** The riemann-wire query handler: parse the query language, serve
+      * from the in-memory index via [[search]] — NO Spark job on the
+      * serving path. Parse failures reply `parse error: …` like the
+      * reference. */
     def queryHandler: String => Either[String, Seq[
         graft.sources.RiemannProtobuf.PEvent]] = q => {
       import graft.query.QueryLanguage
       import graft.sources.RiemannProtobuf.PEvent
-      (try { QueryLanguage.parse(q); Right(()) }
+      (try Right(QueryLanguage.parse(q))
       catch { case NonFatal(e) => Left(s"parse error: ${e.getMessage}") })
         .flatMap { _ =>
-          try {
-            val spark0 = spark
-            import spark0.implicits._
-            val snap = snapshot
-            val hits = snap
-              .filter(QueryLanguage.predicate(q, snap.schema))
-              .as[SEvent].collect()
-            Right(hits.toSeq.map(e => PEvent(e.host, e.service, e.state,
-              null, e.metric, Nil, Some(e.time.getTime / 1000L), e.ttl,
-              Map.empty)))
-          } catch {
+          try Right(search(q).map(e => PEvent(e.host, e.service, e.state,
+            null, e.metric, Nil, Some(e.time.getTime / 1000L), e.ttl,
+            Map.empty)))
+          catch {
             case NonFatal(e) => Left(String.valueOf(e.getMessage))
           }
         }
@@ -260,12 +280,14 @@ object Main {
       sinkFactories = Map("index" -> (_ => indexSink)))
     loader.reload()
 
+    // ws/sse dumps serve the in-memory event snapshot (Spark-free
+    // path): connect-time latency is an index walk, not a Spark job
     val ws = obj(servers \ "ws").map(o =>
       new WsServer(pubsub, int(o \ "port", "servers.ws.port"),
-        () => Some(index.snapshot), host = hostOf(o)))
+        host = hostOf(o), snapshotEvents = () => Some(index.events)))
     val sse = obj(servers \ "sse").map(o =>
       new SseServer(pubsub, int(o \ "port", "servers.sse.port"),
-        () => Some(index.snapshot), host = hostOf(o)))
+        host = hostOf(o), snapshotEvents = () => Some(index.events)))
     // riemann-wire index queries (transport.clj:175-181): every tcp
     // ingest server also answers `Msg{query}` from the served index
     val tcpPorts = servers.obj.collect {

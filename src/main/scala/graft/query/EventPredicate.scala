@@ -1,0 +1,333 @@
+package graft.query
+
+import java.util.regex.Pattern
+
+import graft.query.QueryLanguage._
+import graft.streaming.SEvent
+
+/** The serving-path query evaluator: compiles a parsed query AST to a
+  * plain closure over [[SEvent]], so the in-memory index answers wire /
+  * ws / sse queries WITHOUT scheduling a Spark job per query — the
+  * reference answers from an in-memory map through an LRU cache of
+  * eval'd predicate fns (query.clj:193-216) and serves thousands of
+  * queries per second; a per-query Catalyst plan caps out at tens.
+  *
+  * Semantics mirror [[QueryLanguage.compile]] against the SEvent
+  * schema (host/service/state strings, metric/ttl doubles, time
+  * timestamp; no tags or attributes column, so `tagged` is false and
+  * unknown fields are nil) — EventPredicateSpec pins closure == Catalyst
+  * on randomized queries over randomized snapshots, and the Catalyst
+  * path stays on as the oracle. Three-valued logic is preserved: the
+  * node evaluator returns java.lang.Boolean with null for SQL NULL,
+  * coalesced to false at the top exactly like the compiled Column. */
+object EventPredicate {
+
+  /** LRU over compiled closures, keyed by query text — the reference's
+    * `(memoize-fn parse-string)` LRU (query.clj:193-216). Serving
+    * threads hit this on every wire query; synchronized access on an
+    * access-ordered LinkedHashMap is ~50 ns, noise next to evaluation. */
+  private val MaxCached = 1024
+  private val cache =
+    new java.util.LinkedHashMap[String, SEvent => Boolean](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, SEvent => Boolean]): Boolean =
+        size() > MaxCached
+    }
+
+  /** Parse + compile, LRU-cached. Throws ParseException on bad input
+    * (callers reply `parse error: …` like transport.clj). */
+  def apply(query: String): SEvent => Boolean = {
+    cache.synchronized {
+      val hit = cache.get(query)
+      if (hit != null) return hit
+    }
+    val compiled = compile(QueryLanguage.parse(query))
+    cache.synchronized(cache.put(query, compiled))
+    compiled
+  }
+
+  /** The index pkey fast path (reference index.clj:44-56): a query of
+    * exactly `host = "h" and service = "s"` (either conjunct / operand
+    * order) is a point lookup, not a scan. */
+  def pkeyLookup(ast: Ast): Option[(String, String)] = {
+    def strEq(c: Ast, field: String): Option[String] = c match {
+      case Cmp("=", FieldRef(`field`), StrLit(v)) => Some(v)
+      case Cmp("=", StrLit(v), FieldRef(`field`)) => Some(v)
+      case _ => None
+    }
+    ast match {
+      case And(l, r) =>
+        (for (h <- strEq(l, "host"); s <- strEq(r, "service")) yield (h, s))
+          .orElse(
+            for (h <- strEq(r, "host"); s <- strEq(l, "service")) yield (h, s))
+      case _ => None
+    }
+  }
+
+  // ------------------------------------------------------------ compiler
+
+  /** Compile an AST to a closure; evaluation allocates nothing beyond
+    * boxed booleans. */
+  def compile(ast: Ast): SEvent => Boolean = {
+    val root = bool(ast)
+    // coalesce(pred, false), as QueryLanguage.compile's top level
+    e => { val v = root(e); v != null && v.booleanValue() }
+  }
+
+  private type Val = Any // null | String | java.lang.Double | java.lang.Long
+                         // | java.lang.Boolean | java.sql.Timestamp
+
+  private val knownFields =
+    Set("host", "service", "state", "metric", "time", "ttl")
+
+  private def isNumericAst(a: Ast): Boolean = a match {
+    case _: LongLit | _: DoubleLit | _: BigLit => true
+    case FieldRef(f) => f == "metric" || f == "ttl"
+    case _ => false
+  }
+  private def isStringish(a: Ast): Boolean = a match {
+    case _: StrLit => true
+    case FieldRef(f) => !knownFields.contains(f) ||
+      f == "host" || f == "service" || f == "state"
+    case _ => false
+  }
+
+  /** try_cast(string as double) — Spark trims, then Java parseDouble. */
+  private def tryDouble(s: String): java.lang.Double = {
+    val t = s.trim
+    if (t.isEmpty) null
+    else try java.lang.Double.valueOf(t)
+    catch { case _: NumberFormatException => null }
+  }
+
+  /** cast(string as boolean) — Spark's StringUtils.toBoolean table. */
+  private def strToBool(s: String): java.lang.Boolean =
+    s.trim.toLowerCase match {
+      case "t" | "true" | "y" | "yes" | "1" => java.lang.Boolean.TRUE
+      case "f" | "false" | "n" | "no" | "0" => java.lang.Boolean.FALSE
+      case _ => null
+    }
+
+  /** Numeric rendering (QueryLanguage.compile's `numeric`): null when
+    * not a number; timestamp → unix seconds (floor, like
+    * unix_timestamp). */
+  private def numeric(a: Ast): SEvent => java.lang.Double = a match {
+    case LongLit(v) => val d = java.lang.Double.valueOf(v.toDouble); _ => d
+    case DoubleLit(v) => val d = java.lang.Double.valueOf(v); _ => d
+    case BigLit(v) => val d = java.lang.Double.valueOf(v.toDouble); _ => d
+    case StrLit(v) => val d = tryDouble(v); _ => d
+    case FieldRef("metric") => e =>
+      if (e.metric.isDefined) java.lang.Double.valueOf(e.metric.get) else null
+    case FieldRef("ttl") => e =>
+      if (e.ttl.isDefined) java.lang.Double.valueOf(e.ttl.get) else null
+    case FieldRef("time") => e =>
+      if (e.time == null) null
+      else java.lang.Double.valueOf(
+        Math.floorDiv(e.time.getTime, 1000L).toDouble)
+    case FieldRef("host") => e =>
+      if (e.host == null) null else tryDouble(e.host)
+    case FieldRef("service") => e =>
+      if (e.service == null) null else tryDouble(e.service)
+    case FieldRef("state") => e =>
+      if (e.state == null) null else tryDouble(e.state)
+    case _ => _ => null
+  }
+
+  /** General value rendering (QueryLanguage.compile's `render`). */
+  private def render(a: Ast): SEvent => Val = a match {
+    case BoolLit(v) => val b = java.lang.Boolean.valueOf(v); _ => b
+    case NullLit => _ => null
+    case LongLit(v) => val l = java.lang.Long.valueOf(v); _ => l
+    case DoubleLit(v) => val d = java.lang.Double.valueOf(v); _ => d
+    case BigLit(v) => val d = java.lang.Double.valueOf(v.toDouble); _ => d
+    case StrLit(v) => _ => v
+    case FieldRef("host") => e => e.host
+    case FieldRef("service") => e => e.service
+    case FieldRef("state") => e => e.state
+    case FieldRef("metric") => e =>
+      if (e.metric.isDefined) java.lang.Double.valueOf(e.metric.get) else null
+    case FieldRef("time") => e => e.time
+    case FieldRef("ttl") => e =>
+      if (e.ttl.isDefined) java.lang.Double.valueOf(e.ttl.get) else null
+    case FieldRef(_) => _ => null // unknown field ≈ nil
+    case other => throw ParseException(s"not a value: $other")
+  }
+
+  /** Null-safe `<=>` with Catalyst's binary-comparison coercions over
+    * the value types SEvent can produce. */
+  private def nullSafeEq(l: Val, r: Val): Boolean = (l, r) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (a: String, b: String) => a == b
+    case (a: java.lang.Boolean, b: java.lang.Boolean) => a == b
+    // string vs boolean: Catalyst casts the string side to boolean
+    case (a: String, b: java.lang.Boolean) => strToBool(a) == b
+    case (a: java.lang.Boolean, b: String) => a == strToBool(b)
+    case (a: java.lang.Long, b: java.lang.Long) => a.longValue == b.longValue
+    case (a: Number, b: Number) => a.doubleValue == b.doubleValue
+    // timestamp vs integral/fractional: cast the number to timestamp
+    // (seconds), i.e. compare at microsecond precision
+    case (a: java.sql.Timestamp, b: java.lang.Long) =>
+      a.getTime == b.longValue * 1000L
+    case (a: java.lang.Long, b: java.sql.Timestamp) =>
+      b.getTime == a.longValue * 1000L
+    case (a: java.sql.Timestamp, b: java.lang.Double) =>
+      a.getTime * 1000L == (b.doubleValue * 1e6).toLong
+    case (a: java.lang.Double, b: java.sql.Timestamp) =>
+      b.getTime * 1000L == (a.doubleValue * 1e6).toLong
+    case (a: java.sql.Timestamp, b: java.sql.Timestamp) => a == b
+    // timestamp vs string: Catalyst casts the string to timestamp
+    case (a: java.sql.Timestamp, b: String) =>
+      strToTimestamp(b).contains(a.getTime)
+    case (a: String, b: java.sql.Timestamp) =>
+      strToTimestamp(a).contains(b.getTime)
+    case (a, b) => throw new IllegalArgumentException(
+      s"cannot compare ${a.getClass.getSimpleName} with " +
+        s"${b.getClass.getSimpleName} (Catalyst rejects this too)")
+  }
+
+  /** cast(string as timestamp) for the session's UTC zone — enough of
+    * Spark's accepted shapes for query literals. */
+  private def strToTimestamp(s: String): Option[Long] =
+    try {
+      val t = s.trim.replace('T', ' ')
+      Some(java.sql.Timestamp.valueOf(
+        if (t.length == 10) t + " 00:00:00" else t).getTime)
+    } catch { case _: IllegalArgumentException => None }
+
+  private def isTimestampAst(a: Ast): Boolean = a match {
+    case FieldRef("time") => true
+    case _ => false
+  }
+
+  private def isBoolAst(a: Ast): Boolean = a match {
+    case _: BoolLit => true
+    case _ => false // no boolean columns in SEvent
+  }
+
+  private def eq(l: Ast, r: Ast): SEvent => java.lang.Boolean = {
+    // type-strict boolean equality (QueryLanguage.eq): a boolean never
+    // equals a string/number; nil falls through to nullSafeEq → false
+    if ((isBoolAst(l) && !isBoolAst(r) && r != NullLit) ||
+        (isBoolAst(r) && !isBoolAst(l) && l != NullLit))
+      _ => java.lang.Boolean.FALSE
+    else if ((isNumericAst(l) && isStringish(r)) ||
+        (isNumericAst(r) && isStringish(l)) ||
+        // time = <number> compares unix seconds (QueryLanguage.eq)
+        (isTimestampAst(l) && isNumericAst(r)) ||
+        (isTimestampAst(r) && isNumericAst(l))) {
+      val (nl, nr) = (numeric(l), numeric(r))
+      e => {
+        val (a, b) = (nl(e), nr(e))
+        java.lang.Boolean.valueOf(
+          if (a == null && b == null) true
+          else if (a == null || b == null) false
+          else a.doubleValue == b.doubleValue)
+      }
+    } else {
+      val (rl, rr) = (render(l), render(r))
+      e => java.lang.Boolean.valueOf(nullSafeEq(rl(e), rr(e)))
+    }
+  }
+
+  /** SQL LIKE compiled as the reference's `=~` (% wildcard, everything
+    * else literal — QueryLanguage escapes `_` before `.like`), DOTALL
+    * and fully anchored like Spark's Like. */
+  private def likeRegex(pat: String): Pattern =
+    Pattern.compile("(?s)" +
+      pat.split("%", -1).map(Pattern.quote).mkString(".*"))
+
+  /** Catalyst's implicit cast-to-string for a LIKE/RLIKE target. */
+  private def asString(v: Val): String = v match {
+    case null => null
+    case s: String => s
+    case t: java.sql.Timestamp => t.toString
+    case d: java.lang.Double => d.toString
+    case other => other.toString
+  }
+
+  private def bool(a: Ast): SEvent => java.lang.Boolean = a match {
+    case And(l, r) =>
+      val (bl, br) = (bool(l), bool(r))
+      e => {
+        val x = bl(e)
+        if (x != null && !x.booleanValue) java.lang.Boolean.FALSE
+        else {
+          val y = br(e)
+          if (y != null && !y.booleanValue) java.lang.Boolean.FALSE
+          else if (x == null || y == null) null
+          else java.lang.Boolean.TRUE
+        }
+      }
+    case Or(l, r) =>
+      val (bl, br) = (bool(l), bool(r))
+      e => {
+        val x = bl(e)
+        if (x != null && x.booleanValue) java.lang.Boolean.TRUE
+        else {
+          val y = br(e)
+          if (y != null && y.booleanValue) java.lang.Boolean.TRUE
+          else if (x == null || y == null) null
+          else java.lang.Boolean.FALSE
+        }
+      }
+    case Not(p) =>
+      // !coalesce(bool(p), false): null → true, like the Column form
+      val bp = bool(p)
+      e => {
+        val v = bp(e)
+        java.lang.Boolean.valueOf(v == null || !v.booleanValue)
+      }
+    case Cmp("=", l, r) => eq(l, r)
+    case Cmp("!=", l, r) =>
+      val base = eq(l, r)
+      e => java.lang.Boolean.valueOf(!base(e).booleanValue)
+    case Cmp(op, l, r) =>
+      val (nl, nr) = (numeric(l), numeric(r))
+      val cmp: (Double, Double) => Boolean = op match {
+        case "<" => _ < _
+        case ">" => _ > _
+        case "<=" => _ <= _
+        case ">=" => _ >= _
+      }
+      e => {
+        val (a, b) = (nl(e), nr(e))
+        // numeric guard: null operand → false (query.clj:124-132)
+        java.lang.Boolean.valueOf(
+          a != null && b != null && cmp(a.doubleValue, b.doubleValue))
+      }
+    case LikeMatch(t, pat) =>
+      val rt = render(t)
+      val rx = likeRegex(pat)
+      e => {
+        val s = asString(rt(e))
+        if (s == null) null
+        else java.lang.Boolean.valueOf(rx.matcher(s).matches())
+      }
+    case RegexMatch(t, pat) =>
+      val rt = render(t)
+      val rx = Pattern.compile(pat)
+      e => {
+        val s = asString(rt(e))
+        if (s == null) null
+        else java.lang.Boolean.valueOf(rx.matcher(s).find()) // unanchored
+      }
+    case Tagged(_) => _ => java.lang.Boolean.FALSE // SEvent carries no tags
+    case BoolLit(v) =>
+      val b = java.lang.Boolean.valueOf(v); _ => b
+    case NullLit => _ => java.lang.Boolean.FALSE
+    case StrLit(_) | LongLit(_) | DoubleLit(_) | BigLit(_) =>
+      _ => java.lang.Boolean.TRUE
+    case FieldRef(f) =>
+      // truthiness = non-nil (resolve(f).isNotNull); no boolean columns
+      f match {
+        case "host" => e => java.lang.Boolean.valueOf(e.host != null)
+        case "service" => e => java.lang.Boolean.valueOf(e.service != null)
+        case "state" => e => java.lang.Boolean.valueOf(e.state != null)
+        case "metric" => e => java.lang.Boolean.valueOf(e.metric.isDefined)
+        case "time" => e => java.lang.Boolean.valueOf(e.time != null)
+        case "ttl" => e => java.lang.Boolean.valueOf(e.ttl.isDefined)
+        case _ => _ => java.lang.Boolean.FALSE
+      }
+  }
+}

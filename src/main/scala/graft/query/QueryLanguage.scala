@@ -270,9 +270,33 @@ object QueryLanguage {
       }
       case _ => false
     }
+    def isTimestampAst(a: Ast): Boolean = a match {
+      case FieldRef(f) => fieldType(f).contains(TimestampType)
+      case _ => false
+    }
+    def isBoolAst(a: Ast): Boolean = a match {
+      case _: BoolLit => true
+      case FieldRef(f) => fieldType(f).contains(BooleanType)
+      case _ => false
+    }
     def eq(l: Ast, r: Ast): Column =
+      // type-strict boolean equality, like Clojure `=` (query.clj): a
+      // boolean never equals a string/number — and under ANSI mode a
+      // cast-based compare would RUNTIME-throw on the first non-boolean
+      // string, killing a served query mid-scan (nil stays on the
+      // null-safe path below, which already yields false)
+      if (((isBoolAst(l) && !isBoolAst(r) && r != NullLit) ||
+          (isBoolAst(r) && !isBoolAst(l) && l != NullLit)))
+        lit(false)
+      else eqNonBool(l, r)
+    def eqNonBool(l: Ast, r: Ast): Column =
       // mixed string/number: numeric try-cast comparison
       if ((isNumericAst(l) && isStringish(r)) || (isNumericAst(r) && isStringish(l)))
+        numeric(l) <=> numeric(r)
+      // riemann `time` is epoch seconds (event.proto int64): equality
+      // against a number compares unix seconds, like < / > already do
+      else if ((isTimestampAst(l) && isNumericAst(r)) ||
+          (isTimestampAst(r) && isNumericAst(l)))
         numeric(l) <=> numeric(r)
       else render(l) <=> render(r)
 

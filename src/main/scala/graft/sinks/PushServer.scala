@@ -23,7 +23,8 @@ import graft.query.QueryLanguage
   * when a client's queue fills, the client is dropped (the reference
   * leans on netty's channel close for the same policy). */
 private[sinks] abstract class PushServer(val pubsub: Sinks.Pubsub, port: Int,
-    snapshot: () => Option[DataFrame], host: String, threadPrefix: String) {
+    snapshot: () => Option[DataFrame], host: String, threadPrefix: String,
+    snapshotEvents: () => Option[Seq[graft.streaming.SEvent]] = () => None) {
 
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress(host, port))
@@ -182,10 +183,22 @@ private[sinks] abstract class PushServer(val pubsub: Sinks.Pubsub, port: Int,
       case Some(q) => pubsub.subscribeQuery("index", q, sink)
       case None => pubsub.subscribe("index", sink)
     }
-    snapshot().foreach { idx =>
-      val hits = query.fold(idx)(q =>
-        idx.filter(QueryLanguage.predicate(q, idx.schema)))
-      jsonLineStream(hits)(j => w.offer(encode(j)))
+    // the dump: Spark-free when the owner serves an in-memory index
+    // (Main's ServedIndex) — the compiled-closure predicate over the
+    // event snapshot, no per-client Spark job; the DataFrame path
+    // remains for callers that only have a relation
+    snapshotEvents() match {
+      case Some(events) =>
+        val pred = query.map(graft.query.EventPredicate(_))
+        events.iterator
+          .filter(e => pred.forall(_(e)))
+          .foreach(e => w.offer(encode(EventJson.line(e))))
+      case None =>
+        snapshot().foreach { idx =>
+          val hits = query.fold(idx)(q =>
+            idx.filter(QueryLanguage.predicate(q, idx.schema)))
+          jsonLineStream(hits)(j => w.offer(encode(j)))
+        }
     }
     pending.synchronized {
       dumping = false

@@ -23,8 +23,9 @@ import org.apache.spark.sql.DataFrame
   * initial dump (None skips it). */
 class SseServer(pubsub: Sinks.Pubsub, port: Int,
     snapshot: () => Option[DataFrame] = () => None,
-    host: String = "127.0.0.1")
-    extends PushServer(pubsub, port, snapshot, host, "sse") {
+    host: String = "127.0.0.1",
+    snapshotEvents: () => Option[Seq[graft.streaming.SEvent]] = () => None)
+    extends PushServer(pubsub, port, snapshot, host, "sse", snapshotEvents) {
 
   private def sseFrame(json: String): Array[Byte] =
     s"data: $json\n\n".getBytes(StandardCharsets.UTF_8)

@@ -1,0 +1,169 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions.{col, struct, to_json}
+
+import graft.query.{EventPredicate, QueryLanguage}
+import graft.sinks.EventJson
+import graft.streaming.SEvent
+
+/** The serving-path evaluator's contract: the compiled closure must
+  * agree with the Catalyst predicate (the oracle) on the same snapshot
+  * for randomized queries over randomized events, the pkey shape must
+  * short-circuit to a point lookup, and the driver-side JSON renderer
+  * must be byte-identical to `to_json` so ws/sse dumps and pushes are
+  * one format. */
+class EventPredicateSpec extends SparkSpec {
+
+  private def ts(s: Long, ms: Long = 0): Timestamp = new Timestamp(s * 1000 + ms)
+
+  private val rnd = new scala.util.Random(42)
+
+  private def randomEvents(n: Int): Seq[SEvent] = (1 to n).map { i =>
+    SEvent(
+      host = rnd.nextInt(5) match {
+        case 0 => null
+        case 1 => s"${rnd.nextInt(100)}" // numeric-looking host
+        case _ => s"h${rnd.nextInt(20)}"
+      },
+      service = if (rnd.nextInt(10) == 0) null
+        else Seq("cpu", "mem", "disk /", "api 1", "")(rnd.nextInt(5)),
+      state = rnd.nextInt(6) match {
+        case 0 => null
+        case 1 => "true"
+        case 2 => "2"
+        case _ => Seq("ok", "warning", "critical")(rnd.nextInt(3))
+      },
+      metric = if (rnd.nextInt(4) == 0) None
+        else Some(Seq(0.0, 1.0, -1.5, 64.0, 39.47, 1e5)(rnd.nextInt(6))),
+      time = ts(1706000000L + rnd.nextInt(1000),
+        if (rnd.nextBoolean()) 0 else rnd.nextInt(1000)),
+      ttl = if (rnd.nextInt(3) == 0) None
+        else Some(Seq(60.0, 90.5, 120.0)(rnd.nextInt(3))))
+  }
+
+  /** Random query-language strings over the SEvent surface — every
+    * comparison shape the grammar admits that Catalyst accepts on this
+    * schema (boolean-vs-numeric comparisons are analysis errors on
+    * both paths, so the generator avoids them, as clients must). */
+  private def randomQuery(depth: Int): String = {
+    def strLit() = "\"" + Seq("cpu", "mem", "h3", "ok", "critical", "2",
+      "64", "", "disk /")(rnd.nextInt(9)) + "\""
+    def numLit() = Seq("0", "1", "-1.5", "64", "39.47", "1e5",
+      "1706000100", "2.5")(rnd.nextInt(8))
+    def leaf(): String = rnd.nextInt(12) match {
+      case 0 => s"host = ${if (rnd.nextBoolean()) strLit() else numLit()}"
+      case 1 => s"service != ${strLit()}"
+      case 2 => s"state = ${Seq(strLit(), numLit(), "true", "nil")(rnd.nextInt(4))}"
+      case 3 => s"metric ${Seq("=", "!=", "<", ">", "<=", ">=")(rnd.nextInt(6))} ${numLit()}"
+      case 4 => s"ttl ${Seq("<", ">", "<=", ">=")(rnd.nextInt(4))} ${numLit()}"
+      case 5 => s"metric = ${Seq("nil", strLit())(rnd.nextInt(2))}"
+      case 6 => s"time ${Seq("=", "<", ">", ">=")(rnd.nextInt(4))} 1706000${100 + rnd.nextInt(800)}"
+      case 7 => s"host =~ ${Seq("\"h%\"", "\"%3%\"", "\"%\"", "\"cpu\"")(rnd.nextInt(4))}"
+      case 8 => s"service ~= ${Seq("\"c.u\"", "\"^mem\"", "\"disk\"", "\"[0-9]\"")(rnd.nextInt(4))}"
+      case 9 => s"tagged ${strLit()}"
+      case 10 => Seq("metric", "host", "custom", "true", "nil")(rnd.nextInt(5))
+      case 11 => s"custom = ${Seq(strLit(), numLit(), "nil")(rnd.nextInt(3))}"
+    }
+    if (depth == 0) leaf()
+    else rnd.nextInt(5) match {
+      case 0 => s"${randomQuery(depth - 1)} and ${randomQuery(depth - 1)}"
+      case 1 => s"${randomQuery(depth - 1)} or ${randomQuery(depth - 1)}"
+      case 2 => s"not ${randomQuery(depth - 1)}"
+      case 3 => s"(${randomQuery(depth - 1)})"
+      case _ => leaf()
+    }
+  }
+
+  private def key(e: SEvent) =
+    (e.host, e.service, e.state, e.metric, e.time, e.ttl)
+
+  test("closure == Catalyst on randomized queries over a randomized " +
+    "snapshot (the serving-path parity oracle)") {
+    val events = randomEvents(80)
+    val spark0 = spark
+    import spark0.implicits._
+    val snap = spark.createDataset(events).toDF()
+    snap.cache().count()
+    try {
+      val queries = (1 to 120).map(_ => randomQuery(rnd.nextInt(3)))
+      queries.foreach { q =>
+        val catalyst = snap
+          .filter(QueryLanguage.predicate(q, snap.schema))
+          .as[SEvent].collect().map(key).toSet
+        val pred = EventPredicate(q)
+        val closure = events.filter(pred).map(key).toSet
+        assert(closure == catalyst,
+          s"""closure/Catalyst divergence for query: $q
+             |closure-only : ${(closure -- catalyst).take(3)}
+             |catalyst-only: ${(catalyst -- closure).take(3)}""".stripMargin)
+      }
+    } finally { snap.unpersist(); () }
+  }
+
+  test("pkey fast path: host+service equality compiles to a point " +
+    "lookup (index.clj:44-56), in every operand/conjunct order") {
+    assert(EventPredicate.pkeyLookup(
+      QueryLanguage.parse("""host = "h1" and service = "cpu""""))
+      .contains(("h1", "cpu")))
+    assert(EventPredicate.pkeyLookup(
+      QueryLanguage.parse("""service = "cpu" and host = "h1""""))
+      .contains(("h1", "cpu")))
+    assert(EventPredicate.pkeyLookup(
+      QueryLanguage.parse("\"h1\" = host and \"cpu\" = service"))
+      .contains(("h1", "cpu")))
+    // NOT pkey shapes: fall back to the scan closure
+    assert(EventPredicate.pkeyLookup(
+      QueryLanguage.parse("host = \"h1\" or service = \"cpu\"")).isEmpty)
+    assert(EventPredicate.pkeyLookup(
+      QueryLanguage.parse("host = \"h1\" and service != \"cpu\"")).isEmpty)
+    assert(EventPredicate.pkeyLookup(
+      QueryLanguage.parse("host = \"h1\" and metric = 1")).isEmpty)
+  }
+
+  test("ServedIndex.search serves pkey lookups and closure scans " +
+    "Spark-free, agreeing with the Catalyst snapshot filter") {
+    val idx = new Main.ServedIndex(spark)
+    val events = randomEvents(60)
+      .groupBy(e => (e.host, e.service)).map(_._2.head).toSeq // unique pkeys
+    events.foreach(idx.put)
+    val spark0 = spark
+    import spark0.implicits._
+    val snap = spark.createDataset(idx.events).toDF()
+    Seq("host = \"h3\" and service = \"cpu\"",
+      "state = \"critical\"",
+      "metric > 1 or ttl >= 90",
+      "not host =~ \"h%\"").foreach { q =>
+      val catalyst = snap.filter(QueryLanguage.predicate(q, snap.schema))
+        .as[SEvent].collect().map(key).toSet
+      assert(idx.search(q).map(key).toSet == catalyst, s"for query: $q")
+    }
+    // tombstone via put: an expired event deletes its key
+    events.headOption.foreach { e =>
+      idx.put(e.copy(state = "expired"))
+      assert(idx.search(
+        s"""host = "${e.host}" and service = "${e.service}"""").isEmpty)
+    }
+  }
+
+  test("EventJson.line is byte-identical to to_json on every null/" +
+    "escaping/precision shape (one format for dumps and pushes)") {
+    val events = Seq(
+      SEvent("h1", "cpu", "ok", Some(39.47), ts(1706000100), Some(60.0)),
+      SEvent(null, "mem", null, None, ts(1706000100, 123), None),
+      SEvent("quote\"back\\slash", "tab\there", "新\nline", Some(1.0),
+        ts(1706000999, 1), Some(0.0)),
+      SEvent("h", "", "ctrlchar", Some(1e5), ts(1706000000), None),
+      SEvent("neg", "svc", "s", Some(-1.5e-5), ts(1706000500, 999),
+        Some(1.0E10)))
+    val spark0 = spark
+    import spark0.implicits._
+    val snap = spark.createDataset(events).toDF()
+    val sparkLines = snap
+      .select(to_json(struct(snap.columns.toIndexedSeq.map(col): _*)))
+      .collect().map(_.getString(0))
+    val ours = events.map(EventJson.line)
+    ours.zip(sparkLines).foreach { case (o, s) => assert(o == s) }
+  }
+}

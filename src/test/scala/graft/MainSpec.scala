@@ -166,6 +166,36 @@ class MainSpec extends SparkSpec {
       assert(bok.contains(false) && bevs.isEmpty)
       assert(berr.exists(_.startsWith("parse error")), s"error: $berr")
 
+      // serving-path throughput: the compiled-closure evaluator (no
+      // per-query Spark job) must clear hundreds of sequential wire
+      // queries per second over ONE socket — a Spark-job-per-query
+      // path caps at ~10-20 QPS, so 200 QPS separates cleanly even on
+      // a loaded CI box. Mixed pkey point lookups and scan queries.
+      locally {
+        val sock = connect(tcpPort)
+        sock.setSoTimeout(20000)
+        try {
+          val out = new DataOutputStream(sock.getOutputStream)
+          val in = new DataInputStream(sock.getInputStream)
+          val n = 300
+          val t0 = System.nanoTime()
+          (1 to n).foreach { i =>
+            val q = if (i % 2 == 0) """host = "web01" and service = "cpu""""
+              else """state = "critical""""
+            out.write(RiemannProtobuf.frame(RiemannProtobuf.encodeQueryMsg(q)))
+            out.flush()
+            val len = in.readInt()
+            val reply = new Array[Byte](len)
+            in.readFully(reply)
+            val (qok, _, qevs) = RiemannProtobuf.decodeReply(reply)
+            assert(qok.contains(true) && qevs.nonEmpty)
+          }
+          val qps = n / ((System.nanoTime() - t0) / 1e9)
+          info(f"wire serving: $qps%.0f queries/s (closed-loop, one socket)")
+          assert(qps > 200, f"serving path too slow: $qps%.0f QPS")
+        } finally sock.close()
+      }
+
       // ACK some frames on tcp2 that its query has not drained yet,
       // then reload with a CHANGED hot definition: the restarted query
       // must adopt the parked frames (CoreSpec's handoff, here driven
