@@ -14,14 +14,43 @@ import org.apache.spark.sql.types.DecimalType
   * Dot products use `zip_with`/`aggregate` higher-order functions —
   * codegen-friendly Catalyst expressions, no UDF.
   *
-  * Caching contract: functions that reference an intermediate relation
-  * more than once (`bruteForceTopK`, `lshTopK`, `ivfTopK`) cache it and
-  * leave it pinned — the returned plan is lazy, so the library cannot
-  * know when to unpersist. Long-lived sessions should clear caches
-  * between calls (`spark.catalog.clearCache()`), or swap cache() for
-  * persist(DISK_ONLY) at cluster scale.
+  * Caching contract (eager): every query-batch entry point whose
+  * result is bounded (k × |queryIds| rows — driver-bounded exactly
+  * like the `queryIds` argument and the per-query LUT broadcasts)
+  * evaluates NOW, releases its intermediate caches, and returns the
+  * result as a local relation — repeated ANN calls in a long-lived
+  * session pin nothing (CacheDisciplineSpec asserts the catalog is
+  * empty after the whole entry-query ANN family runs). The `*Plan`
+  * variants expose the lazy plans (for plan audits / composition);
+  * their second member lists the caches the caller must release.
+  * Corpus-wide rankers (`lshTopK`, `lshTopKBanded`) stay lazy and
+  * cache nothing — their self-joins reuse the bucket exchange, and
+  * caching a 100 TB normalized corpus is the wrong posture anyway.
   */
 object Similarity {
+
+  /** Collect a TINY relation (centroids, codebooks) into a local
+    * relation and release its cache: callers get broadcast-ready
+    * literals instead of a session-pinned cache entry. */
+  private def toLocal(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.collect()
+    df.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  /** Evaluate a BOUNDED result now and release the intermediate caches
+    * backing it — the funnel's count-and-release discipline for the
+    * ANN entry points. The result rides back as a local relation with
+    * the identical schema, so downstream plans and oracle hashes are
+    * unchanged. */
+  private def eagerRelease(result: DataFrame,
+      pinned: Seq[DataFrame]): DataFrame = {
+    val spark = result.sparkSession
+    val rows = result.collect()
+    pinned.foreach { df => df.unpersist(); () }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
 
   /** Sequential-order dot product of two double arrays (fast path). */
   def dot(a: Column, b: Column): Column =
@@ -80,6 +109,12 @@ object Similarity {
     * broadcast), rank the whole corpus. Ties broken by vec_id; cosine
     * rounded so ranking is stable across engines and partitionings. */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val (result, pinned) = bruteForceTopKPlan(embeddings, queryIds, k)
+    eagerRelease(result, pinned)
+  }
+
+  private[graft] def bruteForceTopKPlan(embeddings: DataFrame,
+      queryIds: Seq[Long], k: Int): (DataFrame, Seq[DataFrame]) = {
     // materialize the normalized corpus once; the join would otherwise
     // re-evaluate the unit expression per candidate pair (at cluster
     // scale this is the standard normalize-once-then-scan layout)
@@ -92,7 +127,8 @@ object Similarity {
         round(dotExact(col("unit"), col("qunit")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    (scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k),
+      Seq(e))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -170,10 +206,13 @@ object Similarity {
     val buckets = lshBuckets(embeddings, planes, dims)
     val kept = Caps.cap(buckets.select("vec_id", "bucket"), Seq("bucket"),
       maxBucket, "ann_lsh")
+    // corpus-wide output — stays lazy, caches NOTHING: both self-join
+    // sides are the identical subplan, so the bucket exchange is built
+    // once and reused (ReusedExchange), and pinning a normalized copy
+    // of a 100 TB corpus in the cache would be the wrong posture
     val e = embeddings
       .select(col("vec_id"), normalized(col("embedding")).as("unit"))
       .join(kept, "vec_id")
-      .cache()
     val a = e.as("a")
     val b = e.as("b")
     val scored = a.join(b, col("a.bucket") === col("b.bucket") &&
@@ -214,9 +253,12 @@ object Similarity {
   def ivfCentroidsRefined(embeddings: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val units = embeddings
+    // the unit relation is read ONCE PER ROUND (the seed pass computes
+    // its own) — caching it pays only from the second round on; for
+    // the common iters=1 call the materialization would be pure cost
+    val unitsBase = embeddings
       .select(col("vec_id"), normalized(col("embedding")).as("unit"))
-      .cache()
+    val units = if (iters > 1) unitsBase.cache() else unitsBase
     var cents = ivfCentroids(embeddings).cache()
     for (_ <- 1 to iters) {
       val cc = cents
@@ -243,9 +285,11 @@ object Similarity {
       cents.unpersist()
       cents = next
     }
-    cents.count() // materialize before releasing the unit relation
-    units.unpersist()
-    cents
+    // collect the tiny refined quantizer to a local relation and
+    // release every cache this training pass pinned
+    val out = toLocal(cents)
+    if (iters > 1) { units.unpersist(); () }
+    out
   }
 
   /** Deterministic scaled-long dot used for IVF cell ranking (same
@@ -300,6 +344,12 @@ object Similarity {
     * the data; the query and centroid sides broadcast. */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       nprobe: Int = 3): DataFrame = {
+    val (result, pinned) = ivfTopKPlan(embeddings, queryIds, k, nprobe)
+    eagerRelease(result, pinned)
+  }
+
+  private[graft] def ivfTopKPlan(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int, nprobe: Int = 3): (DataFrame, Seq[DataFrame]) = {
     // centroid training is a full corpus pass — cache the tiny result
     // so probe ranking doesn't re-run it
     val cents = ivfCentroids(embeddings).cache()
@@ -321,14 +371,15 @@ object Similarity {
         round(dotExact(col("unit"), col("qunit")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    (scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k),
+      Seq(cents, assigned))
   }
 
   /** Shared banded-LSH candidate machinery: `bands` independent bucket
     * tables of `planesPerBand` sign bits from the RAW vectors
     * (hyperplane signs are scale-invariant), candidates = id pairs
-    * colliding in ANY band. Returns (candidates, cached units): the
-    * units relation carries the normalized vectors for exact scoring.
+    * colliding in ANY band. Returns (candidates, units): the units
+    * relation carries the normalized vectors for exact scoring.
     * `directed` emits both (a,b) and (b,a) for query-centric top-k;
     * undirected emits a<b pairs for dedup. `maxBucket` drops
     * pathological hot buckets before the self-join. */
@@ -340,8 +391,11 @@ object Similarity {
       struct(lit(b).as("band"),
         bucketExpr(dv, planesPerBand, dims, b * planesPerBand).as("bucket"))
     }: _*)
+    // lazy and uncached (same posture as lshTopK): the capped band
+    // relation's self-join reuses its exchange, and the units side is
+    // a narrow re-projection, not a second corpus pass
     val e = embeddings.select(col("vec_id"),
-      normalized(col("embedding")).as("unit"), bandCols.as("bb")).cache()
+      normalized(col("embedding")).as("unit"), bandCols.as("bb"))
     val banded = e.select(col("vec_id"), explode(col("bb")).as("b1"))
       .select(col("vec_id"), col("b1.band").as("band"),
         col("b1.bucket").as("bucket"))
@@ -388,6 +442,15 @@ object Similarity {
   def annRecall(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       planes: Int = 8, nprobe: Int = 3, bands: Int = 4,
       planesPerBand: Int = 6, dims: Int = 64): DataFrame = {
+    val (result, pinned) = annRecallPlan(embeddings, queryIds, k, planes,
+      nprobe, bands, planesPerBand, dims)
+    eagerRelease(result, pinned) // one row per query — tiny
+  }
+
+  private[graft] def annRecallPlan(embeddings: DataFrame,
+      queryIds: Seq[Long], k: Int, planes: Int = 8, nprobe: Int = 3,
+      bands: Int = 4, planesPerBand: Int = 6, dims: Int = 64)
+      : (DataFrame, Seq[DataFrame]) = {
     val dv = transform(col("embedding"), x => x.cast("double"))
     val bandCols = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -446,17 +509,22 @@ object Similarity {
       .groupBy("label")
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
         s => s("c")).as("cvec")).cache()
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").desc, col("label"))
     // cached: the ivf ranker reads it twice and the ivfpq ranker's
     // residual/encode/scoring passes read it three more times — without
-    // the cache each pass re-runs the assignment window
-    val assigned = units.join(broadcast(cents))
-      .select(col("vec_id"), col("unit"), col("label"),
-        dotScaled(col("unit"), col("cvec")).as("score"))
-      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("unit"), col("label").as("cell"))
-      .cache()
+    // the cache each pass re-runs the assignment. The assignment itself
+    // is the codegen'd per-row argmax ([[CellArgmaxExpr]], identical
+    // ties-to-smallest-label semantics as the windowed spec) — a pure
+    // narrow map, not a corpus-wide window sort.
+    val assigned = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val cc = cents
+        .agg(collect_list(struct(col("label"), col("cvec"))).as("cents"))
+      units.crossJoin(broadcast(cc))
+        .select(col("vec_id"), col("unit"), ColumnBridge.column(
+          CellArgmaxExpr(ColumnBridge.expression(col("unit")),
+            ColumnBridge.expression(col("cents")))).as("cell"))
+        .cache()
+    }
     val pw = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("label"))
     val probes = assigned.filter(col("vec_id").isin(queryIds: _*))
@@ -497,7 +565,7 @@ object Similarity {
     val ivfpq = ivfPqRanked(assigned, cents, q, k, nprobe, 8, 16, 1, dims)
       .select("query_id", "vec_id")
 
-    brute
+    val recall = brute
       .join(lsh.withColumn("lsh_hit", lit(1)), Seq("query_id", "vec_id"), "left")
       .join(blsh.withColumn("blsh_hit", lit(1)), Seq("query_id", "vec_id"), "left")
       .join(ivf.withColumn("ivf_hit", lit(1)), Seq("query_id", "vec_id"), "left")
@@ -520,6 +588,7 @@ object Similarity {
         round(col("pq_hits").cast("double") / col("k"), 6))
       .withColumn("ivfpq_recall",
         round(col("ivfpq_hits").cast("double") / col("k"), 6))
+    (recall, Seq(base, cents, assigned))
   }
 
   /** Scalar int8 quantization with a per-vector absmax scale — the
@@ -607,15 +676,18 @@ object Similarity {
     import org.apache.spark.sql.graft.ColumnBridge
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val dsub = dims / m
-    // one cached subvector relation feeds every round
-    val svecs = embeddings
+    // the subvector relation is read once per round (the seed books
+    // come from pqCodebooks' own pass) — cache it only when a second
+    // round will re-read it; at iters=1 the materialization is pure
+    // cost
+    val svecsBase = embeddings
       .select(col("vec_id"),
         posexplode(normalized(col("embedding"))).as(Seq("dim", "v")))
       .withColumn("sub", (col("dim") / dsub).cast("int"))
       .groupBy("vec_id", "sub")
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("v")))),
         s => s("v")).as("svec"))
-      .cache()
+    val svecs = if (iters > 1) svecsBase.cache() else svecsBase
     // each round references the previous books twice (assignment cents
     // + the hold-position join); cache every round and retire the
     // previous one, or the uncached lineage doubles per iteration
@@ -650,9 +722,11 @@ object Similarity {
       cb.unpersist()
       cb = next
     }
-    cb.count() // materialize before releasing the subvector relation
-    svecs.unpersist()
-    cb
+    // collect the tiny refined books to a local relation and release
+    // every cache this training pass pinned
+    val out = toLocal(cb)
+    if (iters > 1) { svecs.unpersist(); () }
+    out
   }
 
   /** PQ encode: each corpus vector becomes `m` small codes — the
@@ -741,13 +815,19 @@ object Similarity {
     * Scores are the scaled-long sums the oracle reproduces exactly. */
   def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       m: Int = 8, dims: Int = 64): DataFrame = {
+    val (result, pinned) = pqTopKPlan(embeddings, queryIds, k, m, dims)
+    eagerRelease(result, pinned)
+  }
+
+  private[graft] def pqTopKPlan(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int, m: Int = 8, dims: Int = 64): (DataFrame, Seq[DataFrame]) = {
     val cb = pqCodebooks(embeddings, m, dims).cache()
     val units = embeddings.select(col("vec_id"),
       normalized(col("embedding")).as("unit"))
     val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"),
         normalized(col("embedding")).as("qunit"))
-    adcTopK(units, q, cb, k, m, dims)
+    (adcTopK(units, q, cb, k, m, dims), Seq(cb))
   }
 
   /** Two-stage PQ retrieval — the production ANN pattern at scale:
@@ -812,12 +892,14 @@ object Similarity {
     val dsub = dims / m
     // narrow subvector explode (slice, not posexplode+groupBy: no
     // shuffle to build the per-(vec, sub) relation)
-    val rsv = resid.select(col("vec_id"), explode(array((0 until m).map { s =>
+    // one full read per round plus the id-pruned seed scan — as with
+    // the other Lloyd trainers, caching pays only from round two on
+    val rsvBase = resid.select(col("vec_id"), explode(array((0 until m).map { s =>
         struct(lit(s).as("sub"),
           slice(col("rvec"), s * dsub + 1, dsub).as("svec"))
       }: _*)).as("sc"))
       .select(col("vec_id"), col("sc.sub").as("sub"), col("sc.svec").as("svec"))
-      .cache()
+    val rsv = if (iters > 1) rsvBase.cache() else rsvBase
     var cb = rsv.filter(col("vec_id") < ksub)
       .select(col("sub"), col("vec_id").cast("int").as("label"),
         col("svec").as("cvec"))
@@ -850,9 +932,11 @@ object Similarity {
       cb.unpersist()
       cb = next
     }
-    cb.count() // materialize before releasing the subvector relation
-    rsv.unpersist()
-    cb
+    // collect the tiny (m × ksub) books to a local relation and
+    // release every cache this training pass pinned
+    val out = toLocal(cb)
+    if (iters > 1) { rsv.unpersist(); () }
+    out
   }
 
   /** Shared IVF×PQ scoring pipeline over an assigned corpus: residual
@@ -928,6 +1012,15 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       nprobe: Int = 3, m: Int = 8, ksub: Int = 16, iters: Int = 1,
       dims: Int = 64, ivfIters: Int = 0): DataFrame = {
+    val (result, pinned) = ivfPqTopKPlan(embeddings, queryIds, k, nprobe,
+      m, ksub, iters, dims, ivfIters)
+    eagerRelease(result, pinned)
+  }
+
+  private[graft] def ivfPqTopKPlan(embeddings: DataFrame,
+      queryIds: Seq[Long], k: Int, nprobe: Int = 3, m: Int = 8,
+      ksub: Int = 16, iters: Int = 1, dims: Int = 64,
+      ivfIters: Int = 0): (DataFrame, Seq[DataFrame]) = {
     // ivfIters > 0 trains the coarse quantizer with real Lloyd rounds
     // ([[ivfCentroidsRefined]]) before the residual stage; the default
     // keeps the label-seeded quantizer the oracle replays
@@ -936,7 +1029,8 @@ object Similarity {
     val assigned = ivfAssign(embeddings, cents).cache()
     val q = assigned.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("unit").as("qunit"))
-    ivfPqRanked(assigned, cents, q, k, nprobe, m, ksub, iters, dims)
+    (ivfPqRanked(assigned, cents, q, k, nprobe, m, ksub, iters, dims),
+      Seq(cents, assigned))
   }
 
   /** Two-stage IVFADC retrieval — [[pqTopKReranked]]'s shape on the

@@ -1,0 +1,27 @@
+package graft
+
+/** The eager cache discipline (VERDICT r11 what's-wrong #1): the ANN /
+  * quantizer-training entry queries must leave the SQL cache EMPTY
+  * after they run — every intermediate a query pinned (normalized
+  * corpus, IVF assignment, codebooks) is released once its bounded
+  * result materializes, so repeated ANN calls in a long-lived session
+  * accumulate nothing. */
+class CacheDisciplineSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("the ANN entry-query family leaves no cached relations behind") {
+    spark.catalog.clearCache() // isolate from whatever ran before us
+    val annQueries = Seq(
+      "q_ann_brute", "q_ann_lsh", "q_ann_ivf", "q_ann_pq",
+      "q_ann_pq_rerank", "q_ann_ivfpq", "q_ann_ivfpq_rerank",
+      "q_ann_recall", "q_ivf_kmeans", "q_pq_kmeans")
+    annQueries.foreach { name =>
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      assert(n > 0, s"$name returned no rows")
+      val cached = spark.sharedState.cacheManager
+      assert(cached.isEmpty,
+        s"$name left cached relations pinned in the session")
+    }
+  }
+}

@@ -44,8 +44,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("brute-force ANN broadcasts the query side") {
-    val p = plan(Similarity.bruteForceTopK(
-      spark.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L), 3))
+    val (brutePlan, brutePinned) = Similarity.bruteForceTopKPlan(
+      spark.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L), 3)
+    val p = plan(brutePlan)
+    brutePinned.foreach(_.unpersist())
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n$p")
   }
@@ -100,7 +102,10 @@ class PlanSpec extends SparkSpec {
 
   test("IVF probe search broadcasts probes; no cartesian product") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val p = plan(Similarity.ivfTopK(emb, Seq(0L, 1L), 3, nprobe = 2))
+    val (ivfPlan, ivfPinned) = Similarity.ivfTopKPlan(emb, Seq(0L, 1L), 3,
+      nprobe = 2)
+    val p = plan(ivfPlan)
+    ivfPinned.foreach(_.unpersist())
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"probe side not broadcast:\n$p")
@@ -108,7 +113,10 @@ class PlanSpec extends SparkSpec {
 
   test("IVF×PQ: codebooks/probes/LUTs broadcast, corpus side never reshuffled") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val p = plan(Similarity.ivfPqTopK(emb, Seq(0L, 1L), 3, nprobe = 2))
+    val (ivfpqPlan, ivfpqPinned) = Similarity.ivfPqTopKPlan(emb,
+      Seq(0L, 1L), 3, nprobe = 2)
+    val p = plan(ivfpqPlan)
+    ivfpqPinned.foreach(_.unpersist())
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"small sides not broadcast:\n$p")
@@ -125,14 +133,17 @@ class PlanSpec extends SparkSpec {
     // reintroduce a full-corpus-per-query shuffle — assert the node.
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    for ((name, df) <- Seq(
-        "bruteForceTopK" -> Similarity.bruteForceTopK(emb, Seq(0L, 1L), 3),
-        "lshTopK" -> Similarity.lshTopK(emb, 3),
-        "ivfTopK" -> Similarity.ivfTopK(emb, Seq(0L, 1L), 3),
-        "pqTopK" -> Similarity.pqTopK(emb, Seq(0L, 1L), 3),
-        "ivfPqTopK" -> Similarity.ivfPqTopK(emb, Seq(0L, 1L), 3),
-        "tfIdf" -> graft.pipeline.TextAnalysis.tfIdf(docs))) {
+    // the query-batch entry points evaluate eagerly (cache discipline),
+    // so the audit reads their lazy *Plan variants
+    for ((name, (df, pinned)) <- Seq(
+        "bruteForceTopK" -> Similarity.bruteForceTopKPlan(emb, Seq(0L, 1L), 3),
+        "lshTopK" -> (Similarity.lshTopK(emb, 3), Seq.empty[org.apache.spark.sql.DataFrame]),
+        "ivfTopK" -> Similarity.ivfTopKPlan(emb, Seq(0L, 1L), 3),
+        "pqTopK" -> Similarity.pqTopKPlan(emb, Seq(0L, 1L), 3),
+        "ivfPqTopK" -> Similarity.ivfPqTopKPlan(emb, Seq(0L, 1L), 3),
+        "tfIdf" -> (graft.pipeline.TextAnalysis.tfIdf(docs), Seq.empty[org.apache.spark.sql.DataFrame]))) {
       val p = plan(df)
+      pinned.foreach(_.unpersist())
       assert(p.contains("WindowGroupLimit"),
         s"$name: rank-limit pushdown did not engage:\n$p")
     }
