@@ -169,6 +169,40 @@ private[graft] object EntryOracle {
     * hot-bucket cap ([[graft.pipeline.Caps.DefaultMaxBucket]]) is
     * mirrored (`okb`/`bk`) so Spark and oracle agree at EVERY scale
     * factor, not just ones where no bucket exceeds the cap. */
+  /** The BPE rewrite formula — textually identical semantics to
+    * `Bpe.applyMerge` (padded double-space replace, undouble, trim). */
+  private def bpeApplySql(sym: String, pr: String): String =
+    s"trim(replace(replace(' ' || replace($sym, ' ', '  ') || ' ', " +
+      s"' ' || replace($pr, ' ', '  ') || ' ', " +
+      s"' ' || replace($pr, ' ', '') || ' '), '  ', ' '))"
+
+  /** Unrolled BPE training chain: v0 = top-`cap` word frequencies with
+    * char-spaced symbols (spaces Ġ-mapped, chr(288)); each round b_i
+    * picks argmax pair by (weighted count desc, pair asc) and v_i
+    * applies it — exactly `Bpe.trainOnVocab`'s driver loop, unrolled
+    * to `n` fixed rounds of SQL. */
+  private lazy val bpeRe = graft.pipeline.TextAnalysis.BpeSplitRe
+    .replace("'", "''")
+  private def bpeCtes(n: Int, cap: Int): String = {
+    // MATERIALIZED: without it DuckDB inlines each CTE reference, and
+    // v_i -> (v_{i-1}, b_i -> v_{i-1}) doubles the expansion per round
+    // — 2^n scans of the parquet by round n
+    val base = "v0 AS MATERIALIZED (SELECT word, freq, " +
+      "array_to_string(regexp_extract_all(replace(word, ' ', chr(288)), '.'), ' ') AS sym " +
+      s"FROM (SELECT tok AS word, count(*) AS freq FROM " +
+      s"(SELECT unnest(regexp_extract_all(text, '$bpeRe')) AS tok FROM documents) " +
+      s"GROUP BY tok ORDER BY freq DESC, word LIMIT $cap))"
+    val steps = (1 to n).map { i =>
+      s"b$i AS MATERIALIZED (SELECT pr, cnt FROM (SELECT pr, sum(freq) AS cnt FROM v${i - 1} " +
+        "CROSS JOIN unnest(list_transform(generate_series(1, len(string_split(sym, ' ')) - 1), " +
+        "i -> string_split(sym, ' ')[i] || ' ' || string_split(sym, ' ')[i + 1])) AS tt(pr) " +
+        "GROUP BY pr) ORDER BY cnt DESC, pr LIMIT 1), " +
+        s"v$i AS MATERIALIZED (SELECT word, freq, ${bpeApplySql("sym", "pr")} AS sym " +
+        s"FROM v${i - 1} CROSS JOIN b$i)"
+    }
+    (base +: steps).mkString(", ")
+  }
+
   private lazy val minhashPairsCte: String =
     s"$shCte$hsCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh), " +
       "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM sg), " +
@@ -610,6 +644,31 @@ private[graft] object EntryOracle {
     "q_quality" -> (s"WITH t AS (SELECT doc_id, length(text) AS nch, string_split(text, ' ') AS toks FROM documents), " +
       s"m AS (SELECT doc_id, CAST(nch AS DOUBLE) AS nchars, CAST(len(toks) AS DOUBLE) AS ntok, CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) AS nstop, CAST(len(list_distinct(toks)) AS DOUBLE) AS ndis FROM t) " +
       "SELECT doc_id, round(nchars / ntok, 4) AS mean_token_len, round(ndis / ntok, 4) AS type_token_ratio, round(nstop / ntok, 4) AS stopword_ratio, round(CAST(1.0 AS DOUBLE) - ndis / ntok, 4) AS repetition FROM m ORDER BY doc_id"),
+    "q_bpe_train" -> {
+      val n = graft.pipeline.Bpe.DefaultMerges
+      s"WITH ${bpeCtes(n, graft.pipeline.Bpe.DefaultVocabCap)} " +
+        "SELECT * FROM (" +
+        (1 to n).map(i => s"SELECT CAST($i AS BIGINT) AS rank, pr AS pair, " +
+          s"replace(pr, ' ', '') AS merged, CAST(cnt AS BIGINT) AS cnt FROM b$i")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY rank"
+    },
+    "q_bpe_encode" -> {
+      val n = graft.pipeline.Bpe.DefaultMerges
+      val enc = (1 to n).map { i =>
+        s"e$i AS MATERIALIZED (SELECT doc_id, list_transform(syms, " +
+          s"s -> ${bpeApplySql("s", "pr")}) AS syms " +
+          s"FROM e${i - 1} CROSS JOIN b$i)"
+      }.mkString(", ")
+      s"WITH ${bpeCtes(n, graft.pipeline.Bpe.DefaultVocabCap)}, " +
+        "e0 AS MATERIALIZED (SELECT doc_id, list_transform(" +
+        s"regexp_extract_all(text, '$bpeRe'), " +
+        "t -> trim(regexp_replace(replace(t, ' ', chr(288)), '(.)', '\\1 ', 'g'))) AS syms " +
+        s"FROM documents), $enc " +
+        "SELECT doc_id, CAST(len(syms) AS BIGINT) AS n_pretokens, " +
+        "CAST(COALESCE(list_sum(list_transform(syms, s -> len(string_split(s, ' ')))), 0) AS BIGINT) AS n_bpe_tokens " +
+        s"FROM e$n ORDER BY doc_id"
+    },
     "q_langid" -> (s"WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents), " +
       s"m AS (SELECT doc_id, lang, CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks) AS sc FROM t) " +
       "SELECT doc_id, lang AS declared_lang, round(sc, 4) AS en_score, CASE WHEN sc >= 0.05 THEN 'en' ELSE 'other' END AS predicted_lang FROM m ORDER BY doc_id"),
@@ -726,6 +785,24 @@ private[graft] object EntryOracle {
       "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
       "md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')) AS text_hash " +
       "FROM f GROUP BY doc_id ORDER BY doc_id"),
+    // exact substring dedup (Lee et al. 2021): every duplicated
+    // 8-token gram's non-canonical occurrences mark their token span
+    // for removal; canonical = min(doc_id * 1e6 + pos), the shared
+    // Dedup.SubstringPosBase encoding
+    "q_substring_dedup" -> ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "g AS (SELECT doc_id, p, md5(array_to_string(list_slice(w, p, p + 7), ' ')) AS h " +
+      "FROM t CROSS JOIN unnest(generate_series(1, len(w) - 7)) AS u(p)), " +
+      "c AS (SELECT h, count(*) AS cnt, min(doc_id * 1000000 + p) AS mink FROM g GROUP BY h), " +
+      "d AS (SELECT g.doc_id, g.p FROM g JOIN c USING (h) " +
+      "WHERE cnt >= 2 AND g.doc_id * 1000000 + g.p <> mink), " +
+      "q AS (SELECT doc_id, list_sort(list(p)) AS qs FROM d GROUP BY doc_id), " +
+      "f AS (SELECT t.doc_id, w, COALESCE(qs, []) AS qs FROM t LEFT JOIN q USING (doc_id)), " +
+      "k AS (SELECT doc_id, w, list_filter(generate_series(1, len(w)), " +
+      "i -> len(list_filter(qs, q -> q <= i AND i <= q + 7)) = 0) AS kept FROM f) " +
+      "SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, " +
+      "CAST(len(w) - len(kept) AS BIGINT) AS n_removed, " +
+      "COALESCE(array_to_string(list_transform(kept, i -> w[i]), ' '), '') AS text_clean " +
+      "FROM k ORDER BY doc_id"),
     // skew stress: the same segment-dedup and LSH-cap semantics over
     // the 50%-boilerplate corpus (CASE substitution mirrors skewedDocs)
     "q_skew_segment_dedup" -> (s"WITH w AS (SELECT doc_id, string_split(CASE WHEN doc_id % 2 = 0 THEN '$skewBoiler' ELSE text END, ' ') AS words FROM documents), " +

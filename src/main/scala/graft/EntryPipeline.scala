@@ -114,6 +114,15 @@ private[graft] object EntryPipeline {
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(docs(s, d))
       .orderBy("doc_id")),
     "q_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
+    // deterministic BPE merge training (Sennrich et al. 2016): the
+    // word-frequency sufficient statistic distributed, the merge loop
+    // on the driver, argmax tie-broken by pair string
+    "q_bpe_train" -> ((s, d) =>
+      graft.pipeline.Bpe.trainMerges(docs(s, d)).orderBy("rank")),
+    // encode every doc under the trained merges — token counts under
+    // a REAL tokenizer, as nested codegen'd replaces (no UDF)
+    "q_bpe_encode" -> ((s, d) =>
+      graft.pipeline.Bpe.trainAndEncode(docs(s, d)).orderBy("doc_id")),
     // corpus-trained bigram LM likelihood (the CCNet-style LM quality
     // filter shape, deterministic long/floor arithmetic)
     "q_lm_likelihood" -> ((s, d) =>

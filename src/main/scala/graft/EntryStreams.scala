@@ -359,6 +359,10 @@ private[graft] object EntryStreams {
     // near-dup component
     "q_semantic_dedup" -> ((s, d) =>
       Dedup.semanticDedup(emb(s, d), 0.4).orderBy("vec_id")),
+    // exact substring dedup (Lee et al. 2021): duplicated >= 8-token
+    // spans stripped corpus-wide, canonical occurrence kept
+    "q_substring_dedup" -> ((s, d) =>
+      Dedup.substringDedup(docs(s, d), 8).orderBy("doc_id")),
 
     // ---- LLM pipeline: similarity
     "q_ann_brute" -> ((s, d) =>

@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic byte-pair-encoding merge training and encoding — the
+  * token-count-under-a-real-tokenizer unit every data mixture is
+  * budgeted in (Sennrich et al. 2016; GPT-2-style pre-tokenization via
+  * [[TextAnalysis.BpeSplitRe]]).
+  *
+  * Scale shape: the sufficient statistic for BPE training is the
+  * word-frequency table, so training is ONE distributed shuffle
+  * (pre-token explode → groupBy → deterministic top-`vocabCap` by
+  * (freq desc, word asc) via TakeOrdered) followed by a driver-side
+  * merge loop over ≤ vocabCap rows — the same collect-the-tiny-
+  * sufficient-statistic posture as the Lloyd codebook trainers.
+  * Production tokenizers train on a bounded sample for exactly this
+  * reason; the cap is the documented knob.
+  *
+  * Determinism & oracle parity: symbols are space-separated strings
+  * (pre-token spaces first mapped to Ġ, GPT-2's convention), a merge
+  * step picks argmax pair by (weighted count desc, pair string asc),
+  * and merge application is a literal string rewrite —
+  * `trim(replace(replace(' ' + sym.replace(" ","  ") + ' ',
+  * ' l  r ', ' lr '), "  ", " "))` — the exact formula the DuckDB
+  * oracle's unrolled CTE chain evaluates, so both engines perform the
+  * same left-to-right non-overlapping pass. Encoding applies the
+  * trained merges in rank order as nested codegen'd `replace`
+  * expressions inside a `transform` lambda — no UDFs. */
+object Bpe {
+
+  /** Space marker inside pre-tokens (GPT-2's Ġ, U+0120) — symbol
+    * strings stay space-free so space-delimited rewriting is sound. */
+  val SpaceMark = "Ġ"
+
+  /** Entry-surface training size, shared with the oracle's unrolled
+    * CTE chain (EntryOracle.bpeCtes must unroll exactly this many
+    * rounds over exactly this vocab cap). */
+  val DefaultMerges = 20
+  val DefaultVocabCap = 200
+
+  /** Initial symbol string of a pre-token: Ġ-mapped chars joined by
+    * single spaces ("hello" → "h e l l o"). */
+  private[graft] def initialSym(tok: String): String =
+    tok.replace(" ", SpaceMark).toCharArray.map(_.toString).mkString(" ")
+
+  /** One merge application — THE shared rewrite formula (see object
+    * doc); `pair` is "l r". */
+  private[graft] def applyMerge(sym: String, pair: String): String = {
+    val pat = " " + pair.replace(" ", "  ") + " "
+    val rep = " " + pair.replace(" ", "") + " "
+    (" " + sym.replace(" ", "  ") + " ")
+      .replace(pat, rep).replace("  ", " ").trim
+  }
+
+  /** The word-frequency sufficient statistic: distributed pre-token
+    * counts, deterministic top-`vocabCap`. */
+  def wordFreq(docs: DataFrame, vocabCap: Int): DataFrame =
+    docs.select(explode(
+        regexp_extract_all(col("text"), lit(TextAnalysis.BpeSplitRe), lit(0)))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(vocabCap)
+
+  /** Driver-side merge loop over a collected (word, freq) table.
+    * Returns (rank, pair, merged, cnt) rows, rank 1-based. Throws if a
+    * round finds no pair at all (vocab exhausted — raise vocabCap or
+    * lower nMerges; silently stopping early would silently diverge
+    * from the oracle's fixed unroll). */
+  private[graft] def trainOnVocab(vocab: Seq[(String, Long)],
+      nMerges: Int): Seq[(Long, String, String, Long)] = {
+    var syms = vocab.map { case (w, f) => (initialSym(w), f) }
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val counts = scala.collection.mutable.HashMap[String, Long]()
+      for ((s, f) <- syms) {
+        val parts = s.split(" ")
+        var i = 0
+        while (i < parts.length - 1) {
+          val pr = parts(i) + " " + parts(i + 1)
+          counts(pr) = counts.getOrElse(pr, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) throw new IllegalStateException(
+        s"BPE round $rank: no pairs left — vocab exhausted before " +
+          s"$nMerges merges")
+      val (bestPair, bestCnt) = counts.toSeq
+        .minBy { case (pr, c) => (-c, pr) }
+      out += ((rank.toLong, bestPair, bestPair.replace(" ", ""), bestCnt))
+      syms = syms.map { case (s, f) => (applyMerge(s, bestPair), f) }
+    }
+    out.result()
+  }
+
+  /** BPE merge training end-to-end: (rank, pair, merged, cnt). */
+  def trainMerges(docs: DataFrame, nMerges: Int = DefaultMerges,
+      vocabCap: Int = DefaultVocabCap): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = wordFreq(docs, vocabCap).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainOnVocab(vocab, nMerges)
+      .toDF("rank", "pair", "merged", "cnt")
+  }
+
+  /** The Column form of [[applyMerge]] for one merge — nested inside
+    * the encode `transform` lambda, all codegen'd string functions. */
+  private def applyMergeCol(sym: Column, pair: String): Column = {
+    val pat = " " + pair.replace(" ", "  ") + " "
+    val rep = " " + pair.replace(" ", "") + " "
+    trim(replace(replace(
+      concat(lit(" "), replace(sym, lit(" "), lit("  ")), lit(" ")),
+      lit(pat), lit(rep)), lit("  "), lit(" ")))
+  }
+
+  /** Encode every document under the trained merges and count tokens:
+    * (doc_id, n_pretokens, n_bpe_tokens). The merges ride into the
+    * plan as literals (they are ≤ nMerges strings), so encoding is a
+    * pure narrow per-doc pass — the 100 TB shape. */
+  def encode(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val toks = regexp_extract_all(col("text"),
+      lit(TextAnalysis.BpeSplitRe), lit(0))
+    def encTok(t: Column): Column = {
+      val init = trim(regexp_replace(
+        translate(t, " ", SpaceMark), "(.)", "$1 "))
+      merges.foldLeft(init)((s, pr) => applyMergeCol(s, pr))
+    }
+    docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_pretokens"),
+      aggregate(transform(toks, encTok _),
+        lit(0L), (acc, s) => acc + size(split(s, " ")))
+        .as("n_bpe_tokens"))
+  }
+
+  /** Train + encode in one call (the `q_bpe_encode` surface). */
+  def trainAndEncode(docs: DataFrame, nMerges: Int = DefaultMerges,
+      vocabCap: Int = DefaultVocabCap): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = wordFreq(docs, vocabCap).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = trainOnVocab(vocab, nMerges).map(_._2)
+    encode(docs, merges)
+  }
+}

@@ -528,4 +528,70 @@ object Dedup {
         round(Similarity.dotExact(col("unit_a"), col("unit_b")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  // --------------------------------------------------------------------
+  // Exact substring dedup (Lee et al. 2021, "Deduplicating Training
+  // Data Makes Language Models Better")
+  // --------------------------------------------------------------------
+
+  /** Position encoding shared with the oracle: token positions are
+    * < 1e6 per document, so (doc_id, p) totally orders as one long —
+    * the canonical (kept) occurrence of a duplicated gram is the one
+    * minimizing this key, on both engines with plain MIN. */
+  val SubstringPosBase = 1000000L
+
+  /** Exact duplicated-substring removal, the suffix-array dedup of
+    * Lee et al. 2021 re-expressed for Spark: a substring of ≥ minLen
+    * tokens duplicated anywhere in the corpus is exactly a run of
+    * duplicated minLen-grams, so instead of materializing a suffix
+    * array (a global sort of every suffix — the thing that does NOT
+    * shard), we:
+    *
+    *  1. emit every minLen-token gram as (doc_id, pos, md5) — a narrow
+    *     per-doc pass, the distributed analog of suffix ordering with
+    *     boundary overlap handled by construction (grams, unlike
+    *     partition-sharded suffixes, never straddle a shard edge);
+    *  2. ONE hash exchange on the gram hash: occurrence count + the
+    *     canonical (minimum (doc_id, pos)) occurrence per gram;
+    *  3. every NON-canonical occurrence of a duplicated gram marks its
+    *     minLen token positions for removal (the paper's "drop all but
+    *     one copy": the canonical occurrence keeps its text);
+    *  4. a narrow per-doc pass drops marked tokens and re-joins the
+    *     survivors.
+    *
+    * At 100 TB the cost is one shuffle of (hash, doc_id, pos) rows —
+    * the same exchange shape as [[exact]]/minhash banding — plus a
+    * doc-keyed aggregation of the (far smaller) duplicated-occurrence
+    * relation; the corpus itself never sorts or reshuffles. Output per
+    * document: token counts, removed-token count, and the cleaned
+    * text, all engine-reproducible (md5 grams, integer position
+    * arithmetic). */
+  def substringDedup(docs: DataFrame, minLen: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val grams = toks.filter(size(col("w")) >= minLen)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - minLen + 1)).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(concat_ws(" ", slice(col("w"), col("p"), lit(minLen)))).as("h"))
+    val counts = grams.groupBy("h")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("doc_id") * SubstringPosBase + col("p")).as("mink"))
+    val dupOcc = grams.join(counts, "h")
+      .filter(col("cnt") >= 2 &&
+        col("doc_id") * SubstringPosBase + col("p") =!= col("mink"))
+      .select(col("doc_id"), col("p"))
+    val perDoc = dupOcc.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("qs"))
+    val L = lit(minLen)
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("qs", coalesce(col("qs"), array().cast("array<int>")))
+      .withColumn("kept", filter(sequence(lit(1), size(col("w"))),
+        i => !exists(col("qs"), q => q <= i && i <= q + L - 1)))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(col("kept"), i => element_at(col("w"), i)))
+          .as("text_clean"))
+  }
 }
