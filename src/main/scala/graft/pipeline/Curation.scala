@@ -179,8 +179,15 @@ object Curation {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val edocs = qdocs.join(exactKeep, "doc_id").cache()
-    val ndocs = Dedup.dedupedCorpus(edocs, Dedup.minhashPairs(edocs)).cache()
-    val clean = TextAnalysis.contamination(ndocs, bench)
+    // ONE tokenize+shingle pass over the exact-dedup survivors feeds
+    // BOTH the near-dup stage and decontamination (whose input is a
+    // subset of these docs — an id join, not a re-shingle)
+    val esh = Dedup.shingles(edocs)
+      .select(col("doc_id"), col("shingles")).cache()
+    val ndocs = Dedup.dedupedCorpus(edocs,
+      Dedup.minhashPairsFromShingles(esh)).cache()
+    val clean = TextAnalysis.contaminationFromShingles(
+        esh.join(ndocs.select("doc_id"), "doc_id"), bench)
       .filter(col("n_contaminated") * 2 < col("n_shingles"))
       .select("doc_id")
     // eager, like the components machinery it already contains: the
@@ -189,7 +196,7 @@ object Curation {
     // the rest of the session
     val counts = (corpus.count(), qdocs.count(), edocs.count(),
       ndocs.count(), clean.count())
-    Seq(corpus, qdocs, edocs, ndocs).foreach { df => df.unpersist(); () }
+    Seq(corpus, qdocs, edocs, esh, ndocs).foreach { df => df.unpersist(); () }
     val spark = docs.sparkSession
     import spark.implicits._
     Seq(counts)

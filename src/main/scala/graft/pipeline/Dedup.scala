@@ -148,8 +148,18 @@ object Dedup {
     * keep everything. */
   def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, w: Int = 3,
+      maxBucket: Int = Caps.DefaultMaxBucket): DataFrame =
+    minhashPairsFromShingles(shingles(docs, w), k, bands, threshold,
+      maxBucket)
+
+  /** [[minhashPairs]] from a pre-shingled relation — lets a caller that
+    * needs the shingles for OTHER stages too (the curation funnel's
+    * decontamination) share one tokenize+shingle pass. */
+  def minhashPairsFromShingles(shingled: DataFrame, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5,
       maxBucket: Int = Caps.DefaultMaxBucket): DataFrame = {
-    val capped = capBands(lshBands(minhashSignature(docs, k, w), k, bands),
+    val capped = capBands(
+      lshBands(minhashSignatureFromShingles(shingled, k), k, bands),
       maxBucket)
     val a = capped.as("a")
     val b = capped.as("b")

@@ -1008,7 +1008,17 @@ object Similarity {
     * combined move that makes a RAM-resident 100 TB index answer
     * queries without touching the raw vectors. Deterministic:
     * label-seeded cells, data-point-seeded Lloyd-refined residual
-    * codebooks, scaled-long everything. */
+    * codebooks, scaled-long everything.
+    *
+    * Query-batch bound: the per-query LUT relation broadcast to the
+    * ADC join carries |queries| × nprobe rows of m maps × ksub long
+    * entries ≈ |queries| · nprobe · m · ksub · 16 B (defaults: ~6 MB
+    * at 1 000 queries — PlanSpec's 1K-query probe pins that it still
+    * broadcasts). It grows linearly in the batch, so split batches
+    * above ~10 K queries into chunks of [[MaxLutQueryBatch]] and union
+    * the (k-row-per-query) results — the corpus-side plan is identical
+    * per chunk and the encoded corpus is never rescanned more cheaply
+    * by a bigger batch. */
   def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       nprobe: Int = 3, m: Int = 8, ksub: Int = 16, iters: Int = 1,
       dims: Int = 64, ivfIters: Int = 0): DataFrame = {
@@ -1016,6 +1026,11 @@ object Similarity {
       m, ksub, iters, dims, ivfIters)
     eagerRelease(result, pinned)
   }
+
+  /** Largest query batch whose LUT broadcast stays comfortably inside
+    * a 10 MB-class broadcast budget at the default (nprobe=3, m=8,
+    * ksub=16) shape — see [[ivfPqTopK]]'s query-batch bound. */
+  val MaxLutQueryBatch = 10000
 
   private[graft] def ivfPqTopKPlan(embeddings: DataFrame,
       queryIds: Seq[Long], k: Int, nprobe: Int = 3, m: Int = 8,

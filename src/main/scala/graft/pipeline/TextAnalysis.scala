@@ -189,8 +189,15 @@ object TextAnalysis {
   }
 
   def contamination(docs: DataFrame, benchmark: DataFrame,
-      w: Int = 3): DataFrame = {
-    val ds = Dedup.shingles(docs, w)
+      w: Int = 3): DataFrame =
+    contaminationFromShingles(Dedup.shingles(docs, w), benchmark, w)
+
+  /** [[contamination]] from a pre-shingled (doc_id, shingles) relation
+    * — shares the tokenize+shingle pass with the funnel's near-dup
+    * stage instead of re-scanning the survivors. */
+  def contaminationFromShingles(docShingles: DataFrame,
+      benchmark: DataFrame, w: Int = 3): DataFrame = {
+    val ds = docShingles
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
     val bs = Dedup.shingles(benchmark, w)
       .select(explode(col("shingles")).as("sh")).distinct()

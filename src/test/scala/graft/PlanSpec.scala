@@ -125,6 +125,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus side shuffled:\n$p")
   }
 
+  test("IVFADC 1K-query batch: per-query LUTs still broadcast, corpus " +
+    "never reshuffled (the documented query-batch bound)") {
+    // 1 000 real queries against the sf0.1 corpus: the LUT relation is
+    // |queries| x nprobe rows of m maps x ksub longs (~6 MB) — must
+    // ride a broadcast, not flip the ADC join to a sort-merge exchange
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val ids = (0L until 1000L).toSeq
+    val (df, pinned) = Similarity.ivfPqTopKPlan(emb, ids, 3)
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin"), s"corpus side shuffled:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"LUT side not broadcast:\n$p")
+    // and it actually executes: k rows per query land
+    assert(df.count() == 3000L)
+    pinned.foreach(_.unpersist())
+  }
+
   test("every top-k ranker keeps Spark's rank-limit pushdown (WindowGroupLimit)") {
     // adcTopK/ivfTopK/lshTopK/ivfPqTopK/tfIdf all rank via
     // row_number() <= k; WindowGroupLimit bounds the per-partition
