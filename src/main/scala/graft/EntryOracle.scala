@@ -188,7 +188,7 @@ private[graft] object EntryOracle {
     // v_i -> (v_{i-1}, b_i -> v_{i-1}) doubles the expansion per round
     // — 2^n scans of the parquet by round n
     val base = "v0 AS MATERIALIZED (SELECT word, freq, " +
-      "array_to_string(regexp_extract_all(replace(word, ' ', chr(288)), '.'), ' ') AS sym " +
+      "array_to_string(regexp_extract_all(replace(word, ' ', chr(288)), '(?s).'), ' ') AS sym " +
       s"FROM (SELECT tok AS word, count(*) AS freq FROM " +
       s"(SELECT unnest(regexp_extract_all(text, '$bpeRe')) AS tok FROM documents) " +
       s"GROUP BY tok ORDER BY freq DESC, word LIMIT $cap))"
@@ -663,7 +663,7 @@ private[graft] object EntryOracle {
       s"WITH ${bpeCtes(n, graft.pipeline.Bpe.DefaultVocabCap)}, " +
         "e0 AS MATERIALIZED (SELECT doc_id, list_transform(" +
         s"regexp_extract_all(text, '$bpeRe'), " +
-        "t -> trim(regexp_replace(replace(t, ' ', chr(288)), '(.)', '\\1 ', 'g'))) AS syms " +
+        "t -> trim(regexp_replace(replace(t, ' ', chr(288)), '(?s)(.)', '\\1 ', 'g'))) AS syms " +
         s"FROM documents), $enc " +
         "SELECT doc_id, CAST(len(syms) AS BIGINT) AS n_pretokens, " +
         "CAST(COALESCE(list_sum(list_transform(syms, s -> len(string_split(s, ' ')))), 0) AS BIGINT) AS n_bpe_tokens " +

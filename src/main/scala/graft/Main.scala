@@ -110,13 +110,16 @@ object Main {
       * (index.clj:44-56), the LRU-cached compiled closure for
       * everything else. The Catalyst path over [[snapshot]] remains
       * the parity oracle (EventPredicateSpec / MainSpec). */
-    def search(q: String): Seq[SEvent] = {
-      import graft.query.{EventPredicate, QueryLanguage}
-      val ast = QueryLanguage.parse(q)
+    def search(q: String): Seq[SEvent] =
+      searchAst(q, graft.query.QueryLanguage.parse(q))
+
+    private def searchAst(q: String,
+        ast: graft.query.QueryLanguage.Ast): Seq[SEvent] = {
+      import graft.query.EventPredicate
       EventPredicate.pkeyLookup(ast) match {
         case Some(key) => state.get(key).toSeq
         case None =>
-          val pred = EventPredicate(q)
+          val pred = EventPredicate.forAst(q, ast)
           state.values.iterator.filter(pred).toSeq
       }
     }
@@ -131,8 +134,8 @@ object Main {
       import graft.sources.RiemannProtobuf.PEvent
       (try Right(QueryLanguage.parse(q))
       catch { case NonFatal(e) => Left(s"parse error: ${e.getMessage}") })
-        .flatMap { _ =>
-          try Right(search(q).map(e => PEvent(e.host, e.service, e.state,
+        .flatMap { ast =>
+          try Right(searchAst(q, ast).map(e => PEvent(e.host, e.service, e.state,
             null, e.metric, Nil, Some(e.time.getTime / 1000L), e.ttl,
             Map.empty)))
           catch {

@@ -39,10 +39,34 @@ object Bpe {
   val DefaultMerges = 20
   val DefaultVocabCap = 200
 
-  /** Initial symbol string of a pre-token: Ġ-mapped chars joined by
-    * single spaces ("hello" → "h e l l o"). */
-  private[graft] def initialSym(tok: String): String =
-    tok.replace(" ", SpaceMark).toCharArray.map(_.toString).mkString(" ")
+  /** Initial symbol string of a pre-token: Ġ-mapped CODE POINTS joined
+    * by single spaces ("hello" → "h e l l o") — code points, not UTF-16
+    * units, so the driver agrees with the Spark/DuckDB legs' per-
+    * codepoint regex split on non-BMP text. */
+  private[graft] def initialSym(tok: String): String = {
+    val sb = new StringBuilder
+    tok.replace(" ", SpaceMark).codePoints().forEach { cp =>
+      if (sb.nonEmpty) sb.append(' ')
+      sb.appendAll(Character.toChars(cp))
+    }
+    sb.toString
+  }
+
+  /** Code-point lexicographic compare == UTF-8 byte order == the
+    * oracle's varchar ORDER BY (Java String.compareTo is UTF-16
+    * code-unit order, which flips supplementary vs U+E000+ chars). */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
 
   /** One merge application — THE shared rewrite formula (see object
     * doc); `pair` is "l r". */
@@ -86,8 +110,12 @@ object Bpe {
       if (counts.isEmpty) throw new IllegalStateException(
         s"BPE round $rank: no pairs left — vocab exhausted before " +
           s"$nMerges merges")
-      val (bestPair, bestCnt) = counts.toSeq
-        .minBy { case (pr, c) => (-c, pr) }
+      // argmax by (count desc, pair asc in CODE-POINT order — the
+      // oracle's UTF-8 ORDER BY)
+      val (bestPair, bestCnt) = counts.toSeq.reduceLeft { (x, y) =>
+        if (y._2 > x._2 || (y._2 == x._2 && cpCompare(y._1, x._1) < 0)) y
+        else x
+      }
       out += ((rank.toLong, bestPair, bestPair.replace(" ", ""), bestCnt))
       syms = syms.map { case (s, f) => (applyMerge(s, bestPair), f) }
     }
@@ -123,8 +151,10 @@ object Bpe {
     val toks = regexp_extract_all(col("text"),
       lit(TextAnalysis.BpeSplitRe), lit(0))
     def encTok(t: Column): Column = {
+      // (?s) so '.' covers newline chars too — ALL THREE legs (driver
+      // codePoints, this regex, the oracle's '(?s).') split the same
       val init = trim(regexp_replace(
-        translate(t, " ", SpaceMark), "(.)", "$1 "))
+        translate(t, " ", SpaceMark), "(?s)(.)", "$1 "))
       merges.foldLeft(init)((s, pr) => applyMergeCol(s, pr))
     }
     docs.select(col("doc_id"),

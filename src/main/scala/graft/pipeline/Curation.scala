@@ -179,11 +179,15 @@ object Curation {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val edocs = qdocs.join(exactKeep, "doc_id").cache()
-    // ONE tokenize+shingle pass over the exact-dedup survivors feeds
-    // BOTH the near-dup stage and decontamination (whose input is a
-    // subset of these docs — an id join, not a re-shingle)
+    // one shingle DERIVATION over the exact-dedup survivors feeds BOTH
+    // the near-dup stage and decontamination (whose input is a subset
+    // of these docs — an id join, not a re-shingle). Deliberately NOT
+    // cached: it is a narrow tokenize+slide over the already-cached
+    // edocs, and the exploded shingle arrays are larger than the docs
+    // themselves — materializing them costs more than the two
+    // recomputations (measured: caching was ~1.5 s slower at sf0.1)
     val esh = Dedup.shingles(edocs)
-      .select(col("doc_id"), col("shingles")).cache()
+      .select(col("doc_id"), col("shingles"))
     val ndocs = Dedup.dedupedCorpus(edocs,
       Dedup.minhashPairsFromShingles(esh)).cache()
     val clean = TextAnalysis.contaminationFromShingles(
@@ -196,7 +200,7 @@ object Curation {
     // the rest of the session
     val counts = (corpus.count(), qdocs.count(), edocs.count(),
       ndocs.count(), clean.count())
-    Seq(corpus, qdocs, edocs, esh, ndocs).foreach { df => df.unpersist(); () }
+    Seq(corpus, qdocs, edocs, ndocs).foreach { df => df.unpersist(); () }
     val spark = docs.sparkSession
     import spark.implicits._
     Seq(counts)

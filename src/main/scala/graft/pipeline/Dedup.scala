@@ -547,7 +547,11 @@ object Dedup {
   /** Position encoding shared with the oracle: token positions are
     * < 1e6 per document, so (doc_id, p) totally orders as one long —
     * the canonical (kept) occurrence of a duplicated gram is the one
-    * minimizing this key, on both engines with plain MIN. */
+    * minimizing this key, on both engines with plain MIN. Documents at
+    * or beyond 1e6 tokens would alias across doc_ids and mis-select
+    * canonicals — segment such documents first ([[Curation]]'s
+    * packing/segment machinery); typical web documents sit orders of
+    * magnitude under the bound. */
   val SubstringPosBase = 1000000L
 
   /** Exact duplicated-substring removal, the suffix-array dedup of
@@ -565,7 +569,13 @@ object Dedup {
     *     canonical (minimum (doc_id, pos)) occurrence per gram;
     *  3. every NON-canonical occurrence of a duplicated gram marks its
     *     minLen token positions for removal (the paper's "drop all but
-    *     one copy": the canonical occurrence keeps its text);
+    *     one copy"). The canonical occurrence of each gram keeps its
+    *     text EXCEPT where overlapped by some other gram's
+    *     non-canonical occurrence — in particular a self-overlapping
+    *     run of one repeated token ("a a a … a") keeps only its
+    *     un-overlapped prefix, not a full minLen window (the byte-range
+    *     removal in the paper's tooling has the same overlap property);
+    *     both engines compute this identically;
     *  4. a narrow per-doc pass drops marked tokens and re-joins the
     *     survivors.
     *

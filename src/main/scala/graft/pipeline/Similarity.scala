@@ -1014,17 +1014,28 @@ object Similarity {
     * ADC join carries |queries| × nprobe rows of m maps × ksub long
     * entries ≈ |queries| · nprobe · m · ksub · 16 B (defaults: ~6 MB
     * at 1 000 queries — PlanSpec's 1K-query probe pins that it still
-    * broadcasts). It grows linearly in the batch, so split batches
-    * above ~10 K queries into chunks of [[MaxLutQueryBatch]] and union
-    * the (k-row-per-query) results — the corpus-side plan is identical
-    * per chunk and the encoded corpus is never rescanned more cheaply
-    * by a bigger batch. */
+    * broadcasts). It grows linearly in the batch, so this entry point
+    * AUTO-SPLITS batches above [[MaxLutQueryBatch]] into chunks and
+    * unions the (k-row-per-query) results — the corpus-side plan is
+    * identical per chunk and the encoded corpus is never rescanned
+    * more cheaply by a bigger batch. */
   def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       nprobe: Int = 3, m: Int = 8, ksub: Int = 16, iters: Int = 1,
       dims: Int = 64, ivfIters: Int = 0): DataFrame = {
-    val (result, pinned) = ivfPqTopKPlan(embeddings, queryIds, k, nprobe,
-      m, ksub, iters, dims, ivfIters)
-    eagerRelease(result, pinned)
+    if (queryIds.size > MaxLutQueryBatch) {
+      // auto-split: each chunk's LUT broadcast stays bounded; results
+      // (k rows per query) union. The deterministic training passes
+      // repeat per chunk — a caller issuing many over-bound batches
+      // should persist the encoded index side instead.
+      queryIds.grouped(MaxLutQueryBatch)
+        .map(chunk => ivfPqTopK(embeddings, chunk.toSeq, k, nprobe, m,
+          ksub, iters, dims, ivfIters))
+        .reduce(_ union _)
+    } else {
+      val (result, pinned) = ivfPqTopKPlan(embeddings, queryIds, k, nprobe,
+        m, ksub, iters, dims, ivfIters)
+      eagerRelease(result, pinned)
+    }
   }
 
   /** Largest query batch whose LUT broadcast stays comfortably inside
@@ -1036,6 +1047,10 @@ object Similarity {
       queryIds: Seq[Long], k: Int, nprobe: Int = 3, m: Int = 8,
       ksub: Int = 16, iters: Int = 1, dims: Int = 64,
       ivfIters: Int = 0): (DataFrame, Seq[DataFrame]) = {
+    require(queryIds.size <= MaxLutQueryBatch,
+      s"query batch ${queryIds.size} exceeds MaxLutQueryBatch=" +
+        s"$MaxLutQueryBatch — the LUT broadcast grows linearly in the " +
+        "batch; chunk via ivfPqTopK (auto-splits) or split yourself")
     // ivfIters > 0 trains the coarse quantizer with real Lloyd rounds
     // ([[ivfCentroidsRefined]]) before the residual stage; the default
     // keeps the label-seeded quantizer the oracle replays

@@ -41,7 +41,17 @@ object EventPredicate {
       val hit = cache.get(query)
       if (hit != null) return hit
     }
-    val compiled = compile(QueryLanguage.parse(query))
+    forAst(query, QueryLanguage.parse(query))
+  }
+
+  /** Same, for a caller that already parsed (the wire handler parses
+    * once for validation + the pkey fast path — don't parse again). */
+  def forAst(query: String, ast: Ast): SEvent => Boolean = {
+    cache.synchronized {
+      val hit = cache.get(query)
+      if (hit != null) return hit
+    }
+    val compiled = compile(ast)
     cache.synchronized(cache.put(query, compiled))
     compiled
   }
@@ -186,14 +196,23 @@ object EventPredicate {
         s"${b.getClass.getSimpleName} (Catalyst rejects this too)")
   }
 
-  /** cast(string as timestamp) for the session's UTC zone — enough of
-    * Spark's accepted shapes for query literals. */
+  /** cast(string as timestamp) in the pinned UTC session zone (never
+    * the JVM default — Timestamp.valueOf would shift by the host's
+    * offset) — the shapes Spark accepts for query literals:
+    * `yyyy-MM-dd[ HH:mm:ss[.fraction]][Z]`, 'T' separator allowed. */
   private def strToTimestamp(s: String): Option[Long] =
     try {
-      val t = s.trim.replace('T', ' ')
-      Some(java.sql.Timestamp.valueOf(
-        if (t.length == 10) t + " 00:00:00" else t).getTime)
-    } catch { case _: IllegalArgumentException => None }
+      var t = s.trim.replace('T', ' ')
+      if (t.endsWith("Z")) t = t.dropRight(1).trim
+      val (datePart, timePart) =
+        if (t.length == 10) (t, "00:00:00") else (t.take(10), t.drop(11))
+      val ld = java.time.LocalDate.parse(datePart)
+      val lt = java.time.LocalTime.parse(
+        if (timePart.length == 5) timePart + ":00" else timePart)
+      Some(java.time.LocalDateTime.of(ld, lt)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    } catch { case _: java.time.format.DateTimeParseException => None
+      case _: StringIndexOutOfBoundsException => None }
 
   private def isTimestampAst(a: Ast): Boolean = a match {
     case FieldRef("time") => true
@@ -237,11 +256,23 @@ object EventPredicate {
     Pattern.compile("(?s)" +
       pat.split("%", -1).map(Pattern.quote).mkString(".*"))
 
-  /** Catalyst's implicit cast-to-string for a LIKE/RLIKE target. */
+  private val TsOutFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  /** Catalyst's implicit cast-to-string for a LIKE/RLIKE target —
+    * timestamps render in the pinned UTC zone with the zero fraction
+    * OMITTED and trailing fraction zeros trimmed, exactly as Spark's
+    * cast does (Timestamp.toString would print "…:20.0" and use the
+    * JVM default zone, diverging from the oracle). */
   private def asString(v: Val): String = v match {
     case null => null
     case s: String => s
-    case t: java.sql.Timestamp => t.toString
+    case t: java.sql.Timestamp =>
+      val base = TsOutFmt.format(t.toInstant)
+      val ms = Math.floorMod(t.getTime, 1000L)
+      if (ms == 0L) base
+      else base + "." + f"$ms%03d".reverse.dropWhile(_ == '0').reverse
     case d: java.lang.Double => d.toString
     case other => other.toString
   }

@@ -39,7 +39,11 @@ class BpeSubstringSpec extends SparkSpec {
       (1L, "low lower newest widest low"),
       (2L, "the quick brown fox, the quick!"),
       (3L, "a"),
-      (4L, "spark spark spark 12345 engine")).toDF("doc_id", "text")
+      (4L, "spark spark spark 12345 engine"),
+      // the review's divergence shapes: newline (DOTALL split) and a
+      // non-BMP char (code points, not UTF-16 units) must agree
+      // between the driver leg and the Column leg
+      (5L, "emoji 😀 and a\nnewline mix")).toDF("doc_id", "text")
     val merges = Bpe.trainMerges(docs, 10, 50)
       .select("pair").collect().map(_.getString(0)).toSeq
     val got = Bpe.encode(docs, merges)

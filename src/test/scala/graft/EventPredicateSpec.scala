@@ -102,6 +102,36 @@ class EventPredicateSpec extends SparkSpec {
     } finally { snap.unpersist(); () }
   }
 
+  test("timestamp literals and LIKE/regex over time agree with " +
+    "Catalyst in the pinned UTC zone (review findings: JVM-default-TZ " +
+    "parse and Timestamp.toString's \".0\" fraction)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val events = Seq(
+      SEvent("h1", "cpu", "ok", Some(1.0), ts(1706005000), Some(60.0)),
+      SEvent("h2", "cpu", "ok", Some(2.0), ts(1706005000, 500), Some(60.0)),
+      SEvent("h3", "mem", "ok", Some(3.0), ts(1706091400), None))
+    val snap = spark.createDataset(events).toDF()
+    val queries = Seq(
+      "time = \"2024-01-23 10:16:40\"", // whole-second equality
+      "time = \"2024-01-23T10:16:40\"", // T separator
+      "time = \"2024-01-23\"",          // date-only
+      "time =~ \"%10:16:40\"",          // anchored LIKE, zero fraction
+      "time =~ \"%.5\"",                // fractional render
+      "time ~= \"10:16:40\"",
+      "time != \"2024-01-23 10:16:40\"")
+    queries.foreach { q =>
+      val catalyst = snap.filter(QueryLanguage.predicate(q, snap.schema))
+        .as[SEvent].collect().map(key).toSet
+      assert(events.filter(EventPredicate(q)).map(key).toSet == catalyst,
+        s"for query: $q")
+    }
+    // sanity against absolute semantics, not just parity: the UTC
+    // string must hit the UTC event regardless of host JVM zone
+    assert(events.count(
+      EventPredicate("time = \"2024-01-23 10:16:40\"")) == 1)
+  }
+
   test("pkey fast path: host+service equality compiles to a point " +
     "lookup (index.clj:44-56), in every operand/conjunct order") {
     assert(EventPredicate.pkeyLookup(

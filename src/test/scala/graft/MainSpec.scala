@@ -192,7 +192,11 @@ class MainSpec extends SparkSpec {
           }
           val qps = n / ((System.nanoTime() - t0) / 1e9)
           info(f"wire serving: $qps%.0f queries/s (closed-loop, one socket)")
-          assert(qps > 200, f"serving path too slow: $qps%.0f QPS")
+          // floor sits 2.5x above the old Spark-job path's IDLE ~20 QPS
+          // yet 60x under the closure path's measured ~3300, so a
+          // loaded CI box (the repo documents 2-7x inflation) cannot
+          // flake it while a per-query-Spark-job regression still fails
+          assert(qps > 50, f"serving path too slow: $qps%.0f QPS")
         } finally sock.close()
       }
 
