@@ -10,6 +10,24 @@ class CacheDisciplineSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("ivfPqTopK auto-splits an over-bound query batch and unions " +
+    "the chunks (the enforced LUT broadcast bound)") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // 10 001 ids forces two chunks; ids past the corpus contribute no
+    // rows, so the union must equal the single-call result on the ids
+    // that exist
+    val over = (0L to Similarity.MaxLutQueryBatch.toLong).toSeq
+    val split = Similarity.ivfPqTopK(emb, over, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Similarity.ivfPqTopK(emb, (0L until 500L).toSeq, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(split == direct)
+    // and the plan variant refuses loudly instead of broadcasting big
+    assertThrows[IllegalArgumentException](
+      Similarity.ivfPqTopKPlan(emb, over, 3))
+  }
+
   test("the ANN entry-query family leaves no cached relations behind") {
     spark.catalog.clearCache() // isolate from whatever ran before us
     val annQueries = Seq(
