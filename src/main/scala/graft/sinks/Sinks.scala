@@ -115,17 +115,51 @@ object Sinks {
       * from a channel — transports detach on client disconnect. */
     def unsubscribe(channel: String, sink: EventSink): Unit =
       subs.updateWith(channel)(v => v.map(_.filterNot(_._2 eq sink)))
-    def publish(channel: String, batch: DataFrame, batchId: Long = 0L): Unit =
-      subs.getOrElse(channel, Vector.empty).foreach { case (q, sink) =>
+    def publish(channel: String, batch: DataFrame, batchId: Long = 0L): Unit = {
+      val subscribers = subs.getOrElse(channel, Vector.empty)
+      if (subscribers.isEmpty) return
+      // Fan-out fast path: when the batch is exactly the SEvent shape
+      // (what Main's index channel publishes) and several subscribers
+      // filter it, collect ONCE and evaluate each subscriber's query
+      // as the serving-path compiled closure — one Spark job per batch
+      // instead of one filter+collect job PER SUBSCRIBER per batch
+      // (1 000 ws clients = 1 000 jobs each micro-batch on the legacy
+      // path). Each subscriber still receives a DataFrame: a local
+      // relation Catalyst folds without submitting jobs. Closure ==
+      // Catalyst on this schema is EventPredicateSpec's pinned parity;
+      // any other shape (tags, attributes, extra columns) falls back
+      // to the per-subscriber Catalyst filter.
+      val fanout: Option[Seq[graft.streaming.SEvent]] =
+        if (subscribers.count(_._1.isDefined) >= 2 &&
+            batch.columns.toSeq ==
+              Seq("host", "service", "state", "metric", "time", "ttl"))
+          try Some(batch.as[graft.streaming.SEvent](
+            org.apache.spark.sql.Encoders.product[graft.streaming.SEvent])
+            .collect().toSeq)
+          catch { case scala.util.control.NonFatal(_) => None }
+        else None
+      subscribers.foreach { case (q, sink) =>
         // per-sink isolation: one failing subscriber (bad query, dead
         // transport) must not abort delivery to the others or crash
         // the publishing (streaming) thread — mirrors the reference's
         // per-handler rescue
         try {
-          val routed = q match {
-            case Some(query) => batch.filter(
+          val routed = (fanout, q) match {
+            case (Some(events), _) =>
+              val hits = q match {
+                case Some(query) =>
+                  events.filter(graft.query.EventPredicate(query))
+                case None => events
+              }
+              batch.sparkSession.createDataFrame(
+                java.util.Arrays.asList(hits.map(e =>
+                  org.apache.spark.sql.Row(e.host, e.service, e.state,
+                    e.metric.map(Double.box).orNull, e.time,
+                    e.ttl.map(Double.box).orNull)): _*),
+                batch.schema)
+            case (None, Some(query)) => batch.filter(
               graft.query.QueryLanguage.predicate(query, batch.schema))
-            case None => batch
+            case (None, None) => batch
           }
           sink.write(routed, batchId)
         } catch {
@@ -134,6 +168,7 @@ object Sinks {
               .warn(s"pubsub '$channel': subscriber failed, skipping", e)
         }
       }
+    }
   }
 
   /** Elasticsearch bulk sink (reference src/riemann/elasticsearch.clj:

@@ -36,6 +36,45 @@ class SinksExtraSpec extends SparkSpec {
     assert(crit.size == 1) // query-filtered
   }
 
+  test("pubsub SEvent-shaped fan-out takes the one-collect closure " +
+    "path and routes identically to the Catalyst filters") {
+    val spark0 = spark
+    import spark0.implicits._
+    def ev(h: String, st: String, m: Double) = graft.streaming.SEvent(
+      h, "cpu", st, Some(m), new java.sql.Timestamp(1706000000000L), Some(60.0))
+    val batch = spark.createDataset(Seq(
+      ev("a", "ok", 0.2), ev("b", "critical", 0.9),
+      ev("c", "critical", 0.4), ev("d", null, 0.7))).toDF()
+    val all = new Sinks.MemorySink
+    val crit = new Sinks.MemorySink
+    val hot = new Sinks.MemorySink
+    val ps = new Sinks.Pubsub
+    ps.subscribe("index", all)
+    // >= 2 query subscriptions on the exact SEvent shape engage the
+    // driver-side fan-out (one collect, per-subscriber closures)
+    ps.subscribeQuery("index", "state = \"critical\"", crit)
+    ps.subscribeQuery("index", "metric > 0.5", hot)
+    ps.publish("index", batch, 1L)
+    assert(all.size == 4)
+    import scala.jdk.CollectionConverters._
+    assert(crit.rows.asScala.map(_.getAs[String]("host")).toSet ==
+      Set("b", "c"))
+    assert(hot.rows.asScala.map(_.getAs[String]("host")).toSet ==
+      Set("b", "d"))
+    // null fields survive the local-relation round trip
+    assert(hot.rows.asScala.exists(r => r.getAs[String]("state") == null))
+    // a WIDE batch (tags present) must fall back to Catalyst so
+    // `tagged` queries keep their semantics
+    val tagged = new Sinks.MemorySink
+    val tagged2 = new Sinks.MemorySink
+    ps.subscribe("wide", new Sinks.MemorySink)
+    ps.subscribeQuery("wide", "tagged \"prod\"", tagged)
+    ps.subscribeQuery("wide", "tagged \"prod\"", tagged2)
+    ps.publish("wide", events(
+      E(id = 1, tags = Seq("prod")), E(id = 2, tags = Seq("dev"))))
+    assert(tagged.size == 1 && tagged2.size == 1)
+  }
+
   test("rollup emits buffered overflow metrics (streams.clj:1120-1156)") {
     val df = events(
       E(id = 1, metric = 1.0, time = 10L), E(id = 2, metric = 2.0, time = 20L),
