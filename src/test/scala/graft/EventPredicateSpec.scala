@@ -177,6 +177,45 @@ class EventPredicateSpec extends SparkSpec {
     }
   }
 
+  test("concurrent serving: parallel mixed queries against a mutating " +
+    "index stay consistent (the nbhm-index concurrency story)") {
+    val idx = new Main.ServedIndex(spark)
+    (0 until 2000).foreach { i =>
+      idx.put(SEvent(s"h${i % 200}", s"s${i / 200}",
+        if (i % 7 == 0) "critical" else "ok", Some(i / 2000.0),
+        ts(1706000000L + i), Some(60.0)))
+    }
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { t =>
+      new Thread(() =>
+        try {
+          var i = 0
+          while (i < 1000) {
+            val q = (t + i) % 3 match {
+              case 0 => s"""host = "h${i % 200}" and service = "s${i % 10}""""
+              case 1 => """state = "critical" and metric > 0.1"""
+              case _ => """host =~ "h1%" or ttl >= 60"""
+            }
+            val hits = idx.search(q)
+            // scans see a weakly-consistent snapshot; every hit must
+            // still satisfy its own predicate
+            if ((t + i) % 3 == 1)
+              assert(hits.forall(e =>
+                e.state == "critical" && e.metric.exists(_ > 0.1)))
+            i += 1
+          }
+        } catch { case e: Throwable => errors.add(e); () })
+    }
+    val writer = new Thread(() => (0 until 5000).foreach { i =>
+      idx.put(SEvent(s"h${i % 200}", s"s${i % 10}",
+        if (i % 2 == 0) "expired" else "ok", Some(0.5),
+        ts(1706001000L + i), Some(60.0)))
+    })
+    (threads :+ writer).foreach(_.start())
+    (threads :+ writer).foreach(_.join(60000))
+    assert(errors.isEmpty, s"concurrent serving failed: ${errors.peek()}")
+  }
+
   test("EventJson.line is byte-identical to to_json on every null/" +
     "escaping/precision shape (one format for dumps and pushes)") {
     val events = Seq(
