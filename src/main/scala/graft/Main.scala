@@ -72,14 +72,20 @@ object Main {
     * itself by index cardinality — the same RAM contract the reference
     * runs under. */
   final class ServedIndex(spark: SparkSession) {
-    private val state = TrieMap[(String, String), SEvent]()
+    private val state = TrieMap[(String, String), graft.streaming.TaggedSEvent]()
 
     val sink: Sinks.EventSink = new Sinks.EventSink {
       override def write(batch: DataFrame, batchId: Long): Unit = {
         val spark0 = batch.sparkSession
         import spark0.implicits._
-        batch.selectExpr("host", "service", "state", "metric", "time", "ttl")
-          .as[SEvent].collect()
+        // the tagged index stream carries a tags column (the reference
+        // index stores whole events); a tagless feed stores empty tags
+        val tagsExpr =
+          if (batch.columns.contains("tags"))
+            "coalesce(tags, array())" else "array()"
+        batch.selectExpr("host", "service", "state", "metric", "time",
+            "ttl", s"$tagsExpr AS tags")
+          .as[graft.streaming.TaggedSEvent].collect()
           .foreach { e =>
             if (e.state == "expired") state.remove((e.host, e.service))
             else state((e.host, e.service)) = e
@@ -89,17 +95,21 @@ object Main {
 
     def snapshot: DataFrame = {
       import spark.implicits._
-      spark.createDataset(state.values.toSeq).toDF()
+      spark.createDataset(state.values.map(_.toSEvent).toSeq).toDF()
     }
 
     /** The live events, for Spark-free serving (ws/sse dumps, the wire
       * handler, specs). A TrieMap iterator is a weakly-consistent O(n)
       * walk — no lock, no Spark job. */
-    def events: Seq[SEvent] = state.values.toSeq
+    def events: Seq[graft.streaming.TaggedSEvent] = state.values.toSeq
 
     /** Direct upsert, for probes and specs (the streaming path goes
       * through [[sink]]). */
     private[graft] def put(e: SEvent): Unit =
+      putTagged(graft.streaming.TaggedSEvent(e.host, e.service, e.state,
+        e.metric, e.time, e.ttl, Seq.empty))
+
+    private[graft] def putTagged(e: graft.streaming.TaggedSEvent): Unit =
       if (e.state == "expired") { state.remove((e.host, e.service)); () }
       else state((e.host, e.service)) = e
 
@@ -110,16 +120,17 @@ object Main {
       * (index.clj:44-56), the LRU-cached compiled closure for
       * everything else. The Catalyst path over [[snapshot]] remains
       * the parity oracle (EventPredicateSpec / MainSpec). */
-    def search(q: String): Seq[SEvent] =
+    def search(q: String): Seq[graft.streaming.TaggedSEvent] =
       searchAst(q, graft.query.QueryLanguage.parse(q))
 
     private def searchAst(q: String,
-        ast: graft.query.QueryLanguage.Ast): Seq[SEvent] = {
+        ast: graft.query.QueryLanguage.Ast)
+        : Seq[graft.streaming.TaggedSEvent] = {
       import graft.query.EventPredicate
       EventPredicate.pkeyLookup(ast) match {
         case Some(key) => state.get(key).toSeq
         case None =>
-          val pred = EventPredicate.forAst(q, ast)
+          val pred = EventPredicate.taggedForAst(q, ast)
           state.values.iterator.filter(pred).toSeq
       }
     }
@@ -136,8 +147,8 @@ object Main {
       catch { case NonFatal(e) => Left(s"parse error: ${e.getMessage}") })
         .flatMap { ast =>
           try Right(searchAst(q, ast).map(e => PEvent(e.host, e.service, e.state,
-            null, e.metric, Nil, Some(e.time.getTime / 1000L), e.ttl,
-            Map.empty)))
+            null, e.metric, Option(e.tags).getOrElse(Nil),
+            Some(e.time.getTime / 1000L), e.ttl, Map.empty)))
           catch {
             case NonFatal(e) => Left(String.valueOf(e.getMessage))
           }

@@ -268,7 +268,17 @@ object ConfigFile {
           case JString(s) => s
           case _ => "0 seconds"
         }
-        IndexProcessor(df.as[SEvent], wm).toDF()
+        // a frame carrying tags indexes through the tagged processor,
+        // so the served index can answer `tagged "x"` queries — the
+        // reference's index stores whole events (index.clj:58-126)
+        if (df.columns.contains("tags"))
+          graft.streaming.TaggedIndexProcessor(
+            df.select(col("host"), col("service"), col("state"),
+                col("metric"), col("time"), col("ttl"),
+                coalesce(tagsCol(df), array().cast("array<string>"))
+                  .as("tags"))
+              .as[graft.streaming.TaggedSEvent], wm).toDF()
+        else IndexProcessor(df.as[SEvent], wm).toDF()
       case other => throw new IllegalArgumentException(s"unknown op: $other")
     }
   }

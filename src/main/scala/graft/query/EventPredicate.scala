@@ -3,7 +3,7 @@ package graft.query
 import java.util.regex.Pattern
 
 import graft.query.QueryLanguage._
-import graft.streaming.SEvent
+import graft.streaming.{SEvent, TaggedSEvent}
 
 /** The serving-path query evaluator: compiles a parsed query AST to a
   * plain closure over [[SEvent]], so the in-memory index answers wire /
@@ -12,10 +12,12 @@ import graft.streaming.SEvent
   * eval'd predicate fns (query.clj:193-216) and serves thousands of
   * queries per second; a per-query Catalyst plan caps out at tens.
   *
-  * Semantics mirror [[QueryLanguage.compile]] against the SEvent
-  * schema (host/service/state strings, metric/ttl doubles, time
-  * timestamp; no tags or attributes column, so `tagged` is false and
-  * unknown fields are nil) — EventPredicateSpec pins closure == Catalyst
+  * Semantics mirror [[QueryLanguage.compile]] against the
+  * [[TaggedSEvent]] schema (host/service/state strings, metric/ttl
+  * doubles, time timestamp, tags array — `tagged "x"` is a real
+  * membership test; no attributes column, unknown fields are nil).
+  * The SEvent entry points evaluate with empty tags, matching compile
+  * on a tagless relation. EventPredicateSpec pins closure == Catalyst
   * on randomized queries over randomized snapshots, and the Catalyst
   * path stays on as the oracle. Three-valued logic is preserved: the
   * node evaluator returns java.lang.Boolean with null for SQL NULL,
@@ -28,25 +30,43 @@ object EventPredicate {
     * access-ordered LinkedHashMap is ~50 ns, noise next to evaluation. */
   private val MaxCached = 1024
   private val cache =
-    new java.util.LinkedHashMap[String, SEvent => Boolean](64, 0.75f, true) {
+    new java.util.LinkedHashMap[String, TaggedSEvent => Boolean](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, SEvent => Boolean]): Boolean =
+          e: java.util.Map.Entry[String, TaggedSEvent => Boolean]): Boolean =
         size() > MaxCached
     }
 
-  /** Parse + compile, LRU-cached. Throws ParseException on bad input
-    * (callers reply `parse error: …` like transport.clj). */
+  private def lift(e: SEvent): TaggedSEvent =
+    TaggedSEvent(e.host, e.service, e.state, e.metric, e.time, e.ttl,
+      Seq.empty)
+
+  /** Parse + compile for a tagless event, LRU-cached (`tagged` is
+    * false, as on any relation without a tags column). Throws
+    * ParseException on bad input (callers reply `parse error: …` like
+    * transport.clj). */
   def apply(query: String): SEvent => Boolean = {
-    cache.synchronized {
-      val hit = cache.get(query)
-      if (hit != null) return hit
-    }
-    forAst(query, QueryLanguage.parse(query))
+    val tp = tagged(query)
+    e => tp(lift(e))
   }
 
   /** Same, for a caller that already parsed (the wire handler parses
     * once for validation + the pkey fast path — don't parse again). */
   def forAst(query: String, ast: Ast): SEvent => Boolean = {
+    val tp = taggedForAst(query, ast)
+    e => tp(lift(e))
+  }
+
+  /** The full evaluator over [[TaggedSEvent]] — `tagged "x"` is a real
+    * membership test, like the reference index's whole-event queries. */
+  def tagged(query: String): TaggedSEvent => Boolean = {
+    cache.synchronized {
+      val hit = cache.get(query)
+      if (hit != null) return hit
+    }
+    taggedForAst(query, QueryLanguage.parse(query))
+  }
+
+  def taggedForAst(query: String, ast: Ast): TaggedSEvent => Boolean = {
     cache.synchronized {
       val hit = cache.get(query)
       if (hit != null) return hit
@@ -78,7 +98,7 @@ object EventPredicate {
 
   /** Compile an AST to a closure; evaluation allocates nothing beyond
     * boxed booleans. */
-  def compile(ast: Ast): SEvent => Boolean = {
+  def compile(ast: Ast): TaggedSEvent => Boolean = {
     val root = bool(ast)
     // coalesce(pred, false), as QueryLanguage.compile's top level
     e => { val v = root(e); v != null && v.booleanValue() }
@@ -88,7 +108,7 @@ object EventPredicate {
                          // | java.lang.Boolean | java.sql.Timestamp
 
   private val knownFields =
-    Set("host", "service", "state", "metric", "time", "ttl")
+    Set("host", "service", "state", "metric", "time", "ttl", "tags")
 
   private def isNumericAst(a: Ast): Boolean = a match {
     case _: LongLit | _: DoubleLit | _: BigLit => true
@@ -121,7 +141,7 @@ object EventPredicate {
   /** Numeric rendering (QueryLanguage.compile's `numeric`): null when
     * not a number; timestamp → unix seconds (floor, like
     * unix_timestamp). */
-  private def numeric(a: Ast): SEvent => java.lang.Double = a match {
+  private def numeric(a: Ast): TaggedSEvent => java.lang.Double = a match {
     case LongLit(v) => val d = java.lang.Double.valueOf(v.toDouble); _ => d
     case DoubleLit(v) => val d = java.lang.Double.valueOf(v); _ => d
     case BigLit(v) => val d = java.lang.Double.valueOf(v.toDouble); _ => d
@@ -144,7 +164,7 @@ object EventPredicate {
   }
 
   /** General value rendering (QueryLanguage.compile's `render`). */
-  private def render(a: Ast): SEvent => Val = a match {
+  private def render(a: Ast): TaggedSEvent => Val = a match {
     case BoolLit(v) => val b = java.lang.Boolean.valueOf(v); _ => b
     case NullLit => _ => null
     case LongLit(v) => val l = java.lang.Long.valueOf(v); _ => l
@@ -159,6 +179,8 @@ object EventPredicate {
     case FieldRef("time") => e => e.time
     case FieldRef("ttl") => e =>
       if (e.ttl.isDefined) java.lang.Double.valueOf(e.ttl.get) else null
+    case FieldRef("tags") => e => e.tags // array: comparisons throw,
+                                         // like Catalyst's type error
     case FieldRef(_) => _ => null // unknown field ≈ nil
     case other => throw ParseException(s"not a value: $other")
   }
@@ -224,7 +246,7 @@ object EventPredicate {
     case _ => false // no boolean columns in SEvent
   }
 
-  private def eq(l: Ast, r: Ast): SEvent => java.lang.Boolean = {
+  private def eq(l: Ast, r: Ast): TaggedSEvent => java.lang.Boolean = {
     // type-strict boolean equality (QueryLanguage.eq): a boolean never
     // equals a string/number; nil falls through to nullSafeEq → false
     if ((isBoolAst(l) && !isBoolAst(r) && r != NullLit) ||
@@ -277,7 +299,7 @@ object EventPredicate {
     case other => other.toString
   }
 
-  private def bool(a: Ast): SEvent => java.lang.Boolean = a match {
+  private def bool(a: Ast): TaggedSEvent => java.lang.Boolean = a match {
     case And(l, r) =>
       val (bl, br) = (bool(l), bool(r))
       e => {
@@ -343,7 +365,8 @@ object EventPredicate {
         if (s == null) null
         else java.lang.Boolean.valueOf(rx.matcher(s).find()) // unanchored
       }
-    case Tagged(_) => _ => java.lang.Boolean.FALSE // SEvent carries no tags
+    case Tagged(t) => e => java.lang.Boolean.valueOf(
+      e.tags != null && e.tags.contains(t))
     case BoolLit(v) =>
       val b = java.lang.Boolean.valueOf(v); _ => b
     case NullLit => _ => java.lang.Boolean.FALSE
@@ -358,6 +381,7 @@ object EventPredicate {
         case "metric" => e => java.lang.Boolean.valueOf(e.metric.isDefined)
         case "time" => e => java.lang.Boolean.valueOf(e.time != null)
         case "ttl" => e => java.lang.Boolean.valueOf(e.ttl.isDefined)
+        case "tags" => e => java.lang.Boolean.valueOf(e.tags != null)
         case _ => _ => java.lang.Boolean.FALSE
       }
   }

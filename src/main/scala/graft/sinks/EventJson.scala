@@ -5,7 +5,7 @@ import java.time.format.DateTimeFormatter
 
 import com.fasterxml.jackson.core.JsonFactory
 
-import graft.streaming.SEvent
+import graft.streaming.{SEvent, TaggedSEvent}
 
 /** Driver-side JSON rendering of one [[SEvent]], byte-identical to the
   * Spark relation form the push path uses —
@@ -27,7 +27,16 @@ object EventJson {
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
     .withZone(ZoneOffset.UTC)
 
-  def line(e: SEvent): String = {
+  def line(e: SEvent): String = render(e, None)
+
+  /** The tagged form: a `tags` array after `ttl`, exactly where the
+    * tagged index stream's to_json pushes place it (the column order
+    * the config index op selects) — an empty list renders `[]`, as
+    * to_json does for a non-null array. */
+  def line(e: TaggedSEvent): String =
+    render(e.toSEvent, Some(Option(e.tags).getOrElse(Seq.empty)))
+
+  private def render(e: SEvent, tags: Option[Seq[String]]): String = {
     val sw = new java.io.StringWriter(96)
     val g = factory.createGenerator(sw)
     g.writeStartObject()
@@ -38,6 +47,11 @@ object EventJson {
     if (e.time != null)
       g.writeStringField("time", TsFmt.format(e.time.toInstant))
     e.ttl.foreach(t => g.writeNumberField("ttl", t))
+    tags.foreach { ts =>
+      g.writeArrayFieldStart("tags")
+      ts.foreach(g.writeString)
+      g.writeEndArray()
+    }
     g.writeEndObject()
     g.close()
     sw.toString

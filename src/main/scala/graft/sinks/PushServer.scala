@@ -24,7 +24,8 @@ import graft.query.QueryLanguage
   * leans on netty's channel close for the same policy). */
 private[sinks] abstract class PushServer(val pubsub: Sinks.Pubsub, port: Int,
     snapshot: () => Option[DataFrame], host: String, threadPrefix: String,
-    snapshotEvents: () => Option[Seq[graft.streaming.SEvent]] = () => None) {
+    snapshotEvents: () => Option[Seq[graft.streaming.TaggedSEvent]] =
+      () => None) {
 
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress(host, port))
@@ -189,7 +190,7 @@ private[sinks] abstract class PushServer(val pubsub: Sinks.Pubsub, port: Int,
     // remains for callers that only have a relation
     snapshotEvents() match {
       case Some(events) =>
-        val pred = query.map(graft.query.EventPredicate(_))
+        val pred = query.map(graft.query.EventPredicate.tagged(_))
         events.iterator
           .filter(e => pred.forall(_(e)))
           .foreach(e => w.offer(encode(EventJson.line(e))))

@@ -119,7 +119,8 @@ object Sinks {
       val subscribers = subs.getOrElse(channel, Vector.empty)
       if (subscribers.isEmpty) return
       // Fan-out fast path: when the batch is exactly the SEvent shape
-      // (what Main's index channel publishes) and several subscribers
+      // or the tagged index shape (SEvent + tags — what Main's index
+      // channel publishes) and several subscribers
       // filter it, collect ONCE and evaluate each subscriber's query
       // as the serving-path compiled closure — one Spark job per batch
       // instead of one filter+collect job PER SUBSCRIBER per batch
@@ -129,14 +130,21 @@ object Sinks {
       // Catalyst on this schema is EventPredicateSpec's pinned parity;
       // any other shape (tags, attributes, extra columns) falls back
       // to the per-subscriber Catalyst filter.
-      val fanout: Option[Seq[graft.streaming.SEvent]] =
+      val base = Seq("host", "service", "state", "metric", "time", "ttl")
+      val hasTags = batch.columns.toSeq == base :+ "tags"
+      val fanout: Option[Seq[graft.streaming.TaggedSEvent]] =
         if (subscribers.count(_._1.isDefined) >= 2 &&
-            batch.columns.toSeq ==
-              Seq("host", "service", "state", "metric", "time", "ttl"))
-          try Some(batch.as[graft.streaming.SEvent](
-            org.apache.spark.sql.Encoders.product[graft.streaming.SEvent])
-            .collect().toSeq)
-          catch { case scala.util.control.NonFatal(_) => None }
+            (batch.columns.toSeq == base || hasTags))
+          try {
+            val typed =
+              if (hasTags) batch
+              else batch.withColumn("tags",
+                org.apache.spark.sql.functions.array())
+            Some(typed.as[graft.streaming.TaggedSEvent](
+              org.apache.spark.sql.Encoders
+                .product[graft.streaming.TaggedSEvent])
+              .collect().toSeq)
+          } catch { case scala.util.control.NonFatal(_) => None }
         else None
       subscribers.foreach { case (q, sink) =>
         // per-sink isolation: one failing subscriber (bad query, dead
@@ -148,14 +156,15 @@ object Sinks {
             case (Some(events), _) =>
               val hits = q match {
                 case Some(query) =>
-                  events.filter(graft.query.EventPredicate(query))
+                  events.filter(graft.query.EventPredicate.tagged(query))
                 case None => events
               }
               batch.sparkSession.createDataFrame(
                 java.util.Arrays.asList(hits.map(e =>
-                  org.apache.spark.sql.Row(e.host, e.service, e.state,
+                  org.apache.spark.sql.Row(Seq(e.host, e.service, e.state,
                     e.metric.map(Double.box).orNull, e.time,
-                    e.ttl.map(Double.box).orNull)): _*),
+                    e.ttl.map(Double.box).orNull) ++
+                    (if (hasTags) Seq(e.tags) else Nil): _*)): _*),
                 batch.schema)
             case (None, Some(query)) => batch.filter(
               graft.query.QueryLanguage.predicate(query, batch.schema))

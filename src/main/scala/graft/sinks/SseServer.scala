@@ -24,7 +24,8 @@ import org.apache.spark.sql.DataFrame
 class SseServer(pubsub: Sinks.Pubsub, port: Int,
     snapshot: () => Option[DataFrame] = () => None,
     host: String = "127.0.0.1",
-    snapshotEvents: () => Option[Seq[graft.streaming.SEvent]] = () => None)
+    snapshotEvents: () => Option[Seq[graft.streaming.TaggedSEvent]] =
+      () => None)
     extends PushServer(pubsub, port, snapshot, host, "sse", snapshotEvents) {
 
   private def sseFrame(json: String): Array[Byte] =

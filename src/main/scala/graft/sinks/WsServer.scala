@@ -28,7 +28,8 @@ class WsServer(pubsub: Sinks.Pubsub, port: Int,
     snapshot: () => Option[DataFrame] = () => None,
     onEvent: String => Unit = _ => (),
     host: String = "127.0.0.1",
-    snapshotEvents: () => Option[Seq[graft.streaming.SEvent]] = () => None)
+    snapshotEvents: () => Option[Seq[graft.streaming.TaggedSEvent]] =
+      () => None)
     extends PushServer(pubsub, port, snapshot, host, "ws", snapshotEvents) {
 
   private val WsGuid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"

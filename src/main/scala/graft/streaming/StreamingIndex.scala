@@ -13,6 +13,22 @@ case class SEvent(
     time: java.sql.Timestamp,
     ttl: Option[Double])
 
+/** [[SEvent]] plus the wire tags — the shape the tagged index path
+  * carries so `tagged "x"` queries work against the SERVED index like
+  * the reference's (whose index stores whole events,
+  * index.clj:58-126). Flat fields so `.as[TaggedSEvent]` maps the
+  * decoded wire columns directly. */
+case class TaggedSEvent(
+    host: String,
+    service: String,
+    state: String,
+    metric: Option[Double],
+    time: java.sql.Timestamp,
+    ttl: Option[Double],
+    tags: Seq[String]) {
+  def toSEvent: SEvent = SEvent(host, service, state, metric, time, ttl)
+}
+
 object SEvent {
   /** TOTAL order over every non-key field for same-key latest-wins
     * ties — (time, metric presence, metric, state, ttl presence, ttl).

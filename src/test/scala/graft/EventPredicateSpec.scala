@@ -167,7 +167,8 @@ class EventPredicateSpec extends SparkSpec {
       "not host =~ \"h%\"").foreach { q =>
       val catalyst = snap.filter(QueryLanguage.predicate(q, snap.schema))
         .as[SEvent].collect().map(key).toSet
-      assert(idx.search(q).map(key).toSet == catalyst, s"for query: $q")
+      assert(idx.search(q).map(e => key(e.toSEvent)).toSet == catalyst,
+        s"for query: $q")
     }
     // tombstone via put: an expired event deletes its key
     events.headOption.foreach { e =>
@@ -175,6 +176,52 @@ class EventPredicateSpec extends SparkSpec {
       assert(idx.search(
         s"""host = "${e.host}" and service = "${e.service}"""").isEmpty)
     }
+  }
+
+  test("tagged index: `tagged` queries are real membership tests over " +
+    "the served index, closure == Catalyst on the tagged snapshot") {
+    import graft.streaming.TaggedSEvent
+    val spark0 = spark
+    import spark0.implicits._
+    val events = Seq(
+      TaggedSEvent("h1", "cpu", "critical", Some(0.9), ts(1706000100),
+        Some(60.0), Seq("prod", "canary")),
+      TaggedSEvent("h2", "cpu", "ok", Some(0.2), ts(1706000100),
+        Some(60.0), Seq("prod")),
+      TaggedSEvent("h3", "mem", "ok", Some(0.5), ts(1706000100),
+        Some(60.0), Seq.empty))
+    val idx = new Main.ServedIndex(spark)
+    events.foreach(idx.putTagged)
+    val snap = spark.createDataset(events).toDF()
+    Seq("""tagged "prod"""",
+      """tagged "canary" and state = "critical"""",
+      """not tagged "prod"""",
+      """tagged "prod" or metric > 0.4""").foreach { q =>
+      val catalyst = snap.filter(QueryLanguage.predicate(q, snap.schema))
+        .collect().map(_.getAs[String]("host")).toSet
+      assert(idx.search(q).map(_.host).toSet == catalyst, s"for query: $q")
+    }
+    assert(idx.search("""tagged "canary"""").map(_.host) == Seq("h1"))
+    // the wire handler carries tags back in the reply
+    val Right(hits) = idx.queryHandler("tagged \"canary\""): @unchecked
+    assert(hits.map(_.tags) == Seq(Seq("prod", "canary")))
+  }
+
+  test("EventJson tagged line is byte-identical to to_json over the " +
+    "tagged index shape") {
+    import graft.streaming.TaggedSEvent
+    val spark0 = spark
+    import spark0.implicits._
+    val events = Seq(
+      TaggedSEvent("h1", "cpu", "ok", Some(39.47), ts(1706000100),
+        Some(60.0), Seq("prod", "a b\"c")),
+      TaggedSEvent(null, "mem", null, None, ts(1706000100, 123), None,
+        Seq.empty))
+    val snap = spark.createDataset(events).toDF()
+    val sparkLines = snap
+      .select(to_json(struct(snap.columns.toIndexedSeq.map(col): _*)))
+      .collect().map(_.getString(0))
+    assert(events.map(EventJson.line) == sparkLines.toSeq)
   }
 
   test("concurrent serving: parallel mixed queries against a mutating " +

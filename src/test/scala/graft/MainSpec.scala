@@ -200,6 +200,20 @@ class MainSpec extends SparkSpec {
         } finally sock.close()
       }
 
+      // the reference's index stores whole events: tags ingested on
+      // the wire survive the tagged index path and answer `tagged`
+      // queries (with the tags riding back in the reply)
+      sendEvents(tcpPort, Seq(PEvent("web09", "disk", "warning", null,
+        Some(0.7), Seq("prod", "canary"), Some(1706000040L), Some(3600.0),
+        Map.empty)))
+      drain()
+      while (running.index.size < 3 &&
+          System.currentTimeMillis() < deadline) { drain(); Thread.sleep(100) }
+      val (tok, terr, tevs) = wireQuery("""tagged "canary"""")
+      assert(tok.contains(true) && terr.isEmpty, s"reply: $tok $terr")
+      assert(tevs.map(_.host) == Seq("web09"), s"events: $tevs")
+      assert(tevs.head.tags == Seq("prod", "canary"), s"tags: $tevs")
+
       // ACK some frames on tcp2 that its query has not drained yet,
       // then reload with a CHANGED hot definition: the restarted query
       // must adopt the parked frames (CoreSpec's handoff, here driven
@@ -212,16 +226,16 @@ class MainSpec extends SparkSpec {
       assert(restarted == Seq("hot"), s"restarted: $restarted")
       assert(running.core.activeQueries("index").id == beforeId,
         "unchanged index stream must not restart on reload")
-      assert(running.index.size == 2, "reload lost served index state")
+      assert(running.index.size == 3, "reload lost served index state")
 
       // post-reload traffic still flows into both topologies
       sendEvents(tcpPort, Seq(ev("web03", 0.99, 1706000100L)))
       sendEvents(tcp2Port, Seq(ev("app02", 0.65, 1706000110L)))
       drain()
-      while ((running.index.size < 3 ||
+      while ((running.index.size < 4 ||
           running.loader.memorySinks("hot").size < 2) &&
           System.currentTimeMillis() < deadline) { drain(); Thread.sleep(100) }
-      assert(running.index.size == 3)
+      assert(running.index.size == 4)
       val hits2 = wsIndexDump(wsPort, """state = "critical"""", 2)
       assert(hits2.exists(_.contains("web01")) &&
         hits2.exists(_.contains("web03")), s"hits: $hits2")
