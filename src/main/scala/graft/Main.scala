@@ -72,20 +72,25 @@ object Main {
     * itself by index cardinality — the same RAM contract the reference
     * runs under. */
   final class ServedIndex(spark: SparkSession) {
-    private val state = TrieMap[(String, String), graft.streaming.TaggedSEvent]()
+    private val state = TrieMap[(String, String), graft.streaming.WireEvent]()
 
     val sink: Sinks.EventSink = new Sinks.EventSink {
       override def write(batch: DataFrame, batchId: Long): Unit = {
         val spark0 = batch.sparkSession
         import spark0.implicits._
-        // the tagged index stream carries a tags column (the reference
-        // index stores whole events); a tagless feed stores empty tags
+        // the whole-event index stream carries tags and attributes
+        // (the reference index stores whole events); a plain SEvent
+        // feed stores empty ones
         val tagsExpr =
           if (batch.columns.contains("tags"))
             "coalesce(tags, array())" else "array()"
+        val attrsExpr =
+          if (batch.columns.contains("attributes"))
+            "coalesce(attributes, cast(map() as map<string,string>))"
+          else "cast(map() as map<string,string>)"
         batch.selectExpr("host", "service", "state", "metric", "time",
-            "ttl", s"$tagsExpr AS tags")
-          .as[graft.streaming.TaggedSEvent].collect()
+            "ttl", s"$tagsExpr AS tags", s"$attrsExpr AS attributes")
+          .as[graft.streaming.WireEvent].collect()
           .foreach { e =>
             if (e.state == "expired") state.remove((e.host, e.service))
             else state((e.host, e.service)) = e
@@ -101,15 +106,15 @@ object Main {
     /** The live events, for Spark-free serving (ws/sse dumps, the wire
       * handler, specs). A TrieMap iterator is a weakly-consistent O(n)
       * walk — no lock, no Spark job. */
-    def events: Seq[graft.streaming.TaggedSEvent] = state.values.toSeq
+    def events: Seq[graft.streaming.WireEvent] = state.values.toSeq
 
     /** Direct upsert, for probes and specs (the streaming path goes
       * through [[sink]]). */
     private[graft] def put(e: SEvent): Unit =
-      putTagged(graft.streaming.TaggedSEvent(e.host, e.service, e.state,
-        e.metric, e.time, e.ttl, Seq.empty))
+      putTagged(graft.streaming.WireEvent(e.host, e.service, e.state,
+        e.metric, e.time, e.ttl, Seq.empty, Map.empty))
 
-    private[graft] def putTagged(e: graft.streaming.TaggedSEvent): Unit =
+    private[graft] def putTagged(e: graft.streaming.WireEvent): Unit =
       if (e.state == "expired") { state.remove((e.host, e.service)); () }
       else state((e.host, e.service)) = e
 
@@ -120,12 +125,12 @@ object Main {
       * (index.clj:44-56), the LRU-cached compiled closure for
       * everything else. The Catalyst path over [[snapshot]] remains
       * the parity oracle (EventPredicateSpec / MainSpec). */
-    def search(q: String): Seq[graft.streaming.TaggedSEvent] =
+    def search(q: String): Seq[graft.streaming.WireEvent] =
       searchAst(q, graft.query.QueryLanguage.parse(q))
 
     private def searchAst(q: String,
         ast: graft.query.QueryLanguage.Ast)
-        : Seq[graft.streaming.TaggedSEvent] = {
+        : Seq[graft.streaming.WireEvent] = {
       import graft.query.EventPredicate
       EventPredicate.pkeyLookup(ast) match {
         case Some(key) => state.get(key).toSeq
@@ -148,7 +153,8 @@ object Main {
         .flatMap { ast =>
           try Right(searchAst(q, ast).map(e => PEvent(e.host, e.service, e.state,
             null, e.metric, Option(e.tags).getOrElse(Nil),
-            Some(e.time.getTime / 1000L), e.ttl, Map.empty)))
+            Some(e.time.getTime / 1000L), e.ttl,
+            Option(e.attributes).getOrElse(Map.empty))))
           catch {
             case NonFatal(e) => Left(String.valueOf(e.getMessage))
           }
@@ -204,11 +210,13 @@ object Main {
   }
 
   /** Decoded-wire columns → the SEvent shape the config ops consume
-    * (plus the wire tags, which the config tag/tagged-* ops filter
-    * on; extra columns pass through `.as[SEvent]` untouched). */
+    * (plus the wire tags and attributes, which the config tag/tagged-*
+    * ops and the whole-event index consume; extra columns pass through
+    * `.as[SEvent]` untouched). */
   private def asSEvents(df: DataFrame): DataFrame =
     df.select(col("host"), col("service"), col("state"), col("metric"),
-      timestamp_seconds(col("time_s")).as("time"), col("ttl"), col("tags"))
+      timestamp_seconds(col("time_s")).as("time"), col("ttl"), col("tags"),
+      col("attributes"))
 
   /** Assemble the process from a config file: servers, sources, Core +
     * Loader, the served index, and the ws/sse query surfaces. The

@@ -268,17 +268,23 @@ object ConfigFile {
           case JString(s) => s
           case _ => "0 seconds"
         }
-        // a frame carrying tags indexes through the tagged processor,
-        // so the served index can answer `tagged "x"` queries — the
-        // reference's index stores whole events (index.clj:58-126)
-        if (df.columns.contains("tags"))
-          graft.streaming.TaggedIndexProcessor(
+        // a frame carrying tags or attributes indexes through the
+        // whole-event processor, so the served index answers
+        // `tagged "x"` and attribute queries — the reference's index
+        // stores whole events (index.clj:58-126)
+        if (df.columns.contains("tags") || df.columns.contains("attributes")) {
+          val attrs =
+            if (df.columns.contains("attributes")) col("attributes")
+            else lit(null)
+          graft.streaming.WireIndexProcessor(
             df.select(col("host"), col("service"), col("state"),
                 col("metric"), col("time"), col("ttl"),
                 coalesce(tagsCol(df), array().cast("array<string>"))
-                  .as("tags"))
-              .as[graft.streaming.TaggedSEvent], wm).toDF()
-        else IndexProcessor(df.as[SEvent], wm).toDF()
+                  .as("tags"),
+                coalesce(attrs.cast("map<string,string>"),
+                  map().cast("map<string,string>")).as("attributes"))
+              .as[graft.streaming.WireEvent], wm).toDF()
+        } else IndexProcessor(df.as[SEvent], wm).toDF()
       case other => throw new IllegalArgumentException(s"unknown op: $other")
     }
   }

@@ -3,7 +3,7 @@ package graft.query
 import java.util.regex.Pattern
 
 import graft.query.QueryLanguage._
-import graft.streaming.{SEvent, TaggedSEvent}
+import graft.streaming.{SEvent, WireEvent}
 
 /** The serving-path query evaluator: compiles a parsed query AST to a
   * plain closure over [[SEvent]], so the in-memory index answers wire /
@@ -13,7 +13,7 @@ import graft.streaming.{SEvent, TaggedSEvent}
   * queries per second; a per-query Catalyst plan caps out at tens.
   *
   * Semantics mirror [[QueryLanguage.compile]] against the
-  * [[TaggedSEvent]] schema (host/service/state strings, metric/ttl
+  * [[WireEvent]] schema (host/service/state strings, metric/ttl
   * doubles, time timestamp, tags array — `tagged "x"` is a real
   * membership test; no attributes column, unknown fields are nil).
   * The SEvent entry points evaluate with empty tags, matching compile
@@ -30,15 +30,20 @@ object EventPredicate {
     * access-ordered LinkedHashMap is ~50 ns, noise next to evaluation. */
   private val MaxCached = 1024
   private val cache =
-    new java.util.LinkedHashMap[String, TaggedSEvent => Boolean](64, 0.75f, true) {
+    new java.util.LinkedHashMap[String, WireEvent => Boolean](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, TaggedSEvent => Boolean]): Boolean =
+          e: java.util.Map.Entry[String, WireEvent => Boolean]): Boolean =
         size() > MaxCached
     }
 
-  private def lift(e: SEvent): TaggedSEvent =
-    TaggedSEvent(e.host, e.service, e.state, e.metric, e.time, e.ttl,
-      Seq.empty)
+  private def lift(e: SEvent): WireEvent =
+    WireEvent(e.host, e.service, e.state, e.metric, e.time, e.ttl,
+      Seq.empty, Map.empty)
+
+  /** Attribute lookup for an unknown field — QueryLanguage.compile's
+    * `attributes[name]` resolution (field absent ≈ nil). */
+  private def attr(e: WireEvent, name: String): String =
+    if (e.attributes == null) null else e.attributes.getOrElse(name, null)
 
   /** Parse + compile for a tagless event, LRU-cached (`tagged` is
     * false, as on any relation without a tags column). Throws
@@ -56,9 +61,9 @@ object EventPredicate {
     e => tp(lift(e))
   }
 
-  /** The full evaluator over [[TaggedSEvent]] — `tagged "x"` is a real
+  /** The full evaluator over [[WireEvent]] — `tagged "x"` is a real
     * membership test, like the reference index's whole-event queries. */
-  def tagged(query: String): TaggedSEvent => Boolean = {
+  def tagged(query: String): WireEvent => Boolean = {
     cache.synchronized {
       val hit = cache.get(query)
       if (hit != null) return hit
@@ -66,7 +71,7 @@ object EventPredicate {
     taggedForAst(query, QueryLanguage.parse(query))
   }
 
-  def taggedForAst(query: String, ast: Ast): TaggedSEvent => Boolean = {
+  def taggedForAst(query: String, ast: Ast): WireEvent => Boolean = {
     cache.synchronized {
       val hit = cache.get(query)
       if (hit != null) return hit
@@ -98,7 +103,7 @@ object EventPredicate {
 
   /** Compile an AST to a closure; evaluation allocates nothing beyond
     * boxed booleans. */
-  def compile(ast: Ast): TaggedSEvent => Boolean = {
+  def compile(ast: Ast): WireEvent => Boolean = {
     val root = bool(ast)
     // coalesce(pred, false), as QueryLanguage.compile's top level
     e => { val v = root(e); v != null && v.booleanValue() }
@@ -141,7 +146,7 @@ object EventPredicate {
   /** Numeric rendering (QueryLanguage.compile's `numeric`): null when
     * not a number; timestamp → unix seconds (floor, like
     * unix_timestamp). */
-  private def numeric(a: Ast): TaggedSEvent => java.lang.Double = a match {
+  private def numeric(a: Ast): WireEvent => java.lang.Double = a match {
     case LongLit(v) => val d = java.lang.Double.valueOf(v.toDouble); _ => d
     case DoubleLit(v) => val d = java.lang.Double.valueOf(v); _ => d
     case BigLit(v) => val d = java.lang.Double.valueOf(v.toDouble); _ => d
@@ -160,11 +165,15 @@ object EventPredicate {
       if (e.service == null) null else tryDouble(e.service)
     case FieldRef("state") => e =>
       if (e.state == null) null else tryDouble(e.state)
+    case FieldRef(f) if !knownFields.contains(f) => e => {
+      val v = attr(e, f) // attributes[f], try-cast to double
+      if (v == null) null else tryDouble(v)
+    }
     case _ => _ => null
   }
 
   /** General value rendering (QueryLanguage.compile's `render`). */
-  private def render(a: Ast): TaggedSEvent => Val = a match {
+  private def render(a: Ast): WireEvent => Val = a match {
     case BoolLit(v) => val b = java.lang.Boolean.valueOf(v); _ => b
     case NullLit => _ => null
     case LongLit(v) => val l = java.lang.Long.valueOf(v); _ => l
@@ -181,7 +190,7 @@ object EventPredicate {
       if (e.ttl.isDefined) java.lang.Double.valueOf(e.ttl.get) else null
     case FieldRef("tags") => e => e.tags // array: comparisons throw,
                                          // like Catalyst's type error
-    case FieldRef(_) => _ => null // unknown field ≈ nil
+    case FieldRef(f) => e => attr(e, f) // attributes[f]; absent ≈ nil
     case other => throw ParseException(s"not a value: $other")
   }
 
@@ -246,7 +255,7 @@ object EventPredicate {
     case _ => false // no boolean columns in SEvent
   }
 
-  private def eq(l: Ast, r: Ast): TaggedSEvent => java.lang.Boolean = {
+  private def eq(l: Ast, r: Ast): WireEvent => java.lang.Boolean = {
     // type-strict boolean equality (QueryLanguage.eq): a boolean never
     // equals a string/number; nil falls through to nullSafeEq → false
     if ((isBoolAst(l) && !isBoolAst(r) && r != NullLit) ||
@@ -299,7 +308,7 @@ object EventPredicate {
     case other => other.toString
   }
 
-  private def bool(a: Ast): TaggedSEvent => java.lang.Boolean = a match {
+  private def bool(a: Ast): WireEvent => java.lang.Boolean = a match {
     case And(l, r) =>
       val (bl, br) = (bool(l), bool(r))
       e => {
@@ -382,7 +391,7 @@ object EventPredicate {
         case "time" => e => java.lang.Boolean.valueOf(e.time != null)
         case "ttl" => e => java.lang.Boolean.valueOf(e.ttl.isDefined)
         case "tags" => e => java.lang.Boolean.valueOf(e.tags != null)
-        case _ => _ => java.lang.Boolean.FALSE
+        case other => e => java.lang.Boolean.valueOf(attr(e, other) != null)
       }
   }
 }

@@ -5,7 +5,7 @@ import java.time.format.DateTimeFormatter
 
 import com.fasterxml.jackson.core.JsonFactory
 
-import graft.streaming.{SEvent, TaggedSEvent}
+import graft.streaming.{SEvent, WireEvent}
 
 /** Driver-side JSON rendering of one [[SEvent]], byte-identical to the
   * Spark relation form the push path uses —
@@ -27,16 +27,21 @@ object EventJson {
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
     .withZone(ZoneOffset.UTC)
 
-  def line(e: SEvent): String = render(e, None)
+  def line(e: SEvent): String = render(e, None, None)
 
-  /** The tagged form: a `tags` array after `ttl`, exactly where the
-    * tagged index stream's to_json pushes place it (the column order
-    * the config index op selects) — an empty list renders `[]`, as
-    * to_json does for a non-null array. */
-  def line(e: TaggedSEvent): String =
-    render(e.toSEvent, Some(Option(e.tags).getOrElse(Seq.empty)))
+  /** The whole-event form: a `tags` array then an `attributes` object
+    * after `ttl`, exactly where the index stream's to_json pushes
+    * place them (the column order the config index op selects) — an
+    * empty list/map renders `[]`/`{}`, as to_json does for non-null
+    * containers. Attribute KEY ORDER inside the object follows map
+    * iteration and is unspecified beyond small maps, as with any JSON
+    * object. */
+  def line(e: WireEvent): String =
+    render(e.toSEvent, Some(Option(e.tags).getOrElse(Seq.empty)),
+      Some(Option(e.attributes).getOrElse(Map.empty)))
 
-  private def render(e: SEvent, tags: Option[Seq[String]]): String = {
+  private def render(e: SEvent, tags: Option[Seq[String]],
+      attributes: Option[Map[String, String]]): String = {
     val sw = new java.io.StringWriter(96)
     val g = factory.createGenerator(sw)
     g.writeStartObject()
@@ -51,6 +56,13 @@ object EventJson {
       g.writeArrayFieldStart("tags")
       ts.foreach(g.writeString)
       g.writeEndArray()
+    }
+    attributes.foreach { as =>
+      g.writeObjectFieldStart("attributes")
+      as.foreach { case (k, v) =>
+        if (v == null) g.writeNullField(k) else g.writeStringField(k, v)
+      }
+      g.writeEndObject()
     }
     g.writeEndObject()
     g.close()

@@ -24,7 +24,7 @@ import graft.query.QueryLanguage
   * leans on netty's channel close for the same policy). */
 private[sinks] abstract class PushServer(val pubsub: Sinks.Pubsub, port: Int,
     snapshot: () => Option[DataFrame], host: String, threadPrefix: String,
-    snapshotEvents: () => Option[Seq[graft.streaming.TaggedSEvent]] =
+    snapshotEvents: () => Option[Seq[graft.streaming.WireEvent]] =
       () => None) {
 
   private val server = new ServerSocket()

@@ -131,18 +131,24 @@ object Sinks {
       // any other shape (tags, attributes, extra columns) falls back
       // to the per-subscriber Catalyst filter.
       val base = Seq("host", "service", "state", "metric", "time", "ttl")
-      val hasTags = batch.columns.toSeq == base :+ "tags"
-      val fanout: Option[Seq[graft.streaming.TaggedSEvent]] =
+      val cols = batch.columns.toSeq
+      val hasTags = cols == base :+ "tags" ||
+        cols == base :+ "tags" :+ "attributes"
+      val hasAttrs = cols == base :+ "tags" :+ "attributes"
+      val fanout: Option[Seq[graft.streaming.WireEvent]] =
         if (subscribers.count(_._1.isDefined) >= 2 &&
-            (batch.columns.toSeq == base || hasTags))
+            (cols == base || hasTags))
           try {
+            import org.apache.spark.sql.functions.{array, expr}
+            val withTags =
+              if (hasTags) batch else batch.withColumn("tags", array())
             val typed =
-              if (hasTags) batch
-              else batch.withColumn("tags",
-                org.apache.spark.sql.functions.array())
-            Some(typed.as[graft.streaming.TaggedSEvent](
+              if (hasAttrs) withTags
+              else withTags.withColumn("attributes",
+                expr("cast(map() as map<string,string>)"))
+            Some(typed.as[graft.streaming.WireEvent](
               org.apache.spark.sql.Encoders
-                .product[graft.streaming.TaggedSEvent])
+                .product[graft.streaming.WireEvent])
               .collect().toSeq)
           } catch { case scala.util.control.NonFatal(_) => None }
         else None
@@ -164,7 +170,8 @@ object Sinks {
                   org.apache.spark.sql.Row(Seq(e.host, e.service, e.state,
                     e.metric.map(Double.box).orNull, e.time,
                     e.ttl.map(Double.box).orNull) ++
-                    (if (hasTags) Seq(e.tags) else Nil): _*)): _*),
+                    (if (hasTags) Seq(e.tags) else Nil) ++
+                    (if (hasAttrs) Seq(e.attributes) else Nil): _*)): _*),
                 batch.schema)
             case (None, Some(query)) => batch.filter(
               graft.query.QueryLanguage.predicate(query, batch.schema))

@@ -24,7 +24,7 @@ import org.apache.spark.sql.DataFrame
 class SseServer(pubsub: Sinks.Pubsub, port: Int,
     snapshot: () => Option[DataFrame] = () => None,
     host: String = "127.0.0.1",
-    snapshotEvents: () => Option[Seq[graft.streaming.TaggedSEvent]] =
+    snapshotEvents: () => Option[Seq[graft.streaming.WireEvent]] =
       () => None)
     extends PushServer(pubsub, port, snapshot, host, "sse", snapshotEvents) {
 

@@ -28,7 +28,7 @@ class WsServer(pubsub: Sinks.Pubsub, port: Int,
     snapshot: () => Option[DataFrame] = () => None,
     onEvent: String => Unit = _ => (),
     host: String = "127.0.0.1",
-    snapshotEvents: () => Option[Seq[graft.streaming.TaggedSEvent]] =
+    snapshotEvents: () => Option[Seq[graft.streaming.WireEvent]] =
       () => None)
     extends PushServer(pubsub, port, snapshot, host, "ws", snapshotEvents) {
 

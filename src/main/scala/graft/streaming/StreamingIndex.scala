@@ -13,19 +13,21 @@ case class SEvent(
     time: java.sql.Timestamp,
     ttl: Option[Double])
 
-/** [[SEvent]] plus the wire tags — the shape the tagged index path
-  * carries so `tagged "x"` queries work against the SERVED index like
+/** [[SEvent]] plus the wire tags AND custom attributes — the
+  * whole-event shape the index path carries so `tagged "x"` and
+  * attribute queries (`paws = 4`) work against the SERVED index like
   * the reference's (whose index stores whole events,
-  * index.clj:58-126). Flat fields so `.as[TaggedSEvent]` maps the
+  * index.clj:58-126). Flat fields so `.as[WireEvent]` maps the
   * decoded wire columns directly. */
-case class TaggedSEvent(
+case class WireEvent(
     host: String,
     service: String,
     state: String,
     metric: Option[Double],
     time: java.sql.Timestamp,
     ttl: Option[Double],
-    tags: Seq[String]) {
+    tags: Seq[String],
+    attributes: Map[String, String]) {
   def toSEvent: SEvent = SEvent(host, service, state, metric, time, ttl)
 }
 

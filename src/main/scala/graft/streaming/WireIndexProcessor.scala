@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
   TimerValues, TTLConfig, ValueState}
 
-/** [[IndexProcessor]] over [[TaggedSEvent]] — identical latest-wins /
+/** [[IndexProcessor]] over [[WireEvent]] — identical latest-wins /
   * TTL-reaper / delete-tombstone semantics with the wire tags carried
   * through, so the served index can answer `tagged "x"` queries (the
   * reference's index stores whole events, index.clj:58-126; ours
@@ -18,30 +18,33 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
   * differing in tags still resolve deterministically. The reaper's
   * expired copy keeps tags only under keep-keys "tags" / :all, like
   * every other non-pkey field. */
-class TaggedIndexProcessor(
+class WireIndexProcessor(
     keepKeys: Set[String] = IndexProcessor.DefaultKeep,
     deleteState: Option[String] = None)
-    extends StatefulProcessor[(String, String), TaggedSEvent, TaggedSEvent]
-    with ArmedTimer[(String, String), TaggedSEvent, TaggedSEvent] {
+    extends StatefulProcessor[(String, String), WireEvent, WireEvent]
+    with ArmedTimer[(String, String), WireEvent, WireEvent] {
 
-  @transient private var latest: ValueState[TaggedSEvent] = _
+  @transient private var latest: ValueState[WireEvent] = _
   @transient private var _armed: ValueState[Long] = _
   override protected def armed: ValueState[Long] = _armed
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    latest = getHandle.getValueState[TaggedSEvent]("latest",
-      Encoders.product[TaggedSEvent], TTLConfig.NONE)
+    latest = getHandle.getValueState[WireEvent]("latest",
+      Encoders.product[WireEvent], TTLConfig.NONE)
     _armed = getHandle.getValueState[Long]("armed",
       Encoders.scalaLong, TTLConfig.NONE)
   }
 
-  private def totalKey(e: TaggedSEvent) =
+  private def totalKey(e: WireEvent) =
     (SEvent.totalKey(e.toSEvent),
-      if (e.tags == null) "" else e.tags.mkString(","))
+      if (e.tags == null) "" else e.tags.mkString(","),
+      if (e.attributes == null) ""
+      else e.attributes.toSeq.sorted.map(kv => kv._1 + "=" + kv._2)
+        .mkString(","))
 
   override def handleInputRows(key: (String, String),
-      rows: Iterator[TaggedSEvent], timerValues: TimerValues)
-      : Iterator[TaggedSEvent] = {
+      rows: Iterator[WireEvent], timerValues: TimerValues)
+      : Iterator[WireEvent] = {
     val rs = rows.toSeq.sortBy(totalKey)
     var cur = Option(latest.get())
     for (e <- rs) {
@@ -66,7 +69,7 @@ class TaggedIndexProcessor(
   override def handleExpiredTimer(key: (String, String),
       timerValues: TimerValues,
       expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
-      : Iterator[TaggedSEvent] = {
+      : Iterator[WireEvent] = {
     val cur = latest.get()
     if (cur == null) return Iterator.empty
     val deadline = cur.ttl.map(t => cur.time.getTime + (t * 1000).toLong)
@@ -78,7 +81,13 @@ class TaggedIndexProcessor(
         time = new java.sql.Timestamp(timerValues.getCurrentWatermarkInMs()),
         metric = if (keepAll || keepKeys("metric")) cur.metric else None,
         ttl = if (keepAll || keepKeys("ttl")) cur.ttl else None,
-        tags = if (keepAll || keepKeys("tags")) cur.tags else Seq.empty))
+        tags = if (keepAll || keepKeys("tags")) cur.tags else Seq.empty,
+        // riemann's keep-keys is select-keys over the EVENT MAP, where
+        // attributes are top-level keys — so individual attribute
+        // names can be kept
+        attributes =
+          if (keepAll) cur.attributes
+          else cur.attributes.filter(kv => keepKeys(kv._1))))
     } else {
       armed.clear()
       deadline.foreach(d => rearm(
@@ -88,16 +97,16 @@ class TaggedIndexProcessor(
   }
 }
 
-object TaggedIndexProcessor {
-  def apply(events: Dataset[TaggedSEvent],
+object WireIndexProcessor {
+  def apply(events: Dataset[WireEvent],
       watermarkDelay: String = "0 seconds",
       keepKeys: Set[String] = IndexProcessor.DefaultKeep,
-      deleteState: Option[String] = None): Dataset[TaggedSEvent] = {
+      deleteState: Option[String] = None): Dataset[WireEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.withWatermark("time", watermarkDelay)
       .groupByKey(e => (e.host, e.service))
-      .transformWithState(new TaggedIndexProcessor(keepKeys, deleteState),
+      .transformWithState(new WireIndexProcessor(keepKeys, deleteState),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

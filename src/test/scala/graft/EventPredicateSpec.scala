@@ -180,43 +180,51 @@ class EventPredicateSpec extends SparkSpec {
 
   test("tagged index: `tagged` queries are real membership tests over " +
     "the served index, closure == Catalyst on the tagged snapshot") {
-    import graft.streaming.TaggedSEvent
+    import graft.streaming.WireEvent
     val spark0 = spark
     import spark0.implicits._
     val events = Seq(
-      TaggedSEvent("h1", "cpu", "critical", Some(0.9), ts(1706000100),
-        Some(60.0), Seq("prod", "canary")),
-      TaggedSEvent("h2", "cpu", "ok", Some(0.2), ts(1706000100),
-        Some(60.0), Seq("prod")),
-      TaggedSEvent("h3", "mem", "ok", Some(0.5), ts(1706000100),
-        Some(60.0), Seq.empty))
+      WireEvent("h1", "cpu", "critical", Some(0.9), ts(1706000100),
+        Some(60.0), Seq("prod", "canary"), Map("paws" -> "4")),
+      WireEvent("h2", "cpu", "ok", Some(0.2), ts(1706000100),
+        Some(60.0), Seq("prod"), Map("paws" -> "3", "fur" -> "soft")),
+      WireEvent("h3", "mem", "ok", Some(0.5), ts(1706000100),
+        Some(60.0), Seq.empty, Map.empty))
     val idx = new Main.ServedIndex(spark)
     events.foreach(idx.putTagged)
     val snap = spark.createDataset(events).toDF()
     Seq("""tagged "prod"""",
       """tagged "canary" and state = "critical"""",
       """not tagged "prod"""",
-      """tagged "prod" or metric > 0.4""").foreach { q =>
+      """tagged "prod" or metric > 0.4""",
+      // attribute queries resolve through the attributes map, with
+      // the numeric try-cast semantics (query_test.clj:252-262)
+      "paws = 4",
+      """paws = "4"""",
+      "paws >= 3 and fur = nil",
+      """fur = "soft"""",
+      "missing = nil").foreach { q =>
       val catalyst = snap.filter(QueryLanguage.predicate(q, snap.schema))
         .collect().map(_.getAs[String]("host")).toSet
       assert(idx.search(q).map(_.host).toSet == catalyst, s"for query: $q")
     }
     assert(idx.search("""tagged "canary"""").map(_.host) == Seq("h1"))
-    // the wire handler carries tags back in the reply
+    // the wire handler carries tags and attributes back in the reply
     val Right(hits) = idx.queryHandler("tagged \"canary\""): @unchecked
     assert(hits.map(_.tags) == Seq(Seq("prod", "canary")))
+    assert(hits.map(_.attributes) == Seq(Map("paws" -> "4")))
   }
 
   test("EventJson tagged line is byte-identical to to_json over the " +
     "tagged index shape") {
-    import graft.streaming.TaggedSEvent
+    import graft.streaming.WireEvent
     val spark0 = spark
     import spark0.implicits._
     val events = Seq(
-      TaggedSEvent("h1", "cpu", "ok", Some(39.47), ts(1706000100),
-        Some(60.0), Seq("prod", "a b\"c")),
-      TaggedSEvent(null, "mem", null, None, ts(1706000100, 123), None,
-        Seq.empty))
+      WireEvent("h1", "cpu", "ok", Some(39.47), ts(1706000100),
+        Some(60.0), Seq("prod", "a b\"c"), Map("k 1" -> "v\"2")),
+      WireEvent(null, "mem", null, None, ts(1706000100, 123), None,
+        Seq.empty, Map.empty))
     val snap = spark.createDataset(events).toDF()
     val sparkLines = snap
       .select(to_json(struct(snap.columns.toIndexedSeq.map(col): _*)))

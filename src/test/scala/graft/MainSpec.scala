@@ -205,7 +205,7 @@ class MainSpec extends SparkSpec {
       // queries (with the tags riding back in the reply)
       sendEvents(tcpPort, Seq(PEvent("web09", "disk", "warning", null,
         Some(0.7), Seq("prod", "canary"), Some(1706000040L), Some(3600.0),
-        Map.empty)))
+        Map("dc" -> "eu"))))
       drain()
       while (running.index.size < 3 &&
           System.currentTimeMillis() < deadline) { drain(); Thread.sleep(100) }
@@ -213,6 +213,11 @@ class MainSpec extends SparkSpec {
       assert(tok.contains(true) && terr.isEmpty, s"reply: $tok $terr")
       assert(tevs.map(_.host) == Seq("web09"), s"events: $tevs")
       assert(tevs.head.tags == Seq("prod", "canary"), s"tags: $tevs")
+      assert(tevs.head.attributes == Map("dc" -> "eu"), s"attrs: $tevs")
+      // attribute queries resolve through the stored attributes
+      val (aok, _, aevs) = wireQuery("""dc = "eu"""")
+      assert(aok.contains(true) && aevs.map(_.host) == Seq("web09"),
+        s"attr query: $aevs")
 
       // ACK some frames on tcp2 that its query has not drained yet,
       // then reload with a CHANGED hot definition: the restarted query
