@@ -73,6 +73,10 @@ object Main {
     * runs under. */
   final class ServedIndex(spark: SparkSession) {
     private val state = TrieMap[(String, String), graft.streaming.WireEvent]()
+    // whether the feeding stream ever carried tags/attributes columns:
+    // dumps must render the same JSON shape the per-batch pushes use
+    // (6-column feeds push without tags/attributes keys)
+    @volatile private var wireShape = false
 
     val sink: Sinks.EventSink = new Sinks.EventSink {
       override def write(batch: DataFrame, batchId: Long): Unit = {
@@ -88,6 +92,8 @@ object Main {
           if (batch.columns.contains("attributes"))
             "coalesce(attributes, cast(map() as map<string,string>))"
           else "cast(map() as map<string,string>)"
+        if (batch.columns.contains("tags") ||
+          batch.columns.contains("attributes")) wireShape = true
         batch.selectExpr("host", "service", "state", "metric", "time",
             "ttl", s"$tagsExpr AS tags", s"$attrsExpr AS attributes")
           .as[graft.streaming.WireEvent].collect()
@@ -98,10 +104,20 @@ object Main {
       }
     }
 
+    /** The whole-event relation the serving path answers from — the
+      * Catalyst parity oracle for [[search]] (tagged/attribute queries
+      * included). */
     def snapshot: DataFrame = {
       import spark.implicits._
-      spark.createDataset(state.values.map(_.toSEvent).toSeq).toDF()
+      spark.createDataset(state.values.toSeq).toDF()
     }
+
+    /** Dump rendering matching the push-line shape: whole-event JSON
+      * when the feed carries tags/attributes columns, the plain
+      * 6-field shape otherwise — one format per connection. */
+    def dumpLine(e: graft.streaming.WireEvent): String =
+      if (wireShape) graft.sinks.EventJson.line(e)
+      else graft.sinks.EventJson.line(e.toSEvent)
 
     /** The live events, for Spark-free serving (ws/sse dumps, the wire
       * handler, specs). A TrieMap iterator is a weakly-consistent O(n)
@@ -306,10 +322,12 @@ object Main {
     // path): connect-time latency is an index walk, not a Spark job
     val ws = obj(servers \ "ws").map(o =>
       new WsServer(pubsub, int(o \ "port", "servers.ws.port"),
-        host = hostOf(o), snapshotEvents = () => Some(index.events)))
+        host = hostOf(o), snapshotEvents = () => Some(index.events),
+        dumpLine = index.dumpLine))
     val sse = obj(servers \ "sse").map(o =>
       new SseServer(pubsub, int(o \ "port", "servers.sse.port"),
-        host = hostOf(o), snapshotEvents = () => Some(index.events)))
+        host = hostOf(o), snapshotEvents = () => Some(index.events),
+        dumpLine = index.dumpLine))
     // riemann-wire index queries (transport.clj:175-181): every tcp
     // ingest server also answers `Msg{query}` from the served index
     val tcpPorts = servers.obj.collect {

@@ -37,8 +37,11 @@ object EventPredicate {
     }
 
   private def lift(e: SEvent): WireEvent =
+    // NULL tags/attributes, not empty: a tagless relation's Catalyst
+    // compile resolves `tags` to a null literal (so `tags = nil` is
+    // true, bare `tags` falsy) — empty containers would flip both
     WireEvent(e.host, e.service, e.state, e.metric, e.time, e.ttl,
-      Seq.empty, Map.empty)
+      null, null)
 
   /** Attribute lookup for an unknown field — QueryLanguage.compile's
     * `attributes[name]` resolution (field absent ≈ nil). */
@@ -113,7 +116,8 @@ object EventPredicate {
                          // | java.lang.Boolean | java.sql.Timestamp
 
   private val knownFields =
-    Set("host", "service", "state", "metric", "time", "ttl", "tags")
+    Set("host", "service", "state", "metric", "time", "ttl", "tags",
+      "attributes")
 
   private def isNumericAst(a: Ast): Boolean = a match {
     case _: LongLit | _: DoubleLit | _: BigLit => true
@@ -165,6 +169,11 @@ object EventPredicate {
       if (e.service == null) null else tryDouble(e.service)
     case FieldRef("state") => e =>
       if (e.state == null) null else tryDouble(e.state)
+    case FieldRef(f @ ("tags" | "attributes")) =>
+      // Catalyst's try_cast(array/map as double) is an analysis-time
+      // type error, not a null — fail at compile like the oracle
+      throw new IllegalArgumentException(
+        s"cannot cast $f to a number (Catalyst rejects this too)")
     case FieldRef(f) if !knownFields.contains(f) => e => {
       val v = attr(e, f) // attributes[f], try-cast to double
       if (v == null) null else tryDouble(v)
@@ -188,8 +197,9 @@ object EventPredicate {
     case FieldRef("time") => e => e.time
     case FieldRef("ttl") => e =>
       if (e.ttl.isDefined) java.lang.Double.valueOf(e.ttl.get) else null
-    case FieldRef("tags") => e => e.tags // array: comparisons throw,
-                                         // like Catalyst's type error
+    case FieldRef("tags") => e => e.tags // array: equality throws via
+                                         // nullSafeEq, like Catalyst
+    case FieldRef("attributes") => e => e.attributes // map: same
     case FieldRef(f) => e => attr(e, f) // attributes[f]; absent ≈ nil
     case other => throw ParseException(s"not a value: $other")
   }
@@ -299,6 +309,11 @@ object EventPredicate {
   private def asString(v: Val): String = v match {
     case null => null
     case s: String => s
+    // LIKE/RLIKE over an array/map is an analysis-time type error in
+    // Catalyst — never a Seq.toString rendering
+    case c @ (_: Seq[_] | _: Map[_, _]) => throw new IllegalArgumentException(
+      s"cannot pattern-match over ${c.getClass.getSimpleName} " +
+        "(Catalyst rejects this too)")
     case t: java.sql.Timestamp =>
       val base = TsOutFmt.format(t.toInstant)
       val ms = Math.floorMod(t.getTime, 1000L)
@@ -391,6 +406,8 @@ object EventPredicate {
         case "time" => e => java.lang.Boolean.valueOf(e.time != null)
         case "ttl" => e => java.lang.Boolean.valueOf(e.ttl.isDefined)
         case "tags" => e => java.lang.Boolean.valueOf(e.tags != null)
+        case "attributes" =>
+          e => java.lang.Boolean.valueOf(e.attributes != null)
         case other => e => java.lang.Boolean.valueOf(attr(e, other) != null)
       }
   }

@@ -25,7 +25,8 @@ import graft.query.QueryLanguage
 private[sinks] abstract class PushServer(val pubsub: Sinks.Pubsub, port: Int,
     snapshot: () => Option[DataFrame], host: String, threadPrefix: String,
     snapshotEvents: () => Option[Seq[graft.streaming.WireEvent]] =
-      () => None) {
+      () => None,
+    dumpLine: graft.streaming.WireEvent => String = EventJson.line) {
 
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress(host, port))
@@ -193,7 +194,7 @@ private[sinks] abstract class PushServer(val pubsub: Sinks.Pubsub, port: Int,
         val pred = query.map(graft.query.EventPredicate.tagged(_))
         events.iterator
           .filter(e => pred.forall(_(e)))
-          .foreach(e => w.offer(encode(EventJson.line(e))))
+          .foreach(e => w.offer(encode(dumpLine(e))))
       case None =>
         snapshot().foreach { idx =>
           val hits = query.fold(idx)(q =>

@@ -127,9 +127,10 @@ object Sinks {
       // (1 000 ws clients = 1 000 jobs each micro-batch on the legacy
       // path). Each subscriber still receives a DataFrame: a local
       // relation Catalyst folds without submitting jobs. Closure ==
-      // Catalyst on this schema is EventPredicateSpec's pinned parity;
-      // any other shape (tags, attributes, extra columns) falls back
-      // to the per-subscriber Catalyst filter.
+      // Catalyst on these schemas is EventPredicateSpec's pinned
+      // parity (tagged/attribute membership included); any OTHER
+      // shape — renamed, reordered, or extra columns — falls back to
+      // the per-subscriber Catalyst filter.
       val base = Seq("host", "service", "state", "metric", "time", "ttl")
       val cols = batch.columns.toSeq
       val hasTags = cols == base :+ "tags" ||
@@ -139,13 +140,18 @@ object Sinks {
         if (subscribers.count(_._1.isDefined) >= 2 &&
             (cols == base || hasTags))
           try {
-            import org.apache.spark.sql.functions.{array, expr}
+            import org.apache.spark.sql.functions.{expr, lit}
+            // NULL (not empty) containers for columns the batch lacks:
+            // Catalyst on the original schema resolves absent fields to
+            // null literals, so `tags = nil` must stay true there
             val withTags =
-              if (hasTags) batch else batch.withColumn("tags", array())
+              if (hasTags) batch
+              else batch.withColumn("tags",
+                lit(null).cast("array<string>"))
             val typed =
               if (hasAttrs) withTags
               else withTags.withColumn("attributes",
-                expr("cast(map() as map<string,string>)"))
+                expr("cast(null as map<string,string>)"))
             Some(typed.as[graft.streaming.WireEvent](
               org.apache.spark.sql.Encoders
                 .product[graft.streaming.WireEvent])

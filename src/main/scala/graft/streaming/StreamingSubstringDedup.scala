@@ -80,9 +80,10 @@ class SubstringDedupProcessor(horizonMs: Long)
       expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
       : Iterator[SpanMark] = {
     // a quiet gram is forgotten: its next occurrence starts a fresh
-    // canonical (the batch horizon semantics)
+    // canonical (the batch horizon semantics). armed.clear(), not
+    // disarm(): the firing timer was already consumed by the framework
     canonical.clear()
-    disarm()
+    armed.clear()
     Iterator.empty
   }
 }

@@ -35,12 +35,18 @@ class WireIndexProcessor(
       Encoders.scalaLong, TTLConfig.NONE)
   }
 
+  /** Length-prefixed joins so the key is INJECTIVE — a plain mkString
+    * would collide on separator-containing values (Seq("a,b") vs
+    * Seq("a","b")) and fall back to arrival order, the very
+    * nondeterminism the total key exists to kill. */
+  private def lp(parts: Seq[String]): String =
+    parts.map(p => s"${p.length}:$p").mkString(",")
+
   private def totalKey(e: WireEvent) =
     (SEvent.totalKey(e.toSEvent),
-      if (e.tags == null) "" else e.tags.mkString(","),
+      if (e.tags == null) "" else lp(e.tags),
       if (e.attributes == null) ""
-      else e.attributes.toSeq.sorted.map(kv => kv._1 + "=" + kv._2)
-        .mkString(","))
+      else lp(e.attributes.toSeq.sorted.flatMap(kv => Seq(kv._1, kv._2))))
 
   override def handleInputRows(key: (String, String),
       rows: Iterator[WireEvent], timerValues: TimerValues)

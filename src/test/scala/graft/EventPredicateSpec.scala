@@ -132,6 +132,20 @@ class EventPredicateSpec extends SparkSpec {
       EventPredicate("time = \"2024-01-23 10:16:40\"")) == 1)
   }
 
+  test("SEvent entry points match the TAGLESS Catalyst compile for " +
+    "queries naming tags (null resolution, review finding)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val events = randomEvents(20)
+    val snap = spark.createDataset(events).toDF() // no tags column
+    Seq("tags = nil", "tags", "not tags", "tags != nil").foreach { q =>
+      val catalyst = snap.filter(QueryLanguage.predicate(q, snap.schema))
+        .as[SEvent].collect().map(key).toSet
+      assert(events.filter(EventPredicate(q)).map(key).toSet == catalyst,
+        s"for query: $q")
+    }
+  }
+
   test("pkey fast path: host+service equality compiles to a point " +
     "lookup (index.clj:44-56), in every operand/conjunct order") {
     assert(EventPredicate.pkeyLookup(
@@ -203,7 +217,10 @@ class EventPredicateSpec extends SparkSpec {
       """paws = "4"""",
       "paws >= 3 and fur = nil",
       """fur = "soft"""",
-      "missing = nil").foreach { q =>
+      "missing = nil",
+      // the container FIELDS themselves: truthiness and nil-equality
+      // must track the real columns, not attributes["tags"] (review)
+      "tags", "attributes", "tags != nil").foreach { q =>
       val catalyst = snap.filter(QueryLanguage.predicate(q, snap.schema))
         .collect().map(_.getAs[String]("host")).toSet
       assert(idx.search(q).map(_.host).toSet == catalyst, s"for query: $q")

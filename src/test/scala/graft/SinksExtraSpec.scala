@@ -63,8 +63,10 @@ class SinksExtraSpec extends SparkSpec {
       Set("b", "d"))
     // null fields survive the local-relation round trip
     assert(hot.rows.asScala.exists(r => r.getAs[String]("state") == null))
-    // a WIDE batch (tags present) must fall back to Catalyst so
-    // `tagged` queries keep their semantics
+    // a batch whose shape the fast path does NOT recognize (the wide
+    // event-relation helper: extra id/description/attributes columns
+    // in a different order) must fall back to Catalyst, where `tagged`
+    // evaluates against the real tags column
     val tagged = new Sinks.MemorySink
     val tagged2 = new Sinks.MemorySink
     ps.subscribe("wide", new Sinks.MemorySink)
