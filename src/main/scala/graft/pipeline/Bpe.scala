@@ -144,10 +144,26 @@ object Bpe {
   }
 
   /** Encode every document under the trained merges and count tokens:
-    * (doc_id, n_pretokens, n_bpe_tokens). The merges ride into the
-    * plan as literals (they are ≤ nMerges strings), so encoding is a
-    * pure narrow per-doc pass — the 100 TB shape. */
+    * (doc_id, n_pretokens, n_bpe_tokens) — one codegen'd
+    * [[BpeCountExpr]] pass per document with per-partition distinct-
+    * token memoization (Zipf makes instances >> distincts, so each
+    * distinct pre-token pays the merge fold once). The merges ride
+    * into the kernel as plan constants, so encoding stays a pure
+    * narrow per-doc pass — the 100 TB shape. Values are bit-identical
+    * to [[encodeExpand]] (shared per-token formula; pinned by
+    * BpeKernelParitySpec). */
   def encode(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val counts = ColumnBridge.column(BpeCountExpr(
+      ColumnBridge.expression(col("text")), merges))
+    docs.select(col("doc_id"), counts.as("c"))
+      .select(col("doc_id"), col("c.n_pretokens").as("n_pretokens"),
+        col("c.n_bpe_tokens").as("n_bpe_tokens"))
+  }
+
+  /** The expression-tree form of [[encode]] (nested codegen'd replaces,
+    * no kernel, no memo) — kept as the in-engine parity reference. */
+  def encodeExpand(docs: DataFrame, merges: Seq[String]): DataFrame = {
     val toks = regexp_extract_all(col("text"),
       lit(TextAnalysis.BpeSplitRe), lit(0))
     def encTok(t: Column): Column = {

@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass BPE token counting — the hot-path form of [[Bpe.encode]].
+  *
+  * The expression-tree form applies every trained merge as a nested
+  * `replace` over every OCCURRENCE of every pre-token: ~4 string
+  * traversals × nMerges per token instance. But BPE encoding is a pure
+  * function of the pre-token, and token instances are Zipf-distributed —
+  * a corpus partition sees each distinct pre-token many times. This
+  * kernel pre-tokenizes with the same compiled [[TextAnalysis.BpeSplitRe]]
+  * and encodes each DISTINCT pre-token once per partition (bounded
+  * memo table), turning the per-instance cost into a hash probe.
+  *
+  * Parity: the per-token computation is literally
+  * [[Bpe.initialSym]] + the [[Bpe.applyMerge]] fold — the same shared
+  * formula the Column form, the driver trainer, and the DuckDB oracle
+  * evaluate — so counts are bit-identical (BpeKernelParitySpec pins the
+  * kernel against the expression-tree form on real corpus text).
+  *
+  * Scale shape: narrow per-row map, no shuffle, no driver state; the
+  * memo table lives in generated-class mutable state (one per
+  * partition-instance) and self-clears past [[BpeKernel.MaxCache]]
+  * distinct tokens so an adversarial vocabulary cannot hold executor
+  * heap.
+  */
+object BpeKernel {
+
+  /** Memo-table bound: far above any natural per-partition distinct
+    * pre-token count (English web text plateaus ~10^5); past it the
+    * table clears and rebuilds rather than growing without bound. */
+  val MaxCache = 1 << 20
+
+  private val Pat = java.util.regex.Pattern.compile(TextAnalysis.BpeSplitRe)
+
+  val countStruct: StructType = StructType(Seq(
+    StructField("n_pretokens", LongType, nullable = false),
+    StructField("n_bpe_tokens", LongType, nullable = false)))
+
+  /** BPE token count of ONE pre-token: the shared-formula fold. */
+  private def tokenCount(tok: String, merges: Array[String]): Long = {
+    var sym = Bpe.initialSym(tok)
+    var i = 0
+    while (i < merges.length) {
+      sym = Bpe.applyMerge(sym, merges(i))
+      i += 1
+    }
+    // symbols are space-separated; count = spaces + 1 (sym is never
+    // empty: a pre-token has >= 1 code point)
+    var n = 1L
+    var j = sym.indexOf(' ')
+    while (j >= 0) { n += 1; j = sym.indexOf(' ', j + 1) }
+    n
+  }
+
+  /** (n_pretokens, n_bpe_tokens) of one document under the memo table. */
+  def encodeCounts(text: UTF8String, merges: Array[String],
+      cache: java.util.HashMap[String, java.lang.Long]): InternalRow = {
+    if (text == null) return null
+    if (cache.size() > MaxCache) cache.clear()
+    val m = Pat.matcher(text.toString)
+    var np = 0L
+    var nb = 0L
+    while (m.find()) {
+      val tok = m.group()
+      np += 1
+      var c = cache.get(tok)
+      if (c == null) {
+        c = java.lang.Long.valueOf(tokenCount(tok, merges))
+        cache.put(tok, c)
+      }
+      nb += c.longValue()
+    }
+    new GenericInternalRow(Array[Any](np, nb))
+  }
+
+}
+
+/** `bpe_count(text)`: struct(n_pretokens, n_bpe_tokens) under the
+  * trained `merges`, applied in rank order. */
+case class BpeCountExpr(child: Expression, merges: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = BpeKernel.countStruct
+  override def nullable: Boolean = child.nullable
+
+  private lazy val mergesArr = merges.toArray
+
+  /** Interpreted-eval memo table — PER EXPRESSION INSTANCE (the memo
+    * is only valid for this instance's merge list; a shared map would
+    * poison counts across plans trained on different corpora) and per
+    * thread. The codegen path gets the same isolation from
+    * per-generated-instance mutable state. */
+  @transient private lazy val evalCache =
+    new ThreadLocal[java.util.HashMap[String, java.lang.Long]] {
+      override def initialValue() =
+        new java.util.HashMap[String, java.lang.Long]()
+    }
+
+  override def eval(input: InternalRow): Any =
+    BpeKernel.encodeCounts(
+      child.eval(input).asInstanceOf[UTF8String], mergesArr,
+      evalCache.get())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val mergesRef = ctx.addReferenceObj("bpeMerges", mergesArr,
+      "java.lang.String[]")
+    val cacheVar = ctx.addMutableState("java.util.HashMap", "bpeMemo",
+      v => s"$v = new java.util.HashMap();")
+    ev.copy(code = code"""
+      ${c.code}
+      InternalRow ${ev.value} = graft.pipeline.BpeKernel.encodeCounts(
+        ${c.isNull} ? null : ${c.value}, $mergesRef, $cacheVar);
+      boolean ${ev.isNull} = ${ev.value} == null;
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -172,26 +172,27 @@ object Curation {
     // funnel one forward pass plus five cache-local counts.
     val corpus = docs.filter(col("doc_id") % 10 =!= 0).cache()
     val bench = docs.filter(col("doc_id") % 10 === 0)
-    val quality = TextAnalysis.gopherFilter(corpus, 20, 100000)
-      .filter(col("keep")).select("doc_id")
-    val qdocs = corpus.join(quality, "doc_id").cache()
+    // quality is a pure per-row predicate — gopherKeep applies it as a
+    // narrow filter over the cached corpus (the gopherFilter-then-join
+    // form paid a full corpus shuffle to rejoin text onto doc_id)
+    val qdocs = TextAnalysis.gopherKeep(corpus, 20, 100000).cache()
     val exactKeep = qdocs
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val edocs = qdocs.join(exactKeep, "doc_id").cache()
-    // one shingle DERIVATION over the exact-dedup survivors feeds BOTH
-    // the near-dup stage and decontamination (whose input is a subset
-    // of these docs — an id join, not a re-shingle). Deliberately NOT
-    // cached: it is a narrow tokenize+slide over the already-cached
-    // edocs, and the exploded shingle arrays are larger than the docs
-    // themselves — materializing them costs more than the two
-    // recomputations (measured: caching was ~1.5 s slower at sf0.1)
+    // shingles are a narrow kernel pass over an already-cached
+    // relation, so each consumer re-derives them from ITS OWN input:
+    // the pair stage shingles edocs, decontamination shingles the
+    // near-dup survivors directly (shingling ndocs is shuffle-free;
+    // the former shared-relation form paid a full exploded-shingle
+    // join on doc_id to reuse edocs' shingles, and materializing the
+    // shared relation measured ~1.5 s slower at sf0.1)
     val esh = Dedup.shingles(edocs)
       .select(col("doc_id"), col("shingles"))
     val ndocs = Dedup.dedupedCorpus(edocs,
       Dedup.minhashPairsFromShingles(esh)).cache()
     val clean = TextAnalysis.contaminationFromShingles(
-        esh.join(ndocs.select("doc_id"), "doc_id"), bench)
+        Dedup.shingles(ndocs).select(col("doc_id"), col("shingles")), bench)
       .filter(col("n_contaminated") * 2 < col("n_shingles"))
       .select("doc_id")
     // eager, like the components machinery it already contains: the

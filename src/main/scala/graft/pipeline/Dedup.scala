@@ -173,6 +173,62 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Cross-corpus near-dup pairs — dedup an INCOMING batch against an
+    * existing REFERENCE corpus, the production shape for continuous
+    * ingestion (a new crawl must not re-add near-copies of what the
+    * training set already holds, and eval sets are deduped against
+    * train the same way — Lee et al. 2022). MinHash signatures on both
+    * sides under the SAME driver-derived permutation literals, LSH
+    * bands on both sides, then a new×ref equi-join on (band, bucket) —
+    * never all-pairs. Each side is hot-bucket-capped INDEPENDENTLY
+    * (bounding pair fan-out per bucket at maxBucket² and keeping the
+    * cap a per-side aggregate; mirrored per-side in the oracle).
+    *
+    * At 100 TB the reference side is the big one, and its banded
+    * relation is a pure function of the corpus — a production system
+    * precomputes it once (bucketed by (band, bucket)) and reuses it
+    * every batch via [[crossCorpusNearDupsAgainstBanded]]; only the
+    * incoming batch pays signature work per run.
+    *
+    * Output: (new_id, ref_id, est_jaccard ≥ threshold), distinct. */
+  def crossCorpusNearDups(newDocs: DataFrame, refDocs: DataFrame,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.5, w: Int = 3,
+      maxBucket: Int = Caps.DefaultMaxBucket): DataFrame =
+    crossCorpusNearDupsAgainstBanded(newDocs,
+      Caps.cap(lshBands(minhashSignature(refDocs, k, w), k, bands),
+        Seq("band", "bucket"), maxBucket, "crosscorpus_lsh_ref"),
+      k, bands, threshold, w, maxBucket)
+
+  /** [[crossCorpusNearDups]] against a PRECOMPUTED (and already
+    * capped) reference banded relation (doc_id, sig, band, bucket). */
+  def crossCorpusNearDupsAgainstBanded(newDocs: DataFrame,
+      refBanded: DataFrame, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, w: Int = 3,
+      maxBucket: Int = Caps.DefaultMaxBucket): DataFrame = {
+    val newBanded = Caps.cap(
+      lshBands(minhashSignature(newDocs, k, w), k, bands),
+      Seq("band", "bucket"), maxBucket, "crosscorpus_lsh_new")
+    newBanded.as("n").join(refBanded.as("r"),
+        col("n.band") === col("r.band") &&
+          col("n.bucket") === col("r.bucket"))
+      .select(col("n.doc_id").as("new_id"), col("r.doc_id").as("ref_id"),
+        (expr("size(filter(zip_with(n.sig, r.sig, (x, y) -> x = y), p -> p))")
+          .cast("double") / k).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** The batch-filter form: incoming docs that are NOT near-dups of the
+    * reference corpus — an anti-join against the (small) matched-id
+    * set, so the batch streams through broadcast-ably. */
+  def filterAgainstCorpus(newDocs: DataFrame, refDocs: DataFrame,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.5, w: Int = 3,
+      maxBucket: Int = Caps.DefaultMaxBucket): DataFrame =
+    newDocs.join(
+      crossCorpusNearDups(newDocs, refDocs, k, bands, threshold, w,
+        maxBucket).select(col("new_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** Winnowing span-overlap pairs: documents sharing ≥ `minShared`
     * winnowed fingerprints ([[TextAnalysis.winnow]] — Schleimer et al.
     * 2003). MinHash estimates whole-document similarity; winnowing

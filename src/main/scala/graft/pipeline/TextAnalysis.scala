@@ -278,10 +278,12 @@ object TextAnalysis {
     * for the paper's char-weighted metric) ≤ 0.3. Emits each signal,
     * each rule verdict, and the conjunction — as ONE narrow codegen'd
     * projection, no shuffle, so at 100 TB the filter rides the scan. */
-  def gopherFilter(docs: DataFrame, minWords: Int = 50,
-      maxWords: Int = 100000): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"),
-      split(col("text"), " ").as("w"))
+  /** The five Gopher signals over a relation carrying `text` and a
+    * MATERIALIZED token-array column `w`: (nTok, meanLen, nStop,
+    * symRatio, dup3) — the COLUMN-form spec [[GopherExpr]] is
+    * parity-pinned against (kept executable via
+    * [[gopherFilterColumns]]; the hot path is the kernel). */
+  private def gopherSignals: (Column, Column, Column, Column, Column) = {
     val nTok = size(col("w"))
     val meanLen = round(length(col("text")).cast("double") /
       nTok.cast("double"), 4)
@@ -292,6 +294,62 @@ object TextAnalysis {
     val dup3 = round(when(size(g3) > 0,
       lit(1.0) - size(array_distinct(g3)).cast("double") /
         size(g3).cast("double")).otherwise(0.0), 4)
+    (nTok, meanLen, nStop, symRatio, dup3)
+  }
+
+  /** The Gopher rule conjunction over [[GopherKernel.signalStruct]]
+    * fields rooted at `g` — shared by [[gopherFilter]] and
+    * [[gopherKeep]], so the two can never drift. */
+  private def gopherRules(g: Column, minWords: Int,
+      maxWords: Int): Seq[(String, Column)] = Seq(
+    "ok_words" -> (g("n_tokens") >= minWords && g("n_tokens") <= maxWords),
+    "ok_token_len" ->
+      (g("mean_token_len") >= 3.0 && g("mean_token_len") <= 10.0),
+    "ok_stopwords" -> (g("n_stopwords") >= 2),
+    "ok_symbols" -> (g("symbol_ratio") <= 0.1),
+    "ok_repetition" -> (g("dup_3gram_frac") <= 0.3))
+
+  private def gopherStruct: Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(GopherExpr(ColumnBridge.expression(col("text"))))
+  }
+
+  /** [[gopherFilter]] survivors with the INPUT columns preserved — the
+    * curation-funnel shape. Same rules (shared [[GopherExpr]] kernel +
+    * [[gopherRules]]; survivor set pinned equal in PipelineSpec),
+    * applied as one narrow kernel filter: no doc_id join, no shuffle —
+    * at 100 TB the quality stage rides the scan. */
+  def gopherKeep(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val keep = gopherRules(col("_g"), minWords, maxWords)
+      .map(_._2).reduce(_ && _)
+    docs.withColumn("_g", gopherStruct).filter(keep).drop("_g")
+  }
+
+  def gopherFilter(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val base = docs.select(col("doc_id"), gopherStruct.as("_g"))
+    val rules = gopherRules(col("_g"), minWords, maxWords)
+    base.select(Seq(col("doc_id"), col("_g.n_tokens").as("n_tokens"),
+      col("_g.mean_token_len").as("mean_token_len"),
+      col("_g.n_stopwords").as("n_stopwords"),
+      col("_g.symbol_ratio").as("symbol_ratio"),
+      col("_g.dup_3gram_frac").as("dup_3gram_frac")) ++
+      rules.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("keep",
+        col("ok_words") && col("ok_token_len") && col("ok_stopwords") &&
+          col("ok_symbols") && col("ok_repetition"))
+  }
+
+  /** The column-expression spec of [[gopherFilter]] — HOF lambdas, no
+    * kernel; the executable reference GopherExpr is parity-pinned to
+    * (PipelineSpec), and, modulo syntax, the DuckDB oracle's
+    * formulation. */
+  private[graft] def gopherFilterColumns(docs: DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("w"))
+    val (nTok, meanLen, nStop, symRatio, dup3) = gopherSignals
     base.select(col("doc_id"), nTok.as("n_tokens"),
       meanLen.as("mean_token_len"), nStop.as("n_stopwords"),
       symRatio.as("symbol_ratio"), dup3.as("dup_3gram_frac"),

@@ -69,6 +69,103 @@ object TextKernels {
   }
 }
 
+/** The five Gopher quality signals as ONE kernel pass (the column form
+  * is a HOF-heavy predicate — interpreted lambdas, with the trigram
+  * array re-built per reference; this is a pure per-document function,
+  * so compute it map-side in one loop). Value-exact against the column
+  * [[TextAnalysis.gopherSignals]] formula (same split-with-trailing-
+  * empties tokenization, same code-point length, same divide-then-
+  * subtract dup3 shape, same HALF_UP rounding; pinned by
+  * GopherKernelParity in PipelineSpec and the unchanged q_gopher_filter
+  * oracle row). Null text → null struct (the column form's comparisons
+  * all go null and the row drops). */
+object GopherKernel {
+
+  val signalStruct: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = true),
+    StructField("mean_token_len", DoubleType, nullable = true),
+    StructField("n_stopwords", IntegerType, nullable = true),
+    StructField("symbol_ratio", DoubleType, nullable = true),
+    StructField("dup_3gram_frac", DoubleType, nullable = false)))
+
+  /** Null text under the COLUMN form: every signal goes null EXCEPT
+    * dup_3gram_frac — its `when(size(g3) > 0, …).otherwise(0.0)` takes
+    * the otherwise branch (null condition), so it is 0.0 and
+    * ok_repetition is TRUE while the other verdicts (and the keep
+    * conjunction) are null. The kernel reproduces that row exactly. */
+  private val NullTextRow =
+    new GenericInternalRow(Array[Any](null, null, null, null, 0.0))
+
+  private val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    TextAnalysis.stopwords.foreach(w => { s.add(w); () })
+    s
+  }
+
+  private val SymbolPat = java.util.regex.Pattern.compile("#|\\.\\.\\.")
+
+  private def round4(d: Double): Double =
+    JBigDecimal.valueOf(d).setScale(4, RoundingMode.HALF_UP).doubleValue()
+
+  def signals(text: UTF8String): GenericInternalRow = {
+    if (text == null) return NullTextRow
+    val str = text.toString
+    // split(text, " ") keeps trailing empties (Java limit -1 semantics)
+    val words = str.split(" ", -1)
+    val nTok = words.length
+    // Spark length() counts code points, not UTF-16 units
+    val meanLen = round4(text.numChars().toDouble / nTok.toDouble)
+    var nStop = 0
+    var i = 0
+    while (i < nTok) {
+      if (stopSet.contains(words(i))) nStop += 1
+      i += 1
+    }
+    var nSym = 0
+    val m = SymbolPat.matcher(str)
+    while (m.find()) nSym += 1
+    val symRatio = round4(nSym.toDouble / nTok.toDouble)
+    val dup3 =
+      if (nTok < 3) 0.0
+      else {
+        val tot3 = nTok - 2
+        val seen = new java.util.HashSet[String](tot3 * 2)
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < tot3) {
+          sb.setLength(0)
+          sb.append(words(j)).append(' ').append(words(j + 1))
+            .append(' ').append(words(j + 2))
+          seen.add(sb.toString)
+          j += 1
+        }
+        // the column form's exact shape: 1.0 - distinct/total (divide
+        // first, subtract second — NOT (total-distinct)/total)
+        round4(1.0 - seen.size().toDouble / tot3.toDouble)
+      }
+    new GenericInternalRow(Array[Any](nTok, meanLen, nStop, symRatio, dup3))
+  }
+}
+
+/** `gopher_signals(text)`: [[GopherKernel.signalStruct]] (never null —
+  * null text yields the column form's partial-null row). */
+case class GopherExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = GopherKernel.signalStruct
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    GopherKernel.signals(child.eval(input).asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      InternalRow ${ev.value} = graft.pipeline.GopherKernel.signals(
+        ${c.isNull} ? null : ${c.value});
+      """, isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `repetition(text)`: 0-or-1 [[TextKernels.repetitionStruct]],
   * consumed via `inline`. */
 case class RepetitionExpr(child: Expression) extends UnaryExpression {

@@ -1,0 +1,58 @@
+package graft
+
+import graft.pipeline.Bpe
+import scala.util.Random
+
+/** The memoized BPE count kernel ([[graft.pipeline.BpeCountExpr]]) must
+  * be value-exact against the expression-tree form it replaced (nested
+  * codegen'd replaces — which is also the DuckDB oracle's unrolled-CTE
+  * formulation): same pre-tokenizer, same Ġ space mapping, same
+  * rank-ordered left-to-right merge rewrites. */
+class BpeKernelParitySpec extends SparkSpec {
+
+  private def compare(texts: Seq[String], merges: Seq[String]): Unit = {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(rows(Bpe.encode(df, merges)) == rows(Bpe.encodeExpand(df, merges)))
+  }
+
+  private val trainedish = Seq("t h", "th e", "i n", "a n", "e r",
+    "Ġ t", "Ġt h", "o n", "e s", "Ġ a", "an d", "Ġa n", "o r", "r e",
+    "e n", "a t", "Ġth e", "i s", "e d", "in g")
+
+  test("kernel ≡ expression tree on random English-ish text") {
+    val rnd = new Random(43)
+    val vocab = Seq("the", "and", "then", "other", "ingest", "we",
+      "12", "3.14", "it's", "can't", "hello,", "world!", "a")
+    compare((1 to 60).map(_ =>
+      (1 to (1 + rnd.nextInt(40)))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")),
+      trainedish)
+  }
+
+  test("kernel ≡ expression tree on degenerate docs (empty, null, " +
+    "newlines, non-BMP, repeated merges)") {
+    compare(Seq("", "   ", null, "a\nb\nc", "the the the the",
+      "😀 emoji 😀 text", "ĠĠ literal marks",
+      "mixed 123 456 punct!!! ...", "ththththth"), trainedish)
+  }
+
+  test("kernel ≡ expression tree under the entry surface's trained merges") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (1L, "low lower newest widest low"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "newest newest newest widest widest lowest"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, nMerges = 8, vocabCap = 50)
+      .orderBy("rank").collect().map(_.getString(1)).toSeq
+    compare(docs.orderBy("doc_id").collect()
+      .map(r => r.getString(1)).toSeq, merges)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
 
 import scala.jdk.CollectionConverters._
 
@@ -294,6 +294,50 @@ class PipelineSpec extends SparkSpec {
     StructField("doc_id", LongType), StructField("text", StringType)))
   private def docs(rows: (Long, String)*): DataFrame =
     spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, docSchema)
+
+  test("gopher kernel ≡ column form (signals, verdicts, row drops)") {
+    val d = spark.createDataFrame(Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog again and " +
+        "again with more words to cross the minimum threshold easily"),
+      Row(2L, ""),
+      Row(3L, null),
+      Row(4L, "trailing spaces here   "),
+      Row(5L, "😀 non 😀 bmp 😀 characters and the usual words in a " +
+        "document about emoji handling for code point lengths"),
+      Row(6L, "### sym ### ratio ### test ... with ... ellipses ... " +
+        "and the other # markers #"),
+      Row(7L, (1 to 40).map(_ => "rep rep rep").mkString(" ")),
+      Row(8L, "a b"),
+      Row(9L, "the and for are but not you all can had her was one " +
+        "our out day get has him his how man new now old see two way")
+    ).asJava, docSchema)
+    def rows(df: DataFrame) = df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(TextAnalysis.gopherFilter(d, 10, 1000)) ==
+      rows(TextAnalysis.gopherFilterColumns(d, 10, 1000)))
+    assert(rows(TextAnalysis.gopherFilter(d)) ==
+      rows(TextAnalysis.gopherFilterColumns(d)))
+  }
+
+  test("gopherKeep survivors == gopherFilter(keep) survivors, with " +
+    "input columns preserved") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog and then " +
+        "the other animals watched it run far away from here today"),
+      (2L, "short doc"),
+      (3L, "### ### ### ### ### ### ### ### ### ### ### ### ### ### " +
+        "### ### ### ### ### ### ### ### ### ### ###"),
+      (4L, (1 to 30).map(_ => "the cat sat").mkString(" ")),
+      (5L, "a reasonable document with some stopwords in it and the " +
+        "usual mixture of words people write about various things " +
+        "every day without much repetition at all here"))
+    val viaFilter = TextAnalysis.gopherFilter(d, 10, 1000)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val kept = TextAnalysis.gopherKeep(d, 10, 1000)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      == viaFilter)
+  }
 
   test("ngramJaccardPairs finds near-dups via shared shingle pass") {
     val d = docs(
