@@ -203,6 +203,20 @@ private[graft] object EntryOracle {
     (base +: steps).mkString(", ")
   }
 
+  /** Per-side minhash banded CTE chain (suffix-tagged, hot-bucket cap
+    * applied WITHIN the side) rooted on a filtered documents slice —
+    * the cross-corpus oracle builds one per side, mirroring
+    * [[graft.pipeline.Dedup.crossCorpusNearDups]]' per-side caps. */
+  private def sideBandedCtes(sfx: String, where: String): String =
+    s"s$sfx AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE $where), " +
+      s"sh$sfx AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, GREATEST(len(words)-3, 0)), i -> array_to_string(words[i+1:i+3], ' '))) AS shingles FROM s$sfx), " +
+      s"hh$sfx AS (SELECT doc_id, list_transform(shingles, s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % ${Dedup.MinhashP}) AS hs FROM sh$sfx), " +
+      s"sg$sfx AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh$sfx), " +
+      s"banded$sfx AS (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM sg$sfx), " +
+      s"bk0$sfx AS (SELECT doc_id, sig, band, md5(array_to_string(list_transform(sig[band*4+1:band*4+4], x -> CAST(x AS VARCHAR)), ',')) AS bucket FROM banded$sfx), " +
+      s"okb$sfx AS (SELECT band, bucket FROM bk0$sfx GROUP BY band, bucket HAVING count(*) <= ${pipeline.Caps.DefaultMaxBucket}), " +
+      s"bk$sfx AS (SELECT bk0$sfx.* FROM bk0$sfx JOIN okb$sfx USING (band, bucket))"
+
   private lazy val minhashPairsCte: String =
     s"$shCte$hsCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh), " +
       "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM sg), " +
@@ -827,6 +841,51 @@ private[graft] object EntryOracle {
           "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
           "FROM bk2 a JOIN bk2 b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)") +
       " SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"),
+    // cross-corpus near-dup join: the per-side banded chains mirror
+    // crossCorpusNearDups' per-side hot-bucket caps exactly
+    "q_crosscorpus_neardup" -> ("WITH " +
+      sideBandedCtes("cn", "doc_id % 4 = 0") + ", " +
+      sideBandedCtes("cr", "doc_id % 4 <> 0") + ", " +
+      "cxp AS (SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id, " +
+      "CAST(len(list_filter(list_zip(n.sig, r.sig), z -> z[1] = z[2])) AS DOUBLE) / 16 AS est_jaccard " +
+      "FROM bkcn n JOIN bkcr r ON n.band = r.band AND n.bucket = r.bucket) " +
+      "SELECT new_id, ref_id, est_jaccard FROM cxp " +
+      "WHERE est_jaccard >= CAST(0.5 AS DOUBLE) ORDER BY new_id, ref_id"),
+    // cluster-balanced sampling: IVF assignment (the ANN family's
+    // oracle-pinned chain) + the temperature-sampling fragment keyed
+    // by cell instead of source
+    "q_cluster_sample" -> (s"$unitCte, $ivfChain, " +
+      "clc AS (SELECT cell, count(*) AS n_cell FROM asg GROUP BY cell), " +
+      "clr AS (SELECT cell, n_cell, CAST(round(pow(CAST(n_cell AS DOUBLE), CAST(0.5 AS DOUBLE)), 6) AS DECIMAL(38,6)) AS wgt FROM clc), " +
+      "clr2 AS (SELECT cell, n_cell, least(CAST(1.0 AS DOUBLE), " +
+      "CAST(0.5 AS DOUBLE) * CAST(SUM(n_cell) OVER () AS DOUBLE) * CAST(wgt AS DOUBLE) " +
+      "/ CAST(SUM(wgt) OVER () AS DOUBLE) / CAST(n_cell AS DOUBLE)) AS keep_rate FROM clr), " +
+      "clu AS (SELECT a.vec_id, a.cell, r.n_cell, r.keep_rate, " +
+      "round(CAST(CAST(('0x'||substr(md5('csample:'||CAST(a.vec_id AS VARCHAR)),1,8)) AS BIGINT) AS DOUBLE) / 4294967296.0, 8) AS sample_u " +
+      "FROM asg a JOIN clr2 r USING (cell)) " +
+      "SELECT vec_id, cell, n_cell, round(keep_rate, 6) AS keep_rate, sample_u " +
+      "FROM clu WHERE sample_u < round(keep_rate, 8) ORDER BY vec_id"),
+    // deterministic HLL distinct sketch: md5-derived 60-bit hash,
+    // 64 buckets, exact DECIMAL harmonic sum, driver-literal ln table
+    // (constants shared with Sketches via the same Scala calls)
+    "q_hll_distinct" -> {
+      val b = pipeline.Sketches.DefaultB
+      val m = 1 << b
+      val restBits = 60 - b
+      val p61 = math.pow(2.0, 61)
+      val lnArr = pipeline.Sketches.lnTable(b).mkString("[", ", ", "]")
+      s"WITH hl AS (SELECT event_type, CAST(('0x'||substr(md5('hll:'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS hash FROM events), " +
+        s"hb AS (SELECT event_type, hash % $m AS bucket, hash // $m AS rest FROM hl), " +
+        s"hr AS (SELECT event_type, bucket, max(CASE WHEN rest = 0 THEN ${restBits + 1} ELSE $restBits - length(bin(rest)) + 1 END) AS r FROM hb GROUP BY 1, 2), " +
+        s"hg AS (SELECT event_type, CAST(count(*) AS INT) AS n_buckets, SUM(CAST(pow(CAST(2 AS DOUBLE), 61 - r) AS DECIMAL(38,0))) AS zp FROM hr GROUP BY 1), " +
+        s"hz AS (SELECT event_type, n_buckets, $m - n_buckets AS n_zero, CAST(zp + CAST($m - n_buckets AS DECIMAL(38,0)) * CAST($p61 AS DECIMAL(38,0)) AS DOUBLE) AS z FROM hg), " +
+        s"he AS (SELECT event_type, n_buckets, n_zero, CAST(${pipeline.Sketches.alphaNum(b)} AS DOUBLE) / z AS e_raw FROM hz), " +
+        s"hx AS (SELECT event_type, n_buckets, n_zero, round(CASE WHEN e_raw <= CAST(${2.5 * m} AS DOUBLE) AND n_zero > 0 THEN (CAST($lnArr AS DOUBLE[]))[n_zero] ELSE e_raw END, 4) AS hll_est FROM he), " +
+        s"hx2 AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1) " +
+        "SELECT hx2.event_type, hx2.n_exact, hx.n_buckets, hx.n_zero, hx.hll_est, " +
+        "round(abs(hx.hll_est - CAST(hx2.n_exact AS DOUBLE)) / CAST(hx2.n_exact AS DOUBLE), 4) AS rel_err " +
+        "FROM hx2 JOIN hx USING (event_type) ORDER BY event_type"
+    },
     // temperature sampling: keep-rate ∝ count^alpha, decimal-exact
     // normalizer, md5-derived deterministic uniform per doc
     "q_temp_sample" -> ("WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source), " +

@@ -8,7 +8,7 @@ import graft.model.EventView
 import graft.operators.{Combine, Index, Streams, Windows}
 import graft.operators.Streams.EventOps
 import graft.functions.Folds
-import graft.pipeline.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Similarity, Sketches, TextAnalysis}
 import graft.EntryShared._
 
 /** Driver-contract queries, part 2 of the [[SparkEntry]] split:
@@ -210,6 +210,30 @@ private[graft] object EntryPipeline {
         .select(col("doc_id"), col("lang"), col("n_source"),
           round(col("keep_rate"), 6).as("keep_rate"), col("sample_u"))
         .orderBy("doc_id")),
+    // cross-corpus near-dup join: dedup an incoming batch (doc_id
+    // divisible by 4) against the reference corpus (the rest) — the
+    // continuous-ingestion production shape; banded per side, capped
+    // per side, never all-pairs
+    "q_crosscorpus_neardup" -> ((s, d) =>
+      Dedup.crossCorpusNearDups(
+        docs(s, d).filter(col("doc_id") % 4 === 0),
+        docs(s, d).filter(col("doc_id") % 4 =!= 0))
+        .orderBy("new_id", "ref_id")),
+    // cluster-balanced sampling: the temperature mixture rule over
+    // embedding-space cells (topic rebalancing without labels)
+    "q_cluster_sample" -> ((s, d) =>
+      Curation.clusterSample(emb(s, d), 0.5, 0.5)
+        .select(col("vec_id"), col("cell"), col("n_cell"),
+          round(col("keep_rate"), 6).as("keep_rate"), col("sample_u"))
+        .orderBy("vec_id")),
+    // deterministic HyperLogLog distinct-user sketch per event type,
+    // audited against the exact count — every step md5-derived and
+    // replayed exactly by the oracle (no engine-internal HLL++ state)
+    "q_hll_distinct" -> ((s, d) =>
+      Sketches.hllDistinct(
+        s.read.parquet(s"$d/events.parquet"),
+        Seq("event_type"), "user_id")
+        .orderBy("event_type")),
     // changed with :pairs? — the previous value rides along with each
     // transition (streams_test.clj changed-test "with previous event")
     "q_changed_pairs" -> ((s, d) =>

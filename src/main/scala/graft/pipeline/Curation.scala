@@ -208,6 +208,50 @@ object Curation {
       .toDF("n_corpus", "n_quality", "n_exact", "n_neardup", "n_clean")
   }
 
+  /** Cluster-balanced sampling — the temperature mixture rule applied
+    * to EMBEDDING-SPACE clusters instead of provenance labels (topic
+    * rebalancing: web corpora over-represent a few dense topics, and
+    * no metadata column says so; resampling cluster counts toward
+    * n_c^alpha evens topic coverage without hand labels). Cells come
+    * from the deterministic IVF coarse quantizer
+    * ([[Similarity.ivfCentroids]] seed + [[Similarity.ivfAssign]]'s
+    * broadcast-argmax narrow map — the exact machinery the ANN family
+    * already oracle-pins), so the full pass is: one tiny centroid
+    * aggregation, a narrow assignment map, a per-cell count, a
+    * broadcast rates join, and a deterministic md5 keep test. No
+    * global sort, no driver-side randomness — the same auditable
+    * resumable-sampling posture as [[temperatureSample]].
+    *
+    * Output (kept rows): (vec_id, cell, n_cell, keep_rate, sample_u). */
+  def clusterSample(embeddings: DataFrame, alpha: Double = 0.5,
+      targetFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val assigned = Similarity.ivfAssign(embeddings,
+        Similarity.ivfCentroids(embeddings))
+      .select(col("vec_id"), col("cell"))
+    val counts = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_cell"))
+    // identical decimal-exact normalizer discipline as temperatureSample
+    val rates = counts
+      .withColumn("wgt", round(pow(col("n_cell").cast("double"),
+        lit(alpha)), 6).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+      .withColumn("keep_rate", least(lit(1.0),
+        lit(targetFrac) *
+          sum("n_cell").over(Window.partitionBy()).cast("double") *
+          col("wgt").cast("double") /
+          sum("wgt").over(Window.partitionBy()).cast("double") /
+          col("n_cell").cast("double")))
+      .select("cell", "n_cell", "keep_rate")
+    val u = conv(substring(md5(concat(lit("csample:"),
+      col("vec_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    assigned.join(broadcast(rates), "cell")
+      .withColumn("sample_u", round(u, 8))
+      .filter(col("sample_u") < round(col("keep_rate"), 8))
+      .select(col("vec_id"), col("cell"), col("n_cell"),
+        col("keep_rate"), col("sample_u"))
+  }
+
   def temperatureSample(docs: DataFrame, alpha: Double = 0.5,
       targetFrac: Double = 0.5, byCol: String = "source"): DataFrame = {
     import org.apache.spark.sql.functions.broadcast

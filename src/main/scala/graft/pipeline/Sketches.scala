@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deterministic, engine-portable distinct-count sketching
+  * (HyperLogLog, Flajolet et al. 2007) — the cardinality counterpart
+  * of the approx percentile family: at 100 TB "how many distinct
+  * hosts/users/urls per key" is a first-class monitoring AND curation
+  * question (riemann folds count distinct hosts per service in
+  * user configs; corpus reports count distinct domains per shard),
+  * and the exact answer needs a full shuffle of every distinct value
+  * while the sketch needs one bounded-width partial aggregate.
+  *
+  * Unlike `approx_count_distinct` (whose HLL++ bias tables are an
+  * engine-internal detail), every step here is md5-derived and
+  * SQL-expressible, so the DuckDB oracle replays the sketch EXACTLY:
+  * hash = first-15-hex of md5("hll:" ++ value) → 60 bits; bucket =
+  * hash mod m; rho = position of the first 1-bit in the remaining
+  * 60-lg(m) bits (via the binary-string length both engines print
+  * identically); per-bucket max-rho is the mergeable state; the
+  * estimate is the classic alpha_m·m²/Σ2^−rho harmonic mean with
+  * linear counting below 2.5m — transcendentals (ln) pre-computed on
+  * the driver and embedded as literals on BOTH sides, and the
+  * harmonic sum carried as an exact DECIMAL of scaled powers of two,
+  * so no cross-engine libm difference can flip a bit.
+  *
+  * Scale shape: [[sketch]] is one hash aggregation with map-side
+  * combine to ≤ m rows per key (the mergeable partial — union sketches
+  * by taking max-rho per bucket again); [[estimate]] rolls ≤ m rows
+  * per key up to one. No driver state, no second pass over the data.
+  */
+object Sketches {
+
+  /** Default precision: 2^6 = 64 buckets (~13% standard error) — small
+    * enough that the per-key state is negligible, and the entry
+    * surface's rel-err column shows the real achieved accuracy. */
+  val DefaultB = 6
+
+  private def alphaM(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** alpha_m · m² · 2^61 as ONE driver-computed double — the numerator
+    * literal both the Spark plan and the DuckDB oracle embed (so each
+    * engine performs the same single divide). */
+  def alphaNum(b: Int): Double = {
+    val m = 1 << b
+    alphaM(m) * m * m * math.pow(2.0, 61)
+  }
+
+  /** Driver-precomputed m·ln(m/zeros) for zeros ∈ [1, m] — the
+    * linear-counting table both engines embed as literals (libm ln
+    * can differ across engines in the last ulp; a literal cannot). */
+  def lnTable(b: Int): Seq[Double] = {
+    val m = 1 << b
+    (1 to m).map(z => m * math.log(m.toDouble / z))
+  }
+
+  /** The mergeable HLL state: one row per (keys, bucket) with the max
+    * first-1-bit position `rho` observed in that bucket. */
+  def sketch(df: DataFrame, keys: Seq[String], valueCol: String,
+      b: Int = DefaultB): DataFrame = {
+    require(b >= 2 && b <= 16, s"b must be in [2,16], got $b")
+    val m = 1 << b
+    val restBits = 60 - b
+    val hash = conv(substring(md5(concat(lit("hll:"),
+      col(valueCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val bucket = hash % m
+    // exact bit shift, not `/` (double division would round a 60-bit
+    // hash past the 53-bit mantissa); DuckDB mirrors with `// m`
+    val rest = shiftright(hash, b)
+    // first-1-bit position of the restBits-wide remainder: its
+    // printed binary length (identical in Spark's conv and DuckDB's
+    // bin, including "0" for zero) gives the top bit's position
+    val rho = when(rest === 0, lit(restBits + 1))
+      .otherwise(lit(restBits) - length(conv(rest.cast("string"),
+        10, 2)) + 1)
+    df.select((keys.map(col) :+ bucket.as("bucket") :+ rho.as("rho")): _*)
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("r"))
+  }
+
+  /** Roll a [[sketch]] up to one estimate row per key:
+    * (keys, n_buckets, n_zero, hll_est). */
+  def estimate(sk: DataFrame, keys: Seq[String],
+      b: Int = DefaultB): DataFrame = {
+    val m = 1 << b
+    // Σ 2^{-rho} scaled by 2^61 so the harmonic sum is EXACT decimal
+    // arithmetic: present buckets contribute 2^(61-r) (r ≥ 1 keeps it
+    // in long range), absent buckets 2^61 each
+    val pow261 = math.pow(2.0, 61) // exactly representable
+    val zTerm = pow(lit(2.0), lit(61) - col("r")).cast(DecimalType(38, 0))
+    val aNum = alphaNum(b)
+    val lnLits = lnTable(b)
+    val rolled = sk
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("int").as("n_buckets"),
+        sum(zTerm).as("zp"))
+      .withColumn("n_zero", lit(m) - col("n_buckets"))
+      .withColumn("z", (col("zp") +
+        col("n_zero").cast(DecimalType(38, 0)) *
+          lit(pow261).cast(DecimalType(38, 0))).cast("double"))
+      .withColumn("e_raw", lit(aNum) / col("z"))
+    val linear = element_at(
+      array(lnLits.map(lit): _*), col("n_zero"))
+    rolled.withColumn("hll_est", round(
+        when(col("e_raw") <= lit(2.5 * m) && col("n_zero") > 0, linear)
+          .otherwise(col("e_raw")), 4))
+      .select((keys.map(col) :+ col("n_buckets") :+ col("n_zero") :+
+        col("hll_est")): _*)
+  }
+
+  /** Sketch + estimate + exact comparison in one relation:
+    * (keys, n_exact, n_buckets, n_zero, hll_est, rel_err) — the
+    * accuracy-auditing surface (the exact side is the expensive
+    * distinct shuffle the sketch exists to avoid; here it doubles as
+    * the oracle-checked ground truth). */
+  def hllDistinct(df: DataFrame, keys: Seq[String], valueCol: String,
+      b: Int = DefaultB): DataFrame = {
+    val est = estimate(sketch(df, keys, valueCol, b), keys, b)
+    val exact = df.groupBy(keys.map(col): _*)
+      .agg(countDistinct(col(valueCol)).as("n_exact"))
+    exact.join(est, keys)
+      .withColumn("rel_err", round(
+        abs(col("hll_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 4))
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Curation, Dedup, Sketches}
+
+/** Behavioral tests for the round-13 pipeline additions: the
+  * deterministic HLL sketch (mergeability + accuracy on both the
+  * linear-counting and raw branches), cross-corpus near-dup joins, and
+  * cluster-balanced sampling. Exact values are oracle-pinned
+  * (q_hll_distinct / q_crosscorpus_neardup / q_cluster_sample); these
+  * pin the semantic properties the oracle cannot see. */
+class SketchesSpec extends SparkSpec {
+
+  private def vals(n: Int, key: String = "k") = {
+    val spark0 = spark
+    import spark0.implicits._
+    (1 to n).map(i => (key, s"user_$i")).toDF("k", "v")
+  }
+
+  test("HLL estimate lands within 3σ on the raw branch (m=64, 5000 " +
+    "distinct) and nails small sets via linear counting") {
+    val big = Sketches.hllDistinct(vals(5000), Seq("k"), "v")
+      .collect().head
+    val est = big.getAs[Double]("hll_est")
+    // σ ≈ 1.04/√64 ≈ 13%; 3σ = 39%
+    assert(math.abs(est - 5000) / 5000.0 < 0.39, s"est $est")
+    val small = Sketches.hllDistinct(vals(12), Seq("k"), "v")
+      .collect().head
+    assert(small.getAs[Int]("n_zero") > 0) // linear-counting branch
+    assert(math.abs(small.getAs[Double]("hll_est") - 12) < 6)
+  }
+
+  test("HLL sketches MERGE: sketch(A ∪ B) == bucket-max of " +
+    "sketch(A) and sketch(B)") {
+    val a = vals(300)
+    val b = vals(500).withColumn("v", concat(lit("other_"), col("v")))
+    val whole = Sketches.sketch(a.union(b), Seq("k"), "v")
+      .orderBy("bucket").collect().map(r => (r.getLong(1), r.getInt(2)))
+    val merged = Sketches.sketch(a, Seq("k"), "v")
+      .union(Sketches.sketch(b, Seq("k"), "v"))
+      .groupBy("k", "bucket").agg(max("r").as("r"))
+      .orderBy("bucket").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(whole.toSeq == merged.toSeq)
+  }
+
+  test("HLL is insensitive to duplication (cardinality, not count)") {
+    val once = Sketches.hllDistinct(vals(200), Seq("k"), "v").collect().head
+    val thrice = Sketches.hllDistinct(
+      vals(200).union(vals(200)).union(vals(200)), Seq("k"), "v")
+      .collect().head
+    assert(once.getAs[Double]("hll_est") == thrice.getAs[Double]("hll_est"))
+    assert(thrice.getAs[Long]("n_exact") == 200L)
+  }
+
+  private def mkDocs(rows: (Long, String)*) = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("crossCorpusNearDups finds the incoming near-copy of a " +
+    "reference doc and filterAgainstCorpus keeps only the novel doc") {
+    val ref = mkDocs(
+      (10L, "the quick brown fox jumps over the lazy dog every day"),
+      (11L, "completely different reference content about other topics"))
+    val incoming = mkDocs(
+      (20L, "the quick brown fox jumps over the lazy dog every night"),
+      (21L, "a genuinely novel incoming document with fresh words only"))
+    val pairs = Dedup.crossCorpusNearDups(incoming, ref, threshold = 0.3)
+      .select("new_id", "ref_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((20L, 10L)))
+    val kept = Dedup.filterAgainstCorpus(incoming, ref, threshold = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(21L))
+  }
+
+  test("clusterSample: deterministic, bounded keep rates, kept ⊆ input") {
+    val spark0 = spark
+    import spark0.implicits._
+    // two tight clusters of different sizes along different axes
+    val rows = ((1 to 30).map(i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == 0) 1.0f else 0.001f * i), 0)) ++
+      (31 to 40).map(i =>
+        (i.toLong, Array.tabulate(8)(d => if (d == 4) 1.0f else 0.001f * i), 1)))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val s1 = Curation.clusterSample(emb, 0.5, 0.5).orderBy("vec_id").collect()
+    val s2 = Curation.clusterSample(emb, 0.5, 0.5).orderBy("vec_id").collect()
+    assert(s1.toSeq == s2.toSeq) // resumable: same sample every run
+    assert(s1.nonEmpty && s1.length < 40)
+    assert(s1.forall { r =>
+      val rate = r.getAs[Double]("keep_rate")
+      rate > 0.0 && rate <= 1.0 && r.getAs[Double]("sample_u") < rate + 1e-6
+    })
+    // alpha < 1 up-weights the SMALL cluster: its keep rate must be
+    // at least the big cluster's
+    val byCell = s1.groupBy(_.getAs[Int]("cell")).view
+      .mapValues(_.head.getAs[Double]("keep_rate")).toMap
+    if (byCell.size == 2)
+      assert(byCell(1) >= byCell(0))
+  }
+}
