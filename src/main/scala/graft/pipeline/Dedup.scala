@@ -195,9 +195,17 @@ object Dedup {
       k: Int = 16, bands: Int = 4, threshold: Double = 0.5, w: Int = 3,
       maxBucket: Int = Caps.DefaultMaxBucket): DataFrame =
     crossCorpusNearDupsAgainstBanded(newDocs,
-      Caps.cap(lshBands(minhashSignature(refDocs, k, w), k, bands),
-        Seq("band", "bucket"), maxBucket, "crosscorpus_lsh_ref"),
+      bandedReference(refDocs, k, bands, w, maxBucket),
       k, bands, threshold, w, maxBucket)
+
+  /** The reference side's capped banded relation (doc_id, sig, band,
+    * bucket) — a pure function of the corpus, precomputed once per
+    * release and reused by every batch ([[crossCorpusNearDupsAgainstBanded]])
+    * and by the streaming filter (graft.streaming.StreamingCrossCorpus). */
+  def bandedReference(refDocs: DataFrame, k: Int = 16, bands: Int = 4,
+      w: Int = 3, maxBucket: Int = Caps.DefaultMaxBucket): DataFrame =
+    Caps.cap(lshBands(minhashSignature(refDocs, k, w), k, bands),
+      Seq("band", "bucket"), maxBucket, "crosscorpus_lsh_ref")
 
   /** [[crossCorpusNearDups]] against a PRECOMPUTED (and already
     * capped) reference banded relation (doc_id, sig, band, bucket). */
