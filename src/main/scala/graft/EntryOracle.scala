@@ -886,6 +886,25 @@ private[graft] object EntryOracle {
         "round(abs(hx.hll_est - CAST(hx2.n_exact AS DOUBLE)) / CAST(hx2.n_exact AS DOUBLE), 4) AS rel_err " +
         "FROM hx2 JOIN hx USING (event_type) ORDER BY event_type"
     },
+    // count-min sketch: d unrolled md5 hash rows, additive cells,
+    // min-over-rows estimates — every step exact integer arithmetic
+    "q_cms_counts" -> {
+      val d = pipeline.Sketches.DefaultCmsDepth
+      val w = pipeline.Sketches.DefaultCmsWidth
+      def bkt(r: Int) =
+        s"CAST(('0x'||substr(md5('cms:$r:'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % $w"
+      val rowsUnion = (0 until d).map(r =>
+        s"SELECT $r AS rw, ${bkt(r)} AS bucket FROM events")
+        .mkString(" UNION ALL ")
+      val probeUnion = (0 until d).map(r =>
+        s"SELECT user_id, $r AS rw, ${bkt(r)} AS bucket FROM cme")
+        .mkString(" UNION ALL ")
+      s"WITH cmsk AS (SELECT rw, bucket, count(*) AS cnt FROM ($rowsUnion) GROUP BY 1, 2), " +
+        "cme AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1), " +
+        s"cmpe AS (SELECT user_id, min(cnt) AS cms_est FROM ($probeUnion) p JOIN cmsk USING (rw, bucket) GROUP BY 1) " +
+        "SELECT cme.user_id, cme.n_exact, cmpe.cms_est, cmpe.cms_est - cme.n_exact AS over_err " +
+        "FROM cme JOIN cmpe USING (user_id) ORDER BY user_id"
+    },
     // temperature sampling: keep-rate ∝ count^alpha, decimal-exact
     // normalizer, md5-derived deterministic uniform per doc
     "q_temp_sample" -> ("WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source), " +

@@ -234,6 +234,13 @@ private[graft] object EntryPipeline {
         s.read.parquet(s"$d/events.parquet"),
         Seq("event_type"), "user_id")
         .orderBy("event_type")),
+    // count-min frequency sketch audited against exact counts —
+    // additive cells, so deterministic + mergeable + replayed exactly;
+    // over_err >= 0 is the CMS one-sided-error contract
+    "q_cms_counts" -> ((s, d) =>
+      Sketches.cmsFrequencies(
+        s.read.parquet(s"$d/events.parquet"), "user_id")
+        .orderBy("user_id")),
     // changed with :pairs? — the previous value rides along with each
     // transition (streams_test.clj changed-test "with previous event")
     "q_changed_pairs" -> ((s, d) =>

@@ -115,6 +115,63 @@ object Sketches {
         col("hll_est")): _*)
   }
 
+  /** Count-min frequency sketch (Cormode & Muthukrishnan 2005) — the
+    * frequency companion to the HLL distinct sketch: "how often does
+    * each value occur" answered from d×w cells instead of a
+    * per-distinct-value shuffle. Cells are exact additive counts
+    * (unlike HLL's max-rho state there is no estimator nonlinearity),
+    * so the sketch is deterministic, mergeable by cell-wise addition,
+    * and replayed EXACTLY by the DuckDB oracle; estimates are
+    * min-over-rows and can only OVERcount (collision bias —
+    * [[cmsEstimate]] surfaces the achieved overshoot against the
+    * exact count).
+    *
+    * Scale shape: one aggregation to d·w rows per key-group with
+    * map-side combine — the partial-aggregate rows ARE the mergeable
+    * sketch. Estimation joins a (small) probe set against d·|probes|
+    * cells. */
+  val DefaultCmsDepth = 4
+  val DefaultCmsWidth = 256
+
+  private def cmsBucket(valueCol: String, row: Int, w: Int): Column =
+    conv(substring(md5(concat(lit(s"cms:$row:"),
+      col(valueCol).cast("string"))), 1, 15), 16, 10).cast("long") % w
+
+  /** The mergeable CMS state: (row, bucket, cnt), d·w rows max. */
+  def cmsSketch(df: DataFrame, valueCol: String,
+      d: Int = DefaultCmsDepth, w: Int = DefaultCmsWidth): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
+    df.select(posexplode(array((0 until d).map(r =>
+        cmsBucket(valueCol, r, w)): _*)).as(Seq("row", "bucket")))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate every probe value against a [[cmsSketch]]:
+    * (value, cms_est) with cms_est = min over the d rows' cells. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame,
+      valueCol: String, d: Int = DefaultCmsDepth,
+      w: Int = DefaultCmsWidth): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val cells = probes.select(col(valueCol),
+        posexplode(array((0 until d).map(r =>
+          cmsBucket(valueCol, r, w)): _*)).as(Seq("row", "bucket")))
+    // the sketch is d·w rows — broadcast it under the probes
+    cells.join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(valueCol).agg(min(col("cnt")).as("cms_est"))
+  }
+
+  /** Sketch + estimate + exact audit over the df's own distinct
+    * values: (value, n_exact, cms_est, over_err) — over_err ≥ 0 by
+    * construction (CMS never undercounts). */
+  def cmsFrequencies(df: DataFrame, valueCol: String,
+      d: Int = DefaultCmsDepth, w: Int = DefaultCmsWidth): DataFrame = {
+    val sk = cmsSketch(df, valueCol, d, w)
+    val exact = df.groupBy(valueCol).agg(count(lit(1)).as("n_exact"))
+    exact.join(cmsEstimate(sk, exact.select(valueCol), valueCol, d, w),
+        valueCol)
+      .withColumn("over_err", col("cms_est") - col("n_exact"))
+  }
+
   /** Sketch + estimate + exact comparison in one relation:
     * (keys, n_exact, n_buckets, n_zero, hll_est, rel_err) — the
     * accuracy-auditing surface (the exact side is the expensive

@@ -53,6 +53,32 @@ class SketchesSpec extends SparkSpec {
     assert(thrice.getAs[Long]("n_exact") == 200L)
   }
 
+  test("CMS never undercounts, is exact sans collisions, and merges " +
+    "by cell-wise addition") {
+    val spark0 = spark
+    import spark0.implicits._
+    // skewed frequencies: value i appears i times
+    val df = (1 to 30).flatMap(i => Seq.fill(i)(s"v$i")).toDF("v")
+    val freqs = Sketches.cmsFrequencies(df, "v").collect()
+    assert(freqs.length == 30)
+    assert(freqs.forall(r => r.getAs[Long]("over_err") >= 0L))
+    // d=4 rows of w=256 buckets vs 30 distinct values: the chance all
+    // 4 rows collide for some value is negligible — the min is exact
+    assert(freqs.forall(r =>
+      r.getAs[Long]("cms_est") == r.getAs[Long]("n_exact")))
+    val a = df.limit(100)
+    val b = df.orderBy(col("v").desc).limit(200)
+    val whole = Sketches.cmsSketch(a.union(b), "v")
+      .orderBy("row", "bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val merged = Sketches.cmsSketch(a, "v")
+      .union(Sketches.cmsSketch(b, "v"))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+      .orderBy("row", "bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(whole.toSeq == merged.toSeq)
+  }
+
   private def mkDocs(rows: (Long, String)*) = {
     val spark0 = spark
     import spark0.implicits._
