@@ -226,8 +226,12 @@ object Curation {
   def clusterSample(embeddings: DataFrame, alpha: Double = 0.5,
       targetFrac: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val assigned = Similarity.ivfAssign(embeddings,
-        Similarity.ivfCentroids(embeddings))
+    // the quantizer is tiny (|labels| rows) but its derivation is a
+    // corpus aggregation — collect it ONCE to a local relation so the
+    // two consumers of `assigned` (counts, rates join) re-run only the
+    // narrow argmax map, not the centroid explode+groupBy
+    val cents = Similarity.toLocal(Similarity.ivfCentroids(embeddings))
+    val assigned = Similarity.ivfAssign(embeddings, cents)
       .select(col("vec_id"), col("cell"))
     val counts = assigned.groupBy("cell")
       .agg(count(lit(1)).as("n_cell"))

@@ -32,7 +32,7 @@ object Similarity {
   /** Collect a TINY relation (centroids, codebooks) into a local
     * relation and release its cache: callers get broadcast-ready
     * literals instead of a session-pinned cache entry. */
-  private def toLocal(df: DataFrame): DataFrame = {
+  private[pipeline] def toLocal(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val rows = df.collect()
     df.unpersist()
