@@ -107,19 +107,36 @@ object Dedup {
   /** LSH banding of a signature: b bands of r = k/b rows; bucket id =
     * md5 of the band's slice. Docs sharing any (band, bucket) are
     * candidates. One row per (doc, band). */
-  def lshBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** THE band/bucket derivation, as one explodable expression over a
+    * `sig` column — every consumer (batch [[lshBands]], the streaming
+    * within-stream family, the streaming cross-corpus filter) banding
+    * through this single formula is what makes their (band, bucket)
+    * keys join-compatible; a fork here would silently empty those
+    * joins. */
+  private[graft] def bandExplodeExpr(k: Int, bands: Int): Column = {
     require(bands >= 1 && k % bands == 0,
       s"bands ($bands) must divide the signature size ($k): r = k/bands = 0 " +
         "would put every doc in one bucket (all-pairs blowup), and a " +
         "non-divisor silently ignores trailing signature elements")
     val r = k / bands
-    sig.select(col("doc_id"), col("sig"),
-      explode(expr(s"transform(sequence(0, ${bands - 1}), " +
-        s"b -> named_struct('band', b, 'bucket', " +
-        s"md5(concat_ws(',', transform(slice(sig, b*$r+1, $r), " +
-        "x -> cast(x as string))))))")).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    explode(expr(s"transform(sequence(0, ${bands - 1}), " +
+      s"b -> named_struct('band', b, 'bucket', " +
+      s"md5(concat_ws(',', transform(slice(sig, b*$r+1, $r), " +
+      "x -> cast(x as string))))))"))
   }
+
+  /** Estimated Jaccard of two k-element signatures (fraction of equal
+    * elements) — shared by every pair producer so batch, cross-corpus,
+    * and oracle agreement formulas cannot drift. */
+  private[graft] def sigAgreement(aSig: String, bSig: String,
+      k: Int): Column =
+    (expr(s"size(filter(zip_with($aSig, $bSig, (x, y) -> x = y), p -> p))")
+      .cast("double") / k)
+
+  def lshBands(sig: DataFrame, k: Int, bands: Int): DataFrame =
+    sig.select(col("doc_id"), col("sig"),
+        bandExplodeExpr(k, bands).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
 
   /** Drop (band, bucket) groups larger than `maxBucket` — the hot-bucket
     * guard every LSH consumer shares ([[Caps.cap]]: one cheap aggregate
@@ -167,8 +184,7 @@ object Dedup {
         col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), p -> p))")
-          .cast("double") / k).as("est_jaccard"))
+        sigAgreement("a.sig", "b.sig", k).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
@@ -220,8 +236,7 @@ object Dedup {
         col("n.band") === col("r.band") &&
           col("n.bucket") === col("r.bucket"))
       .select(col("n.doc_id").as("new_id"), col("r.doc_id").as("ref_id"),
-        (expr("size(filter(zip_with(n.sig, r.sig, (x, y) -> x = y), p -> p))")
-          .cast("double") / k).as("est_jaccard"))
+        sigAgreement("n.sig", "r.sig", k).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
   }

@@ -62,7 +62,10 @@ object Sketches {
   }
 
   /** The mergeable HLL state: one row per (keys, bucket) with the max
-    * first-1-bit position `rho` observed in that bucket. */
+    * first-1-bit position `rho` observed in that bucket. NULL values
+    * are excluded up front — like `count(DISTINCT …)`, the sketch
+    * counts distinct NON-NULL values (a null would otherwise hash to a
+    * phantom null bucket and skew n_zero against the exact audit). */
   def sketch(df: DataFrame, keys: Seq[String], valueCol: String,
       b: Int = DefaultB): DataFrame = {
     require(b >= 2 && b <= 16, s"b must be in [2,16], got $b")
@@ -70,6 +73,7 @@ object Sketches {
     val restBits = 60 - b
     val hash = conv(substring(md5(concat(lit("hll:"),
       col(valueCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val nonNull = df.filter(col(valueCol).isNotNull)
     val bucket = hash % m
     // exact bit shift, not `/` (double division would round a 60-bit
     // hash past the 53-bit mantissa); DuckDB mirrors with `// m`
@@ -80,7 +84,8 @@ object Sketches {
     val rho = when(rest === 0, lit(restBits + 1))
       .otherwise(lit(restBits) - length(conv(rest.cast("string"),
         10, 2)) + 1)
-    df.select((keys.map(col) :+ bucket.as("bucket") :+ rho.as("rho")): _*)
+    nonNull.select(
+        (keys.map(col) :+ bucket.as("bucket") :+ rho.as("rho")): _*)
       .groupBy((keys :+ "bucket").map(col): _*)
       .agg(max(col("rho")).as("r"))
   }
@@ -141,7 +146,10 @@ object Sketches {
   def cmsSketch(df: DataFrame, valueCol: String,
       d: Int = DefaultCmsDepth, w: Int = DefaultCmsWidth): DataFrame = {
     require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
-    df.select(posexplode(array((0 until d).map(r =>
+    // nulls excluded like the HLL sketch (and like count(value)): a
+    // null would hash to d null buckets no probe can ever look up
+    df.filter(col(valueCol).isNotNull)
+      .select(posexplode(array((0 until d).map(r =>
         cmsBucket(valueCol, r, w)): _*)).as(Seq("row", "bucket")))
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
   }

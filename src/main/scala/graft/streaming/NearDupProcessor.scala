@@ -69,8 +69,6 @@ object StreamingNearDup {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.graft.ColumnBridge
-    require(bands >= 1 && k % bands == 0, "bands must divide k")
-    val r = k / bands
     val sig = ColumnBridge.column(graft.pipeline.MinhashSigExpr(
       ColumnBridge.expression(ColumnBridge.column(
         graft.pipeline.ShinglesExpr(
@@ -78,10 +76,7 @@ object StreamingNearDup {
     val sigd = docs.withWatermark(eventTimeCol, s"$horizonSeconds seconds")
       .select(col("doc_id"), sig.as("sig"), col(eventTimeCol).as("time"))
       .select(col("doc_id"), col("sig"), col("time"),
-        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> named_struct('band', b, 'bucket', " +
-          s"md5(concat_ws(',', transform(slice(sig, b*$r+1, $r), " +
-          "x -> cast(x as string))))))")).as("bb"))
+        graft.pipeline.Dedup.bandExplodeExpr(k, bands).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
         col("doc_id"), col("sig"), col("time"))
       .as[BandedDoc]

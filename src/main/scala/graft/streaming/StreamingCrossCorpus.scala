@@ -38,27 +38,24 @@ object StreamingCrossCorpus {
       eventTimeCol: String, k: Int = 16, bands: Int = 4, w: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    require(bands >= 1 && k % bands == 0, "bands must divide k")
-    val r = k / bands
+    import graft.pipeline.Dedup
     val sig = ColumnBridge.column(graft.pipeline.MinhashSigExpr(
       ColumnBridge.expression(ColumnBridge.column(
         graft.pipeline.ShinglesExpr(
           ColumnBridge.expression(col("text")), w))), k))
+    // banding through Dedup's single shared formula keeps the stream
+    // side join-compatible with the lshBands-built reference relation
     val banded = docs
       .select(col("doc_id"), sig.as("sig"), col(eventTimeCol).as("time"))
       .select(col("doc_id"), col("sig"), col("time"),
-        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> named_struct('band', b, 'bucket', " +
-          s"md5(concat_ws(',', transform(slice(sig, b*$r+1, $r), " +
-          "x -> cast(x as string))))))")).as("bb"))
+        Dedup.bandExplodeExpr(k, bands).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
         col("doc_id"), col("sig"), col("time"))
     banded.as("n").join(refBanded.as("r"),
         col("n.band") === col("r.band") &&
           col("n.bucket") === col("r.bucket"))
       .select(col("n.doc_id").as("new_id"), col("r.doc_id").as("ref_id"),
-        (expr("size(filter(zip_with(n.sig, r.sig, (x, y) -> x = y), p -> p))")
-          .cast("double") / k).as("est_jaccard"),
+        Dedup.sigAgreement("n.sig", "r.sig", k).as("est_jaccard"),
         col("n.band").as("band"), col("n.time").as("time"))
       .filter(col("est_jaccard") >= threshold)
   }

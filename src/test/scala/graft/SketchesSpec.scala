@@ -53,6 +53,23 @@ class SketchesSpec extends SparkSpec {
     assert(thrice.getAs[Long]("n_exact") == 200L)
   }
 
+  test("null values don't perturb either sketch (count-distinct " +
+    "semantics: non-null universe only)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val clean = (1 to 80).map(i => ("k", s"u$i")).toDF("k", "v")
+    val dirty = clean.union(Seq(("k", null: String), ("k", null: String))
+      .toDF("k", "v"))
+    val eClean = Sketches.hllDistinct(clean, Seq("k"), "v").collect().head
+    val eDirty = Sketches.hllDistinct(dirty, Seq("k"), "v").collect().head
+    assert(eClean.toSeq == eDirty.toSeq)
+    val fClean = Sketches.cmsFrequencies(clean, "v")
+      .orderBy("v").collect().map(_.toSeq).toSeq
+    val fDirty = Sketches.cmsFrequencies(dirty, "v")
+      .orderBy("v").collect().map(_.toSeq).toSeq
+    assert(fClean == fDirty)
+  }
+
   test("CMS never undercounts, is exact sans collisions, and merges " +
     "by cell-wise addition") {
     val spark0 = spark
