@@ -66,29 +66,35 @@ object Sketches {
     * are excluded up front — like `count(DISTINCT …)`, the sketch
     * counts distinct NON-NULL values (a null would otherwise hash to a
     * phantom null bucket and skew n_zero against the exact audit). */
-  def sketch(df: DataFrame, keys: Seq[String], valueCol: String,
-      b: Int = DefaultB): DataFrame = {
-    require(b >= 2 && b <= 16, s"b must be in [2,16], got $b")
-    val m = 1 << b
-    val restBits = 60 - b
-    val hash = conv(substring(md5(concat(lit("hll:"),
+  private def hllHash(valueCol: String): Column =
+    conv(substring(md5(concat(lit("hll:"),
       col(valueCol).cast("string"))), 1, 15), 16, 10).cast("long")
-    val nonNull = df.filter(col(valueCol).isNotNull)
-    val bucket = hash % m
-    // exact bit shift, not `/` (double division would round a 60-bit
-    // hash past the 53-bit mantissa); DuckDB mirrors with `// m`
-    val rest = shiftright(hash, b)
-    // first-1-bit position of the restBits-wide remainder: its
-    // printed binary length (identical in Spark's conv and DuckDB's
-    // bin, including "0" for zero) gives the top bit's position
-    val rho = when(rest === 0, lit(restBits + 1))
+
+  private def hllBucket(valueCol: String, b: Int): Column = {
+    require(b >= 2 && b <= 16, s"b must be in [2,16], got $b")
+    hllHash(valueCol) % (1 << b)
+  }
+
+  /** First-1-bit position of the (60-b)-wide hash remainder: its
+    * printed binary length (identical in Spark's conv and DuckDB's
+    * bin, including "0" for zero) gives the top bit's position. The
+    * shift is an exact bit op, not `/` (double division would round a
+    * 60-bit hash past the 53-bit mantissa); DuckDB mirrors `// m`. */
+  private def hllRho(valueCol: String, b: Int): Column = {
+    val restBits = 60 - b
+    val rest = shiftright(hllHash(valueCol), b)
+    when(rest === 0, lit(restBits + 1))
       .otherwise(lit(restBits) - length(conv(rest.cast("string"),
         10, 2)) + 1)
-    nonNull.select(
-        (keys.map(col) :+ bucket.as("bucket") :+ rho.as("rho")): _*)
+  }
+
+  def sketch(df: DataFrame, keys: Seq[String], valueCol: String,
+      b: Int = DefaultB): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select((keys.map(col) :+ hllBucket(valueCol, b).as("bucket") :+
+        hllRho(valueCol, b).as("rho")): _*)
       .groupBy((keys :+ "bucket").map(col): _*)
       .agg(max(col("rho")).as("r"))
-  }
 
   /** Roll a [[sketch]] up to one estimate row per key:
     * (keys, n_buckets, n_zero, hll_est). */
@@ -179,6 +185,46 @@ object Sketches {
         valueCol)
       .withColumn("over_err", col("cms_est") - col("n_exact"))
   }
+
+  /** Streaming face of [[sketch]]: per event-time window × keys, the
+    * mergeable HLL bucket-max state, emitted when the watermark closes
+    * the window (append mode). The sketch rows ARE the deliverable —
+    * a monitoring consumer stores them per window and rolls up with
+    * [[estimate]] (or unions windows by bucket-max first: the merge
+    * property SketchesSpec pins). One stateful aggregation, state
+    * bounded at m rows per (window, keys) — the whole point of
+    * sketching the firehose instead of buffering distinct values. */
+  def streamingSketch(stream: DataFrame, eventTimeCol: String,
+      windowDur: String, keys: Seq[String], valueCol: String,
+      b: Int = DefaultB, watermark: String = "0 seconds"): DataFrame = {
+    val withWin = stream
+      .filter(col(valueCol).isNotNull)
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy((window(col(eventTimeCol), windowDur) +: keys.map(col)) :+
+        hllBucket(valueCol, b).as("bucket"): _*)
+      .agg(max(hllRho(valueCol, b)).as("r"))
+    withWin.select((col("window.start").as("window_start") +:
+      keys.map(col)) ++ Seq(col("bucket"), col("r")): _*)
+  }
+
+  /** Streaming face of [[cmsSketch]]: per event-time window × keys,
+    * additive cells (the CMS merge is a plain sum, so this is ONE
+    * windowed count aggregation over the exploded hash rows). */
+  def streamingCmsSketch(stream: DataFrame, eventTimeCol: String,
+      windowDur: String, keys: Seq[String], valueCol: String,
+      d: Int = DefaultCmsDepth, w: Int = DefaultCmsWidth,
+      watermark: String = "0 seconds"): DataFrame =
+    stream
+      .filter(col(valueCol).isNotNull)
+      .select((col(eventTimeCol) +: keys.map(col)) :+
+        posexplode(array((0 until d).map(r =>
+          cmsBucket(valueCol, r, w)): _*)).as(Seq("row", "bucket")): _*)
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy((window(col(eventTimeCol), windowDur) +: keys.map(col)) ++
+        Seq(col("row"), col("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select((col("window.start").as("window_start") +: keys.map(col)) ++
+        Seq(col("row"), col("bucket"), col("cnt")): _*)
 
   /** Sketch + estimate + exact comparison in one relation:
     * (keys, n_exact, n_buckets, n_zero, hll_est, rel_err) — the

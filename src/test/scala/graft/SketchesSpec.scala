@@ -96,6 +96,49 @@ class SketchesSpec extends SparkSpec {
     assert(whole.toSeq == merged.toSeq)
   }
 
+  test("streaming windowed sketches == batch sketches on the closed " +
+    "window's rows (HLL and CMS)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val rows = (1 to 120).map(i => ("svc", s"host_${i % 40}", ts(5 + i % 8)))
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val hname = s"shll_${System.nanoTime()}"
+    val cname = s"scms_${System.nanoTime()}"
+    val sdf = input.toDF().toDF("k", "v", "t")
+    val qh = Sketches.streamingSketch(sdf, "t", "20 seconds", Seq("k"), "v")
+      .writeStream.format("memory").queryName(hname).outputMode("append")
+      .start()
+    val qc = Sketches.streamingCmsSketch(sdf, "t", "20 seconds", Seq("k"), "v")
+      .writeStream.format("memory").queryName(cname).outputMode("append")
+      .start()
+    try {
+      input.addData(rows: _*)
+      qh.processAllAvailable(); qc.processAllAvailable()
+      input.addData(("svc", "late_host", ts(1000))) // close the window
+      qh.processAllAvailable(); qc.processAllAvailable()
+      val batchDf = rows.toDF("k", "v", "t")
+      val batchHll = Sketches.sketch(batchDf, Seq("k"), "v")
+        .orderBy("bucket").collect()
+        .map(r => (r.getLong(1), r.getInt(2))).toSeq
+      val gotHll = spark.table(hname)
+        .filter(col("window_start") === ts(0))
+        .orderBy("bucket").collect()
+        .map(r => (r.getLong(2), r.getInt(3))).toSeq
+      assert(gotHll == batchHll && batchHll.nonEmpty)
+      val batchCms = Sketches.cmsSketch(batchDf, "v")
+        .orderBy("row", "bucket").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      val gotCms = spark.table(cname)
+        .filter(col("window_start") === ts(0))
+        .orderBy("row", "bucket").collect()
+        .map(r => (r.getInt(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(gotCms == batchCms && batchCms.nonEmpty)
+    } finally { qh.stop(); qc.stop() }
+  }
+
   private def mkDocs(rows: (Long, String)*) = {
     val spark0 = spark
     import spark0.implicits._
