@@ -683,6 +683,26 @@ private[graft] object EntryOracle {
         "CAST(COALESCE(list_sum(list_transform(syms, s -> len(string_split(s, ' ')))), 0) AS BIGINT) AS n_bpe_tokens " +
         s"FROM e$n ORDER BY doc_id"
     },
+    // the materialized token sequences: flatten each pre-token's final
+    // symbol split, join on the unit separator (chr(31)) so every
+    // token byte and boundary is pinned in order
+    "q_bpe_tokens" -> {
+      val n = graft.pipeline.Bpe.DefaultMerges
+      val enc = (1 to n).map { i =>
+        s"e$i AS MATERIALIZED (SELECT doc_id, list_transform(syms, " +
+          s"s -> ${bpeApplySql("s", "pr")}) AS syms " +
+          s"FROM e${i - 1} CROSS JOIN b$i)"
+      }.mkString(", ")
+      s"WITH ${bpeCtes(n, graft.pipeline.Bpe.DefaultVocabCap)}, " +
+        "e0 AS MATERIALIZED (SELECT doc_id, list_transform(" +
+        s"regexp_extract_all(text, '$bpeRe'), " +
+        "t -> trim(regexp_replace(replace(t, ' ', chr(288)), '(?s)(.)', '\\1 ', 'g'))) AS syms " +
+        s"FROM documents), $enc " +
+        "SELECT doc_id, " +
+        "CAST(COALESCE(list_sum(list_transform(syms, s -> len(string_split(s, ' ')))), 0) AS BIGINT) AS n_bpe_tokens, " +
+        "COALESCE(array_to_string(flatten(list_transform(syms, s -> string_split(s, ' '))), chr(31)), '') AS tokens_str " +
+        s"FROM e$n ORDER BY doc_id"
+    },
     "q_langid" -> (s"WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents), " +
       s"m AS (SELECT doc_id, lang, CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks) AS sc FROM t) " +
       "SELECT doc_id, lang AS declared_lang, round(sc, 4) AS en_score, CASE WHEN sc >= 0.05 THEN 'en' ELSE 'other' END AS predicted_lang FROM m ORDER BY doc_id"),

@@ -161,6 +161,18 @@ object Bpe {
         col("c.n_bpe_tokens").as("n_bpe_tokens"))
   }
 
+  /** Materialize the actual token sequences — the training-data
+    * product the counts summarize: (doc_id, tokens array<string>) in
+    * document order, via the memoized kernel. A pure narrow per-doc
+    * pass like [[encode]]; at 100 TB this is the final tokenize step
+    * written alongside the packed-sequence layout
+    * ([[Curation.packSequences]]). */
+  def encodeTokens(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.select(col("doc_id"), ColumnBridge.column(BpeTokensExpr(
+      ColumnBridge.expression(col("text")), merges)).as("tokens"))
+  }
+
   /** The expression-tree form of [[encode]] (nested codegen'd replaces,
     * no kernel, no memo) — kept as the in-engine parity reference. */
   def encodeExpand(docs: DataFrame, merges: Seq[String]): DataFrame = {

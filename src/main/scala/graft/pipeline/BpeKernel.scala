@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -81,6 +82,36 @@ object BpeKernel {
     new GenericInternalRow(Array[Any](np, nb))
   }
 
+  /** The materialized token sequence of one document: every
+    * pre-token's final symbol string split on spaces, concatenated in
+    * document order — the array a training-data loader consumes.
+    * Shares the memo-table discipline of [[encodeCounts]] (cached
+    * values are the SPLIT arrays, so each occurrence pays one copy,
+    * not a re-fold). */
+  def encodeTokens(text: UTF8String, merges: Array[String],
+      cache: java.util.HashMap[String, Array[UTF8String]]): ArrayData = {
+    if (text == null) return null
+    if (cache.size() > MaxCache) cache.clear()
+    val m = Pat.matcher(text.toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    while (m.find()) {
+      val tok = m.group()
+      var toks = cache.get(tok)
+      if (toks == null) {
+        var sym = Bpe.initialSym(tok)
+        var i = 0
+        while (i < merges.length) {
+          sym = Bpe.applyMerge(sym, merges(i))
+          i += 1
+        }
+        toks = sym.split(" ").map(UTF8String.fromString)
+        cache.put(tok, toks)
+      }
+      var j = 0
+      while (j < toks.length) { out += toks(j); j += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** `bpe_count(text)`: struct(n_pretokens, n_bpe_tokens) under the
@@ -118,6 +149,47 @@ case class BpeCountExpr(child: Expression, merges: Seq[String])
       ${c.code}
       InternalRow ${ev.value} = graft.pipeline.BpeKernel.encodeCounts(
         ${c.isNull} ? null : ${c.value}, $mergesRef, $cacheVar);
+      boolean ${ev.isNull} = ${ev.value} == null;
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `bpe_tokens(text)`: the document's materialized BPE token sequence
+  * (array<string>) under the trained `merges`, rank order — same memo
+  * isolation as [[BpeCountExpr]]. */
+case class BpeTokensExpr(child: Expression, merges: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private lazy val mergesArr = merges.toArray
+
+  @transient private lazy val evalCache =
+    new ThreadLocal[java.util.HashMap[String, Array[UTF8String]]] {
+      override def initialValue() =
+        new java.util.HashMap[String, Array[UTF8String]]()
+    }
+
+  override def eval(input: InternalRow): Any =
+    BpeKernel.encodeTokens(
+      child.eval(input).asInstanceOf[UTF8String], mergesArr,
+      evalCache.get())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val mergesRef = ctx.addReferenceObj("bpeMerges", mergesArr,
+      "java.lang.String[]")
+    val cacheVar = ctx.addMutableState("java.util.HashMap", "bpeTokMemo",
+      v => s"$v = new java.util.HashMap();")
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.pipeline.BpeKernel.encodeTokens(
+          ${c.isNull} ? null : ${c.value}, $mergesRef, $cacheVar);
       boolean ${ev.isNull} = ${ev.value} == null;
       """)
   }

@@ -42,6 +42,28 @@ class BpeKernelParitySpec extends SparkSpec {
       "mixed 123 456 punct!!! ...", "ththththth"), trainedish)
   }
 
+  test("encodeTokens == the driver-side fold's split symbols, and " +
+    "sums to the count kernel") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((1L, "low lower newest widest low"),
+      (2L, "the quick brown fox, 123 can't!"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Bpe.encodeTokens(docs, trainedish).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    val re = graft.pipeline.TextAnalysis.BpeSplitRe.r
+    docs.collect().foreach { r =>
+      val expect = re.findAllIn(r.getString(1)).toSeq.flatMap { t =>
+        trainedish.foldLeft(Bpe.initialSym(t))(Bpe.applyMerge)
+          .split(" ").toSeq
+      }
+      assert(got(r.getLong(0)) == expect)
+    }
+    val counts = Bpe.encode(docs, trainedish).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    got.foreach { case (id, toks) => assert(toks.length.toLong == counts(id)) }
+  }
+
   test("kernel ≡ expression tree under the entry surface's trained merges") {
     val spark0 = spark
     import spark0.implicits._
