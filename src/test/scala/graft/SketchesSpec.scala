@@ -139,6 +139,46 @@ class SketchesSpec extends SparkSpec {
     } finally { qh.stop(); qc.stop() }
   }
 
+  test("streaming HLL window state survives a kill-and-restart on " +
+    "RocksDB: the closed window's sketch still equals the batch sketch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    SketchChaosProbe.reset()
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val ckpt = java.nio.file.Files.createTempDirectory("hll_ckpt").toString
+    def start() = Sketches.streamingSketch(
+        input.toDF().toDF("k", "v", "t"), "t", "20 seconds", Seq("k"), "v")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(SketchChaosProbe.probe _)
+      .queryName("hll_chaos").start()
+    val firstHalf = (1 to 60).map(i => ("svc", s"host_$i", ts(5 + i % 8)))
+    val secondHalf = (61 to 120).map(i => ("svc", s"host_$i", ts(5 + i % 8)))
+    try {
+      var q = start()
+      input.addData(firstHalf: _*)
+      q.processAllAvailable()
+      q.stop() // kill mid-window: the partial bucket-max state is live
+      q = start()
+      try {
+        input.addData(secondHalf: _*)
+        q.processAllAvailable()
+        input.addData(("svc", "late", ts(1000))) // close the window
+        q.processAllAvailable()
+        val batch = Sketches.sketch(
+            (firstHalf ++ secondHalf).toDF("k", "v", "t"), Seq("k"), "v")
+          .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+        assert(SketchChaosProbe.rows == batch && batch.nonEmpty)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   private def mkDocs(rows: (Long, String)*) = {
     val spark0 = spark
     import spark0.implicits._
@@ -186,4 +226,18 @@ class SketchesSpec extends SparkSpec {
     if (byCell.size == 2)
       assert(byCell(1) >= byCell(0))
   }
+}
+
+/** Restart-test probe with a batchId guard (foreachBatch replays). */
+object SketchChaosProbe {
+  private val buf = scala.collection.mutable.LinkedHashSet[(Long, Int)]()
+  private var last = -1L
+  def reset(): Unit = synchronized { buf.clear(); last = -1L }
+  def probe(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+    val rows = batch.collect()
+      .map(r => (r.getLong(r.fieldIndex("bucket")),
+        r.getInt(r.fieldIndex("r"))))
+    synchronized { if (id > last) { buf ++= rows; last = id } }
+  }
+  def rows: Set[(Long, Int)] = synchronized(buf.toSet)
 }
