@@ -247,22 +247,38 @@ object ConfigFile {
           case JString(s) => s
           case _ => "metric"
         }
-        val agg = if (kind == "rate") count(lit(1)) / lit(secs)
-        else str(op \ "agg", "window.agg") match {
-          case "sum" => sum(col(field))
-          case "mean" => avg(col(field))
-          case "count" => count(col(field)).cast("double")
-          case "max" => max(col(field))
-          case "min" => min(col(field))
-          case other =>
-            throw new IllegalArgumentException(s"window.agg: $other")
+        val aggName = if (kind == "rate") "rate"
+          else str(op \ "agg", "window.agg")
+        if (aggName == "distinct") {
+          // approximate distinct-count of `field` per window × by —
+          // exact count(DISTINCT) is unsupported on streams, so this
+          // is THE way to ask "how many distinct hosts per service":
+          // the deterministic HLL sketch rolled up through chained
+          // stateful aggregations (bounded state, ~13% sigma at the
+          // default precision), surfaced in the op's (by, time,
+          // metric) shape like every other window agg
+          graft.pipeline.Sketches.streamingDistinct(df, "time",
+              s"${secs.toLong} seconds", by, field, watermark = wm)
+            .select(by.map(col) :+ col("window_start").as("time") :+
+              col("hll_est").as("metric"): _*)
+        } else {
+          val agg = aggName match {
+            case "rate" => count(lit(1)) / lit(secs)
+            case "sum" => sum(col(field))
+            case "mean" => avg(col(field))
+            case "count" => count(col(field)).cast("double")
+            case "max" => max(col(field))
+            case "min" => min(col(field))
+            case other =>
+              throw new IllegalArgumentException(s"window.agg: $other")
+          }
+          df.withWatermark("time", wm)
+            .groupBy(window(col("time"), s"${secs.toLong} seconds") +:
+              by.map(col): _*)
+            .agg(agg.as("metric"))
+            .select(by.map(col) :+ col("window.start").as("time") :+
+              col("metric"): _*)
         }
-        df.withWatermark("time", wm)
-          .groupBy(window(col("time"), s"${secs.toLong} seconds") +:
-            by.map(col): _*)
-          .agg(agg.as("metric"))
-          .select(by.map(col) :+ col("window.start").as("time") :+
-            col("metric"): _*)
       case "index" =>
         val wm = (op \ "watermark") match {
           case JString(s) => s

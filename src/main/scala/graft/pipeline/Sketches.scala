@@ -98,33 +98,41 @@ object Sketches {
 
   /** Roll a [[sketch]] up to one estimate row per key:
     * (keys, n_buckets, n_zero, hll_est). */
-  def estimate(sk: DataFrame, keys: Seq[String],
-      b: Int = DefaultB): DataFrame = {
+  /** Σ 2^{-rho} scaled by 2^61 so the harmonic sum is EXACT decimal
+    * arithmetic: present buckets contribute 2^(61-r) (r ≥ 1 keeps it
+    * in long range), absent buckets 2^61 each. */
+  private def zTerm: Column =
+    pow(lit(2.0), lit(61) - col("r")).cast(DecimalType(38, 0))
+
+  /** The estimator tail shared by batch and streaming rollups: from
+    * (…, n_buckets, zp) to (…, n_zero, hll_est) — one divide off the
+    * exact decimal sum, linear counting from the driver-literal table. */
+  private def estimateCols(rolled: DataFrame, keep: Seq[Column],
+      b: Int): DataFrame = {
     val m = 1 << b
-    // Σ 2^{-rho} scaled by 2^61 so the harmonic sum is EXACT decimal
-    // arithmetic: present buckets contribute 2^(61-r) (r ≥ 1 keeps it
-    // in long range), absent buckets 2^61 each
     val pow261 = math.pow(2.0, 61) // exactly representable
-    val zTerm = pow(lit(2.0), lit(61) - col("r")).cast(DecimalType(38, 0))
-    val aNum = alphaNum(b)
-    val lnLits = lnTable(b)
-    val rolled = sk
-      .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).cast("int").as("n_buckets"),
-        sum(zTerm).as("zp"))
+    val withE = rolled
       .withColumn("n_zero", lit(m) - col("n_buckets"))
       .withColumn("z", (col("zp") +
         col("n_zero").cast(DecimalType(38, 0)) *
           lit(pow261).cast(DecimalType(38, 0))).cast("double"))
-      .withColumn("e_raw", lit(aNum) / col("z"))
+      .withColumn("e_raw", lit(alphaNum(b)) / col("z"))
     val linear = element_at(
-      array(lnLits.map(lit): _*), col("n_zero"))
-    rolled.withColumn("hll_est", round(
+      array(lnTable(b).map(lit): _*), col("n_zero"))
+    withE.withColumn("hll_est", round(
         when(col("e_raw") <= lit(2.5 * m) && col("n_zero") > 0, linear)
           .otherwise(col("e_raw")), 4))
-      .select((keys.map(col) :+ col("n_buckets") :+ col("n_zero") :+
-        col("hll_est")): _*)
+      .select(keep :+ col("n_buckets") :+ col("n_zero") :+
+        col("hll_est"): _*)
   }
+
+  def estimate(sk: DataFrame, keys: Seq[String],
+      b: Int = DefaultB): DataFrame =
+    estimateCols(
+      sk.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).cast("int").as("n_buckets"),
+          sum(zTerm).as("zp")),
+      keys.map(col), b)
 
   /** Count-min frequency sketch (Cormode & Muthukrishnan 2005) — the
     * frequency companion to the HLL distinct sketch: "how often does
@@ -194,17 +202,46 @@ object Sketches {
     * property SketchesSpec pins). One stateful aggregation, state
     * bounded at m rows per (window, keys) — the whole point of
     * sketching the firehose instead of buffering distinct values. */
-  def streamingSketch(stream: DataFrame, eventTimeCol: String,
+  private def streamingSketchWin(stream: DataFrame, eventTimeCol: String,
       windowDur: String, keys: Seq[String], valueCol: String,
-      b: Int = DefaultB, watermark: String = "0 seconds"): DataFrame = {
-    val withWin = stream
+      b: Int, watermark: String): DataFrame =
+    stream
       .filter(col(valueCol).isNotNull)
       .withWatermark(eventTimeCol, watermark)
       .groupBy((window(col(eventTimeCol), windowDur) +: keys.map(col)) :+
         hllBucket(valueCol, b).as("bucket"): _*)
       .agg(max(hllRho(valueCol, b)).as("r"))
-    withWin.select((col("window.start").as("window_start") +:
-      keys.map(col)) ++ Seq(col("bucket"), col("r")): _*)
+
+  def streamingSketch(stream: DataFrame, eventTimeCol: String,
+      windowDur: String, keys: Seq[String], valueCol: String,
+      b: Int = DefaultB, watermark: String = "0 seconds"): DataFrame =
+    streamingSketchWin(stream, eventTimeCol, windowDur, keys, valueCol,
+        b, watermark)
+      .select((col("window.start").as("window_start") +:
+        keys.map(col)) ++ Seq(col("bucket"), col("r")): _*)
+
+  /** The full streaming answer to "how many DISTINCT values per
+    * window × keys" — which Spark streaming aggregation cannot express
+    * exactly (`count(DISTINCT)` is unsupported on streams) and the
+    * sketch answers in bounded state: level 1 is the windowed
+    * bucket-max sketch, level 2 re-windows on `window_time` (the
+    * chained-stateful-operator shape) and rolls the ≤ m bucket rows up
+    * through the SAME estimator tail as the batch [[estimate]].
+    * Output (append on window close): (window_start, keys, n_buckets,
+    * n_zero, hll_est). Batch parity spec-pinned: the closed window's
+    * row equals estimate(sketch(batch rows)). */
+  def streamingDistinct(stream: DataFrame, eventTimeCol: String,
+      windowDur: String, keys: Seq[String], valueCol: String,
+      b: Int = DefaultB, watermark: String = "0 seconds"): DataFrame = {
+    val sk = streamingSketchWin(stream, eventTimeCol, windowDur, keys,
+      valueCol, b, watermark)
+    val rolled = sk
+      .groupBy(window(window_time(col("window")), windowDur) +:
+        keys.map(col): _*)
+      .agg(count(lit(1)).cast("int").as("n_buckets"),
+        sum(zTerm).as("zp"))
+    estimateCols(rolled,
+      col("window.start").as("window_start") +: keys.map(col), b)
   }
 
   /** Streaming face of [[cmsSketch]]: per event-time window × keys,

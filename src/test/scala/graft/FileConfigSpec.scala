@@ -162,6 +162,28 @@ class FileConfigSpec extends SparkSpec {
     assert(gotR == Set(("a", 0L, 0.4), ("a", 5L, 0.2), ("b", 0L, 0.2)))
   }
 
+  test("window op agg=distinct: HLL distinct-per-window through the " +
+    "config surface, equal to the batch estimate") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = (1 to 90).map(i => (s"h${i % 33}", (i % 4).toLong, 1.0))
+    val df = rows.toDF("host", "t", "metric")
+      .withColumn("time", timestamp_seconds(col("t")))
+      .withColumn("service", lit("api"))
+    val est = ConfigFile.applyOp(df, op(
+      """{"op":"window","agg":"distinct","field":"host","seconds":5,"by":["service"]}"""))
+    val got = est.collect().map(r =>
+      (r.getAs[String]("service"),
+        r.getAs[Timestamp]("time").getTime / 1000,
+        r.getAs[Double]("metric")))
+    val batch = graft.pipeline.Sketches.estimate(
+        graft.pipeline.Sketches.sketch(df, Seq("service"), "host"),
+        Seq("service")).collect().head.getAs[Double]("hll_est")
+    assert(got.toSeq == Seq(("api", 0L, batch)))
+    // 33 distinct hosts, m=64: the estimate is in the right ballpark
+    assert(math.abs(batch - 33) < 15)
+  }
+
   // ------------------------------------------------- file → Core lifecycle
 
   test("Loader: file config starts streams; reload restarts only edits; " +

@@ -139,6 +139,38 @@ class SketchesSpec extends SparkSpec {
     } finally { qh.stop(); qc.stop() }
   }
 
+  test("streamingDistinct (chained stateful aggs) == batch estimate " +
+    "on the closed window — the count(DISTINCT) streams cannot do") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val rows = (1 to 150).map(i => ("svc", s"host_${i % 55}", ts(5 + i % 8)))
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val name = s"sdist_${System.nanoTime()}"
+    val q = Sketches.streamingDistinct(
+        input.toDF().toDF("k", "v", "t"), "t", "20 seconds", Seq("k"), "v")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(("svc", "late", ts(1000)))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .filter(col("window_start") === ts(0)).collect()
+      assert(got.length == 1)
+      val batch = Sketches.estimate(
+          Sketches.sketch(rows.toDF("k", "v", "t"), Seq("k"), "v"),
+          Seq("k")).collect().head
+      assert(got.head.getAs[Double]("hll_est") ==
+        batch.getAs[Double]("hll_est"))
+      assert(got.head.getAs[Int]("n_buckets") ==
+        batch.getAs[Int]("n_buckets"))
+    } finally { q.stop() }
+  }
+
   test("streaming HLL window state survives a kill-and-restart on " +
     "RocksDB: the closed window's sketch still equals the batch sketch") {
     val spark0 = spark
