@@ -8,8 +8,8 @@ class ExampleConfigSpec extends SparkSpec {
     val streams = graft.config.ConfigFile.load(path)
     assert(streams.map(s =>
       graft.config.ConfigFile.str(s \ "name", "name")).toSet ==
-      Set("index", "graphite-index", "hot-alerts"))
+      Set("index", "graphite-index", "hot-alerts", "fleet-size"))
     val (passed, failed) = Main.runTests(path, spark)
-    assert(passed == 2 && failed == 0, s"$passed passed, $failed failed")
+    assert(passed == 3 && failed == 0, s"$passed passed, $failed failed")
   }
 }
