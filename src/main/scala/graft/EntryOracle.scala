@@ -217,6 +217,23 @@ private[graft] object EntryOracle {
       s"okb$sfx AS (SELECT band, bucket FROM bk0$sfx GROUP BY band, bucket HAVING count(*) <= ${pipeline.Caps.DefaultMaxBucket}), " +
       s"bk$sfx AS (SELECT bk0$sfx.* FROM bk0$sfx JOIN okb$sfx USING (band, bucket))"
 
+  /** The full BPE encode chain SHARED by the count and token oracles:
+    * [[bpeCtes]] training + e0 (per-doc initial symbols) + e1..eN
+    * (one merge application per round) — ONE construction so the two
+    * oracles' token semantics cannot drift. */
+  private def bpeEncChain(n: Int, cap: Int): String = {
+    val enc = (1 to n).map { i =>
+      s"e$i AS MATERIALIZED (SELECT doc_id, list_transform(syms, " +
+        s"s -> ${bpeApplySql("s", "pr")}) AS syms " +
+        s"FROM e${i - 1} CROSS JOIN b$i)"
+    }.mkString(", ")
+    s"WITH ${bpeCtes(n, cap)}, " +
+      "e0 AS MATERIALIZED (SELECT doc_id, list_transform(" +
+      s"regexp_extract_all(text, '$bpeRe'), " +
+      "t -> trim(regexp_replace(replace(t, ' ', chr(288)), '(?s)(.)', '\\1 ', 'g'))) AS syms " +
+      s"FROM documents), $enc"
+  }
+
   private lazy val minhashPairsCte: String =
     s"$shCte$hsCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh), " +
       "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM sg), " +
@@ -669,16 +686,7 @@ private[graft] object EntryOracle {
     },
     "q_bpe_encode" -> {
       val n = graft.pipeline.Bpe.DefaultMerges
-      val enc = (1 to n).map { i =>
-        s"e$i AS MATERIALIZED (SELECT doc_id, list_transform(syms, " +
-          s"s -> ${bpeApplySql("s", "pr")}) AS syms " +
-          s"FROM e${i - 1} CROSS JOIN b$i)"
-      }.mkString(", ")
-      s"WITH ${bpeCtes(n, graft.pipeline.Bpe.DefaultVocabCap)}, " +
-        "e0 AS MATERIALIZED (SELECT doc_id, list_transform(" +
-        s"regexp_extract_all(text, '$bpeRe'), " +
-        "t -> trim(regexp_replace(replace(t, ' ', chr(288)), '(?s)(.)', '\\1 ', 'g'))) AS syms " +
-        s"FROM documents), $enc " +
+      s"${bpeEncChain(n, graft.pipeline.Bpe.DefaultVocabCap)} " +
         "SELECT doc_id, CAST(len(syms) AS BIGINT) AS n_pretokens, " +
         "CAST(COALESCE(list_sum(list_transform(syms, s -> len(string_split(s, ' ')))), 0) AS BIGINT) AS n_bpe_tokens " +
         s"FROM e$n ORDER BY doc_id"
@@ -688,16 +696,7 @@ private[graft] object EntryOracle {
     // token byte and boundary is pinned in order
     "q_bpe_tokens" -> {
       val n = graft.pipeline.Bpe.DefaultMerges
-      val enc = (1 to n).map { i =>
-        s"e$i AS MATERIALIZED (SELECT doc_id, list_transform(syms, " +
-          s"s -> ${bpeApplySql("s", "pr")}) AS syms " +
-          s"FROM e${i - 1} CROSS JOIN b$i)"
-      }.mkString(", ")
-      s"WITH ${bpeCtes(n, graft.pipeline.Bpe.DefaultVocabCap)}, " +
-        "e0 AS MATERIALIZED (SELECT doc_id, list_transform(" +
-        s"regexp_extract_all(text, '$bpeRe'), " +
-        "t -> trim(regexp_replace(replace(t, ' ', chr(288)), '(?s)(.)', '\\1 ', 'g'))) AS syms " +
-        s"FROM documents), $enc " +
+      s"${bpeEncChain(n, graft.pipeline.Bpe.DefaultVocabCap)} " +
         "SELECT doc_id, " +
         "CAST(COALESCE(list_sum(list_transform(syms, s -> len(string_split(s, ' ')))), 0) AS BIGINT) AS n_bpe_tokens, " +
         "COALESCE(array_to_string(flatten(list_transform(syms, s -> string_split(s, ' '))), chr(31)), '') AS tokens_str " +

@@ -126,15 +126,12 @@ private[graft] object EntryPipeline {
     // the materialized token sequences themselves (the training-data
     // product): full-fidelity token strings joined on the unit
     // separator, so the oracle pins every token byte in order
-    "q_bpe_tokens" -> ((s, d) => {
-      val merges = graft.pipeline.Bpe.trainMerges(docs(s, d))
-        .orderBy("rank").collect().map(_.getString(1)).toSeq
-      graft.pipeline.Bpe.encodeTokens(docs(s, d), merges)
+    "q_bpe_tokens" -> ((s, d) =>
+      graft.pipeline.Bpe.trainAndEncodeTokens(docs(s, d))
         .select(col("doc_id"),
           size(col("tokens")).cast("long").as("n_bpe_tokens"),
           array_join(col("tokens"), "\u001f").as("tokens_str"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
     // corpus-trained bigram LM likelihood (the CCNet-style LM quality
     // filter shape, deterministic long/floor arithmetic)
     "q_lm_likelihood" -> ((s, d) =>

@@ -192,14 +192,23 @@ object Bpe {
         .as("n_bpe_tokens"))
   }
 
-  /** Train + encode in one call (the `q_bpe_encode` surface). */
-  def trainAndEncode(docs: DataFrame, nMerges: Int = DefaultMerges,
-      vocabCap: Int = DefaultVocabCap): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Train and return JUST the rank-ordered merge pair list — the one
+    * extraction every train-then-encode surface shares (so the count
+    * and token queries can never train on divergent lists). */
+  def trainMergeList(docs: DataFrame, nMerges: Int = DefaultMerges,
+      vocabCap: Int = DefaultVocabCap): Seq[String] = {
     val vocab = wordFreq(docs, vocabCap).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    val merges = trainOnVocab(vocab, nMerges).map(_._2)
-    encode(docs, merges)
+    trainOnVocab(vocab, nMerges).map(_._2)
   }
+
+  /** Train + encode in one call (the `q_bpe_encode` surface). */
+  def trainAndEncode(docs: DataFrame, nMerges: Int = DefaultMerges,
+      vocabCap: Int = DefaultVocabCap): DataFrame =
+    encode(docs, trainMergeList(docs, nMerges, vocabCap))
+
+  /** Train + materialize token sequences (the `q_bpe_tokens` surface). */
+  def trainAndEncodeTokens(docs: DataFrame, nMerges: Int = DefaultMerges,
+      vocabCap: Int = DefaultVocabCap): DataFrame =
+    encodeTokens(docs, trainMergeList(docs, nMerges, vocabCap))
 }

@@ -96,8 +96,6 @@ object Sketches {
       .groupBy((keys :+ "bucket").map(col): _*)
       .agg(max(col("rho")).as("r"))
 
-  /** Roll a [[sketch]] up to one estimate row per key:
-    * (keys, n_buckets, n_zero, hll_est). */
   /** Σ 2^{-rho} scaled by 2^61 so the harmonic sum is EXACT decimal
     * arithmetic: present buckets contribute 2^(61-r) (r ≥ 1 keeps it
     * in long range), absent buckets 2^61 each. */
@@ -126,6 +124,8 @@ object Sketches {
         col("hll_est"): _*)
   }
 
+  /** Roll a [[sketch]] up to one estimate row per key:
+    * (keys, n_buckets, n_zero, hll_est). */
   def estimate(sk: DataFrame, keys: Seq[String],
       b: Int = DefaultB): DataFrame =
     estimateCols(
@@ -207,10 +207,16 @@ object Sketches {
       b: Int, watermark: String): DataFrame =
     stream
       .filter(col(valueCol).isNotNull)
+      // pre-project bucket AND rho in one pass like the batch sketch:
+      // as groupBy-vs-agg expressions they'd live in separate
+      // HashAggregate projections and each pay the md5 hash chain
+      .select((col(eventTimeCol) +: keys.map(col)) ++
+        Seq(hllBucket(valueCol, b).as("bucket"),
+          hllRho(valueCol, b).as("rho")): _*)
       .withWatermark(eventTimeCol, watermark)
       .groupBy((window(col(eventTimeCol), windowDur) +: keys.map(col)) :+
-        hllBucket(valueCol, b).as("bucket"): _*)
-      .agg(max(hllRho(valueCol, b)).as("r"))
+        col("bucket"): _*)
+      .agg(max(col("rho")).as("r"))
 
   def streamingSketch(stream: DataFrame, eventTimeCol: String,
       windowDur: String, keys: Seq[String], valueCol: String,
@@ -250,7 +256,8 @@ object Sketches {
   def streamingCmsSketch(stream: DataFrame, eventTimeCol: String,
       windowDur: String, keys: Seq[String], valueCol: String,
       d: Int = DefaultCmsDepth, w: Int = DefaultCmsWidth,
-      watermark: String = "0 seconds"): DataFrame =
+      watermark: String = "0 seconds"): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
     stream
       .filter(col(valueCol).isNotNull)
       .select((col(eventTimeCol) +: keys.map(col)) :+
@@ -262,6 +269,7 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
       .select((col("window.start").as("window_start") +: keys.map(col)) ++
         Seq(col("row"), col("bucket"), col("cnt")): _*)
+  }
 
   /** Sketch + estimate + exact comparison in one relation:
     * (keys, n_exact, n_buckets, n_zero, hll_est, rel_err) — the
