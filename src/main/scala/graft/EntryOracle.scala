@@ -924,6 +924,49 @@ private[graft] object EntryOracle {
         "SELECT cme.user_id, cme.n_exact, cmpe.cms_est, cmpe.cms_est - cme.n_exact AS over_err " +
         "FROM cme JOIN cmpe USING (user_id) ORDER BY user_id"
     },
+    // HDR-histogram quantile sketch: pure integer bit arithmetic (the
+    // binary-string length + shifts both engines share), exact integer
+    // rank ceil via //, under_err >= 0 + the 2^-sb bound per row
+    "q_hdr_quantiles" -> {
+      val sb = pipeline.Sketches.DefaultSubBits
+      s"WITH hqv AS (SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v FROM events WHERE value IS NOT NULL AND value >= 0), " +
+        s"hqb AS (SELECT event_type, (v >> s) << s AS rep FROM (SELECT event_type, v, greatest(length(bin(v)) - ${1 + sb}, 0) AS s FROM hqv)), " +
+        "hqc AS (SELECT event_type, rep, count(*) AS cnt FROM hqb GROUP BY 1, 2), " +
+        "hqn AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM hqc GROUP BY 1), " +
+        "hqm AS (SELECT event_type, rep, sum(cnt) OVER (PARTITION BY event_type ORDER BY rep) AS cum FROM hqc), " +
+        "hqp AS (SELECT event_type, n, q_milli, greatest((q_milli * n + 999) // 1000, 1) AS rnk FROM hqn CROSS JOIN (VALUES (500), (900), (990)) qs(q_milli)), " +
+        "hqe AS (SELECT p.event_type, p.q_milli, min(p.n) AS n, min(c.rep) AS hdr_est FROM hqp p JOIN hqm c ON p.event_type = c.event_type AND c.cum >= p.rnk GROUP BY 1, 2), " +
+        "hxc AS (SELECT event_type, v, count(*) AS cnt FROM hqv GROUP BY 1, 2), " +
+        "hxm AS (SELECT event_type, v, sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum FROM hxc), " +
+        "hxe AS (SELECT p.event_type, p.q_milli, min(c.v) AS exact FROM hqp p JOIN hxm c ON p.event_type = c.event_type AND c.cum >= p.rnk GROUP BY 1, 2) " +
+        "SELECT e.event_type, e.q_milli, e.n, e.hdr_est, x.exact, x.exact - e.hdr_est AS under_err, " +
+        s"(x.exact - e.hdr_est) * ${1L << sb} <= e.hdr_est AS bound_ok " +
+        "FROM hqe e JOIN hxe x USING (event_type, q_milli) ORDER BY event_type, q_milli"
+    },
+    // CMS heavy hitters: the per-value replay of the two-pass filter —
+    // est = min over the d cells, thr = exact integer ceil of phi·n,
+    // keep every value whose ESTIMATE reaches thr (zero false
+    // negatives; n_exact >= thr audits which survivors are real)
+    "q_cms_heavy" -> {
+      val d = pipeline.Sketches.DefaultCmsDepth
+      val w = pipeline.Sketches.DefaultCmsWidth
+      def bkt(r: Int) =
+        s"CAST(('0x'||substr(md5('cms:$r:'||hh_key),1,15)) AS BIGINT) % $w"
+      val rowsUnion = (0 until d).map(r =>
+        s"SELECT $r AS rw, ${bkt(r)} AS bucket FROM che")
+        .mkString(" UNION ALL ")
+      val probeUnion = (0 until d).map(r =>
+        s"SELECT hh_key, $r AS rw, ${bkt(r)} AS bucket FROM chv")
+        .mkString(" UNION ALL ")
+      "WITH che AS (SELECT CASE WHEN user_id % 10 < 3 THEN 'hot:' || CAST(user_id % 3 AS VARCHAR) ELSE 'cold:' || CAST(user_id AS VARCHAR) END AS hh_key FROM events WHERE user_id IS NOT NULL), " +
+        s"chk AS (SELECT rw, bucket, count(*) AS cnt FROM ($rowsUnion) GROUP BY 1, 2), " +
+        "chv AS (SELECT hh_key, count(*) AS n_exact FROM che GROUP BY 1), " +
+        "cht AS (SELECT greatest((50 * count(*) + 999) // 1000, 1) AS thr FROM che), " +
+        s"chm AS (SELECT hh_key, min(cnt) AS cms_est FROM ($probeUnion) p JOIN chk USING (rw, bucket) GROUP BY 1) " +
+        "SELECT v.hh_key, m.cms_est, v.n_exact, t.thr, v.n_exact >= t.thr AS is_true_heavy " +
+        "FROM chv v JOIN chm m USING (hh_key) CROSS JOIN cht t " +
+        "WHERE m.cms_est >= t.thr ORDER BY hh_key"
+    },
     // temperature sampling: keep-rate ∝ count^alpha, decimal-exact
     // normalizer, md5-derived deterministic uniform per doc
     "q_temp_sample" -> ("WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source), " +

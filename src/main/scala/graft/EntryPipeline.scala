@@ -250,6 +250,31 @@ private[graft] object EntryPipeline {
       Sketches.cmsFrequencies(
         s.read.parquet(s"$d/events.parquet"), "user_id")
         .orderBy("user_id")),
+    // HDR-histogram quantile sketch (the quantile member of the sketch
+    // family): pure-integer log-linear buckets over the scaled metric,
+    // nearest-rank p50/p90/p99 per event type audited against the
+    // exact sort — under_err >= 0 and the 2^-sb relative bound are the
+    // one-sided contract, checked per row
+    "q_hdr_quantiles" -> ((s, d) =>
+      Sketches.hdrQuantilesAudit(
+        s.read.parquet(s"$d/events.parquet"), Seq("event_type"),
+        floor(col("value") * 1000).cast("long"), Seq(500, 900, 990))
+        .orderBy("event_type", "q_milli")),
+    // CMS heavy hitters in the two-pass shape: the broadcast-literal
+    // sketch filters rows map-side BEFORE the only shuffle, so the
+    // groupBy carries heavy candidates alone; the hot/cold synthesized
+    // key keeps relative frequencies scale-invariant (3 hot values at
+    // ~10% each vs a long cold tail), and zero false negatives is the
+    // CMS one-sided contract
+    "q_cms_heavy" -> ((s, d) =>
+      Sketches.cmsHeavyHitters(
+        s.read.parquet(s"$d/events.parquet")
+          .select(when(col("user_id") % 10 < 3,
+              concat(lit("hot:"), (col("user_id") % 3).cast("string")))
+            .otherwise(concat(lit("cold:"), col("user_id").cast("string")))
+            .as("hh_key")),
+        "hh_key", phiMilli = 50)
+        .orderBy("hh_key")),
     // changed with :pairs? — the previous value rides along with each
     // transition (streams_test.clj changed-test "with previous event")
     "q_changed_pairs" -> ((s, d) =>

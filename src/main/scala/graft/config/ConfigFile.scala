@@ -261,6 +261,23 @@ object ConfigFile {
               s"${secs.toLong} seconds", by, field, watermark = wm)
             .select(by.map(col) :+ col("window_start").as("time") :+
               col("hll_est").as("metric"): _*)
+        } else if (aggName.matches("p\\d{2,3}")) {
+          // approximate quantile of `field` per window × by ("p95" =
+          // 95th percentile, "p999" = 99.9th) — the reference's
+          // percentiles op buffers and sorts every event in the
+          // window (streams.clj sorted-sample); the HDR quantile
+          // sketch answers in bounded additive state with <= 2^-5
+          // relative under-error. Metric domain: non-negative, at
+          // milli resolution (scaled to longs, estimate scaled back)
+          val digits = aggName.drop(1)
+          val qMilli =
+            if (digits.length == 2) digits.toInt * 10 else digits.toInt
+          graft.pipeline.Sketches.streamingQuantiles(df, "time",
+              s"${secs.toLong} seconds", by,
+              floor(col(field) * 1000).cast("long"), Seq(qMilli),
+              watermark = wm)
+            .select(by.map(col) :+ col("window_start").as("time") :+
+              (col("hdr_est").cast("double") / lit(1000.0)).as("metric"): _*)
         } else {
           val agg = aggName match {
             case "rate" => count(lit(1)) / lit(secs)

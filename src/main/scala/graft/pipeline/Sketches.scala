@@ -286,4 +286,225 @@ object Sketches {
         abs(col("hll_est") - col("n_exact").cast("double")) /
           col("n_exact").cast("double"), 4))
   }
+
+  // -------------------------------------------------------------------
+  // HDR-histogram quantile sketch — the quantile member of the sketch
+  // family (HLL = distinct, CMS = frequency, HDR = quantiles). The
+  // reference computes `percentiles` by sorting the events buffered in
+  // each window (streams.clj:1020-1043 sorted-sample) — exact, but the
+  // state is every event in the window. At 100 TB the bounded-state
+  // answer is a log-linear histogram (HdrHistogram / DDSketch shape,
+  // Masson et al. 2019): bucket a non-negative long by its binary
+  // exponent with `sb` linear sub-bucket bits, so the relative error
+  // of any quantile is <= 2^-sb while the whole per-key state is a few
+  // hundred ADDITIVE cells — deterministic, mergeable by cell-wise
+  // addition, and (being pure integer bit arithmetic: printed binary
+  // length + shifts, no libm anywhere) replayed EXACTLY by the DuckDB
+  // oracle.
+  // -------------------------------------------------------------------
+
+  /** Default sub-bucket precision: 5 bits → quantile relative error
+    * <= 2^-5 ~ 3.1%, <= (64-5)·2^5 + 2^5 = 1920 cells per key worst
+    * case over the full long range (far fewer in practice). */
+  val DefaultSubBits = 5
+
+  /** Bucket LOWER BOUND (= the bucket id AND the quantile
+    * representative) of a non-negative long: clear everything below
+    * the top `sb` bits after the leading 1. `rep` is monotone in v and
+    * bijective with (exponent, sub-bucket), so grouping by `rep` IS
+    * the histogram. Bit length via the printed binary string — the one
+    * cross-engine-identical form (Spark conv == DuckDB bin, "0" for
+    * zero); shifts are exact bit ops (never `/`: double division would
+    * round a 60-bit value past the 53-bit mantissa). */
+  private def hdrRep(v: Column, sb: Int): Column = {
+    val shift = greatest(
+      length(conv(v.cast("string"), 10, 2)) - lit(1 + sb), lit(0))
+    call_function("shiftleft", call_function("shiftright", v, shift),
+      shift)
+  }
+
+  /** The mergeable quantile state: one row per (keys, rep) with the
+    * count of values in that bucket — additive cells like the CMS, so
+    * merge = groupBy(keys, rep).sum(cnt). Domain is non-negative longs
+    * (latencies, sizes, counts — the HDR-histogram domain; scale
+    * doubles with floor(x·10^k) first, like the repo's scaled-long
+    * convention). NULLs and negatives are excluded up front. */
+  def hdrSketch(df: DataFrame, keys: Seq[String], v: Column,
+      sb: Int = DefaultSubBits): DataFrame = {
+    require(sb >= 1 && sb <= 16, s"sb must be in [1,16], got $sb")
+    df.filter(v.isNotNull && v >= 0)
+      .select(keys.map(col) :+ hdrRep(v, sb).as("rep"): _*)
+      .groupBy((keys :+ "rep").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Nearest-rank quantiles from a [[hdrSketch]]: for each requested
+    * per-mille quantile q (500 = median), rank = ceil(q·n/1000) in
+    * EXACT integer arithmetic (`div`, no double rounding at the
+    * boundaries), answer = the smallest bucket whose cumulative count
+    * reaches the rank. Returns (keys, q_milli, n, hdr_est); hdr_est is
+    * the bucket lower bound, so it UNDER-estimates by < 2^-sb relative
+    * — the one-sided contract [[hdrQuantilesAudit]] checks per row.
+    * Scale shape: the sketch is <= ~2k rows per key; the window
+    * cumsum and the probe join touch only those rows, never the data. */
+  def hdrQuantiles(sk: DataFrame, keys: Seq[String], qMillis: Seq[Int],
+      sb: Int = DefaultSubBits): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qMillis.nonEmpty && qMillis.forall(q => q >= 1 && q <= 1000),
+      s"q_milli values must be in [1,1000], got $qMillis")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("rep")
+    val cum = sk.withColumn("cum", sum(col("cnt")).over(w))
+    val probes = sk.groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("n"))
+      .select(keys.map(col) :+ col("n") :+
+        explode(array(qMillis.map(lit): _*)).as("q_milli"): _*)
+      .withColumn("rnk", greatest(
+        expr("(q_milli * n + 999) div 1000"), lit(1L)))
+    probes.join(cum, keys)
+      .filter(col("cum") >= col("rnk"))
+      .groupBy((keys :+ "q_milli").map(col): _*)
+      .agg(min(col("n")).as("n"), min(col("rep")).as("hdr_est"))
+      .select(keys.map(col) :+ col("q_milli") :+ col("n") :+
+        col("hdr_est"): _*)
+  }
+
+  /** Sketch + quantiles + exact nearest-rank comparison — the
+    * accuracy-auditing surface: (keys, q_milli, n, hdr_est, exact,
+    * under_err, bound_ok) with under_err = exact − hdr_est >= 0 and
+    * bound_ok = under_err·2^sb <= hdr_est (the <= 2^-sb relative-error
+    * guarantee, trivially true in the exact small-value range). The
+    * exact side is the full per-key value sort the sketch avoids. */
+  def hdrQuantilesAudit(df: DataFrame, keys: Seq[String], v: Column,
+      qMillis: Seq[Int], sb: Int = DefaultSubBits): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dom = df.filter(v.isNotNull && v >= 0)
+      .select(keys.map(col) :+ v.as("v"): _*)
+    val est = hdrQuantiles(hdrSketch(dom, keys, col("v"), sb), keys,
+      qMillis, sb)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("v")
+    val vcum = dom.groupBy((keys :+ "v").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+    val exact = est.select(keys.map(col) :+ col("q_milli") :+
+        greatest(expr("(q_milli * n + 999) div 1000"), lit(1L))
+          .as("rnk"): _*)
+      .join(vcum, keys)
+      .filter(col("cum") >= col("rnk"))
+      .groupBy((keys :+ "q_milli").map(col): _*)
+      .agg(min(col("v")).as("exact"))
+    est.join(exact, keys :+ "q_milli")
+      .withColumn("under_err", col("exact") - col("hdr_est"))
+      .withColumn("bound_ok",
+        col("under_err") * lit(1L << sb) <= col("hdr_est"))
+  }
+
+  /** Streaming face of [[hdrSketch]]: per event-time window × keys,
+    * the additive bucket cells as ONE windowed count aggregation
+    * (append on window close) — bounded state per (window, keys), the
+    * firehose answer to "p99 latency per service per minute" that the
+    * reference computes by buffering and sorting every event in the
+    * window (streams.clj percentiles). `v` must be a non-negative
+    * long derived from the stream's columns. */
+  def streamingHdrSketch(stream: DataFrame, eventTimeCol: String,
+      windowDur: String, keys: Seq[String], v: Column,
+      sb: Int = DefaultSubBits,
+      watermark: String = "0 seconds"): DataFrame =
+    streamingHdrWin(stream, eventTimeCol, windowDur, keys, v, sb,
+        watermark)
+      .select((col("window.start").as("window_start") +:
+        keys.map(col)) ++ Seq(col("rep"), col("cnt")): _*)
+
+  private def streamingHdrWin(stream: DataFrame, eventTimeCol: String,
+      windowDur: String, keys: Seq[String], v: Column, sb: Int,
+      watermark: String): DataFrame =
+    stream
+      .filter(v.isNotNull && v >= 0)
+      .select((col(eventTimeCol) +: keys.map(col)) :+
+        hdrRep(v, sb).as("rep"): _*)
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy((window(col(eventTimeCol), windowDur) +: keys.map(col)) :+
+        col("rep"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The full streaming answer to "which quantiles per window × keys"
+    * in bounded state: level 1 is the windowed bucket histogram, level
+    * 2 re-windows on `window_time` (the chained-stateful-operator
+    * shape, like [[streamingDistinct]]) and collects the <= ~2k cells
+    * per (window, keys) into one sorted array; the quantile scan over
+    * that bounded array is a stateless higher-order fold — the exact
+    * rank arithmetic of [[hdrQuantiles]], one pass per requested q.
+    * Output (append on window close): (window_start, keys, q_milli, n,
+    * hdr_est). Batch parity spec-pinned: the closed window's rows
+    * equal hdrQuantiles(hdrSketch(batch rows)). */
+  def streamingQuantiles(stream: DataFrame, eventTimeCol: String,
+      windowDur: String, keys: Seq[String], v: Column, qMillis: Seq[Int],
+      sb: Int = DefaultSubBits,
+      watermark: String = "0 seconds"): DataFrame = {
+    require(qMillis.nonEmpty && qMillis.forall(q => q >= 1 && q <= 1000),
+      s"q_milli values must be in [1,1000], got $qMillis")
+    val sk = streamingHdrWin(stream, eventTimeCol, windowDur, keys, v,
+      sb, watermark)
+    val rolled = sk
+      .groupBy(window(window_time(col("window")), windowDur) +:
+        keys.map(col): _*)
+      .agg(sum(col("cnt")).as("n"),
+        sort_array(collect_list(struct(col("rep"), col("cnt"))))
+          .as("cells"))
+    rolled
+      .select((col("window.start").as("window_start") +: keys.map(col)) ++
+        Seq(col("n"), col("cells"),
+          explode(array(qMillis.map(lit): _*)).as("q_milli")): _*)
+      .withColumn("rnk", greatest(
+        expr("(q_milli * n + 999) div 1000"), lit(1L)))
+      // scan the sorted cells once: first rep whose cumsum reaches the
+      // rank (cells are bounded, so the interpreted lambda is cheap)
+      .withColumn("hdr_est", expr(
+        """aggregate(cells,
+             named_struct('acc', cast(0 as bigint), 'ans', cast(-1 as bigint)),
+             (st, c) -> if(st.ans >= 0, st,
+               named_struct('acc', cast(st.acc + c.cnt as bigint),
+                 'ans', cast(if(st.acc + c.cnt >= rnk, c.rep, -1) as bigint))),
+             st -> st.ans)"""))
+      .select((col("window_start") +: keys.map(col)) ++
+        Seq(col("q_milli"), col("n"), col("hdr_est")): _*)
+  }
+
+  /** Heavy hitters via the CMS in the honest two-pass 100 TB shape
+    * (Cormode & Muthukrishnan 2005 §4.2): the naive "group by value,
+    * filter count >= φn" pays a full per-distinct-value shuffle; here
+    * pass 1 builds the d×w sketch (one bounded aggregation), pass 2
+    * re-reads the data with the sketch embedded as a LITERAL lookup
+    * table — a map-side filter that drops every non-heavy row BEFORE
+    * the only shuffle, which then carries heavy candidates alone. CMS
+    * never undercounts, so no true heavy hitter can be filtered out
+    * (one-sided contract: possible false positives, zero false
+    * negatives — the audit columns surface both).
+    *
+    * The sketch collect is d·w rows (the bounded-collect discipline:
+    * eager, tiny, documented); n comes free as row 0's cell sum.
+    * Returns (value, cms_est, n_exact, thr, is_true_heavy) for every
+    * value whose ESTIMATE reaches thr = ceil(φ‰·n/1000). */
+  def cmsHeavyHitters(df: DataFrame, valueCol: String, phiMilli: Int,
+      d: Int = DefaultCmsDepth, w: Int = DefaultCmsWidth): DataFrame = {
+    require(phiMilli >= 1 && phiMilli <= 1000,
+      s"phiMilli must be in [1,1000], got $phiMilli")
+    val cells = Array.fill(d, w)(0L)
+    cmsSketch(df, valueCol, d, w).collect().foreach { r =>
+      cells(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2)
+    }
+    val n = cells(0).sum // every non-null row lands in exactly one row-0 cell
+    val thr = math.max((phiMilli.toLong * n + 999) / 1000, 1L)
+    val cellLit = array(cells.map(row => array(row.map(lit): _*)): _*)
+    val est = least((0 until d).map(r =>
+      element_at(element_at(cellLit, r + 1),
+        (cmsBucket(valueCol, r, w) + 1).cast("int"))): _*)
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("cms_est", est)
+      .filter(col("cms_est") >= thr)
+      .groupBy(valueCol)
+      .agg(min(col("cms_est")).as("cms_est"),
+        count(lit(1)).as("n_exact"))
+      .withColumn("thr", lit(thr))
+      .withColumn("is_true_heavy", col("n_exact") >= lit(thr))
+  }
 }

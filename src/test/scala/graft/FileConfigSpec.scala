@@ -184,6 +184,31 @@ class FileConfigSpec extends SparkSpec {
     assert(math.abs(batch - 33) < 15)
   }
 
+  test("window op agg=p95: HDR quantile-per-window through the config " +
+    "surface, equal to the batch sketch estimate") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = (1 to 200).map(i => ("api", (i % 4).toLong, (i * i % 977) / 3.0))
+    val df = rows.toDF("service", "t", "metric")
+      .withColumn("time", timestamp_seconds(col("t")))
+    val est = ConfigFile.applyOp(df, op(
+      """{"op":"window","agg":"p95","seconds":5,"by":["service"]}"""))
+    val got = est.collect().map(r =>
+      (r.getAs[String]("service"),
+        r.getAs[Timestamp]("time").getTime / 1000,
+        r.getAs[Double]("metric")))
+    val batch = graft.pipeline.Sketches.hdrQuantiles(
+        graft.pipeline.Sketches.hdrSketch(df, Seq("service"),
+          floor(col("metric") * 1000).cast("long")),
+        Seq("service"), Seq(950))
+      .collect().head.getAs[Long]("hdr_est") / 1000.0
+    assert(got.toSeq == Seq(("api", 0L, batch)))
+    // p95 of ~uniform [0, 326): the under-estimating sketch answer is
+    // within ~3% below the exact p95
+    val exact = rows.map(_._3).sorted.apply(189) // ceil(0.95·200) = 190th
+    assert(batch <= exact && batch > exact * 0.96)
+  }
+
   // ------------------------------------------------- file → Core lifecycle
 
   test("Loader: file config starts streams; reload restarts only edits; " +

@@ -211,6 +211,153 @@ class SketchesSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("HDR sketch: small values are their own buckets (exact range), " +
+    "cells merge by addition, and zero is handled") {
+    val spark0 = spark
+    import spark0.implicits._
+    val small = (0L to 31L).map(("k", _)).toDF("k", "v")
+    val sk = Sketches.hdrSketch(small, Seq("k"), col("v"))
+      .orderBy("rep").collect()
+    assert(sk.map(_.getLong(1)).toSeq == (0L to 31L) &&
+      sk.forall(_.getLong(2) == 1L))
+    val a = (1 to 400).map(i => ("k", (i * 37L) % 100000)).toDF("k", "v")
+    val b = (1 to 300).map(i => ("k", (i * 91L) % 5000)).toDF("k", "v")
+    val whole = Sketches.hdrSketch(a.union(b), Seq("k"), col("v"))
+      .orderBy("rep").collect().map(r => (r.getLong(1), r.getLong(2)))
+    val merged = Sketches.hdrSketch(a, Seq("k"), col("v"))
+      .union(Sketches.hdrSketch(b, Seq("k"), col("v")))
+      .groupBy("k", "rep").agg(sum("cnt").as("cnt"))
+      .orderBy("rep").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(whole.toSeq == merged.toSeq && whole.nonEmpty)
+  }
+
+  test("HDR quantiles: one-sided under-estimate within 2^-sb relative, " +
+    "exact in the sub-bucket range, nulls and negatives excluded") {
+    val spark0 = spark
+    import spark0.implicits._
+    // log-uniform-ish spread incl. 0 and a >2^40 outlier
+    val vs = Seq(0L, 1L, 3L) ++ (1 to 500).map(i =>
+      (math.pow(1.03, i % 300) * 17).toLong) :+ (1L << 41)
+    val audit = Sketches.hdrQuantilesAudit(
+      vs.map(("k", _)).toDF("k", "v"), Seq("k"), col("v"),
+      Seq(10, 250, 500, 750, 900, 990, 1000))
+      .collect()
+    assert(audit.length == 7)
+    assert(audit.forall(r => r.getAs[Long]("under_err") >= 0L &&
+      r.getAs[Boolean]("bound_ok")))
+    // all-small domain: the sketch IS the exact histogram
+    val exactAudit = Sketches.hdrQuantilesAudit(
+      (0L to 31L).map(("k", _)).toDF("k", "v"), Seq("k"), col("v"),
+      Seq(500, 990)).collect()
+    assert(exactAudit.forall(r => r.getAs[Long]("under_err") == 0L))
+    // nulls/negatives are out of domain, not phantom buckets
+    val dirty = (Seq[java.lang.Long](-5L, null) ++
+      (1L to 64L).map(java.lang.Long.valueOf))
+      .map(("k", _)).toDF("k", "v")
+    val clean = (1L to 64L).map(("k", _)).toDF("k", "v")
+    assert(Sketches.hdrQuantilesAudit(dirty, Seq("k"), col("v"), Seq(500))
+        .collect().head.toSeq ==
+      Sketches.hdrQuantilesAudit(clean, Seq("k"), col("v"), Seq(500))
+        .collect().head.toSeq)
+  }
+
+  test("streamingQuantiles (chained aggs + bounded fold) == batch " +
+    "hdrQuantiles on the closed window") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val rows = (1 to 200).map(i =>
+      ("svc", ((i * i) % 7919).toLong, ts(5 + i % 8)))
+    val input = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val name = s"shdr_${System.nanoTime()}"
+    val q = Sketches.streamingQuantiles(
+        input.toDF().toDF("k", "v", "t"), "t", "20 seconds", Seq("k"),
+        col("v"), Seq(500, 900, 990))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(("svc", 1L, ts(1000))) // close the window
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .filter(col("window_start") === ts(0))
+        .orderBy("q_milli").collect()
+        .map(r => (r.getString(1), r.getInt(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      val batch = Sketches.hdrQuantiles(
+          Sketches.hdrSketch(rows.toDF("k", "v", "t"), Seq("k"),
+            col("v")), Seq("k"), Seq(500, 900, 990))
+        .orderBy("q_milli").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got == batch && batch.nonEmpty)
+    } finally { q.stop() }
+  }
+
+  test("streaming HDR window state survives a kill-and-restart on " +
+    "RocksDB: the closed window's cells still equal the batch sketch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    HdrChaosProbe.reset()
+    val input = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val ckpt = java.nio.file.Files.createTempDirectory("hdr_ckpt").toString
+    def start() = Sketches.streamingHdrSketch(
+        input.toDF().toDF("k", "v", "t"), "t", "20 seconds", Seq("k"),
+        col("v"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(HdrChaosProbe.probe _)
+      .queryName("hdr_chaos").start()
+    val firstHalf = (1 to 60).map(i => ("svc", (i * 13L) % 3000, ts(5 + i % 8)))
+    val secondHalf = (61 to 120).map(i => ("svc", (i * 13L) % 3000, ts(5 + i % 8)))
+    try {
+      var q = start()
+      input.addData(firstHalf: _*)
+      q.processAllAvailable()
+      q.stop() // kill mid-window: the partial additive cells are live
+      q = start()
+      try {
+        input.addData(secondHalf: _*)
+        q.processAllAvailable()
+        input.addData(("svc", 1L, ts(1000))) // close the window
+        q.processAllAvailable()
+        val batch = Sketches.hdrSketch(
+            (firstHalf ++ secondHalf).toDF("k", "v", "t"), Seq("k"),
+            col("v"))
+          .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+        assert(HdrChaosProbe.rows == batch && batch.nonEmpty)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("cmsHeavyHitters: zero false negatives, integer-exact threshold, " +
+    "every survivor's estimate reaches it") {
+    val spark0 = spark
+    import spark0.implicits._
+    // value i appears i times: n = 820, phi = 30‰ → thr = ceil(24.6) = 25
+    val df = (1 to 40).flatMap(i => Seq.fill(i)(f"v$i%02d")).toDF("v")
+    val got = Sketches.cmsHeavyHitters(df, "v", phiMilli = 30)
+      .orderBy("v").collect()
+    assert(got.forall(_.getAs[Long]("thr") == 25L))
+    assert(got.forall(r => r.getAs[Long]("cms_est") >= 25L))
+    // CMS never undercounts → every truly heavy value MUST be present
+    val gotVals = got.map(_.getAs[String]("v")).toSet
+    assert((25 to 40).forall(i => gotVals.contains(f"v$i%02d")))
+    // d=4 × w=256 vs 40 distinct values: collisions negligible — the
+    // survivor set is exactly the true heavy set, all flagged true
+    assert(gotVals == (25 to 40).map(i => f"v$i%02d").toSet)
+    assert(got.forall(_.getAs[Boolean]("is_true_heavy")))
+  }
+
   private def mkDocs(rows: (Long, String)*) = {
     val spark0 = spark
     import spark0.implicits._
@@ -258,6 +405,20 @@ class SketchesSpec extends SparkSpec {
     if (byCell.size == 2)
       assert(byCell(1) >= byCell(0))
   }
+}
+
+/** Restart-test probe for the HDR cells (batchId replay guard). */
+object HdrChaosProbe {
+  private val buf = scala.collection.mutable.LinkedHashSet[(Long, Long)]()
+  private var last = -1L
+  def reset(): Unit = synchronized { buf.clear(); last = -1L }
+  def probe(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+    val rows = batch.collect()
+      .map(r => (r.getLong(r.fieldIndex("rep")),
+        r.getLong(r.fieldIndex("cnt"))))
+    synchronized { if (id > last) { buf ++= rows; last = id } }
+  }
+  def rows: Set[(Long, Long)] = synchronized(buf.toSet)
 }
 
 /** Restart-test probe with a batchId guard (foreachBatch replays). */
