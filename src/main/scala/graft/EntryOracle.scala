@@ -989,6 +989,19 @@ private[graft] object EntryOracle {
       "FROM documents d JOIN r2 USING (lang)) " +
       "SELECT doc_id, lang, n_source, round(keep_rate, 6) AS keep_rate, sample_u " +
       "FROM u WHERE sample_u < round(keep_rate, 8) ORDER BY doc_id"),
+    // token-budget mixture planner: rounded-DECIMAL weight normalizer
+    // (the temperatureSample discipline) in token units, floor'd
+    // allocations, maxEpochs cap, window-summed unspent remainder
+    "q_mixture_plan" -> ("WITH mxa AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_avail FROM documents GROUP BY 1), " +
+      "mxw AS (SELECT lang, n_docs, tok_avail, CAST(round(pow(CAST(tok_avail AS DOUBLE), CAST(0.6 AS DOUBLE)), 6) AS DECIMAL(38,6)) AS wgt FROM mxa), " +
+      "mxp AS (SELECT lang, n_docs, tok_avail, " +
+      "round(CAST(wgt AS DOUBLE) / CAST(SUM(wgt) OVER () AS DOUBLE), 6) AS weight, " +
+      "CAST(floor(least(CAST(20000 AS DOUBLE) * CAST(wgt AS DOUBLE) / CAST(SUM(wgt) OVER () AS DOUBLE), " +
+      "CAST(1.5 AS DOUBLE) * CAST(tok_avail AS DOUBLE))) AS BIGINT) AS alloc_tokens FROM mxw) " +
+      "SELECT lang, n_docs, tok_avail, weight, alloc_tokens, " +
+      "round(CAST(alloc_tokens AS DOUBLE) / CAST(tok_avail AS DOUBLE), 6) AS epochs, " +
+      "CAST(20000 - SUM(alloc_tokens) OVER () AS BIGINT) AS unspent " +
+      "FROM mxp ORDER BY lang"),
     "q_changed_pairs" -> (s"$cte, l AS (SELECT event_id, host, state, " +
       "lag(state, 1, 'ok') OVER (PARTITION BY host ORDER BY time_s, event_id) AS prev_value FROM ev) " +
       "SELECT event_id, host, prev_value, state FROM l " +

@@ -219,6 +219,14 @@ private[graft] object EntryPipeline {
         .select(col("doc_id"), col("lang"), col("n_source"),
           round(col("keep_rate"), 6).as("keep_rate"), col("sample_u"))
         .orderBy("doc_id")),
+    // token-budget mixture planner: the per-source allocation table a
+    // training run is budgeted from — temperature weights in TOKEN
+    // units, the maxEpochs repetition cap, single-pass waterfilling
+    // with the capped slack surfaced as `unspent`
+    "q_mixture_plan" -> ((s, d) =>
+      Curation.mixturePlan(docs(s, d), budgetTokens = 20000, alpha = 0.6,
+        maxEpochs = 1.5, byCol = "lang")
+        .orderBy("lang")),
     // cross-corpus near-dup join: dedup an incoming batch (doc_id
     // divisible by 4) against the reference corpus (the rest) — the
     // continuous-ingestion production shape; banded per side, capped

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -284,5 +284,52 @@ object Curation {
     docs.join(broadcast(rates), byCol)
       .withColumn("sample_u", round(u, 8))
       .filter(col("sample_u") < round(col("keep_rate"), 8))
+  }
+
+  /** Token-budget mixture planner — the table every LLM training run
+    * is budgeted from (GPT-3 Table 2.2, LLaMA Table 1): given a target
+    * token budget, temperature-weight the available sources
+    * (w_s ∝ tokens_s^alpha, the [[temperatureSample]] rule in TOKEN
+    * units) and cap each source at `maxEpochs` passes over its data —
+    * the standard guard against a tiny high-weight source being
+    * repeated into memorization. Single-pass waterfilling: capped
+    * slack is reported as `unspent`, not redistributed (published
+    * mixture tables do the same; rerun with a larger alpha or budget
+    * to spend it).
+    *
+    * Returns ONE auditable row per source: (byCol, n_docs, tok_avail,
+    * weight, alloc_tokens, epochs, unspent). Scale shape: a per-doc
+    * narrow projection (the whitespace token count — swap in BPE
+    * counts via `tokCol` for tokenizer-exact budgets), one partial
+    * aggregation to |sources| rows, and window math over that tiny
+    * relation only. Weights are rounded-DECIMAL-summed like
+    * [[temperatureSample]] so the normalizer is partition-order
+    * independent. */
+  def mixturePlan(docs: DataFrame, budgetTokens: Long,
+      alpha: Double = 0.5, maxEpochs: Double = 1.0,
+      byCol: String = "source",
+      tokCol: Column = size(split(col("text"), " ")).cast("long"))
+      : DataFrame = {
+    require(budgetTokens > 0 && maxEpochs > 0,
+      s"need budget > 0 and maxEpochs > 0; got $budgetTokens, $maxEpochs")
+    val avail = docs
+      .select(col(byCol), tokCol.as("toks"))
+      .groupBy(byCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tok_avail"))
+    avail
+      .withColumn("wgt", round(pow(col("tok_avail").cast("double"),
+        lit(alpha)), 6).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+      .withColumn("weight", round(col("wgt").cast("double") /
+        sum("wgt").over(Window.partitionBy()).cast("double"), 6))
+      .withColumn("alloc_tokens", floor(least(
+        lit(budgetTokens.toDouble) * col("wgt").cast("double") /
+          sum("wgt").over(Window.partitionBy()).cast("double"),
+        lit(maxEpochs) * col("tok_avail").cast("double"))).cast("long"))
+      .withColumn("epochs", round(col("alloc_tokens").cast("double") /
+        col("tok_avail").cast("double"), 6))
+      .withColumn("unspent", lit(budgetTokens) -
+        sum("alloc_tokens").over(Window.partitionBy()))
+      .select(byCol, "n_docs", "tok_avail", "weight", "alloc_tokens",
+        "epochs", "unspent")
   }
 }

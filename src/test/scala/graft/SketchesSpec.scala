@@ -381,6 +381,41 @@ class SketchesSpec extends SparkSpec {
     assert(kept == Seq(21L))
   }
 
+  test("mixturePlan: epoch caps bind under a rich budget, allocations " +
+    "follow temperature weights under a scarce one, tokens conserve") {
+    val spark0 = spark
+    import spark0.implicits._
+    // source a: 10 docs × 10 tokens; source b: 2 docs × 10 tokens
+    val docs = ((1 to 10).map(i => (s"a$i", "a")) ++
+      (1 to 2).map(i => (s"b$i", "b")))
+      .map { case (id, src) => (id, Seq.fill(10)("w").mkString(" "), src) }
+      .toDF("doc_id", "text", "source")
+    // rich budget: both sources cap at 2 epochs, remainder unspent
+    val rich = graft.pipeline.Curation.mixturePlan(docs, 1000,
+        alpha = 0.5, maxEpochs = 2.0)
+      .orderBy("source").collect()
+    assert(rich.map(_.getAs[Double]("epochs")).toSeq == Seq(2.0, 2.0))
+    assert(rich.map(_.getAs[Long]("alloc_tokens")).toSeq == Seq(200L, 40L))
+    assert(rich.forall(_.getAs[Long]("unspent") == 1000L - 240L))
+    // scarce budget, alpha=1: allocations proportional to availability
+    val scarce = graft.pipeline.Curation.mixturePlan(docs, 60,
+        alpha = 1.0, maxEpochs = 2.0)
+      .orderBy("source").collect()
+    assert(scarce.map(_.getAs[Long]("alloc_tokens")).toSeq == Seq(50L, 10L))
+    assert(scarce.forall(_.getAs[Long]("unspent") >= 0L))
+    // alpha < 1 up-weights the SMALL source: its epochs >= the big one's
+    val flat = graft.pipeline.Curation.mixturePlan(docs, 60,
+        alpha = 0.3, maxEpochs = 5.0)
+      .orderBy("source").collect()
+    assert(flat.map(_.getAs[Double]("epochs")) match {
+      case Array(big, small) => small >= big
+    })
+    // conservation in every regime: Σ alloc + unspent == budget... up
+    // to the floor remainder, which is also what unspent reports
+    assert(scarce.map(_.getAs[Long]("alloc_tokens")).sum +
+      scarce.head.getAs[Long]("unspent") == 60L)
+  }
+
   test("clusterSample: deterministic, bounded keep rates, kept ⊆ input") {
     val spark0 = spark
     import spark0.implicits._
