@@ -789,6 +789,24 @@ private[graft] object EntryOracle {
       "sc AS (SELECT dl.doc_id, dl.term, round((CAST(cnt AS DOUBLE) / doc_len) * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS tfidf FROM dl JOIN df USING (term)), " +
       "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM sc) " +
       "SELECT doc_id, term, tfidf, rk FROM rk WHERE rk <= 5 ORDER BY doc_id, rk"),
+    // Okapi BM25: identical expression tree (left-assoc, every literal
+    // a DOUBLE, k1+1 computed by the same Scala addition), per-term
+    // round(…,9) then DECIMAL sum so addition order can't flip a bit
+    "q_bm25" -> {
+      val k1 = 1.2; val b = 0.75
+      val terms = "('hash','join','spark','window')"
+      "WITH bmn AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM documents), " +
+        "bml AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents), " +
+        "bmt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        s"bmf AS (SELECT doc_id, term, count(*) AS tf FROM bmt WHERE term IN $terms GROUP BY 1, 2), " +
+        "bmd AS (SELECT term, count(*) AS df FROM bmf GROUP BY 1), " +
+        s"bms AS (SELECT f.doc_id, ln(CAST(1.0 AS DOUBLE) + (n.n - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE))) * (f.tf * CAST(${k1 + 1.0} AS DOUBLE)) / (f.tf + CAST($k1 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE) + CAST($b AS DOUBLE) * l.dl / n.avgdl)) AS s " +
+        "FROM bmf f JOIN bmd d USING (term) JOIN bml l USING (doc_id) CROSS JOIN bmn n), " +
+        "bm9 AS (SELECT doc_id, CAST(round(s, 9) AS DECIMAL(38,9)) AS s9 FROM bms), " +
+        "bma AS (SELECT doc_id, round(CAST(sum(s9) AS DOUBLE), 6) AS bm25, CAST(count(*) AS INT) AS n_terms_hit FROM bm9 GROUP BY 1), " +
+        "bmr AS (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM bma) " +
+        "SELECT doc_id, bm25, n_terms_hit, rk FROM bmr WHERE rk <= 20 ORDER BY rk"
+    },
     "q_contamination" -> (s"$shCte, d AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 10 <> 0), " +
       "b AS (SELECT DISTINCT s FROM (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 10 = 0)), " +
       "j AS (SELECT d.doc_id, count(*) AS n_shingles, CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated " +

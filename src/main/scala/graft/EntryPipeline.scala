@@ -175,6 +175,13 @@ private[graft] object EntryPipeline {
     }),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdf(docs(s, d), 5)
       .orderBy("doc_id", "rk")),
+    // Okapi BM25 ranked retrieval over a fixed query — the "find
+    // documents about X" curation primitive; per-term scores rounded
+    // then DECIMAL-summed so the total is addition-order independent
+    "q_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(docs(s, d),
+        Seq("hash", "join", "spark", "window"), topK = 20)
+        .orderBy("rk")),
     // decontamination: every 10th doc plays the held-out benchmark set
     "q_contamination" -> ((s, d) => {
       val all = docs(s, d)

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for training-data curation: token counting,
   * quality scoring, language-ID heuristics, and content fingerprinting.
@@ -89,6 +90,53 @@ object TextAnalysis {
       .orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
       .select("doc_id", "term", "tfidf", "rk")
+  }
+
+  /** Okapi BM25 retrieval scoring (Robertson et al., TREC-3) — the
+    * standard ranked-search companion to [[tfIdf]]: per document,
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) over the
+    * query's terms, idf = ln(1 + (N−df+0.5)/(df+0.5)). Used in
+    * curation as the "find documents about X" primitive (topical
+    * subset extraction, eval-set retrieval).
+    *
+    * Scale shape: the explode is filtered to the query's terms BEFORE
+    * the (doc, term) aggregation, so the shuffle carries only matching
+    * rows; the |terms|-row df relation is broadcast; one join back to
+    * doc lengths; top-k under the usual row_number window. Per-term
+    * scores are rounded to 9 decimals and summed as DECIMAL so the
+    * per-doc total is independent of addition order (a raw double Σ
+    * can differ in the last ulp between partition merge orders). */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val n = docs.count()
+    val lens = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    val Seq(totTok) = lens.agg(sum(col("dl"))).collect().map(_.getLong(0)).toSeq
+    val avgdl = totTok.toDouble / n
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfRel), "term")
+      .join(lens, "doc_id")
+      .withColumn("idf", log(lit(1.0) +
+        (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("s", col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
+      .withColumn("s9",
+        round(col("s"), 9).cast(DecimalType(38, 9)))
+    val ranked = scored.groupBy("doc_id")
+      .agg(round(sum(col("s9")).cast("double"), 6).as("bm25"),
+        count(lit(1)).cast("int").as("n_terms_hit"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("rk") <= topK)
+    ranked.select("doc_id", "bm25", "n_terms_hit", "rk")
   }
 
   /** Benchmark decontamination: the fraction of each document's w-gram

@@ -527,4 +527,31 @@ class PipelineSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0L, 0L, 0L), (2L, 3L, 0L, 3L),
       (3L, 5L, 1L, 1L), (4L, 6L, 1L, 2L)))
   }
+
+  test("bm25: rare query terms outrank common ones, length " +
+    "normalization favors the shorter doc, non-matching docs absent") {
+    val spark0 = spark
+    import spark0.implicits._
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // "needle" is rare (1 doc), "common" is everywhere
+      (1L, s"needle $filler"),
+      (2L, s"common $filler"),
+      (3L, s"common $filler $filler"), // longer doc, same tf
+      (4L, filler),                    // no query terms at all
+      (5L, s"common $filler"),
+      (6L, s"common needle $filler"))  // both terms
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, Seq("needle", "common"), topK = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getInt(2), r.getInt(3))).toMap
+    assert(!got.contains(4L)) // no hits, no row
+    // both-terms doc ranks first; rare-term-only beats common-only
+    assert(got(6L)._3 == 1 && got(6L)._2 == 2)
+    assert(got(1L)._1 > got(2L)._1)
+    // same tf, longer doc → lower score (dl normalization)
+    assert(got(2L)._1 > got(3L)._1)
+    // identical docs tie exactly, rank broken by doc_id
+    assert(got(2L)._1 == got(5L)._1 && got(2L)._3 < got(5L)._3)
+  }
 }
