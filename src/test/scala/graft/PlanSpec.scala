@@ -158,10 +158,17 @@ class PlanSpec extends SparkSpec {
         "ivfTopK" -> Similarity.ivfTopKPlan(emb, Seq(0L, 1L), 3),
         "pqTopK" -> Similarity.pqTopKPlan(emb, Seq(0L, 1L), 3),
         "ivfPqTopK" -> Similarity.ivfPqTopKPlan(emb, Seq(0L, 1L), 3),
-        "tfIdf" -> (graft.pipeline.TextAnalysis.tfIdf(docs), Seq.empty[org.apache.spark.sql.DataFrame]))) {
+        "tfIdf" -> (graft.pipeline.TextAnalysis.tfIdf(docs), Seq.empty[org.apache.spark.sql.DataFrame]),
+        "bm25" -> (graft.pipeline.TextAnalysis.bm25(docs,
+          Seq("hash", "join")), Seq.empty[org.apache.spark.sql.DataFrame]))) {
       val p = plan(df)
       pinned.foreach(_.unpersist())
-      assert(p.contains("WindowGroupLimit"),
+      // partitioned rankers get WindowGroupLimit; the UNpartitioned
+      // bm25 ranker gets the stronger rewrite (LimitPushDownThroughWindow
+      // → TakeOrderedAndProject). Either way the full sort never
+      // materializes more than ~k rows per partition.
+      assert(p.contains("WindowGroupLimit") ||
+          p.contains("TakeOrderedAndProject"),
         s"$name: rank-limit pushdown did not engage:\n$p")
     }
   }
@@ -184,6 +191,21 @@ class PlanSpec extends SparkSpec {
     // and the final pair count's
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 2, s"want 2 hash exchanges, got $exchanges:\n$p")
+  }
+
+  test("cmsHeavyHitters pass 2: the literal-sketch threshold filter is " +
+    "a pure map BELOW the only exchange — non-heavy rows never shuffle") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").cast("string").as("v"))
+    val p = plan(graft.pipeline.Sketches.cmsHeavyHitters(ev, "v", 5))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"want 1 hash exchange, got $exchanges:\n$p")
+    // the estimate filter must run before the aggregation exchange:
+    // everything below the Exchange line is map-side, and the filter's
+    // least(...) estimate probe appears only there
+    val belowExchange = p.substring(p.indexOf("Exchange hashpartitioning"))
+    assert(belowExchange.contains("Filter") && belowExchange.contains("least"),
+      s"threshold filter not map-side:\n$p")
   }
 
   test("bigramLikelihood: count tables join on their own keys (no " +
