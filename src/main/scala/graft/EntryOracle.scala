@@ -452,6 +452,40 @@ private[graft] object EntryOracle {
       "FROM al LEFT JOIN obs ON al.host = obs.host AND al.window_start = obs.window_start) " +
       "SELECT host, window_start, struct_extract(carry, 'm') AS metric, struct_extract(carry, 'st') AS state, coalesce(n_events, 0) AS n_events " +
       "FROM j WHERE n_events IS NOT NULL OR struct_extract(carry, 'st') IS DISTINCT FROM 'expired' ORDER BY 1, 2"),
+    // as-of join: the same union + running last_value(IGNORE NULLS)
+    // pass; right rows reduced per (host, time) to the max-event_id
+    // purchase (the lexicographic-struct pick, event_id unique)
+    "q_asof_join" -> (s"$cte, ajl AS (SELECT event_id, host, time_s FROM ev WHERE service = 'error'), " +
+      "ajr AS (SELECT host, time_s, max(event_id) AS rid FROM ev WHERE service = 'purchase' GROUP BY 1, 2), " +
+      "ajr2 AS (SELECT r.host, r.time_s, r.rid, e.metric FROM ajr r JOIN ev e ON e.event_id = r.rid), " +
+      "aju AS (SELECT host, time_s, 1 AS side, CAST(NULL AS BIGINT) AS rid, CAST(NULL AS DOUBLE) AS rmetric, event_id FROM ajl " +
+      "UNION ALL SELECT host, time_s, 0, rid, metric, NULL FROM ajr2), " +
+      "ajw AS (SELECT *, last_value(rid IGNORE NULLS) OVER wdw AS m_id, " +
+      "last_value(rmetric IGNORE NULLS) OVER wdw AS m_metric, " +
+      "last_value(CASE WHEN side = 0 THEN time_s END IGNORE NULLS) OVER wdw AS m_ts " +
+      "FROM aju WINDOW wdw AS (PARTITION BY host ORDER BY time_s, side ROWS UNBOUNDED PRECEDING)) " +
+      "SELECT event_id, host, time_s, " +
+      "CASE WHEN m_ts IS NOT NULL AND time_s - m_ts <= 21600 THEN m_ts END AS purchase_time_s, " +
+      "CASE WHEN m_ts IS NOT NULL AND time_s - m_ts <= 21600 THEN m_id END AS purchase_id, " +
+      "CASE WHEN m_ts IS NOT NULL AND time_s - m_ts <= 21600 THEN m_metric END AS purchase_metric " +
+      "FROM ajw WHERE side = 1 ORDER BY event_id"),
+    // range join: the oracle states the containment predicate directly
+    // (DuckDB's IEJoin); the Spark side's bin bucketing must produce
+    // exactly this relation
+    "q_range_join" -> (s"$cte, rjl AS (SELECT event_id, host, time_s FROM ev WHERE service = 'error'), " +
+      "rji AS (SELECT event_id AS interval_id, host, time_s AS start_s, time_s + 900 AS end_s FROM ev WHERE service = 'purchase') " +
+      "SELECT l.event_id, l.host, l.time_s, i.interval_id, i.start_s " +
+      "FROM rjl l JOIN rji i ON l.host = i.host AND l.time_s >= i.start_s AND l.time_s < i.end_s " +
+      "ORDER BY l.event_id, i.interval_id"),
+    // sessionization: gaps-and-islands rollup — new session only at
+    // gap > 21600: session_window merges TOUCHING windows too (an
+    // event at exactly prev + gap extends the session — pinned
+    // empirically at sf0.1, host 805), session end = last event + gap
+    "q_sessionize" -> (s"$cte, sg AS (SELECT host, time_s, CASE WHEN lag(time_s) OVER wh IS NULL OR time_s - lag(time_s) OVER wh > 21600 THEN 1 ELSE 0 END AS new_s " +
+      "FROM ev WINDOW wh AS (PARTITION BY host ORDER BY time_s)), " +
+      "si AS (SELECT host, time_s, SUM(new_s) OVER (PARTITION BY host ORDER BY time_s ROWS UNBOUNDED PRECEDING) AS sid FROM sg) " +
+      "SELECT host, min(time_s) AS session_start_s, max(time_s) + 21600 AS session_end_s, CAST(count(*) AS BIGINT) AS n_events " +
+      "FROM si GROUP BY host, sid ORDER BY host, session_start_s"),
     "q_sreduce" -> (s"$cte SELECT event_id, max(metric) OVER w AS running_max, CAST(SUM(CAST(metric AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_sum FROM ev " +
       "WINDOW w AS (PARTITION BY host ORDER BY time_s, event_id ROWS UNBOUNDED PRECEDING) ORDER BY event_id"),
     "q_fold_difference" -> (s"$cte SELECT host, round(CAST(CAST(first(metric ORDER BY time_s, event_id) AS DECIMAL(28,10)) * 2 - SUM(CAST(metric AS DECIMAL(28,10))) AS DOUBLE), 4) AS difference " +

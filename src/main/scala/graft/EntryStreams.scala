@@ -207,6 +207,47 @@ private[graft] object EntryStreams {
     "q_interpolate" -> ((s, d) =>
       Windows.interpolateConstant(ev(s, d), 3600, Seq("host"))
         .orderBy("host", "window_start")),
+    // as-of join: each error enriched with the latest purchase at or
+    // before it (same host, 6h tolerance) — one union + one keyed
+    // window pass, no per-row probe, neither side broadcast
+    "q_asof_join" -> ((s, d) => {
+      val e = ev(s, d)
+      graft.operators.Temporal.asOfJoin(
+        e.filter(col("service") === "error")
+          .select("event_id", "host", "time_s"),
+        e.filter(col("service") === "purchase")
+          .select("host", "time_s", "event_id", "metric"),
+        Seq("host"), "time_s", Seq("event_id", "metric"),
+        toleranceSeconds = 21600)
+        .withColumnsRenamed(Map("asof_event_id" -> "purchase_id",
+          "asof_metric" -> "purchase_metric",
+          "asof_time_s" -> "purchase_time_s"))
+        .orderBy("event_id")
+    }),
+    // range join: errors landing inside [purchase, purchase + 15 min)
+    // maintenance windows per host — bin-bucketed equi-join, residual
+    // containment filter, no theta-join
+    "q_range_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val intervals = e.filter(col("service") === "purchase")
+        .select(col("event_id").as("interval_id"),
+          col("host"), col("time_s").as("start_s"),
+          (col("time_s") + 900).as("end_s"))
+      graft.operators.Temporal.rangeJoin(
+        e.filter(col("service") === "error")
+          .select("event_id", "host", "time_s"),
+        intervals, Seq("host"), "time_s", "start_s", "end_s",
+        binSeconds = 900)
+        .select("event_id", "host", "time_s", "interval_id", "start_s")
+        .orderBy("event_id", "interval_id")
+    }),
+    // sessionization: native session_window per host, 6h gap — the
+    // session ends gap after its last event (contract mirrored by the
+    // oracle's gaps-and-islands rollup)
+    "q_sessionize" -> ((s, d) =>
+      graft.operators.Temporal.sessionize(ev(s, d), Seq("host"), "time",
+        "21600 seconds")
+        .orderBy("host", "session_start_s")),
     "q_sreduce" -> ((s, d) => Windows.sreduceRunning(ev(s, d), Seq("host"),
       "running_max" -> max(col("metric")),
       "running_sum" -> sum(col("metric").cast(D)))

@@ -208,6 +208,35 @@ class PlanSpec extends SparkSpec {
       s"threshold filter not map-side:\n$p")
   }
 
+  test("asOfJoin shuffles ONCE (union rides one keyed window pass); " +
+    "rangeJoin plans a hash equi-join, never a cartesian/theta join") {
+    val e = graft.model.EventView(spark, dir)
+    val asof = plan(graft.operators.Temporal.asOfJoin(
+      e.filter(col("service") === "error")
+        .select("event_id", "host", "time_s"),
+      e.filter(col("service") === "purchase")
+        .select("host", "time_s", "event_id", "metric"),
+      Seq("host"), "time_s", Seq("event_id", "metric"), 21600))
+    // the right side's per-(key,time) reduction partial-aggregates
+    // map-side and shares the window's host partitioning; the only
+    // full-width exchanges are the keyed one(s) feeding the window
+    // sort — and NEVER a range probe or broadcast of either side
+    val asofExchanges = "Exchange hashpartitioning".r.findAllIn(asof).length
+    assert(asofExchanges <= 2, s"want <=2 hash exchanges:\n$asof")
+    assert(!asof.contains("CartesianProduct") &&
+      !asof.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$asof")
+    val iv = e.filter(col("service") === "purchase")
+      .select(col("event_id").as("interval_id"), col("host"),
+        col("time_s").as("start_s"), (col("time_s") + 900).as("end_s"))
+    val rj = plan(graft.operators.Temporal.rangeJoin(
+      e.filter(col("service") === "error")
+        .select("event_id", "host", "time_s"),
+      iv, Seq("host"), "time_s", "start_s", "end_s", 900))
+    assert(!rj.contains("CartesianProduct") &&
+      !rj.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to theta join:\n$rj")
+  }
+
   test("bigramLikelihood: count tables join on their own keys (no " +
     "cartesian product beyond the broadcast vocab scalar), and a " +
     "repeated phrase outscores unique text") {

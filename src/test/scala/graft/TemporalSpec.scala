@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+
+/** Behavioral tests for the temporal join family — the semantics the
+  * oracle rows (q_asof_join / q_range_join / q_sessionize) pin by
+  * value but not by contract: tie handling at equal timestamps,
+  * tolerance nulling, bin-spanning intervals, the touching-gap merge
+  * rule, and batch/stream sessionization parity. */
+class TemporalSpec extends SparkSpec {
+
+  private def left(rows: (Long, String, Long)*) = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("event_id", "host", "time_s")
+  }
+
+  private def right(rows: (String, Long, Long, Double)*) = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("host", "time_s", "event_id", "metric")
+  }
+
+  test("asOfJoin: latest at-or-before wins, same-timestamp right row " +
+    "matches, no-prior and out-of-tolerance rows keep null payload") {
+    val l = left((1L, "a", 100L), (2L, "a", 50L), (3L, "a", 10L),
+      (4L, "b", 100L))
+    val r = right(("a", 20L, 900L, 1.0), ("a", 50L, 901L, 2.0),
+      ("a", 99L, 902L, 3.0), ("b", 5L, 903L, 4.0))
+    val got = Temporal.asOfJoin(l, r, Seq("host"), "time_s",
+        Seq("event_id", "metric"), toleranceSeconds = 60)
+      .orderBy("event_id").collect()
+      .map(x => (x.getLong(0), x.getAs[Any]("asof_time_s"),
+        x.getAs[Any]("asof_event_id"), x.getAs[Any]("asof_metric")))
+    assert(got.toSeq == Seq(
+      (1L, 99L, 902L, 3.0),   // latest before 100
+      (2L, 50L, 901L, 2.0),   // tie at 50: at-or-before includes it
+      (3L, null, null, null), // nothing at or before 10
+      (4L, null, null, null)  // match at 5 is outside tolerance 60
+    ))
+  }
+
+  test("asOfJoin: concurrent right rows at one timestamp reduce to the " +
+    "lexicographically largest payload — deterministic, not plan-luck") {
+    val l = left((1L, "a", 100L))
+    val r = right(("a", 80L, 910L, 5.0), ("a", 80L, 912L, 1.0),
+      ("a", 80L, 911L, 9.0))
+    val got = Temporal.asOfJoin(l, r, Seq("host"), "time_s",
+      Seq("event_id", "metric")).collect().head
+    assert(got.getAs[Long]("asof_event_id") == 912L &&
+      got.getAs[Double]("asof_metric") == 1.0)
+  }
+
+  test("rangeJoin: equals the brute-force containment join, intervals " +
+    "spanning many bins still match, empty intervals drop") {
+    val spark0 = spark
+    import spark0.implicits._
+    val events = left((1L, "a", 5L), (2L, "a", 100L), (3L, "a", 999L),
+      (4L, "b", 100L))
+    val ivals = Seq(
+      ("i1", "a", 0L, 10L),     // within one bin
+      ("i2", "a", 50L, 1000L),  // spans many 100s bins
+      ("i3", "a", 7L, 7L),      // empty: dropped
+      ("i4", "b", 90L, 101L))
+      .toDF("interval_id", "host", "start_s", "end_s")
+    val got = Temporal.rangeJoin(events, ivals, Seq("host"), "time_s",
+        "start_s", "end_s", binSeconds = 100)
+      .select("event_id", "interval_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // brute force: t in [start, end)
+    assert(got == Set((1L, "i1"), (2L, "i2"), (3L, "i2"), (4L, "i4")))
+  }
+
+  test("sessionize: touching gap (exactly `gap` apart) MERGES — the " +
+    "session_window contract the oracle mirrors — and gap+1 splits") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(("a", 0L), ("a", 10L), ("a", 20L), ("a", 31L))
+      .toDF("host", "t")
+      .withColumn("time", timestamp_seconds(col("t")))
+    val got = Temporal.sessionize(df, Seq("host"), "time", "10 seconds")
+      .orderBy("session_start_s").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 0,10,20 chain through touching windows; 31 is 11 > 10 after 20
+    assert(got.toSeq == Seq((0L, 30L, 3L), (31L, 41L, 1L)))
+  }
+
+  test("sessionize: streaming sessions on the closed watermark equal " +
+    "the batch rollup") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val rows = (1 to 60).map(i => (s"h${i % 5}", ts(i * 7 % 53)))
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val name = s"sess_${System.nanoTime()}"
+    val q = Temporal.sessionize(
+        input.toDF().toDF("host", "time").withWatermark("time", "0 seconds"),
+        Seq("host"), "time", "5 seconds")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(("h_late", ts(10000)))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .filter(col("host") =!= "h_late")
+        .orderBy("host", "session_start_s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      val batch = Temporal.sessionize(rows.toDF("host", "time"),
+          Seq("host"), "time", "5 seconds")
+        .orderBy("host", "session_start_s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+}
