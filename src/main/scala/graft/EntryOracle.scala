@@ -452,6 +452,18 @@ private[graft] object EntryOracle {
       "FROM al LEFT JOIN obs ON al.host = obs.host AND al.window_start = obs.window_start) " +
       "SELECT host, window_start, struct_extract(carry, 'm') AS metric, struct_extract(carry, 'st') AS state, coalesce(n_events, 0) AS n_events " +
       "FROM j WHERE n_events IS NOT NULL OR struct_extract(carry, 'st') IS DISTINCT FROM 'expired' ORDER BY 1, 2"),
+    // z-score anomalies: the exact-moment fragments from the fold
+    // surface (DECIMAL(18,6) sums), identical division trees, rounded
+    // z compared to the threshold after rounding on both sides
+    "q_zscore_anomaly" -> (s"$cte, zs AS (SELECT service, " +
+      "CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) / count(metric) AS mu, " +
+      "sqrt(CAST(SUM(CAST(metric AS DECIMAL(18,6)) * CAST(metric AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(metric) AS DOUBLE) - (CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(metric) AS DOUBLE)) * (CAST(SUM(CAST(metric AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(metric) AS DOUBLE))) AS sigma " +
+      "FROM ev WHERE metric IS NOT NULL GROUP BY 1), " +
+      "zz AS (SELECT e.event_id, e.service, e.metric, round(zs.mu, 4) AS mu, round(zs.sigma, 4) AS sigma, " +
+      "round((e.metric - zs.mu) / zs.sigma, 4) AS z " +
+      "FROM ev e JOIN zs USING (service) WHERE e.metric IS NOT NULL AND zs.sigma > 0) " +
+      "SELECT event_id, service, metric, mu, sigma, z FROM zz " +
+      s"WHERE abs(z) >= CAST(2.5 AS DOUBLE) ORDER BY event_id"),
     // as-of join: the same union + running last_value(IGNORE NULLS)
     // pass; right rows reduced per (host, time) to the max-event_id
     // purchase (the lexicographic-struct pick, event_id unique)

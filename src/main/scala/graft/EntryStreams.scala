@@ -189,6 +189,12 @@ private[graft] object EntryStreams {
     "q_predict_linear" -> ((s, d) =>
       Windows.predictLinear(ev(s, d), 3600, Seq("host")).orderBy("host")),
     "q_clock_skew" -> ((s, d) => Windows.clockSkew(ev(s, d)).orderBy("host")),
+    // z-score anomalies: events >= 2.5 sigma from their service's
+    // decimal-exact population moments — stats broadcast back, so the
+    // flagging is a map-side filter, not a second shuffle
+    "q_zscore_anomaly" -> ((s, d) =>
+      Windows.zscore(ev(s, d), Seq("service"), 2.5)
+        .orderBy("event_id")),
     "q_fold_interval" -> ((s, d) => Windows.foldInterval(ev(s, d), 86400,
       Seq("service"),
       "sum_m" -> Folds.sumExact(col("metric")),

@@ -296,6 +296,23 @@ object ConfigFile {
             .select(by.map(col) :+ col("window.start").as("time") :+
               col("metric"): _*)
         }
+      case "sessionize" =>
+        // gap-based sessions per `by` keys: one row per CLOSED session
+        // carrying (time = session start, metric = event count) — the
+        // "activity bursts per host" rollup; native session_window, so
+        // the same op works in batch test mode and on the live stream
+        val gap = num(op \ "gap", "sessionize.gap")
+        val by = strings(op \ "by")
+        val wm = (op \ "watermark") match {
+          case JString(s) => s
+          case _ => "0 seconds"
+        }
+        graft.operators.Temporal.sessionize(
+            df.withWatermark("time", wm), by, "time",
+            s"${gap.toLong} seconds")
+          .select(by.map(col) :+
+            timestamp_seconds(col("session_start_s")).as("time") :+
+            col("n_events").cast("double").as("metric"): _*)
       case "index" =>
         val wm = (op \ "watermark") match {
           case JString(s) => s

@@ -666,4 +666,30 @@ object Windows {
       .withColumn("skew_s", round(col("host_time") - col("median_time"), 1))
       .drop("median_time")
   }
+
+  /** Z-score anomaly detection: flag events whose metric deviates from
+    * their key-group's population mean by >= `threshold` standard
+    * deviations — the standard "this latency is off" monitoring alarm
+    * riemann configs build by hand from `fold`/`where`. Moments come
+    * from the decimal-exact sums ([[graft.functions.Folds]] — the same
+    * partition-order-independent discipline as the fold surface), so
+    * the flagged set is deterministic; degenerate groups (sigma = 0)
+    * flag nothing. Scale shape: one aggregation to |keys| rows,
+    * broadcast back over the events — a narrow map-side filter, never
+    * a second shuffle of the data. */
+  def zscore(df: DataFrame, keys: Seq[String], threshold: Double): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    import graft.functions.Folds
+    val nn = df.filter(col("metric").isNotNull)
+    val stats = nn.groupBy(keys.map(col): _*)
+      .agg(Folds.meanExact(col("metric")).as("mu"),
+        Folds.stddevPopExact(col("metric")).as("sigma"))
+      .filter(col("sigma") > 0)
+    nn.join(broadcast(stats), keys)
+      .withColumn("z", round((col("metric") - col("mu")) / col("sigma"), 4))
+      .filter(abs(col("z")) >= threshold)
+      .select((Seq("event_id") ++ keys ++ Seq("metric")).map(col) :+
+        round(col("mu"), 4).as("mu") :+
+        round(col("sigma"), 4).as("sigma") :+ col("z"): _*)
+  }
 }

@@ -209,6 +209,22 @@ class FileConfigSpec extends SparkSpec {
     assert(batch <= exact && batch > exact * 0.96)
   }
 
+  test("sessionize op: gap-based sessions through the config surface " +
+    "(time = session start, metric = event count)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(("a", 0L), ("a", 5L), ("a", 30L), ("b", 2L))
+      .toDF("host", "t")
+      .withColumn("time", timestamp_seconds(col("t")))
+      .withColumn("metric", lit(1.0))
+    val got = ConfigFile.applyOp(df, op(
+      """{"op":"sessionize","gap":10,"by":["host"]}"""))
+      .collect().map(r => (r.getAs[String]("host"),
+        r.getAs[Timestamp]("time").getTime / 1000,
+        r.getAs[Double]("metric"))).toSet
+    assert(got == Set(("a", 0L, 2.0), ("a", 30L, 1.0), ("b", 2L, 1.0)))
+  }
+
   // ------------------------------------------------- file → Core lifecycle
 
   test("Loader: file config starts streams; reload restarts only edits; " +
