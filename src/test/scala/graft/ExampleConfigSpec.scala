@@ -8,8 +8,9 @@ class ExampleConfigSpec extends SparkSpec {
     val streams = graft.config.ConfigFile.load(path)
     assert(streams.map(s =>
       graft.config.ConfigFile.str(s \ "name", "name")).toSet ==
-      Set("index", "graphite-index", "hot-alerts", "fleet-size"))
+      Set("index", "graphite-index", "hot-alerts", "fleet-size",
+        "p95-latency", "sessions"))
     val (passed, failed) = Main.runTests(path, spark)
-    assert(passed == 3 && failed == 0, s"$passed passed, $failed failed")
+    assert(passed == 5 && failed == 0, s"$passed passed, $failed failed")
   }
 }
