@@ -257,6 +257,27 @@ private[graft] object EntryOracle {
         s" THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB replica of Similarity.randomProject's j-th component: the
+    * same md5-derived plane at RpPlaneOffset, the same scaled-long sum,
+    * divided by the one shared `1e12·√outDims` literal. */
+  def rpProjSql(j: Int, outDims: Int, src: String = "unit"): String = {
+    val arr = Array.tabulate(64)(d =>
+      Similarity.planeComponent(Similarity.RpPlaneOffset + j, d))
+      .mkString("[", ",", "]")
+    s"(CAST(list_sum(list_transform(list_zip($src, CAST($arr AS DOUBLE[])), " +
+      s"z -> CAST(FLOOR(z[1]*z[2]*1e12) AS BIGINT))) AS DOUBLE) / " +
+      s"${Similarity.rpDivisor(outDims)})"
+  }
+
+  /** Projected corpus on top of [[unitCte]]: (vec_id, label, unit,
+    * one rp DOUBLE[n] column per n in outDimsList). */
+  def rpCte(outDimsList: Int*): String =
+    s", rp AS (SELECT vec_id, label, unit, " +
+      outDimsList.map(n =>
+        (0 until n).map(rpProjSql(_, n)).mkString("[", ", ", "]") +
+          s" AS rp$n").mkString(", ") +
+      " FROM u)"
+
   val simhashCte: String = {
     val bitSums = (0 until 64).map { b =>
       val h = if (b < 60) s"(h1 >> $b)" else s"(h2 >> ${b - 60})"
@@ -704,6 +725,33 @@ private[graft] object EntryOracle {
       "SELECT vec_id, round(scale, 6) AS scale, " +
       "round(list_sum(list_transform(list_zip(dv, qvec), z -> abs(z[1] - CAST(z[2] AS DOUBLE) / CAST(127 AS DOUBLE) * scale))) / len(dv), 6) AS mean_abs_err " +
       "FROM q ORDER BY vec_id"),
+    "q_rand_proj" -> (s"$unitCte${rpCte(16)} SELECT vec_id, label, " +
+      (0 until 16).map(j => s"round(rp16[${j + 1}], 6) AS rp$j")
+        .mkString(", ") +
+      " FROM rp ORDER BY vec_id"),
+    "q_rp_distortion" -> (s"$unitCte${rpCte(16)}, " +
+      "sp AS (SELECT vec_id, unit, rp16 AS rp FROM rp WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)), " +
+      "pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+      "round(2.0 - 2.0*(CAST(list_sum(list_transform(list_zip(a.unit, b.unit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16), 6) AS d2_orig, " +
+      "round(CAST(list_sum(list_transform(list_zip(a.rp, b.rp), z -> CAST(FLOOR((z[1]-z[2])*(z[1]-z[2])*1e12) AS BIGINT))) AS DOUBLE)/1e12, 6) AS d2_proj " +
+      "FROM sp a JOIN sp b ON a.vec_id < b.vec_id) " +
+      "SELECT vec_a, vec_b, d2_orig, d2_proj, " +
+      "CASE WHEN d2_orig = 0 THEN NULL ELSE round(d2_proj / d2_orig, 6) END AS ratio " +
+      "FROM pr ORDER BY vec_a, vec_b"),
+    "q_rp_recall" -> (s"$unitCte${rpCte(16, 32)}, " +
+      "q AS (SELECT vec_id AS query_id, unit AS qunit, rp16 AS qrp16, rp32 AS qrp32 FROM rp WHERE vec_id IN (0,1,2,3,4)), " +
+      "j AS (SELECT query_id, vec_id, unit, rp16, rp32, qunit, qrp16, qrp32 FROM rp, q WHERE vec_id <> query_id), " +
+      "ex AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY round(CAST(list_sum(list_transform(list_zip(unit, qunit), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) DESC, vec_id) AS rk FROM j), " +
+      "ap16 AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY round(CAST(list_sum(list_transform(list_zip(rp16, qrp16), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) DESC, vec_id) AS rk FROM j), " +
+      "ap32 AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY round(CAST(list_sum(list_transform(list_zip(rp32, qrp32), z -> CAST(FLOOR(z[1]*z[2]*1e16) AS BIGINT))) AS DOUBLE)/1e16, 6) DESC, vec_id) AS rk FROM j) " +
+      "SELECT e.query_id, round(CAST(count(a16.query_id) AS DOUBLE) / count(*), 6) AS rp16_recall, " +
+      "round(CAST(count(a32.query_id) AS DOUBLE) / count(*), 6) AS rp32_recall " +
+      "FROM (SELECT query_id, vec_id FROM ex WHERE rk <= 10) e " +
+      "LEFT JOIN (SELECT query_id, vec_id FROM ap16 WHERE rk <= 10) a16 " +
+      "ON e.query_id = a16.query_id AND e.vec_id = a16.vec_id " +
+      "LEFT JOIN (SELECT query_id, vec_id FROM ap32 WHERE rk <= 10) a32 " +
+      "ON e.query_id = a32.query_id AND e.vec_id = a32.vec_id " +
+      "GROUP BY e.query_id ORDER BY e.query_id"),
     "q_graphite_decode" -> s"$cte SELECT event_id, service, metric, time_s, host FROM ev ORDER BY event_id",
     "q_protobuf_roundtrip" -> (EventView.oracleCteWith(
       "json_extract_string(props, '$.k') AS attr_k") +

@@ -476,6 +476,21 @@ private[graft] object EntryStreams {
       .orderBy("vec_id")),
     "q_quant_error" -> ((s, d) => Similarity.quantError(emb(s, d))
       .orderBy("vec_id")),
+    // Johnson–Lindenstrauss random projection: 64-d → 16-d (one narrow
+    // corpus pass), plus the distortion and recall audits that price it
+    "q_rand_proj" -> ((s, d) => {
+      val rp = Similarity.randomProject(emb(s, d), 16)
+      rp.select(col("vec_id") +: col("label") +: (0 until 16).map(j =>
+          round(element_at(col("rp"), j + 1), 6).as(s"rp$j")): _*)
+        .orderBy("vec_id")
+    }),
+    "q_rp_distortion" -> ((s, d) =>
+      Similarity.rpDistortion(emb(s, d), (0L until 10L).toSeq, 16)
+        .orderBy("vec_a", "vec_b")),
+    "q_rp_recall" -> ((s, d) =>
+      Similarity.rpRecall(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
+          Seq(16, 32))
+        .orderBy("query_id")),
 
     // ---- §2.1 line-protocol sources: encode events to wire lines in
     // Spark, decode with the real parser; the oracle states the

@@ -632,6 +632,141 @@ object Similarity {
   }
 
   // --------------------------------------------------------------------
+  // Johnson–Lindenstrauss random projection: 64-d → outDims-d
+  // --------------------------------------------------------------------
+
+  /** Plane-id offset reserved for the JL projection matrix — disjoint
+    * from the sign-LSH planes (ids 0..23 across the banded tables), so
+    * the projection directions are independent of every LSH bucket
+    * already derived from [[planeComponent]]. */
+  val RpPlaneOffset = 2000
+
+  /** All `outDims` 1e12-scaled JL projections of `unit` in ONE
+    * codegen'd traversal (array<long>); [[rpScaledColumns]] is the
+    * HOF-column spec it is parity-pinned to. */
+  def rpScaled(unit: Column, outDims: Int, dims: Int = 64): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(PlaneProjectExpr(ColumnBridge.expression(unit),
+      outDims, dims, RpPlaneOffset))
+  }
+
+  private[graft] def rpScaledColumns(unit: Column, outDims: Int,
+      dims: Int = 64): Column = {
+    def proj(j: Int): Column = {
+      val hp = Array.tabulate(dims)(d => planeComponent(RpPlaneOffset + j, d))
+      aggregate(
+        zip_with(unit, lit(hp), (x, c) => floor(x * c * lit(1e12))),
+        lit(0L), (acc, x) => acc + x)
+    }
+    // mirror the kernel's null convention: any zip_with null path
+    // nulls the WHOLE array, not one component
+    when(unit.isNull || size(unit) =!= dims ||
+        exists(unit, x => x.isNull), lit(null))
+      .otherwise(array((0 until outDims).map(proj): _*))
+  }
+
+  /** The divisor that makes scaled projections unbiased JL estimates:
+    * the md5-derived plane entries are (discrete-)uniform on
+    * [-0.5, 0.5) with variance σ² = 1/12, and a JL matrix needs
+    * unit-variance entries scaled by 1/√outDims — so raw 1e12-scaled
+    * long sums divide by 1e12·σ·√outDims = 1e12·√(outDims/12). One
+    * shared double literal on both engines. */
+  def rpDivisor(outDims: Int): Double =
+    1e12 * math.sqrt(outDims.toDouble / 12.0)
+
+  /** Johnson–Lindenstrauss random projection of the unit corpus:
+    * 64-d float vectors → `outDims` dense doubles, rpⱼ = (unit ·
+    * plane(2000+j)) / (σ·√outDims) with σ² = 1/12 the plane-entry
+    * variance — so inner products (hence cosines and Euclidean gaps of
+    * unit vectors) are preserved in expectation with the usual JL
+    * concentration. [[rpDistortion]] measures the realized distortion,
+    * [[rpRecall]] the retrieval cost. The projection itself is a pure
+    * narrow map (one corpus traversal, no exchange): at 100 TB this is
+    * the compression pass that makes every downstream pairwise stage
+    * `outDims/64` as wide — run it once, write the projected table,
+    * point LSH/ANN at it.
+    *
+    * Components come out engine-identical (scaled-long sums divided by
+    * the one shared literal), so the DuckDB oracle replays them
+    * bit-for-bit. */
+  def randomProject(embeddings: DataFrame, outDims: Int = 16,
+      dims: Int = 64): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+      transform(rpScaled(normalized(col("embedding")), outDims, dims),
+        s => s.cast("double") / lit(rpDivisor(outDims))).as("rp"))
+
+  /** JL distortion audit over a small deterministic sample: for each
+    * pair, the exact unit-space squared L2 gap (2 − 2·cos, an identity
+    * on unit vectors), the projected-space squared L2 gap, and their
+    * ratio — the number the JL lemma bounds near 1. The sample side is
+    * tiny and broadcast; nothing pairwise ever touches the full
+    * corpus. */
+  def rpDistortion(embeddings: DataFrame, sampleIds: Seq[Long],
+      outDims: Int = 16, dims: Int = 64): DataFrame = {
+    val s = embeddings.filter(col("vec_id").isin(sampleIds: _*))
+      .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+      .withColumn("rp", transform(rpScaled(col("unit"), outDims, dims),
+        x => x.cast("double") / lit(rpDivisor(outDims))))
+    val pairs = s.as("a").join(broadcast(s.as("b")),
+      col("a.vec_id") < col("b.vec_id"))
+    val d2o = round(lit(2.0) - lit(2.0) *
+      dotExact(col("a.unit"), col("b.unit")), 6)
+    val d2p = round(aggregate(
+      zip_with(col("a.rp"), col("b.rp"),
+        (x, y) => floor((x - y) * (x - y) * lit(1e12))),
+      lit(0L), (acc, x) => acc + x).cast("double") / lit(1e12), 6)
+    pairs.select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        d2o.as("d2_orig"), d2p.as("d2_proj"))
+      .withColumn("ratio", when(col("d2_orig") === 0.0, lit(null))
+        .otherwise(round(col("d2_proj") / col("d2_orig"), 6)))
+  }
+
+  /** Recall@k of brute-force search in the PROJECTED space against
+    * exact full-dimension ground truth, at each compression level in
+    * `outDimsList` — the dial that prices the `outDims/64`
+    * compression: rank the corpus by projected dot product (the JL
+    * estimate of cosine), compare the top-k sets. ONE corpus scan
+    * carries every projection level (the plane sets nest: the 16-d
+    * projection is the first 16 planes of the 32-d one), one broadcast
+    * query relation feeds every ranker. */
+  def rpRecall(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      outDimsList: Seq[Int] = Seq(16, 32), dims: Int = 64): DataFrame = {
+    def rpCol(n: Int): Column =
+      transform(rpScaled(col("unit"), n, dims),
+        x => x.cast("double") / lit(rpDivisor(n)))
+    val base = embeddings.select(col("vec_id") +:
+        normalized(col("embedding")).as("unit") +:
+        outDimsList.map(n => rpCol(n).as(s"rp$n")): _*)
+      .cache()
+    val q = base.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id") +: col("unit").as("qunit") +:
+        outDimsList.map(n => col(s"rp$n").as(s"qrp$n")): _*)
+    def top(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select("query_id", "vec_id")
+    }
+    val joined = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val exact = top(joined.select(col("query_id"), col("vec_id"),
+      round(dotExact(col("unit"), col("qunit")), 6).as("score")))
+    val recall = outDimsList.foldLeft(exact) { (acc, n) =>
+      val approx = top(joined.select(col("query_id"), col("vec_id"),
+        round(dotExact(col(s"rp$n"), col(s"qrp$n")), 6).as("score")))
+      acc.join(approx.withColumn(s"hit$n", lit(1)),
+        Seq("query_id", "vec_id"), "left")
+    }
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("kk"), outDimsList.map(n =>
+        sum(coalesce(col(s"hit$n"), lit(0))).cast("long")
+          .as(s"hits$n")): _*)
+      .select(col("query_id") +: outDimsList.map(n =>
+        round(col(s"hits$n").cast("double") / col("kk"), 6)
+          .as(s"rp${n}_recall")): _*)
+    eagerRelease(recall, Seq(base))
+  }
+
+  // --------------------------------------------------------------------
   // Product quantization (Jégou et al. 2011): subspace codebooks + ADC
   // --------------------------------------------------------------------
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** One-pass vector kernels behind codegen'd Catalyst expressions — the
@@ -70,6 +70,30 @@ object VectorKernels {
       p += 1
     }
     bucket
+  }
+
+  /** All `outDims` plane projections of the JL random-projection
+    * matrix in one traversal, as 1e12-scaled longs (proj[j] = Σᵢ
+    * floor(xᵢ · plane(offset+j)ᵢ · 1e12)). Null conventions match
+    * [[dotScaled]] — null input, wrong length, or a null element →
+    * null (a projection of garbage is not a zero vector). */
+  def planeProject(unit: ArrayData, outDims: Int, dims: Int,
+      offset: Int): GenericArrayData = {
+    if (unit == null || unit.numElements() != dims) return null
+    val h = planes(outDims, dims, offset)
+    val acc = new Array[Long](outDims)
+    var i = 0
+    while (i < dims) {
+      if (unit.isNullAt(i)) return null
+      val x = unit.getDouble(i)
+      var p = 0
+      while (p < outDims) {
+        acc(p) += math.floor(x * h(p)(i) * 1e12).toLong
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(acc)
   }
 
   /** `aggregate(zip_with(a, b, (x, y) => floor((x-y)*(x-y)*scale)), 0L, _+_)`
@@ -245,6 +269,31 @@ case class PlaneBucketExpr(child: Expression, nPlanes: Int, dims: Int,
       long ${ev.value} = graft.pipeline.VectorKernels.planeBucket(
         ${c.isNull} ? null : ${c.value}, $nPlanes, $dims, $offset);
       """, isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `plane_project(unit)`: all `outDims` JL projections as 1e12-scaled
+  * longs in one traversal; null on any zip_with null path. */
+case class PlaneProjectExpr(child: Expression, outDims: Int, dims: Int,
+    offset: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any =
+    VectorKernels.planeProject(
+      child.eval(input).asInstanceOf[ArrayData], outDims, dims, offset)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val arr = ctx.freshName("projArr")
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.GenericArrayData $arr =
+        graft.pipeline.VectorKernels.planeProject(
+          ${c.isNull} ? null : ${c.value}, $outDims, $dims, $offset);
+      boolean ${ev.isNull} = $arr == null;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $arr;
+      """)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

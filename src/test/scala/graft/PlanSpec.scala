@@ -386,6 +386,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), s"expected the inline generate:\n$p")
   }
 
+  test("randomProject is exchange-free: one narrow pass over the corpus") {
+    // the JL compression pass must ride the scan — normalize + all
+    // outDims projections are per-row kernels, so a 100 TB corpus
+    // projects without a single shuffle
+    val p = plan(graft.pipeline.Similarity.randomProject(
+      spark.read.parquet(s"$dir/embeddings.parquet"), 16))
+    assert(!p.contains("Exchange"), s"projection should ride the scan:\n$p")
+  }
+
   test("influx line encode and piiScan are pure projections, no exchange") {
     val ev = EventView(spark, dir).filter(col("metric").isNotNull)
       .select(col("event_id"), graft.sinks.Metrics.influxLine.as("line"))

@@ -39,6 +39,27 @@ class VectorKernelsParitySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("plane project kernel ≡ column form incl. null paths -> null array") {
+    val rnd = new Random(17)
+    def v(n: Int): Seq[java.lang.Double] =
+      Seq.fill(n)(java.lang.Double.valueOf(rnd.nextDouble() * 2 - 1))
+    val rows: Seq[(Seq[java.lang.Double], Seq[java.lang.Double])] =
+      (1 to 40).map(_ => (v(64), v(64))) ++ Seq(
+        (null, v(64)),                         // null -> null
+        (v(10), v(64)),                        // wrong dims -> null
+        (v(64).updated(7, null: java.lang.Double), v(64))) // null elem -> null
+    val df = vecs(rows)
+    for (outDims <- Seq(4, 16, 32)) {
+      val got = df.select(col("id"),
+        Similarity.rpScaled(col("a"), outDims, 64).as("p")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+      val want = df.select(col("id"),
+        Similarity.rpScaledColumns(col("a"), outDims, 64).as("p")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+      assert(got.toSeq == want.toSeq, s"outDims=$outDims")
+    }
+  }
+
   test("plane bucket kernel ≡ column form incl. degenerate inputs -> 0") {
     val rnd = new Random(13)
     def v(n: Int): Seq[java.lang.Double] =
