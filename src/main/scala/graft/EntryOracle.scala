@@ -1013,9 +1013,12 @@ private[graft] object EntryOracle {
         s"he AS (SELECT event_type, n_buckets, n_zero, CAST(${pipeline.Sketches.alphaNum(b)} AS DOUBLE) / z AS e_raw FROM hz), " +
         s"hx AS (SELECT event_type, n_buckets, n_zero, round(CASE WHEN e_raw <= CAST(${2.5 * m} AS DOUBLE) AND n_zero > 0 THEN (CAST($lnArr AS DOUBLE[]))[n_zero] ELSE e_raw END, 4) AS hll_est FROM he), " +
         s"hx2 AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1) " +
-        "SELECT hx2.event_type, hx2.n_exact, hx.n_buckets, hx.n_zero, hx.hll_est, " +
-        "round(abs(hx.hll_est - CAST(hx2.n_exact AS DOUBLE)) / CAST(hx2.n_exact AS DOUBLE), 4) AS rel_err " +
-        "FROM hx2 JOIN hx USING (event_type) ORDER BY event_type"
+        // LEFT JOIN + COALESCE mirrors hllDistinct's all-NULL-key
+        // handling: n_exact = 0 keys report (0 buckets, m zeros,
+        // est 0, rel_err 0) instead of disappearing
+        s"SELECT hx2.event_type, hx2.n_exact, COALESCE(hx.n_buckets, 0) AS n_buckets, COALESCE(hx.n_zero, $m) AS n_zero, COALESCE(hx.hll_est, 0.0) AS hll_est, " +
+        "CASE WHEN hx2.n_exact = 0 THEN 0.0 ELSE round(abs(COALESCE(hx.hll_est, 0.0) - CAST(hx2.n_exact AS DOUBLE)) / CAST(hx2.n_exact AS DOUBLE), 4) END AS rel_err " +
+        "FROM hx2 LEFT JOIN hx USING (event_type) ORDER BY event_type"
     },
     // count-min sketch: d unrolled md5 hash rows, additive cells,
     // min-over-rows estimates — every step exact integer arithmetic

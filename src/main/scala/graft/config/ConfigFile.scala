@@ -272,6 +272,18 @@ object ConfigFile {
           val digits = aggName.drop(1)
           val qMilli =
             if (digits.length == 2) digits.toInt * 10 else digits.toInt
+          // reject ambiguous forms: "p100" would parse as per-mille
+          // 100 (the 10th percentile) when the user almost certainly
+          // meant the max, and 3-digit values <= 100 ("p050") collide
+          // with the 2-digit reading. 2-digit = whole percentile
+          // (p95); 3-digit = per-mille and must exceed 100 (p999 =
+          // 99.9th). The maximum is agg "max", not a percentile.
+          if (qMilli < 1 || qMilli > 999 ||
+              (digits.length == 3 && qMilli <= 100))
+            throw new IllegalArgumentException(
+              s"window.agg: $aggName is ambiguous — use pNN for whole " +
+              "percentiles (p95), pNNN > 100 for per-mille (p999 = " +
+              "99.9th), or agg \"max\" for the maximum")
           graft.pipeline.Sketches.streamingQuantiles(df, "time",
               s"${secs.toLong} seconds", by,
               floor(col(field) * 1000).cast("long"), Seq(qMilli),

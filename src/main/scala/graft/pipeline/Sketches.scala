@@ -281,10 +281,18 @@ object Sketches {
     val est = estimate(sketch(df, keys, valueCol, b), keys, b)
     val exact = df.groupBy(keys.map(col): _*)
       .agg(countDistinct(col(valueCol)).as("n_exact"))
-    exact.join(est, keys)
-      .withColumn("rel_err", round(
-        abs(col("hll_est") - col("n_exact").cast("double")) /
-          col("n_exact").cast("double"), 4))
+    // LEFT join from exact: a key whose values are all NULL has
+    // n_exact = 0 and NO sketch rows (sketch drops nulls) — it must
+    // still appear in the audit surface, as (0 buckets, all-zero
+    // sketch, est 0, rel_err 0), not silently vanish
+    exact.join(est, keys, "left")
+      .withColumn("n_buckets", coalesce(col("n_buckets"), lit(0)))
+      .withColumn("n_zero", coalesce(col("n_zero"), lit(1 << b)))
+      .withColumn("hll_est", coalesce(col("hll_est"), lit(0.0)))
+      .withColumn("rel_err",
+        when(col("n_exact") === 0, lit(0.0)).otherwise(round(
+          abs(col("hll_est") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 4)))
   }
 
   // -------------------------------------------------------------------

@@ -111,6 +111,9 @@ object TextAnalysis {
     import org.apache.spark.sql.functions.broadcast
     require(queryTerms.nonEmpty, "need at least one query term")
     val n = docs.count()
+    // an empty corpus would make sum(dl) NULL (opaque NPE at getLong)
+    // and avgdl 0/0 — fail with the actual problem instead
+    require(n > 0, "bm25: empty corpus (no documents to rank)")
     val lens = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("dl"))
     val Seq(totTok) = lens.agg(sum(col("dl"))).collect().map(_.getLong(0)).toSeq

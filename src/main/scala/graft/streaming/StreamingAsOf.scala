@@ -44,12 +44,13 @@ object StreamingAsOf {
       // at EXACTLY start + maxV still matches — the batch asOfJoin's
       // tolerance is inclusive (t − rt <= tol), and the two faces must
       // agree at the boundary (StreamingAsOfSpec pins the parity)
+      // Spark's `least` SKIPS null operands (returns null only when
+      // ALL are null), so the last record per key — whose lead() is
+      // null — already resolves to the cap; no coalesce needed
       .select(keys.map(col) :+ col(timeCol).as("asof_start") :+
         least(lead(col(timeCol), 1).over(w),
           col(timeCol) + maxValiditySeconds + 1).as("asof_end") :+
         col("asof_payload"): _*)
-      .withColumn("asof_end", coalesce(col("asof_end"),
-        col("asof_start") + maxValiditySeconds + 1))
   }
 
   /** Enrich the stream: every input event survives, carrying

@@ -209,6 +209,24 @@ class FileConfigSpec extends SparkSpec {
     assert(batch <= exact && batch > exact * 0.96)
   }
 
+  test("window op rejects ambiguous percentile forms (p100, p050) " +
+    "with a descriptive error") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(("api", 1.0)).toDF("service", "metric")
+      .withColumn("time", timestamp_seconds(lit(0)))
+    for (bad <- Seq("p100", "p050", "p00")) {
+      val e = intercept[IllegalArgumentException] {
+        ConfigFile.applyOp(df, op(
+          s"""{"op":"window","agg":"$bad","seconds":5,"by":["service"]}"""))
+      }
+      assert(e.getMessage.contains("ambiguous"), s"$bad: ${e.getMessage}")
+    }
+    // unambiguous forms still parse: p95 (whole) and p999 (per-mille)
+    ConfigFile.applyOp(df, op(
+      """{"op":"window","agg":"p999","seconds":5,"by":["service"]}"""))
+  }
+
   test("sessionize op: gap-based sessions through the config surface " +
     "(time = session start, metric = event count)") {
     val spark0 = spark

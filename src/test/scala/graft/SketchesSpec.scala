@@ -70,6 +70,24 @@ class SketchesSpec extends SparkSpec {
     assert(fClean == fDirty)
   }
 
+  test("a key whose values are ALL null still appears in the audit " +
+    "surface: n_exact 0, 0 buckets, est 0, rel_err 0") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (1 to 40).map(i => ("live", s"u$i")).toDF("k", "v")
+      .union(Seq(("dead", null: String)).toDF("k", "v"))
+    val rows = Sketches.hllDistinct(df, Seq("k"), "v")
+      .orderBy("k").collect()
+    assert(rows.length == 2)
+    val dead = rows.head
+    assert(dead.getAs[String]("k") == "dead")
+    assert(dead.getAs[Long]("n_exact") == 0L)
+    assert(dead.getAs[Int]("n_buckets") == 0)
+    assert(dead.getAs[Int]("n_zero") == (1 << Sketches.DefaultB))
+    assert(dead.getAs[Double]("hll_est") == 0.0)
+    assert(dead.getAs[Double]("rel_err") == 0.0)
+  }
+
   test("CMS never undercounts, is exact sans collisions, and merges " +
     "by cell-wise addition") {
     val spark0 = spark
