@@ -1005,7 +1005,7 @@ private[graft] object EntryOracle {
       val restBits = 60 - b
       val p61 = math.pow(2.0, 61)
       val lnArr = pipeline.Sketches.lnTable(b).mkString("[", ", ", "]")
-      s"WITH hl AS (SELECT event_type, CAST(('0x'||substr(md5('hll:'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS hash FROM events), " +
+      s"WITH hl AS (SELECT event_type, CAST(('0x'||substr(md5('hll:'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS hash FROM events WHERE user_id IS NOT NULL), " +
         s"hb AS (SELECT event_type, hash % $m AS bucket, hash // $m AS rest FROM hl), " +
         s"hr AS (SELECT event_type, bucket, max(CASE WHEN rest = 0 THEN ${restBits + 1} ELSE $restBits - length(bin(rest)) + 1 END) AS r FROM hb GROUP BY 1, 2), " +
         s"hg AS (SELECT event_type, CAST(count(*) AS INT) AS n_buckets, SUM(CAST(pow(CAST(2 AS DOUBLE), 61 - r) AS DECIMAL(38,0))) AS zp FROM hr GROUP BY 1), " +
