@@ -316,7 +316,7 @@ private[graft] object EntryOracle {
       "WHERE hamming <= 3 ORDER BY doc_a, doc_b"
 
 
-  val sql: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "q_where" -> s"$cte SELECT event_id, host, service, metric FROM ev WHERE metric > 100 AND service = 'purchase' ORDER BY event_id",
     "q_over_under" -> s"$cte SELECT event_id, metric FROM ev WHERE metric > 50 AND metric < 150 ORDER BY event_id",
     "q_tagged_any" -> s"$cte SELECT event_id, service, metric FROM ev WHERE list_has_any(tags, ['big']) ORDER BY event_id",
@@ -1363,4 +1363,13 @@ private[graft] object EntryOracle {
       "FROM ev WHERE metric IS NOT NULL AND state <> 'ok' " +
       "AND (service = 'error' OR metric > 120) ORDER BY event_id")
   )
+
+  /** The skew-hardened temporal forms (time-bucketed as-of, chunked
+    * sessionize — Temporal.scala) compute the SAME relation as their
+    * single-window originals: a different physical plan, identical
+    * semantics. They share the oracle SQL verbatim, so the correctness
+    * gate proves the plan rewrite changed nothing. */
+  val sql: Map[String, String] = base ++ Map(
+    "q_asof_bucketed" -> base("q_asof_join"),
+    "q_sessionize_bucketed" -> base("q_sessionize"))
 }

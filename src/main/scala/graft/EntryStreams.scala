@@ -230,6 +230,24 @@ private[graft] object EntryStreams {
           "asof_time_s" -> "purchase_time_s"))
         .orderBy("event_id")
     }),
+    // the same as-of relation through the skew-hardened two-level
+    // pass (6h buckets): window partitions on (host, bucket), so a
+    // hot host never serializes onto one task; shares q_asof_join's
+    // oracle verbatim — the rewrite must change nothing
+    "q_asof_bucketed" -> ((s, d) => {
+      val e = ev(s, d)
+      graft.operators.Temporal.asOfJoin(
+        e.filter(col("service") === "error")
+          .select("event_id", "host", "time_s"),
+        e.filter(col("service") === "purchase")
+          .select("host", "time_s", "event_id", "metric"),
+        Seq("host"), "time_s", Seq("event_id", "metric"),
+        toleranceSeconds = 21600, bucketSeconds = 21600)
+        .withColumnsRenamed(Map("asof_event_id" -> "purchase_id",
+          "asof_metric" -> "purchase_metric",
+          "asof_time_s" -> "purchase_time_s"))
+        .orderBy("event_id")
+    }),
     // range join: errors landing inside [purchase, purchase + 15 min)
     // maintenance windows per host — bin-bucketed equi-join, residual
     // containment filter, no theta-join
@@ -253,6 +271,13 @@ private[graft] object EntryStreams {
     "q_sessionize" -> ((s, d) =>
       graft.operators.Temporal.sessionize(ev(s, d), Seq("host"), "time",
         "21600 seconds")
+        .orderBy("host", "session_start_s")),
+    // the same sessions through the skew-hardened chunked pass (1-day
+    // chunks, cross-chunk merge over bounded session rows); shares
+    // q_sessionize's gaps-and-islands oracle verbatim
+    "q_sessionize_bucketed" -> ((s, d) =>
+      graft.operators.Temporal.sessionizeBucketed(ev(s, d), Seq("host"),
+        "time", gapSeconds = 21600, chunkSeconds = 86400)
         .orderBy("host", "session_start_s")),
     "q_sreduce" -> ((s, d) => Windows.sreduceRunning(ev(s, d), Seq("host"),
       "running_max" -> max(col("metric")),

@@ -49,23 +49,83 @@ object Temporal {
     * match in tolerance). */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       timeCol: String, payloadCols: Seq[String],
-      toleranceSeconds: Long = Long.MaxValue): DataFrame = {
+      toleranceSeconds: Long = Long.MaxValue,
+      bucketSeconds: Long = 0): DataFrame = {
     require(keys.nonEmpty && payloadCols.nonEmpty,
       "asOfJoin needs keys and payload columns")
     val rightU = right.groupBy((keys :+ timeCol).map(col): _*)
       .agg(max(struct(payloadCols.map(col): _*)).as("asof_payload"))
     val leftCols = left.columns.toSeq
     val lrowType = StructType(left.schema.fields)
-    val u = left.select((keys :+ timeCol).map(col) ++ Seq(
-        lit(1).as("asof_side"),
-        lit(null).cast(rightU.schema("asof_payload").dataType)
-          .as("asof_payload"),
-        struct(leftCols.map(col): _*).as("asof_lrow")): _*)
-      .unionByName(rightU.select((keys :+ timeCol).map(col) ++ Seq(
-        lit(0).as("asof_side"),
-        col("asof_payload"),
-        lit(null).cast(lrowType).as("asof_lrow")): _*))
-    val w = Window.partitionBy(keys.map(col): _*)
+    val payloadType = rightU.schema("asof_payload").dataType
+    val leftU = left.select((keys :+ timeCol).map(col) ++ Seq(
+      lit(1).as("asof_side"),
+      lit(null).cast(payloadType).as("asof_payload"),
+      struct(leftCols.map(col): _*).as("asof_lrow")): _*)
+    val u =
+      if (bucketSeconds <= 0)
+        leftU.unionByName(rightU.select((keys :+ timeCol).map(col) ++ Seq(
+          lit(0).as("asof_side"),
+          col("asof_payload"),
+          lit(null).cast(lrowType).as("asof_lrow")): _*))
+      else {
+        // Two-level time-bucketed form: the single-window pass above
+        // puts EVERY row of a key in one window partition — a hot key
+        // (one service emitting half the corpus, the normal monitoring
+        // shape) serializes onto one task, and AQE cannot split window
+        // partitions. Here the window partitions on (keys, bucket)
+        // instead, so no task ever sorts more than one time bucket of
+        // one key; the hot key's rows spread across buckets.
+        //
+        // What makes it exact: a left row's match is either in its own
+        // bucket (found by the in-bucket window pass) or it is the
+        // latest right row of some EARLIER bucket — precomputed as one
+        // "carry" pseudo-row per (keys, bucket). The carry chain is a
+        // window over BUCKET-LEVEL aggregates only (≤ time-range /
+        // bucketSeconds rows per key, independent of data volume), and
+        // the per-bucket reduction is a hash aggregate with map-side
+        // partial combine — both skew-immune. SkewSpec pins the task
+        // spread and the exact parity with the single-window form.
+        val bin = expr(s"$timeCol div $bucketSeconds").as("asof_bucket")
+        val rb = rightU.select((keys :+ timeCol).map(col) ++
+          Seq(col("asof_payload"), bin): _*)
+        // per (keys, bucket): the latest right row (max time, then the
+        // lexicographically largest payload — same pick as rightU's)
+        val rbuck = rb.groupBy((keys :+ "asof_bucket").map(col): _*)
+          .agg(max(struct(col(timeCol).as("t"),
+            col("asof_payload").as("p"))).as("asof_lastr"))
+        // every (keys, bucket) a carry could be consumed in or ride
+        // through: buckets present on either side
+        val allb = left
+          .select(keys.map(col) :+ bin: _*).distinct()
+          .unionByName(
+            rbuck.select((keys :+ "asof_bucket").map(col): _*))
+          .distinct()
+        val wb = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("asof_bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // carry(B) = latest right row of any bucket strictly before B;
+        // its ORIGINAL time (< B's start) is kept, so it sorts before
+        // every in-bucket row and the tolerance check stays exact
+        val carry = allb.join(rbuck, keys :+ "asof_bucket", "left")
+          .withColumn("asof_carry",
+            last(col("asof_lastr"), ignoreNulls = true).over(wb))
+          .filter(col("asof_carry").isNotNull)
+          .select(keys.map(col) ++ Seq(col("asof_bucket"),
+            col("asof_carry.t").as(timeCol),
+            lit(0).as("asof_side"),
+            col("asof_carry.p").as("asof_payload"),
+            lit(null).cast(lrowType).as("asof_lrow")): _*)
+        leftU.withColumn("asof_bucket",
+            expr(s"$timeCol div $bucketSeconds"))
+          .unionByName(rb.select((keys :+ timeCol).map(col) ++ Seq(
+            lit(0).as("asof_side"), col("asof_payload"),
+            lit(null).cast(lrowType).as("asof_lrow"),
+            col("asof_bucket")): _*))
+          .unionByName(carry)
+      }
+    val wKeys = if (bucketSeconds <= 0) keys else keys :+ "asof_bucket"
+    val w = Window.partitionBy(wKeys.map(col): _*)
       .orderBy(col(timeCol), col("asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = u
@@ -127,4 +187,61 @@ object Temporal {
         unix_seconds(col("session_window.start")).as("session_start_s"),
         unix_seconds(col("session_window.end")).as("session_end_s"),
         col("n_events")): _*)
+
+  /** Skew-hardened batch sessionization, exactly equal to [[sessionize]]
+    * (TOUCHING sessions merge; end = last event + gap) but never putting
+    * more than one time chunk of one key in a single task.
+    *
+    * Spark's batch `session_window` plan sorts each key's FULL event
+    * set inside one partition — a hot key (one service = half the
+    * corpus) serializes onto one task. This form decomposes into:
+    *
+    *   1. sessions WITHIN each (keys, chunk) — window partitioned on
+    *      (keys, chunk), so the hot key's rows spread across chunks;
+    *   2. a cross-chunk merge over the chunk-level session rows. A
+    *      chunk holds at most `chunkSeconds / gapSeconds + 1` sessions
+    *      no matter how many events it has, so level 2 sees
+    *      ≤ time-range / gapSeconds rows per key — bounded by the
+    *      clock, not the data. Session ends are monotone per key
+    *      (later sessions end later), so the lag-chain merge is exact.
+    *
+    * `timeCol` is a timestamp (as in [[sessionize]]); output schema is
+    * identical: (keys, session_start_s, session_end_s, n_events).
+    * SkewSpec pins both the task spread and the parity. */
+  def sessionizeBucketed(df: DataFrame, keys: Seq[String],
+      timeCol: String, gapSeconds: Long, chunkSeconds: Long): DataFrame = {
+    require(gapSeconds > 0 && chunkSeconds > 0,
+      s"gapSeconds/chunkSeconds must be positive: $gapSeconds/$chunkSeconds")
+    val base = df.select(keys.map(col) :+
+        unix_seconds(col(timeCol)).as("sess_t"): _*)
+      .withColumn("sess_chunk", expr(s"sess_t div $chunkSeconds"))
+    val wc = Window.partitionBy((keys :+ "sess_chunk").map(col): _*)
+      .orderBy(col("sess_t"))
+    val chunkSessions = base
+      .withColumn("sess_new",
+        when(col("sess_t") - lag(col("sess_t"), 1).over(wc) <= gapSeconds,
+          0).otherwise(1))
+      .withColumn("sess_id", sum(col("sess_new")).over(
+        wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((keys ++ Seq("sess_chunk", "sess_id")).map(col): _*)
+      .agg(min(col("sess_t")).as("sess_start"),
+        (max(col("sess_t")) + gapSeconds).as("sess_end"),
+        count(lit(1)).as("sess_n"))
+    // chunk-level merge: a session joins its predecessor when it starts
+    // at-or-before the predecessor's end (touch merges — the
+    // session_window contract); ends are monotone so lag(1) suffices
+    val wk = Window.partitionBy(keys.map(col): _*).orderBy(col("sess_start"))
+    chunkSessions
+      .withColumn("sess_new2",
+        when(col("sess_start") <= lag(col("sess_end"), 1).over(wk), 0)
+          .otherwise(1))
+      .withColumn("sess_island", sum(col("sess_new2")).over(
+        wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((keys :+ "sess_island").map(col): _*)
+      .agg(min(col("sess_start")).as("session_start_s"),
+        max(col("sess_end")).as("session_end_s"),
+        sum(col("sess_n")).as("n_events"))
+      .select(keys.map(col) ++ Seq(col("session_start_s"),
+        col("session_end_s"), col("n_events")): _*)
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Windows
+import graft.operators.{Temporal, Windows}
 import graft.pipeline.{Curation, Dedup}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
@@ -224,6 +224,73 @@ class SkewSpec extends SparkSpec {
       name.contains("minhash_lsh") && nBuckets == 4 &&
         nRows == 4400 && maxB == 1100
     }, s"expected a minhash_lsh drop of 4 buckets / 4400 rows, saw $drops")
+  }
+
+  test("asOfJoin: a 50%-hot key funnels into one task in the single-window " +
+    "form, spreads in the bucketed form — with exact result parity") {
+    withFixedShuffle(16) {
+      val spark0 = spark
+      import spark0.implicits._
+      // one hot host carries half of both sides (the one-dominant-
+      // service monitoring corpus); times spread over ~200k seconds
+      val n = 8000
+      def host(i: Int) = if (i % 2 == 0) "hot" else s"h${i % 40}"
+      val ldf = (0 until n).map(i =>
+        (i.toLong, host(i), (i.toLong * 29) % 200000)).toDF(
+        "event_id", "host", "time_s")
+      val rdf = (0 until n).map(i =>
+        (host(i), (i.toLong * 31) % 200000, 10000L + i, i / 100.0)).toDF(
+        "host", "time_s", "rid", "rmetric")
+      def run(bucket: Long) = Temporal.asOfJoin(ldf, rdf, Seq("host"),
+        "time_s", Seq("rid", "rmetric"), toleranceSeconds = 50000,
+        bucketSeconds = bucket)
+      val (plainRows, badMax) = maxTaskShuffleRead(
+        run(0).collect().map(_.toSeq).toSet)
+      val (buckRows, goodMax) = maxTaskShuffleRead(
+        run(4000).collect().map(_.toSeq).toSet)
+      // the rewrite changes NOTHING: row-for-row identical output
+      assert(buckRows == plainRows && plainRows.size == n)
+      // calibration: the single-window form reads every hot row (both
+      // sides union ≈ n rows on the hot key) in one task
+      assert(badMax >= (n * 3) / 4,
+        s"calibration: expected ≥${n * 3 / 4} hot rows in one task, saw $badMax")
+      // the bucketed form bounds any task at ~one bucket of one key
+      assert(goodMax < (n * 3) / 8,
+        s"bucketed as-of still concentrated $goodMax records in one task")
+    }
+  }
+
+  test("sessionize: a 50%-hot key funnels into one task in the native " +
+    "session_window form, spreads in the chunked form — parity exact") {
+    withFixedShuffle(16) {
+      val spark0 = spark
+      import spark0.implicits._
+      val n = 16000
+      // hot host: 23s spacing with a 500s jump every 37 events →
+      // ~37-event sessions (gap 30) that regularly straddle the 1000s
+      // chunk boundary; cold hosts: 900s spacing → singleton sessions
+      val rows = (0 until n / 2).map { j =>
+        ("hot", 23L * j + 500L * (j / 37))
+      } ++ (0 until n / 2).map { i =>
+        (s"h${i % 40}", 900L * (i / 40) + (i % 40))
+      }
+      val df = rows.toDF("host", "t")
+        .withColumn("time", timestamp_seconds(col("t"))).drop("t")
+      val (plainS, badMax) = maxTaskShuffleRead(
+        Temporal.sessionize(df, Seq("host"), "time", "30 seconds")
+          .collect().map(_.toSeq).toSet)
+      val (chunkS, goodMax) = maxTaskShuffleRead(
+        Temporal.sessionizeBucketed(df, Seq("host"), "time",
+          gapSeconds = 30, chunkSeconds = 1000)
+          .collect().map(_.toSeq).toSet)
+      assert(chunkS == plainS && plainS.nonEmpty)
+      // native session_window sorts the hot host's full 8000 events in
+      // one task; the chunked form never exceeds ~one chunk of one key
+      assert(badMax >= (n * 3) / 8,
+        s"calibration: expected ≥${n * 3 / 8} hot rows in one task, saw $badMax")
+      assert(goodMax < (n * 3) / 16,
+        s"chunked sessionize still concentrated $goodMax records in one task")
+    }
   }
 
   test("skewed plans stay AQE-eligible: no Window over the hot hash, " +
