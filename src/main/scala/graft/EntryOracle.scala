@@ -316,6 +316,28 @@ private[graft] object EntryOracle {
       "WHERE hamming <= 3 ORDER BY doc_a, doc_b"
 
 
+  /** Mirror of TextAnalysis.langIdNgram's trained Naive-Bayes chain:
+    * hashed char-3-gram features, add-one-smoothed counts per
+    * (lang, bucket), fixed-point-log2 scores, argmax with the explicit
+    * (score DESC, lang DESC) tie-break. Ends at CTE `lidp` keyed
+    * (doc_id, lang, score, rk); rk = 1 is the prediction. MATERIALIZED
+    * because `lg` feeds four branches (default inlining doubles the
+    * expansion per reference). */
+  private val langIdNgramChain: String = {
+    val b = pipeline.TextAnalysis.LangIdBuckets
+    def l2(x: String) = pipeline.TextAnalysis.log2FixedDuck(x)
+    s"lgd AS MATERIALIZED (SELECT doc_id, lang, unnest(generate_series(1, len(text) - 2)) AS i, text FROM documents WHERE len(text) >= 3), " +
+      s"lg AS MATERIALIZED (SELECT doc_id, lang, CAST(('0x'||substr(md5('lid:'||substr(text, i, 3)),1,15)) AS BIGINT) % $b AS b FROM lgd), " +
+      "lidtc AS (SELECT lang, b, count(*) AS c FROM lg WHERE lang IS NOT NULL GROUP BY 1, 2), " +
+      s"lidnl AS (SELECT lang, count(*) + $b AS nbt FROM lg WHERE lang IS NOT NULL GROUP BY 1), " +
+      "lidbs AS (SELECT DISTINCT b FROM lg WHERE lang IS NOT NULL), " +
+      s"lidgrid AS (SELECT lidnl.lang, lidbs.b, ${l2("COALESCE(lidtc.c, 0) + 1")} AS lc, ${l2("lidnl.nbt")} AS lnb " +
+      "FROM lidnl CROSS JOIN lidbs LEFT JOIN lidtc ON lidtc.lang = lidnl.lang AND lidtc.b = lidbs.b), " +
+      "lidsc AS (SELECT g.doc_id, gr.lang, CAST(SUM(gr.lc) AS BIGINT) - count(*) * max(gr.lnb) AS score " +
+      "FROM lg g JOIN lidgrid gr USING (b) GROUP BY 1, 2), " +
+      "lidp AS (SELECT doc_id, lang, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rk FROM lidsc)"
+  }
+
   private val base: Map[String, String] = Map(
     "q_where" -> s"$cte SELECT event_id, host, service, metric FROM ev WHERE metric > 100 AND service = 'purchase' ORDER BY event_id",
     "q_over_under" -> s"$cte SELECT event_id, metric FROM ev WHERE metric > 50 AND metric < 150 ORDER BY event_id",
@@ -799,6 +821,13 @@ private[graft] object EntryOracle {
     "q_langid" -> (s"WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents), " +
       s"m AS (SELECT doc_id, lang, CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks) AS sc FROM t) " +
       "SELECT doc_id, lang AS declared_lang, round(sc, 4) AS en_score, CASE WHEN sc >= 0.05 THEN 'en' ELSE 'other' END AS predicted_lang FROM m ORDER BY doc_id"),
+    // trained char-3-gram Naive Bayes language ID: the full fit +
+    // predict chain replayed (hashed grams, smoothed fixed-point-log2
+    // profiles, argmax) — every step integer arithmetic, so the score
+    // longs hash-match bit for bit
+    "q_langid_ngram" -> (s"WITH $langIdNgramChain " +
+      "SELECT d.doc_id, d.lang AS declared_lang, COALESCE(p.lang, 'und') AS predicted_lang, COALESCE(p.score, 0) AS nb_score " +
+      "FROM documents d LEFT JOIN (SELECT doc_id, lang, score FROM lidp WHERE rk = 1) p USING (doc_id) ORDER BY d.doc_id"),
     "q_fingerprint" -> ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fingerprint, md5(text) AS exact_fingerprint FROM documents ORDER BY doc_id"),
     "q_winnow" -> (s"$winnowCte SELECT doc_id, array_to_string(" +
       "list_transform(fps, h -> CAST(h AS VARCHAR)), ',') AS fps " +
@@ -1094,14 +1123,20 @@ private[graft] object EntryOracle {
       "FROM documents d JOIN r2 USING (source)) " +
       "SELECT doc_id, source, n_source, round(keep_rate, 6) AS keep_rate, sample_u " +
       "FROM u WHERE sample_u < round(keep_rate, 8) ORDER BY doc_id"),
-    "q_temp_sample_lang" -> ("WITH c AS (SELECT lang, count(*) AS n_source FROM documents GROUP BY lang), " +
+    // multilingual rebalance keyed by the TRAINED classifier's
+    // predictions (not the declared labels): the langIdNgram chain
+    // feeds the temperature-sampling fragment
+    "q_temp_sample_lang" -> (s"WITH $langIdNgramChain, " +
+      "pl AS (SELECT d.doc_id, COALESCE(p.lang, 'und') AS lang " +
+      "FROM documents d LEFT JOIN (SELECT doc_id, lang FROM lidp WHERE rk = 1) p USING (doc_id)), " +
+      "c AS (SELECT lang, count(*) AS n_source FROM pl GROUP BY lang), " +
       "r AS (SELECT lang, n_source, CAST(round(pow(CAST(n_source AS DOUBLE), CAST(0.3 AS DOUBLE)), 6) AS DECIMAL(38,6)) AS wgt FROM c), " +
       "r2 AS (SELECT lang, n_source, least(CAST(1.0 AS DOUBLE), " +
       "CAST(0.5 AS DOUBLE) * CAST(SUM(n_source) OVER () AS DOUBLE) * CAST(wgt AS DOUBLE) " +
       "/ CAST(SUM(wgt) OVER () AS DOUBLE) / CAST(n_source AS DOUBLE)) AS keep_rate FROM r), " +
       "u AS (SELECT d.doc_id, d.lang, r2.n_source, r2.keep_rate, " +
       "round(CAST(CAST(('0x'||substr(md5('sample:'||CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT) AS DOUBLE) / 4294967296.0, 8) AS sample_u " +
-      "FROM documents d JOIN r2 USING (lang)) " +
+      "FROM pl d JOIN r2 USING (lang)) " +
       "SELECT doc_id, lang, n_source, round(keep_rate, 6) AS keep_rate, sample_u " +
       "FROM u WHERE sample_u < round(keep_rate, 8) ORDER BY doc_id"),
     // token-budget mixture planner: rounded-DECIMAL weight normalizer

@@ -114,6 +114,11 @@ private[graft] object EntryPipeline {
     "q_quality" -> ((s, d) => TextAnalysis.qualityScores(docs(s, d))
       .orderBy("doc_id")),
     "q_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
+    // corpus-trained char-3-gram Naive Bayes LID (fit on the labeled
+    // corpus, model broadcast back; fixed-point-log2 scores so the
+    // oracle replays the longs exactly)
+    "q_langid_ngram" -> ((s, d) =>
+      TextAnalysis.langIdNgram(docs(s, d)).orderBy("doc_id")),
     // deterministic BPE merge training (Sennrich et al. 2016): the
     // word-frequency sufficient statistic distributed, the merge loop
     // on the driver, argmax tie-broken by pair string
@@ -219,13 +224,18 @@ private[graft] object EntryPipeline {
       .select(col("doc_id"), col("source"), col("n_source"),
         round(col("keep_rate"), 6).as("keep_rate"), col("sample_u"))
       .orderBy("doc_id")),
-    // same mixture rule along the lang column: the multilingual
-    // rebalancing use (up-sample low-resource languages toward uniform)
-    "q_temp_sample_lang" -> ((s, d) =>
-      Curation.temperatureSample(docs(s, d), 0.3, 0.5, byCol = "lang")
+    // same mixture rule along the lang column — keyed by the TRAINED
+    // classifier's predictions (langIdNgram), not the declared labels:
+    // the multilingual rebalancing pipeline as it actually runs (LID
+    // first, then up-sample low-resource languages toward uniform)
+    "q_temp_sample_lang" -> ((s, d) => {
+      val pred = TextAnalysis.langIdNgram(docs(s, d))
+        .select(col("doc_id"), col("predicted_lang").as("lang"))
+      Curation.temperatureSample(pred, 0.3, 0.5, byCol = "lang")
         .select(col("doc_id"), col("lang"), col("n_source"),
           round(col("keep_rate"), 6).as("keep_rate"), col("sample_u"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
     // token-budget mixture planner: the per-source allocation table a
     // training run is budgeted from — temperature weights in TOKEN
     // units, the maxEpochs repetition cap, single-pass waterfilling

@@ -64,6 +64,102 @@ object TextAnalysis {
       when(enScore >= 0.05, "en").otherwise("other").as("predicted_lang"))
   }
 
+  /** Bucket count for [[langIdNgram]]'s hashed char-3-gram features. */
+  val LangIdBuckets: Int = 4096
+
+  /** Fixed-point log2 scale for [[langIdNgram]]: 2^20 units per bit. */
+  val LangIdLogScale: Long = 1L << 20
+
+  /** Deterministic fixed-point log2 of a positive integer expression:
+    * exponent from the binary-string length (the HLL bitlen trick —
+    * Spark `length(conv(x,10,2))` == DuckDB `length(bin(x))`), mantissa
+    * by the classic piecewise-linear interpolation log2(2^e + f) ≈
+    * e + f/2^e (max error 0.086 bit), everything integer bit ops so
+    * both engines produce the IDENTICAL long — no ln(), no doubles
+    * (the [[bigramLikelihood]] determinism discipline, but in log
+    * space so Naive Bayes products become exact sums). Counts wider
+    * than 20 bits pre-shift the fraction, so nothing overflows. */
+  private[graft] def log2Fixed(x: String): String = {
+    val s = LangIdLogScale
+    val e = s"(length(conv(cast(($x) as string), 10, 2)) - 1)"
+    s"(cast($e as bigint) * ${s}L + " +
+      s"(shiftright(($x) - shiftleft(1L, $e), greatest($e - 20, 0)) * ${s}L) " +
+      s"div shiftleft(1L, least($e, 20)))"
+  }
+
+  /** DuckDB spelling of [[log2Fixed]] — same bit ops, same longs. */
+  private[graft] def log2FixedDuck(x: String): String = {
+    val s = LangIdLogScale
+    val e = s"(length(bin($x)) - 1)"
+    s"(CAST($e AS BIGINT) * $s + " +
+      s"((($x - (CAST(1 AS BIGINT) << $e)) >> greatest($e - 20, 0)) * $s) " +
+      s"// (CAST(1 AS BIGINT) << least($e, 20)))"
+  }
+
+  /** Shared gram expression: hashed char 3-grams of `text` into
+    * [[LangIdBuckets]] bins (md5-derived 60-bit hash, the
+    * importanceWeights discipline, so the oracle replays it). */
+  private def langIdGramsExpr(buckets: Int): String =
+    "transform(sequence(1, length(text) - 2), i -> " +
+      "cast(conv(substring(md5(concat('lid:', substring(text, i, 3))), " +
+      s"1, 15), 16, 10) as bigint) % ${buckets}L)"
+
+  /** Corpus-trained character-n-gram language ID — the CLD2/langid.py
+    * method (Naive Bayes over hashed char 3-grams, uniform prior),
+    * replacing [[langId]]'s stopword heuristic with a model FIT ON THE
+    * LABELED CORPUS: score(d, lang) = Σ_g [L(c(lang,g)+1) − L(N_lang+B)]
+    * with add-one smoothing and L the deterministic fixed-point log2,
+    * predict the argmax (ties to the lexicographically largest lang —
+    * explicit, not plan-luck). Docs shorter than one gram predict
+    * "und" with score 0.
+    *
+    * Scale shape: pass 1 aggregates the sufficient statistic — the
+    * (lang, bucket) count table, ≤ |langs| × buckets rows no matter
+    * the corpus size — and collects it (the model); pass 2 joins the
+    * BROADCAST dense profile grid back over the gram stream and
+    * reduces per (doc, lang) with map-side partial aggregation. Two
+    * corpus passes, the corpus never reshuffled except by doc_id.
+    * Reference behavior anchor: riemann has no text ops; this is the
+    * curation-pipeline layer (cf. CCNet's fastText LID stage). */
+  def langIdNgram(docs: DataFrame,
+      buckets: Int = LangIdBuckets): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def grams = docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(langIdGramsExpr(buckets))).as("b"))
+    val counts = grams.filter(col("lang").isNotNull)
+      .groupBy("lang", "b").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val langs = counts.map(_._1).distinct.sorted.toSeq
+    val seenB = counts.map(_._2).distinct.sorted.toSeq
+    val cMap = counts.map { case (l, b, c) => (l, b) -> c }.toMap
+    val nLang = counts.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    // dense (lang × seen-bucket) grid of smoothed log-likelihoods and
+    // the per-lang normalizer — both tiny, both broadcast
+    val grid = langs.flatMap(l => seenB.map(b =>
+        (l, b, cMap.getOrElse((l, b), 0L)))).toDF("lang", "b", "c")
+      .select(col("lang"), col("b"), expr(log2Fixed("c + 1")).as("lc"))
+    val nl = langs.map(l => (l, nLang(l) + buckets))
+      .toDF("lang", "nbt")
+      .select(col("lang"), expr(log2Fixed("nbt")).as("lnb"))
+    val pred = grams.drop("lang")
+      .join(broadcast(grid), Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("lc")).as("sl"), count(lit(1)).as("ng"))
+      .join(broadcast(nl), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        (col("sl") - col("ng") * col("lnb")).as("score"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("score"), col("lang"))).as("w"))
+    docs.select(col("doc_id"), col("lang").as("declared_lang"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("declared_lang"),
+        coalesce(col("w.lang"), lit("und")).as("predicted_lang"),
+        coalesce(col("w.score"), lit(0L)).as("nb_score"))
+  }
+
   /** TF-IDF top terms per document: tf = term count / doc length,
     * idf = ln(N / df), keep the `topK` highest-scoring terms per doc
     * (ties after rounding broken by term). Shuffle shape at scale: one

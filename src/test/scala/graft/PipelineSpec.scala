@@ -14,6 +14,35 @@ import scala.jdk.CollectionConverters._
   * not the semantic shape (recall, cell assignment, cap behavior). */
 class PipelineSpec extends SparkSpec {
 
+  test("langIdNgram: trained char-3-gram NB separates distinguishable " +
+    "corpora, argmax ties break deterministically, short docs → und") {
+    val spark0 = spark
+    import spark0.implicits._
+    // two 'languages' with disjoint character inventories, 20 docs
+    // each, plus held-out-style docs the model must classify by text,
+    // not by label (their declared labels are WRONG on purpose)
+    val train = (0 until 20).map(i =>
+      (i.toLong, s"alpha bravo charlie delta echo fox $i", "aa")) ++
+      (0 until 20).map(i =>
+        (100L + i, s"zulu xray quebec juliett kilo whisky $i", "zz"))
+    val probes = Seq(
+      (500L, "alpha bravo charlie echo", "zz"), // aa-text, zz label
+      (501L, "zulu xray quebec kilo", "aa"),    // zz-text, aa label
+      (502L, "no", "aa"))                       // < 3 chars → und
+    val df = (train ++ probes).toDF("doc_id", "text", "lang")
+    val got = graft.pipeline.TextAnalysis.langIdNgram(df)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(got(500L)._1 == "aa", s"aa-text probe predicted ${got(500L)}")
+    assert(got(501L)._1 == "zz", s"zz-text probe predicted ${got(501L)}")
+    assert(got(502L) == ("und", 0L))
+    // training docs classify to their own language
+    (0 until 20).foreach(i => assert(got(i.toLong)._1 == "aa"))
+    (0 until 20).foreach(i => assert(got(100L + i)._1 == "zz"))
+    // scores are real fixed-point log-likelihood differences (negative)
+    assert(got(500L)._2 < 0 && got(501L)._2 < 0)
+  }
+
   private val embSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
