@@ -234,6 +234,112 @@ private[graft] object EntryOracle {
       s"FROM documents), $enc"
   }
 
+  /** Unrolled Unigram-LM mirror of [[graft.pipeline.Unigram]]: the
+    * forward Viterbi DP as MaxWordLen chained CTE levels (b_i = min
+    * over the ≤MaxPieceLen spans ending at i of b_j + packed piece
+    * cost), reused by the train chain (over the vocab words) and the
+    * encode chain (over the documents' distinct pre-tokens). */
+  private def unigramDpLevels(pfx: String): String = {
+    val n = pipeline.Unigram.MaxWordLen
+    val pl = pipeline.Unigram.MaxPieceLen
+    (1 to n).map { i =>
+      val cases = (math.max(0, i - pl) until i)
+        .map(j => s"WHEN $j THEN d.b$j").mkString(" ")
+      s"${pfx}d$i AS MATERIALIZED (SELECT d.*, " +
+        s"(SELECT min((CASE s.j $cases END) + s.pc) FROM ${pfx}sp s " +
+        s"WHERE s.word = d.word AND s.i = $i) AS b$i " +
+        s"FROM ${pfx}d${i - 1} d)"
+    }.mkString(", ")
+  }
+
+  /** Span-cost CTEs shared by the unigram train and encode DPs: every
+    * (word, i, j) span with its packed cost — trained pieces pay
+    * cost·64+1, unknown single chars the UnkCost fallback, unknown
+    * multi-char spans a finite INF that can never win (a single-char
+    * path always exists). `vocabCte` supplies (piece, cost). */
+  private def unigramSpanCtes(pfx: String, wordsCte: String,
+      vocabCte: String): String = {
+    val pl = pipeline.Unigram.MaxPieceLen
+    val unk = pipeline.Unigram.UnkCost * 64 + 1
+    val inf = Long.MaxValue / 4
+    s"${pfx}sp1 AS (SELECT word, unnest(generate_series(1, CAST(len(word) AS BIGINT))) AS i FROM $wordsCte), " +
+      s"${pfx}sp2 AS (SELECT word, i, unnest(generate_series(greatest(i - $pl, 0), i - 1)) AS j FROM ${pfx}sp1), " +
+      s"${pfx}sp AS MATERIALIZED (SELECT s.word, s.i, s.j, " +
+      s"COALESCE(c.cost * 64 + 1, CASE WHEN s.i - s.j = 1 THEN $unk ELSE $inf END) AS pc " +
+      s"FROM (SELECT word, i, j, substr(word, CAST(j + 1 AS INT), CAST(i - j AS INT)) AS piece FROM ${pfx}sp2) s " +
+      s"LEFT JOIN $vocabCte c USING (piece))"
+  }
+
+  /** The full unigram TRAINING chain (ends at `uc1`: piece, usage,
+    * cost): seed substring counts over the top-VocabCap pre-tokens,
+    * initial fixed-point −log2 costs, ONE hard-EM Viterbi round
+    * (forward DP + MaxWordLen-level backtrace with the explicit
+    * (value asc, j asc) = smallest-split tie-break), prune to singles
+    * + top-TargetMultis used pieces, rescore on usage — every step
+    * the integer arithmetic graft.pipeline.Unigram.trainOnWords runs
+    * on the driver. */
+  private lazy val unigramTrainCtes: String = {
+    import pipeline.Unigram.{MaxWordLen, SeedMultis, TargetMultis, VocabCap}
+    def l2d(x: String) = pipeline.TextAnalysis.log2FixedDuck(x)
+    val btCase = (0 until MaxWordLen)
+      .map(j => s"WHEN $j THEN d.b$j").mkString(" ")
+    val backtrace = (1 to MaxWordLen).map { k =>
+      s"ubt$k AS MATERIALIZED (SELECT word, freq, j AS pos, piece FROM (" +
+        s"SELECT t.word, t.freq, s.j, substr(t.word, CAST(s.j + 1 AS INT), CAST(t.pos - s.j AS INT)) AS piece, " +
+        s"row_number() OVER (PARTITION BY t.word ORDER BY ((CASE s.j $btCase END) + s.pc) ASC, s.j ASC) AS rk " +
+        s"FROM ubt${k - 1} t JOIN usp s ON s.word = t.word AND s.i = t.pos " +
+        s"JOIN ud$MaxWordLen d ON d.word = t.word WHERE t.pos > 0) WHERE rk = 1)"
+    }.mkString(", ")
+    val btUnion = (1 to MaxWordLen)
+      .map(k => s"SELECT piece, freq FROM ubt$k").mkString(" UNION ALL ")
+    s"uw AS MATERIALIZED (SELECT word, freq FROM (SELECT replace(word, ' ', chr(288)) AS word, freq FROM " +
+      s"(SELECT tok AS word, count(*) AS freq FROM (SELECT unnest(regexp_extract_all(text, '$bpeRe')) AS tok FROM documents) " +
+      s"GROUP BY tok ORDER BY freq DESC, word LIMIT $VocabCap)) WHERE len(word) BETWEEN 1 AND $MaxWordLen), " +
+      // seed: all 1..MaxPieceLen-char substrings, frequency-weighted
+      s"us1 AS (SELECT word, freq, unnest(generate_series(1, CAST(len(word) AS BIGINT))) AS i FROM uw), " +
+      s"us2 AS (SELECT word, freq, i, unnest(generate_series(1, least(${pipeline.Unigram.MaxPieceLen}, CAST(len(word) AS BIGINT) - i + 1))) AS l FROM us1), " +
+      "usd AS MATERIALIZED (SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece, CAST(sum(freq) AS BIGINT) AS cnt FROM us2 GROUP BY 1), " +
+      "usg AS (SELECT piece, cnt FROM usd WHERE len(piece) = 1), " +
+      s"umu AS MATERIALIZED (SELECT piece, cnt FROM usd WHERE len(piece) >= 2 ORDER BY cnt DESC, piece LIMIT $SeedMultis), " +
+      "uv0 AS (SELECT piece, cnt FROM usg UNION ALL SELECT piece, cnt FROM umu), " +
+      "ut0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t0, CAST(count(*) AS BIGINT) AS v0 FROM uv0), " +
+      s"uc0 AS MATERIALIZED (SELECT piece, ${l2d("ut0.t0 + ut0.v0")} - ${l2d("uv0.cnt + 1")} AS cost FROM uv0 CROSS JOIN ut0), " +
+      unigramSpanCtes("u", "uw", "uc0") + ", " +
+      "ud0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS b0 FROM uw), " +
+      unigramDpLevels("u") + ", " +
+      "ubt0 AS (SELECT word, freq, CAST(len(word) AS BIGINT) AS pos FROM uw), " +
+      backtrace + ", " +
+      s"uus AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS usage FROM ($btUnion) GROUP BY 1), " +
+      s"umk AS (SELECT m.piece FROM umu m JOIN uus u USING (piece) WHERE u.usage >= 1 ORDER BY u.usage DESC, m.piece LIMIT $TargetMultis), " +
+      "uv1 AS (SELECT piece FROM usg UNION ALL SELECT piece FROM umk), " +
+      "uu1 AS (SELECT v.piece, COALESCE(u.usage, 0) AS usage FROM uv1 v LEFT JOIN uus u USING (piece)), " +
+      "ut1 AS (SELECT CAST(sum(usage) AS BIGINT) AS t1, CAST(count(*) AS BIGINT) AS v1 FROM uu1), " +
+      s"uc1 AS MATERIALIZED (SELECT piece, usage, ${l2d("ut1.t1 + ut1.v1")} - ${l2d("uu1.usage + 1")} AS cost FROM uu1 CROSS JOIN ut1)"
+  }
+
+  /** The unigram ENCODE chain (appended after [[unigramTrainCtes]];
+    * ends at `ueagg`: doc_id, n_pretokens, n_unigram_tokens,
+    * total_cost): the same DP over the documents' distinct Ġ-mapped
+    * pre-tokens under the final `uc1` costs; words longer than
+    * MaxWordLen take the one-token-per-char UnkCost fallback. */
+  private lazy val unigramEncodeCtes: String = {
+    val n = pipeline.Unigram.MaxWordLen
+    val unkC = pipeline.Unigram.UnkCost
+    val lenCase = (1 to n).map(i => s"WHEN $i THEN b$i").mkString(" ")
+    s"uew AS MATERIALIZED (SELECT doc_id, replace(tok, ' ', chr(288)) AS word, CAST(count(*) AS BIGINT) AS cnt " +
+      s"FROM (SELECT doc_id, unnest(regexp_extract_all(text, '$bpeRe')) AS tok FROM documents) GROUP BY 1, 2), " +
+      s"uewd AS (SELECT DISTINCT word FROM uew WHERE len(word) <= $n), " +
+      unigramSpanCtes("ue", "uewd", "uc1") + ", " +
+      "ued0 AS (SELECT word, CAST(0 AS BIGINT) AS b0 FROM uewd), " +
+      unigramDpLevels("ue") + ", " +
+      s"uefin AS (SELECT word, CASE CAST(len(word) AS INT) $lenCase END AS packed FROM ued$n), " +
+      s"uewt AS (SELECT e.doc_id, e.cnt, CASE WHEN len(e.word) > $n THEN CAST(len(e.word) AS BIGINT) ELSE f.packed % 64 END AS ntok, " +
+      s"CASE WHEN len(e.word) > $n THEN CAST(len(e.word) AS BIGINT) * $unkC ELSE f.packed // 64 END AS wcost " +
+      "FROM uew e LEFT JOIN uefin f USING (word)), " +
+      "ueagg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_pretokens, CAST(sum(cnt * ntok) AS BIGINT) AS n_unigram_tokens, " +
+      "CAST(sum(cnt * wcost) AS BIGINT) AS total_cost FROM uewt GROUP BY 1)"
+  }
+
   private lazy val minhashPairsCte: String =
     s"$shCte$hsCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh), " +
       "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM sg), " +
@@ -818,6 +924,30 @@ private[graft] object EntryOracle {
         "COALESCE(array_to_string(flatten(list_transform(syms, s -> string_split(s, ' '))), chr(31)), '') AS tokens_str " +
         s"FROM e$n ORDER BY doc_id"
     },
+    // unigram-LM tokenizer: the full seed → hard-EM → prune training
+    // loop and the Viterbi encode DP, unrolled — training and encoding
+    // replayed end to end in integer arithmetic
+    "q_unigram_train" -> (s"WITH $unigramTrainCtes " +
+      "SELECT piece, usage, cost FROM uc1 ORDER BY piece"),
+    "q_unigram_encode" -> (s"WITH $unigramTrainCtes, $unigramEncodeCtes " +
+      "SELECT d.doc_id, COALESCE(a.n_pretokens, 0) AS n_pretokens, " +
+      "COALESCE(a.n_unigram_tokens, 0) AS n_unigram_tokens, " +
+      "COALESCE(a.total_cost, 0) AS total_cost " +
+      "FROM documents d LEFT JOIN ueagg a USING (doc_id) ORDER BY d.doc_id"),
+    // the mixture planner budgeted in REAL tokenizer units (unigram-LM
+    // token counts) instead of whitespace tokens
+    "q_mixture_plan_unigram" -> (s"WITH $unigramTrainCtes, $unigramEncodeCtes, " +
+      "mxa AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(COALESCE(a.n_unigram_tokens, 0)) AS BIGINT) AS tok_avail " +
+      "FROM documents d LEFT JOIN ueagg a USING (doc_id) GROUP BY 1), " +
+      "mxw AS (SELECT lang, n_docs, tok_avail, CAST(round(pow(CAST(tok_avail AS DOUBLE), CAST(0.6 AS DOUBLE)), 6) AS DECIMAL(38,6)) AS wgt FROM mxa), " +
+      "mxp AS (SELECT lang, n_docs, tok_avail, " +
+      "round(CAST(wgt AS DOUBLE) / CAST(SUM(wgt) OVER () AS DOUBLE), 6) AS weight, " +
+      "CAST(floor(least(CAST(20000 AS DOUBLE) * CAST(wgt AS DOUBLE) / CAST(SUM(wgt) OVER () AS DOUBLE), " +
+      "CAST(1.5 AS DOUBLE) * CAST(tok_avail AS DOUBLE))) AS BIGINT) AS alloc_tokens FROM mxw) " +
+      "SELECT lang, n_docs, tok_avail, weight, alloc_tokens, " +
+      "round(CAST(alloc_tokens AS DOUBLE) / CAST(tok_avail AS DOUBLE), 6) AS epochs, " +
+      "CAST(20000 - SUM(alloc_tokens) OVER () AS BIGINT) AS unspent " +
+      "FROM mxp ORDER BY lang"),
     "q_langid" -> (s"WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents), " +
       s"m AS (SELECT doc_id, lang, CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks) AS sc FROM t) " +
       "SELECT doc_id, lang AS declared_lang, round(sc, 4) AS en_score, CASE WHEN sc >= 0.05 THEN 'en' ELSE 'other' END AS predicted_lang FROM m ORDER BY doc_id"),

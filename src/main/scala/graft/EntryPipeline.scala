@@ -8,7 +8,7 @@ import graft.model.EventView
 import graft.operators.{Combine, Index, Streams, Windows}
 import graft.operators.Streams.EventOps
 import graft.functions.Folds
-import graft.pipeline.{Curation, Dedup, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Similarity, Sketches, TextAnalysis, Unigram}
 import graft.EntryShared._
 
 /** Driver-contract queries, part 2 of the [[SparkEntry]] split:
@@ -244,6 +244,23 @@ private[graft] object EntryPipeline {
       Curation.mixturePlan(docs(s, d), budgetTokens = 20000, alpha = 0.6,
         maxEpochs = 1.5, byCol = "lang")
         .orderBy("lang")),
+    // unigram-LM (SentencePiece-style) tokenizer: deterministic hard-EM
+    // prune loop on the driver over the distributed word-frequency
+    // statistic; encode = the Viterbi DP as codegen'd column chains
+    "q_unigram_train" -> ((s, d) =>
+      Unigram.train(docs(s, d)).orderBy("piece")),
+    "q_unigram_encode" -> ((s, d) =>
+      Unigram.trainAndEncode(docs(s, d)).orderBy("doc_id")),
+    // the mixture planner budgeted in REAL tokenizer units: unigram
+    // token counts joined per doc, then the same temperature math
+    "q_mixture_plan_unigram" -> ((s, d) => {
+      val base = docs(s, d)
+      val enc = Unigram.trainAndEncode(base)
+      Curation.mixturePlan(base.join(enc, "doc_id"),
+        budgetTokens = 20000, alpha = 0.6, maxEpochs = 1.5,
+        byCol = "lang", tokCol = col("n_unigram_tokens"))
+        .orderBy("lang")
+    }),
     // cross-corpus near-dup join: dedup an incoming batch (doc_id
     // divisible by 4) against the reference corpus (the rest) — the
     // continuous-ingestion production shape; banded per side, capped

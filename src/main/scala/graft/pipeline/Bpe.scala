@@ -55,7 +55,7 @@ object Bpe {
   /** Code-point lexicographic compare == UTF-8 byte order == the
     * oracle's varchar ORDER BY (Java String.compareTo is UTF-16
     * code-unit order, which flips supplementary vs U+E000+ chars). */
-  private def cpCompare(a: String, b: String): Int = {
+  private[pipeline] def cpCompare(a: String, b: String): Int = {
     var i = 0
     var j = 0
     while (i < a.length && j < b.length) {

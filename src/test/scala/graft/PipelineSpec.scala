@@ -43,6 +43,38 @@ class PipelineSpec extends SparkSpec {
     assert(got(500L)._2 < 0 && got(501L)._2 < 0)
   }
 
+  test("unigram: hard-EM keeps used multi-char pieces, encode compresses " +
+    "repeated words, over-long words fall back to per-char UnkCost") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.pipeline.Unigram
+    val docs = ((0 until 30).map(i => (i.toLong, "banana banana band")) ++
+      Seq((100L, "banana " + "x" * 40))).toDF("doc_id", "text")
+    val model = Unigram.trainModel(docs)
+    val pieces = model.map(_._1).toSet
+    // all single chars of the TRAINING words are in the vocab (the
+    // over-long 'Ġxxx…' word is excluded from the fit, so 'x' is not)
+    "bandĠ".map(_.toString)
+      .foreach(c => assert(pieces.contains(c), s"missing single '$c'"))
+    assert(!pieces.contains("x"))
+    // a frequent multi-char piece from 'banana' survives the prune
+    assert(pieces.exists(p => p.length >= 2 && "Ġbanana".contains(p)),
+      s"no banana fragment kept: $pieces")
+    val enc = Unigram.encode(docs, model).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val (np0, nt0, _) = enc(0L)
+    assert(np0 == 3L)            // 'banana', 'Ġbanana', 'Ġband'
+    assert(nt0 < 17L && nt0 >= 3L) // compressed below char count
+    // doc 100: 'Ġ' + 40 x's = 41 chars > MaxWordLen → one token per
+    // char at UnkCost, plus the compressed 'banana'
+    val (np1, nt1, tc1) = enc(100L)
+    assert(np1 == 2L && nt1 >= 41L + 1L)
+    assert(tc1 >= 41L * Unigram.UnkCost)
+    // determinism: retraining yields the identical model
+    assert(Unigram.trainModel(docs) == model)
+  }
+
   private val embSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
