@@ -58,6 +58,12 @@ case class SEventX(
   *                    "seconds":N, "by":["host",...], "watermark":"10 seconds"}
   *   {"op":"rate",    "seconds":N, "by":[...], "watermark":"..."}  // count/s
   *   {"op":"index",   "watermark":"..."}   // latest-state + TTL expiry
+  *   {"op":"asof",    "table":"<parquet>", "by":["host",...],
+  *                    "timeCol":"time_s", "fields":["f",...],
+  *                    "maxValidity":N, "bin":N}   // latest record ≤ event
+  *   {"op":"enrich",  "table":"<parquet>", "by":[...], "startCol":"...",
+  *                    "endCol":"...", "fields":[...], "bin":N}
+  *                    // arbitrary static [start,end) intervals
   *
   * Sink spec: {"kind":"memory"|"console"|<registered>, "outputMode":...,
   * "checkpoint": "<dir>"} — `memory` instances are cached per stream
@@ -162,6 +168,18 @@ object ConfigFile {
   private def tagsCol(df: DataFrame) =
     if (df.columns.contains("tags")) col("tags")
     else lit(Array.empty[String])
+
+  /** Stream side of the asof/enrich ops: the events' `time` timestamp
+    * becomes seconds for the interval arithmetic, the stateless
+    * stream-static join runs, the helper column drops, and the match
+    * start surfaces as `asof_time_s`. */
+  private def enrichWith(df: DataFrame, intervals: DataFrame,
+      by: Seq[String], bin: Long): DataFrame =
+    graft.streaming.StreamingAsOf.enrich(
+        df.withColumn("asof_t", unix_seconds(col("time"))),
+        intervals, by, "asof_t", bin)
+      .withColumnRenamed("asof_asof_t", "asof_time_s")
+      .drop("asof_t")
 
   /** Compile one op onto a DataFrame. Separate from the chain so specs
     * can exercise ops individually on batch frames (every op except
@@ -325,6 +343,31 @@ object ConfigFile {
           .select(by.map(col) :+
             timestamp_seconds(col("session_start_s")).as("time") :+
             col("n_events").cast("double").as("metric"): _*)
+      case "asof" =>
+        // enrich with the latest static reference record at-or-before
+        // each event (per key): StreamingAsOf's STATELESS validity-
+        // interval form — no state store, restart-safe; the reference
+        // parquet is read once per (re)compile
+        val by = strings(op \ "by")
+        val tcol = (op \ "timeCol") match {
+          case JString(s) => s
+          case _ => "time_s"
+        }
+        val static = spark.read.parquet(str(op \ "table", "asof.table"))
+        val iv = graft.streaming.StreamingAsOf.validityIntervals(
+          static, by, tcol, strings(op \ "fields"),
+          num(op \ "maxValidity", "asof.maxValidity").toLong)
+        enrichWith(df, iv, by, num(op \ "bin", "asof.bin").toLong)
+      case "enrich" =>
+        // arbitrary static validity intervals (maintenance windows,
+        // deploy freezes — explicit [start, end) second columns):
+        // the same stateless stream-static interval join
+        val by = strings(op \ "by")
+        val static = spark.read.parquet(str(op \ "table", "enrich.table"))
+        val iv = graft.streaming.StreamingAsOf.intervalsOf(static, by,
+          str(op \ "startCol", "enrich.startCol"),
+          str(op \ "endCol", "enrich.endCol"), strings(op \ "fields"))
+        enrichWith(df, iv, by, num(op \ "bin", "enrich.bin").toLong)
       case "index" =>
         val wm = (op \ "watermark") match {
           case JString(s) => s

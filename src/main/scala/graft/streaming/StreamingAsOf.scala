@@ -53,6 +53,24 @@ object StreamingAsOf {
         col("asof_payload"): _*)
   }
 
+  /** Normalize an ARBITRARY static interval table — maintenance
+    * windows, deploy freezes, oncall shifts: anything with explicit
+    * [start, end) second columns — into [[enrich]]'s shape. The
+    * general face [[validityIntervals]] is the derived special case
+    * of. Degenerate (empty) intervals drop; intervals MAY overlap, in
+    * which case an event matches each covering interval (one output
+    * row per match — the rangeJoin contract); feed disjoint intervals
+    * for strict enrichment. */
+  def intervalsOf(static: DataFrame, keys: Seq[String], startCol: String,
+      endCol: String, payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "intervalsOf needs payload columns")
+    static.filter(col(endCol) > col(startCol))
+      .select(keys.map(col) :+
+        col(startCol).cast("long").as("asof_start") :+
+        col(endCol).cast("long").as("asof_end") :+
+        struct(payloadCols.map(col): _*).as("asof_payload"): _*)
+  }
+
   /** Enrich the stream: every input event survives, carrying
     * `asof_<timeCol>` and `asof_<field>` columns from the record live
     * at its timestamp (nulls when none). `binSeconds` must divide the

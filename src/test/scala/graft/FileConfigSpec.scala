@@ -243,6 +243,41 @@ class FileConfigSpec extends SparkSpec {
     assert(got == Set(("a", 0L, 2.0), ("a", 30L, 1.0), ("b", 2L, 1.0)))
   }
 
+  test("asof/enrich ops: stateless stream-static interval enrichment " +
+    "through the config surface (reference parquet, helper cols hidden)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_cfg_asof")
+    val refPath = dir.resolve("ref.parquet").toString
+    Seq(("a", 10L, "v1"), ("a", 100L, "v2")).toDF("host", "time_s", "cfg")
+      .write.mode("overwrite").parquet(refPath)
+    val winPath = dir.resolve("win.parquet").toString
+    Seq(("a", 0L, 50L, "mw1")).toDF("host", "start_s", "end_s", "reason")
+      .write.mode("overwrite").parquet(winPath)
+    val df = Seq(("a", 20L), ("a", 120L), ("b", 20L)).toDF("host", "t")
+      .withColumn("time", timestamp_seconds(col("t"))).drop("t")
+    val asofDf = ConfigFile.applyOp(df, op(
+      s"""{"op":"asof","table":"$refPath","by":["host"],""" +
+        """"fields":["cfg"],"maxValidity":1000,"bin":60}"""))
+    assert(asofDf.columns.contains("asof_time_s") &&
+      !asofDf.columns.contains("asof_t") &&
+      !asofDf.columns.contains("asof_asof_t"))
+    val asof = asofDf.collect().map(r => (r.getAs[String]("host"),
+      r.getAs[Timestamp]("time").getTime / 1000,
+      r.getAs[Any]("asof_cfg"))).toSet
+    assert(asof == Set(("a", 20L, "v1"), ("a", 120L, "v2"),
+      ("b", 20L, null)))
+    val enr = ConfigFile.applyOp(df, op(
+      s"""{"op":"enrich","table":"$winPath","by":["host"],""" +
+        """"startCol":"start_s","endCol":"end_s","fields":["reason"],""" +
+        """"bin":60}"""))
+      .collect().map(r => (r.getAs[String]("host"),
+        r.getAs[Timestamp]("time").getTime / 1000,
+        r.getAs[Any]("asof_reason"))).toSet
+    assert(enr == Set(("a", 20L, "mw1"), ("a", 120L, null),
+      ("b", 20L, null)))
+  }
+
   // ------------------------------------------------- file → Core lifecycle
 
   test("Loader: file config starts streams; reload restarts only edits; " +

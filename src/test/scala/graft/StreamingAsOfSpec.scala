@@ -54,6 +54,31 @@ class StreamingAsOfSpec extends SparkSpec {
     assert(byId(8L)._2 == null)       // unknown key survives
   }
 
+  test("intervalsOf: arbitrary static intervals (maintenance windows) " +
+    "enrich the stream — overlaps multiply, boundaries half-open, " +
+    "degenerate intervals drop, unknown keys survive") {
+    val spark0 = spark
+    import spark0.implicits._
+    val windows = Seq(
+      ("a", 0L, 100L, "deploy"), ("a", 50L, 150L, "freeze"), // overlap
+      ("a", 200L, 200L, "empty"),                            // degenerate
+      ("b", 10L, 20L, "patch"))
+      .toDF("host", "start_s", "end_s", "reason")
+    val events = Seq((1L, "a", 60L), (2L, "a", 120L), (3L, "a", 180L),
+      (4L, "a", 200L), (5L, "b", 10L), (6L, "b", 20L), (7L, "c", 60L))
+      .toDF("event_id", "host", "time_s")
+    val iv = StreamingAsOf.intervalsOf(windows, Seq("host"),
+      "start_s", "end_s", Seq("reason"))
+    val got = StreamingAsOf.enrich(events, iv, Seq("host"), "time_s",
+        binSeconds = 60)
+      .collect().map(r => (r.getLong(0), r.getAs[Any]("asof_reason")))
+      .toSet
+    assert(got == Set((1L, "deploy"), (1L, "freeze"), // two covering windows
+      (2L, "freeze"), (3L, null), (4L, null),         // gap; empty dropped
+      (5L, "patch"), (6L, null),                      // end is exclusive
+      (7L, null)))                                    // unknown key flows
+  }
+
   test("streaming: each micro-batch enriches statelessly; unmatched " +
     "events keep flowing with null payload") {
     val spark0 = spark
