@@ -992,7 +992,19 @@ private[graft] object EntryOracle {
       "qdocs AS (SELECT c.* FROM corpus c JOIN gq USING (doc_id)), " +
       "ek AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, md5(text) AS h FROM qdocs) GROUP BY h), " +
       "edocs AS (SELECT q.* FROM qdocs q JOIN ek USING (doc_id)), " +
-      "s2 AS (SELECT doc_id, string_split(text, ' ') AS words FROM edocs), " +
+      // substring stage: the q_substring_dedup fragment re-rooted on
+      // the exact-dedup survivors; docs losing >= half their tokens
+      // drop, the rest continue with their CLEANED text
+      "st AS (SELECT doc_id, string_split(text, ' ') AS w FROM edocs), " +
+      "sg0 AS (SELECT doc_id, p, md5(array_to_string(list_slice(w, p, p + 7), ' ')) AS h FROM st CROSS JOIN unnest(generate_series(1, len(w) - 7)) AS u(p)), " +
+      "sc0 AS (SELECT h, count(*) AS cnt, min(doc_id * 1000000 + p) AS mink FROM sg0 GROUP BY h), " +
+      "sd0 AS (SELECT g.doc_id, g.p FROM sg0 g JOIN sc0 USING (h) WHERE cnt >= 2 AND g.doc_id * 1000000 + g.p <> mink), " +
+      "sq0 AS (SELECT doc_id, list_sort(list(p)) AS qs FROM sd0 GROUP BY doc_id), " +
+      "sf0 AS (SELECT st.doc_id, w, COALESCE(qs, []) AS qs FROM st LEFT JOIN sq0 USING (doc_id)), " +
+      "sk0 AS (SELECT doc_id, w, list_filter(generate_series(1, len(w)), i -> len(list_filter(qs, q -> q <= i AND i <= q + 7)) = 0) AS kept FROM sf0), " +
+      "sdd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, CAST(len(w) - len(kept) AS BIGINT) AS n_removed, COALESCE(array_to_string(list_transform(kept, i -> w[i]), ' '), '') AS text_clean FROM sk0), " +
+      "sdocs AS (SELECT doc_id, text_clean AS text FROM sdd WHERE n_removed * 2 < n_tokens), " +
+      "s2 AS (SELECT doc_id, string_split(text, ' ') AS words FROM sdocs), " +
       "sh2 AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, GREATEST(len(words)-3, 0)), i -> array_to_string(words[i+1:i+3], ' '))) AS shingles FROM s2), " +
       s"hh2 AS (SELECT doc_id, shingles, list_transform(shingles, s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % ${Dedup.MinhashP}) AS hs FROM sh2), " +
       s"sg2 AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh2), " +
@@ -1006,13 +1018,25 @@ private[graft] object EntryOracle {
       "r2(doc, comp) AS (SELECT src, src FROM edges2 UNION SELECT e.dst, r2.comp FROM r2 JOIN edges2 e ON e.src = r2.doc), " +
       "cmp2 AS (SELECT doc AS doc_id, min(comp) AS component FROM r2 GROUP BY doc), " +
       "drop2 AS (SELECT doc_id FROM cmp2 WHERE doc_id <> component), " +
-      "ndocs AS (SELECT e.* FROM edocs e WHERE e.doc_id NOT IN (SELECT doc_id FROM drop2)), " +
+      "ndocs AS (SELECT e.* FROM sdocs e WHERE e.doc_id NOT IN (SELECT doc_id FROM drop2)), " +
+      // cross-corpus stage: near-dup survivors LSH-matched against the
+      // benchmark slice (per-side caps, est_jaccard >= 0.5 — the
+      // q_crosscorpus_neardup semantics); the new side reuses sg2's
+      // signatures (same cleaned text), re-capped WITHIN ndocs
+      sideBandedCtes("fr", "doc_id % 10 = 0") + ", " +
+      "ccbd AS (SELECT g.doc_id, g.sig, unnest(generate_series(0, 3)) AS band FROM sg2 g JOIN ndocs USING (doc_id)), " +
+      "ccbk0 AS (SELECT doc_id, sig, band, md5(array_to_string(list_transform(sig[band*4+1:band*4+4], x -> CAST(x AS VARCHAR)), ',')) AS bucket FROM ccbd), " +
+      s"ccokb AS (SELECT band, bucket FROM ccbk0 GROUP BY band, bucket HAVING count(*) <= ${pipeline.Caps.DefaultMaxBucket}), " +
+      "ccbk AS (SELECT ccbk0.* FROM ccbk0 JOIN ccokb USING (band, bucket)), " +
+      "cchit AS (SELECT DISTINCT n.doc_id FROM ccbk n JOIN bkfr r ON n.band = r.band AND n.bucket = r.bucket " +
+      "WHERE CAST(len(list_filter(list_zip(n.sig, r.sig), z -> z[1] = z[2])) AS DOUBLE) / 16 >= CAST(0.5 AS DOUBLE)), " +
+      "cdocs AS (SELECT nd.* FROM ndocs nd WHERE nd.doc_id NOT IN (SELECT doc_id FROM cchit)), " +
       "bs2 AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id % 10 = 0), " +
       "bsh AS (SELECT DISTINCT s FROM (SELECT unnest(list_distinct(list_transform(generate_series(0, GREATEST(len(words)-3, 0)), i -> array_to_string(words[i+1:i+3], ' ')))) AS s FROM bs2)), " +
-      "nsh AS (SELECT doc_id, unnest(shingles) AS s FROM (SELECT n.doc_id, sh2.shingles FROM ndocs n JOIN sh2 ON n.doc_id = sh2.doc_id)), " +
+      "nsh AS (SELECT doc_id, unnest(shingles) AS s FROM (SELECT n.doc_id, sh2.shingles FROM cdocs n JOIN sh2 ON n.doc_id = sh2.doc_id)), " +
       "cj AS (SELECT nsh.doc_id, count(*) AS n, CAST(SUM(CASE WHEN bsh.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits FROM nsh LEFT JOIN bsh ON nsh.s = bsh.s GROUP BY 1), " +
       "clean AS (SELECT doc_id FROM cj WHERE hits * 2 < n) " +
-      "SELECT (SELECT count(*) FROM corpus) AS n_corpus, (SELECT count(*) FROM qdocs) AS n_quality, (SELECT count(*) FROM edocs) AS n_exact, (SELECT count(*) FROM ndocs) AS n_neardup, (SELECT count(*) FROM clean) AS n_clean"),
+      "SELECT (SELECT count(*) FROM corpus) AS n_corpus, (SELECT count(*) FROM qdocs) AS n_quality, (SELECT count(*) FROM edocs) AS n_exact, (SELECT count(*) FROM sdocs) AS n_substring, (SELECT count(*) FROM ndocs) AS n_neardup, (SELECT count(*) FROM cdocs) AS n_crosscorpus, (SELECT count(*) FROM clean) AS n_clean"),
     "q_importance" -> (s"WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents), " +
       "b0 AS (SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(ws)-1), i -> {'w1': ws[i], 'w2': ws[i+1]}), recursive := true) FROM t), " +
       s"f AS (SELECT doc_id, lang, CAST((CAST(('0x'||substr(md5(w1 || ' ' || w2),1,15)) AS BIGINT) % ${Dedup.MinhashP}) % 4096 AS INT) AS b FROM b0), " +

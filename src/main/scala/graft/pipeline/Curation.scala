@@ -156,14 +156,20 @@ object Curation {
     * that make its attrition auditable (the C4/Gopher reporting
     * convention): corpus (the benchmark slice `doc_id % 10 == 0` held
     * out) → Gopher quality rules → exact dedup (min doc_id per
-    * content hash) → MinHash-LSH near-dup dedup → benchmark
-    * decontamination (docs sharing ≥ half their shingles with the
-    * benchmark are dropped — compared in INTEGER arithmetic,
-    * 2·hits < shingles, so no cross-engine rounding boundary exists).
-    * Each stage runs on the previous stage's survivors, exactly like
-    * the production ordering (quality first: it is the cheap narrow
-    * pass; pair generation only sees what survived it). Output: one
-    * row (n_corpus, n_quality, n_exact, n_neardup, n_clean). */
+    * content hash) → cross-document SUBSTRING dedup (Lee et al.
+    * duplicated-span removal; docs losing half or more of their
+    * tokens drop, survivors carry their CLEANED text downstream) →
+    * MinHash-LSH near-dup dedup → CROSS-CORPUS near-dup against the
+    * benchmark slice (whole-document form of eval hygiene: survivors
+    * that near-dup a benchmark doc drop) → benchmark decontamination
+    * (the finer shingle-level form: docs sharing ≥ half their
+    * shingles with the benchmark drop — compared in INTEGER
+    * arithmetic, 2·hits < shingles, so no cross-engine rounding
+    * boundary exists). Each stage runs on the previous stage's
+    * survivors, exactly like the production ordering (quality first:
+    * it is the cheap narrow pass; pair generation only sees what
+    * survived it). Output: one row (n_corpus, n_quality, n_exact,
+    * n_substring, n_neardup, n_crosscorpus, n_clean). */
   def curationFunnel(docs: DataFrame): DataFrame = {
     // every stage feeds BOTH the next stage and its own count branch —
     // uncached, each of the five count aggregations re-executed its
@@ -180,32 +186,56 @@ object Curation {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val edocs = qdocs.join(exactKeep, "doc_id").cache()
+    // substring stage: duplicated-span removal across the exact-dedup
+    // survivors (one gram-hash exchange); a doc losing half or more of
+    // its tokens drops, the rest continue with their CLEANED text —
+    // the downstream near-dup/decontam stages see what training would
+    val sdocs = Dedup.substringDedup(edocs)
+      .filter(col("n_removed") * 2 < col("n_tokens"))
+      .select(col("doc_id"), col("text_clean").as("text"))
+      .cache()
     // shingles are a narrow kernel pass over an already-cached
     // relation, so each consumer re-derives them from ITS OWN input:
-    // the pair stage shingles edocs, decontamination shingles the
-    // near-dup survivors directly (shingling ndocs is shuffle-free;
+    // the pair stage shingles sdocs, decontamination shingles the
+    // cross-corpus survivors directly (shingling them is shuffle-free;
     // the former shared-relation form paid a full exploded-shingle
     // join on doc_id to reuse edocs' shingles, and materializing the
     // shared relation measured ~1.5 s slower at sf0.1)
-    val esh = Dedup.shingles(edocs)
+    val esh = Dedup.shingles(sdocs)
       .select(col("doc_id"), col("shingles"))
-    val ndocs = Dedup.dedupedCorpus(edocs,
-      Dedup.minhashPairsFromShingles(esh)).cache()
+    // ONE cached banded relation serves both LSH consumers: the
+    // within-corpus pair stage (capped over the full population) and
+    // the cross-corpus new side (re-capped within the survivors) —
+    // without it each stage re-runs the shingle+minhash kernel
+    val banded0 = Dedup.bandedFromShingles(esh).cache()
+    val ndocs = Dedup.dedupedCorpus(sdocs,
+      Dedup.minhashPairsFromBanded(banded0)).cache()
+    // cross-corpus stage: near-dup survivors that LSH-match a
+    // benchmark document (est_jaccard >= 0.5) drop — the whole-doc
+    // eval-hygiene pass; the banded benchmark side is bounded (10% of
+    // the corpus here; a precomputed bucketed table at 100 TB)
+    val ccHits = Dedup.crossCorpusNearDupsFromBanded(
+        banded0.join(ndocs.select("doc_id"), "doc_id"),
+        Dedup.bandedReference(bench))
+      .select(col("new_id").as("doc_id")).distinct()
+    val cdocs = ndocs.join(ccHits, Seq("doc_id"), "left_anti").cache()
     val clean = TextAnalysis.contaminationFromShingles(
-        Dedup.shingles(ndocs).select(col("doc_id"), col("shingles")), bench)
+        Dedup.shingles(cdocs).select(col("doc_id"), col("shingles")), bench)
       .filter(col("n_contaminated") * 2 < col("n_shingles"))
       .select("doc_id")
     // eager, like the components machinery it already contains: the
     // result is ONE row of counts, so compute it now and RELEASE the
-    // stage caches instead of pinning four corpus-scale relations for
+    // stage caches instead of pinning six corpus-scale relations for
     // the rest of the session
     val counts = (corpus.count(), qdocs.count(), edocs.count(),
-      ndocs.count(), clean.count())
-    Seq(corpus, qdocs, edocs, ndocs).foreach { df => df.unpersist(); () }
+      sdocs.count(), ndocs.count(), cdocs.count(), clean.count())
+    Seq(corpus, qdocs, edocs, sdocs, banded0, ndocs, cdocs)
+      .foreach { df => df.unpersist(); () }
     val spark = docs.sparkSession
     import spark.implicits._
     Seq(counts)
-      .toDF("n_corpus", "n_quality", "n_exact", "n_neardup", "n_clean")
+      .toDF("n_corpus", "n_quality", "n_exact", "n_substring",
+        "n_neardup", "n_crosscorpus", "n_clean")
   }
 
   /** Cluster-balanced sampling — the temperature mixture rule applied

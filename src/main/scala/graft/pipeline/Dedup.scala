@@ -174,10 +174,27 @@ object Dedup {
     * decontamination) share one tokenize+shingle pass. */
   def minhashPairsFromShingles(shingled: DataFrame, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.5,
+      maxBucket: Int = Caps.DefaultMaxBucket): DataFrame =
+    minhashPairsFromBanded(
+      bandedFromShingles(shingled, k, bands), k, threshold, maxBucket)
+
+  /** The UNCAPPED banded relation (doc_id, sig, band, bucket) from a
+    * pre-shingled corpus — the shared upstream the curation funnel
+    * caches ONCE and reuses for both the within-corpus pair stage and
+    * the cross-corpus stage. Capping stays per-consumer (each cap is a
+    * population property of ITS candidate set: the within-pair cap
+    * counts the whole corpus, the cross-corpus new side re-caps within
+    * its own survivor slice). */
+  def bandedFromShingles(shingled: DataFrame, k: Int = 16,
+      bands: Int = 4): DataFrame =
+    lshBands(minhashSignatureFromShingles(shingled, k), k, bands)
+
+  /** [[minhashPairsFromShingles]] from a pre-banded (uncapped)
+    * relation. */
+  def minhashPairsFromBanded(banded0: DataFrame, k: Int = 16,
+      threshold: Double = 0.5,
       maxBucket: Int = Caps.DefaultMaxBucket): DataFrame = {
-    val capped = capBands(
-      lshBands(minhashSignatureFromShingles(shingled, k), k, bands),
-      maxBucket)
+    val capped = capBands(banded0, maxBucket)
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") &&
@@ -228,9 +245,19 @@ object Dedup {
   def crossCorpusNearDupsAgainstBanded(newDocs: DataFrame,
       refBanded: DataFrame, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, w: Int = 3,
-      maxBucket: Int = Caps.DefaultMaxBucket): DataFrame = {
-    val newBanded = Caps.cap(
+      maxBucket: Int = Caps.DefaultMaxBucket): DataFrame =
+    crossCorpusNearDupsFromBanded(
       lshBands(minhashSignature(newDocs, k, w), k, bands),
+      refBanded, k, threshold, maxBucket)
+
+  /** [[crossCorpusNearDupsAgainstBanded]] with a PRE-BANDED (uncapped)
+    * new side — lets the curation funnel reuse its cached banded
+    * relation instead of re-shingling the survivors; the new-side cap
+    * is applied here, within exactly this slice. */
+  def crossCorpusNearDupsFromBanded(newBanded0: DataFrame,
+      refBanded: DataFrame, k: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = Caps.DefaultMaxBucket): DataFrame = {
+    val newBanded = Caps.cap(newBanded0,
       Seq("band", "bucket"), maxBucket, "crosscorpus_lsh_new")
     newBanded.as("n").join(refBanded.as("r"),
         col("n.band") === col("r.band") &&
@@ -666,31 +693,48 @@ object Dedup {
     * text, all engine-reproducible (md5 grams, integer position
     * arithmetic). */
   def substringDedup(docs: DataFrame, minLen: Int = 8): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val toks = docs.select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("w"))
     val grams = toks.filter(size(col("w")) >= minLen)
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(1), size(col("w")) - minLen + 1)).as("p"))
       .select(col("doc_id"), col("p"),
         md5(concat_ws(" ", slice(col("w"), col("p"), lit(minLen)))).as("h"))
-    val counts = grams.groupBy("h")
-      .agg(count(lit(1)).as("cnt"),
-        min(col("doc_id") * SubstringPosBase + col("p")).as("mink"))
-    val dupOcc = grams.join(counts, "h")
-      .filter(col("cnt") >= 2 &&
-        col("doc_id") * SubstringPosBase + col("p") =!= col("mink"))
+    // occurrence count + canonical-occurrence key per gram hash via ONE
+    // window pass: the former groupBy(h) + join-back shape exchanged the
+    // full gram relation twice and paid a |grams| × |distinct h| join
+    // (most grams are unique, so both sides are corpus-scale); the
+    // window clusters on h once and reads cnt/mink in-partition
+    val hw = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val dupOcc = grams
+      .withColumn("k", col("doc_id") * SubstringPosBase + col("p"))
+      .withColumn("cnt", count(lit(1)).over(hw))
+      .filter(col("cnt") >= 2)
+      .withColumn("mink", min(col("k")).over(hw))
+      .filter(col("k") =!= col("mink"))
       .select(col("doc_id"), col("p"))
     val perDoc = dupOcc.groupBy("doc_id")
       .agg(sort_array(collect_list(col("p"))).as("qs"))
     val L = lit(minLen)
+    // docs with NO duplicated span (the common case) skip reconstruction
+    // entirely: split-on-space + rejoin-with-space is lossless, so the
+    // original text IS text_clean — no per-token HOF work for them. Dup
+    // docs build the removed-position SET then one array_except —
+    // O(n + L·|qs|) per doc; the per-token `exists` scan was O(n·|qs|)
+    // interpreted lambda work and dominated the funnel's substring stage.
     toks.join(perDoc, Seq("doc_id"), "left")
-      .withColumn("qs", coalesce(col("qs"), array().cast("array<int>")))
-      .withColumn("kept", filter(sequence(lit(1), size(col("w"))),
-        i => !exists(col("qs"), q => q <= i && i <= q + L - 1)))
+      .withColumn("rm", array_distinct(flatten(
+        transform(col("qs"), q => sequence(q, q + L - 1)))))
+      .withColumn("kept", when(col("qs").isNull, lit(null))
+        .otherwise(array_except(sequence(lit(1), size(col("w"))), col("rm"))))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
-        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
-        concat_ws(" ",
-          transform(col("kept"), i => element_at(col("w"), i)))
+        when(col("qs").isNull, lit(0L))
+          .otherwise(size(col("w")) - size(col("kept"))).cast("long")
+          .as("n_removed"),
+        when(col("qs").isNull, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(col("kept"), i => element_at(col("w"), i))))
           .as("text_clean"))
   }
 }
