@@ -93,6 +93,36 @@ object SoakMain {
       // like the index (a tenth of the event rate: the minhash kernel
       // is per-doc CPU, and the plateau question is about STATE, not
       // about racing the codec)
+      // r15: gap sessionization under sustained load. The session key
+      // rotates every 30 s of event time, so each key is hot for ~30 s
+      // and then goes quiet forever — every session must CLOSE (the
+      // block's silence exceeds the 10 s gap), emit, and have its
+      // state evicted once the watermark passes; the key universe is
+      // unbounded over the soak but open-session state is bounded by
+      // the handful of live blocks. Monotonic state growth here would
+      // mean session_window rows outlive their watermark.
+      core.stream("soak-session", signature = "v1") {
+        writerFor("session")(
+          operators.Temporal.sessionize(
+            events().toDF()
+              .withColumn("sess_key", concat(lit("blk-"),
+                floor(unix_seconds(col("time")) / 30).cast("string"),
+                lit("-"), col("service")))
+              .withWatermark("time", "30 seconds"),
+            Seq("sess_key"), "time", "10 seconds"))
+      }
+      // r15: windowed HDR quantiles — the chained two-level stateful
+      // shape (bucket histogram -> re-window on window_time -> bounded
+      // cell collect). State per (window, key) is <= ~2k histogram
+      // cells; retention is watermark-bounded, so the series must
+      // plateau exactly like the plain windowed agg.
+      core.stream("soak-quantiles", signature = "v1") {
+        writerFor("quantiles")(
+          pipeline.Sketches.streamingQuantiles(
+            events().toDF(), "time", "10 seconds", Seq("service"),
+            col("metric").cast("long"), Seq(500, 950, 990),
+            watermark = "30 seconds"))
+      }
       core.stream("soak-neardup", signature = "v1") {
         val docs = spark.readStream.format("rate")
           .option("rowsPerSecond", math.max(1, rowsPerSec / 10))

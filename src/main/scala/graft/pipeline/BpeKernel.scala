@@ -114,6 +114,139 @@ object BpeKernel {
   }
 }
 
+/** One-pass Unigram-LM encode — the hot-path form of [[Unigram.encode]].
+  *
+  * The column form runs the Viterbi DP as [[Unigram.MaxWordLen]]
+  * sequential projections whose piece lookups are `try_element_at`
+  * over a ~200-entry MAP LITERAL — a linear scan per candidate, ~48
+  * candidates per distinct (doc, word) row, behind a corpus-wide
+  * (doc, word) exchange. Encoding is a pure function of the pre-token
+  * (Zipf: instances ≫ distincts), so this kernel pre-tokenizes with
+  * the same compiled [[TextAnalysis.BpeSplitRe]], runs the IDENTICAL
+  * packed-long DP (cost·64 + ntokens, smallest-j ties) per DISTINCT
+  * pre-token once per partition, and accumulates the document sums in
+  * the same pass — no exchange at all. UnigramSpec pins the kernel
+  * against the column form ([[Unigram.encodeColumns]]) on corpus text.
+  */
+object UnigramKernel {
+
+  val encodeStruct: StructType = StructType(Seq(
+    StructField("n_pretokens", LongType, nullable = false),
+    StructField("n_unigram_tokens", LongType, nullable = false),
+    StructField("total_cost", LongType, nullable = false)))
+
+  private val Pat = java.util.regex.Pattern.compile(TextAnalysis.BpeSplitRe)
+
+  /** (ntokens, cost) of ONE pre-token under the packed-long DP —
+    * literally [[Unigram.encode]]'s b_i recurrence: candidate cost
+    * cost(piece)·64+1, per-char fallback UnkCost·64+1, multi-char
+    * non-pieces Long.MaxValue/4, strict < so the smallest j wins. */
+  private def wordCount(word: String,
+      cost: java.util.HashMap[String, java.lang.Long]): Array[Long] = {
+    // code-point starts (the two engines' substr counts characters)
+    val n0 = word.codePointCount(0, word.length)
+    if (n0 > Unigram.MaxWordLen)
+      return Array(n0.toLong, n0.toLong * Unigram.UnkCost)
+    val offs = new Array[Int](n0 + 1)
+    var oi = 0
+    var ci = 0
+    while (oi < word.length) {
+      offs(ci) = oi
+      oi += Character.charCount(word.codePointAt(oi))
+      ci += 1
+    }
+    offs(n0) = word.length
+    val b = new Array[Long](n0 + 1)
+    var i = 1
+    while (i <= n0) {
+      var best = Long.MaxValue
+      var j = math.max(0, i - Unigram.MaxPieceLen)
+      while (j < i) {
+        val c = cost.get(word.substring(offs(j), offs(i)))
+        val pc =
+          if (c != null) c.longValue() * 64 + 1
+          else if (i - j == 1) Unigram.UnkCost * 64 + 1
+          else Long.MaxValue / 4
+        val v = b(j) + pc
+        if (v < best) best = v
+        j += 1
+      }
+      b(i) = best
+      i += 1
+    }
+    Array(b(n0) % 64, b(n0) >> 6)
+  }
+
+  /** (n_pretokens, n_unigram_tokens, total_cost) of one document. */
+  def encodeCounts(text: UTF8String,
+      cost: java.util.HashMap[String, java.lang.Long],
+      cache: java.util.HashMap[String, Array[Long]]): InternalRow = {
+    if (text == null)
+      return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    if (cache.size() > BpeKernel.MaxCache) cache.clear()
+    val m = Pat.matcher(text.toString)
+    var np = 0L
+    var nt = 0L
+    var tc = 0L
+    while (m.find()) {
+      val tok = m.group().replace(" ", Bpe.SpaceMark)
+      np += 1
+      var r = cache.get(tok)
+      if (r == null) {
+        r = wordCount(tok, cost)
+        cache.put(tok, r)
+      }
+      nt += r(0)
+      tc += r(1)
+    }
+    new GenericInternalRow(Array[Any](np, nt, tc))
+  }
+}
+
+/** `unigram_count(text)`: struct(n_pretokens, n_unigram_tokens,
+  * total_cost) under the trained piece-cost model — memo isolation per
+  * expression instance, like [[BpeCountExpr]]. Never null (a null doc
+  * is the zero row, matching the column form's left-join coalesce). */
+case class UnigramCountExpr(child: Expression,
+    model: Seq[(String, Long)]) extends UnaryExpression {
+  override def dataType: DataType = UnigramKernel.encodeStruct
+  override def nullable: Boolean = false
+
+  @transient private lazy val costMap = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    model.foreach { case (p, c) => m.put(p, java.lang.Long.valueOf(c)) }
+    m
+  }
+
+  @transient private lazy val evalCache =
+    new ThreadLocal[java.util.HashMap[String, Array[Long]]] {
+      override def initialValue() =
+        new java.util.HashMap[String, Array[Long]]()
+    }
+
+  override def eval(input: InternalRow): Any =
+    UnigramKernel.encodeCounts(
+      child.eval(input).asInstanceOf[UTF8String], costMap,
+      evalCache.get())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val costRef = ctx.addReferenceObj("unigramCosts", costMap,
+      "java.util.HashMap")
+    val cacheVar = ctx.addMutableState("java.util.HashMap", "unigramMemo",
+      v => s"$v = new java.util.HashMap();")
+    ev.copy(code = code"""
+      ${c.code}
+      InternalRow ${ev.value} = graft.pipeline.UnigramKernel.encodeCounts(
+        ${c.isNull} ? null : ${c.value}, $costRef, $cacheVar);
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `bpe_count(text)`: struct(n_pretokens, n_bpe_tokens) under the
   * trained `merges`, applied in rank order. */
 case class BpeCountExpr(child: Expression, merges: Seq[String])

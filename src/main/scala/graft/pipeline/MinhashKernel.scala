@@ -210,6 +210,79 @@ case class SimhashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass hashed char-3-gram kernel for [[TextAnalysis.langIdNgram]].
+  * The column form (`transform(sequence(1, length-2), i ->
+  * conv(substr(md5(concat('lid:', substring(text, i, 3))), 1, 15), 16,
+  * 10) % B)`) is an interpreted lambda per CHARACTER position — an
+  * md5→hex→parse round-trip ~1000× per document, and langIdNgram walks
+  * the corpus twice (train + predict): it dominated the whole bench
+  * fleet at 8.5 s. This kernel resolves code-point offsets once per
+  * document (Spark's `substring` counts characters, i.e. code points —
+  * String.substring counts UTF-16 units, so the offsets are mapped
+  * explicitly) and digests each gram's bytes directly: same first-60-
+  * bits-of-md5 value, so the DuckDB oracle chain is unchanged.
+  * LangGramsParity in MinhashParitySpec pins element-exact equality
+  * against the column form, non-ASCII included. */
+object LangGramsKernel {
+  def grams(text: UTF8String, buckets: Int): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val s = text.toString
+    // code-point start offsets (chars in Spark/DuckDB substring terms)
+    val offs = new Array[Int](s.codePointCount(0, s.length) + 1)
+    var ci = 0
+    var oi = 0
+    while (oi < s.length) {
+      offs(ci) = oi
+      oi += Character.charCount(s.codePointAt(oi))
+      ci += 1
+    }
+    offs(ci) = s.length
+    val n = ci // characters
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val prefix = "lid:".getBytes("UTF-8")
+    val out = new Array[Any](n - 2)
+    var i = 0
+    while (i < n - 2) {
+      md.reset()
+      md.update(prefix)
+      md.update(s.substring(offs(i), offs(i + 3)).getBytes("UTF-8"))
+      val d = md.digest()
+      // first 15 hex chars = bytes 0..6 + the high nibble of byte 7
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((d(7) >> 4) & 0xfL)
+      out(i) = h % buckets
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `lang_grams(text)`: array<long> of hashed char-3-gram buckets;
+  * never null (null / too-short text → empty array — the consumer
+  * explodes, so both spell "no rows"). */
+case class LangGramsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    LangGramsKernel.grams(
+      child.eval(input).asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.pipeline.LangGramsKernel.grams(
+          ${c.isNull} ? null : ${c.value}, $buckets);
+      """, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `minhash_sig(shingles)`: array<long> of k per-permutation minima.
   * Never null itself (null input → array of k nulls, matching the
   * column form), so eval/codegen bypass the null-shortcut. */

@@ -99,7 +99,7 @@ object TextAnalysis {
   /** Shared gram expression: hashed char 3-grams of `text` into
     * [[LangIdBuckets]] bins (md5-derived 60-bit hash, the
     * importanceWeights discipline, so the oracle replays it). */
-  private def langIdGramsExpr(buckets: Int): String =
+  private[graft] def langIdGramsExpr(buckets: Int): String =
     "transform(sequence(1, length(text) - 2), i -> " +
       "cast(conv(substring(md5(concat('lid:', substring(text, i, 3))), " +
       s"1, 15), 16, 10) as bigint) % ${buckets}L)"
@@ -125,9 +125,15 @@ object TextAnalysis {
       buckets: Int = LangIdBuckets): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    // codegen'd gram kernel — the column form (langIdGramsExpr, kept
+    // as the parity oracle in MinhashParitySpec) pays an interpreted
+    // md5→hex→parse lambda per character position, twice per corpus
     def grams = docs.filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"),
-        explode(expr(langIdGramsExpr(buckets))).as("b"))
+        explode(ColumnBridge.column(
+          LangGramsExpr(ColumnBridge.expression(col("text")), buckets)))
+          .as("b"))
     val counts = grams.filter(col("lang").isNotNull)
       .groupBy("lang", "b").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -178,8 +178,26 @@ object Unigram {
 
   /** Encode every document under a trained model:
     * (doc_id, n_pretokens, n_unigram_tokens, total_cost) — counts and
-    * the summed fixed-point −log2 cost of the Viterbi segmentations. */
+    * the summed fixed-point −log2 cost of the Viterbi segmentations.
+    * Hot path: the memoized per-pre-token DP kernel
+    * ([[UnigramCountExpr]]) — ONE narrow codegen'd projection, no
+    * exchange; [[encodeColumns]] keeps the original projection-chain
+    * form as the parity oracle (UnigramSpec pins equality). */
   def encode(docs: DataFrame,
+      model: Seq[(String, Long, Long)]): DataFrame = {
+    require(model.nonEmpty, "unigram encode needs a non-empty model")
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.select(col("doc_id"), ColumnBridge.column(UnigramCountExpr(
+        ColumnBridge.expression(col("text")),
+        model.map { case (p, _, c) => (p, c) })).as("u"))
+      .select(col("doc_id"), col("u.n_pretokens").as("n_pretokens"),
+        col("u.n_unigram_tokens").as("n_unigram_tokens"),
+        col("u.total_cost").as("total_cost"))
+  }
+
+  /** The projection-chain (column) form of [[encode]] — the DuckDB
+    * oracle's formulation, kept as the kernel's parity pin. */
+  private[graft] def encodeColumns(docs: DataFrame,
       model: Seq[(String, Long, Long)]): DataFrame = {
     require(model.nonEmpty, "unigram encode needs a non-empty model")
     val costMap = map(model.flatMap { case (p, _, c) =>

@@ -56,6 +56,33 @@ class MinhashParitySpec extends SparkSpec {
     }
   }
 
+  test("lang-grams kernel ≡ column form incl. non-ASCII / short / null texts") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val rnd = new Random(13)
+    val alphabet = "abcdefg 日本語ß"
+    val texts: Seq[String] = (1 to 50).map(_ =>
+      (1 to (3 + rnd.nextInt(60)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString) ++
+      Seq("", null, "ab", "abc", "日本語テキスト")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val buckets = graft.pipeline.TextAnalysis.LangIdBuckets
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toSeq
+    // the column form (the DuckDB oracle's spelling) guarded by the
+    // same length >= 3 filter langIdNgram applies before either form
+    val spec = rows(df.filter(length(col("text")) >= 3).select(col("doc_id"),
+      expr(graft.pipeline.TextAnalysis.langIdGramsExpr(buckets)).as("g")))
+    val fast = rows(df.filter(length(col("text")) >= 3).select(col("doc_id"),
+      ColumnBridge.column(graft.pipeline.LangGramsExpr(
+        ColumnBridge.expression(col("text")), buckets)).as("g")))
+    assert(fast == spec)
+  }
+
   test("simhash kernel ≡ aggregation form incl. null/empty/dup-token texts") {
     val spark0 = spark
     import spark0.implicits._

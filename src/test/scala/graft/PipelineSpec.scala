@@ -75,6 +75,29 @@ class PipelineSpec extends SparkSpec {
     assert(Unigram.trainModel(docs) == model)
   }
 
+  test("unigram: memoized encode kernel ≡ projection-chain column form " +
+    "incl. null/empty/non-ASCII/over-long texts") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.pipeline.Unigram
+    val train = (0 until 40).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog banana"))
+      .toDF("doc_id", "text")
+    val model = Unigram.trainModel(train)
+    val texts: Seq[String] = Seq(
+      "the quick brown fox", "banana banana band", "", null,
+      "日本語のテキスト and ascii", "word " + "y" * 30 + " tail",
+      "  double  spaces  ", "the the the the the the")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    assert(rows(Unigram.encode(docs, model)) ==
+      rows(Unigram.encodeColumns(docs, model)))
+  }
+
   private val embSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
