@@ -283,6 +283,99 @@ case class LangGramsExpr(child: Expression, buckets: Int)
     copy(child = newChild)
 }
 
+/** One-pass Naive-Bayes language scorer for
+  * [[TextAnalysis.langIdNgram]]'s PREDICT pass. The column form
+  * explodes every gram instance, broadcast-joins the dense
+  * (lang × seen-bucket) grid (multiplying the stream |langs|-fold),
+  * and aggregates per (doc, lang) — a corpus-scale exchange for what
+  * is a pure per-document function of a ≤ |langs|·4096-cell literal
+  * table. This kernel walks the document's grams once (the
+  * [[LangGramsKernel]] hash), accumulates all |langs| running score
+  * sums in the same pass (exact long addition — order-free), and
+  * returns the argmax with the column form's tie rule (score first,
+  * then binary-largest lang). Grams outside the SEEN bucket set drop
+  * from both the sums and the gram count, exactly like the inner join;
+  * a doc with no counted gram predicts ("und", 0), exactly like the
+  * left-join coalesce. TextAnalysis.langIdNgramColumns keeps the
+  * join-form as the parity pin (PipelineSpec). */
+object LangScoreKernel {
+  def score(text: UTF8String, buckets: Int, langs: Array[UTF8String],
+      lnb: Array[Long], lc: Array[Array[Long]],
+      seen: Array[Boolean]): org.apache.spark.sql.catalyst.InternalRow = {
+    val und = UTF8String.fromString("und")
+    val nl = langs.length
+    val grams = LangGramsKernel.grams(text, buckets)
+    val acc = new Array[Long](nl)
+    var ng = 0L
+    var i = 0
+    val n = grams.numElements()
+    while (i < n) {
+      val b = grams.getLong(i).toInt
+      if (seen(b)) {
+        ng += 1
+        var l = 0
+        while (l < nl) { acc(l) += lc(l)(b); l += 1 }
+      }
+      i += 1
+    }
+    if (ng == 0L)
+      return new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](und, 0L))
+    var bestL = -1
+    var bestS = Long.MinValue
+    var l = 0
+    while (l < nl) {
+      val s = acc(l) - ng * lnb(l)
+      if (s > bestS || (s == bestS &&
+          (bestL < 0 || langs(l).compareTo(langs(bestL)) > 0))) {
+        bestS = s; bestL = l
+      }
+      l += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](langs(bestL), bestS))
+  }
+}
+
+/** `lang_score(text)`: struct(predicted_lang, nb_score) under the
+  * trained grid — never null. */
+case class LangScoreExpr(child: Expression, buckets: Int,
+    langs: Seq[String], lnb: Seq[Long], lc: Seq[Seq[Long]],
+    seen: Seq[Boolean]) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("predicted_lang", StringType, nullable = false),
+    StructField("nb_score", LongType, nullable = false)))
+  override def nullable: Boolean = false
+
+  @transient private lazy val langsArr =
+    langs.map(UTF8String.fromString).toArray
+  @transient private lazy val lnbArr = lnb.toArray
+  @transient private lazy val lcArr = lc.map(_.toArray).toArray
+  @transient private lazy val seenArr = seen.toArray
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    LangScoreKernel.score(child.eval(input).asInstanceOf[UTF8String],
+      buckets, langsArr, lnbArr, lcArr, seenArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val langsRef = ctx.addReferenceObj("lsLangs", langsArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val lnbRef = ctx.addReferenceObj("lsLnb", lnbArr, "long[]")
+    val lcRef = ctx.addReferenceObj("lsLc", lcArr, "long[][]")
+    val seenRef = ctx.addReferenceObj("lsSeen", seenArr, "boolean[]")
+    ev.copy(code = code"""
+      ${c.code}
+      InternalRow ${ev.value} = graft.pipeline.LangScoreKernel.score(
+        ${c.isNull} ? null : ${c.value}, $buckets, $langsRef, $lnbRef,
+        $lcRef, $seenRef);
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `minhash_sig(shingles)`: array<long> of k per-permutation minima.
   * Never null itself (null input → array of k nulls, matching the
   * column form), so eval/codegen bypass the null-shortcut. */

@@ -123,12 +123,62 @@ object TextAnalysis {
     * curation-pipeline layer (cf. CCNet's fastText LID stage). */
   def langIdNgram(docs: DataFrame,
       buckets: Int = LangIdBuckets): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val (langs, lnb, lc, seen) = langIdModel(docs, buckets)
+    // predict = ONE narrow codegen'd projection: the NB score is a pure
+    // per-document function of the tiny trained grid, so the column
+    // form's gram explode × |langs| broadcast-join × (doc, lang)
+    // aggregation (a corpus-scale exchange) collapses into the scorer
+    // kernel; langIdNgramColumns keeps the join form as the parity pin
+    docs.select(col("doc_id"), col("lang").as("declared_lang"),
+        ColumnBridge.column(LangScoreExpr(
+          ColumnBridge.expression(col("text")), buckets,
+          langs, lnb, lc, seen)).as("w"))
+      .select(col("doc_id"), col("declared_lang"),
+        col("w.predicted_lang").as("predicted_lang"),
+        col("w.nb_score").as("nb_score"))
+  }
+
+  /** Pass 1 of [[langIdNgram]]: the (lang, bucket) sufficient
+    * statistic — bounded at |langs| × `buckets` rows no matter the
+    * corpus — collected and shaped for the scorer kernel: sorted lang
+    * list, per-lang log2 normalizer, dense smoothed log-likelihood
+    * grid over SEEN buckets, and the seen mask (grams hashing to an
+    * unseen bucket don't score — the inner-join semantics). Costs are
+    * computed with [[Unigram.l2]], the driver spelling of
+    * [[log2Fixed]], so they equal the SQL-computed ones bit for bit. */
+  private def langIdModel(docs: DataFrame, buckets: Int)
+      : (Seq[String], Seq[Long], Seq[Seq[Long]], Seq[Boolean]) = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val counts = docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(ColumnBridge.column(
+          LangGramsExpr(ColumnBridge.expression(col("text")), buckets)))
+          .as("b"))
+      .filter(col("lang").isNotNull)
+      .groupBy("lang", "b").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val langs = counts.map(_._1).distinct.sorted.toSeq
+    val cMap = counts.map { case (l, b, c) => (l, b) -> c }.toMap
+    val nLang = counts.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    val seen = Array.fill(buckets)(false)
+    counts.foreach { case (_, b, _) => seen(b.toInt) = true }
+    val lnb = langs.map(l => Unigram.l2(nLang(l) + buckets))
+    val lc = langs.map(l => (0 until buckets).map(b =>
+      if (seen(b)) Unigram.l2(cMap.getOrElse((l, b.toLong), 0L) + 1)
+      else 0L): Seq[Long])
+    (langs, lnb, lc, seen.toSeq)
+  }
+
+  /** The broadcast-join (column) form of [[langIdNgram]]'s predict
+    * pass — the DuckDB oracle's formulation, kept as the scorer
+    * kernel's parity pin (PipelineSpec). */
+  private[graft] def langIdNgramColumns(docs: DataFrame,
+      buckets: Int = LangIdBuckets): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.graft.ColumnBridge
-    // codegen'd gram kernel — the column form (langIdGramsExpr, kept
-    // as the parity oracle in MinhashParitySpec) pays an interpreted
-    // md5→hex→parse lambda per character position, twice per corpus
     def grams = docs.filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"),
         explode(ColumnBridge.column(

@@ -75,6 +75,25 @@ class PipelineSpec extends SparkSpec {
     assert(Unigram.trainModel(docs) == model)
   }
 
+  test("langIdNgram: scorer kernel ≡ broadcast-join column form incl. " +
+    "null-lang docs, short docs, unseen-gram docs, tie langs") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = (
+      (0 until 25).map(i => (i.toLong, "the cat sat on the mat near the hat", "en")) ++
+      (100 until 125).map(i => (i.toLong, "le chat est sur le tapis pres du chapeau", "fr")) ++
+      Seq((200L, "zzqq xx vv kk jj unseen grams here", null),
+        (201L, "ab", "en"),           // too short for one gram
+        (202L, "", null), (203L, null, null),
+        (204L, "the chat sat sur le mat", null))) // mixed → tie-ish
+      .toDF("doc_id", "text", "lang")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSeq
+    assert(rows(graft.pipeline.TextAnalysis.langIdNgram(docs)) ==
+      rows(graft.pipeline.TextAnalysis.langIdNgramColumns(docs)))
+  }
+
   test("unigram: memoized encode kernel ≡ projection-chain column form " +
     "incl. null/empty/non-ASCII/over-long texts") {
     val spark0 = spark
