@@ -291,6 +291,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"decode should be a pure map:\n$p")
   }
 
+  test("langIdNgram predict and Unigram encode are kernel projections: " +
+    "no exchange, no join in the scoring plan") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = (0 until 50).map(i =>
+      (i.toLong, "the quick brown fox jumps over it all", "en"))
+      .toDF("doc_id", "text", "lang")
+    // langIdNgram: pass 1 (the bounded sufficient statistic) collects
+    // eagerly inside the call; the RETURNED plan is the predict pass —
+    // one narrow scorer projection over the scan
+    val lp = plan(graft.pipeline.TextAnalysis.langIdNgram(docs))
+    assert(!lp.contains("Exchange") && !lp.contains("Join"),
+      s"predict should be a pure map:\n$lp")
+    // unigram encode under a trained model: same — the memoized DP
+    // kernel rides the scan, no (doc, word) exchange
+    val model = graft.pipeline.Unigram.trainModel(docs)
+    val up = plan(graft.pipeline.Unigram.encode(docs, model))
+    assert(!up.contains("Exchange") && !up.contains("Join"),
+      s"encode should be a pure map:\n$up")
+  }
+
   test("deps rule compilation runs a bounded number of jobs, never per-leaf") {
     import graft.operators.Deps
     val ev = EventView(spark, dir)
