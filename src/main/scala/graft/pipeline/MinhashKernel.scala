@@ -283,6 +283,64 @@ case class LangGramsExpr(child: Expression, buckets: Int)
     copy(child = newChild)
 }
 
+/** One-pass hashed-bigram feature kernel for
+  * [[TextAnalysis.importanceWeights]] (DSIR features): the column form
+  * md5s each bigram inside an interpreted `transform` lambda, and the
+  * feature relation is consumed three times (raw counts, target
+  * counts, the scoring join), so the interpreted digest walks the
+  * corpus repeatedly. Same bytes → first-60-bits → % P → % buckets
+  * value as the SQL spelling, so the DuckDB oracle chain is unchanged;
+  * MinhashParitySpec pins kernel ≡ column element-exact. */
+object BigramHashKernel {
+  def feats(text: UTF8String, p: Long, buckets: Int): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    // Spark's split(col, " ") = Java split limit -1: keeps empties
+    val ws = text.toString.split(" ", -1)
+    if (ws.length < 2) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](ws.length - 1)
+    var i = 1
+    while (i < ws.length) {
+      md.reset()
+      md.update(ws(i - 1).getBytes("UTF-8"))
+      md.update(' '.toByte)
+      md.update(ws(i).getBytes("UTF-8"))
+      val d = md.digest()
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((d(7) >> 4) & 0xfL)
+      out(i - 1) = ((h % p) % buckets).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `bigram_feats(text)`: array<int> of hashed bigram buckets; never
+  * null (null / single-token text → empty array — the consumer
+  * explodes, so both spell "no rows", matching the size >= 2 filter). */
+case class BigramHashExpr(child: Expression, p: Long, buckets: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    BigramHashKernel.feats(
+      child.eval(input).asInstanceOf[UTF8String], p, buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.pipeline.BigramHashKernel.feats(
+          ${c.isNull} ? null : ${c.value}, ${p}L, $buckets);
+      """, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass Naive-Bayes language scorer for
   * [[TextAnalysis.langIdNgram]]'s PREDICT pass. The column form
   * explodes every gram instance, broadcast-joins the dense

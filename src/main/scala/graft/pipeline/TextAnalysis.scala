@@ -357,16 +357,17 @@ object TextAnalysis {
     * tables broadcast back over one narrow feature pass. */
   def importanceWeights(raw: DataFrame, target: DataFrame,
       buckets: Int = 4096): DataFrame = {
-    val P = Dedup.MinhashP
-    def feats(docs: DataFrame): DataFrame = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      // see bigramLikelihood: sequence(1, 0) descends on 1-token docs
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws)-1), " +
-          s"i -> CAST(conv(substring(md5(concat(ws[i-1], ' ', ws[i])), 1, 15), 16, 10) AS BIGINT) % ${P}L)"))
-        .as("h"))
-      .select(col("doc_id"), (col("h") % buckets).cast("int").as("b"))
+    // hashed-bigram features via the codegen'd kernel — the column
+    // form (featsColumns, the DuckDB oracle's spelling and the parity
+    // pin) md5s per bigram in an interpreted lambda, and this relation
+    // is consumed three times
+    def feats(docs: DataFrame): DataFrame = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      docs.select(col("doc_id"),
+        explode(ColumnBridge.column(BigramHashExpr(
+          ColumnBridge.expression(col("text")), Dedup.MinhashP, buckets)))
+          .as("b"))
+    }
     val rawF = feats(raw)
     val tCounts = feats(target).groupBy("b").agg(count(lit(1)).as("ct"))
     val rCounts = rawF.groupBy("b").agg(count(lit(1)).as("cr"))
@@ -390,6 +391,21 @@ object TextAnalysis {
         (expr("(2*s + n_feats) div (2*n_feats)").cast("double") /
           1e6).as("importance"))
   }
+
+  /** The interpreted-lambda (column) spelling of
+    * [[importanceWeights]]'s feature pass — the DuckDB oracle's
+    * formulation, kept as the kernel's parity pin
+    * (MinhashParitySpec). */
+  private[graft] def bigramFeatsColumns(docs: DataFrame,
+      buckets: Int = 4096): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    // see bigramLikelihood: sequence(1, 0) descends on 1-token docs
+    .filter(size(col("ws")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(ws)-1), " +
+        s"i -> CAST(conv(substring(md5(concat(ws[i-1], ' ', ws[i])), 1, 15), 16, 10) AS BIGINT) % ${Dedup.MinhashP}L)"))
+      .as("h"))
+    .select(col("doc_id"), (col("h") % buckets).cast("int").as("b"))
 
   def contamination(docs: DataFrame, benchmark: DataFrame,
       w: Int = 3): DataFrame =

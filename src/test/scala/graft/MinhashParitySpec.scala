@@ -83,6 +83,30 @@ class MinhashParitySpec extends SparkSpec {
     assert(fast == spec)
   }
 
+  test("bigram-feature kernel ≡ column form incl. empty-token / " +
+    "single-word / null / non-ASCII texts") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val rnd = new Random(41)
+    val vocab = Seq("alpha", "beta", "", "x", "日本", "ß")
+    val texts: Seq[String] = (1 to 50).map(_ =>
+      (1 to (1 + rnd.nextInt(30))).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")) ++ Seq("", null, "one", "a  b", "a b ", " a")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id", "b").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val spec = rows(graft.pipeline.TextAnalysis.bigramFeatsColumns(df))
+    val fast = rows(df.select(col("doc_id"),
+      explode(ColumnBridge.column(graft.pipeline.BigramHashExpr(
+        ColumnBridge.expression(col("text")),
+        Dedup.MinhashP, 4096))).as("b")))
+    assert(fast == spec)
+  }
+
   test("simhash kernel ≡ aggregation form incl. null/empty/dup-token texts") {
     val spark0 = spark
     import spark0.implicits._
