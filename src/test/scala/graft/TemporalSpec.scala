@@ -53,6 +53,65 @@ class TemporalSpec extends SparkSpec {
       got.getAs[Double]("asof_metric") == 1.0)
   }
 
+  test("asOfJoin: bucketed form ≡ single-window form on randomized " +
+    "corpora (boundary times, duplicate stamps, sparse keys, " +
+    "varied bucket/tolerance)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(97)
+    for (trial <- 0 until 4) {
+      val nKeys = 1 + rnd.nextInt(6)
+      val span = 1000L * (1 + rnd.nextInt(20))
+      def t() = rnd.nextInt(4) match {
+        case 0 => (rnd.nextInt(21).toLong) * span / 20 // bucket edges
+        case _ => rnd.nextLong(span + 1)
+      }
+      val l = (0 until 400).map(i =>
+        (i.toLong, s"k${rnd.nextInt(nKeys)}", t()))
+        .toDF("event_id", "host", "time_s")
+      val r = (0 until 300).map(i =>
+        (s"k${rnd.nextInt(nKeys)}", t(), 1000L + i,
+          rnd.nextInt(50) / 10.0))
+        .toDF("host", "time_s", "rid", "rmetric")
+      val tol = Seq(Long.MaxValue, span / 3 + 1, 1L)(rnd.nextInt(3))
+      val bucket = Seq(1L, 97L, span / 7 + 1, span * 2)(rnd.nextInt(4))
+      def rows(b: Long) = Temporal.asOfJoin(l, r, Seq("host"),
+        "time_s", Seq("rid", "rmetric"), toleranceSeconds = tol,
+        bucketSeconds = b).collect().map(_.toSeq).toSet
+      assert(rows(bucket) == rows(0),
+        s"trial $trial: bucket=$bucket tol=$tol span=$span diverged")
+    }
+  }
+
+  test("sessionizeBucketed ≡ native session_window on randomized " +
+    "corpora (chunk-straddling sessions, touching gaps, dup stamps)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(83)
+    for (trial <- 0 until 4) {
+      val nKeys = 1 + rnd.nextInt(5)
+      val gap = 1L + rnd.nextInt(40)
+      val chunk = Seq(gap, gap * 3, 1000L)(rnd.nextInt(3))
+      var tcur = 0L
+      val rows = (0 until 500).map { _ =>
+        // mix touching-gap steps (exactly `gap`: MUST merge), sub-gap
+        // steps, dup stamps, and super-gap jumps (new session)
+        tcur += Seq(0L, gap, gap - 1, gap + 1, rnd.nextInt(200).toLong)(
+          rnd.nextInt(5))
+        (s"k${rnd.nextInt(nKeys)}", tcur)
+      }
+      val df = rows.toDF("host", "t")
+        .withColumn("time", timestamp_seconds(col("t"))).drop("t")
+      val plain = Temporal.sessionize(df, Seq("host"), "time",
+        s"$gap seconds").collect().map(_.toSeq).toSet
+      val chunked = Temporal.sessionizeBucketed(df, Seq("host"), "time",
+        gapSeconds = gap, chunkSeconds = chunk).collect()
+        .map(_.toSeq).toSet
+      assert(chunked == plain,
+        s"trial $trial: gap=$gap chunk=$chunk diverged")
+    }
+  }
+
   test("rangeJoin: equals the brute-force containment join, intervals " +
     "spanning many bins still match, empty intervals drop") {
     val spark0 = spark
