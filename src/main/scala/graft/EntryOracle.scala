@@ -340,6 +340,41 @@ private[graft] object EntryOracle {
       "CAST(sum(cnt * wcost) AS BIGINT) AS total_cost FROM uewt GROUP BY 1)"
   }
 
+  /** The unigram TOKEN chain (appended after [[unigramEncodeCtes]];
+    * ends at `uetd`: doc_id, n_unigram_tokens, tokens_str): the encode
+    * DP's backtrace (same (value asc, j asc) smallest-split rule as
+    * training), pieces re-assembled left-to-right per word, then per
+    * document in pre-token order on the unit separator; over-long
+    * words take the one-token-per-char fallback. */
+  private lazy val unigramTokensCtes: String = {
+    import pipeline.Unigram.MaxWordLen
+    val btCase = (0 until MaxWordLen)
+      .map(j => s"WHEN $j THEN d.b$j").mkString(" ")
+    val backtrace = (1 to MaxWordLen).map { k =>
+      s"uebt$k AS MATERIALIZED (SELECT word, j AS pos, piece FROM (" +
+        s"SELECT t.word, s.j, substr(t.word, CAST(s.j + 1 AS INT), CAST(t.pos - s.j AS INT)) AS piece, " +
+        s"row_number() OVER (PARTITION BY t.word ORDER BY ((CASE s.j $btCase END) + s.pc) ASC, s.j ASC) AS rk " +
+        s"FROM uebt${k - 1} t JOIN uesp s ON s.word = t.word AND s.i = t.pos " +
+        s"JOIN ued$MaxWordLen d ON d.word = t.word WHERE t.pos > 0) WHERE rk = 1)"
+    }.mkString(", ")
+    val btUnion = (1 to MaxWordLen)
+      .map(k => s"SELECT word, pos, piece FROM uebt$k").mkString(" UNION ALL ")
+    s"uebt0 AS (SELECT word, CAST(len(word) AS BIGINT) AS pos FROM uewd), " +
+      backtrace + ", " +
+      s"uetk AS (SELECT word, string_agg(piece, chr(31) ORDER BY pos) AS tokstr, " +
+      s"CAST(count(*) AS BIGINT) AS ntokw FROM ($btUnion) GROUP BY word), " +
+      "uetp AS (SELECT doc_id, p AS pos, replace(toks[p], ' ', chr(288)) AS word FROM " +
+      s"(SELECT doc_id, regexp_extract_all(text, '$bpeRe') AS toks FROM documents) " +
+      "CROSS JOIN unnest(generate_series(1, len(toks))) AS u(p)), " +
+      s"uetw AS (SELECT doc_id, pos, CASE WHEN len(word) > $MaxWordLen THEN " +
+      "array_to_string(list_transform(generate_series(1, CAST(len(word) AS BIGINT)), i -> substr(word, CAST(i AS INT), 1)), chr(31)) " +
+      "ELSE tk.tokstr END AS wtok, " +
+      s"CASE WHEN len(word) > $MaxWordLen THEN CAST(len(word) AS BIGINT) ELSE tk.ntokw END AS ntok " +
+      "FROM uetp LEFT JOIN uetk tk USING (word)), " +
+      "uetd AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_unigram_tokens, " +
+      "string_agg(wtok, chr(31) ORDER BY pos) AS tokens_str FROM uetw GROUP BY doc_id)"
+  }
+
   private lazy val minhashPairsCte: String =
     s"$shCte$hsCte, sg AS (SELECT doc_id, ${minhashSigSql(16)} AS sig FROM hh), " +
       "banded AS (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band FROM sg), " +
@@ -929,6 +964,13 @@ private[graft] object EntryOracle {
     // replayed end to end in integer arithmetic
     "q_unigram_train" -> (s"WITH $unigramTrainCtes " +
       "SELECT piece, usage, cost FROM uc1 ORDER BY piece"),
+    // the materialized unigram token sequences — encode DP backtraced
+    // (smallest split on ties), every token byte and boundary pinned
+    // in document order on the unit separator
+    "q_unigram_tokens" -> (s"WITH $unigramTrainCtes, $unigramEncodeCtes, $unigramTokensCtes " +
+      "SELECT d.doc_id, COALESCE(a.n_unigram_tokens, 0) AS n_unigram_tokens, " +
+      "COALESCE(a.tokens_str, '') AS tokens_str " +
+      "FROM documents d LEFT JOIN uetd a USING (doc_id) ORDER BY d.doc_id"),
     "q_unigram_encode" -> (s"WITH $unigramTrainCtes, $unigramEncodeCtes " +
       "SELECT d.doc_id, COALESCE(a.n_pretokens, 0) AS n_pretokens, " +
       "COALESCE(a.n_unigram_tokens, 0) AS n_unigram_tokens, " +

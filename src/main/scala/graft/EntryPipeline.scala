@@ -251,6 +251,15 @@ private[graft] object EntryPipeline {
       Unigram.train(docs(s, d)).orderBy("piece")),
     "q_unigram_encode" -> ((s, d) =>
       Unigram.trainAndEncode(docs(s, d)).orderBy("doc_id")),
+    // the materialized unigram token sequences — every token byte and
+    // boundary pinned in document order (the q_bpe_tokens contract
+    // for the second tokenizer)
+    "q_unigram_tokens" -> ((s, d) =>
+      Unigram.trainAndEncodeTokens(docs(s, d))
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_unigram_tokens"),
+          array_join(col("tokens"), "\u001f").as("tokens_str"))
+        .orderBy("doc_id")),
     // the mixture planner budgeted in REAL tokenizer units: unigram
     // token counts joined per doc, then the same temperature math
     "q_mixture_plan_unigram" -> ((s, d) => {

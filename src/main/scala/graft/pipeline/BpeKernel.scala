@@ -177,6 +177,78 @@ object UnigramKernel {
     Array(b(n0) % 64, b(n0) >> 6)
   }
 
+  /** The Viterbi pieces of ONE pre-token, left to right — the same
+    * packed-long DP as [[wordCount]] with the backtrace kept (strict <
+    * keeps the smallest split point, the oracle's (value asc, j asc)
+    * rule); over-long words fall back to one token per CODE POINT. */
+  private def wordTokens(word: String,
+      cost: java.util.HashMap[String, java.lang.Long]): Array[UTF8String] = {
+    val n0 = word.codePointCount(0, word.length)
+    val offs = new Array[Int](n0 + 1)
+    var oi = 0
+    var ci = 0
+    while (oi < word.length) {
+      offs(ci) = oi
+      oi += Character.charCount(word.codePointAt(oi))
+      ci += 1
+    }
+    offs(n0) = word.length
+    if (n0 > Unigram.MaxWordLen)
+      return Array.tabulate(n0)(i =>
+        UTF8String.fromString(word.substring(offs(i), offs(i + 1))))
+    val b = new Array[Long](n0 + 1)
+    val bj = new Array[Int](n0 + 1)
+    var i = 1
+    while (i <= n0) {
+      var best = Long.MaxValue
+      var bestJ = -1
+      var j = math.max(0, i - Unigram.MaxPieceLen)
+      while (j < i) {
+        val c = cost.get(word.substring(offs(j), offs(i)))
+        val pc =
+          if (c != null) c.longValue() * 64 + 1
+          else if (i - j == 1) Unigram.UnkCost * 64 + 1
+          else Long.MaxValue / 4
+        val v = b(j) + pc
+        if (v < best) { best = v; bestJ = j }
+        j += 1
+      }
+      b(i) = best; bj(i) = bestJ
+      i += 1
+    }
+    val rev = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var pos = n0
+    while (pos > 0) {
+      val j = bj(pos)
+      rev += UTF8String.fromString(word.substring(offs(j), offs(pos)))
+      pos = j
+    }
+    rev.reverse.toArray
+  }
+
+  /** The materialized unigram token sequence of one document: every
+    * pre-token's Viterbi pieces, concatenated in document order — the
+    * [[BpeKernel.encodeTokens]] contract for the second tokenizer. */
+  def encodeTokens(text: UTF8String,
+      cost: java.util.HashMap[String, java.lang.Long],
+      cache: java.util.HashMap[String, Array[UTF8String]]): ArrayData = {
+    if (text == null) return null
+    if (cache.size() > BpeKernel.MaxCache) cache.clear()
+    val m = Pat.matcher(text.toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    while (m.find()) {
+      val tok = m.group().replace(" ", Bpe.SpaceMark)
+      var toks = cache.get(tok)
+      if (toks == null) {
+        toks = wordTokens(tok, cost)
+        cache.put(tok, toks)
+      }
+      var j = 0
+      while (j < toks.length) { out += toks(j); j += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** (n_pretokens, n_unigram_tokens, total_cost) of one document. */
   def encodeCounts(text: UTF8String,
       cost: java.util.HashMap[String, java.lang.Long],
@@ -241,6 +313,51 @@ case class UnigramCountExpr(child: Expression,
         ${c.isNull} ? null : ${c.value}, $costRef, $cacheVar);
       """,
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `unigram_tokens(text)`: the document's materialized unigram token
+  * sequence (array<string>) under the trained piece-cost model — memo
+  * isolation per expression instance, like [[UnigramCountExpr]]. */
+case class UnigramTokensExpr(child: Expression,
+    model: Seq[(String, Long)]) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val costMap = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    model.foreach { case (p, c) => m.put(p, java.lang.Long.valueOf(c)) }
+    m
+  }
+
+  @transient private lazy val evalCache =
+    new ThreadLocal[java.util.HashMap[String, Array[UTF8String]]] {
+      override def initialValue() =
+        new java.util.HashMap[String, Array[UTF8String]]()
+    }
+
+  override def eval(input: InternalRow): Any =
+    UnigramKernel.encodeTokens(
+      child.eval(input).asInstanceOf[UTF8String], costMap,
+      evalCache.get())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val costRef = ctx.addReferenceObj("unigramCosts", costMap,
+      "java.util.HashMap")
+    val cacheVar = ctx.addMutableState("java.util.HashMap", "unigramTokMemo",
+      v => s"$v = new java.util.HashMap();")
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.pipeline.UnigramKernel.encodeTokens(
+          ${c.isNull} ? null : ${c.value}, $costRef, $cacheVar);
+      boolean ${ev.isNull} = ${ev.value} == null;
+      """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -250,4 +250,24 @@ object Unigram {
   /** Train + encode in one call (the `q_unigram_encode` surface). */
   def trainAndEncode(docs: DataFrame): DataFrame =
     encode(docs, trainModel(docs))
+
+  /** Materialize every document's unigram token SEQUENCE — the
+    * training-data product the counts summarize, in document order
+    * (the [[Bpe.encodeTokens]] contract for the second tokenizer):
+    * (doc_id, tokens array<string>). Same Viterbi DP as [[encode]]
+    * with the backtrace kept (smallest split point on ties — the
+    * oracle's rule); over-long pre-tokens fall back to one token per
+    * character. One narrow memoized-kernel projection, no exchange. */
+  def encodeTokensDf(docs: DataFrame,
+      model: Seq[(String, Long, Long)]): DataFrame = {
+    require(model.nonEmpty, "unigram encode needs a non-empty model")
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.select(col("doc_id"), ColumnBridge.column(UnigramTokensExpr(
+      ColumnBridge.expression(col("text")),
+      model.map { case (p, _, c) => (p, c) })).as("tokens"))
+  }
+
+  /** Train + materialize tokens (the `q_unigram_tokens` surface). */
+  def trainAndEncodeTokens(docs: DataFrame): DataFrame =
+    encodeTokensDf(docs, trainModel(docs))
 }

@@ -94,6 +94,38 @@ class PipelineSpec extends SparkSpec {
       rows(graft.pipeline.TextAnalysis.langIdNgramColumns(docs)))
   }
 
+  test("unigram tokens: sequences reassemble the pre-tokens exactly and " +
+    "their counts equal the encode DP's n_unigram_tokens") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.pipeline.{Bpe, TextAnalysis, Unigram}
+    val docs = ((0 until 30).map(i => (i.toLong, "banana banana band")) ++
+      Seq((100L, "banana " + "x" * 40), (101L, ""), (102L, "one")))
+      .toDF("doc_id", "text")
+    val model = Unigram.trainModel(docs)
+    val toks = Unigram.encodeTokensDf(docs, model)
+      .select(col("doc_id"), col("tokens"),
+        concat_ws("", col("tokens")).as("joined"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getString(2))).toMap
+    // lossless: concatenating the pieces reproduces the Ġ-mapped
+    // pre-token stream byte for byte (no token invents or drops bytes)
+    val expected = docs.select(col("doc_id"), concat_ws("",
+        transform(regexp_extract_all(col("text"),
+            lit(TextAnalysis.BpeSplitRe), lit(0)),
+          t => translate(t, " ", Bpe.SpaceMark))).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    expected.foreach { case (id, j) =>
+      assert(toks(id)._2 == j, s"doc $id reassembly") }
+    // counts: size(tokens) == the count DP's n_unigram_tokens
+    val counts = Unigram.encode(docs, model)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    counts.foreach { case (id, n) =>
+      assert(toks(id)._1.size.toLong == n, s"doc $id count") }
+    // over-long word: one token per char
+    assert(toks(100L)._1.count(_ == "x") == 40)
+  }
+
   test("unigram: memoized encode kernel ≡ projection-chain column form " +
     "incl. null/empty/non-ASCII/over-long texts") {
     val spark0 = spark
