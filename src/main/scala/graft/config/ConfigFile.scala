@@ -60,9 +60,13 @@ case class SEventX(
   *   {"op":"index",   "watermark":"..."}   // latest-state + TTL expiry
   *   {"op":"asof",    "table":"<parquet>", "by":["host",...],
   *                    "timeCol":"time_s", "fields":["f",...],
-  *                    "maxValidity":N, "bin":N}   // latest record ≤ event
+  *                    "maxValidity":N, "bin":N, "as":"asof_time_s"}
+  *                    // latest record ≤ event; "as" names the match-
+  *                    // start column (chained asof/enrich ops in one
+  *                    // stream need distinct "as" names)
   *   {"op":"enrich",  "table":"<parquet>", "by":[...], "startCol":"...",
-  *                    "endCol":"...", "fields":[...], "bin":N}
+  *                    "endCol":"...", "fields":[...], "bin":N,
+  *                    "as":"asof_time_s"}
   *                    // arbitrary static [start,end) intervals
   *
   * Sink spec: {"kind":"memory"|"console"|<registered>, "outputMode":...,
@@ -172,14 +176,25 @@ object ConfigFile {
   /** Stream side of the asof/enrich ops: the events' `time` timestamp
     * becomes seconds for the interval arithmetic, the stateless
     * stream-static join runs, the helper column drops, and the match
-    * start surfaces as `asof_time_s`. */
+    * start surfaces as `timeAs` (default `asof_time_s`; the op's
+    * `"as"` field — chaining two asof/enrich ops in one stream REQUIRES
+    * distinct names or the duplicate column is rejected here instead of
+    * surfacing as a downstream AMBIGUOUS_REFERENCE). The helper column
+    * is namespaced so no event field can be clobbered. */
   private def enrichWith(df: DataFrame, intervals: DataFrame,
-      by: Seq[String], bin: Long): DataFrame =
+      by: Seq[String], bin: Long, timeAs: String): DataFrame = {
+    require(!df.columns.contains(timeAs),
+      s"enrich/asof output column '$timeAs' already exists on the " +
+        "stream (chained asof/enrich ops?) — set a distinct \"as\" " +
+        "name on the op")
+    val t = "__graft_asof_t"
+    require(!df.columns.contains(t), s"reserved column $t on input")
     graft.streaming.StreamingAsOf.enrich(
-        df.withColumn("asof_t", unix_seconds(col("time"))),
-        intervals, by, "asof_t", bin)
-      .withColumnRenamed("asof_asof_t", "asof_time_s")
-      .drop("asof_t")
+        df.withColumn(t, unix_seconds(col("time"))),
+        intervals, by, t, bin)
+      .withColumnRenamed(s"asof_$t", timeAs)
+      .drop(t)
+  }
 
   /** Compile one op onto a DataFrame. Separate from the chain so specs
     * can exercise ops individually on batch frames (every op except
@@ -357,7 +372,11 @@ object ConfigFile {
         val iv = graft.streaming.StreamingAsOf.validityIntervals(
           static, by, tcol, strings(op \ "fields"),
           num(op \ "maxValidity", "asof.maxValidity").toLong)
-        enrichWith(df, iv, by, num(op \ "bin", "asof.bin").toLong)
+        enrichWith(df, iv, by, num(op \ "bin", "asof.bin").toLong,
+          (op \ "as") match {
+            case JString(a) => a
+            case _ => "asof_time_s"
+          })
       case "enrich" =>
         // arbitrary static validity intervals (maintenance windows,
         // deploy freezes — explicit [start, end) second columns):
@@ -367,7 +386,11 @@ object ConfigFile {
         val iv = graft.streaming.StreamingAsOf.intervalsOf(static, by,
           str(op \ "startCol", "enrich.startCol"),
           str(op \ "endCol", "enrich.endCol"), strings(op \ "fields"))
-        enrichWith(df, iv, by, num(op \ "bin", "enrich.bin").toLong)
+        enrichWith(df, iv, by, num(op \ "bin", "enrich.bin").toLong,
+          (op \ "as") match {
+            case JString(a) => a
+            case _ => "asof_time_s"
+          })
       case "index" =>
         val wm = (op \ "watermark") match {
           case JString(s) => s

@@ -732,7 +732,9 @@ object Dedup {
         when(col("qs").isNull, lit(0L))
           .otherwise(size(col("w")) - size(col("kept"))).cast("long")
           .as("n_removed"),
-        when(col("qs").isNull, col("text"))
+        // null text coalesces to "" like the reconstruction branch
+        // (concat_ws over nulls) and the oracle's COALESCE(..., '')
+        when(col("qs").isNull, coalesce(col("text"), lit("")))
           .otherwise(concat_ws(" ",
             transform(col("kept"), i => element_at(col("w"), i))))
           .as("text_clean"))

@@ -276,6 +276,28 @@ class FileConfigSpec extends SparkSpec {
         r.getAs[Any]("asof_reason"))).toSet
     assert(enr == Set(("a", 20L, "mw1"), ("a", 120L, null),
       ("b", 20L, null)))
+    // chaining asof THEN enrich in one stream (reference config plus
+    // maintenance windows — the advertised combo) works with distinct
+    // "as" names, and colliding names are rejected with a clear
+    // message instead of a downstream AMBIGUOUS_REFERENCE
+    val chained = ConfigFile.applyOp(asofDf, op(
+      s"""{"op":"enrich","table":"$winPath","by":["host"],""" +
+        """"startCol":"start_s","endCol":"end_s","fields":["reason"],""" +
+        """"bin":60,"as":"mw_time_s"}"""))
+    assert(chained.columns.count(_ == "asof_time_s") == 1 &&
+      chained.columns.contains("mw_time_s"))
+    val both = chained.collect().map(r => (r.getAs[String]("host"),
+      r.getAs[Timestamp]("time").getTime / 1000,
+      r.getAs[Any]("asof_cfg"), r.getAs[Any]("asof_reason"))).toSet
+    assert(both == Set(("a", 20L, "v1", "mw1"), ("a", 120L, "v2", null),
+      ("b", 20L, null, null)))
+    val clash = intercept[IllegalArgumentException] {
+      ConfigFile.applyOp(asofDf, op(
+        s"""{"op":"enrich","table":"$winPath","by":["host"],""" +
+          """"startCol":"start_s","endCol":"end_s","fields":["reason"],""" +
+          """"bin":60}"""))
+    }
+    assert(clash.getMessage.contains("asof_time_s"))
   }
 
   // ------------------------------------------------- file → Core lifecycle

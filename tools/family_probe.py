@@ -32,17 +32,27 @@ def main() -> int:
                 "ratio_at_100x": round(probe[q] / base[q], 1),
             }
             for q in sorted(probe)
-            if q in base
+            if base.get(q, 0) > 0
         },
     }
     with open("bench_sf10_family.json", "w") as f:
         json.dump(out, f, indent=1)
+    n_flag = 0
     for q, r in sorted(out["queries"].items(),
                        key=lambda kv: -kv[1]["ratio_at_100x"]):
         flag = " <-- FLAG" if r["ratio_at_100x"] > 150 else ""
+        if r["ratio_at_100x"] > 150:
+            n_flag += 1
         print(f"{q:28s} {r['sf0.1_s']:7.2f}s -> {r['sf10_s']:8.2f}s "
               f"{r['ratio_at_100x']:6.1f}x{flag}")
-    return 0
+    # a probe member absent from (or zero in) the baseline means the
+    # baseline is stale or a subset run clobbered it -- the silent-drop
+    # failure mode the r14 verdict flagged; surface it and fail
+    missing = sorted(q for q in probe if base.get(q, 0) <= 0)
+    if missing:
+        print(f"MISSING from baseline (stale/subset {base_path}?): "
+              f"{missing}")
+    return 1 if n_flag or missing else 0
 
 
 if __name__ == "__main__":
