@@ -133,6 +133,9 @@ private[graft] object EntryPipeline {
     // separator, so the oracle pins every token byte in order
     "q_bpe_tokens" -> ((s, d) =>
       graft.pipeline.Bpe.trainAndEncodeTokens(docs(s, d))
+        // null-text docs: (0, '') like the oracle's COALESCE, not
+        // (size(null) = -1, null)
+        .withColumn("tokens", coalesce(col("tokens"), array()))
         .select(col("doc_id"),
           size(col("tokens")).cast("long").as("n_bpe_tokens"),
           array_join(col("tokens"), "\u001f").as("tokens_str"))
@@ -256,6 +259,9 @@ private[graft] object EntryPipeline {
     // for the second tokenizer)
     "q_unigram_tokens" -> ((s, d) =>
       Unigram.trainAndEncodeTokens(docs(s, d))
+        // null-text docs: (0, '') like the oracle's COALESCE, not
+        // (size(null) = -1, null)
+        .withColumn("tokens", coalesce(col("tokens"), array()))
         .select(col("doc_id"),
           size(col("tokens")).cast("long").as("n_unigram_tokens"),
           array_join(col("tokens"), "\u001f").as("tokens_str"))

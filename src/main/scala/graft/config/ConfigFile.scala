@@ -187,6 +187,22 @@ object ConfigFile {
       s"enrich/asof output column '$timeAs' already exists on the " +
         "stream (chained asof/enrich ops?) — set a distinct \"as\" " +
         "name on the op")
+    // every payload output (asof_<field>) must also be fresh: two
+    // chained asof/enrich ops sharing a payload field name would emit
+    // duplicate asof_<field> columns and fail downstream with
+    // AMBIGUOUS_REFERENCE; catch it here with an actionable message
+    val payloadOut = intervals.schema("asof_payload").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq.map(f => s"asof_$f")
+    payloadOut.foreach { c =>
+      require(!df.columns.contains(c),
+        s"enrich/asof payload output column '$c' already exists on the " +
+          "stream (chained asof/enrich ops sharing a payload field " +
+          "name?) — rename the field in this op's interval payload")
+      require(c != timeAs,
+        s"enrich/asof \"as\" name '$timeAs' collides with this op's own " +
+          s"payload output '$c' — set a distinct \"as\" name")
+    }
     val t = "__graft_asof_t"
     require(!df.columns.contains(t), s"reserved column $t on input")
     graft.streaming.StreamingAsOf.enrich(

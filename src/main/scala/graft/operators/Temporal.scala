@@ -212,20 +212,24 @@ object Temporal {
       timeCol: String, gapSeconds: Long, chunkSeconds: Long): DataFrame = {
     require(gapSeconds > 0 && chunkSeconds > 0,
       s"gapSeconds/chunkSeconds must be positive: $gapSeconds/$chunkSeconds")
+    // all session arithmetic in MICROSECONDS so sub-second spacings
+    // split/merge exactly like session_window's full-precision compare
+    val gapUs = gapSeconds * 1000000L
+    val chunkUs = chunkSeconds * 1000000L
     val base = df.select(keys.map(col) :+
-        unix_seconds(col(timeCol)).as("sess_t"): _*)
-      .withColumn("sess_chunk", expr(s"sess_t div $chunkSeconds"))
+        unix_micros(col(timeCol)).as("sess_t"): _*)
+      .withColumn("sess_chunk", expr(s"sess_t div ${chunkUs}L"))
     val wc = Window.partitionBy((keys :+ "sess_chunk").map(col): _*)
       .orderBy(col("sess_t"))
     val chunkSessions = base
       .withColumn("sess_new",
-        when(col("sess_t") - lag(col("sess_t"), 1).over(wc) <= gapSeconds,
+        when(col("sess_t") - lag(col("sess_t"), 1).over(wc) <= gapUs,
           0).otherwise(1))
       .withColumn("sess_id", sum(col("sess_new")).over(
         wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy((keys ++ Seq("sess_chunk", "sess_id")).map(col): _*)
       .agg(min(col("sess_t")).as("sess_start"),
-        (max(col("sess_t")) + gapSeconds).as("sess_end"),
+        (max(col("sess_t")) + gapUs).as("sess_end"),
         count(lit(1)).as("sess_n"))
     // chunk-level merge: a session joins its predecessor when it starts
     // at-or-before the predecessor's end (touch merges — the
@@ -238,10 +242,14 @@ object Temporal {
       .withColumn("sess_island", sum(col("sess_new2")).over(
         wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy((keys :+ "sess_island").map(col): _*)
-      .agg(min(col("sess_start")).as("session_start_s"),
-        max(col("sess_end")).as("session_end_s"),
+      .agg(min(col("sess_start")).as("sess_start_us"),
+        max(col("sess_end")).as("sess_end_us"),
         sum(col("sess_n")).as("n_events"))
-      .select(keys.map(col) ++ Seq(col("session_start_s"),
-        col("session_end_s"), col("n_events")): _*)
+      .select(keys.map(col) ++ Seq(
+        // floor-div back to whole seconds, matching
+        // unix_seconds(session_window.start/end) in [[sessionize]]
+        expr("sess_start_us div 1000000").as("session_start_s"),
+        expr("sess_end_us div 1000000").as("session_end_s"),
+        col("n_events")): _*)
   }
 }

@@ -357,8 +357,12 @@ case class BigramHashExpr(child: Expression, p: Long, buckets: Int)
   * left-join coalesce. TextAnalysis.langIdNgramColumns keeps the
   * join-form as the parity pin (PipelineSpec). */
 object LangScoreKernel {
+  /** `lc` is the dense (lang × bucket) grid flattened ROW-MAJOR
+    * (`lc(l * buckets + b)`) — a primitive long[] so the trained model
+    * serializes compactly with the task binary instead of as boxed
+    * nested Seqs. */
   def score(text: UTF8String, buckets: Int, langs: Array[UTF8String],
-      lnb: Array[Long], lc: Array[Array[Long]],
+      lnb: Array[Long], lc: Array[Long],
       seen: Array[Boolean]): org.apache.spark.sql.catalyst.InternalRow = {
     val und = UTF8String.fromString("und")
     val nl = langs.length
@@ -372,7 +376,7 @@ object LangScoreKernel {
       if (seen(b)) {
         ng += 1
         var l = 0
-        while (l < nl) { acc(l) += lc(l)(b); l += 1 }
+        while (l < nl) { acc(l) += lc(l * buckets + b); l += 1 }
       }
       i += 1
     }
@@ -398,8 +402,11 @@ object LangScoreKernel {
 /** `lang_score(text)`: struct(predicted_lang, nb_score) under the
   * trained grid — never null. */
 case class LangScoreExpr(child: Expression, buckets: Int,
-    langs: Seq[String], lnb: Seq[Long], lc: Seq[Seq[Long]],
-    seen: Seq[Boolean]) extends UnaryExpression {
+    langs: Seq[String], lnb: Seq[Long], lcFlat: Array[Long],
+    seen: Array[Boolean]) extends UnaryExpression {
+  require(lcFlat.length == langs.length * buckets,
+    s"lcFlat must be the row-major |langs|×buckets grid: " +
+      s"${lcFlat.length} != ${langs.length} × $buckets")
   override def dataType: DataType = StructType(Seq(
     StructField("predicted_lang", StringType, nullable = false),
     StructField("nb_score", LongType, nullable = false)))
@@ -408,20 +415,18 @@ case class LangScoreExpr(child: Expression, buckets: Int,
   @transient private lazy val langsArr =
     langs.map(UTF8String.fromString).toArray
   @transient private lazy val lnbArr = lnb.toArray
-  @transient private lazy val lcArr = lc.map(_.toArray).toArray
-  @transient private lazy val seenArr = seen.toArray
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
     LangScoreKernel.score(child.eval(input).asInstanceOf[UTF8String],
-      buckets, langsArr, lnbArr, lcArr, seenArr)
+      buckets, langsArr, lnbArr, lcFlat, seen)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
     val langsRef = ctx.addReferenceObj("lsLangs", langsArr,
       "org.apache.spark.unsafe.types.UTF8String[]")
     val lnbRef = ctx.addReferenceObj("lsLnb", lnbArr, "long[]")
-    val lcRef = ctx.addReferenceObj("lsLc", lcArr, "long[][]")
-    val seenRef = ctx.addReferenceObj("lsSeen", seenArr, "boolean[]")
+    val lcRef = ctx.addReferenceObj("lsLc", lcFlat, "long[]")
+    val seenRef = ctx.addReferenceObj("lsSeen", seen, "boolean[]")
     ev.copy(code = code"""
       ${c.code}
       InternalRow ${ev.value} = graft.pipeline.LangScoreKernel.score(

@@ -4,6 +4,15 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+/** The trained Naive-Bayes char-n-gram language-ID model (the
+  * [[TextAnalysis.langIdNgram]] sufficient statistic): sorted lang
+  * list, per-lang log2 normalizer, the dense smoothed log-likelihood
+  * grid flattened ROW-MAJOR (`lcFlat(l * buckets + b)`) as a primitive
+  * long[], and the seen-bucket mask. Persistable via
+  * [[Models.saveLangId]] / [[Models.loadLangId]]. */
+case class LangIdModel(buckets: Int, langs: Seq[String], lnb: Seq[Long],
+    lcFlat: Array[Long], seen: Array[Boolean])
+
 /** Text-analysis operators for training-data curation: token counting,
   * quality scoring, language-ID heuristics, and content fingerprinting.
   * All pure Catalyst column expressions — no UDFs, fully codegen'd, and
@@ -122,9 +131,15 @@ object TextAnalysis {
     * Reference behavior anchor: riemann has no text ops; this is the
     * curation-pipeline layer (cf. CCNet's fastText LID stage). */
   def langIdNgram(docs: DataFrame,
-      buckets: Int = LangIdBuckets): DataFrame = {
+      buckets: Int = LangIdBuckets): DataFrame =
+    langIdApply(docs, langIdModel(docs, buckets))
+
+  /** PREDICT pass of [[langIdNgram]] under an already-trained model —
+    * the production shape: train once ([[langIdModel]]), persist
+    * ([[Models.saveLangId]]), apply the reloaded artifact to every
+    * subsequent corpus without re-training. */
+  def langIdApply(docs: DataFrame, m: LangIdModel): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val (langs, lnb, lc, seen) = langIdModel(docs, buckets)
     // predict = ONE narrow codegen'd projection: the NB score is a pure
     // per-document function of the tiny trained grid, so the column
     // form's gram explode × |langs| broadcast-join × (doc, lang)
@@ -132,8 +147,8 @@ object TextAnalysis {
     // kernel; langIdNgramColumns keeps the join form as the parity pin
     docs.select(col("doc_id"), col("lang").as("declared_lang"),
         ColumnBridge.column(LangScoreExpr(
-          ColumnBridge.expression(col("text")), buckets,
-          langs, lnb, lc, seen)).as("w"))
+          ColumnBridge.expression(col("text")), m.buckets,
+          m.langs, m.lnb, m.lcFlat, m.seen)).as("w"))
       .select(col("doc_id"), col("declared_lang"),
         col("w.predicted_lang").as("predicted_lang"),
         col("w.nb_score").as("nb_score"))
@@ -147,8 +162,8 @@ object TextAnalysis {
     * unseen bucket don't score — the inner-join semantics). Costs are
     * computed with [[Unigram.l2]], the driver spelling of
     * [[log2Fixed]], so they equal the SQL-computed ones bit for bit. */
-  private def langIdModel(docs: DataFrame, buckets: Int)
-      : (Seq[String], Seq[Long], Seq[Seq[Long]], Seq[Boolean]) = {
+  private[graft] def langIdModel(docs: DataFrame, buckets: Int = LangIdBuckets)
+      : LangIdModel = {
     import org.apache.spark.sql.graft.ColumnBridge
     val counts = docs.filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"),
@@ -165,10 +180,13 @@ object TextAnalysis {
     val seen = Array.fill(buckets)(false)
     counts.foreach { case (_, b, _) => seen(b.toInt) = true }
     val lnb = langs.map(l => Unigram.l2(nLang(l) + buckets))
-    val lc = langs.map(l => (0 until buckets).map(b =>
-      if (seen(b)) Unigram.l2(cMap.getOrElse((l, b.toLong), 0L) + 1)
-      else 0L): Seq[Long])
-    (langs, lnb, lc, seen.toSeq)
+    // dense row-major |langs| × buckets grid as a primitive long[] —
+    // ships compactly inside the task binary (no boxed nested Seqs)
+    val lcFlat = new Array[Long](langs.length * buckets)
+    for (l <- langs.indices; b <- 0 until buckets if seen(b))
+      lcFlat(l * buckets + b) =
+        Unigram.l2(cMap.getOrElse((langs(l), b.toLong), 0L) + 1)
+    LangIdModel(buckets, langs, lnb, lcFlat, seen)
   }
 
   /** The broadcast-join (column) form of [[langIdNgram]]'s predict

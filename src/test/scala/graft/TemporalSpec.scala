@@ -92,16 +92,21 @@ class TemporalSpec extends SparkSpec {
       val nKeys = 1 + rnd.nextInt(5)
       val gap = 1L + rnd.nextInt(40)
       val chunk = Seq(gap, gap * 3, 1000L)(rnd.nextInt(3))
+      // generate in MILLISECONDS so sub-second spacings exercise the
+      // microsecond gap compare: gap*1000+100 ms (10.1s vs gap 10s)
+      // MUST split in both forms, gap*1000-100 must merge
+      val gapMs = gap * 1000L
       var tcur = 0L
       val rows = (0 until 500).map { _ =>
         // mix touching-gap steps (exactly `gap`: MUST merge), sub-gap
-        // steps, dup stamps, and super-gap jumps (new session)
-        tcur += Seq(0L, gap, gap - 1, gap + 1, rnd.nextInt(200).toLong)(
-          rnd.nextInt(5))
+        // steps, dup stamps, sub-second over/under-gap steps, and
+        // super-gap jumps (new session)
+        tcur += Seq(0L, gapMs, gapMs - 100, gapMs + 100, gapMs - 1000,
+          gapMs + 1000, rnd.nextInt(200000).toLong)(rnd.nextInt(7))
         (s"k${rnd.nextInt(nKeys)}", tcur)
       }
       val df = rows.toDF("host", "t")
-        .withColumn("time", timestamp_seconds(col("t"))).drop("t")
+        .withColumn("time", timestamp_millis(col("t"))).drop("t")
       val plain = Temporal.sessionize(df, Seq("host"), "time",
         s"$gap seconds").collect().map(_.toSeq).toSet
       val chunked = Temporal.sessionizeBucketed(df, Seq("host"), "time",
