@@ -231,8 +231,16 @@ private[graft] object EntryPipeline {
     // classifier's predictions (langIdNgram), not the declared labels:
     // the multilingual rebalancing pipeline as it actually runs (LID
     // first, then up-sample low-resource languages toward uniform)
+    // ... consuming the classifier as a PERSISTED ARTIFACT: train once
+    // (first invocation saves parquet + manifest under the corpus-keyed
+    // model root), every later invocation loads and applies — the
+    // production tokenizer/classifier-versioned-beside-the-data shape;
+    // the manifest's corpus fingerprint forces a retrain whenever the
+    // corpus changes, so the cache can never serve stale predictions
     "q_temp_sample_lang" -> ((s, d) => {
-      val pred = TextAnalysis.langIdNgram(docs(s, d))
+      val m = graft.pipeline.Models.loadOrTrainLangId(docs(s, d),
+        graft.pipeline.Models.defaultRoot(d) + "/langid_ngram")
+      val pred = TextAnalysis.langIdApply(docs(s, d), m)
         .select(col("doc_id"), col("predicted_lang").as("lang"))
       Curation.temperatureSample(pred, 0.3, 0.5, byCol = "lang")
         .select(col("doc_id"), col("lang"), col("n_source"),

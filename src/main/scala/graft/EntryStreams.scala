@@ -467,10 +467,17 @@ private[graft] object EntryStreams {
       Similarity.ivfPqTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 3, 8, 16, 1)
         .orderBy("query_id", "rk")),
     // one Lloyd round of real k-means on the IVF coarse quantizer
-    // (full-dim sibling of q_pq_kmeans), then the refined assignment
+    // (full-dim sibling of q_pq_kmeans), then the refined assignment —
+    // with the quantizer as a PERSISTED ARTIFACT: trained + saved on
+    // first invocation (parquet + manifest, corpus-fingerprint-guarded),
+    // loaded thereafter; assignment under a reloaded quantizer is a
+    // pure broadcast argmax map, no training pass (the 100 TB shape:
+    // retrain on the reference sample, apply everywhere)
     "q_ivf_kmeans" -> ((s, d) =>
       Similarity.ivfAssign(emb(s, d),
-          Similarity.ivfCentroidsRefined(emb(s, d), 1))
+          graft.pipeline.Models.loadOrTrainIvfCentroids(emb(s, d),
+            graft.pipeline.Models.defaultRoot(d) + "/ivf_centroids_r1",
+            iters = 1))
         .select("vec_id", "cell").orderBy("vec_id")),
     // two-stage IVFADC: cell-restricted residual-ADC shortlist (25)
     // -> exact-cosine re-rank
