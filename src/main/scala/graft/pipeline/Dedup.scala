@@ -346,8 +346,45 @@ object Dedup {
       shingles(docs, w).select(col("doc_id"), col("shingles")),
       candidates, threshold)
 
+  /** Verification pass, PPJoin-hardened (r16): each doc's distinct
+    * shingles become SORTED 60-bit md5 hashes ([[NgramHashSortExpr]] —
+    * the minhash digest without the mod-P fold, so 2^60 keys keep
+    * per-pair collision odds ~1e-14 and the jaccard doubles equal the
+    * string-set form bit-for-bit), the candidate joins ship long
+    * arrays ~3x narrower than the shingle strings, and the per-pair
+    * intersect is a merge-walk with the PPJoin length/prefix/positional
+    * early-exits ([[NgramInterExpr]] returns -1 exactly when the pair
+    * provably lands below `threshold`); union = na + nb − inter, so
+    * array_union's per-pair allocation is gone. The retained
+    * array_intersect/array_union column form
+    * ([[exactJaccardFromShinglesColumns]]) is the executable spec
+    * (PipelineSpec pins equality on randomized corpora), and, modulo
+    * syntax, the DuckDB oracle's formulation. */
   private def exactJaccardFromShingles(sh: DataFrame, candidates: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hsh = sh.select(col("doc_id"), ColumnBridge.column(
+      NgramHashSortExpr(ColumnBridge.expression(col("shingles"))))
+      .as("hsh"))
+    candidates
+      .join(hsh.select(col("doc_id").as("doc_a"), col("hsh").as("hs_a")), "doc_a")
+      .join(hsh.select(col("doc_id").as("doc_b"), col("hsh").as("hs_b")), "doc_b")
+      .withColumn("inter", ColumnBridge.column(NgramInterExpr(
+        ColumnBridge.expression(col("hs_a")),
+        ColumnBridge.expression(col("hs_b")), threshold)))
+      .filter(col("inter") >= 0)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The array_intersect / array_union column form of
+    * [[exactJaccardFromShingles]] — the DuckDB oracle's formulation,
+    * kept as the kernel path's executable parity spec. */
+  private[graft] def exactJaccardFromShinglesColumns(sh: DataFrame,
+      candidates: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -362,14 +399,91 @@ object Dedup {
     * O(n²) at scale; LSH buckets stay small by construction.) The
     * shingle relation feeds BOTH the signature and the verification
     * pass, so it is computed once and cached — at cluster scale swap
-    * cache() for persist(DISK_ONLY) or recompute if memory is tight. */
+    * cache() for persist(DISK_ONLY) or recompute if memory is tight.
+    *
+    * r16 shape — GROUP pair synthesis instead of the self-join +
+    * corpus-scale `distinct()` + two wide verification joins the r15
+    * form paid (the winnowOverlapPairs posture, band-aware):
+    *
+    *   1. each doc carries a packed 2·bands cell array (120 md5 bits
+    *      per band's bucket, -1 for hot-capped bands —
+    *      [[LshCellsExpr]]) and its sorted 60-bit hashed shingle set
+    *      ([[NgramHashSortExpr]]);
+    *   2. ONE exchange groups the capped banded relation by (band,
+    *      bucket); inside each group, chained posexplodes stream the
+    *      j > i member pairs as row VIEWS (never a pair-array
+    *      materialization — the winnow heap lesson);
+    *   3. `first_shared_band(cells_a, cells_b) == band` keeps exactly
+    *      one copy of every colliding pair — deduplication becomes a
+    *      per-pair 8-step compare instead of hashing the ~5x-banded
+    *      pair stream through a distinct();
+    *   4. [[NgramInterExpr]] merge-walks the two sorted hash sets with
+    *      the PPJoin length/prefix/positional early-exits, and
+    *      union = na + nb − inter.
+    *
+    * Value-identical to the retained join form
+    * ([[ngramJaccardPairsJoin]], PipelineSpec randomized parity);
+    * bounded by the hot-bucket cap (≤ maxBucket members per group), so
+    * no task ever sees more than cap² pair slots. */
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, threshold: Double = 0.3,
       k: Int = 16, bands: Int = 8,
+      maxBucket: Int = Caps.DefaultMaxBucket): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val sh = shingles(docs, w).select(col("doc_id"), col("shingles")).cache()
+    val hsh = sh.select(col("doc_id"), ColumnBridge.column(
+      NgramHashSortExpr(ColumnBridge.expression(col("shingles"))))
+      .as("hsh"))
+    val banded = lshBands(minhashSignatureFromShingles(sh, k), k, bands)
+      .select("doc_id", "band", "bucket")
+    val capped = capBands(banded, maxBucket)
+      .select(col("doc_id"), col("band").cast("int").as("band"),
+        expr("cast(conv(substring(bucket, 1, 15), 16, 10) as bigint)")
+          .as("hi"),
+        expr("cast(conv(substring(bucket, 16, 15), 16, 10) as bigint)")
+          .as("lo"))
+    val cells = capped.groupBy("doc_id")
+      .agg(collect_list(struct(col("band"), col("hi"), col("lo"))).as("cl"))
+      .select(col("doc_id"), ColumnBridge.column(LshCellsExpr(
+        ColumnBridge.expression(col("cl")), bands)).as("cells"))
+    val grp = capped
+      .join(cells, "doc_id")
+      .join(hsh, "doc_id")
+      .groupBy("band", "hi", "lo")
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("cells"), col("hsh")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val pairs = grp
+      .select(col("band"), col("ms"),
+        posexplode(col("ms")).as(Seq("i", "ma")))
+      .select(col("band"), col("i"), col("ma"),
+        posexplode(col("ms")).as(Seq("j", "mb")))
+      .filter(col("j") > col("i") && ColumnBridge.column(
+        FirstSharedBandExpr(
+          ColumnBridge.expression(col("ma.cells")),
+          ColumnBridge.expression(col("mb.cells")))) === col("band"))
+    pairs
+      .withColumn("inter", ColumnBridge.column(NgramInterExpr(
+        ColumnBridge.expression(col("ma.hsh")),
+        ColumnBridge.expression(col("mb.hsh")), threshold)))
+      .filter(col("inter") >= 0)
+      .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"),
+        (col("inter").cast("double") /
+          (size(col("ma.hsh")) + size(col("mb.hsh")) - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The r15 self-join + distinct + verification-join form of
+    * [[ngramJaccardPairs]] — kept as its executable parity spec
+    * (PipelineSpec pins equality on randomized corpora; modulo syntax
+    * this is also the DuckDB oracle's formulation). */
+  private[graft] def ngramJaccardPairsJoin(docs: DataFrame, w: Int = 3,
+      threshold: Double = 0.3, k: Int = 16, bands: Int = 8,
       maxBucket: Int = Caps.DefaultMaxBucket): DataFrame = {
     val sh = shingles(docs, w).select(col("doc_id"), col("shingles")).cache()
     val banded = lshBands(minhashSignatureFromShingles(sh, k), k, bands)
       .select("doc_id", "band", "bucket")
-    exactJaccardFromShingles(sh,
+    exactJaccardFromShinglesColumns(sh,
       collidingPairs(capBands(banded, maxBucket)), threshold)
   }
 

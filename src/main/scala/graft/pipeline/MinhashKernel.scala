@@ -460,3 +460,247 @@ case class MinhashSigExpr(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Exact n-gram-Jaccard verification kernels (the PPJoin-flavored
+  * rewrite of the array_intersect/array_union verify pass — Xiao et
+  * al. 2011, "Efficient Similarity Joins for Near-Duplicate
+  * Detection").
+  *
+  * [[NgramHashSortKernel]] maps each document's distinct shingle
+  * strings to the FULL 60-bit md5 prefix (the same first-15-hex-chars
+  * digest the minhash path uses, WITHOUT the mod-P reduction — 2^60
+  * keys keep the per-pair collision odds ~1e-14, so intersection /
+  * union COUNTS equal the string-set counts and the jaccard doubles
+  * come out bit-identical to the retained column form) and sorts them.
+  * Sorted long arrays make the verify join rows ~3x narrower than the
+  * shingle strings they replace, and intersection becomes a
+  * merge-walk instead of a per-pair hash-set build.
+  *
+  * [[NgramJaccardKernel.inter]] returns |A ∩ B| exactly, or -1 when
+  * the pair PROVABLY cannot reach `threshold`:
+  *   - length filter: even min(na,nb) shared elements leave
+  *     jaccard < t;
+  *   - PPJoin prefix filter: any pair with inter ≥ α (α = ⌊t·max(na,
+  *     nb)⌋, a conservative lower bound on the intersection any
+  *     qualifying pair must have) shares an element inside the
+  *     (n − α + 1)-prefixes under the global hash order — disjoint
+  *     prefixes prove jaccard < t without walking the tails;
+  *   - positional bound: during the merge-walk, when the best still
+  *     reachable intersection can no longer clear t, stop.
+  * Every exit is conservative (−1 only when jaccard < t is certain),
+  * so `filter(inter >= 0)` + the final jaccard-threshold filter emit
+  * EXACTLY the rows the unfiltered form emits. */
+object NgramJaccardKernel {
+
+  /** Sorted 60-bit md5 hashes of a shingle array (nulls dropped;
+    * null array → null). */
+  def hashSort(shingles: ArrayData): ArrayData = {
+    if (shingles == null) return null
+    val n = shingles.numElements()
+    val out = new Array[Long](n)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(shingles.getUTF8String(i).getBytes)
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((d(7) >> 4) & 0xfL)
+        out(m) = h
+        m += 1
+      }
+      i += 1
+    }
+    val arr = if (m == n) out else java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(arr)
+    new GenericArrayData(arr)
+  }
+
+  /** Exact intersection size of two SORTED long arrays, or -1 when the
+    * pair provably cannot reach `threshold` (see object doc). */
+  def inter(a: ArrayData, b: ArrayData, threshold: Double): java.lang.Integer = {
+    if (a == null || b == null) return null
+    val na = a.numElements()
+    val nb = b.numElements()
+    // length filter: the largest possible intersection is min(na, nb)
+    val maxI = math.min(na, nb)
+    if (na + nb > 0 &&
+        maxI.toDouble / (na + nb - maxI) < threshold) return -1
+    if (threshold > 0 && maxI > 0) {
+      // PPJoin prefix filter under the ascending hash order. α =
+      // ⌊t·max⌋ understates the ⌈t·max⌉ bound, so prefixes only get
+      // LONGER than the lemma needs — never a false drop.
+      val alpha = math.floor(threshold * math.max(na, nb)).toInt
+      val la = math.min(na, na - alpha + 1)
+      val lb = math.min(nb, nb - alpha + 1)
+      var ia = 0
+      var ib = 0
+      var found = false
+      while (!found && ia < la && ib < lb) {
+        val va = a.getLong(ia)
+        val vb = b.getLong(ib)
+        if (va == vb) found = true
+        else if (va < vb) ia += 1
+        else ib += 1
+      }
+      if (!found) return -1
+    }
+    // full merge-walk with the positional upper bound
+    var ia = 0
+    var ib = 0
+    var n = 0
+    while (ia < na && ib < nb) {
+      val va = a.getLong(ia)
+      val vb = b.getLong(ib)
+      if (va == vb) { n += 1; ia += 1; ib += 1 }
+      else {
+        if (va < vb) ia += 1 else ib += 1
+        // best still-reachable intersection
+        val bound = n + math.min(na - ia, nb - ib)
+        if (bound.toDouble / (na + nb - bound) < threshold) return -1
+      }
+    }
+    n
+  }
+}
+
+/** `ngram_hash_sort(shingles)`: sorted array<long> of 60-bit md5
+  * shingle hashes (null-propagating). */
+case class NgramHashSortExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    NgramJaccardKernel.hashSort(child.eval(input).asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.pipeline.NgramJaccardKernel.hashSort($c);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `ngram_inter(hsh_a, hsh_b)`: exact |A∩B| over sorted hash arrays,
+  * -1 when provably below the jaccard threshold (null-propagating). */
+case class NgramInterExpr(left: Expression, right: Expression,
+    threshold: Double)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val r = NgramJaccardKernel.inter(
+      left.eval(input).asInstanceOf[ArrayData],
+      right.eval(input).asInstanceOf[ArrayData], threshold)
+    if (r == null) null else r.intValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val boxed = ctx.freshName("interBoxed")
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      java.lang.Integer $boxed = graft.pipeline.NgramJaccardKernel.inter(
+        ${l.isNull} ? null : ${l.value},
+        ${r.isNull} ? null : ${r.value}, $threshold);
+      boolean ${ev.isNull} = $boxed == null;
+      int ${ev.value} = ${ev.isNull} ? -1 : $boxed.intValue();
+      """)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-doc packed LSH cell array for the group-synthesis candidate
+  * path: `cells(2b) / cells(2b+1)` hold the first/second 60 bits of
+  * band b's md5 bucket (120 bits total — bucket equality through the
+  * pack is md5-collision-exact), `-1` marks a band whose (band,
+  * bucket) group was hot-capped away (a capped band can never count
+  * as shared). */
+object LshCellsKernel {
+  /** cl: array<struct<band:int, hi:long, lo:long>> (any order, bands
+    * may be missing) → array<long> of 2·bands cells. */
+  def pack(cl: ArrayData, bands: Int): ArrayData = {
+    val out = Array.fill(2 * bands)(-1L)
+    if (cl != null) {
+      val n = cl.numElements()
+      var i = 0
+      while (i < n) {
+        if (!cl.isNullAt(i)) {
+          val r = cl.getStruct(i, 3)
+          val b = r.getInt(0)
+          if (b >= 0 && b < bands) {
+            out(2 * b) = r.getLong(1)
+            out(2 * b + 1) = r.getLong(2)
+          }
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** First band where both packed cell arrays hold the SAME un-capped
+    * bucket, or -1. The group-synthesis filter `firstShared == band`
+    * keeps exactly one copy of every colliding pair — the de-dup the
+    * self-join path paid a corpus-scale `distinct()` for. */
+  def firstShared(a: ArrayData, b: ArrayData): Int = {
+    if (a == null || b == null) return -1
+    val n = math.min(a.numElements(), b.numElements()) / 2
+    var i = 0
+    while (i < n) {
+      val hi = a.getLong(2 * i)
+      if (hi != -1L && hi == b.getLong(2 * i) &&
+          a.getLong(2 * i + 1) == b.getLong(2 * i + 1)) return i
+      i += 1
+    }
+    -1
+  }
+}
+
+/** `lsh_cells(cl)`: packed 2·bands cell array (never null). */
+case class LshCellsExpr(child: Expression, bands: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    LshCellsKernel.pack(child.eval(input).asInstanceOf[ArrayData], bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.pipeline.LshCellsKernel.pack(
+          ${c.isNull} ? null : ${c.value}, $bands);
+      """, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `first_shared_band(cells_a, cells_b)`: see [[LshCellsKernel]]. */
+case class FirstSharedBandExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    LshCellsKernel.firstShared(
+      left.eval(input).asInstanceOf[ArrayData],
+      right.eval(input).asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      int ${ev.value} = graft.pipeline.LshCellsKernel.firstShared(
+        ${l.isNull} ? null : ${l.value},
+        ${r.isNull} ? null : ${r.value});
+      """, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

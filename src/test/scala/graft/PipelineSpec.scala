@@ -689,4 +689,43 @@ class PipelineSpec extends SparkSpec {
     // identical docs tie exactly, rank broken by doc_id
     assert(got(2L)._1 == got(5L)._1 && got(2L)._3 < got(5L)._3)
   }
+
+  test("ngramJaccardPairs group synthesis ≡ self-join+distinct+verify " +
+    "form on randomized corpora (dup clusters, null text, cap engaged)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(61)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "fox", "golf", "hotel", "india", "julia", "kilo", "lima")
+    for (trial <- 0 until 3) {
+      val base = (0 until 40).map { i =>
+        (0 until 8 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      // each base doc gets a cluster of near-copies (drop/append a word)
+      val rows = base.zipWithIndex.flatMap { case (t, i) =>
+        (0 until 1 + rnd.nextInt(5)).map { c =>
+          val words = t.split(" ")
+          val mut =
+            if (c == 0) t
+            else if (rnd.nextBoolean()) words.drop(1).mkString(" ")
+            else (words :+ vocab(rnd.nextInt(vocab.size))).mkString(" ")
+          (i * 100L + c, mut)
+        }
+      } ++ Seq((9000L, null: String), (9001L, null: String),
+        (9002L, ""), (9003L, ""))
+      val docs = rows.toDF("doc_id", "text")
+      // maxBucket = 3 forces the hot-cap into play on the larger clusters
+      for (cap <- Seq(3, 1000)) {
+        val fast = graft.pipeline.Dedup
+          .ngramJaccardPairs(docs, 3, 0.3, 16, 8, cap)
+          .collect().map(_.toSeq).toSet
+        val spec = graft.pipeline.Dedup
+          .ngramJaccardPairsJoin(docs, 3, 0.3, 16, 8, cap)
+          .collect().map(_.toSeq).toSet
+        assert(fast == spec, s"trial $trial cap $cap: " +
+          s"only-fast=${(fast -- spec).take(3)} only-spec=${(spec -- fast).take(3)}")
+      }
+    }
+  }
 }

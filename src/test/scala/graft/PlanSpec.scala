@@ -559,4 +559,24 @@ class PlanSpec extends SparkSpec {
       assert(scans == 1, s"decode reads the source $scans times:\n$p")
     }
   }
+
+  test("ngramJaccardPairs: group pair synthesis — no pair distinct, no " +
+    "array_intersect/array_union, dedup + verify ride codegen kernels") {
+    val p = plan(Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$dir/documents.parquet")))
+    // the verify pass is the merge-walk kernel over sorted hash sets,
+    // not per-pair array set algebra
+    assert(!p.contains("array_intersect") && !p.contains("array_union"),
+      s"set-algebra verify leaked back:\n$p")
+    assert(p.contains("ngraminterexpr") || p.contains("NgramInterExpr"),
+      s"verify kernel missing:\n$p")
+    // pair dedup is the first-shared-band filter on generated pairs —
+    // a corpus-scale HashAggregate distinct over the banded pair
+    // stream must not reappear
+    assert(p.contains("firstsharedbandexpr") || p.contains("FirstSharedBandExpr"),
+      s"first-shared-band filter missing:\n$p")
+    assert(p.contains("Generate posexplode"), s"pair generators missing:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"pair-level verification join leaked back:\n$p")
+  }
 }
