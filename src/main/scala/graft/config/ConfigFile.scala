@@ -68,6 +68,13 @@ case class SEventX(
   *                    "endCol":"...", "fields":[...], "bin":N,
   *                    "as":"asof_time_s"}
   *                    // arbitrary static [start,end) intervals
+  *   {"op":"quality", "minWords":N, "maxWords":N}
+  *                    // Gopher-rules gate over a `text` column —
+  *                    // stateless codegen'd filter (curation firehose)
+  *   {"op":"langid",  "model":"<Models.saveLangId path>"}    // or:
+  *   {"op":"langid",  "train":"<labeled parquet>", "artifact":"<cache>"}
+  *                    // annotate predicted_lang + nb_score in place
+  *                    // from the persisted (or train-once) classifier
   *
   * Sink spec: {"kind":"memory"|"console"|<registered>, "outputMode":...,
   * "checkpoint": "<dir>"} — `memory` instances are cached per stream
@@ -407,6 +414,39 @@ object ConfigFile {
             case JString(a) => a
             case _ => "asof_time_s"
           })
+      case "quality" =>
+        // Gopher-rules quality gate over a `text` column (the curation
+        // firehose's first stage): one narrow codegen'd kernel filter —
+        // stateless, so it drops straight into a streaming pipeline
+        val minW = (op \ "minWords") match {
+          case JNothing => 50
+          case v => num(v, "quality.minWords").toInt
+        }
+        val maxW = (op \ "maxWords") match {
+          case JNothing => 100000
+          case v => num(v, "quality.maxWords").toInt
+        }
+        require(df.columns.contains("text"),
+          "quality op needs a `text` column on the stream")
+        graft.pipeline.TextAnalysis.gopherKeep(df, minW, maxW)
+      case "langid" =>
+        // annotate each document with the trained NB classifier's
+        // (predicted_lang, nb_score) — the model comes from a PERSISTED
+        // artifact ("model": a Models.saveLangId path), or is trained
+        // once from a labeled parquet corpus and cached at "artifact"
+        // (loadOrTrain — re-trains only on config/corpus drift). Apply
+        // is one narrow codegen'd projection: stateless on a stream.
+        require(df.columns.contains("text"),
+          "langid op needs a `text` column on the stream")
+        val m = (op \ "model") match {
+          case JString(p) => graft.pipeline.Models.loadLangId(spark, p)
+          case _ =>
+            val corpus = spark.read.parquet(str(op \ "train",
+              "langid.train (labeled corpus parquet) or model (artifact)"))
+            graft.pipeline.Models.loadOrTrainLangId(corpus,
+              str(op \ "artifact", "langid.artifact (cache path)"))
+        }
+        graft.pipeline.TextAnalysis.langIdAnnotate(df, m)
       case "index" =>
         val wm = (op \ "watermark") match {
           case JString(s) => s

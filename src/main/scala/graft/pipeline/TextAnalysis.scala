@@ -154,6 +154,24 @@ object TextAnalysis {
         col("w.nb_score").as("nb_score"))
   }
 
+  /** In-place annotation form of [[langIdApply]] for pipelines that
+    * must keep their own shape (the config-stream `"op":"langid"`):
+    * adds `predicted_lang` + `nb_score` next to the existing columns —
+    * one narrow codegen'd projection over `text`, stateless on a
+    * stream. */
+  def langIdAnnotate(df: DataFrame, m: LangIdModel): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(!df.columns.contains("predicted_lang") &&
+      !df.columns.contains("nb_score"),
+      "langid output columns predicted_lang/nb_score already exist")
+    df.withColumn("_ls", ColumnBridge.column(LangScoreExpr(
+        ColumnBridge.expression(col("text")), m.buckets,
+        m.langs, m.lnb, m.lcFlat, m.seen)))
+      .withColumn("predicted_lang", col("_ls.predicted_lang"))
+      .withColumn("nb_score", col("_ls.nb_score"))
+      .drop("_ls")
+  }
+
   /** Pass 1 of [[langIdNgram]]: the (lang, bucket) sufficient
     * statistic — bounded at |langs| × `buckets` rows no matter the
     * corpus — collected and shaped for the scorer kernel: sorted lang

@@ -300,6 +300,73 @@ class FileConfigSpec extends SparkSpec {
     assert(clash.getMessage.contains("asof_time_s"))
   }
 
+  test("quality + langid ops: the curation firehose stages through the " +
+    "config surface (gopher gate, artifact-trained classifier, streaming)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_cfg_curation")
+    // labeled training corpus for the classifier
+    val corpusPath = dir.resolve("corpus.parquet").toString
+    val train = ((0 until 20).map(i =>
+      (i.toLong, s"alpha bravo charlie delta echo fox $i", "aa")) ++
+      (0 until 20).map(i =>
+        (100L + i, s"zulu xray quebec juliett kilo whisky $i", "zz")))
+      .toDF("doc_id", "text", "lang")
+    train.write.mode("overwrite").parquet(corpusPath)
+    val artifact = dir.resolve("langid_model").toString
+
+    // varied words + stopwords: passes all five gopher rules
+    val good = (0 until 40).map(i => s"word$i the quick")
+      .mkString(" ") + " and of to in is it for on with as"
+    val docs = Seq(
+      (1L, good),                     // passes gopher
+      (2L, "too short"),              // fails minWords
+      (3L, "alpha bravo charlie echo alpha bravo charlie")) // short but aa-ish
+      .toDF("doc_id", "text")
+
+    // quality: gopher gate drops the short rows, keeps the shape
+    val q = ConfigFile.applyOp(docs, op(
+      """{"op":"quality","minWords":20}"""))
+    assert(q.columns.toSeq == docs.columns.toSeq)
+    assert(q.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+
+    // langid: trains once into the artifact, annotates in place
+    val l1 = ConfigFile.applyOp(docs, op(
+      s"""{"op":"langid","train":"$corpusPath","artifact":"$artifact"}"""))
+    assert(l1.columns.contains("predicted_lang") &&
+      l1.columns.contains("nb_score"))
+    val byId = l1.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang"))
+      .toMap
+    assert(byId(3L) == "aa", s"got $byId")
+    // second compile reuses the persisted artifact (manifest matches)
+    assert(graft.pipeline.Models.matches(spark, artifact, "langid_ngram",
+      Map("buckets" -> graft.pipeline.TextAnalysis.LangIdBuckets.toString,
+        "corpus" -> graft.pipeline.Models.corpusFingerprint(
+          train, Seq("doc_id", "text", "lang")))))
+    val l2 = ConfigFile.applyOp(docs, op(
+      s"""{"op":"langid","model":"$artifact"}"""))
+    assert(l2.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("predicted_lang")).toMap == byId)
+
+    // both ops are stateless → they run on a live stream as-is
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val streamed = ConfigFile.applyOp(
+      ConfigFile.applyOp(in.toDF().toDF("doc_id", "text"), op(
+        """{"op":"quality","minWords":20}""")), op(
+        s"""{"op":"langid","model":"$artifact"}"""))
+    val qy = streamed.writeStream.format("memory")
+      .queryName("cfg_curation_stream").outputMode("append").start()
+    try {
+      in.addData((1L, good), (2L, "too short"))
+      qy.processAllAvailable()
+      val rows = spark.table("cfg_curation_stream")
+        .select("doc_id", "predicted_lang").collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(1L))
+    } finally qy.stop()
+  }
+
   // ------------------------------------------------- file → Core lifecycle
 
   test("Loader: file config starts streams; reload restarts only edits; " +
