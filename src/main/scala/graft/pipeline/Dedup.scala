@@ -429,7 +429,12 @@ object Dedup {
       k: Int = 16, bands: Int = 8,
       maxBucket: Int = Caps.DefaultMaxBucket): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val sh = shingles(docs, w).select(col("doc_id"), col("shingles")).cache()
+    // NOT cached: the signature and hash-set consumers each re-derive
+    // shingles as a narrow kernel pass over the scan (~2 s of an 11 s
+    // query at the 100x probe) — caching would pin a corpus-scale
+    // relation past the query's lifetime (the CacheDisciplineSpec
+    // contract), and at 100 TB the cache is impossible anyway
+    val sh = shingles(docs, w).select(col("doc_id"), col("shingles"))
     val hsh = sh.select(col("doc_id"), ColumnBridge.column(
       NgramHashSortExpr(ColumnBridge.expression(col("shingles"))))
       .as("hsh"))
@@ -480,7 +485,7 @@ object Dedup {
   private[graft] def ngramJaccardPairsJoin(docs: DataFrame, w: Int = 3,
       threshold: Double = 0.3, k: Int = 16, bands: Int = 8,
       maxBucket: Int = Caps.DefaultMaxBucket): DataFrame = {
-    val sh = shingles(docs, w).select(col("doc_id"), col("shingles")).cache()
+    val sh = shingles(docs, w).select(col("doc_id"), col("shingles"))
     val banded = lshBands(minhashSignatureFromShingles(sh, k), k, bands)
       .select("doc_id", "band", "bucket")
     exactJaccardFromShinglesColumns(sh,

@@ -42,4 +42,15 @@ class CacheDisciplineSpec extends SparkSpec {
         s"$name left cached relations pinned in the session")
     }
   }
+
+  test("the funnel and the near-dup pair family leave no cached " +
+    "relations behind (stage caches released at the one-row result)") {
+    spark.catalog.clearCache()
+    Seq("q_curation_funnel", "q_ngram_jaccard", "q_minhash_pairs",
+      "q_dedup_clusters", "q_crosscorpus_neardup").foreach { name =>
+      SparkEntry.queries(name)(spark, dir).count()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left cached relations pinned in the session")
+    }
+  }
 }

@@ -579,4 +579,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"pair-level verification join leaked back:\n$p")
   }
+
+  test("bucketed as-of: data-volume windows partition on (keys, bucket), " +
+    "only the bucket-aggregate carry window is keys-wide, no global sort") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ev = EventView(spark, dir)
+    val ref = Seq(("0", 10L, "v1"), ("1", 100L, "v2"))
+      .toDF("host", "time_s", "cfg")
+    val p = plan(graft.operators.Temporal.asOfJoin(ev, ref, Seq("host"),
+      "time_s", Seq("cfg"), 3600L, bucketSeconds = 600L))
+    // no rangepartitioning: every sort in the plan is window-local
+    assert(!p.contains("rangepartitioning"), s"global sort leaked:\n$p")
+    // every Window over DATA rows must partition on (..., asof_bucket)
+    // — a keys-only window over the event stream is exactly the
+    // hot-key serialization this form exists to avoid; the one
+    // permitted keys-only window is the carry chain, which runs over
+    // bucket-level aggregates (<= time-range/bucket rows per key)
+    val winSpecs = p.linesIterator.filter(_.contains("+- Window ")).toSeq
+    assert(winSpecs.nonEmpty, s"no windows found:\n$p")
+    val keysOnly = winSpecs.filterNot(_.contains("asof_bucket#"))
+    assert(keysOnly.isEmpty,
+      s"keys-only window without bucket partitioning:\n${keysOnly.mkString("\n")}")
+    val carry = winSpecs.filter(_.contains("asof_carry"))
+    assert(carry.nonEmpty && carry.forall { l =>
+      // partition-by clause: the spec list after the aggregate —
+      // asof_bucket appears only as the ORDER key, host is the
+      // partition (bucket-level relation, so keys-wide is bounded)
+      l.contains("asof_bucket#") }, s"carry window shape:\n$p")
+  }
+
+  test("langIdApply under a trained model is exchange-free: the NB " +
+    "scorer rides the scan as one narrow codegen'd projection") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val m = graft.pipeline.TextAnalysis.langIdModel(docs)
+    val p = plan(graft.pipeline.TextAnalysis.langIdApply(docs, m))
+    assert(!p.contains("Exchange"), s"predict pass shuffled:\n$p")
+    assert(p.contains("langscoreexpr") || p.contains("LangScoreExpr") ||
+      p.contains("lang_score"), s"scorer kernel missing:\n$p")
+  }
 }
