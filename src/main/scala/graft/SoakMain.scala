@@ -4,6 +4,8 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.json4s.JObject
+import org.json4s.jackson.JsonMethods
 
 import graft.streaming.{IndexProcessor, SEvent}
 
@@ -52,6 +54,27 @@ object SoakMain {
 
     val ckptRoot = Files.createTempDirectory("graft-soak-ckpt")
     Files.deleteIfExists(out)
+
+    // r16: static maintenance-window table for the config-wired enrich
+    // leg — per service, a 30 s-on / 30 s-off deploy window every
+    // minute spanning the whole soak (plus slack), so the stream-static
+    // interval join exercises BOTH the matched and the unmatched path
+    // at a ~50% duty cycle the observed metrics can sanity-check
+    val enrichPath = s"$ckptRoot/enrich_windows"
+    locally {
+      val t0s = System.currentTimeMillis() / 1000
+      val lo = t0s / 60 * 60 - 120
+      val hi = t0s + minutes * 60 + 300
+      spark.range(lo / 60, hi / 60 + 1)
+        .select((col("id") * 60).as("win_start"))
+        .crossJoin(spark.range(3).select(
+          concat(lit("svc-"), col("id").cast("string")).as("service")))
+        .select(col("service"), col("win_start"),
+          (col("win_start") + 30).as("win_end"),
+          concat(lit("dep-"), col("service"), lit("-"),
+            col("win_start").cast("string")).as("deploy_id"))
+        .coalesce(1).write.parquet(enrichPath)
+    }
 
     def events() = spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSec)
@@ -123,6 +146,25 @@ object SoakMain {
             col("metric").cast("long"), Seq(500, 950, 990),
             watermark = "30 seconds"))
       }
+      // r16: the config-wired STATELESS enrich op under chaos — the
+      // firehose joins the static maintenance-window table through
+      // ConfigFile.applyOp (the exact "op":"enrich" path: intervalsOf
+      // + collision guards + StreamingAsOf.enrich). No state store, so
+      // it contributes ZERO state rows; the thing the soak must prove
+      // is liveness THROUGH restarts and that the join keeps MATCHING
+      // (an all-null left join would be a silent interval-table or
+      // bin-formula fork) — the observed matched fraction (~50% duty
+      // cycle by construction) lands in every soak sample line.
+      core.stream("soak-enrich", signature = "v1") {
+        val op = JsonMethods.parse(
+          s"""{"op":"enrich","table":"$enrichPath","by":["service"],
+              "startCol":"win_start","endCol":"win_end",
+              "fields":["deploy_id"],"bin":60}""").asInstanceOf[JObject]
+        writerFor("enrich")(
+          graft.config.ConfigFile.applyOp(events().toDF(), op)
+            .observe("enrich_obs", count(lit(1)).as("n"),
+              count(col("asof_deploy_id")).as("matched")))
+      }
       core.stream("soak-neardup", signature = "v1") {
         val docs = spark.readStream.format("rate")
           .option("rowsPerSecond", math.max(1, rowsPerSec / 10))
@@ -151,10 +193,16 @@ object SoakMain {
             Option(o.customMetrics.get("rocksdbSstFileSize"))
               .map(_.longValue).getOrElse(0L)).sum
           val mem = ops.map(_.memoryUsedBytes).sum
+          // stateless legs (the enrich op) prove themselves via
+          // observed per-batch metrics instead of state rows
+          val obs = Option(p.observedMetrics.get("enrich_obs")).map { r =>
+            s""","obs_n":${r.getAs[Long]("n")},""" +
+              s""""obs_matched":${r.getAs[Long]("matched")}"""
+          }.getOrElse("")
           s"""{"t":${System.currentTimeMillis / 1000},"query":"$name",""" +
             s""""batch":${p.batchId},"state_rows":$rows,""" +
             s""""sst_bytes":$sst,"mem_bytes":$mem,""" +
-            s""""rows_per_sec":${p.processedRowsPerSecond}}"""
+            s""""rows_per_sec":${p.processedRowsPerSecond}$obs}"""
         }
       }
 
