@@ -24,10 +24,19 @@ import org.apache.spark.sql.functions._
   *   - nation/region/part: dimension tables, copied as-is (real TPC-H
   *     scale factors don't grow nation/region either).
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <outDir> [factor] [tables]
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> [factor] [tables] [skewPct]
   * `tables` (comma-separated) restricts the synthesis — e.g. the 100x
   * pair-generating-family probe only needs documents/embeddings (and
   * events for the bench warmup), not a 100x lineitem.
+  *
+  * `skewPct` (r16, default 0): AFTER replication, that percentage of
+  * event rows (deterministically, by event_id mod 100) collapses onto
+  * user_id 0 — i.e. one host carries skewPct% of the whole corpus.
+  * This is the hot-key stress the skew-hardened temporal forms
+  * (bucketed as-of, chunked sessionize) exist for: a keys-partitioned
+  * window over such a corpus serializes half the data onto one task,
+  * while the (key, bucket)-partitioned forms stay bounded by the
+  * clock. Only `events` is affected.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
@@ -36,6 +45,8 @@ object ScaleUp {
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val only: Option[Set[String]] =
       args.lift(3).map(_.split(",").map(_.trim).toSet)
+    val skewPct = args.lift(4).map(_.toInt).getOrElse(0)
+    require(skewPct >= 0 && skewPct < 100, s"skewPct in [0,100): $skewPct")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -92,7 +103,13 @@ object ScaleUp {
     val suppSpan = math.max(maxOf(rd("supplier"), "s_suppkey"), lSuppMax) + 1L
     val orderSpan = math.max(orderMax, lOrderMax) + 1L
 
-    write("events", replicate(rd("events"), Seq("event_id", "user_id")))
+    write("events", {
+      val r = replicate(rd("events"), Seq("event_id", "user_id"))
+      if (skewPct == 0) r
+      else r.withColumn("user_id",
+        when(pmod(col("event_id"), lit(100)) < skewPct, lit(0L))
+          .otherwise(col("user_id")))
+    })
     write("documents", replicate(rd("documents"), Seq("doc_id"),
       perReplica = (d, i) => if (i == 0) d
       else d.withColumn("text", concat(col("text"), lit(s" replica$i")))
