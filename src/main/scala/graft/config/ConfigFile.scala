@@ -75,6 +75,25 @@ case class SEventX(
   *   {"op":"langid",  "train":"<labeled parquet>", "artifact":"<cache>"}
   *                    // annotate predicted_lang + nb_score in place
   *                    // from the persisted (or train-once) classifier
+  *   {"op":"dedup",   "horizon":"1 hour"}
+  *                    // exact dedup on md5(text): streaming keeps the
+  *                    // FIRST arrival per content hash inside the
+  *                    // watermark horizon (state bounded by the
+  *                    // window, not the corpus); batch keeps one row
+  *                    // per distinct text
+  *   {"op":"neardup", "horizon":3600, "k":16, "bands":4, "w":3,
+  *                    "threshold":0.5, "maxBucket":N}
+  *                    // minhash-LSH near-dup PAIRS (doc_a, doc_b,
+  *                    // est_jaccard) — transforms the doc stream into
+  *                    // a pair stream (terminal analytic step);
+  *                    // streaming = saturating-bucket processor,
+  *                    // batch = the capped banded self-join, shared
+  *                    // band formula so the faces agree
+  *   {"op":"tokens",  "model":"<Models.saveBpe path>"}        // or:
+  *   {"op":"tokens",  "train":"<corpus parquet>", "artifact":"<cache>"}
+  *                    // annotate n_pretokens + n_bpe_tokens in place
+  *                    // from the persisted (or train-once) BPE
+  *                    // tokenizer — one codegen'd kernel projection
   *
   * Sink spec: {"kind":"memory"|"console"|<registered>, "outputMode":...,
   * "checkpoint": "<dir>"} — `memory` instances are cached per stream
@@ -447,6 +466,81 @@ object ConfigFile {
               str(op \ "artifact", "langid.artifact (cache path)"))
         }
         graft.pipeline.TextAnalysis.langIdAnnotate(df, m)
+      case "dedup" =>
+        // exact dedup on content hash — the curation firehose's
+        // cheapest stage. Streaming keeps the FIRST arrival per hash
+        // inside the watermark horizon (Dedup.streamingExact: state
+        // bounded by the window, the long tail belongs to the periodic
+        // batch pass); the batch face keeps one row per distinct text.
+        require(df.columns.contains("text"),
+          "dedup op needs a `text` column on the stream")
+        if (df.isStreaming) {
+          require(df.columns.contains("time"),
+            "streaming dedup op needs a `time` timestamp column")
+          val hz = (op \ "horizon") match {
+            case JString(s) => s
+            case _ => "1 hour"
+          }
+          graft.pipeline.Dedup.streamingExact(df, "time", hz)
+            .drop("content_hash")
+        } else df.dropDuplicates(Seq("text"))
+      case "neardup" =>
+        // minhash-LSH near-duplicate PAIRS — transforms the doc stream
+        // into (doc_a, doc_b, est_jaccard). Both faces share the
+        // signature kernels and the ONE band/bucket formula
+        // (Dedup.bandExplodeExpr), so a pair the stream emits is a pair
+        // the batch join finds on the same horizon's corpus.
+        require(df.columns.contains("text") &&
+          df.columns.contains("doc_id"),
+          "neardup op needs `doc_id` and `text` columns on the stream")
+        val k = (op \ "k") match {
+          case JNothing => 16; case v => num(v, "neardup.k").toInt }
+        val bands = (op \ "bands") match {
+          case JNothing => 4; case v => num(v, "neardup.bands").toInt }
+        val w = (op \ "w") match {
+          case JNothing => 3; case v => num(v, "neardup.w").toInt }
+        val thr = (op \ "threshold") match {
+          case JNothing => 0.5; case v => num(v, "neardup.threshold") }
+        val maxBucket = (op \ "maxBucket") match {
+          case JNothing => graft.pipeline.Caps.DefaultMaxBucket
+          case v => num(v, "neardup.maxBucket").toInt }
+        if (df.isStreaming) {
+          require(df.columns.contains("time"),
+            "streaming neardup op needs a `time` timestamp column")
+          val hz = (op \ "horizon") match {
+            case JNothing => 3600L
+            case v => num(v, "neardup.horizon").toLong
+          }
+          graft.streaming.StreamingNearDup(df, "time", hz, k, bands, w,
+            thr, maxBucket).toDF()
+            .select("doc_a", "doc_b", "est_jaccard")
+        } else graft.pipeline.Dedup.minhashPairs(df, k, bands, thr, w,
+          maxBucket).select("doc_a", "doc_b", "est_jaccard")
+      case "tokens" =>
+        // annotate token counts from the persisted (or train-once) BPE
+        // tokenizer — the merges ride into the codegen'd BpeCountExpr
+        // kernel as plan constants, so this is a pure narrow per-doc
+        // projection: stateless on a stream, no exchange in batch.
+        require(df.columns.contains("text"),
+          "tokens op needs a `text` column on the stream")
+        val merges = (op \ "model") match {
+          case JString(p) => graft.pipeline.Models.loadBpe(spark, p)
+          case _ =>
+            val corpus = spark.read.parquet(str(op \ "train",
+              "tokens.train (corpus parquet) or model (artifact)"))
+            graft.pipeline.Models.loadOrTrainBpe(corpus,
+              str(op \ "artifact", "tokens.artifact (cache path)"))
+        }
+        val helper = "__graft_bpe_c"
+        require(!df.columns.contains(helper),
+          s"reserved column $helper on input")
+        df.withColumn(helper, org.apache.spark.sql.graft.ColumnBridge
+            .column(graft.pipeline.BpeCountExpr(
+              org.apache.spark.sql.graft.ColumnBridge.expression(
+                col("text")), merges)))
+          .withColumn("n_pretokens", col(s"$helper.n_pretokens"))
+          .withColumn("n_bpe_tokens", col(s"$helper.n_bpe_tokens"))
+          .drop(helper)
       case "index" =>
         val wm = (op \ "watermark") match {
           case JString(s) => s

@@ -367,6 +367,98 @@ class FileConfigSpec extends SparkSpec {
     } finally qy.stop()
   }
 
+  test("dedup + neardup + tokens ops: the curation firehose back half " +
+    "through the config surface (exact dedup, LSH pairs, BPE counts)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_cfg_dedup")
+    val t0 = 1706000000L
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val same =
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val docsB = Seq(
+      (1L, same, ts(t0)),
+      (2L, same, ts(t0 + 10)), // exact duplicate of 1
+      (3L, "alpha bravo charlie delta echo foxtrot golf hotel india kilo",
+        ts(t0 + 20)), // near duplicate of 1
+      (4L, "completely different words entirely unrelated content here",
+        ts(t0 + 30)))
+      .toDF("doc_id", "text", "time")
+
+    // dedup batch face: one row per distinct text, shape preserved
+    val d = ConfigFile.applyOp(docsB, op("""{"op":"dedup"}"""))
+    assert(d.columns.toSeq == docsB.columns.toSeq)
+    assert(d.count() == 3)
+
+    // neardup batch face: the exact pair must collide in every band
+    val nb = ConfigFile.applyOp(docsB,
+      op("""{"op":"neardup","threshold":0.5}"""))
+    assert(nb.columns.toSeq == Seq("doc_a", "doc_b", "est_jaccard"))
+    val pairsB = nb.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairsB.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+      s"exact pair missing: $pairsB")
+
+    // tokens: trains once into the artifact, annotates in place
+    val corpusPath = dir.resolve("corpus.parquet").toString
+    docsB.select("doc_id", "text").write.mode("overwrite").parquet(corpusPath)
+    val artifact = dir.resolve("bpe_model").toString
+    val tk = ConfigFile.applyOp(docsB, op(
+      s"""{"op":"tokens","train":"$corpusPath","artifact":"$artifact"}"""))
+    assert(tk.columns.toSeq ==
+      docsB.columns.toSeq ++ Seq("n_pretokens", "n_bpe_tokens"))
+    def countsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_pretokens"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    val c1 = countsOf(tk)
+    assert(c1(1L)._1 == 10L, s"pretokens: $c1")
+    assert(c1(1L) == c1(2L)) // identical text, identical counts
+    // second compile reuses the persisted artifact, counts identical
+    val tk2 = ConfigFile.applyOp(docsB,
+      op(s"""{"op":"tokens","model":"$artifact"}"""))
+    assert(countsOf(tk2) == c1)
+
+    // streaming: tokens (stateless projection) -> dedup (within-
+    // watermark first-arrival) chained on one live stream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val piped = ConfigFile.applyOp(
+      ConfigFile.applyOp(in.toDF().toDF("doc_id", "text", "time"),
+        op(s"""{"op":"tokens","model":"$artifact"}""")),
+      op("""{"op":"dedup","horizon":"1 hour"}"""))
+    val qy = piped.writeStream.format("memory")
+      .queryName("cfg_dedup_stream").outputMode("append").start()
+    try {
+      in.addData((1L, same, ts(t0)), (2L, same, ts(t0 + 10)),
+        (4L, "completely different words entirely unrelated content here",
+          ts(t0 + 30)))
+      qy.processAllAvailable()
+      val rows = spark.table("cfg_dedup_stream")
+        .select("doc_id", "n_bpe_tokens").collect()
+      assert(rows.length == 2, s"expected 2 survivors: ${rows.toSeq}")
+      assert(rows.forall(_.getLong(1) > 0))
+    } finally qy.stop()
+
+    // streaming neardup: the exact pair surfaces from the saturating-
+    // bucket processor with the same (doc_a, doc_b, est_jaccard) shape
+    // (transformWithState needs column families -> RocksDB provider)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in2 = MemoryStream[(Long, String, Timestamp)]
+    val nd = ConfigFile.applyOp(in2.toDF().toDF("doc_id", "text", "time"),
+      op("""{"op":"neardup","horizon":3600,"threshold":0.5}"""))
+    assert(nd.columns.toSeq == Seq("doc_a", "doc_b", "est_jaccard"))
+    val qy2 = nd.writeStream.format("memory")
+      .queryName("cfg_neardup_stream").outputMode("append").start()
+    try {
+      in2.addData((1L, same, ts(t0)), (2L, same, ts(t0 + 10)))
+      qy2.processAllAvailable()
+      val pairsS = spark.table("cfg_neardup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairsS.contains((1L, 2L, 1.0)), s"stream pairs: $pairsS")
+    } finally qy2.stop()
+  }
+
   // ------------------------------------------------- file → Core lifecycle
 
   test("Loader: file config starts streams; reload restarts only edits; " +
