@@ -125,14 +125,23 @@ private[graft] object EntryPipeline {
     "q_bpe_train" -> ((s, d) =>
       graft.pipeline.Bpe.trainMerges(docs(s, d)).orderBy("rank")),
     // encode every doc under the trained merges — token counts under
-    // a REAL tokenizer, as nested codegen'd replaces (no UDF)
+    // a REAL tokenizer, as nested codegen'd replaces (no UDF). The
+    // merge list comes from the PERSISTED artifact (train-once, reused
+    // by q_bpe_tokens and any later invocation; the manifest's corpus
+    // fingerprint forces a retrain when the corpus changes)
     "q_bpe_encode" -> ((s, d) =>
-      graft.pipeline.Bpe.trainAndEncode(docs(s, d)).orderBy("doc_id")),
+      graft.pipeline.Bpe.encode(docs(s, d),
+        graft.pipeline.Models.loadOrTrainBpe(docs(s, d),
+          graft.pipeline.Models.defaultRoot(d) + "/bpe_merges"))
+        .orderBy("doc_id")),
     // the materialized token sequences themselves (the training-data
     // product): full-fidelity token strings joined on the unit
-    // separator, so the oracle pins every token byte in order
+    // separator, so the oracle pins every token byte in order — same
+    // persisted merge list as q_bpe_encode (shared artifact)
     "q_bpe_tokens" -> ((s, d) =>
-      graft.pipeline.Bpe.trainAndEncodeTokens(docs(s, d))
+      graft.pipeline.Bpe.encodeTokens(docs(s, d),
+        graft.pipeline.Models.loadOrTrainBpe(docs(s, d),
+          graft.pipeline.Models.defaultRoot(d) + "/bpe_merges"))
         // null-text docs: (0, '') like the oracle's COALESCE, not
         // (size(null) = -1, null)
         .withColumn("tokens", coalesce(col("tokens"), array()))
@@ -260,13 +269,20 @@ private[graft] object EntryPipeline {
     // statistic; encode = the Viterbi DP as codegen'd column chains
     "q_unigram_train" -> ((s, d) =>
       Unigram.train(docs(s, d)).orderBy("piece")),
+    // ... encoding under the PERSISTED vocab artifact (train-once,
+    // shared with q_unigram_tokens; corpus-fingerprint-guarded)
     "q_unigram_encode" -> ((s, d) =>
-      Unigram.trainAndEncode(docs(s, d)).orderBy("doc_id")),
+      Unigram.encode(docs(s, d),
+        graft.pipeline.Models.loadOrTrainUnigram(docs(s, d),
+          graft.pipeline.Models.defaultRoot(d) + "/unigram_vocab"))
+        .orderBy("doc_id")),
     // the materialized unigram token sequences — every token byte and
     // boundary pinned in document order (the q_bpe_tokens contract
     // for the second tokenizer)
     "q_unigram_tokens" -> ((s, d) =>
-      Unigram.trainAndEncodeTokens(docs(s, d))
+      Unigram.encodeTokensDf(docs(s, d),
+        graft.pipeline.Models.loadOrTrainUnigram(docs(s, d),
+          graft.pipeline.Models.defaultRoot(d) + "/unigram_vocab"))
         // null-text docs: (0, '') like the oracle's COALESCE, not
         // (size(null) = -1, null)
         .withColumn("tokens", coalesce(col("tokens"), array()))
@@ -278,7 +294,9 @@ private[graft] object EntryPipeline {
     // token counts joined per doc, then the same temperature math
     "q_mixture_plan_unigram" -> ((s, d) => {
       val base = docs(s, d)
-      val enc = Unigram.trainAndEncode(base)
+      val enc = Unigram.encode(base,
+        graft.pipeline.Models.loadOrTrainUnigram(base,
+          graft.pipeline.Models.defaultRoot(d) + "/unigram_vocab"))
       Curation.mixturePlan(base.join(enc, "doc_id"),
         budgetTokens = 20000, alpha = 0.6, maxEpochs = 1.5,
         byCol = "lang", tokCol = col("n_unigram_tokens"))
