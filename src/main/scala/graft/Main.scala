@@ -25,10 +25,13 @@ import graft.streaming.SEvent
   *   - `graft.Main version`
   *
   * The config file is the [[ConfigFile]] surface (streams/include)
-  * plus a root `servers` object read ONCE at startup (stream
-  * topology reloads on SIGHUP via the transition!/equiv? lifecycle;
-  * server sockets are fixed for the process lifetime — the reference
-  * restarts servers on reload, a delta documented in SURVEY §3.3):
+  * plus a root `servers` object. SIGHUP reloads BOTH: stream topology
+  * through the transition!/equiv? lifecycle, and server blocks by
+  * salting each stream's signature with its server block's canonical
+  * JSON — an edited block (port, TLS) restarts exactly the streams
+  * bound to it, whose source stop()/rebind closes the old socket and
+  * adopts its parked frames (the reference restarts non-equiv
+  * services on reload, core.clj:105-161; r16 closes that delta):
   *
   * {{{
   * { "servers": {
@@ -185,15 +188,93 @@ object Main {
       val loader: ConfigFile.Loader,
       val pubsub: Sinks.Pubsub,
       val index: ServedIndex,
-      val wsServer: Option[WsServer],
-      val sseServer: Option[SseServer],
-      tcpQueryPorts: Seq[Int]) {
+      path: Path) {
     private[Main] val done = new CountDownLatch(1)
+    private var ws: Option[WsServer] = None
+    private var sse: Option[SseServer] = None
+    private var wsSpec: String = ""
+    private var sseSpec: String = ""
+    private var queryPorts: Set[Int] = Set.empty
+    def wsServer: Option[WsServer] = synchronized(ws)
+    def sseServer: Option[SseServer] = synchronized(sse)
+
+    /** Full server-aware reload — what SIGHUP drives (bin.clj:39-77 +
+      * core.clj:105-161's restart of non-equiv services). Re-reads the
+      * file, rebuilds the ingest-server source thunks, and salts each
+      * stream's signature with the canonical JSON of its server block:
+      * editing a server block (port, TLS material) makes exactly the
+      * streams bound to it non-equiv, and their restart is what
+      * rebinds the socket — the old query's source stop() closes the
+      * listen socket and parks its undrained frames, the new query's
+      * source binds the edited address and adopts them (the
+      * RiemannServers handoff). ws/sse restart only when their own
+      * block changed; wire query handlers follow the current tcp
+      * ports. A malformed file throws before any running state is
+      * touched (thunks and specs are extracted eagerly first), so a
+      * failed reload keeps the old topology — the reference's
+      * catch-and-log reload contract. */
+    def reload(): Seq[String] = synchronized {
+      val doc = JsonMethods.parse(
+        java.nio.file.Files.readString(path.toRealPath()))
+      val blocks = serverBlocks(doc)
+      // everything throw-prone happens before any mutation
+      val thunks = ingestSources(spark, blocks)
+      val salts = blocks.map { case (n, o) =>
+        n -> ("#server:" + JsonMethods.compact(JsonMethods.render(o)))
+      }.toMap
+      val newWs = blocks.collectFirst { case ("ws", o) => o }
+      val newSse = blocks.collectFirst { case ("sse", o) => o }
+      loader.sources = thunks
+      loader.sourceSignature = n => salts.getOrElse(n, "")
+      // ws/sse dumps serve the in-memory event snapshot (Spark-free
+      // path); restart only on block change so live subscribers of an
+      // untouched server keep their connections
+      val wsCanon = newWs.fold("")(o =>
+        JsonMethods.compact(JsonMethods.render(o)))
+      if (wsCanon != wsSpec) {
+        ws.foreach(s => try s.stop() catch { case NonFatal(_) => () })
+        ws = newWs.map(o =>
+          new WsServer(pubsub, int(o \ "port", "servers.ws.port"),
+            host = hostOf(o), snapshotEvents = () => Some(index.events),
+            dumpLine = index.dumpLine))
+        wsSpec = wsCanon
+      }
+      val sseCanon = newSse.fold("")(o =>
+        JsonMethods.compact(JsonMethods.render(o)))
+      if (sseCanon != sseSpec) {
+        sse.foreach(s => try s.stop() catch { case NonFatal(_) => () })
+        sse = newSse.map(o =>
+          new SseServer(pubsub, int(o \ "port", "servers.sse.port"),
+            host = hostOf(o), snapshotEvents = () => Some(index.events),
+            dumpLine = index.dumpLine))
+        sseSpec = sseCanon
+      }
+      // riemann-wire index queries (transport.clj:175-181): every tcp
+      // ingest server answers `Msg{query}` from the served index
+      val newPorts: Set[Int] = blocks.collect {
+        case (name, o) if name != "ws" && name != "sse" &&
+            strOr(o \ "protocol", name) == "tcp" =>
+          int(o \ "port", s"servers.$name.port")
+      }.toSet
+      (queryPorts -- newPorts)
+        .foreach(graft.sources.RiemannServers.unregisterQueryHandler)
+      (newPorts -- queryPorts).foreach(p =>
+        graft.sources.RiemannServers.registerQueryHandler(p,
+          index.queryHandler))
+      queryPorts = newPorts
+      loader.reload()
+    }
+
+    def installSighup(): Boolean = loader.installSighup(() => { reload(); () })
+
     def stop(): Unit = {
       try core.stop() catch { case NonFatal(_) => () }
-      wsServer.foreach(s => try s.stop() catch { case NonFatal(_) => () })
-      sseServer.foreach(s => try s.stop() catch { case NonFatal(_) => () })
-      tcpQueryPorts.foreach(graft.sources.RiemannServers.unregisterQueryHandler)
+      synchronized {
+        ws.foreach(s => try s.stop() catch { case NonFatal(_) => () })
+        sse.foreach(s => try s.stop() catch { case NonFatal(_) => () })
+        queryPorts
+          .foreach(graft.sources.RiemannServers.unregisterQueryHandler)
+      }
       done.countDown()
     }
   }
@@ -255,16 +336,50 @@ object Main {
     // "explicitly chosen", so the process entry point just sets it)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val doc = JsonMethods.parse(
-      java.nio.file.Files.readString(path.toRealPath()))
-    val servers = obj(doc \ "servers").getOrElse(JObject())
 
-    def hostOf(o: JObject) = strOr(o \ "host", "127.0.0.1")
+    val pubsub = new Sinks.Pubsub
+    val index = new ServedIndex(spark)
+    // the index sink also publishes each batch to the "index" pubsub
+    // channel, so ws/sse subscribers see live pushes after their dump
+    val indexSink: Sinks.EventSink = new Sinks.EventSink {
+      override def write(batch: DataFrame, batchId: Long): Unit = {
+        val cached = batch.cache()
+        try {
+          index.sink.write(cached, batchId)
+          pubsub.publish("index", cached, batchId)
+        } finally { cached.unpersist(); () }
+      }
+    }
+    val core = new Core(spark)
+    val loader = new ConfigFile.Loader(core, spark, path, Map.empty,
+      sinkFactories = Map("index" -> (_ => indexSink)))
+    val running = new Running(spark, core, loader, pubsub, index, path)
+    // the first reload builds the ingest servers from the file, salts
+    // stream signatures with their server blocks, starts ws/sse, and
+    // starts the stream topology — the same path SIGHUP drives later
+    running.reload()
+    running
+  }
+
+  private def hostOf(o: JObject) = strOr(o \ "host", "127.0.0.1")
+
+  /** The file's `servers` object as (name, block) pairs. */
+  private def serverBlocks(doc: JValue): List[(String, JObject)] =
+    obj(doc \ "servers").getOrElse(JObject()).obj.collect {
+      case JField(name, o: JObject) => name -> o
+    }
+
+  /** Ingest-server source thunks from the parsed server blocks.
+    * Everything that can reject a block (ports, TLS material, strict
+    * booleans) is extracted EAGERLY here, so a reload against a
+    * malformed file throws before any running state is touched. */
+  private def ingestSources(spark: SparkSession,
+      blocks: List[(String, JObject)]): Map[String, () => DataFrame] = {
     // every non-ws/sse server block is an ingest source named after its
     // key; `protocol` defaults to that key, so {"tcp": {...}} just
     // works and {"tcp2": {"protocol": "tcp", ...}} opens a second one
-    val sources: Map[String, () => DataFrame] = servers.obj.collect {
-      case JField(name, o: JObject) if name != "ws" && name != "sse" =>
+    blocks.collect {
+      case (name, o) if name != "ws" && name != "sse" =>
         def port = int(o \ "port", s"servers.$name.port")
         val mk: () => DataFrame = strOr(o \ "protocol", name) match {
           case "tcp" if (o \ "tlskeystore") != JNothing =>
@@ -298,47 +413,6 @@ object Main {
         }
         name -> mk
     }.toMap
-
-    val pubsub = new Sinks.Pubsub
-    val index = new ServedIndex(spark)
-    // the index sink also publishes each batch to the "index" pubsub
-    // channel, so ws/sse subscribers see live pushes after their dump
-    val indexSink: Sinks.EventSink = new Sinks.EventSink {
-      override def write(batch: DataFrame, batchId: Long): Unit = {
-        val cached = batch.cache()
-        try {
-          index.sink.write(cached, batchId)
-          pubsub.publish("index", cached, batchId)
-        } finally { cached.unpersist(); () }
-      }
-    }
-
-    val core = new Core(spark)
-    val loader = new ConfigFile.Loader(core, spark, path, sources,
-      sinkFactories = Map("index" -> (_ => indexSink)))
-    loader.reload()
-
-    // ws/sse dumps serve the in-memory event snapshot (Spark-free
-    // path): connect-time latency is an index walk, not a Spark job
-    val ws = obj(servers \ "ws").map(o =>
-      new WsServer(pubsub, int(o \ "port", "servers.ws.port"),
-        host = hostOf(o), snapshotEvents = () => Some(index.events),
-        dumpLine = index.dumpLine))
-    val sse = obj(servers \ "sse").map(o =>
-      new SseServer(pubsub, int(o \ "port", "servers.sse.port"),
-        host = hostOf(o), snapshotEvents = () => Some(index.events),
-        dumpLine = index.dumpLine))
-    // riemann-wire index queries (transport.clj:175-181): every tcp
-    // ingest server also answers `Msg{query}` from the served index
-    val tcpPorts = servers.obj.collect {
-      case JField(name, o: JObject)
-          if name != "ws" && name != "sse" &&
-            strOr(o \ "protocol", name) == "tcp" =>
-        int(o \ "port", s"servers.$name.port")
-    }
-    tcpPorts.foreach(p =>
-      graft.sources.RiemannServers.registerQueryHandler(p, index.queryHandler))
-    new Running(spark, core, loader, pubsub, index, ws, sse, tcpPorts)
   }
 
   /** `graft.Main test <config>` — the bin.clj "test" command: run the
@@ -527,7 +601,7 @@ object Main {
         case Nil => "graft.config.json"
       }
       val running = start(Paths.get(cfg))
-      running.loader.installSighup()
+      running.installSighup() // full reload: servers + streams
       sys.addShutdownHook(running.stop())
       // bin.clj's run-app!: the streaming queries and server threads
       // ARE the process; block until stop()

@@ -584,8 +584,25 @@ object ConfigFile {
     * `sinkFactories` maps extra sink kinds to builders over the sink's
     * own JSON spec. */
   final class Loader(core: Core, spark: SparkSession, path: Path,
-      sources: Map[String, () => DataFrame],
+      sources0: Map[String, () => DataFrame],
       sinkFactories: Map[String, JValue => Sinks.EventSink] = Map.empty) {
+
+    /** Config source names → streaming-DataFrame thunks. Mutable so a
+      * host ([[graft.Main]]) can swap in thunks rebuilt from the edited
+      * file before [[reload]] — an ingest-server block change (port,
+      * TLS) re-points the source, and the salted signature below
+      * restarts exactly the streams bound to it. */
+    @volatile var sources: Map[String, () => DataFrame] = sources0
+
+    /** Extra per-SOURCE signature salt mixed into each stream's
+      * signature: source name → salt (empty for unknown names). A host
+      * that rebuilds [[sources]] on reload sets this to the canonical
+      * JSON of each source's server block, so editing a server block
+      * makes its streams non-equiv — they restart, and the restart is
+      * what closes the old socket and binds the new one (the
+      * reference restarts non-equiv services on reload,
+      * core.clj:105-161). */
+    @volatile var sourceSignature: String => String = _ => ""
 
     /** Per-stream-name memory sinks, stable across reloads so a
       * restarted query keeps appending where readers are looking. */
@@ -647,7 +664,11 @@ object ConfigFile {
       (current -- names).foreach(core.removeStream)
       for ((name, s) <- streams)
         core.stream(name,
-          signature = JsonMethods.compact(JsonMethods.render(s)))(build(s))
+          signature = JsonMethods.compact(JsonMethods.render(s)) +
+            ((s \ "source") match {
+              case JString(src) => sourceSignature(src)
+              case _ => ""
+            }))(build(s))
       current = names.toSet
       core.applyConfig()
     }
@@ -658,11 +679,16 @@ object ConfigFile {
       * logs and keeps the old topology running — same contract as the
       * reference, which catches and logs config errors on reload
       * rather than killing the core. */
-    def installSighup(): Boolean =
+    def installSighup(): Boolean = installSighup(() => { reload(); () })
+
+    /** [[installSighup]] with a custom reload action — [[graft.Main]]
+      * passes its full server-aware reload so SIGHUP also rebinds
+      * edited ingest sockets, not just the stream topology. */
+    def installSighup(action: () => Unit): Boolean =
       try {
         sun.misc.Signal.handle(new sun.misc.Signal("HUP"),
           (_: sun.misc.Signal) =>
-            try reload()
+            try action()
             catch {
               case NonFatal(e) =>
                 System.err.println(s"[config] reload failed: ${e.getMessage}")

@@ -483,7 +483,7 @@ class FileConfigSpec extends SparkSpec {
     val input = MemoryStream[SEvent]
     val core = new Core(spark)
     val loader = new ConfigFile.Loader(core, spark, main,
-      sources = Map("input" -> (() => input.toDF())))
+      sources0 = Map("input" -> (() => input.toDF())))
 
     // first load: both streams (included + own) start
     assert(loader.reload().toSet == Set("criticals", "scaled"))
@@ -559,7 +559,7 @@ class FileConfigSpec extends SparkSpec {
     val input = MemoryStream[SEvent]
     val core = new Core(spark)
     val loader = new ConfigFile.Loader(core, spark, main,
-      sources = Map("input" -> (() => input.toDF())))
+      sources0 = Map("input" -> (() => input.toDF())))
     assert(loader.reload() == Seq("x"))
     assert(core.activeQueries.keySet == Set("x"))
     input.addData(
@@ -592,7 +592,7 @@ class FileConfigSpec extends SparkSpec {
     write(f, """{"streams":[]}""")
     val core = new Core(spark)
     val loader = new ConfigFile.Loader(core, spark, f,
-      sources = Map.empty)
+      sources0 = Map.empty)
     // on this JVM sun.misc.Signal is present; a sandboxed one returns
     // false and explicit reload() remains the contract either way
     val installed = loader.installSighup()

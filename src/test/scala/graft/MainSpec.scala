@@ -256,6 +256,67 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("Running.reload rebinds an edited ingest server socket: the " +
+    "non-equiv service restart (core.clj:105-161), traffic continuing " +
+    "into the same sink") {
+    val portA = freePort()
+    val portB = freePort()
+    val dir = Files.createTempDirectory("graft-main-rebind")
+    val cfg = dir.resolve("graft.json")
+    def writeCfg(port: Int): Unit = Files.writeString(cfg,
+      s"""{"servers": {"tcp": {"host": "127.0.0.1", "port": $port}},
+         | "streams": [
+         |   {"name": "flow", "source": "tcp", "pipeline": [],
+         |    "sink": {"kind": "memory"}}]}""".stripMargin)
+    writeCfg(portA)
+    val running = Main.start(cfg, Some(spark))
+    try {
+      def drain(): Unit =
+        running.core.activeQueries.values.foreach(_.processAllAvailable())
+      def rows() = running.loader.memorySinks.get("flow")
+        .map(_.size).getOrElse(0)
+      def ev(host: String, t: Long) = PEvent(host, "cpu", "ok", null,
+        Some(0.5), Nil, Some(t), Some(60.0), Map.empty)
+      val deadline = System.currentTimeMillis() + 30000
+      sendEvents(portA, Seq(ev("h1", 1706000000L)))
+      while (rows() < 1 && System.currentTimeMillis() < deadline) {
+        drain(); Thread.sleep(100)
+      }
+      assert(rows() == 1, s"pre-reload rows: ${rows()}")
+
+      // edit ONLY the server block — the stream definition is
+      // unchanged, but its signature is salted with the block, so the
+      // stream is non-equiv: it restarts, its source stop() closes the
+      // old socket, the successor binds the new port
+      writeCfg(portB)
+      val restarted = running.reload()
+      assert(restarted == Seq("flow"), s"restarted: $restarted")
+      // the old port must actually be released (single attempt, no
+      // retry loop — a lingering listener would accept)
+      intercept[java.io.IOException] {
+        new Socket("127.0.0.1", portA).close()
+      }
+      // traffic on the NEW port lands in the SAME memory sink
+      sendEvents(portB, Seq(ev("h2", 1706000010L)))
+      while (rows() < 2 && System.currentTimeMillis() < deadline) {
+        drain(); Thread.sleep(100)
+      }
+      assert(rows() == 2, s"post-reload rows: ${rows()}")
+
+      // a reload against the unchanged file is fully equiv: nothing
+      // restarts, the socket stays bound
+      assert(running.reload().isEmpty)
+      sendEvents(portB, Seq(ev("h3", 1706000020L)))
+      while (rows() < 3 && System.currentTimeMillis() < deadline) {
+        drain(); Thread.sleep(100)
+      }
+      assert(rows() == 3)
+    } finally {
+      running.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("a tls-configured tcp server block terminates mutual TLS through " +
     "the packaged process (tlsclientauth as a NATIVE json boolean)") {
     val ks = TlsTestSupport.keystore
