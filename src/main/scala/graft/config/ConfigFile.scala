@@ -94,6 +94,18 @@ case class SEventX(
   *                    // annotate n_pretokens + n_bpe_tokens in place
   *                    // from the persisted (or train-once) BPE
   *                    // tokenizer — one codegen'd kernel projection
+  *   {"op":"crosscorpus", "table":"<reference docs parquet>",
+  *                    "k":16, "bands":4, "w":3, "threshold":0.5,
+  *                    "maxBucket":N, "mode":"match"|"drop"}
+  *                    // near-dup detection AGAINST a static reference
+  *                    // corpus (benchmark decontamination / don't
+  *                    // re-ingest the training set, run continuously):
+  *                    // "match" (default) emits (new_id, ref_id,
+  *                    // est_jaccard, band) pairs — stateless on a
+  *                    // stream (one row per colliding band; chain
+  *                    // dropDuplicatesWithinWatermark for uniqueness);
+  *                    // "drop" keeps only UNcontaminated input rows —
+  *                    // batch-only (needs per-doc aggregation)
   *
   * Sink spec: {"kind":"memory"|"console"|<registered>, "outputMode":...,
   * "checkpoint": "<dir>"} — `memory` instances are cached per stream
@@ -541,6 +553,51 @@ object ConfigFile {
           .withColumn("n_pretokens", col(s"$helper.n_pretokens"))
           .withColumn("n_bpe_tokens", col(s"$helper.n_bpe_tokens"))
           .drop(helper)
+      case "crosscorpus" =>
+        // near-dup vs a STATIC reference corpus — the decontamination
+        // stage run continuously. The reference's banded relation is
+        // built once per (re)compile (at 100 TB: a bucketed table
+        // refreshed on corpus releases); each micro-batch stream-static
+        // equi-joins it on (band, bucket), stateless and restart-safe.
+        require(df.columns.contains("text") &&
+          df.columns.contains("doc_id") && df.columns.contains("time"),
+          "crosscorpus op needs `doc_id`, `text`, `time` columns")
+        val k = (op \ "k") match {
+          case JNothing => 16; case v => num(v, "crosscorpus.k").toInt }
+        val bands = (op \ "bands") match {
+          case JNothing => 4; case v => num(v, "crosscorpus.bands").toInt }
+        val w = (op \ "w") match {
+          case JNothing => 3; case v => num(v, "crosscorpus.w").toInt }
+        val thr = (op \ "threshold") match {
+          case JNothing => 0.5; case v => num(v, "crosscorpus.threshold") }
+        val maxBucket = (op \ "maxBucket") match {
+          case JNothing => graft.pipeline.Caps.DefaultMaxBucket
+          case v => num(v, "crosscorpus.maxBucket").toInt }
+        val refDocs = spark.read.parquet(str(op \ "table",
+          "crosscorpus.table (reference docs parquet)"))
+        val refB = graft.streaming.StreamingCrossCorpus.referenceBanded(
+          refDocs, k, bands, w, maxBucket)
+        val m = graft.streaming.StreamingCrossCorpus.matches(
+          df, refB, "time", k, bands, w, thr)
+        (op \ "mode") match {
+          case JString("drop") =>
+            // keep only UNcontaminated rows: per-doc "no qualifying
+            // match" needs an aggregation over the match evidence,
+            // which a stateless stream cannot express — the firehose
+            // emits matches ("mode":"match") and the periodic batch
+            // pass owns the actual removal, same division of labor as
+            // the dedup op's streaming-horizon vs batch-long-tail
+            require(!df.isStreaming,
+              "crosscorpus \"mode\":\"drop\" is batch-only (per-doc " +
+                "aggregation); stream \"mode\":\"match\" and filter in " +
+                "the periodic batch pass")
+            df.join(m.select(col("new_id").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+          case JNothing | JString("match") =>
+            m.select("new_id", "ref_id", "est_jaccard", "band")
+          case other => throw new IllegalArgumentException(
+            s"crosscorpus.mode: expected \"match\" or \"drop\", got $other")
+        }
       case "index" =>
         val wm = (op \ "watermark") match {
           case JString(s) => s

@@ -459,6 +459,70 @@ class FileConfigSpec extends SparkSpec {
     } finally qy2.stop()
   }
 
+  test("crosscorpus op: decontamination against a static reference " +
+    "corpus — match face on a stream, drop face in batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_cfg_xcorpus")
+    val t0 = 1706000000L
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val contaminated =
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    // the reference corpus (e.g. the benchmark slice)
+    val refPath = dir.resolve("reference.parquet").toString
+    Seq((100L, contaminated), (101L, "other reference text entirely " +
+      "different words with no overlap at all here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(refPath)
+
+    val incoming = Seq(
+      (1L, contaminated, ts(t0)), // exact copy of ref 100
+      (2L, "clean arriving document with fresh unique words nothing " +
+        "shared anywhere", ts(t0 + 10)))
+      .toDF("doc_id", "text", "time")
+
+    // batch match face: doc 1 collides with ref 100 in every band
+    val m = ConfigFile.applyOp(incoming, op(
+      s"""{"op":"crosscorpus","table":"$refPath","threshold":0.5}"""))
+    assert(m.columns.toSeq == Seq("new_id", "ref_id", "est_jaccard", "band"))
+    val pairs = m.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 100L && p._3 == 1.0),
+      s"matches: $pairs")
+    assert(!pairs.exists(_._1 == 2L), s"clean doc matched: $pairs")
+
+    // batch drop face: the contaminated doc is removed, shape kept
+    val kept = ConfigFile.applyOp(incoming, op(
+      s"""{"op":"crosscorpus","table":"$refPath","mode":"drop"}"""))
+    assert(kept.columns.toSeq == incoming.columns.toSeq)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(2L))
+
+    // streaming match face: stateless, the pair surfaces per batch
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val nd = ConfigFile.applyOp(in.toDF().toDF("doc_id", "text", "time"),
+      op(s"""{"op":"crosscorpus","table":"$refPath","threshold":0.5}"""))
+    val qy = nd.writeStream.format("memory")
+      .queryName("cfg_xcorpus_stream").outputMode("append").start()
+    try {
+      in.addData((1L, contaminated, ts(t0)),
+        (2L, "clean arriving document with fresh unique words nothing " +
+          "shared anywhere", ts(t0 + 10)))
+      qy.processAllAvailable()
+      val got = spark.table("cfg_xcorpus_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 100L)) && !got.exists(_._1 == 2L),
+        s"stream matches: $got")
+    } finally qy.stop()
+
+    // drop mode on a stream is rejected with the division-of-labor hint
+    val err = intercept[IllegalArgumentException] {
+      ConfigFile.applyOp(in.toDF().toDF("doc_id", "text", "time"),
+        op(s"""{"op":"crosscorpus","table":"$refPath","mode":"drop"}"""))
+    }
+    assert(err.getMessage.contains("batch-only"), err.getMessage)
+  }
+
   // ------------------------------------------------- file → Core lifecycle
 
   test("Loader: file config starts streams; reload restarts only edits; " +
