@@ -523,6 +523,83 @@ class FileConfigSpec extends SparkSpec {
     assert(err.getMessage.contains("batch-only"), err.getMessage)
   }
 
+  test("the whole curation firehose as ONE config file (the " +
+    "examples/curation.example.json shape): quality -> langid -> dedup " +
+    "-> tokens, plus a decontamination feed, no Scala") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_cfg_firehose")
+    def ts(s: Long) = new Timestamp(s * 1000)
+
+    // training corpora + benchmark slice the config references
+    val labeled = dir.resolve("labeled.parquet").toString
+    ((0 until 20).map(i =>
+      (i.toLong, s"alpha bravo charlie delta echo fox $i", "aa")) ++
+      (0 until 20).map(i =>
+        (100L + i, s"zulu xray quebec juliett kilo whisky $i", "zz")))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(labeled)
+    val trainCorpus = dir.resolve("train.parquet").toString
+    val contaminated = "alpha bravo charlie delta echo foxtrot golf " +
+      "hotel india juliett"
+    Seq((1L, contaminated), (2L, "assorted training words for merges"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(trainCorpus)
+    val benchmark = dir.resolve("benchmark.parquet").toString
+    Seq((500L, contaminated)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(benchmark)
+
+    val cfg = dir.resolve("curation.json")
+    write(cfg,
+      s"""{"streams": [
+         |  {"name": "curation", "source": "docs",
+         |   "pipeline": [
+         |     {"op": "quality", "minWords": 20},
+         |     {"op": "langid", "train": "$labeled",
+         |                      "artifact": "${dir.resolve("m_langid")}"},
+         |     {"op": "dedup", "horizon": "1 hour"},
+         |     {"op": "tokens", "train": "$trainCorpus",
+         |                      "artifact": "${dir.resolve("m_bpe")}"}],
+         |   "sink": {"kind": "memory"}},
+         |  {"name": "decontam", "source": "docs",
+         |   "pipeline": [
+         |     {"op": "crosscorpus", "table": "$benchmark",
+         |      "threshold": 0.5}],
+         |   "sink": {"kind": "memory"}}
+         |]}""".stripMargin)
+
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val core = new Core(spark)
+    val loader = new ConfigFile.Loader(core, spark, cfg,
+      sources0 = Map("docs" -> (() => in.toDF().toDF(
+        "doc_id", "text", "time"))))
+    try {
+      assert(loader.reload().toSet == Set("curation", "decontam"))
+      val good = (0 until 40).map(i => s"word$i the quick")
+        .mkString(" ") + " and of to in is it for on with as"
+      in.addData(
+        (10L, good, ts(1706000000L)),        // survives everything
+        (11L, good, ts(1706000010L)),        // exact dup of 10 -> dropped
+        (12L, "too short", ts(1706000020L)), // fails quality
+        (13L, contaminated, ts(1706000030L))) // fails quality; decontam hit
+      core.activeQueries.values.foreach(_.processAllAvailable())
+
+      val kept = loader.memorySinks("curation").rows
+      import scala.jdk.CollectionConverters._
+      val keptRows = kept.asScala.toSeq
+      assert(keptRows.map(_.getAs[Long]("doc_id")) == Seq(10L),
+        s"curation kept: ${keptRows.map(_.getAs[Long]("doc_id"))}")
+      val r = keptRows.head
+      assert(r.getAs[String]("predicted_lang") != null)
+      assert(r.getAs[Long]("n_bpe_tokens") > 0L)
+
+      val hits = loader.memorySinks("decontam").rows.asScala
+        .map(x => (x.getAs[Long]("new_id"), x.getAs[Long]("ref_id"))).toSet
+      assert(hits.contains((13L, 500L)), s"decontam hits: $hits")
+      assert(!hits.exists(_._1 == 10L), s"clean doc flagged: $hits")
+    } finally core.stop()
+  }
+
   // ------------------------------------------------- file → Core lifecycle
 
   test("Loader: file config starts streams; reload restarts only edits; " +
