@@ -224,6 +224,15 @@ object Main {
       }.toMap
       val newWs = blocks.collectFirst { case ("ws", o) => o }
       val newSse = blocks.collectFirst { case ("sse", o) => o }
+      // riemann-wire index queries (transport.clj:175-181): every tcp
+      // ingest server answers `Msg{query}` from the served index.
+      // Parsed HERE, before the first mutation below, so a malformed
+      // tcp port cannot leave a half-applied reload.
+      val newPorts: Set[Int] = blocks.collect {
+        case (name, o) if name != "ws" && name != "sse" &&
+            strOr(o \ "protocol", name) == "tcp" =>
+          int(o \ "port", s"servers.$name.port")
+      }.toSet
       loader.sources = thunks
       loader.sourceSignature = n => salts.getOrElse(n, "")
       // ws/sse dumps serve the in-memory event snapshot (Spark-free
@@ -249,13 +258,6 @@ object Main {
             dumpLine = index.dumpLine))
         sseSpec = sseCanon
       }
-      // riemann-wire index queries (transport.clj:175-181): every tcp
-      // ingest server answers `Msg{query}` from the served index
-      val newPorts: Set[Int] = blocks.collect {
-        case (name, o) if name != "ws" && name != "sse" &&
-            strOr(o \ "protocol", name) == "tcp" =>
-          int(o \ "port", s"servers.$name.port")
-      }.toSet
       (queryPorts -- newPorts)
         .foreach(graft.sources.RiemannServers.unregisterQueryHandler)
       (newPorts -- queryPorts).foreach(p =>
@@ -380,7 +382,10 @@ object Main {
     // works and {"tcp2": {"protocol": "tcp", ...}} opens a second one
     blocks.collect {
       case (name, o) if name != "ws" && name != "sse" =>
-        def port = int(o \ "port", s"servers.$name.port")
+        // EAGER val (not def): a malformed port must throw here, at
+        // extraction time, not when the stream first starts — reload
+        // relies on this to keep the old topology on a bad file
+        val port = int(o \ "port", s"servers.$name.port")
         val mk: () => DataFrame = strOr(o \ "protocol", name) match {
           case "tcp" if (o \ "tlskeystore") != JNothing =>
             // mutual-TLS termination (the reference's tls? server):

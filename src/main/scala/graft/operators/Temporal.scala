@@ -246,10 +246,18 @@ object Temporal {
         max(col("sess_end")).as("sess_end_us"),
         sum(col("sess_n")).as("n_events"))
       .select(keys.map(col) ++ Seq(
-        // floor-div back to whole seconds, matching
-        // unix_seconds(session_window.start/end) in [[sessionize]]
-        expr("sess_start_us div 1000000").as("session_start_s"),
-        expr("sess_end_us div 1000000").as("session_end_s"),
+        // FLOOR-div back to whole seconds, matching
+        // unix_seconds(session_window.start/end) in [[sessionize]].
+        // `div` truncates toward zero, so pre-epoch (negative)
+        // microseconds need the explicit floor correction — Spark's
+        // % keeps the dividend's sign, so a negative remainder means
+        // truncation rounded up and we step one second back.
+        expr("sess_start_us div 1000000 + " +
+          "(case when sess_start_us % 1000000 < 0 then -1 else 0 end)")
+          .as("session_start_s"),
+        expr("sess_end_us div 1000000 + " +
+          "(case when sess_end_us % 1000000 < 0 then -1 else 0 end)")
+          .as("session_end_s"),
         col("n_events")): _*)
   }
 }

@@ -64,6 +64,39 @@ object Models {
   private def manifestPath(path: String) = new Path(path, "manifest.json")
   private def dataPath(path: String) = new Path(path, "data").toString
 
+  /** md5 over the artifact's data files (relative name + content,
+    * sorted by name; hidden/underscore files skipped). Recorded in the
+    * manifest so a pre-planted or bit-rotted data directory can never
+    * be served under a syntactically valid manifest. Artifacts are
+    * tiny by construction (merge lists, vocab tables, codebooks —
+    * bounded by vocab caps, never corpus-proportional), so the full
+    * content hash is cheap. */
+  def dataChecksum(spark: SparkSession, path: String): Option[String] =
+    try {
+      val fs = hadoopFs(spark, path)
+      val root = new Path(dataPath(path))
+      if (!fs.exists(root)) return None
+      val files = fs.listStatus(root).filter(_.isFile).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          !n.startsWith(".") && !n.startsWith("_")
+        }.sortBy(_.getName)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      files.foreach { p =>
+        md.update(p.getName.getBytes("UTF-8"))
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (n > 0) md.update(buf, 0, n)
+            n = in.read(buf)
+          }
+        } finally in.close()
+      }
+      Some(md.digest().map(b => f"$b%02x").mkString)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Write `<path>/manifest.json` (overwrites). */
   private def writeManifest(spark: SparkSession, path: String,
       kind: String, config: Map[String, String]): Unit = {
@@ -72,16 +105,17 @@ object Models {
     val json = JsonMethods.pretty(JsonMethods.render(
       ("kind" -> kind) ~ ("format" -> FormatVersion) ~
         ("config" -> config) ~
-        ("config_hash" -> configHash(kind, config))))
+        ("config_hash" -> configHash(kind, config)) ~
+        ("data_md5" -> dataChecksum(spark, path))))
     val fs = hadoopFs(spark, path)
     val out = fs.create(manifestPath(path), true)
     try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
   }
 
   /** The manifest at `path`, or None if absent/unreadable. Returns
-    * (kind, format, config, configHash). */
+    * (kind, format, config, configHash, dataMd5). */
   def readManifest(spark: SparkSession, path: String)
-      : Option[(String, Int, Map[String, String], String)] =
+      : Option[(String, Int, Map[String, String], String, Option[String])] =
     try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
@@ -94,15 +128,21 @@ object Models {
       implicit val fmts: Formats = DefaultFormats
       Some(((j \ "kind").extract[String], (j \ "format").extract[Int],
         (j \ "config").extract[Map[String, String]],
-        (j \ "config_hash").extract[String]))
+        (j \ "config_hash").extract[String],
+        (j \ "data_md5").extractOpt[String]))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** True iff a valid artifact of `kind` trained under exactly
-    * `config` (same format version) sits at `path`. */
+    * `config` (same format version) sits at `path` AND its data files
+    * hash to the manifest's recorded checksum — a tampered or
+    * truncated data directory reads as "no artifact" and re-trains
+    * rather than serving planted rows. */
   def matches(spark: SparkSession, path: String, kind: String,
       config: Map[String, String]): Boolean =
-    readManifest(spark, path).exists { case (k, f, _, h) =>
-      k == kind && f == FormatVersion && h == configHash(kind, config)
+    readManifest(spark, path).exists { case (k, f, _, h, d) =>
+      k == kind && f == FormatVersion &&
+        h == configHash(kind, config) &&
+        d.nonEmpty && d == dataChecksum(spark, path)
     }
 
   /** Persist an artifact table + manifest (overwrites in place). */
@@ -110,14 +150,16 @@ object Models {
       config: Map[String, String]): Unit = {
     val spark = df.sparkSession
     // data first, manifest last: a crash mid-save leaves no manifest,
-    // so loadOrTrain treats the directory as absent and re-trains
+    // so loadOrTrain treats the directory as absent and re-trains; the
+    // manifest then records the just-written files' checksum
     val fs = hadoopFs(spark, path)
     fs.delete(manifestPath(path), false)
     df.write.mode("overwrite").parquet(dataPath(path))
     writeManifest(spark, path, kind, config)
   }
 
-  /** Read an artifact table back, verifying kind + format version. */
+  /** Read an artifact table back, verifying kind + format version and
+    * (when the manifest records one) the data-file checksum. */
   def load(spark: SparkSession, path: String, kind: String): DataFrame = {
     val m = readManifest(spark, path).getOrElse(throw new
         IllegalArgumentException(s"no model manifest at $path"))
@@ -125,6 +167,12 @@ object Models {
       s"artifact at $path is '${m._1}', expected '$kind'")
     require(m._2 == FormatVersion,
       s"artifact at $path has format ${m._2}, engine reads $FormatVersion")
+    m._5.foreach { want =>
+      val got = dataChecksum(spark, path)
+      require(got.contains(want),
+        s"artifact at $path fails its data checksum " +
+          s"(manifest $want, files ${got.getOrElse("<unreadable>")})")
+    }
     spark.read.parquet(dataPath(path))
   }
 
@@ -277,11 +325,22 @@ object Models {
 
   /** Default artifact root for a given corpus directory — keyed by an
     * md5 of the dir string so two scale factors never share artifacts
-    * (the corpus fingerprint still guards content changes). */
+    * (the corpus fingerprint still guards content changes).
+    *
+    * Rooted under `$GRAFT_MODELS_DIR` when set (production: point it
+    * at the data lake next to the corpus), else the user's own
+    * `~/.cache/graft_models` — NOT the world-writable `/tmp`, where
+    * another local user could pre-plant a directory and the OS tmp
+    * reaper silently discards artifacts. The manifest's `data_md5`
+    * additionally binds the manifest to the exact data files. */
   def defaultRoot(sfDir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
       .take(12)
-    s"/tmp/graft_models/$h"
+    val base = sys.env.get("GRAFT_MODELS_DIR").filter(_.nonEmpty)
+      .getOrElse(sys.props.get("user.home").filter(_.nonEmpty)
+        .map(_ + "/.cache/graft_models")
+        .getOrElse("/tmp/graft_models"))
+    s"$base/$h"
   }
 }

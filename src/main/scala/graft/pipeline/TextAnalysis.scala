@@ -164,12 +164,14 @@ object TextAnalysis {
     require(!df.columns.contains("predicted_lang") &&
       !df.columns.contains("nb_score"),
       "langid output columns predicted_lang/nb_score already exist")
-    df.withColumn("_ls", ColumnBridge.column(LangScoreExpr(
+    require(!df.columns.contains("__graft_ls"),
+      "langid reserves column __graft_ls")
+    df.withColumn("__graft_ls", ColumnBridge.column(LangScoreExpr(
         ColumnBridge.expression(col("text")), m.buckets,
         m.langs, m.lnb, m.lcFlat, m.seen)))
-      .withColumn("predicted_lang", col("_ls.predicted_lang"))
-      .withColumn("nb_score", col("_ls.nb_score"))
-      .drop("_ls")
+      .withColumn("predicted_lang", col("__graft_ls.predicted_lang"))
+      .withColumn("nb_score", col("__graft_ls.nb_score"))
+      .drop("__graft_ls")
   }
 
   /** Pass 1 of [[langIdNgram]]: the (lang, bucket) sufficient

@@ -96,7 +96,11 @@ class TemporalSpec extends SparkSpec {
       // microsecond gap compare: gap*1000+100 ms (10.1s vs gap 10s)
       // MUST split in both forms, gap*1000-100 must merge
       val gapMs = gap * 1000L
-      var tcur = 0L
+      // half the trials start PRE-EPOCH so the stream crosses zero:
+      // unix_seconds floors negative timestamps while `div` truncates
+      // toward zero, so this pins the bucketed form's floor-division
+      // (ADVICE r16 — sub-second negative session bounds diverged)
+      var tcur = if (trial % 2 == 0) -600L * 1000L - 500L else 0L
       val rows = (0 until 500).map { _ =>
         // mix touching-gap steps (exactly `gap`: MUST merge), sub-gap
         // steps, dup stamps, sub-second over/under-gap steps, and
