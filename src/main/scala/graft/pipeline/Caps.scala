@@ -33,6 +33,18 @@ object Caps {
     * one boilerplate bucket cannot dominate a stage. */
   val DefaultMaxBucket = 1000
 
+  /** Per-member hash-payload bound for pair-family GROUP synthesis
+    * (r17): inside a (band, bucket) aggregation row each member
+    * carries at most this many sorted 60-bit shingle hashes — 8 KB —
+    * so a group's payload is ≤ maxBucket · (cap·8 B + cells) ≈ 8 MB
+    * no matter how long its documents are (a book-length doc has
+    * ~10⁵ distinct shingles ≈ 800 KB; × 1000 members that is a
+    * heap-killing 800 MB row without the bound). Pairs whose
+    * truncated prefixes cannot prove membership either way are
+    * re-verified against the full sets via a narrow join — exactness
+    * is never traded, only the in-group fast path. */
+  val DefaultMaxInlineHashes = 1024
+
   private val nameCounter = new AtomicLong(0)
 
   /** Most recent engaged-cap observations, newest last:

@@ -424,20 +424,35 @@ object Dedup {
     * Value-identical to the retained join form
     * ([[ngramJaccardPairsJoin]], PipelineSpec randomized parity);
     * bounded by the hot-bucket cap (≤ maxBucket members per group), so
-    * no task ever sees more than cap² pair slots. */
+    * no task ever sees more than cap² pair slots.
+    *
+    * r17 payload bound: each group member inlines at most `maxInline`
+    * hashes (plus its TRUE set size), so an aggregation row is
+    * ≤ maxBucket · maxInline · 8 B no matter how long the documents
+    * are. [[NgramJaccardKernel.interBounded]] resolves pairs exactly
+    * when both sets fit; the rare pairs a truncated prefix cannot
+    * decide (at least one book-length member whose PPJoin prefix
+    * overruns the inline cap) re-verify against the full hash sets
+    * via a narrow doc_id join restricted to the over-cap documents —
+    * output identical, heap bounded. */
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, threshold: Double = 0.3,
       k: Int = 16, bands: Int = 8,
-      maxBucket: Int = Caps.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = Caps.DefaultMaxBucket,
+      maxInline: Int = Caps.DefaultMaxInlineHashes): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
+    require(maxInline > 0, s"maxInline ($maxInline) must be positive")
     // NOT cached: the signature and hash-set consumers each re-derive
     // shingles as a narrow kernel pass over the scan (~2 s of an 11 s
     // query at the 100x probe) — caching would pin a corpus-scale
     // relation past the query's lifetime (the CacheDisciplineSpec
     // contract), and at 100 TB the cache is impossible anyway
     val sh = shingles(docs, w).select(col("doc_id"), col("shingles"))
-    val hsh = sh.select(col("doc_id"), ColumnBridge.column(
+    val hshFull = sh.select(col("doc_id"), ColumnBridge.column(
       NgramHashSortExpr(ColumnBridge.expression(col("shingles"))))
       .as("hsh"))
+    // group members carry the true size + a bounded inline prefix
+    val hsh = hshFull.select(col("doc_id"), size(col("hsh")).as("n"),
+      slice(col("hsh"), 1, maxInline).as("hs"))
     val banded = lshBands(minhashSignatureFromShingles(sh, k), k, bands)
       .select("doc_id", "band", "bucket")
     val capped = capBands(banded, maxBucket)
@@ -455,7 +470,7 @@ object Dedup {
       .join(hsh, "doc_id")
       .groupBy("band", "hi", "lo")
       .agg(sort_array(collect_list(
-        struct(col("doc_id"), col("cells"), col("hsh")))).as("ms"))
+        struct(col("doc_id"), col("cells"), col("n"), col("hs")))).as("ms"))
       .filter(size(col("ms")) >= 2)
     val pairs = grp
       .select(col("band"), col("ms"),
@@ -466,15 +481,48 @@ object Dedup {
         FirstSharedBandExpr(
           ColumnBridge.expression(col("ma.cells")),
           ColumnBridge.expression(col("mb.cells")))) === col("band"))
-    pairs
-      .withColumn("inter", ColumnBridge.column(NgramInterExpr(
-        ColumnBridge.expression(col("ma.hsh")),
-        ColumnBridge.expression(col("mb.hsh")), threshold)))
-      .filter(col("inter") >= 0)
+      .withColumn("inter0", ColumnBridge.column(NgramInterBoundedExpr(
+        ColumnBridge.expression(col("ma.hs")),
+        ColumnBridge.expression(col("mb.hs")),
+        ColumnBridge.expression(col("ma.n")),
+        ColumnBridge.expression(col("mb.n")), threshold)))
+      .filter(col("inter0") >= 0 || col("inter0") === -2)
+      // inline prefixes ride past the group only for -2 rows, so the
+      // (dominant) exact rows stay narrow through the tail joins
       .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"),
+        col("inter0"), col("ma.n").as("n_a"), col("mb.n").as("n_b"),
+        when(col("inter0") === -2, col("ma.hs")).as("hs_a"),
+        when(col("inter0") === -2, col("mb.hs")).as("hs_b"))
+    // tail re-verify: a truncated prefix could not decide (-2). Only a
+    // doc LONGER than the inline cap can force this, so the re-join
+    // relation is the corpus's heavy tail, not the corpus; a small
+    // side's inline prefix IS its full set (n ≤ maxInline ⇒ complete).
+    // The length(text) pre-filter is a cheap NECESSARY condition
+    // (distinct word-shingles ≤ words+1 ≤ chars+2-w), pushed to the
+    // scan so the tail leg's shingle+hashsort kernel never touches
+    // short documents. Left-joined in the SAME pass as the exact rows
+    // (probe-only for them) — the expensive group-synthesis subtree
+    // runs exactly once.
+    val bigHsh = shingles(docs.where(length(col("text")) >= maxInline), w)
+      .select(col("doc_id"), ColumnBridge.column(
+        NgramHashSortExpr(ColumnBridge.expression(col("shingles"))))
+        .as("hsh"))
+      .filter(size(col("hsh")) > maxInline)
+    // aliased (not pre-renamed) joins keep the two tail subtrees
+    // canonically identical, so ReuseExchange builds the broadcast once
+    pairs
+      .join(bigHsh.as("ta"), col("doc_a") === col("ta.doc_id"), "left")
+      .join(bigHsh.as("tb"), col("doc_b") === col("tb.doc_id"), "left")
+      .withColumn("inter",
+        when(col("inter0") >= 0, col("inter0"))
+          .otherwise(ColumnBridge.column(NgramInterExpr(
+            ColumnBridge.expression(coalesce(col("ta.hsh"), col("hs_a"))),
+            ColumnBridge.expression(coalesce(col("tb.hsh"), col("hs_b"))),
+            threshold))))
+      .filter(col("inter") >= 0)
+      .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
-          (size(col("ma.hsh")) + size(col("mb.hsh")) - col("inter")))
-          .as("jaccard"))
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -565,6 +565,54 @@ object NgramJaccardKernel {
     }
     n
   }
+
+  /** PPJoin decision over possibly-TRUNCATED sorted hash prefixes —
+    * the r17 payload-bounded group-synthesis contract. `a`/`b` carry
+    * at most the first `cap` hashes (ascending) of sets whose TRUE
+    * sizes are `na`/`nb`; the caller bounds every aggregation-row
+    * payload at cap·8 bytes per member regardless of document length.
+    *
+    * Returns the exact |A ∩ B| (≥ 0) when both arrays are complete;
+    * -1 when the pair PROVABLY cannot reach `threshold` (length
+    * filter on the true sizes, or the full PPJoin prefixes fit inside
+    * the truncated arrays and are disjoint); -2 when the truncated
+    * prefixes cannot decide — the caller re-verifies those few pairs
+    * against the full hash sets via a narrow join. Every -1 is
+    * conservative, so exact ∪ re-verified emits EXACTLY the
+    * unfiltered form's rows. */
+  def interBounded(a: ArrayData, b: ArrayData, na: Int, nb: Int,
+      threshold: Double): java.lang.Integer = {
+    if (a == null || b == null) return null
+    val ka = a.numElements()
+    val kb = b.numElements()
+    if (ka >= na && kb >= nb) return inter(a, b, threshold)
+    // length filter on the TRUE sizes
+    val maxI = math.min(na, nb)
+    if (na + nb > 0 &&
+        maxI.toDouble / (na + nb - maxI) < threshold) return -1
+    if (threshold > 0 && maxI > 0) {
+      // prefix filter over whatever part of each exact prefix the
+      // truncated arrays still hold; only DECISIVE (-1) when both
+      // exact prefixes fit inside the available data
+      val alpha = math.floor(threshold * math.max(na, nb)).toInt
+      val la = math.min(na, na - alpha + 1)
+      val lb = math.min(nb, nb - alpha + 1)
+      val sa = math.min(la, ka)
+      val sb = math.min(lb, kb)
+      var ia = 0
+      var ib = 0
+      var found = false
+      while (!found && ia < sa && ib < sb) {
+        val va = a.getLong(ia)
+        val vb = b.getLong(ib)
+        if (va == vb) found = true
+        else if (va < vb) ia += 1
+        else ib += 1
+      }
+      if (!found && la <= ka && lb <= kb) return -1
+    }
+    -2
+  }
 }
 
 /** `ngram_hash_sort(shingles)`: sorted array<long> of 60-bit md5
@@ -611,6 +659,55 @@ case class NgramInterExpr(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `ngram_inter_bounded(hs_a, hs_b, n_a, n_b)`: the truncated-prefix
+  * form of [[NgramInterExpr]] — see
+  * [[NgramJaccardKernel.interBounded]]. Null iff either array is
+  * null. */
+case class NgramInterBoundedExpr(hsA: Expression, hsB: Expression,
+    nA: Expression, nB: Expression, threshold: Double)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def first: Expression = hsA
+  override def second: Expression = hsB
+  override def third: Expression = nA
+  override def fourth: Expression = nB
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val na = nA.eval(input)
+    val nb = nB.eval(input)
+    if (na == null || nb == null) return null
+    val r = NgramJaccardKernel.interBounded(
+      hsA.eval(input).asInstanceOf[ArrayData],
+      hsB.eval(input).asInstanceOf[ArrayData],
+      na.asInstanceOf[Int], nb.asInstanceOf[Int], threshold)
+    if (r == null) null else r.intValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = hsA.genCode(ctx)
+    val b = hsB.genCode(ctx)
+    val na = nA.genCode(ctx)
+    val nb = nB.genCode(ctx)
+    val boxed = ctx.freshName("interBoxed")
+    ev.copy(code = code"""
+      ${a.code}
+      ${b.code}
+      ${na.code}
+      ${nb.code}
+      java.lang.Integer $boxed =
+        (${na.isNull} || ${nb.isNull}) ? null :
+          graft.pipeline.NgramJaccardKernel.interBounded(
+            ${a.isNull} ? null : ${a.value},
+            ${b.isNull} ? null : ${b.value},
+            ${na.value}, ${nb.value}, $threshold);
+      boolean ${ev.isNull} = $boxed == null;
+      int ${ev.value} = ${ev.isNull} ? -1 : $boxed.intValue();
+      """)
+  }
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression, q: Expression): Expression =
+    copy(hsA = f, hsB = s, nA = t, nB = q)
 }
 
 /** Per-doc packed LSH cell array for the group-synthesis candidate

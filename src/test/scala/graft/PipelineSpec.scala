@@ -715,16 +715,52 @@ class PipelineSpec extends SparkSpec {
       } ++ Seq((9000L, null: String), (9001L, null: String),
         (9002L, ""), (9003L, ""))
       val docs = rows.toDF("doc_id", "text")
-      // maxBucket = 3 forces the hot-cap into play on the larger clusters
-      for (cap <- Seq(3, 1000)) {
+      // maxBucket = 3 forces the hot-cap into play on the larger
+      // clusters; maxInline = 4 truncates nearly every inline prefix
+      // so the -2 re-verify join path carries the whole answer, and
+      // maxInline = 12 mixes decided-in-group with re-verified pairs
+      for (cap <- Seq(3, 1000); inline <- Seq(4, 12, 1 << 20)) {
         val fast = graft.pipeline.Dedup
-          .ngramJaccardPairs(docs, 3, 0.3, 16, 8, cap)
+          .ngramJaccardPairs(docs, 3, 0.3, 16, 8, cap, inline)
           .collect().map(_.toSeq).toSet
         val spec = graft.pipeline.Dedup
           .ngramJaccardPairsJoin(docs, 3, 0.3, 16, 8, cap)
           .collect().map(_.toSeq).toSet
-        assert(fast == spec, s"trial $trial cap $cap: " +
+        assert(fast == spec, s"trial $trial cap $cap inline $inline: " +
           s"only-fast=${(fast -- spec).take(3)} only-spec=${(spec -- fast).take(3)}")
+      }
+    }
+  }
+
+  test("interBounded: exact on complete arrays, -1 only when provable, " +
+    "-2 routes to re-verify (randomized vs exact jaccard)") {
+    val rnd = new scala.util.Random(17)
+    def ad(xs: Seq[Long]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        xs.sorted.toArray)
+    for (_ <- 0 until 2000) {
+      val na = rnd.nextInt(30)
+      val nb = rnd.nextInt(30)
+      val pool = (0 until 40).map(_.toLong)
+      val a = rnd.shuffle(pool).take(na).sorted
+      val b = rnd.shuffle(pool).take(nb).sorted
+      val t = Seq(0.0, 0.3, 0.5, 0.9)(rnd.nextInt(4))
+      val cap = 1 + rnd.nextInt(30)
+      val inter = a.toSet.intersect(b.toSet).size
+      val uni = a.toSet.union(b.toSet).size
+      val j = if (uni == 0) 0.0 else inter.toDouble / uni
+      val r = graft.pipeline.NgramJaccardKernel.interBounded(
+        ad(a.take(cap)), ad(b.take(cap)), na, nb, t)
+      if (na <= cap && nb <= cap)
+        assert(r == inter || (r == -1 && j < t),
+          s"complete arrays: na=$na nb=$nb cap=$cap t=$t got $r")
+      else {
+        // truncated: -1 must be PROVABLY below threshold; a
+        // qualifying pair must never be dropped
+        if (j >= t) assert(r != -1,
+          s"false drop: j=$j >= t=$t na=$na nb=$nb cap=$cap got $r")
+        assert(r == -1 || r == -2,
+          s"truncated arrays must defer or refute, got $r")
       }
     }
   }

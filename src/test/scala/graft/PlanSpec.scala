@@ -578,6 +578,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate posexplode"), s"pair generators missing:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"pair-level verification join leaked back:\n$p")
+    // r17 payload bound: members inline a slice(hsh, 1, maxInline)
+    // prefix and the truncation-aware kernel decides in-group; the
+    // re-verify leg joins only the heavy tail (size(hsh) > cap)
+    assert(p.contains("ngraminterboundedexpr") ||
+      p.contains("NgramInterBoundedExpr"),
+      s"bounded in-group kernel missing:\n$p")
+    assert(p.toLowerCase.contains("slice("),
+      s"inline-prefix truncation missing:\n$p")
+    assert(p.contains(s"> ${graft.pipeline.Caps.DefaultMaxInlineHashes}"),
+      s"heavy-tail re-verify filter missing:\n$p")
   }
 
   test("bucketed as-of: data-volume windows partition on (keys, bucket), " +
