@@ -155,7 +155,8 @@ object Bpe {
   def encode(docs: DataFrame, merges: Seq[String]): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val counts = ColumnBridge.column(BpeCountExpr(
-      ColumnBridge.expression(col("text")), merges))
+      ColumnBridge.expression(col("text")),
+      docs.sparkSession.sparkContext.broadcast(merges.toArray)))
     docs.select(col("doc_id"), counts.as("c"))
       .select(col("doc_id"), col("c.n_pretokens").as("n_pretokens"),
         col("c.n_bpe_tokens").as("n_bpe_tokens"))
@@ -170,7 +171,9 @@ object Bpe {
   def encodeTokens(docs: DataFrame, merges: Seq[String]): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     docs.select(col("doc_id"), ColumnBridge.column(BpeTokensExpr(
-      ColumnBridge.expression(col("text")), merges)).as("tokens"))
+      ColumnBridge.expression(col("text")),
+      docs.sparkSession.sparkContext.broadcast(merges.toArray)))
+      .as("tokens"))
   }
 
   /** The expression-tree form of [[encode]] (nested codegen'd replaces,

@@ -280,15 +280,13 @@ object UnigramKernel {
   * expression instance, like [[BpeCountExpr]]. Never null (a null doc
   * is the zero row, matching the column form's left-join coalesce). */
 case class UnigramCountExpr(child: Expression,
-    model: Seq[(String, Long)]) extends UnaryExpression {
+    model: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, java.lang.Long]])
+    extends UnaryExpression {
   override def dataType: DataType = UnigramKernel.encodeStruct
   override def nullable: Boolean = false
 
-  @transient private lazy val costMap = {
-    val m = new java.util.HashMap[String, java.lang.Long]()
-    model.foreach { case (p, c) => m.put(p, java.lang.Long.valueOf(c)) }
-    m
-  }
+  @transient private lazy val costMap = model.value
 
   @transient private lazy val evalCache =
     new ThreadLocal[java.util.HashMap[String, Array[Long]]] {
@@ -303,8 +301,12 @@ case class UnigramCountExpr(child: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
-    val costRef = ctx.addReferenceObj("unigramCosts", costMap,
-      "java.util.HashMap")
+    // the vocab rides a Broadcast STUB in the references array — the
+    // payload is fetched once per executor, not serialized per stage
+    val bcRef = ctx.addReferenceObj("unigramCostsBc", model,
+      "org.apache.spark.broadcast.Broadcast")
+    val costRef = ctx.addMutableState("java.util.HashMap", "unigramCosts",
+      v => s"$v = (java.util.HashMap) $bcRef.value();")
     val cacheVar = ctx.addMutableState("java.util.HashMap", "unigramMemo",
       v => s"$v = new java.util.HashMap();")
     ev.copy(code = code"""
@@ -323,16 +325,14 @@ case class UnigramCountExpr(child: Expression,
   * sequence (array<string>) under the trained piece-cost model — memo
   * isolation per expression instance, like [[UnigramCountExpr]]. */
 case class UnigramTokensExpr(child: Expression,
-    model: Seq[(String, Long)]) extends UnaryExpression {
+    model: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, java.lang.Long]])
+    extends UnaryExpression {
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
-  @transient private lazy val costMap = {
-    val m = new java.util.HashMap[String, java.lang.Long]()
-    model.foreach { case (p, c) => m.put(p, java.lang.Long.valueOf(c)) }
-    m
-  }
+  @transient private lazy val costMap = model.value
 
   @transient private lazy val evalCache =
     new ThreadLocal[java.util.HashMap[String, Array[UTF8String]]] {
@@ -347,8 +347,10 @@ case class UnigramTokensExpr(child: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
-    val costRef = ctx.addReferenceObj("unigramCosts", costMap,
-      "java.util.HashMap")
+    val bcRef = ctx.addReferenceObj("unigramCostsBc", model,
+      "org.apache.spark.broadcast.Broadcast")
+    val costRef = ctx.addMutableState("java.util.HashMap", "unigramCosts",
+      v => s"$v = (java.util.HashMap) $bcRef.value();")
     val cacheVar = ctx.addMutableState("java.util.HashMap", "unigramTokMemo",
       v => s"$v = new java.util.HashMap();")
     ev.copy(code = code"""
@@ -366,12 +368,13 @@ case class UnigramTokensExpr(child: Expression,
 
 /** `bpe_count(text)`: struct(n_pretokens, n_bpe_tokens) under the
   * trained `merges`, applied in rank order. */
-case class BpeCountExpr(child: Expression, merges: Seq[String])
+case class BpeCountExpr(child: Expression,
+    merges: org.apache.spark.broadcast.Broadcast[Array[String]])
     extends UnaryExpression {
   override def dataType: DataType = BpeKernel.countStruct
   override def nullable: Boolean = child.nullable
 
-  private lazy val mergesArr = merges.toArray
+  @transient private lazy val mergesArr = merges.value
 
   /** Interpreted-eval memo table — PER EXPRESSION INSTANCE (the memo
     * is only valid for this instance's merge list; a shared map would
@@ -391,8 +394,12 @@ case class BpeCountExpr(child: Expression, merges: Seq[String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
-    val mergesRef = ctx.addReferenceObj("bpeMerges", mergesArr,
-      "java.lang.String[]")
+    // merge list rides a Broadcast STUB — fetched once per executor
+    // instead of serialized into every stage's task binary
+    val bcRef = ctx.addReferenceObj("bpeMergesBc", merges,
+      "org.apache.spark.broadcast.Broadcast")
+    val mergesRef = ctx.addMutableState("java.lang.String[]", "bpeMerges",
+      v => s"$v = (java.lang.String[]) $bcRef.value();")
     val cacheVar = ctx.addMutableState("java.util.HashMap", "bpeMemo",
       v => s"$v = new java.util.HashMap();")
     ev.copy(code = code"""
@@ -410,13 +417,14 @@ case class BpeCountExpr(child: Expression, merges: Seq[String])
 /** `bpe_tokens(text)`: the document's materialized BPE token sequence
   * (array<string>) under the trained `merges`, rank order — same memo
   * isolation as [[BpeCountExpr]]. */
-case class BpeTokensExpr(child: Expression, merges: Seq[String])
+case class BpeTokensExpr(child: Expression,
+    merges: org.apache.spark.broadcast.Broadcast[Array[String]])
     extends UnaryExpression {
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
-  private lazy val mergesArr = merges.toArray
+  @transient private lazy val mergesArr = merges.value
 
   @transient private lazy val evalCache =
     new ThreadLocal[java.util.HashMap[String, Array[UTF8String]]] {
@@ -431,8 +439,10 @@ case class BpeTokensExpr(child: Expression, merges: Seq[String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
-    val mergesRef = ctx.addReferenceObj("bpeMerges", mergesArr,
-      "java.lang.String[]")
+    val bcRef = ctx.addReferenceObj("bpeMergesBc", merges,
+      "org.apache.spark.broadcast.Broadcast")
+    val mergesRef = ctx.addMutableState("java.lang.String[]", "bpeMerges",
+      v => s"$v = (java.lang.String[]) $bcRef.value();")
     val cacheVar = ctx.addMutableState("java.util.HashMap", "bpeTokMemo",
       v => s"$v = new java.util.HashMap();")
     ev.copy(code = code"""

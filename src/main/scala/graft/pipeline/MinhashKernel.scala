@@ -357,10 +357,18 @@ case class BigramHashExpr(child: Expression, p: Long, buckets: Int)
   * left-join coalesce. TextAnalysis.langIdNgramColumns keeps the
   * join-form as the parity pin (PipelineSpec). */
 object LangScoreKernel {
+  /** Codegen-init helpers: unpack the broadcast [[LangIdModel]] into
+    * the primitive shapes the scorer walks (once per task, not per
+    * row). */
+  def langsArr(m: LangIdModel): Array[UTF8String] =
+    m.langs.map(UTF8String.fromString).toArray
+  def lnbArr(m: LangIdModel): Array[Long] = m.lnb.toArray
+
   /** `lc` is the dense (lang × bucket) grid flattened ROW-MAJOR
     * (`lc(l * buckets + b)`) — a primitive long[] so the trained model
-    * serializes compactly with the task binary instead of as boxed
-    * nested Seqs. */
+    * stays compact; the whole model rides ONE Broadcast stub in the
+    * plan (fetched per executor), never boxed nested Seqs in the task
+    * binary. */
   def score(text: UTF8String, buckets: Int, langs: Array[UTF8String],
       lnb: Array[Long], lc: Array[Long],
       seen: Array[Boolean]): org.apache.spark.sql.catalyst.InternalRow = {
@@ -400,38 +408,42 @@ object LangScoreKernel {
 }
 
 /** `lang_score(text)`: struct(predicted_lang, nb_score) under the
-  * trained grid — never null. */
-case class LangScoreExpr(child: Expression, buckets: Int,
-    langs: Seq[String], lnb: Seq[Long], lcFlat: Array[Long],
-    seen: Array[Boolean]) extends UnaryExpression {
-  require(lcFlat.length == langs.length * buckets,
-    s"lcFlat must be the row-major |langs|×buckets grid: " +
-      s"${lcFlat.length} != ${langs.length} × $buckets")
+  * trained grid — never null. The model (a |langs|×buckets grid: at
+  * production scale 100+ langs × 4096 buckets ≈ multi-MB) rides a
+  * Broadcast stub, fetched once per executor instead of serialized
+  * into every stage's task binary. */
+case class LangScoreExpr(child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[LangIdModel])
+    extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("predicted_lang", StringType, nullable = false),
     StructField("nb_score", LongType, nullable = false)))
   override def nullable: Boolean = false
 
-  @transient private lazy val langsArr =
-    langs.map(UTF8String.fromString).toArray
-  @transient private lazy val lnbArr = lnb.toArray
+  @transient private lazy val m = model.value
+  @transient private lazy val langsArr = LangScoreKernel.langsArr(m)
+  @transient private lazy val lnbArr = LangScoreKernel.lnbArr(m)
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
     LangScoreKernel.score(child.eval(input).asInstanceOf[UTF8String],
-      buckets, langsArr, lnbArr, lcFlat, seen)
+      m.buckets, langsArr, lnbArr, m.lcFlat, m.seen)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
-    val langsRef = ctx.addReferenceObj("lsLangs", langsArr,
-      "org.apache.spark.unsafe.types.UTF8String[]")
-    val lnbRef = ctx.addReferenceObj("lsLnb", lnbArr, "long[]")
-    val lcRef = ctx.addReferenceObj("lsLc", lcFlat, "long[]")
-    val seenRef = ctx.addReferenceObj("lsSeen", seen, "boolean[]")
+    val bcRef = ctx.addReferenceObj("lsModelBc", model,
+      "org.apache.spark.broadcast.Broadcast")
+    val mVar = ctx.addMutableState("graft.pipeline.LangIdModel", "lsModel",
+      v => s"$v = (graft.pipeline.LangIdModel) $bcRef.value();")
+    val langsRef = ctx.addMutableState(
+      "org.apache.spark.unsafe.types.UTF8String[]", "lsLangs",
+      v => s"$v = graft.pipeline.LangScoreKernel.langsArr($mVar);")
+    val lnbRef = ctx.addMutableState("long[]", "lsLnb",
+      v => s"$v = graft.pipeline.LangScoreKernel.lnbArr($mVar);")
     ev.copy(code = code"""
       ${c.code}
       InternalRow ${ev.value} = graft.pipeline.LangScoreKernel.score(
-        ${c.isNull} ? null : ${c.value}, $buckets, $langsRef, $lnbRef,
-        $lcRef, $seenRef);
+        ${c.isNull} ? null : ${c.value}, $mVar.buckets(), $langsRef,
+        $lnbRef, $mVar.lcFlat(), $mVar.seen());
       """,
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }

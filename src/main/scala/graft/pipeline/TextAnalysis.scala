@@ -11,7 +11,11 @@ import org.apache.spark.sql.types.DecimalType
   * long[], and the seen-bucket mask. Persistable via
   * [[Models.saveLangId]] / [[Models.loadLangId]]. */
 case class LangIdModel(buckets: Int, langs: Seq[String], lnb: Seq[Long],
-    lcFlat: Array[Long], seen: Array[Boolean])
+    lcFlat: Array[Long], seen: Array[Boolean]) {
+  require(lcFlat.length == langs.length * buckets,
+    s"lcFlat must be the row-major |langs|×buckets grid: " +
+      s"${lcFlat.length} != ${langs.length} × $buckets")
+}
 
 /** Text-analysis operators for training-data curation: token counting,
   * quality scoring, language-ID heuristics, and content fingerprinting.
@@ -147,8 +151,8 @@ object TextAnalysis {
     // kernel; langIdNgramColumns keeps the join form as the parity pin
     docs.select(col("doc_id"), col("lang").as("declared_lang"),
         ColumnBridge.column(LangScoreExpr(
-          ColumnBridge.expression(col("text")), m.buckets,
-          m.langs, m.lnb, m.lcFlat, m.seen)).as("w"))
+          ColumnBridge.expression(col("text")),
+          docs.sparkSession.sparkContext.broadcast(m))).as("w"))
       .select(col("doc_id"), col("declared_lang"),
         col("w.predicted_lang").as("predicted_lang"),
         col("w.nb_score").as("nb_score"))
@@ -167,8 +171,8 @@ object TextAnalysis {
     require(!df.columns.contains("__graft_ls"),
       "langid reserves column __graft_ls")
     df.withColumn("__graft_ls", ColumnBridge.column(LangScoreExpr(
-        ColumnBridge.expression(col("text")), m.buckets,
-        m.langs, m.lnb, m.lcFlat, m.seen)))
+        ColumnBridge.expression(col("text")),
+        df.sparkSession.sparkContext.broadcast(m))))
       .withColumn("predicted_lang", col("__graft_ls.predicted_lang"))
       .withColumn("nb_score", col("__graft_ls.nb_score"))
       .drop("__graft_ls")

@@ -189,7 +189,7 @@ object Unigram {
     import org.apache.spark.sql.graft.ColumnBridge
     docs.select(col("doc_id"), ColumnBridge.column(UnigramCountExpr(
         ColumnBridge.expression(col("text")),
-        model.map { case (p, _, c) => (p, c) })).as("u"))
+        broadcastCosts(docs, model))).as("u"))
       .select(col("doc_id"), col("u.n_pretokens").as("n_pretokens"),
         col("u.n_unigram_tokens").as("n_unigram_tokens"),
         col("u.total_cost").as("total_cost"))
@@ -264,7 +264,21 @@ object Unigram {
     import org.apache.spark.sql.graft.ColumnBridge
     docs.select(col("doc_id"), ColumnBridge.column(UnigramTokensExpr(
       ColumnBridge.expression(col("text")),
-      model.map { case (p, _, c) => (p, c) })).as("tokens"))
+      broadcastCosts(docs, model))).as("tokens"))
+  }
+
+  /** The trained (piece → cost) vocab as ONE broadcast HashMap — the
+    * shape both Viterbi kernels walk, shipped once per executor
+    * instead of re-serialized with every stage's task binary (at a
+    * production 50 k-piece vocab the literal form is multi-MB of pure
+    * serialization tax per stage). */
+  private def broadcastCosts(docs: DataFrame,
+      model: Seq[(String, Long, Long)])
+      : org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, java.lang.Long]] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    model.foreach { case (p, _, c) => m.put(p, java.lang.Long.valueOf(c)) }
+    docs.sparkSession.sparkContext.broadcast(m)
   }
 
   /** Train + materialize tokens (the `q_unigram_tokens` surface). */

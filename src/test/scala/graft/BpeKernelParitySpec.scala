@@ -77,4 +77,32 @@ class BpeKernelParitySpec extends SparkSpec {
     compare(docs.orderBy("doc_id").collect()
       .map(r => r.getString(1)).toSeq, merges)
   }
+
+  test("trained models ride Broadcast stubs: a production-scale merge " +
+    "list adds ~nothing to the serialized expression tree") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def ser(o: AnyRef): Int = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close()
+      bos.size()
+    }
+    // 50k merges ≈ what a real tokenizer ships; as a literal Seq field
+    // this was multi-MB in every stage's task binary
+    val merges = (0 until 50000).map(i => s"tok${i} en${i % 97}").toArray
+    assert(ser(merges) > 500000, "the model itself IS multi-hundred-KB")
+    val bc = spark.sparkContext.broadcast(merges)
+    val expr = graft.pipeline.BpeCountExpr(
+      ColumnBridge.expression(org.apache.spark.sql.functions.col("text")),
+      bc)
+    val exprSize = ser(expr)
+    assert(exprSize < 65536,
+      s"expression tree must carry a stub, got $exprSize bytes")
+    // and the stub still resolves: kernel output matches a literal run
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((1L, "tok1 en1 zzz")).toDF("doc_id", "text")
+    val viaBc = Bpe.encode(docs, merges.toSeq).collect().head
+    assert(viaBc.getLong(1) == 5L) // pretokens counted under the model
+  }
 }
