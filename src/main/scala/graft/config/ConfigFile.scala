@@ -106,6 +106,28 @@ case class SEventX(
   *                    // dropDuplicatesWithinWatermark for uniqueness);
   *                    // "drop" keeps only UNcontaminated input rows —
   *                    // batch-only (needs per-doc aggregation)
+  *   {"op":"cap",     "maxPerSource":N, "orderCol":"doc_id"}
+  *                    // per-source anti-dominance cap (batch job)
+  *   {"op":"split",   "trainFrac":0.9, "valFrac":0.05,
+  *                    "idCol":"doc_id", "keep":"train"}
+  *                    // deterministic md5 train/val/test assignment —
+  *                    // narrow, works on streams too; "keep" filters
+  *                    // to one split in place
+  *   {"op":"pack",    "budget":2048, "nShards":8, "orderCol":"doc_id"}
+  *                    // concat-and-chunk packing layout (batch job)
+  *   {"op":"sample",  "alpha":0.5, "targetFrac":0.5, "by":"source"}
+  *                    // temperature sampling by source (batch job)
+  *   {"op":"mixture", "budgetTokens":N, "alpha":0.5, "maxEpochs":1.0,
+  *                    "by":"source"}
+  *                    // token-budget mixture plan, one row per source
+  *                    // (batch job)
+  *
+  * Batch jobs ([[runJobs]]) share this op compiler: a `jobs` array of
+  * {"name", "input": <parquet>, "pipeline": [ops...], "output":
+  * <parquet>, "mode": "overwrite"} entries runs each pipeline once
+  * over the input corpus — the planning passes (cap/pack/sample/
+  * mixture) that need corpus-level aggregation live here, next to the
+  * same quality/dedup/tokens ops the firehose runs continuously.
   *
   * Sink spec: {"kind":"memory"|"console"|<registered>, "outputMode":...,
   * "checkpoint": "<dir>"} — `memory` instances are cached per stream
@@ -184,6 +206,72 @@ object ConfigFile {
     }
     included ++ own
   }
+
+  /** The include-merged `jobs` arrays — the BATCH half of the curation
+    * config surface. A job is a one-shot corpus pass (the planners the
+    * streaming firehose cannot express: per-source caps, packing
+    * layouts, sampling, mixture tables):
+    *
+    * {{{
+    * "jobs": [
+    *   {"name": "train-set", "input": "<parquet path>",
+    *    "pipeline": [{"op": "cap", ...}, {"op": "split", "keep": "train"},
+    *                 {"op": "pack", "budget": 2048}],
+    *    "output": "<parquet path>", "mode": "overwrite"}
+    * ]
+    * }}}
+    */
+  def loadJobs(path: Path, seen: Set[Path] = Set.empty): List[JObject] = {
+    val real = path.toRealPath()
+    if (seen.contains(real))
+      throw new IllegalArgumentException(s"include cycle at $real")
+    val doc = JsonMethods.parse(Files.readString(real))
+    val included = (doc \ "include") match {
+      case JArray(vs) => vs.flatMap {
+        case JString(rel) =>
+          loadJobs(real.getParent.resolve(rel), seen + real)
+        case other => throw new IllegalArgumentException(
+          s"include entries must be strings, got $other")
+      }
+      case _ => Nil
+    }
+    val own = (doc \ "jobs") match {
+      case JArray(js) => js.collect { case o: JObject => o }
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(
+        s"jobs must be an array, got $other")
+    }
+    included ++ own
+  }
+
+  /** Run every batch job in the file: read `input` parquet, fold the
+    * job's `pipeline` through [[applyOp]] on the batch frame, write
+    * `output` parquet (`mode` defaults to overwrite — a planning pass
+    * is re-runnable by design). Returns (name, rows written) per job,
+    * in file order. The SAME op compiler serves both faces, so a
+    * pipeline op behaves identically in a job and in a stream. */
+  def runJobs(spark: SparkSession, path: Path): Seq[(String, Long)] =
+    loadJobs(path).map { job =>
+      val name = str(job \ "name", "job.name")
+      val in = spark.read.parquet(str(job \ "input", s"$name.input"))
+      val out = (job \ "pipeline") match {
+        case JArray(ops) =>
+          ops.foldLeft(in) {
+            case (d, o: JObject) => applyOp(d, o)
+            case (_, other) => throw new IllegalArgumentException(
+              s"$name: pipeline entries must be objects, got $other")
+          }
+        case JNothing => in
+        case other => throw new IllegalArgumentException(
+          s"$name: pipeline must be an array, got $other")
+      }
+      val target = str(job \ "output", s"$name.output")
+      out.write.mode((job \ "mode") match {
+        case JString(m) => m
+        case _ => "overwrite"
+      }).parquet(target)
+      name -> spark.read.parquet(target).count()
+    }
 
   private[graft] def str(v: JValue, what: String): String = v match {
     case JString(s) => s
@@ -549,10 +637,107 @@ object ConfigFile {
         df.withColumn(helper, org.apache.spark.sql.graft.ColumnBridge
             .column(graft.pipeline.BpeCountExpr(
               org.apache.spark.sql.graft.ColumnBridge.expression(
-                col("text")), merges)))
+                col("text")),
+              spark.sparkContext.broadcast(merges.toArray))))
           .withColumn("n_pretokens", col(s"$helper.n_pretokens"))
           .withColumn("n_bpe_tokens", col(s"$helper.n_bpe_tokens"))
           .drop(helper)
+      case "cap" =>
+        // per-source anti-dominance cap (batch planning pass: needs
+        // the per-source rank, a corpus-level window)
+        require(!df.isStreaming,
+          "cap is a corpus-level planner — run it in a batch job")
+        require(df.columns.contains("source"),
+          "cap op needs a `source` column")
+        graft.pipeline.Curation.sourceCap(df,
+          num(op \ "maxPerSource", "cap.maxPerSource").toInt,
+          (op \ "orderCol") match {
+            case JString(c) => c
+            case _ => "doc_id"
+          })
+      case "split" =>
+        // deterministic train/val/test assignment — a narrow hash
+        // projection, so it also drops into a streaming pipeline;
+        // optional "keep" filters to one split in place
+        val out = graft.pipeline.Curation.splitAssign(df,
+          (op \ "trainFrac") match {
+            case JNothing => 0.9
+            case v => num(v, "split.trainFrac")
+          },
+          (op \ "valFrac") match {
+            case JNothing => 0.05
+            case v => num(v, "split.valFrac")
+          },
+          (op \ "idCol") match {
+            case JString(c) => c
+            case _ => "doc_id"
+          })
+        (op \ "keep") match {
+          case JString(s) =>
+            require(Set("train", "val", "test")(s),
+              s"split.keep must be train|val|test, got '$s'")
+            out.filter(col("split") === s)
+          case _ => out
+        }
+      case "pack" =>
+        // concat-and-chunk sequence packing layout (batch: needs the
+        // per-shard running token sum)
+        require(!df.isStreaming,
+          "pack is a corpus-level planner — run it in a batch job")
+        require(df.columns.contains("text") &&
+          df.columns.contains("lang"),
+          "pack op needs `text` and `lang` columns")
+        graft.pipeline.Curation.packSequences(df,
+          num(op \ "budget", "pack.budget").toInt,
+          (op \ "nShards") match {
+            case JNothing => 8
+            case v => num(v, "pack.nShards").toInt
+          },
+          (op \ "orderCol") match {
+            case JString(c) => c
+            case _ => "doc_id"
+          })
+      case "sample" =>
+        // temperature sampling by source frequency (batch: keep rates
+        // derive from corpus-level source counts)
+        require(!df.isStreaming,
+          "sample is a corpus-level planner — run it in a batch job")
+        val by = (op \ "by") match {
+          case JString(c) => c
+          case _ => "source"
+        }
+        require(df.columns.contains(by) && df.columns.contains("doc_id"),
+          s"sample op needs `$by` and `doc_id` columns")
+        graft.pipeline.Curation.temperatureSample(df,
+          (op \ "alpha") match {
+            case JNothing => 0.5
+            case v => num(v, "sample.alpha")
+          },
+          (op \ "targetFrac") match {
+            case JNothing => 0.5
+            case v => num(v, "sample.targetFrac")
+          }, by)
+      case "mixture" =>
+        // token-budget mixture plan — transforms the corpus into ONE
+        // auditable row per source (batch aggregation)
+        require(!df.isStreaming,
+          "mixture is a corpus-level planner — run it in a batch job")
+        val by = (op \ "by") match {
+          case JString(c) => c
+          case _ => "source"
+        }
+        require(df.columns.contains(by) && df.columns.contains("text"),
+          s"mixture op needs `$by` and `text` columns")
+        graft.pipeline.Curation.mixturePlan(df,
+          num(op \ "budgetTokens", "mixture.budgetTokens").toLong,
+          (op \ "alpha") match {
+            case JNothing => 0.5
+            case v => num(v, "mixture.alpha")
+          },
+          (op \ "maxEpochs") match {
+            case JNothing => 1.0
+            case v => num(v, "mixture.maxEpochs")
+          }, by)
       case "crosscorpus" =>
         // near-dup vs a STATIC reference corpus — the decontamination
         // stage run continuously. The reference's banded relation is

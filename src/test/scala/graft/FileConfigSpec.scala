@@ -743,4 +743,109 @@ class FileConfigSpec extends SparkSpec {
     }
     assert(loader.reload() == Seq())
   }
+
+  test("curation planner ops (cap/split/pack/sample/mixture) through " +
+    "the config surface equal their Scala forms; batch-only ops refuse " +
+    "streams") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = (0 until 200).map { i =>
+      (i.toLong, s"src${i % 5}", "en",
+        (0 until 5 + i % 7).map(j => s"w$i$j").mkString(" "))
+    }.toDF("doc_id", "source", "lang", "text")
+
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+
+    assert(rows(ConfigFile.applyOp(docs,
+        op("""{"op":"cap","maxPerSource":10}"""))) ==
+      rows(graft.pipeline.Curation.sourceCap(docs, 10)))
+    assert(rows(ConfigFile.applyOp(docs,
+        op("""{"op":"split","trainFrac":0.8,"valFrac":0.1}"""))) ==
+      rows(graft.pipeline.Curation.splitAssign(docs, 0.8, 0.1)))
+    val kept = ConfigFile.applyOp(docs,
+      op("""{"op":"split","keep":"train"}"""))
+    assert(kept.select("split").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("train"))
+    assert(rows(ConfigFile.applyOp(docs,
+        op("""{"op":"pack","budget":64,"nShards":4}"""))) ==
+      rows(graft.pipeline.Curation.packSequences(docs, 64, 4)))
+    assert(rows(ConfigFile.applyOp(docs,
+        op("""{"op":"sample","alpha":0.7,"targetFrac":0.5}"""))) ==
+      rows(graft.pipeline.Curation.temperatureSample(docs, 0.7, 0.5)))
+    assert(rows(ConfigFile.applyOp(docs,
+        op("""{"op":"mixture","budgetTokens":5000,"alpha":0.7,
+             |"maxEpochs":2.0}""".stripMargin))) ==
+      rows(graft.pipeline.Curation.mixturePlan(docs, 5000, 0.7, 2.0)))
+
+    // corpus-level planners refuse streams with a clear message
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String, String)]
+    val sdf = ms.toDF().toDF("doc_id", "source", "lang", "text")
+    for (j <- Seq("""{"op":"cap","maxPerSource":10}""",
+        """{"op":"pack","budget":64}""",
+        """{"op":"sample"}""",
+        """{"op":"mixture","budgetTokens":5000}""")) {
+      val e = intercept[IllegalArgumentException] {
+        ConfigFile.applyOp(sdf, op(j))
+      }
+      assert(e.getMessage.contains("batch job"), s"$j: ${e.getMessage}")
+    }
+    // split is narrow — it must compile on the stream
+    assert(ConfigFile.applyOp(sdf, op("""{"op":"split"}"""))
+      .columns.contains("split"))
+  }
+
+  test("runJobs: the examples/curation.example.json jobs shape end to " +
+    "end — cap -> split(train) -> pack written as a parquet training " +
+    "set, plus the mixture table, no Scala") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_cfg_jobs")
+    val corpus = dir.resolve("curated.parquet").toString
+    (0 until 300).map { i =>
+      (i.toLong, s"src${i % 3}", if (i % 2 == 0) "en" else "de",
+        (0 until 8 + i % 5).map(j => s"w$i$j").mkString(" "))
+    }.toDF("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").parquet(corpus)
+
+    val cfg = dir.resolve("jobs.json")
+    write(cfg,
+      s"""{"jobs": [
+         |  {"name": "train-set", "input": "$corpus",
+         |   "pipeline": [
+         |     {"op": "cap",   "maxPerSource": 80},
+         |     {"op": "split", "trainFrac": 0.8, "valFrac": 0.1,
+         |                     "keep": "train"},
+         |     {"op": "pack",  "budget": 64, "nShards": 4}],
+         |   "output": "${dir.resolve("packed.parquet")}"},
+         |  {"name": "mixture-table", "input": "$corpus",
+         |   "pipeline": [
+         |     {"op": "mixture", "budgetTokens": 10000, "alpha": 0.7,
+         |                       "maxEpochs": 3.0}],
+         |   "output": "${dir.resolve("mixture.parquet")}"}
+         |]}""".stripMargin)
+
+    val ran = ConfigFile.runJobs(spark, cfg)
+    assert(ran.map(_._1) == Seq("train-set", "mixture-table"))
+
+    // the packed training set: capped, train-only ids, packing layout
+    val packed = spark.read.parquet(dir.resolve("packed.parquet").toString)
+    assert(packed.columns.toSeq == Seq("doc_id", "lang", "shard",
+      "n_tokens", "start_tok", "chunk", "chunk_offset"))
+    val expect = graft.pipeline.Curation.packSequences(
+      graft.pipeline.Curation.splitAssign(
+        graft.pipeline.Curation.sourceCap(
+          spark.read.parquet(corpus), 80), 0.8, 0.1)
+        .filter(col("split") === "train"), 64, 4)
+    assert(packed.collect().map(_.toSeq).toSet ==
+      expect.collect().map(_.toSeq).toSet)
+    assert(ran.head._2 == expect.count())
+
+    // the mixture table: one row per source, budget accounted
+    val mix = spark.read.parquet(dir.resolve("mixture.parquet").toString)
+    assert(mix.count() == 3)
+    val alloc = mix.agg(sum("alloc_tokens"), min("unspent")).head()
+    assert(alloc.getLong(0) + alloc.getLong(1) == 10000L)
+  }
 }
