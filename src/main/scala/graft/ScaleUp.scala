@@ -25,6 +25,22 @@ import org.apache.spark.sql.functions._
   *     scale factors don't grow nation/region either).
   *
   * Usage: runMain graft.ScaleUp <srcDir> <outDir> [factor] [tables] [skewPct]
+  *
+  * `factor = docmix` (r17): instead of replicating, synthesize a
+  * HEAVY-TAIL document-length corpus — the adversarial case the
+  * uniform replication never makes (all its docs stay small). The
+  * output `documents` table is the source corpus plus:
+  *   - 24 huge varied-vocabulary docs, 1–10 M chars, ~10⁵–10⁶ DISTINCT
+  *     word shingles each (the shingle-array / group-payload stress),
+  *     generated as 12 near-dup PAIRS sharing ~95% of their words so
+  *     the pair family must verify huge×huge candidates, not just
+  *     block them;
+  *   - 8 boilerplate docs of ~2 M chars with a TINY vocab (long text,
+  *     few distinct shingles — the winnow-span / substring-window
+  *     stress).
+  * events + embeddings copy through unchanged so the bench harness
+  * runs. Deterministic: word streams are pure functions of (group,
+  * index).
   * `tables` (comma-separated) restricts the synthesis — e.g. the 100x
   * pair-generating-family probe only needs documents/embeddings (and
   * events for the bench warmup), not a 100x lineitem.
@@ -42,6 +58,7 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/sf1")
+    if (args.lift(2).contains("docmix")) { docmix(src, out); return }
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val only: Option[Set[String]] =
       args.lift(3).map(_.split(",").map(_.trim).toSet)
@@ -124,6 +141,76 @@ object ScaleUp {
     write("supplier", replicate(rd("supplier"), Seq("s_suppkey"),
       Map("s_suppkey" -> suppSpan)))
     Seq("nation", "region", "part").foreach(t => write(t, rd(t)))
+    spark.stop()
+  }
+
+  /** The heavy-tail document-length corpus (see object doc). Word
+    * streams are generated INSIDE Spark (one row per huge doc, the
+    * text built by a sequence/transform pipeline), so nothing
+    * megabyte-sized ever sits in a driver literal. */
+  private def docmix(src: String, out: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = spark.read.parquet(s"$src/documents.parquet")
+    val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+
+    // 12 near-dup pairs of huge varied-vocab docs: members a/b of pair
+    // g share the first 95% of their word stream ("w<g>x<i>"), then
+    // diverge ("t<doc_id>x<i>"). Sizes walk the 1-10M-char tail. A
+    // word is ~8-11 chars + space, so words ~= chars / 10.
+    val hugeSpecs = (0 until 12).flatMap { g =>
+      val words = Seq(100000, 100000, 150000, 200000, 300000, 300000,
+        400000, 500000, 600000, 700000, 850000, 1000000)(g)
+      Seq(0, 1).map { m =>
+        (maxId + 1 + 2L * g + m, g.toLong, words, m.toLong)
+      }
+    }
+    val huge = hugeSpecs
+      .toDF("doc_id", "grp", "words", "member")
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          concat(
+            transform(sequence(lit(0),
+                expr("cast(words * 95 div 100 - 1 as int)")),
+              i => concat(lit("w"), col("grp"), lit("x"), i)),
+            transform(sequence(lit(0),
+                expr("cast(words * 5 div 100 - 1 as int)")),
+              i => concat(lit("t"), col("doc_id"), lit("x"), i))))
+          .as("text"),
+        lit("en").as("lang"),
+        concat(lit("docmix_huge"), col("grp") % 3).as("source"))
+      .withColumn("n_chars", length(col("text")))
+
+    // 8 boilerplate docs: ~2M chars, vocab of ~6 words — maximal text
+    // length per distinct shingle (winnow spans, substring windows)
+    val boiler = (0 until 8).map(b => (maxId + 100L + b, b))
+      .toDF("doc_id", "b")
+      .repartition(8, col("doc_id"))
+      .select(col("doc_id"),
+        rtrim(repeat(concat(lit("lorem ipsum dolor sit amet b"),
+          col("b"), lit(" ")), 60000)).as("text"),
+        lit("en").as("lang"),
+        lit("docmix_boiler").as("source"))
+      .withColumn("n_chars", length(col("text")))
+
+    base.unionByName(huge).unionByName(boiler)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"[scaleup] documents docmix written (base + 24 huge + 8 boiler)")
+    Seq("events", "embeddings").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaleup] $t copied")
+    }
     spark.stop()
   }
 }

@@ -96,15 +96,13 @@ object Curation {
     *
     * Output: (doc_id, n_segments, n_kept, text_deduped). */
   def segmentDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
-    // per-doc segment array computed inside one projection: words →
-    // ceil(n/segWords) slices, each rejoined to its text
-    val segs = docs
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("segs", expr(
-        s"transform(sequence(0, cast(ceil(size(words) / ${segWords}.0) " +
-          s"as int) - 1), i -> array_join(slice(words, i * $segWords + 1, " +
-          s"$segWords), ' '))"))
-      .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
+    // per-doc segment array computed inside one projection — the
+    // one-pass SegmentsKernel (the slice-per-segment column form is
+    // O(words²/segWords): Slice copies the whole word array per
+    // segment; the r17 heavy-tail probe measured it unbounded on
+    // million-word docs). segmentsColumns keeps the column form as
+    // the executable parity spec.
+    val segs = segmented(docs, segWords)
       .withColumn("seg_hash", md5(col("seg")))
     // global first occurrence per segment hash: min (doc_id, seg_idx).
     // A groupBy + join, NOT min().over(partitionBy(seg_hash)): the
@@ -129,6 +127,28 @@ object Curation {
           "struct(seg_idx, seg) END)), x -> x.seg)"), " ")
         .as("text_deduped"))
   }
+
+  /** (doc_id, seg_idx, seg) via the one-pass kernel. */
+  private[graft] def segmented(docs: DataFrame, segWords: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs
+      .withColumn("segs", ColumnBridge.column(SegmentsExpr(
+        ColumnBridge.expression(col("text")), segWords)))
+      .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
+  }
+
+  /** The slice-per-segment column form of [[segmented]] — the DuckDB
+    * oracle's formulation, retained as the kernel's executable parity
+    * spec (NEVER use on long documents: quadratic, see kernel doc). */
+  private[graft] def segmentedColumns(docs: DataFrame,
+      segWords: Int): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("segs", expr(
+        s"transform(sequence(0, cast(ceil(size(words) / ${segWords}.0) " +
+          s"as int) - 1), i -> array_join(slice(words, i * $segWords + 1, " +
+          s"$segWords), ' '))"))
+      .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
 
   /** Temperature-based mixture sampling (the Gopher/LLaMA data-mixing
     * rule): resample sources toward weights ∝ count^alpha, so alpha = 1

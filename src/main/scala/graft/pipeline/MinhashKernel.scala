@@ -722,6 +722,63 @@ case class NgramInterBoundedExpr(hsA: Expression, hsB: Expression,
     copy(hsA = f, hsB = s, nA = t, nB = q)
 }
 
+/** One-pass fixed-word-count segmentation for [[Curation.segmentDedup]]
+  * — the r17 docmix probe caught the column form
+  * (`transform(sequence(...), i -> array_join(slice(words, ...), ' '))`)
+  * going QUADRATIC on long documents: Spark's `Slice` copies the whole
+  * word array per segment (toObjectArray), so a 10⁶-word doc paid
+  * 10⁵ × 10⁶ element copies. This kernel walks the text once.
+  *
+  * Semantics bit-match the column form (parity-pinned): words =
+  * split-by-single-space keeping trailing empties (Spark
+  * `split(text, " ")`, limit -1), segments = consecutive `segWords`
+  * groups rejoined with one space, null text → null. */
+object SegmentsKernel {
+  def segments(text: UTF8String, segWords: Int): ArrayData = {
+    if (text == null) return null
+    val words = text.toString.split(" ", -1)
+    val n = words.length
+    val nSeg = (n + segWords - 1) / segWords
+    // sequence(0, -1) in the column form yields [0, -1] → two slices
+    // that both resolve to the full (empty) remainder; unreachable
+    // here because split(-1) never returns an empty array (n >= 1)
+    val out = new Array[AnyRef](math.max(nSeg, 0))
+    var g = 0
+    while (g < nSeg) {
+      val from = g * segWords
+      val until = math.min(n, from + segWords)
+      val sb = new java.lang.StringBuilder()
+      var i = from
+      while (i < until) {
+        if (i > from) sb.append(' ')
+        sb.append(words(i))
+        i += 1
+      }
+      out(g) = UTF8String.fromString(sb.toString)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `segments(text)`: array<string> of `segWords`-word segments
+  * (null-propagating). */
+case class SegmentsExpr(child: Expression, segWords: Int)
+    extends UnaryExpression {
+  require(segWords > 0, s"segWords ($segWords) must be positive")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    SegmentsKernel.segments(
+      child.eval(input).asInstanceOf[UTF8String], segWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.pipeline.SegmentsKernel.segments($c, $segWords);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-doc packed LSH cell array for the group-synthesis candidate
   * path: `cells(2b) / cells(2b+1)` hold the first/second 60 bits of
   * band b's md5 bucket (120 bits total — bucket equality through the

@@ -343,4 +343,81 @@ object Models {
         .getOrElse("/tmp/graft_models"))
     s"$base/$h"
   }
+
+  // ---------------------------------------------------------------
+  // Retention: the store writes one directory per config hash forever
+  // under config churn; list/prune are the operator's GC.
+  // ---------------------------------------------------------------
+
+  /** Every artifact under `root` (any nesting depth that holds a
+    * manifest.json): (path, kind, configHash, manifest mtime millis),
+    * newest first. Walks directories, not data files. */
+  def listArtifacts(spark: SparkSession, root: String)
+      : Seq[(String, String, String, Long)] = {
+    val fs = hadoopFs(spark, root)
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return Nil
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, Long)]
+    def walk(dir: Path): Unit = {
+      val mf = new Path(dir, "manifest.json")
+      if (fs.exists(mf)) {
+        readManifest(spark, dir.toString).foreach { case (k, _, _, h, _) =>
+          out += ((dir.toString, k, h,
+            fs.getFileStatus(mf).getModificationTime))
+        }
+      } else
+        fs.listStatus(dir).filter(_.isDirectory)
+          .foreach(s => walk(s.getPath))
+    }
+    walk(rootPath)
+    out.sortBy(-_._4).toSeq
+  }
+
+  /** Keep the newest `keepPerKind` artifacts of each kind under
+    * `root`, delete the rest (whole directories). Returns the deleted
+    * paths. The kind grouping matches how loadOrTrain* churns: every
+    * config/corpus drift writes a NEW hash directory of the same
+    * kind, so keep-latest-N per kind bounds the store while retaining
+    * rollback depth. */
+  def prune(spark: SparkSession, root: String,
+      keepPerKind: Int): Seq[String] = {
+    require(keepPerKind >= 1, s"keepPerKind ($keepPerKind) must be >= 1")
+    val fs = hadoopFs(spark, root)
+    listArtifacts(spark, root)
+      .groupBy(_._2).toSeq.flatMap { case (_, arts) =>
+        arts.sortBy(-_._4).drop(keepPerKind)
+      }
+      .map(_._1)
+      .filter(p => fs.delete(new Path(p), true))
+  }
+
+  /** `runMain graft.pipeline.Models list [root]` /
+    * `... prune [root] [keepPerKind]` — root defaults to the
+    * [[defaultRoot]] base directory. */
+  def main(args: Array[String]): Unit = {
+    val cmd = args.lift(0).getOrElse("list")
+    val root = args.lift(1).getOrElse(
+      new Path(defaultRoot("x")).getParent.toString)
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try cmd match {
+      case "list" =>
+        val arts = listArtifacts(spark, root)
+        if (arts.isEmpty) println(s"no artifacts under $root")
+        arts.foreach { case (p, k, h, t) =>
+          println(f"$k%-16s ${java.time.Instant.ofEpochMilli(t)}  $h  $p")
+        }
+      case "prune" =>
+        val keep = args.lift(2).map(_.toInt).getOrElse(3)
+        val deleted = prune(spark, root, keep)
+        deleted.foreach(p => println(s"deleted $p"))
+        println(s"pruned ${deleted.size} artifact(s), kept newest " +
+          s"$keep per kind under $root")
+      case other =>
+        System.err.println(s"usage: Models list|prune [root] [keepPerKind]" +
+          s" (got '$other')")
+        sys.exit(2)
+    } finally spark.stop()
+  }
 }

@@ -176,4 +176,50 @@ class ModelsSpec extends SparkSpec {
       docs.withColumn("text", concat(col("text"), lit("x"))),
       Seq("doc_id", "text")))
   }
+
+  test("data checksum: a tampered data file fails load and reads as " +
+    "no-match (loadOrTrain re-trains instead of serving planted rows)") {
+    val root = tmpDir() + "/ck"
+    val cfg = Map("z" -> "1")
+    Models.saveBpe(spark, root, Seq("a b", "b c"), cfg)
+    assert(Models.matches(spark, root, "bpe_merges", cfg))
+    // plant: replace a data file's bytes, keep the manifest
+    val data = java.nio.file.Paths.get(root, "data")
+    val part = Files.list(data).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.write(part, "planted".getBytes)
+    assert(!Models.matches(spark, root, "bpe_merges", cfg),
+      "tampered data must not match")
+    intercept[IllegalArgumentException] {
+      Models.loadBpe(spark, root)
+    }
+  }
+
+  test("list + prune: keep-latest-N per kind deletes older hash dirs " +
+    "and leaves other kinds alone") {
+    val root = tmpDir()
+    // three bpe artifacts (distinct configs → distinct dirs), one
+    // unigram; stamp strictly increasing mtimes
+    for (i <- 0 until 3) {
+      val p = s"$root/bpe_$i"
+      Models.saveBpe(spark, p, Seq(s"a b$i"), Map("i" -> i.toString))
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(p, "manifest.json"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 1000))
+    }
+    Models.saveUnigram(spark, s"$root/uni", Seq(("a", 1L, 2L)), Map.empty)
+    val listed = Models.listArtifacts(spark, root)
+    assert(listed.map(_._2).sorted ==
+      Seq("bpe_merges", "bpe_merges", "bpe_merges", "unigram_vocab"))
+    val deleted = Models.prune(spark, root, keepPerKind = 1)
+    // the two OLDEST bpe dirs go; newest bpe + the unigram stay
+    assert(deleted.toSet == Set(s"$root/bpe_0", s"$root/bpe_1")
+      .map(p => new org.apache.hadoop.fs.Path(p).toString) ||
+      deleted.map(p => p.split("/").last).toSet == Set("bpe_0", "bpe_1"))
+    val after = Models.listArtifacts(spark, root)
+    assert(after.map(_._2).sorted == Seq("bpe_merges", "unigram_vocab"))
+    assert(after.exists(_._1.endsWith("bpe_2")))
+    // surviving artifact still loads
+    assert(Models.loadBpe(spark, s"$root/bpe_2") == Seq("a b2"))
+  }
 }

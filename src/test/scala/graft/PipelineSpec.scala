@@ -732,6 +732,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("SegmentsKernel ≡ slice-per-segment column form (double spaces, " +
+    "trailing/leading spaces, empty, single word, exact multiples)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(29)
+    val texts = Seq("", " ", "  ", "a", "a b", "a  b", "a b ", " a b",
+      (1 to 10).map("w" + _).mkString(" "),        // exact multiple
+      (1 to 11).map("w" + _).mkString(" "),        // remainder 1
+      (1 to 9).map("w" + _).mkString(" ")) ++      // under one segment
+      (0 until 30).map(_ => (0 until rnd.nextInt(40))
+        .map(_ => if (rnd.nextBoolean()) s"t${rnd.nextInt(9)}" else "")
+        .mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (segWords <- Seq(1, 3, 10)) {
+      val viaKernel = graft.pipeline.Curation
+        .segmented(docs, segWords).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val viaColumns = graft.pipeline.Curation
+        .segmentedColumns(docs, segWords).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(viaKernel == viaColumns, s"segWords=$segWords: " +
+        s"only-kernel=${(viaKernel -- viaColumns).take(3)} " +
+        s"only-columns=${(viaColumns -- viaKernel).take(3)}")
+    }
+  }
+
   test("interBounded: exact on complete arrays, -1 only when provable, " +
     "-2 routes to re-verify (randomized vs exact jaccard)") {
     val rnd = new scala.util.Random(17)
