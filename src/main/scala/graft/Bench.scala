@@ -15,9 +15,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // r17 AQE-posture sweep hook: override the shuffle partition count
+    // (e.g. 200 vs 2000) to prove plans and latencies survive AQE
+    // coalescing away a mis-sized exchange config
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.query.RiemannExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -25,6 +30,13 @@ object Bench {
       // skew-join splitting are part of the 100 TB design
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // without this, AQE is DISABLED for any plan that feeds cache()
+      // (Spark preserves cached output partitioning by default), so a
+      // mis-sized spark.sql.shuffle.partitions materializes caches at
+      // full width — the r17 sweep measured q_ann_recall/q_curation_
+      // funnel ~1.8x slower at 2000 partitions from exactly this
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

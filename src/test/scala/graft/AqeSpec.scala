@@ -131,8 +131,10 @@ class AqeSpec extends AnyFunSuite {
         .toDF("interval_id", "host", "start_s", "end_s"))
     val q = Temporal.rangeJoin(ev, iv, Seq("host"), "time_s",
       "start_s", "end_s", binSeconds = 100)
-    val n = q.count()
-    assert(n == 60000L, s"containment join must keep every event, got $n")
+    // collect() (not count()) so THIS DataFrame's adaptive plan
+    // executes and finalizes — count() spawns its own QueryExecution
+    val n = q.collect().length
+    assert(n == 60000, s"containment join must keep every event, got $n")
     val p = q.queryExecution.executedPlan.toString
     assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"))
     assert(p.contains("skew=true"),
