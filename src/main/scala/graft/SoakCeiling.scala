@@ -130,48 +130,76 @@ object SoakCeiling {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
 
-    /** Offer `rate` for warmup+measure; return mean processed rows/s
-      * over the measurement window. Fresh checkpoint per attempt —
-      * each attempt answers "can a cold stream hold this rate", not
-      * "can it drain the previous attempt's backlog". */
+    /** Offer `rate` for warmup+measure; return (mean ingested rows/s
+      * over the measurement window, source backlog in seconds at its
+      * end). Fresh checkpoint per attempt — each attempt answers "can
+      * a cold stream hold this rate", not "can it drain the previous
+      * attempt's backlog".
+      *
+      * Walks `recentProgress` (NOT `lastProgress`: stateful legs run
+      * ~10 empty state-cleanup batches per data batch, so a point
+      * sample almost always lands on an empty one) and reads the rate
+      * source's offset lag — offsets are SECONDS of generated data,
+      * so `latest − end` is directly "how many seconds behind the
+      * clock the stream is": the micro-batch queue. */
     def capacityAt(name: String, mk: Int => DataFrame, rate: Int,
-        attempt: Int): Double = {
+        attempt: Int): (Double, Double) = {
       val q = mk(rate).writeStream.format("noop")
         .option("checkpointLocation", s"$ckptRoot/$name-$attempt")
         .start()
       try {
         Thread.sleep(warmupS * 1000)
-        val samples = scala.collection.mutable.ArrayBuffer[Double]()
-        val deadline = System.currentTimeMillis() + measureS * 1000
-        var lastBatch = -1L
+        val seen = scala.collection.mutable.Set[Long]()
+        // batches committed before the window don't count
+        q.recentProgress.foreach(p => seen += p.batchId)
+        var rows = 0L
+        var lagS = 0.0
+        val t0 = System.currentTimeMillis()
+        val deadline = t0 + measureS * 1000
         while (System.currentTimeMillis() < deadline) {
           Thread.sleep(2000)
-          Option(q.lastProgress).foreach { p =>
-            if (p.batchId != lastBatch && p.numInputRows > 0) {
-              lastBatch = p.batchId
-              samples += p.processedRowsPerSecond
+          q.recentProgress.foreach { p =>
+            if (!seen.contains(p.batchId)) {
+              seen += p.batchId
+              rows += p.numInputRows
             }
           }
+          Option(q.lastProgress).flatMap(_.sources.headOption)
+            .foreach { s =>
+              try lagS = s.latestOffset.toDouble - s.endOffset.toDouble
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
         }
-        if (samples.isEmpty) 0.0 else samples.sum / samples.size
+        val elapsedS = (System.currentTimeMillis() - t0) / 1000.0
+        (rows / elapsedS, lagS)
       } finally {
         try q.stop() catch { case scala.util.control.NonFatal(_) => () }
       }
     }
 
-    families.foreach { case (name, start, mk) =>
+    // SOAK_CEIL_FAMILIES: comma-separated subset (re-probe one family
+    // with different warmup/measure windows — slow-starting stateful
+    // legs need more than the default 15 s before their first batch)
+    val familyFilter = sys.env.get("SOAK_CEIL_FAMILIES")
+      .map(_.split(",").map(_.trim).toSet)
+    families.filter(f => familyFilter.forall(_.contains(f._1)))
+      .foreach { case (name, start, mk) =>
       var rate = start
       var attempt = 0
       var lastOk = 0.0
       var lastOkRate = 0
       var done = false
       while (!done && rate <= maxRate) {
-        val cap = capacityAt(name, mk, rate, attempt)
-        val ok = cap >= 0.9 * rate
+        val (cap, lagS) = capacityAt(name, mk, rate, attempt)
+        // sustained = the stream ingests ≥90% of the offered rate AND
+        // ends the window ≤8 s behind the generation clock (a growing
+        // backlog fails both; 8 s absorbs one slow stateful batch)
+        val ok = cap >= 0.9 * rate && lagS <= 8.0
         System.err.println(f"[ceiling] $name rate=$rate cap=$cap%.0f " +
-          s"sustained=$ok")
+          f"lag=${lagS}%.0fs sustained=$ok")
         append(s"""{"ceiling_family":"$name","rate":$rate,""" +
-          f""""processed_eps":$cap%.0f,"sustained":$ok}""")
+          f""""processed_eps":$cap%.0f,"end_lag_s":$lagS%.1f,""" +
+          s""""sustained":$ok}""")
         if (ok) { lastOk = cap; lastOkRate = rate; rate *= 2; attempt += 1 }
         else done = true
       }

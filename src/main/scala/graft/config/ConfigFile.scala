@@ -618,9 +618,10 @@ object ConfigFile {
           maxBucket).select("doc_a", "doc_b", "est_jaccard")
       case "tokens" =>
         // annotate token counts from the persisted (or train-once) BPE
-        // tokenizer — the merges ride into the codegen'd BpeCountExpr
-        // kernel as plan constants, so this is a pure narrow per-doc
-        // projection: stateless on a stream, no exchange in batch.
+        // tokenizer — the merges reach the codegen'd BpeCountExpr
+        // kernel via a broadcast stub (r17), so this is a pure narrow
+        // per-doc projection: stateless on a stream, no exchange in
+        // batch, no per-stage model serialization.
         require(df.columns.contains("text"),
           "tokens op needs a `text` column on the stream")
         val merges = (op \ "model") match {
