@@ -30,13 +30,17 @@ object Bench {
       // skew-join splitting are part of the 100 TB design
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // without this, AQE is DISABLED for any plan that feeds cache()
-      // (Spark preserves cached output partitioning by default), so a
-      // mis-sized spark.sql.shuffle.partitions materializes caches at
-      // full width — the r17 sweep measured q_ann_recall/q_curation_
-      // funnel ~1.8x slower at 2000 partitions from exactly this
+      // Cached-plan AQE is a two-sided trade the r17 sweep measured
+      // BOTH ways: with shuffle.partitions mis-sized at 2000, leaving
+      // this false materializes caches at full width (q_ann_recall /
+      // q_curation_funnel 1.7-1.9x slower); with it true at the
+      // well-sized default, AQE coalesces kernel-heavy cached
+      // relations BELOW core count (q_semantic_dedup 1.24 -> 1.62 s).
+      // Default false = the well-sized posture this harness ships
+      // (partitions = cores); flip via env when sweeping mis-sized
+      // configs. BASELINE.md "AQE posture audit" has the numbers.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
