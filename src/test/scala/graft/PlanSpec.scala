@@ -495,6 +495,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"),
       s"segmentDedup must not global-sort:\n$p")
     assert(!p.contains("CartesianProduct"))
+    // r17 docmix lesson: segmentation must be the one-pass kernel —
+    // the slice-per-segment HOF form is O(words²/segWords) because an
+    // interpreted Slice copies the whole word array per segment
+    // (>16 min on a million-word doc vs 3.2 s)
+    assert(p.toLowerCase.contains("segmentsexpr"),
+      s"one-pass segmentation kernel missing:\n$p")
+    assert(!p.contains("slice(words"),
+      s"quadratic slice-per-segment form leaked back:\n$p")
   }
 
   test("temperatureSample: rates join back by broadcast, corpus side un-shuffled") {
