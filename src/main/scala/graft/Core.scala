@@ -64,6 +64,19 @@ class Core(spark: SparkSession) {
   def activeQueries: Map[String, StreamingQuery] =
     synchronized(active.view.mapValues(_._2).toMap)
 
+  /** Drain every active query — the deterministic test/await hook.
+    * Two passes: a fan-out tee ([[graft.config.ConfigFile.Loader]])
+    * lands files for its downstream file-source subscribers during the
+    * first pass, so a single pass over an arbitrary iteration order
+    * could leave a subscriber unaware of data its tee just wrote.
+    * Topologies are one hop deep (source → tee → subscriber; a
+    * subscriber's sink is never a config source), so two passes drain
+    * everything available at call time. */
+  def processAllAvailable(): Unit = {
+    val qs = synchronized(active.values.map(_._2).toSeq)
+    for (_ <- 1 to 2; q <- qs if q.isActive) q.processAllAvailable()
+  }
+
   def stop(): Unit = synchronized {
     active.values.foreach(_._2.stop()); active.clear()
   }

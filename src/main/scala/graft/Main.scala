@@ -53,11 +53,13 @@ import graft.streaming.SEvent
   * in-memory index that the ws/sse query surfaces answer from
   * (`GET /index?query=…`).
   *
-  * Each server source binds ONE socket and therefore feeds exactly one
-  * stream (a second stream naming the same source would try to re-bind
-  * the port): fan several pipelines off one ingest INSIDE a stream's
-  * pipeline, or declare one server block per stream. The name a server
-  * block registers under doubles as its source name.
+  * Several streams may name the same server source — the reference's
+  * core fan-out semantic (every registered stream sees every event,
+  * core.clj:15-20). The [[ConfigFile.Loader]] consumes each shared
+  * source with ONE tee query (one server instance, one bind) and fans
+  * micro-batches out to per-stream spools, so each stream still runs
+  * as a full StreamingQuery with its own state and checkpoint. The
+  * name a server block registers under doubles as its source name.
   */
 object Main {
 

@@ -825,10 +825,50 @@ object ConfigFile {
     * source names to streaming DataFrames (servers, kafka, testkit
     * MemoryStreams — transports are injected, as everywhere);
     * `sinkFactories` maps extra sink kinds to builders over the sink's
-    * own JSON spec. */
+    * own JSON spec.
+    *
+    * '''Fan-out contract''' (the reference's core semantic: every
+    * registered stream sees every event, `src/riemann/core.clj:15-20`):
+    * several config streams may name the SAME source. Most streaming
+    * sources are single-consumer — two independent StreamingQueries
+    * over one MemoryStream race on commit-trim (whichever commits
+    * first destroys the batch for the other), and an ingest server
+    * binds one socket — so when a source has two or more subscribers
+    * the Loader inserts a '''tee''': ONE streaming query consumes the
+    * source (the thunk is invoked once, so one server instance, one
+    * bind) and appends each micro-batch to a per-subscriber parquet
+    * spool under [[fanoutDir]]; each subscriber then runs as its own
+    * full StreamingQuery over a file source on its spool — watermarks,
+    * stateful ops, and checkpoints all behave exactly as on a direct
+    * source. Delivery is exactly-once per subscriber in normal
+    * operation (the tee's checkpoint serializes batches; the file
+    * source tracks seen files) and at-least-once across a tee crash
+    * (foreachBatch replay), the same contract as every other sink
+    * here.
+    *
+    * Spool directories are keyed by the subscriber's signature hash,
+    * so an EDITED stream rotates to a fresh spool and sees only events
+    * ingested after its restart — riemann's restart-loses-state reload
+    * semantics (pure.clj:1-30), not a replay of history. A source
+    * listed in `replayable` skips the tee: each subscriber invokes the
+    * thunk itself (kafka-style sources track per-query offsets and
+    * fan out natively — at 100 TB the durable bus IS the tee; the
+    * parquet spool is the local-mode stand-in).
+    *
+    * Subscriber-set changes update the running tee's spool map without
+    * restarting it; once fanned, a source stays teed while it keeps
+    * any subscriber (dropping to one must not restart the survivor).
+    * A source crossing the 1→2 subscriber boundary restarts the
+    * previously-direct stream (its input plan changes), and data the
+    * source still RETAINS at that transition may be re-delivered by
+    * the fresh tee — at-least-once across topology transitions, the
+    * same contract as the server sources' restart handoff. */
   final class Loader(core: Core, spark: SparkSession, path: Path,
       sources0: Map[String, () => DataFrame],
-      sinkFactories: Map[String, JValue => Sinks.EventSink] = Map.empty) {
+      sinkFactories: Map[String, JValue => Sinks.EventSink] = Map.empty,
+      val fanoutDir: Path =
+        Files.createTempDirectory("graft-fanout"),
+      replayable: Set[String] = Set.empty) {
 
     /** Config source names → streaming-DataFrame thunks. Mutable so a
       * host ([[graft.Main]]) can swap in thunks rebuilt from the edited
@@ -852,12 +892,53 @@ object ConfigFile {
     val memorySinks = TrieMap[String, Sinks.MemorySink]()
     private var current: Set[String] = Set.empty
 
-    private def build(stream: JObject): DataStreamWriter[_] = {
-      val name = str(stream \ "name", "stream.name")
-      val src = sources.getOrElse(str(stream \ "source", s"$name.source"),
+    /** Source schemas observed for fanned-out sources (the file-source
+      * subscribers need a schema at plan time). Populated eagerly in
+      * [[reload]] from a side-effect-free thunk invocation — sources
+      * bind sockets at query START, not at DataFrame construction. */
+    private val fanoutSchemas =
+      TrieMap[String, org.apache.spark.sql.types.StructType]()
+
+    /** source name → (subscriber stream name → spool dir). The running
+      * tee reads this volatilely each micro-batch, so subscriber-set
+      * changes take effect without restarting the tee. */
+    @volatile private var fanoutSubs
+        : Map[String, Map[String, String]] = Map.empty
+
+    /** Sources whose tee is live — sticky while the source keeps any
+      * subscriber (see [[reload]]). */
+    private var stickyFanned: Set[String] = Set.empty
+
+    private def teeName(source: String) = s"__fanout__$source"
+
+    private def buildTee(source: String): DataStreamWriter[_] = {
+      val src = sources.getOrElse(source,
         throw new IllegalArgumentException(
-          s"$name: unknown source '${stream \ "source"}'"))
-      val out = compilePipeline(src(), stream)
+          s"fan-out tee: unknown source '$source'"))
+      val df = src()
+      fanoutSchemas(source) = df.schema
+      df.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val dirs = fanoutSubs.getOrElse(source, Map.empty).values.toSeq
+          if (dirs.nonEmpty) {
+            // one source read, N spool appends: persist so the batch
+            // materializes once regardless of subscriber count
+            val b = batch.persist()
+            try {
+              if (b.count() > 0L)
+                dirs.foreach(d => b.write.mode("append").parquet(d))
+            } finally { b.unpersist(); () }
+          }
+        }
+        .option("checkpointLocation",
+          fanoutDir.resolve(source).resolve("_tee_ckpt").toString)
+    }
+
+    private def build(stream: JObject,
+        input: () => DataFrame): DataStreamWriter[_] = {
+      val name = str(stream \ "name", "stream.name")
+      val out = compilePipeline(input(), stream)
       val sinkSpec = (stream \ "sink") match {
         case o: JObject => o
         case _ => JObject("kind" -> JString("console"))
@@ -904,16 +985,80 @@ object ConfigFile {
         streams(n) = s
       }
       val names = streams.keys.toSeq
-      (current -- names).foreach(core.removeStream)
-      for ((name, s) <- streams)
-        core.stream(name,
-          signature = JsonMethods.compact(JsonMethods.render(s)) +
-            ((s \ "source") match {
-              case JString(src) => sourceSignature(src)
-              case _ => ""
-            }))(build(s))
-      current = names.toSet
-      core.applyConfig()
+      def sourceOf(s: JObject): String =
+        str(s \ "source",
+          s"${str(s \ "name", "stream.name")}.source")
+      def baseSig(s: JObject): String =
+        JsonMethods.compact(JsonMethods.render(s)) +
+          sourceSignature(sourceOf(s))
+      // sources with >= 2 subscribers get a tee (unless declared
+      // replayable — those fan out natively, one consumer each). Once
+      // fanned, a source stays teed while it has ANY subscriber:
+      // dropping from two subscribers to one must not restart the
+      // survivor (reload only restarts what changed), and the tee has
+      // already consumed the single-consumer source anyway
+      val fanned: Map[String, Seq[String]] = streams.toSeq
+        .groupBy { case (_, s) => sourceOf(s) }
+        .collect { case (src, subs)
+            if !replayable.contains(src) &&
+              (subs.size >= 2 || (stickyFanned(src) && subs.nonEmpty)) =>
+          src -> subs.map(_._1)
+        }
+      stickyFanned = fanned.keySet
+      // everything throw-prone first: resolve + schema-probe every
+      // fanned source before any mutation (thunk invocation is
+      // side-effect-free; sources bind at query start)
+      fanned.keys.foreach { src =>
+        val thunk = sources.getOrElse(src,
+          throw new IllegalArgumentException(
+            s"fan-out: unknown source '$src'"))
+        fanoutSchemas.getOrElseUpdate(src, thunk().schema)
+      }
+      // spool dirs keyed by subscriber signature: an edited stream
+      // rotates to a fresh spool (sees only post-restart events)
+      val spools: Map[String, Map[String, String]] =
+        fanned.map { case (src, subs) =>
+          src -> subs.map { n =>
+            val h = java.security.MessageDigest.getInstance("MD5")
+              .digest(baseSig(streams(n))
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString.take(12)
+            n -> fanoutDir.resolve(src).resolve(s"sub-$n-$h").toString
+          }.toMap
+        }
+      spools.values.flatMap(_.values)
+        .foreach(d => Files.createDirectories(Path.of(d)))
+      // publish the spool map BEFORE transition: a running (equiv) tee
+      // starts writing to a restarted subscriber's fresh spool while
+      // the old query drains its old spool — no event is delivered to
+      // both incarnations, none is lost after the map flip
+      fanoutSubs = spools
+      val teeNames = fanned.keys.map(teeName).toSet
+      (current -- names -- teeNames).foreach(core.removeStream)
+      // tees register (and therefore start) before their subscribers
+      for (src <- fanned.keys)
+        core.stream(teeName(src),
+          signature = "#fanout-tee:" + src + sourceSignature(src))(
+          buildTee(src))
+      for ((name, s) <- streams) {
+        val src = sourceOf(s)
+        val spool = spools.get(src).flatMap(_.get(name))
+        val sig = baseSig(s) + spool.fold("")("#fanout:" + _)
+        val input: () => DataFrame = spool match {
+          case Some(dir) => () =>
+            // nullability loosened: parquet round-trips non-nullable
+            // encoder schemas as optional fields
+            spark.readStream.schema(org.apache.spark.sql.types.StructType(
+                fanoutSchemas(src).fields.map(_.copy(nullable = true))))
+              .parquet(dir)
+          case None => sources.getOrElse(src,
+            throw new IllegalArgumentException(
+              s"$name: unknown source '$src'"))
+        }
+        core.stream(name, signature = sig)(build(s, input))
+      }
+      current = names.toSet ++ teeNames
+      core.applyConfig().filterNot(_.startsWith("__fanout__"))
     }
 
     /** bin.clj:39-77: SIGHUP → reload. Best-effort (sun.misc.Signal is

@@ -1,0 +1,257 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.config.ConfigFile
+import graft.streaming.SEvent
+
+/** The config-surface fan-out contract (reference src/riemann/core.clj:
+  * 15-20: `stream!` hands EVERY event to EVERY registered stream):
+  * several config streams naming one source must each see every event
+  * exactly once, with full per-stream streaming-stateful semantics —
+  * the Loader tees the single-consumer source into per-subscriber
+  * spools (ConfigFile.Loader scaladoc). These tests pin:
+  *   - N sinks × M events, exactly-once per sink, across rounds
+  *   - cross-batch STATEFUL state survives the tee hop (the property a
+  *     foreachBatch-routing fan-out would silently break)
+  *   - an edited stream rotates to a fresh spool: restart-loses-state
+  *     reload semantics (pure.clj:1-30), no history replay, and the
+  *     untouched sibling keeps its query
+  *   - the 1→2 subscriber transition re-plans the previously-direct
+  *     stream onto the tee
+  *   - a `replayable` source skips the tee (native fan-out)
+  */
+class FanoutSpec extends SparkSpec {
+
+  private def write(p: Path, s: String): Unit = { Files.writeString(p, s); () }
+
+  test("fan-out: three sinks x two rounds, every subscriber sees every " +
+    "event exactly once (core.clj:15-20)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-fanout-spec")
+    val cfg = dir.resolve("c.json")
+    write(cfg,
+      """{"streams":[
+        | {"name":"all","source":"in","pipeline":[],
+        |  "sink":{"kind":"memory"}},
+        | {"name":"crit","source":"in",
+        |  "pipeline":[{"op":"where","expr":"state = 'critical'"}],
+        |  "sink":{"kind":"memory"}},
+        | {"name":"x2","source":"in",
+        |  "pipeline":[{"op":"scale","factor":2.0}],
+        |  "sink":{"kind":"memory"}}]}""".stripMargin)
+
+    val in = MemoryStream[SEvent]
+    val core = new Core(spark)
+    val loader = new ConfigFile.Loader(core, spark, cfg,
+      sources0 = Map("in" -> (() => in.toDF())))
+    try {
+      assert(loader.reload().toSet == Set("all", "crit", "x2"))
+      // ONE tee consumes the source; three subscriber queries
+      assert(core.activeQueries.keySet ==
+        Set("all", "crit", "x2", "__fanout__in"))
+
+      def ev(i: Int, st: String) =
+        SEvent(s"h$i", "s", st, Some(i.toDouble), new Timestamp(i * 1000L), None)
+      in.addData(ev(1, "ok"), ev(2, "critical"))
+      core.processAllAvailable()
+      // extra drains must not re-deliver (exactly-once per sink)
+      core.processAllAvailable()
+
+      import scala.jdk.CollectionConverters._
+      def hosts(name: String): Seq[String] = loader.memorySinks(name)
+        .rows.asScala.toSeq.map(_.getAs[String]("host")).sorted
+      assert(hosts("all") == Seq("h1", "h2"))
+      assert(hosts("crit") == Seq("h2"))
+      assert(hosts("x2") == Seq("h1", "h2"))
+      assert(loader.memorySinks("x2").rows.asScala
+        .map(_.getAs[Double]("metric")).toSet == Set(2.0, 4.0))
+
+      // round two accumulates, still exactly once each
+      in.addData(ev(3, "critical"))
+      core.processAllAvailable()
+      assert(hosts("all") == Seq("h1", "h2", "h3"))
+      assert(hosts("crit") == Seq("h2", "h3"))
+      assert(hosts("x2") == Seq("h1", "h2", "h3"))
+    } finally core.stop()
+  }
+
+  test("fan-out preserves cross-batch STATEFUL semantics per subscriber " +
+    "(streaming exact dedup drops a duplicate arriving in a LATER " +
+    "micro-batch — what per-batch routing could never do)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-fanout-state")
+    val cfg = dir.resolve("c.json")
+    write(cfg,
+      """{"streams":[
+        | {"name":"uniq","source":"docs",
+        |  "pipeline":[{"op":"dedup","horizon":"1 hour"}],
+        |  "sink":{"kind":"memory"}},
+        | {"name":"raw","source":"docs","pipeline":[],
+        |  "sink":{"kind":"memory"}}]}""".stripMargin)
+
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val core = new Core(spark)
+    val loader = new ConfigFile.Loader(core, spark, cfg,
+      sources0 = Map("docs" -> (() => in.toDF()
+        .toDF("doc_id", "text", "time"))))
+    try {
+      loader.reload()
+      def ts(s: Long) = new Timestamp(s * 1000)
+      in.addData((1L, "the same document text", ts(100)))
+      core.processAllAvailable()
+      // the duplicate arrives in a SEPARATE micro-batch: only state
+      // carried across batches inside the subscriber's own streaming
+      // query can drop it
+      in.addData((2L, "the same document text", ts(200)),
+        (3L, "a different document", ts(300)))
+      core.processAllAvailable()
+
+      import scala.jdk.CollectionConverters._
+      assert(loader.memorySinks("uniq").rows.asScala
+        .map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+      assert(loader.memorySinks("raw").rows.asScala
+        .map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L))
+    } finally core.stop()
+  }
+
+  test("reload: an edited subscriber rotates to a fresh spool (sees only " +
+    "post-restart events — riemann restart-loses-state, no history " +
+    "replay); the untouched sibling keeps its query and its stream") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-fanout-reload")
+    val cfg = dir.resolve("c.json")
+    def conf(factor: Double) =
+      s"""{"streams":[
+         | {"name":"a","source":"in","pipeline":[],
+         |  "sink":{"kind":"memory"}},
+         | {"name":"b","source":"in",
+         |  "pipeline":[{"op":"scale","factor":$factor}],
+         |  "sink":{"kind":"memory"}}]}""".stripMargin
+    write(cfg, conf(2.0))
+
+    val in = MemoryStream[SEvent]
+    val core = new Core(spark)
+    val loader = new ConfigFile.Loader(core, spark, cfg,
+      sources0 = Map("in" -> (() => in.toDF())))
+    try {
+      loader.reload()
+      val aId = core.activeQueries("a").id
+      def ev(i: Int) =
+        SEvent(s"h$i", "s", "ok", Some(i.toDouble), new Timestamp(i * 1000L), None)
+      in.addData(ev(1))
+      core.processAllAvailable()
+
+      write(cfg, conf(10.0))
+      assert(loader.reload() == Seq("b")) // a and the tee stay equiv
+      assert(core.activeQueries("a").id == aId)
+
+      in.addData(ev(5))
+      core.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      // b's sink: 2.0 from before the edit, then ONLY the new event at
+      // the new factor — h1 is NOT replayed through the edited pipeline
+      assert(loader.memorySinks("b").rows.asScala
+        .map(_.getAs[Double]("metric")).toSeq.sorted == Seq(2.0, 50.0))
+      // a never restarted and saw both
+      assert(loader.memorySinks("a").rows.asScala
+        .map(_.getAs[String]("host")).toSeq.sorted == Seq("h1", "h5"))
+    } finally core.stop()
+  }
+
+  test("1 -> 2 subscriber transition: the previously-direct stream is " +
+    "re-planned onto the tee and both see subsequent events") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-fanout-grow")
+    val cfg = dir.resolve("c.json")
+    write(cfg,
+      """{"streams":[
+        | {"name":"a","source":"in","pipeline":[],
+        |  "sink":{"kind":"memory"}}]}""".stripMargin)
+
+    val in = MemoryStream[SEvent]
+    val core = new Core(spark)
+    val loader = new ConfigFile.Loader(core, spark, cfg,
+      sources0 = Map("in" -> (() => in.toDF())))
+    try {
+      loader.reload()
+      assert(core.activeQueries.keySet == Set("a")) // direct, no tee
+      def ev(i: Int) =
+        SEvent(s"h$i", "s", "ok", Some(i.toDouble), new Timestamp(i * 1000L), None)
+      in.addData(ev(1))
+      core.processAllAvailable()
+
+      write(cfg,
+        """{"streams":[
+          | {"name":"a","source":"in","pipeline":[],
+          |  "sink":{"kind":"memory"}},
+          | {"name":"b","source":"in","pipeline":[],
+          |  "sink":{"kind":"memory"}}]}""".stripMargin)
+      // a restarts (its input plan flips from direct to the spool)
+      assert(loader.reload().toSet == Set("a", "b"))
+      assert(core.activeQueries.keySet == Set("a", "b", "__fanout__in"))
+
+      in.addData(ev(2))
+      core.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      def hosts(n: String) = loader.memorySinks(n).rows.asScala
+        .map(_.getAs[String]("host")).toSeq.sorted
+      // post-transition events are exactly-once everywhere; data the
+      // source still RETAINED at the transition (h1's batch — a
+      // MemoryStream trims only on the next batch's lazy commit) may
+      // be re-delivered by the fresh tee: the documented at-least-once
+      // topology-transition contract, matching the server sources'
+      // restart handoff
+      assert(hosts("a").count(_ == "h2") == 1 && hosts("a").contains("h1"))
+      assert(hosts("b").count(_ == "h2") == 1)
+    } finally core.stop()
+  }
+
+  test("a source declared `replayable` skips the tee: each subscriber " +
+    "consumes the source independently (the kafka shape — at scale the " +
+    "durable bus IS the fan-out)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-fanout-replay")
+    val srcDir = dir.resolve("src")
+    Files.createDirectories(srcDir)
+    // a parquet file-stream source IS replayable: every query tracks
+    // its own seen-files set
+    Seq((1L, "m1"), (2L, "m2")).toDF("event_id", "msg")
+      .write.mode("append").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+
+    val cfg = dir.resolve("c.json")
+    write(cfg,
+      """{"streams":[
+        | {"name":"p","source":"log","pipeline":[],
+        |  "sink":{"kind":"memory"}},
+        | {"name":"q","source":"log","pipeline":[],
+        |  "sink":{"kind":"memory"}}]}""".stripMargin)
+    val core = new Core(spark)
+    val loader = new ConfigFile.Loader(core, spark, cfg,
+      sources0 = Map("log" -> (() =>
+        spark.readStream.schema(schema).parquet(srcDir.toString))),
+      replayable = Set("log"))
+    try {
+      assert(loader.reload().toSet == Set("p", "q"))
+      assert(core.activeQueries.keySet == Set("p", "q")) // NO tee
+      core.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      for (n <- Seq("p", "q"))
+        assert(loader.memorySinks(n).rows.asScala
+          .map(_.getAs[Long]("event_id")).toSet == Set(1L, 2L), n)
+    } finally core.stop()
+  }
+}

@@ -582,7 +582,7 @@ class FileConfigSpec extends SparkSpec {
         (11L, good, ts(1706000010L)),        // exact dup of 10 -> dropped
         (12L, "too short", ts(1706000020L)), // fails quality
         (13L, contaminated, ts(1706000030L))) // fails quality; decontam hit
-      core.activeQueries.values.foreach(_.processAllAvailable())
+      core.processAllAvailable()
 
       val kept = loader.memorySinks("curation").rows
       import scala.jdk.CollectionConverters._
@@ -633,7 +633,9 @@ class FileConfigSpec extends SparkSpec {
     input.addData(
       SEvent("h1", "s", "critical", Some(5.0), new Timestamp(1000), None),
       SEvent("h2", "s", "ok", Some(3.0), new Timestamp(2000), None))
-    core.activeQueries.values.foreach(_.processAllAvailable())
+    core.processAllAvailable()
+    // BOTH streams see BOTH events (core.clj:15-20 fan-out: two
+    // subscribers on one source each get every event via the tee)
     assert(loader.memorySinks("criticals").rows.size == 1)
     assert(loader.memorySinks("scaled").rows.size == 2)
 
@@ -649,7 +651,7 @@ class FileConfigSpec extends SparkSpec {
 
     input.addData(
       SEvent("h3", "s", "critical", Some(1.0), new Timestamp(3000), None))
-    core.activeQueries.values.foreach(_.processAllAvailable())
+    core.processAllAvailable()
     assert(loader.memorySinks("criticals").rows.size == 2)
     // restarted `scaled` appended to the SAME cached memory sink, with
     // the new factor: 1.0 * 10
@@ -658,13 +660,17 @@ class FileConfigSpec extends SparkSpec {
         .getAs[java.lang.Double]("metric"))
     assert(metrics.contains(10.0))
 
-    // removal: drop the include -> criticals stops on reload
+    // removal: drop the include -> criticals stops on reload; the
+    // surviving `scaled` keeps RUNNING untouched (reload only restarts
+    // what changed), which means the source's tee stays live too
+    // (sticky fan-out — the single-consumer source was consumed by the
+    // tee, so the survivor keeps reading its spool)
     write(main,
       """{"streams":[{"name":"scaled","source":"input",
         |  "pipeline":[{"op":"scale","factor":10.0}],
         |  "sink":{"kind":"memory"}}]}""".stripMargin)
     assert(loader.reload() == Seq())
-    assert(core.activeQueries.keySet == Set("scaled"))
+    assert(core.activeQueries.keySet == Set("scaled", "__fanout__input"))
 
     core.stop()
   }

@@ -422,4 +422,63 @@ class MainSpec extends SparkSpec {
     Console.withOut(out) { Main.main(Array("version")) }
     assert(out.toString.contains("0.11"))
   }
+
+  test("fan-out from ONE tcp server block: two config streams share the " +
+    "socket (one bind, one server instance), both see every wire event " +
+    "(core.clj:15-20 through the packaged process); reload restarts " +
+    "only the edited one") {
+    val tcpPort = freePort()
+    val dir = Files.createTempDirectory("graft-main-fanout")
+    val cfg = dir.resolve("graft.json")
+    def writeCfg(expr: String): Unit = Files.writeString(cfg,
+      s"""{"servers": {"tcp": {"host": "127.0.0.1", "port": $tcpPort}},
+         | "streams": [
+         |   {"name": "all", "source": "tcp", "pipeline": [],
+         |    "sink": {"kind": "memory"}},
+         |   {"name": "crit", "source": "tcp",
+         |    "pipeline": [{"op": "where", "expr": "$expr"}],
+         |    "sink": {"kind": "memory"}}]}""".stripMargin)
+    writeCfg("state = 'critical'")
+    val running = Main.start(cfg, Some(spark))
+    try {
+      // one tee consumes the server (one bind), two subscriber queries
+      assert(running.core.activeQueries.keySet ==
+        Set("all", "crit", "__fanout__tcp"))
+      def ev(host: String, metric: Double, t: Long) =
+        PEvent(host, "cpu", if (metric > 0.8) "critical" else "ok", null,
+          Some(metric), Nil, Some(t), Some(3600.0), Map.empty)
+      // one send on ONE socket — proving a single bound server feeds
+      // both streams (the pre-fan-out Loader would have double-bound)
+      sendEvents(tcpPort, Seq(
+        ev("web01", 0.95, 1706000000L), ev("web02", 0.30, 1706000010L)))
+      import scala.jdk.CollectionConverters._
+      def hosts(n: String) = running.loader.memorySinks.get(n)
+        .map(_.rows.asScala.map(_.getAs[String]("host")).toSeq.sorted)
+        .getOrElse(Nil)
+      val deadline = System.currentTimeMillis() + 30000
+      while ((hosts("all").size < 2 || hosts("crit").size < 1) &&
+          System.currentTimeMillis() < deadline) {
+        running.core.processAllAvailable(); Thread.sleep(100)
+      }
+      assert(hosts("all") == Seq("web01", "web02"), s"all: ${hosts("all")}")
+      assert(hosts("crit") == Seq("web01"), s"crit: ${hosts("crit")}")
+
+      // edit only `crit`: the tee and `all` keep running; post-reload
+      // traffic reaches both through the same socket
+      val allId = running.core.activeQueries("all").id
+      writeCfg("metric > 0.2")
+      assert(running.reload() == Seq("crit"))
+      assert(running.core.activeQueries("all").id == allId)
+      sendEvents(tcpPort, Seq(ev("web03", 0.25, 1706000020L)))
+      while ((hosts("all").size < 3 || hosts("crit").size < 2) &&
+          System.currentTimeMillis() < deadline) {
+        running.core.processAllAvailable(); Thread.sleep(100)
+      }
+      assert(hosts("all") == Seq("web01", "web02", "web03"))
+      assert(hosts("crit").contains("web03"), s"crit: ${hosts("crit")}")
+    } finally {
+      running.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
