@@ -266,11 +266,18 @@ object ConfigFile {
           s"$name: pipeline must be an array, got $other")
       }
       val target = str(job \ "output", s"$name.output")
-      out.write.mode((job \ "mode") match {
-        case JString(m) => m
-        case _ => "overwrite"
-      }).parquet(target)
-      name -> spark.read.parquet(target).count()
+      // report rows WRITTEN, not rows-at-path (an "append" run must not
+      // count pre-existing output), without recomputing the pipeline:
+      // the write materializes the cache, the count then reads it
+      val cached = out.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        cached.write.mode((job \ "mode") match {
+          case JString(m) => m
+          case _ => "overwrite"
+        }).parquet(target)
+        name -> cached.count()
+      } finally { cached.unpersist(); () }
     }
 
   private[graft] def str(v: JValue, what: String): String = v match {
@@ -639,7 +646,7 @@ object ConfigFile {
             .column(graft.pipeline.BpeCountExpr(
               org.apache.spark.sql.graft.ColumnBridge.expression(
                 col("text")),
-              spark.sparkContext.broadcast(merges.toArray))))
+              graft.pipeline.Bpe.broadcastMerges(spark, merges))))
           .withColumn("n_pretokens", col(s"$helper.n_pretokens"))
           .withColumn("n_bpe_tokens", col(s"$helper.n_bpe_tokens"))
           .drop(helper)

@@ -156,7 +156,7 @@ object Bpe {
     import org.apache.spark.sql.graft.ColumnBridge
     val counts = ColumnBridge.column(BpeCountExpr(
       ColumnBridge.expression(col("text")),
-      docs.sparkSession.sparkContext.broadcast(merges.toArray)))
+      broadcastMerges(docs.sparkSession, merges)))
     docs.select(col("doc_id"), counts.as("c"))
       .select(col("doc_id"), col("c.n_pretokens").as("n_pretokens"),
         col("c.n_bpe_tokens").as("n_bpe_tokens"))
@@ -172,9 +172,18 @@ object Bpe {
     import org.apache.spark.sql.graft.ColumnBridge
     docs.select(col("doc_id"), ColumnBridge.column(BpeTokensExpr(
       ColumnBridge.expression(col("text")),
-      docs.sparkSession.sparkContext.broadcast(merges.toArray)))
+      broadcastMerges(docs.sparkSession, merges)))
       .as("tokens"))
   }
+
+  /** The rank-ordered merge list as a cached broadcast: every surface
+    * over one model (encode + encodeTokens, the config `tokens` op
+    * across reloads) shares ONE Broadcast per context — see
+    * [[Broadcasts]]. */
+  private[graft] def broadcastMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[String])
+      : org.apache.spark.broadcast.Broadcast[Array[String]] =
+    Broadcasts.of(spark, ("bpe-merges", merges.toList))(merges.toArray)
 
   /** The expression-tree form of [[encode]] (nested codegen'd replaces,
     * no kernel, no memo) — kept as the in-engine parity reference. */

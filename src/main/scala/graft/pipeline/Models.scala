@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object Models {
 
-  /** Bump when any artifact's parquet schema or in-memory shape
-    * changes — loads of older artifacts then fall back to re-train. */
-  val FormatVersion = 1
+  /** Bump when any artifact's parquet schema, in-memory shape, or
+    * VALIDITY CONTRACT changes — loads of older artifacts then fall
+    * back to re-train. 2: manifests must record `data_md5`
+    * ([[matches]] requires it), so pre-checksum artifacts re-train
+    * explicitly rather than silently reading as no-match. */
+  val FormatVersion = 2
 
   private def hadoopFs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -374,18 +377,24 @@ object Models {
     out.sortBy(-_._4).toSeq
   }
 
-  /** Keep the newest `keepPerKind` artifacts of each kind under
-    * `root`, delete the rest (whole directories). Returns the deleted
-    * paths. The kind grouping matches how loadOrTrain* churns: every
-    * config/corpus drift writes a NEW hash directory of the same
-    * kind, so keep-latest-N per kind bounds the store while retaining
-    * rollback depth. */
+  /** Keep the newest `keepPerKind` artifacts of each (parent
+    * directory, kind) group under `root`, delete the rest (whole
+    * directories). Returns the deleted paths. The kind grouping
+    * matches how loadOrTrain* churns: every config/corpus drift
+    * writes a NEW hash directory of the same kind, so keep-latest-N
+    * bounds the store while retaining rollback depth. Grouping by the
+    * artifact's PARENT keeps corpora independent: under the
+    * [[defaultRoot]] layout every corpus/scale-factor hashes to its
+    * own subdirectory, and pruning from the shared base must never
+    * let one corpus's churn delete another corpus's only current
+    * artifact (which would force a retrain there). */
   def prune(spark: SparkSession, root: String,
       keepPerKind: Int): Seq[String] = {
     require(keepPerKind >= 1, s"keepPerKind ($keepPerKind) must be >= 1")
     val fs = hadoopFs(spark, root)
     listArtifacts(spark, root)
-      .groupBy(_._2).toSeq.flatMap { case (_, arts) =>
+      .groupBy(a => (new Path(a._1).getParent.toString, a._2))
+      .toSeq.flatMap { case (_, arts) =>
         arts.sortBy(-_._4).drop(keepPerKind)
       }
       .map(_._1)

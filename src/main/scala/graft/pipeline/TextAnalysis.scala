@@ -152,11 +152,21 @@ object TextAnalysis {
     docs.select(col("doc_id"), col("lang").as("declared_lang"),
         ColumnBridge.column(LangScoreExpr(
           ColumnBridge.expression(col("text")),
-          docs.sparkSession.sparkContext.broadcast(m))).as("w"))
+          broadcastModel(docs.sparkSession, m))).as("w"))
       .select(col("doc_id"), col("declared_lang"),
         col("w.predicted_lang").as("predicted_lang"),
         col("w.nb_score").as("nb_score"))
   }
+
+  /** The trained grid as a cached broadcast keyed by model CONTENT
+    * (LangIdModel carries arrays, whose case-class equality is by
+    * reference — the key lists restore structural identity): the
+    * predict and annotate faces of one model, and config reloads that
+    * re-load one artifact, share ONE Broadcast per context. */
+  private def broadcastModel(spark: org.apache.spark.sql.SparkSession,
+      m: LangIdModel): org.apache.spark.broadcast.Broadcast[LangIdModel] =
+    Broadcasts.of(spark, ("langid", (m.buckets, m.langs.toList,
+      m.lnb.toList, m.lcFlat.toList, m.seen.toList)))(m)
 
   /** In-place annotation form of [[langIdApply]] for pipelines that
     * must keep their own shape (the config-stream `"op":"langid"`):
@@ -172,7 +182,7 @@ object TextAnalysis {
       "langid reserves column __graft_ls")
     df.withColumn("__graft_ls", ColumnBridge.column(LangScoreExpr(
         ColumnBridge.expression(col("text")),
-        df.sparkSession.sparkContext.broadcast(m))))
+        broadcastModel(df.sparkSession, m))))
       .withColumn("predicted_lang", col("__graft_ls.predicted_lang"))
       .withColumn("nb_score", col("__graft_ls.nb_score"))
       .drop("__graft_ls")

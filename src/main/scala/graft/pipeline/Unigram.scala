@@ -276,9 +276,11 @@ object Unigram {
       model: Seq[(String, Long, Long)])
       : org.apache.spark.broadcast.Broadcast[
         java.util.HashMap[String, java.lang.Long]] = {
-    val m = new java.util.HashMap[String, java.lang.Long]()
-    model.foreach { case (p, _, c) => m.put(p, java.lang.Long.valueOf(c)) }
-    docs.sparkSession.sparkContext.broadcast(m)
+    Broadcasts.of(docs.sparkSession, ("unigram-costs", model.toList)) {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      model.foreach { case (p, _, c) => m.put(p, java.lang.Long.valueOf(c)) }
+      m
+    }
   }
 
   /** Train + materialize tokens (the `q_unigram_tokens` surface). */

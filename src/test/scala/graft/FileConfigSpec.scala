@@ -853,5 +853,23 @@ class FileConfigSpec extends SparkSpec {
     assert(mix.count() == 3)
     val alloc = mix.agg(sum("alloc_tokens"), min("unspent")).head()
     assert(alloc.getLong(0) + alloc.getLong(1) == 10000L)
+
+    // "rows written" means THIS run's rows even in append mode (r17
+    // ADVICE): a second append run reports the pipeline count, not
+    // the accumulated rows-at-path
+    val cfg2 = dir.resolve("jobs_append.json")
+    write(cfg2,
+      s"""{"jobs": [
+         |  {"name": "acc", "input": "$corpus",
+         |   "pipeline": [{"op": "split", "keep": "val"}],
+         |   "output": "${dir.resolve("acc.parquet")}",
+         |   "mode": "append"}
+         |]}""".stripMargin)
+    val r1 = ConfigFile.runJobs(spark, cfg2)
+    val r2 = ConfigFile.runJobs(spark, cfg2)
+    assert(r1.head._2 > 0 && r1 == r2,
+      s"append-mode rows-written must not accumulate: $r1 vs $r2")
+    assert(spark.read.parquet(dir.resolve("acc.parquet").toString)
+      .count() == 2 * r1.head._2)
   }
 }

@@ -222,4 +222,29 @@ class ModelsSpec extends SparkSpec {
     // surviving artifact still loads
     assert(Models.loadBpe(spark, s"$root/bpe_2") == Seq("a b2"))
   }
+
+  test("prune groups by (corpus dir, kind): pruning from the shared " +
+    "base never lets one corpus's churn delete another corpus's only " +
+    "artifact (r17 ADVICE)") {
+    val base = tmpDir()
+    // corpus A churned twice; corpus B has exactly one artifact, OLDER
+    // than everything in A — kind-only grouping would delete it
+    for (i <- 0 until 2) {
+      val p = s"$base/corpusA/bpe_$i"
+      Models.saveBpe(spark, p, Seq(s"a b$i"), Map("i" -> i.toString))
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(p, "manifest.json"),
+        java.nio.file.attribute.FileTime.fromMillis(2000000L + i * 1000))
+    }
+    Models.saveBpe(spark, s"$base/corpusB/bpe_only", Seq("x y"), Map.empty)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$base/corpusB/bpe_only", "manifest.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000L))
+
+    val deleted = Models.prune(spark, base, keepPerKind = 1)
+    assert(deleted.map(_.split("/").last) == Seq("bpe_0"), s"deleted: $deleted")
+    // corpus B's lone (oldest overall) artifact survived and loads
+    assert(Models.loadBpe(spark, s"$base/corpusB/bpe_only") == Seq("x y"))
+    assert(Models.loadBpe(spark, s"$base/corpusA/bpe_1") == Seq("a b1"))
+  }
 }
