@@ -41,6 +41,8 @@ import graft.streaming.SEvent
   *     "opentsdb": {"host": "127.0.0.1", "port": 4242},
   *     "ws":       {"port": 5556},
   *     "sse":      {"port": 5557} },
+  *   "modelsKeep": {"root": "/var/lib/graft/models",
+  *                  "keepPerKind": 3, "intervalSeconds": 3600},
   *   "streams": [
   *     {"name": "index", "source": "tcp",
   *      "pipeline": [{"op": "index"}],
@@ -197,6 +199,19 @@ object Main {
     private var wsSpec: String = ""
     private var sseSpec: String = ""
     private var queryPorts: Set[Int] = Set.empty
+    // model-artifact retention (r17 VERDICT #8): the store writes one
+    // directory per config hash forever under config churn; a
+    // long-running deployment self-prunes on the configured cadence
+    private var pruneSpec: String = ""
+    private var pruneTask: Option[java.util.concurrent.ScheduledFuture[_]] = None
+    private lazy val pruneScheduler = {
+      val s = new java.util.concurrent.ScheduledThreadPoolExecutor(1, r => {
+        val t = new Thread(r, "graft-models-prune"); t.setDaemon(true); t
+      })
+      s.setExecuteExistingDelayedTasksAfterShutdownPolicy(false); s
+    }
+    /** Deleted-artifact counter, for specs and ops visibility. */
+    @volatile private[graft] var prunedCount: Long = 0L
     def wsServer: Option[WsServer] = synchronized(ws)
     def sseServer: Option[SseServer] = synchronized(sse)
 
@@ -266,6 +281,39 @@ object Main {
         graft.sources.RiemannServers.registerQueryHandler(p,
           index.queryHandler))
       queryPorts = newPorts
+      // {"modelsKeep": {"root": "<dir>", "keepPerKind": N,
+      //  "intervalSeconds": N}} — prune once now and then on the
+      // cadence; absent block = no automatic pruning (Models.main's
+      // list/prune CLI remains the manual path). Reconfigured only on
+      // block change, like ws/sse.
+      val newPrune = obj(doc \ "modelsKeep")
+      val pruneCanon = newPrune.fold("")(o =>
+        JsonMethods.compact(JsonMethods.render(o)))
+      if (pruneCanon != pruneSpec) {
+        pruneTask.foreach(_.cancel(false))
+        pruneTask = newPrune.map { o =>
+          val root = strOr(o \ "root", new org.apache.hadoop.fs.Path(
+            graft.pipeline.Models.defaultRoot("x")).getParent.toString)
+          val keep = (o \ "keepPerKind") match {
+            case JNothing => 3
+            case v => int(v, "modelsKeep.keepPerKind")
+          }
+          val interval = (o \ "intervalSeconds") match {
+            case JNothing => 3600L
+            case v => ConfigFile.num(v, "modelsKeep.intervalSeconds").toLong
+          }
+          val job: Runnable = () =>
+            try prunedCount +=
+              graft.pipeline.Models.prune(spark, root, keep).size
+            catch {
+              case NonFatal(e) =>
+                System.err.println(s"[models] prune failed: ${e.getMessage}")
+            }
+          pruneScheduler.scheduleWithFixedDelay(job, 0L, interval,
+            java.util.concurrent.TimeUnit.SECONDS)
+        }
+        pruneSpec = pruneCanon
+      }
       loader.reload()
     }
 
@@ -278,6 +326,8 @@ object Main {
         sse.foreach(s => try s.stop() catch { case NonFatal(_) => () })
         queryPorts
           .foreach(graft.sources.RiemannServers.unregisterQueryHandler)
+        pruneTask.foreach(_.cancel(false))
+        if (pruneSpec.nonEmpty) pruneScheduler.shutdown()
       }
       done.countDown()
     }

@@ -481,4 +481,38 @@ class MainSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("modelsKeep retention (VERDICT r17 #8): a configured keep policy " +
+    "prunes the artifact store from the packaged process — a long " +
+    "deployment self-prunes instead of relying on a manual CLI") {
+    import graft.pipeline.Models
+    val dir = Files.createTempDirectory("graft-main-models")
+    val root = dir.resolve("models").toString
+    for (i <- 0 until 2) {
+      val p = s"$root/corpus/bpe_$i"
+      Models.saveBpe(spark, p, Seq(s"a b$i"), Map("i" -> i.toString))
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(p, "manifest.json"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 1000))
+    }
+    val cfg = dir.resolve("graft.json")
+    Files.writeString(cfg,
+      s"""{"modelsKeep": {"root": "$root", "keepPerKind": 1,
+         |                "intervalSeconds": 3600},
+         | "streams": []}""".stripMargin)
+    val running = Main.start(cfg, Some(spark))
+    try {
+      // the first prune fires immediately (initial delay 0), async
+      val deadline = System.currentTimeMillis() + 30000
+      while (running.prunedCount < 1 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(running.prunedCount == 1, s"pruned ${running.prunedCount}")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/corpus/bpe_0")))
+      assert(Models.loadBpe(spark, s"$root/corpus/bpe_1") == Seq("a b1"))
+    } finally {
+      running.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
