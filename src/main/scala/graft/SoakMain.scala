@@ -37,6 +37,17 @@ object SoakMain {
     val minutes = sys.env.getOrElse("SOAK_MINUTES", "30").toLong
     val restartEveryS = sys.env.getOrElse("SOAK_RESTART_EVERY_S", "300").toLong
     val rowsPerSec = sys.env.getOrElse("SOAK_ROWS_PER_SEC", "50000").toInt
+    // r17 VERDICT #6 (mixed-workload soak): per-family rate overrides
+    // so the legs can run concurrently at fractions of their
+    // INDIVIDUAL SoakCeiling ceilings instead of one uniform rate
+    def familyRate(name: String, dflt: Int): Int =
+      sys.env.getOrElse(s"SOAK_RATE_${name.toUpperCase}", dflt.toString).toInt
+    val rateIndex = familyRate("index", rowsPerSec)
+    val rateWindow = familyRate("window", rowsPerSec)
+    val rateSession = familyRate("session", rowsPerSec)
+    val rateQuantiles = familyRate("quantiles", rowsPerSec)
+    val rateEnrich = familyRate("enrich", rowsPerSec)
+    val rateNeardup = familyRate("neardup", math.max(1, rowsPerSec / 10))
     val nKeys = sys.env.getOrElse("SOAK_KEYS", "20000").toInt
     val out = Paths.get(sys.env.getOrElse("SOAK_OUT", "soak_state.jsonl"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -76,8 +87,8 @@ object SoakMain {
         .coalesce(1).write.parquet(enrichPath)
     }
 
-    def events() = spark.readStream.format("rate")
-      .option("rowsPerSecond", rowsPerSec)
+    def events(rate: Int = rowsPerSec) = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate)
       .option("numPartitions", cpus.toInt)
       .load()
       .select(
@@ -98,12 +109,12 @@ object SoakMain {
       // index: per-key latest + TTL expiry — state rows bounded by the
       // live key universe (nKeys * 3), NOT by events processed
       core.stream("soak-index", signature = "v1") {
-        writerFor("index")(IndexProcessor(events(), "30 seconds").toDF())
+        writerFor("index")(IndexProcessor(events(rateIndex), "30 seconds").toDF())
       }
       // windowed agg: 10 s windows, watermark-bounded retention
       core.stream("soak-window", signature = "v1") {
         writerFor("window")(
-          events().withWatermark("time", "30 seconds")
+          events(rateWindow).withWatermark("time", "30 seconds")
             .groupBy(window(col("time"), "10 seconds"), col("service"))
             .agg(sum(col("metric")).as("sum_metric"),
               count(lit(1)).as("n"))
@@ -127,7 +138,7 @@ object SoakMain {
       core.stream("soak-session", signature = "v1") {
         writerFor("session")(
           operators.Temporal.sessionize(
-            events().toDF()
+            events(rateSession).toDF()
               .withColumn("sess_key", concat(lit("blk-"),
                 floor(unix_seconds(col("time")) / 30).cast("string"),
                 lit("-"), col("service")))
@@ -142,7 +153,7 @@ object SoakMain {
       core.stream("soak-quantiles", signature = "v1") {
         writerFor("quantiles")(
           pipeline.Sketches.streamingQuantiles(
-            events().toDF(), "time", "10 seconds", Seq("service"),
+            events(rateQuantiles).toDF(), "time", "10 seconds", Seq("service"),
             col("metric").cast("long"), Seq(500, 950, 990),
             watermark = "30 seconds"))
       }
@@ -161,13 +172,13 @@ object SoakMain {
               "startCol":"win_start","endCol":"win_end",
               "fields":["deploy_id"],"bin":60}""").asInstanceOf[JObject]
         writerFor("enrich")(
-          graft.config.ConfigFile.applyOp(events().toDF(), op)
+          graft.config.ConfigFile.applyOp(events(rateEnrich).toDF(), op)
             .observe("enrich_obs", count(lit(1)).as("n"),
               count(col("asof_deploy_id")).as("matched")))
       }
       core.stream("soak-neardup", signature = "v1") {
         val docs = spark.readStream.format("rate")
-          .option("rowsPerSecond", math.max(1, rowsPerSec / 10))
+          .option("rowsPerSecond", rateNeardup)
           .option("numPartitions", cpus.toInt)
           .load()
           .select(col("value").as("doc_id"),
@@ -199,9 +210,18 @@ object SoakMain {
             s""","obs_n":${r.getAs[Long]("n")},""" +
               s""""obs_matched":${r.getAs[Long]("matched")}"""
           }.getOrElse("")
+          // rate-source backlog in SECONDS behind the generation clock
+          // (offsets are seconds of data) — the mixed-workload soak's
+          // sustainability signal: flat lag = keeping up, growing lag
+          // = the mix is over the box's aggregate capacity
+          val lagS = p.sources.headOption.map { s =>
+            try s.latestOffset.toDouble - s.endOffset.toDouble
+            catch { case scala.util.control.NonFatal(_) => -1.0 }
+          }.getOrElse(-1.0)
           s"""{"t":${System.currentTimeMillis / 1000},"query":"$name",""" +
             s""""batch":${p.batchId},"state_rows":$rows,""" +
             s""""sst_bytes":$sst,"mem_bytes":$mem,""" +
+            f""""end_lag_s":$lagS%.1f,""" +
             s""""rows_per_sec":${p.processedRowsPerSecond}$obs}"""
         }
       }
@@ -256,7 +276,11 @@ object SoakMain {
       if (slice.isEmpty) 0L else slice.map(sel).max
     }
     val summary =
-      s"""{"minutes":$minutes,"rows_per_sec":$rowsPerSec,"keys":${nKeys * 3},""" +
+      s"""{"minutes":$minutes,"rows_per_sec":$rowsPerSec,""" +
+        s""""rates":{"index":$rateIndex,"window":$rateWindow,""" +
+        s""""session":$rateSession,"quantiles":$rateQuantiles,""" +
+        s""""enrich":$rateEnrich,"neardup":$rateNeardup},""" +
+        s""""keys":${nKeys * 3},""" +
         s""""restarts":$nRestarts,"samples":${series.length},""" +
         s""""state_rows_max_third1":${thirdMax(_._2, 0)},""" +
         s""""state_rows_max_third2":${thirdMax(_._2, 1)},""" +

@@ -1011,16 +1011,17 @@ object ConfigFile {
               (subs.size >= 2 || (stickyFanned(src) && subs.nonEmpty)) =>
           src -> subs.map(_._1)
         }
-      stickyFanned = fanned.keySet
       // everything throw-prone first: resolve + schema-probe every
       // fanned source before any mutation (thunk invocation is
-      // side-effect-free; sources bind at query start)
+      // side-effect-free; sources bind at query start) — a failed
+      // reload must leave stickiness untouched too
       fanned.keys.foreach { src =>
         val thunk = sources.getOrElse(src,
           throw new IllegalArgumentException(
             s"fan-out: unknown source '$src'"))
         fanoutSchemas.getOrElseUpdate(src, thunk().schema)
       }
+      stickyFanned = fanned.keySet
       // spool dirs keyed by subscriber signature: an edited stream
       // rotates to a fresh spool (sees only post-restart events)
       val spools: Map[String, Map[String, String]] =
