@@ -211,17 +211,28 @@ object SoakMain {
               s""""obs_matched":${r.getAs[Long]("matched")}"""
           }.getOrElse("")
           // rate-source backlog in SECONDS behind the generation clock
-          // (offsets are seconds of data) — the mixed-workload soak's
-          // sustainability signal: flat lag = keeping up, growing lag
-          // = the mix is over the box's aggregate capacity
+          // (offsets are seconds of data). NOTE: within one COMPLETED
+          // batch's progress, end==latest for the rate source (both
+          // captured at planning), so this reads ~0 even when behind —
+          // the real sustainability signal is span_s vs duration: a
+          // batch that covers span_s seconds of generated data but
+          // takes longer than span_s to process means the stream is
+          // falling behind the clock (spans then grow batch over
+          // batch). Both are recorded; readers should trust span/dur.
           val lagS = p.sources.headOption.map { s =>
             try s.latestOffset.toDouble - s.endOffset.toDouble
+            catch { case scala.util.control.NonFatal(_) => -1.0 }
+          }.getOrElse(-1.0)
+          val spanS = p.sources.headOption.map { s =>
+            try s.endOffset.toDouble - s.startOffset.toDouble
             catch { case scala.util.control.NonFatal(_) => -1.0 }
           }.getOrElse(-1.0)
           s"""{"t":${System.currentTimeMillis / 1000},"query":"$name",""" +
             s""""batch":${p.batchId},"state_rows":$rows,""" +
             s""""sst_bytes":$sst,"mem_bytes":$mem,""" +
-            f""""end_lag_s":$lagS%.1f,""" +
+            f""""end_lag_s":$lagS%.1f,"span_s":$spanS%.1f,""" +
+            s""""batch_ms":${p.batchDuration},""" +
+            s""""input_rows":${p.numInputRows},""" +
             s""""rows_per_sec":${p.processedRowsPerSecond}$obs}"""
         }
       }

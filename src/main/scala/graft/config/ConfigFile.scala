@@ -299,6 +299,21 @@ object ConfigFile {
     case other => throw new IllegalArgumentException(s"$what: got $other")
   }
 
+  /** Delete a fan-out spool's DATA files with mtime before `cutoff`
+    * (metadata files `_*`/`.*` untouched). Files the subscriber's
+    * file source has already seen may be deleted safely (it never
+    * re-reads them); unseen files past the cutoff are the retention
+    * contract's loss window. Local filesystem by construction — the
+    * spool lives under the Loader's fanoutDir. */
+  private[graft] def pruneSpool(dir: Path, cutoff: Long): Int = {
+    val files = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+    files.count { f =>
+      f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && f.lastModified() < cutoff &&
+        f.delete()
+    }
+  }
+
   /** The tags column if the source carries one, else an empty array —
     * a sourceless/stripped stream must not fail ANALYSIS on a tag op
     * (the reference treats a tagless event as having no tags). */
@@ -862,6 +877,13 @@ object ConfigFile {
     * fan out natively — at 100 TB the durable bus IS the tee; the
     * parquet spool is the local-mode stand-in).
     *
+    * Spools are retention-pruned from the tee (every 64 batches, data
+    * files older than `fanoutRetentionMs`, default 24 h, are deleted —
+    * subscribers drain files within a trigger, so the spool stays
+    * bounded on a long-running firehose; a subscriber down past the
+    * window loses those events, the standard durable-bus retention
+    * contract).
+    *
     * Subscriber-set changes update the running tee's spool map without
     * restarting it; once fanned, a source stays teed while it keeps
     * any subscriber (dropping to one must not restart the survivor).
@@ -875,7 +897,8 @@ object ConfigFile {
       sinkFactories: Map[String, JValue => Sinks.EventSink] = Map.empty,
       val fanoutDir: Path =
         Files.createTempDirectory("graft-fanout"),
-      replayable: Set[String] = Set.empty) {
+      replayable: Set[String] = Set.empty,
+      fanoutRetentionMs: Long = 24L * 3600 * 1000) {
 
     /** Config source names → streaming-DataFrame thunks. Mutable so a
       * host ([[graft.Main]]) can swap in thunks rebuilt from the edited
@@ -926,7 +949,7 @@ object ConfigFile {
       fanoutSchemas(source) = df.schema
       df.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], _: Long) =>
+            org.apache.spark.sql.Row], batchId: Long) =>
           val dirs = fanoutSubs.getOrElse(source, Map.empty).values.toSeq
           if (dirs.nonEmpty) {
             // one source read, N spool appends: persist so the batch
@@ -936,6 +959,15 @@ object ConfigFile {
               if (b.count() > 0L)
                 dirs.foreach(d => b.write.mode("append").parquet(d))
             } finally { b.unpersist(); () }
+            // spool retention: subscribers drain files within a
+            // trigger, so anything older than the retention window is
+            // long-consumed — without this a long-running firehose
+            // grows the spool without bound (a subscriber down past
+            // the window loses those events: the standard retention
+            // contract of any durable bus)
+            if (batchId % 64 == 0)
+              dirs.foreach(d => pruneSpool(java.nio.file.Path.of(d),
+                System.currentTimeMillis() - fanoutRetentionMs))
           }
         }
         .option("checkpointLocation",

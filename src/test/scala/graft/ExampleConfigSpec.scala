@@ -13,4 +13,20 @@ class ExampleConfigSpec extends SparkSpec {
     val (passed, failed) = Main.runTests(path, spark)
     assert(passed == 5 && failed == 0, s"$passed passed, $failed failed")
   }
+
+  test("examples/curation.example.json parses: three streams fanned out " +
+    "from ONE docs source (the r18 fan-out contract) plus the batch jobs") {
+    val path = java.nio.file.Paths.get("examples/curation.example.json")
+    val streams = graft.config.ConfigFile.load(path)
+    assert(streams.map(s =>
+      graft.config.ConfigFile.str(s \ "name", "name")) ==
+      List("curation-firehose", "decontamination-feed", "neardup-pairs"))
+    // all three share the `docs` source — the shape the Loader tees
+    assert(streams.map(s =>
+      graft.config.ConfigFile.str(s \ "source", "source")).toSet ==
+      Set("docs"))
+    val jobs = graft.config.ConfigFile.loadJobs(path)
+    assert(jobs.map(j => graft.config.ConfigFile.str(j \ "name", "name")) ==
+      List("train-set", "val-set", "mixture-table"))
+  }
 }

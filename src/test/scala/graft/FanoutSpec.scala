@@ -218,6 +218,81 @@ class FanoutSpec extends SparkSpec {
     } finally core.stop()
   }
 
+  test("spool retention: pruneSpool deletes data files past the cutoff, " +
+    "keeps metadata and fresh files; the tee wires it on a 64-batch " +
+    "cadence so a long-running firehose's spool stays bounded") {
+    val dir = Files.createTempDirectory("graft-spool-ret")
+    def plant(name: String, ageMs: Long): Path = {
+      val p = dir.resolve(name)
+      Files.writeString(p, "x")
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs))
+      p
+    }
+    val old1 = plant("part-00000-old.parquet", 3600 * 1000L)
+    val meta = plant("_SUCCESS", 3600 * 1000L)
+    val hidden = plant(".crc-thing", 3600 * 1000L)
+    val fresh = plant("part-00001-fresh.parquet", 0L)
+    val n = graft.config.ConfigFile.pruneSpool(dir,
+      System.currentTimeMillis() - 60 * 1000L)
+    assert(n == 1, s"pruned $n")
+    assert(!Files.exists(old1))
+    assert(Files.exists(meta) && Files.exists(hidden) && Files.exists(fresh))
+
+    // wiring: a Loader with a tiny retention deletes an 8-day-old
+    // planted spool file on the tee's first batch (batchId 0 hits the
+    // 64-batch cadence); the live stream is unaffected
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cdir = Files.createTempDirectory("graft-spool-ret-e2e")
+    val cfg = cdir.resolve("c.json")
+    write(cfg,
+      """{"streams":[
+        | {"name":"a","source":"in","pipeline":[],"sink":{"kind":"memory"}},
+        | {"name":"b","source":"in","pipeline":[],"sink":{"kind":"memory"}}]}"""
+        .stripMargin)
+    val in = MemoryStream[SEvent]
+    val core = new Core(spark)
+    val loader = new graft.config.ConfigFile.Loader(core, spark, cfg,
+      sources0 = Map("in" -> (() => in.toDF())),
+      fanoutRetentionMs = 24L * 3600 * 1000)
+    import scala.jdk.CollectionConverters._
+    try {
+      loader.reload()
+      // plant a VALID parquet file (the subscriber's file source may
+      // read it — a retention test must not poison the stream) with
+      // an ancient mtime, in each subscriber's spool
+      val seed = cdir.resolve("seed")
+      Seq(SEvent("planted", "s", "ok", Some(0.0),
+        new java.sql.Timestamp(500), None))
+        .toDF().coalesce(1).write.parquet(seed.toString)
+      val seedPart = Files.list(seed).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val spools = Files.list(loader.fanoutDir.resolve("in")).iterator()
+      var planted: Seq[Path] = Nil
+      spools.forEachRemaining { d =>
+        if (d.getFileName.toString.startsWith("sub-")) {
+          val p = d.resolve("part-ancient.parquet")
+          Files.copy(seedPart, p)
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
+          planted = planted :+ p
+        }
+      }
+      assert(planted.size == 2)
+      in.addData(SEvent("h1", "s", "ok", Some(1.0),
+        new java.sql.Timestamp(1000), None))
+      core.processAllAvailable()
+      planted.foreach(p => assert(!Files.exists(p),
+        s"retention did not delete $p"))
+      assert(loader.memorySinks("a").rows.asScala
+        .exists(_.getAs[String]("host") == "h1"))
+    } finally core.stop()
+  }
+
   test("a source declared `replayable` skips the tee: each subscriber " +
     "consumes the source independently (the kafka shape — at scale the " +
     "durable bus IS the fan-out)") {
