@@ -299,6 +299,54 @@ object ConfigFile {
     case other => throw new IllegalArgumentException(s"$what: got $other")
   }
 
+  /** Static-side relations for the stream-static ops (asof/enrich
+    * interval tables, the crosscorpus banded reference), persisted
+    * ONCE per (context, table version, op params) — without this
+    * every micro-batch re-executes the static subtree: re-scans the
+    * reference parquet, re-runs the asof window function or the full
+    * minhash banding of the reference corpus, and only then rebuilds
+    * the broadcast. On a decontamination stream against a large
+    * benchmark corpus that re-computation per 5-second trigger IS the
+    * scale bug; the r18 mixed-workload soak surfaced it as the enrich
+    * leg starving hardest under contention. The table version is the
+    * max file mtime under the path, so refreshing the reference
+    * (new files) + a reload picks up the new snapshot while the
+    * running query keeps its pinned one. Bounded: past [[MaxStatics]]
+    * the oldest entry is unpersisted (a query still referencing it
+    * just recomputes per batch — the pre-cache behavior). */
+  private val MaxStatics = 32
+  private val staticCache = TrieMap[(String, Any), DataFrame]()
+  private val staticOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Any)]()
+
+  private def tableVersion(spark: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getModificationTime).maxOption.getOrElse(0L)
+    } catch { case NonFatal(_) => 0L }
+
+  private[graft] def cachedStatic(spark: SparkSession, key: Any)(
+      mk: => DataFrame): DataFrame = synchronized {
+    val k = (spark.sparkContext.applicationId, key)
+    staticCache.getOrElse(k, {
+      while (staticOrder.size >= MaxStatics) {
+        val old = staticOrder.poll()
+        staticCache.remove(old).foreach { df =>
+          try { df.unpersist(); () } catch { case NonFatal(_) => () }
+        }
+      }
+      val df = mk.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      staticCache(k) = df
+      staticOrder.add(k)
+      df
+    })
+  }
+
+  /** Test hook: current static-cache entry count. */
+  private[graft] def staticCacheSize: Int = staticCache.size
+
   /** Delete a fan-out spool's DATA files with mtime before `cutoff`
     * (metadata files `_*`/`.*` untouched). Files the subscriber's
     * file source has already seen may be deleted safely (it never
@@ -532,10 +580,14 @@ object ConfigFile {
           case JString(s) => s
           case _ => "time_s"
         }
-        val static = spark.read.parquet(str(op \ "table", "asof.table"))
-        val iv = graft.streaming.StreamingAsOf.validityIntervals(
-          static, by, tcol, strings(op \ "fields"),
-          num(op \ "maxValidity", "asof.maxValidity").toLong)
+        val table = str(op \ "table", "asof.table")
+        val fields = strings(op \ "fields")
+        val maxV = num(op \ "maxValidity", "asof.maxValidity").toLong
+        val iv = cachedStatic(spark, ("asof-iv", table,
+            tableVersion(spark, table), by, tcol, fields, maxV)) {
+          graft.streaming.StreamingAsOf.validityIntervals(
+            spark.read.parquet(table), by, tcol, fields, maxV)
+        }
         enrichWith(df, iv, by, num(op \ "bin", "asof.bin").toLong,
           (op \ "as") match {
             case JString(a) => a
@@ -546,10 +598,15 @@ object ConfigFile {
         // deploy freezes — explicit [start, end) second columns):
         // the same stateless stream-static interval join
         val by = strings(op \ "by")
-        val static = spark.read.parquet(str(op \ "table", "enrich.table"))
-        val iv = graft.streaming.StreamingAsOf.intervalsOf(static, by,
-          str(op \ "startCol", "enrich.startCol"),
-          str(op \ "endCol", "enrich.endCol"), strings(op \ "fields"))
+        val table = str(op \ "table", "enrich.table")
+        val startCol = str(op \ "startCol", "enrich.startCol")
+        val endCol = str(op \ "endCol", "enrich.endCol")
+        val fields = strings(op \ "fields")
+        val iv = cachedStatic(spark, ("enrich-iv", table,
+            tableVersion(spark, table), by, startCol, endCol, fields)) {
+          graft.streaming.StreamingAsOf.intervalsOf(
+            spark.read.parquet(table), by, startCol, endCol, fields)
+        }
         enrichWith(df, iv, by, num(op \ "bin", "enrich.bin").toLong,
           (op \ "as") match {
             case JString(a) => a
@@ -781,10 +838,13 @@ object ConfigFile {
         val maxBucket = (op \ "maxBucket") match {
           case JNothing => graft.pipeline.Caps.DefaultMaxBucket
           case v => num(v, "crosscorpus.maxBucket").toInt }
-        val refDocs = spark.read.parquet(str(op \ "table",
-          "crosscorpus.table (reference docs parquet)"))
-        val refB = graft.streaming.StreamingCrossCorpus.referenceBanded(
-          refDocs, k, bands, w, maxBucket)
+        val table = str(op \ "table",
+          "crosscorpus.table (reference docs parquet)")
+        val refB = cachedStatic(spark, ("xc-ref", table,
+            tableVersion(spark, table), k, bands, w, maxBucket)) {
+          graft.streaming.StreamingCrossCorpus.referenceBanded(
+            spark.read.parquet(table), k, bands, w, maxBucket)
+        }
         val m = graft.streaming.StreamingCrossCorpus.matches(
           df, refB, "time", k, bands, w, thr)
         (op \ "mode") match {

@@ -300,6 +300,48 @@ class FileConfigSpec extends SparkSpec {
     assert(clash.getMessage.contains("asof_time_s"))
   }
 
+  test("stream-static ops persist their static side ONCE per (table " +
+    "version, params): recompiles share the cached relation instead of " +
+    "re-scanning + re-deriving it per micro-batch, and a refreshed " +
+    "table (new version) + recompile picks up the new snapshot") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_cfg_static")
+    val table = dir.resolve("windows.parquet").toString
+    Seq(("h1", 100L, 200L, "dep-1"))
+      .toDF("host", "win_start", "win_end", "deploy_id")
+      .write.mode("overwrite").parquet(table)
+    val df = events(E(1, host = "h1", time = 150))
+      .withColumn("time", timestamp_seconds(col("time_s")))
+    val json = s"""{"op":"enrich","table":"$table","by":["host"],
+                   |"startCol":"win_start","endCol":"win_end",
+                   |"fields":["deploy_id"],"bin":60}""".stripMargin
+
+    val before = ConfigFile.staticCacheSize
+    val a = ConfigFile.applyOp(df, op(json))
+    assert(ConfigFile.staticCacheSize == before + 1)
+    val b = ConfigFile.applyOp(df, op(json))
+    assert(ConfigFile.staticCacheSize == before + 1,
+      "identical recompile must reuse the cached static relation")
+    assert(one[String](a, "asof_deploy_id") == "dep-1")
+    assert(one[String](b, "asof_deploy_id") == "dep-1")
+
+    // refresh the reference table: a recompile sees the NEW snapshot
+    // under a NEW cache entry, while the old compile keeps its pin
+    Seq(("h1", 100L, 200L, "dep-2"))
+      .toDF("host", "win_start", "win_end", "deploy_id")
+      .write.mode("overwrite").parquet(table)
+    // mtime resolution guard: force a visibly newer version
+    import scala.jdk.CollectionConverters._
+    Files.list(java.nio.file.Path.of(table)).iterator().asScala.foreach(p =>
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 5000)))
+    val c = ConfigFile.applyOp(df, op(json))
+    assert(ConfigFile.staticCacheSize == before + 2)
+    assert(one[String](c, "asof_deploy_id") == "dep-2")
+  }
+
   test("quality + langid ops: the curation firehose stages through the " +
     "config surface (gopher gate, artifact-trained classifier, streaming)") {
     val spark0 = spark
