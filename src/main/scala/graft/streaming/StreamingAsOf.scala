@@ -26,7 +26,15 @@ import org.apache.spark.sql.types.StructType
   *
   * Scale shape: at 100 TB the interval relation is a bucketed table
   * on (keys, bin) refreshed on reference releases; each micro-batch
-  * hash-joins against it without reshuffling the reference. */
+  * hash-joins against it without reshuffling the reference.
+  *
+  * PERSIST the derived interval relation before streaming with it:
+  * Spark re-executes the static subtree of a stream-static join in
+  * every micro-batch (scan + the window derivation here), so an
+  * unpersisted relation pays that per trigger. The config surface
+  * does this automatically ([[graft.config.ConfigFile]] `cachedStatic`,
+  * ~5× per-batch in the r18 A/B); direct callers should
+  * `.persist()` the [[validityIntervals]]/[[intervalsOf]] result. */
 object StreamingAsOf {
 
   /** Build the static side once per reference release: one row per

@@ -31,7 +31,15 @@ import org.apache.spark.sql.functions._
   * Output: (new_id, ref_id, est_jaccard ≥ threshold, band, time). The
   * same pair may surface from several colliding bands (band evidence
   * carried, like the stateful family); callers wanting one row per
-  * pair add `dropDuplicatesWithinWatermark("new_id", "ref_id")`. */
+  * pair add `dropDuplicatesWithinWatermark("new_id", "ref_id")`.
+  *
+  * PERSIST the [[referenceBanded]] relation before streaming with it:
+  * Spark re-executes the static subtree of a stream-static join in
+  * every micro-batch, which here means re-shingling + re-banding the
+  * WHOLE reference corpus per trigger. The config surface persists it
+  * automatically ([[graft.config.ConfigFile]] `cachedStatic` — 2.5 s →
+  * 0.5 s per batch at a 50 K-doc reference in the r18 A/B,
+  * StaticCacheBench); direct callers should `.persist()` it. */
 object StreamingCrossCorpus {
 
   def matches(docs: DataFrame, refBanded: DataFrame,
