@@ -293,6 +293,41 @@ class FanoutSpec extends SparkSpec {
     } finally core.stop()
   }
 
+  test("plan discipline: a subscriber's where-filter pushes down into " +
+    "its spool parquet scan (the fan-out hop costs a spool write, " +
+    "never scan-level pushdown)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-fanout-plan")
+    val cfg = dir.resolve("c.json")
+    write(cfg,
+      """{"streams":[
+        | {"name":"crit","source":"in",
+        |  "pipeline":[{"op":"where","expr":"state = 'critical'"}],
+        |  "sink":{"kind":"memory"}},
+        | {"name":"all","source":"in","pipeline":[],
+        |  "sink":{"kind":"memory"}}]}""".stripMargin)
+    val in = MemoryStream[SEvent]
+    val core = new Core(spark)
+    val loader = new graft.config.ConfigFile.Loader(core, spark, cfg,
+      sources0 = Map("in" -> (() => in.toDF())))
+    try {
+      loader.reload()
+      in.addData(SEvent("h1", "s", "critical", Some(1.0),
+        new java.sql.Timestamp(1000), None))
+      core.processAllAvailable()
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        core.activeQueries("crit").explain()
+      }
+      val plan = out.toString
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("EqualTo(state,critical)"),
+        s"filter not pushed to the spool scan:\n$plan")
+    } finally core.stop()
+  }
+
   test("a source declared `replayable` skips the tee: each subscriber " +
     "consumes the source independently (the kafka shape — at scale the " +
     "durable bus IS the fan-out)") {
