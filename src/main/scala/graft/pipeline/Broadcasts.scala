@@ -2,8 +2,10 @@ package graft.pipeline
 
 import scala.collection.concurrent.TrieMap
 import scala.reflect.ClassTag
+import scala.util.control.NonFatal
 
 import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.SparkSession
 
 /** One [[Broadcast]] per (SparkContext, model identity) — the
@@ -20,25 +22,65 @@ import org.apache.spark.sql.SparkSession
   *    params compare equal and cached-plan / canonicalization reuse
   *    works again (broadcasts compare by reference).
   *
-  * Keys carry the model CONTENT (immutable collections, structural
-  * equality), so a retrained model gets its own broadcast while a
-  * re-read of the same artifact shares. Bounded: past [[MaxEntries]]
-  * per context the oldest entry is unpersisted (safe for running
-  * plans — executors lazily re-fetch on next use) and dropped. */
+  * Model identity is an MD5 over the java-serialized model content
+  * (r18 ADVICE): a retrained model gets its own broadcast while a
+  * re-read of the same artifact shares, and the cache retains 16-byte
+  * digests instead of up to [[MaxEntries]] boxed deep copies of the
+  * models themselves — lookups hash a digest, not O(model size)
+  * collections. Bounded: past [[MaxEntries]] the oldest entry is
+  * unpersisted (safe for running plans — executors lazily re-fetch on
+  * next use; `destroy` would break them, so eviction only drops OUR
+  * strong reference and lets GC reclaim the driver-side value once no
+  * plan holds the broadcast). Entries for a STOPPED SparkContext are
+  * dropped eagerly by an ApplicationEnd listener instead of waiting
+  * for LRU displacement. */
 private[graft] object Broadcasts {
 
   private val MaxEntries = 64
-  private val cache = TrieMap[(String, Any), Broadcast[_]]()
+  private val cache = TrieMap[(String, String), Broadcast[_]]()
   private val order =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, Any)]()
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  private val listening = TrieMap[String, Unit]()
+
+  /** MD5 of the java-serialized key — content identity at O(16 bytes)
+    * retained per entry. The key objects here are immutable standard
+    * collections of primitives/strings (merges, cost tables, grids),
+    * whose serialized form is stable for equal values. */
+  private def digest(key: Any): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(key.asInstanceOf[AnyRef]); oos.close()
+    java.security.MessageDigest.getInstance("MD5").digest(bos.toByteArray)
+      .map("%02x".format(_)).mkString
+  }
+
+  private[graft] def dropApp(appId: String): Unit = synchronized {
+    val dead = cache.keys.filter(_._1 == appId).toSeq
+    dead.foreach { k =>
+      order.remove(k)
+      // no unpersist: the context is gone, its blocks died with it —
+      // dropping the strong reference is all that's left to reclaim
+      cache.remove(k)
+    }
+    listening.remove(appId); ()
+  }
 
   def of[T: ClassTag](spark: SparkSession, key: Any)(mk: => T): Broadcast[T] =
     synchronized {
-      val k = (spark.sparkContext.applicationId, key)
+      val appId = spark.sparkContext.applicationId
+      val k = (appId, digest(key))
       cache.getOrElse(k, {
+        if (listening.putIfAbsent(appId, ()).isEmpty)
+          try spark.sparkContext.addSparkListener(new SparkListener {
+            override def onApplicationEnd(
+                e: SparkListenerApplicationEnd): Unit = dropApp(appId)
+          }) catch { case NonFatal(_) => () }
         while (order.size >= MaxEntries) {
           val old = order.poll()
-          cache.remove(old).foreach(_.unpersist(blocking = false))
+          cache.remove(old).foreach { b =>
+            try b.unpersist(blocking = false)
+            catch { case NonFatal(_) => () }
+          }
         }
         val b = spark.sparkContext.broadcast(mk)
         cache(k) = b
@@ -49,4 +91,8 @@ private[graft] object Broadcasts {
 
   /** Test hook: current entry count. */
   private[graft] def size: Int = cache.size
+
+  /** Test hook: entry count for one application. */
+  private[graft] def sizeFor(appId: String): Int =
+    cache.keys.count(_._1 == appId)
 }

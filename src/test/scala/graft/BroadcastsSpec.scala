@@ -49,6 +49,23 @@ class BroadcastsSpec extends SparkSpec {
     assert(q1.queryExecution.analyzed.sameResult(q2.queryExecution.analyzed))
   }
 
+  test("entries are keyed by content DIGEST and dropped when their " +
+    "context ends: the cache retains 16-byte digests, not model deep " +
+    "copies, and an ApplicationEnd drops the app's entries eagerly " +
+    "instead of waiting for LRU displacement (r18 ADVICE)") {
+    val appId = spark.sparkContext.applicationId
+    Bpe.broadcastMerges(spark, Seq("q r", "qr s"))
+    assert(graft.pipeline.Broadcasts.sizeFor(appId) > 0)
+    // the ApplicationEnd listener calls dropApp; the shared test
+    // session cannot be stopped here, so drive the drop path directly
+    graft.pipeline.Broadcasts.dropApp(appId)
+    assert(graft.pipeline.Broadcasts.sizeFor(appId) == 0)
+    // the cache repopulates on next use (fresh listener registration)
+    val b = Bpe.broadcastMerges(spark, Seq("q r", "qr s"))
+    assert(graft.pipeline.Broadcasts.sizeFor(appId) > 0)
+    assert(b.value.toSeq == Seq("q r", "qr s"))
+  }
+
   test("unigram: equal-content models share; the cost map is built " +
     "once per content") {
     val spark0 = spark

@@ -326,8 +326,11 @@ class FileConfigSpec extends SparkSpec {
     assert(one[String](a, "asof_deploy_id") == "dep-1")
     assert(one[String](b, "asof_deploy_id") == "dep-1")
 
-    // refresh the reference table: a recompile sees the NEW snapshot
-    // under a NEW cache entry, while the old compile keeps its pin
+    // refresh the reference table: a recompile sees the NEW snapshot,
+    // and the SUPERSEDED version's persisted copy is dropped on insert
+    // (r18 ADVICE: frequent refresh + reload churn must not pin
+    // obsolete cached relations until FIFO displacement) — the old
+    // compile's plan still computes correctly, just unpersisted
     Seq(("h1", 100L, 200L, "dep-2"))
       .toDF("host", "win_start", "win_end", "deploy_id")
       .write.mode("overwrite").parquet(table)
@@ -338,8 +341,61 @@ class FileConfigSpec extends SparkSpec {
         java.nio.file.attribute.FileTime.fromMillis(
           System.currentTimeMillis() + 5000)))
     val c = ConfigFile.applyOp(df, op(json))
-    assert(ConfigFile.staticCacheSize == before + 2)
+    assert(ConfigFile.staticCacheSize == before + 1,
+      "the superseded table version must be evicted when its successor " +
+        "is cached")
     assert(one[String](c, "asof_deploy_id") == "dep-2")
+    // the superseded compile's plan still COMPUTES after its unpersist —
+    // but from the current table files (its snapshot pin is traded away
+    // by the eviction; a running query keeps correctness, it just
+    // re-reads per batch and sees the refreshed contents)
+    assert(one[String](a, "asof_deploy_id") == "dep-2")
+  }
+
+  test("tableVersion sees NESTED partition refreshes: a file added two " +
+    "levels deep changes the cache key, so reload serves the new " +
+    "snapshot instead of the stale persisted one (r18 ADVICE)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_cfg_nested")
+    val table = dir.resolve("windows.parquet").toString
+    Seq(("h1", 100L, 200L, "dep-1"))
+      .toDF("host", "win_start", "win_end", "deploy_id")
+      .write.partitionBy("host").parquet(table)
+    val df = events(E(1, host = "h1", time = 150))
+      .withColumn("time", timestamp_seconds(col("time_s")))
+    val json = s"""{"op":"enrich","table":"$table","by":["host"],
+                   |"startCol":"win_start","endCol":"win_end",
+                   |"fields":["deploy_id"],"bin":60}""".stripMargin
+    val before = ConfigFile.staticCacheSize
+    assert(one[String](ConfigFile.applyOp(df, op(json)),
+      "asof_deploy_id") == "dep-1")
+    assert(ConfigFile.staticCacheSize == before + 1)
+    // append into the NESTED partition dir only: the top-level listing
+    // is unchanged (host=h1/ already existed), but the leaf grew a file
+    Seq(("h1", 100L, 200L, "dep-2"))
+      .toDF("host", "win_start", "win_end", "deploy_id")
+      .write.mode("append").partitionBy("host").parquet(table)
+    import scala.jdk.CollectionConverters._
+    // force leaf files visibly newer; leave the top-level dirs alone
+    Files.walk(java.nio.file.Path.of(table)).iterator().asScala
+      .filter(p => Files.isRegularFile(p)).foreach(p =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + 5000)))
+    Files.list(java.nio.file.Path.of(table)).iterator().asScala.foreach(p =>
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000)))
+    val c = ConfigFile.applyOp(df, op(json))
+    // the appended interval row must be visible — a stale
+    // top-level-mtime cache key would keep serving only dep-1
+    val deploys = c.select("asof_deploy_id").collect()
+      .map(_.getString(0)).toSet
+    assert(deploys.contains("dep-2"),
+      s"nested-partition refresh not picked up: $deploys")
+    assert(ConfigFile.staticCacheSize == before + 1,
+      "the nested refresh must SUPERSEDE the old version, not add beside it")
   }
 
   test("quality + langid ops: the curation firehose stages through the " +
@@ -913,5 +969,77 @@ class FileConfigSpec extends SparkSpec {
       s"append-mode rows-written must not accumulate: $r1 vs $r2")
     assert(spark.read.parquet(dir.resolve("acc.parquet").toString)
       .count() == 2 * r1.head._2)
+  }
+
+  test("per-stream trigger (r18 VERDICT #7): availableNow drains the " +
+    "source and terminates on its own; processingTime paces a live " +
+    "cadence; a malformed trigger object is rejected") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_cfg_trigger")
+    val srcDir = dir.resolve("src")
+    Files.createDirectories(srcDir)
+    Seq((1L, "m1"), (2L, "m2")).toDF("event_id", "msg")
+      .write.mode("append").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val mkSources = Map("log" -> (() =>
+      spark.readStream.schema(schema).parquet(srcDir.toString)))
+
+    // availableNow: drain-and-stop — the batch-style stream shape
+    val cfg = dir.resolve("drain.json")
+    write(cfg,
+      """{"streams":[
+        | {"name":"drain","source":"log","pipeline":[],
+        |  "trigger":{"availableNow":true},
+        |  "sink":{"kind":"memory"}}]}""".stripMargin)
+    val core = new Core(spark)
+    val loader = new ConfigFile.Loader(core, spark, cfg,
+      sources0 = mkSources)
+    import scala.jdk.CollectionConverters._
+    try {
+      loader.reload()
+      val q = core.activeQueries("drain")
+      assert(q.awaitTermination(60000),
+        "availableNow query did not terminate after draining")
+      assert(loader.memorySinks("drain").rows.asScala
+        .map(_.getAs[Long]("event_id")).toSeq.sorted == Seq(1L, 2L))
+    } finally core.stop()
+
+    // processingTime: the query stays live and delivers on its cadence
+    val cfg2 = dir.resolve("paced.json")
+    write(cfg2,
+      """{"streams":[
+        | {"name":"paced","source":"log","pipeline":[],
+        |  "trigger":{"processingTime":"100 milliseconds"},
+        |  "sink":{"kind":"memory"}}]}""".stripMargin)
+    val core2 = new Core(spark)
+    val loader2 = new ConfigFile.Loader(core2, spark, cfg2,
+      sources0 = mkSources)
+    try {
+      loader2.reload()
+      val q = core2.activeQueries("paced")
+      val deadline = System.currentTimeMillis() + 30000
+      while (loader2.memorySinks("paced").rows.size() < 2 &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(q.isActive, "processingTime query must keep running")
+      assert(loader2.memorySinks("paced").rows.asScala
+        .map(_.getAs[Long]("event_id")).toSeq.sorted == Seq(1L, 2L))
+    } finally core2.stop()
+
+    // malformed trigger: loud rejection, not a silent default
+    val cfg3 = dir.resolve("bad.json")
+    write(cfg3,
+      """{"streams":[
+        | {"name":"bad","source":"log","pipeline":[],
+        |  "trigger":{"bogus":1},
+        |  "sink":{"kind":"memory"}}]}""".stripMargin)
+    val core3 = new Core(spark)
+    val loader3 = new ConfigFile.Loader(core3, spark, cfg3,
+      sources0 = mkSources)
+    try {
+      val e = intercept[IllegalArgumentException](loader3.reload())
+      assert(e.getMessage.contains("trigger"))
+    } finally core3.stop()
   }
 }

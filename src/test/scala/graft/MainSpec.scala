@@ -256,6 +256,63 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("multi-source stream over REAL sockets: one config stream fed by " +
+    "the tcp AND udp server blocks at once — the reference's default " +
+    "deployment shape (riemann.config:6-28: one (streams ...) topology " +
+    "receiving from every transport, core.clj:15-20)") {
+    import java.net.{DatagramPacket, DatagramSocket, InetAddress}
+    val tcpPort = freePort()
+    val udpPort = freePort()
+    val dir = Files.createTempDirectory("graft-main-multisrc")
+    val cfg = dir.resolve("graft.json")
+    Files.writeString(cfg,
+      s"""{"servers": {
+         |   "tcp": {"host": "127.0.0.1", "port": $tcpPort},
+         |   "udp": {"host": "127.0.0.1", "port": $udpPort} },
+         | "streams": [
+         |   {"name": "merged", "source": ["tcp", "udp"],
+         |    "pipeline": [{"op": "where", "expr": "metric > 0.1"}],
+         |    "sink": {"kind": "memory"}}
+         |]}""".stripMargin)
+    val running = Main.start(cfg, Some(spark))
+    try {
+      // each server source has exactly ONE subscriber: the union
+      // consumes both directly — one query, no tee
+      assert(running.core.activeQueries.keySet == Set("merged"))
+      def drain(): Unit =
+        running.core.activeQueries.values.foreach(_.processAllAvailable())
+      def ev(host: String, metric: Double, t: Long) =
+        PEvent(host, "cpu", "ok", null, Some(metric), Nil, Some(t),
+          Some(3600.0), Map.empty)
+
+      sendEvents(tcpPort, Seq(ev("via-tcp", 0.9, 1706000000L)))
+      drain()
+      // udp has no ack: resend until the datagram lands
+      val payload = RiemannProtobuf.encodeMsg(Seq(
+        ev("via-udp", 0.8, 1706000010L)))
+      val sock = new DatagramSocket()
+      import scala.jdk.CollectionConverters._
+      def hosts(): Set[String] = running.loader.memorySinks("merged")
+        .rows.asScala.map(_.getAs[String]("host")).toSet
+      try {
+        val addr = InetAddress.getByName("127.0.0.1")
+        val deadline = System.currentTimeMillis() + 30000
+        while (!hosts().contains("via-udp")) {
+          assert(System.currentTimeMillis() < deadline,
+            s"udp event never landed; sink has ${hosts()}")
+          sock.send(new DatagramPacket(payload, payload.length, addr, udpPort))
+          Thread.sleep(200)
+          drain()
+        }
+      } finally sock.close()
+      // both transports' events flowed through the ONE stream
+      assert(hosts() == Set("via-tcp", "via-udp"), s"saw ${hosts()}")
+    } finally {
+      running.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("Running.reload rebinds an edited ingest server socket: the " +
     "non-equiv service restart (core.clj:105-161), traffic continuing " +
     "into the same sink") {
