@@ -29,8 +29,18 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    import os
+    # let big oracles (sf1 funnel) spill instead of dying at the RAM
+    # ceiling; harmless at gate scale
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # driver testdata ships single files; ScaleUp writes Spark
+        # output DIRECTORIES — glob those
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
