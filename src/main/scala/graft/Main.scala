@@ -256,8 +256,32 @@ object Main {
             strOr(o \ "protocol", name) == "tcp" =>
           int(o \ "port", s"servers.$name.port")
       }.toSet
+      // {"fanout": {"retentionHours": N, "replayable": ["name", ...],
+      //  "dir": "<path>"}} — spool knobs for the shared-source tee.
+      // `files` blocks are natively replayable (every file-source query
+      // tracks its own seen-files set) and register automatically;
+      // `replayable` adds host-known names on top. `dir` is read once
+      // at start() (spools + tee checkpoints must stay where a
+      // restarted process can find them); retention and the replayable
+      // set re-apply on every reload. Parsed HERE, before any mutation.
+      val filesNames: Set[String] = blocks.collect {
+        case (n, o) if n != "ws" && n != "sse" &&
+            strOr(o \ "protocol", n) == "files" => n
+      }.toSet
+      val fanoutBlock = obj(doc \ "fanout")
+      val extraReplayable: Set[String] = fanoutBlock
+        .map(o => ConfigFile.strings(o \ "replayable").toSet)
+        .getOrElse(Set.empty)
+      val newRetentionMs: Option[Long] = fanoutBlock.flatMap(o =>
+        (o \ "retentionHours") match {
+          case JNothing => None
+          case v => Some((ConfigFile.num(v,
+            "fanout.retentionHours") * 3600 * 1000).toLong)
+        })
       loader.sources = thunks
       loader.sourceSignature = n => salts.getOrElse(n, "")
+      loader.replayableSources = filesNames ++ extraReplayable
+      newRetentionMs.foreach(loader.retentionMs = _)
       // ws/sse dumps serve the in-memory event snapshot (Spark-free
       // path); restart only on block change so live subscribers of an
       // untouched server keep their connections
@@ -411,8 +435,21 @@ object Main {
       }
     }
     val core = new Core(spark)
+    // fanout.dir, when configured, pins the spool/tee-checkpoint area
+    // to a stable path — a restarted process resumes its tees from
+    // their checkpoints instead of starting over in a fresh temp dir
+    val fanoutDir = (JsonMethods.parse(
+        java.nio.file.Files.readString(path.toRealPath()))
+        \ "fanout" \ "dir") match {
+      case JString(d) =>
+        val p = Paths.get(d)
+        java.nio.file.Files.createDirectories(p)
+        p
+      case _ => java.nio.file.Files.createTempDirectory("graft-fanout")
+    }
     val loader = new ConfigFile.Loader(core, spark, path, Map.empty,
-      sinkFactories = Map("index" -> (_ => indexSink)))
+      sinkFactories = Map("index" -> (_ => indexSink)),
+      fanoutDir = fanoutDir)
     val running = new Running(spark, core, loader, pubsub, index, path)
     // the first reload builds the ingest servers from the file, salts
     // stream signatures with their server blocks, starts ws/sse, and
@@ -439,6 +476,9 @@ object Main {
     // key; `protocol` defaults to that key, so {"tcp": {...}} just
     // works and {"tcp2": {"protocol": "tcp", ...}} opens a second one
     blocks.collect {
+      case (name, o) if name != "ws" && name != "sse" &&
+          strOr(o \ "protocol", name) == "files" =>
+        name -> filesSource(spark, name, o)
       case (name, o) if name != "ws" && name != "sse" =>
         // EAGER val (not def): a malformed port must throw here, at
         // extraction time, not when the stream first starts — reload
@@ -476,6 +516,56 @@ object Main {
         }
         name -> mk
     }.toMap
+  }
+
+  /** `{"protocol": "files", "path": <dir>, "format": "parquet"|"json"|
+    * "csv", "schema": <DDL, optional>, "maxFilesPerTrigger": N,
+    * "options": {...}}` — a file-landing-zone ingest source: the
+    * curation firehose's production shape (documents land as parquet,
+    * the streams watch the directory). File sources are NATIVELY
+    * replayable (each query tracks its own seen-files set), so the
+    * loader never tees them — [[Running.reload]] auto-registers every
+    * `files` block in `replayableSources`. Schema comes from the DDL
+    * when given, else is inferred EAGERLY from the existing files (a
+    * missing/empty dir with no DDL throws at reload, keeping the
+    * old topology — same eager-extraction contract as ports/TLS). */
+  private def filesSource(spark: SparkSession, name: String,
+      o: JObject): () => DataFrame = {
+    val path = ConfigFile.str(o \ "path", s"servers.$name.path")
+    val fmt = strOr(o \ "format", "parquet")
+    require(Set("parquet", "json", "csv")(fmt),
+      s"servers.$name.format: parquet|json|csv, got '$fmt'")
+    val opts: Map[String, String] = obj(o \ "options")
+      .map(_.obj.collect { case JField(k, JString(v)) => k -> v }.toMap)
+      .getOrElse(Map.empty)
+    val schema = (o \ "schema") match {
+      case JString(ddl) => org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      case JNothing =>
+        // eager: a reload against an empty landing zone must throw NOW
+        val inferred =
+          try spark.read.format(fmt).options(opts).load(path).schema
+          catch {
+            case NonFatal(e) => throw new IllegalArgumentException(
+              s"servers.$name: cannot infer schema from '$path' " +
+                s"(${e.getMessage}); provide \"schema\" as a DDL string " +
+                "or land at least one file first")
+          }
+        if (inferred.isEmpty) throw new IllegalArgumentException(
+          s"servers.$name: '$path' yields an empty schema; provide " +
+            "\"schema\" as a DDL string")
+        inferred
+      case other => throw new IllegalArgumentException(
+        s"servers.$name.schema: expected a DDL string, got $other")
+    }
+    val maxFiles = (o \ "maxFilesPerTrigger") match {
+      case JNothing => None
+      case v => Some(int(v, s"servers.$name.maxFilesPerTrigger"))
+    }
+    () => {
+      val r = spark.readStream.schema(schema).format(fmt).options(opts)
+      maxFiles.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.load(path)
+    }
   }
 
   /** `graft.Main test <config>` — the bin.clj "test" command: run the

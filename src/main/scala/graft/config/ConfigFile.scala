@@ -984,6 +984,18 @@ object ConfigFile {
       replayable: Set[String] = Set.empty,
       fanoutRetentionMs: Long = 24L * 3600 * 1000) {
 
+    /** Sources that fan out natively (file/kafka-style: every query
+      * tracks its own offsets, so N subscribers need no tee) — LIVE
+      * set, consulted on every [[reload]]: a host that derives it from
+      * the config file ([[graft.Main]]'s `files` protocol + the
+      * `fanout.replayable` list) updates it before reloading.
+      * Initialized from the constructor's `replayable`. */
+    @volatile var replayableSources: Set[String] = replayable
+
+    /** Spool retention window, reload-adjustable (the `fanout
+      * .retentionHours` block); the running tee reads it per batch. */
+    @volatile var retentionMs: Long = fanoutRetentionMs
+
     /** Config source names → streaming-DataFrame thunks. Mutable so a
       * host ([[graft.Main]]) can swap in thunks rebuilt from the edited
       * file before [[reload]] — an ingest-server block change (port,
@@ -1119,7 +1131,7 @@ object ConfigFile {
             // the tee lock (r18 ADVICE: without this, SIGHUP config
             // churn grows fanoutDir without bound)
             if (dirs.nonEmpty && batchId % 64 == 0) {
-              val cutoff = System.currentTimeMillis() - fanoutRetentionMs
+              val cutoff = System.currentTimeMillis() - retentionMs
               dirs.foreach(d => pruneSpool(java.nio.file.Path.of(d), cutoff))
               pruneOrphanSpools(source)
             }
@@ -1259,7 +1271,7 @@ object ConfigFile {
         .flatMap { case (n, s) => sourcesOf(s).map(_ -> n) }
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
         .collect { case (src, subs)
-            if !replayable.contains(src) &&
+            if !replayableSources.contains(src) &&
               (subs.size >= 2 || (stickyFanned(src) && subs.nonEmpty)) =>
           src -> subs
         }

@@ -14,14 +14,22 @@ class ExampleConfigSpec extends SparkSpec {
     assert(passed == 5 && failed == 0, s"$passed passed, $failed failed")
   }
 
-  test("examples/curation.example.json parses: three streams fanned out " +
-    "from ONE docs source (the r18 fan-out contract) plus the batch jobs") {
+  test("examples/curation.example.json parses: three streams off ONE " +
+    "files-protocol landing zone (natively replayable — no tee) plus " +
+    "the batch jobs and the fanout block") {
     val path = java.nio.file.Paths.get("examples/curation.example.json")
+    val doc = org.json4s.jackson.JsonMethods.parse(
+      java.nio.file.Files.readString(path))
+    import org.json4s._
+    assert((doc \ "servers" \ "docs" \ "protocol") == JString("files"))
+    assert((doc \ "fanout" \ "retentionHours") == JInt(24))
     val streams = graft.config.ConfigFile.load(path)
     assert(streams.map(s =>
       graft.config.ConfigFile.str(s \ "name", "name")) ==
       List("curation-firehose", "decontamination-feed", "neardup-pairs"))
-    // all three share the `docs` source — the shape the Loader tees
+    // all three share the `docs` landing zone; file sources fan out
+    // natively (per-query seen-files tracking), so the Loader never
+    // tees them in the packaged process
     assert(streams.map(s =>
       graft.config.ConfigFile.str(s \ "source", "source")).toSet ==
       Set("docs"))

@@ -313,6 +313,63 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("files-protocol ingest: the packaged process runs a curation-" +
+    "style firehose from a parquet landing zone — natively replayable " +
+    "(two subscribers, NO tee), later-landed files flow to both, " +
+    "cross-batch dedup state spans batches; fanout block wires " +
+    "retention + the replayable set") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-main-files")
+    val zone = dir.resolve("zone")
+    Files.createDirectories(zone)
+    def land(rows: (Long, String, Long)*): Unit =
+      rows.toSeq.toDF("doc_id", "text", "time_s")
+        .selectExpr("doc_id", "text", "timestamp_seconds(time_s) AS time")
+        .write.mode("append").parquet(zone.toString)
+    land((1L, "the same document text", 100L))
+    val cfg = dir.resolve("graft.json")
+    Files.writeString(cfg,
+      s"""{"servers": {
+         |   "docs": {"protocol": "files", "path": "$zone",
+         |            "format": "parquet"} },
+         | "fanout": {"retentionHours": 2},
+         | "streams": [
+         |   {"name": "uniq", "source": "docs",
+         |    "pipeline": [{"op": "dedup", "horizon": "1 hour"}],
+         |    "sink": {"kind": "memory"}},
+         |   {"name": "raw", "source": "docs", "pipeline": [],
+         |    "sink": {"kind": "memory"}}
+         |]}""".stripMargin)
+    val running = Main.start(cfg, Some(spark))
+    try {
+      // natively replayable: each subscriber consumes the landing zone
+      // itself — no tee query, no spool
+      assert(running.core.activeQueries.keySet == Set("uniq", "raw"))
+      assert(running.loader.replayableSources.contains("docs"))
+      assert(running.loader.retentionMs == 2L * 3600 * 1000)
+      def drain(): Unit = running.core.processAllAvailable()
+      drain()
+      import scala.jdk.CollectionConverters._
+      def ids(n: String): Seq[Long] = running.loader.memorySinks(n)
+        .rows.asScala.map(_.getAs[Long]("doc_id")).toSeq.sorted
+      assert(ids("raw") == Seq(1L))
+      // a LATER-landed file with a duplicate text: raw sees both rows,
+      // uniq's cross-batch state drops the duplicate
+      land((2L, "the same document text", 200L),
+        (3L, "a different document", 300L))
+      val deadline = System.currentTimeMillis() + 30000
+      while (ids("raw").size < 3 && System.currentTimeMillis() < deadline) {
+        drain(); Thread.sleep(100)
+      }
+      assert(ids("raw") == Seq(1L, 2L, 3L))
+      assert(ids("uniq") == Seq(1L, 3L), s"uniq saw ${ids("uniq")}")
+    } finally {
+      running.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("Running.reload rebinds an edited ingest server socket: the " +
     "non-equiv service restart (core.clj:105-161), traffic continuing " +
     "into the same sink") {
