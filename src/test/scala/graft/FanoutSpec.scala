@@ -579,6 +579,53 @@ class FanoutSpec extends SparkSpec {
     } finally core.stop()
   }
 
+  test("plan discipline x multi-source: a where-filter pushes down " +
+    "through the unionByName into BOTH spool parquet scans (the union " +
+    "never blocks scan-level pushdown)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-multisrc-plan")
+    val cfg = dir.resolve("c.json")
+    // xa/xb force both sources onto tees, so crit's two legs are both
+    // file-source spool scans
+    write(cfg,
+      """{"streams":[
+        | {"name":"crit","source":["a","b"],
+        |  "pipeline":[{"op":"where","expr":"state = 'critical'"}],
+        |  "sink":{"kind":"memory"}},
+        | {"name":"xa","source":"a","pipeline":[],"sink":{"kind":"memory"}},
+        | {"name":"xb","source":"b","pipeline":[],"sink":{"kind":"memory"}}
+        |]}""".stripMargin)
+    val inA = MemoryStream[SEvent]
+    val inB = MemoryStream[SEvent]
+    val core = new Core(spark)
+    val loader = new ConfigFile.Loader(core, spark, cfg,
+      sources0 = Map("a" -> (() => inA.toDF()), "b" -> (() => inB.toDF())))
+    try {
+      loader.reload()
+      assert(core.activeQueries.keySet ==
+        Set("crit", "xa", "xb", "__fanout__a", "__fanout__b"))
+      inA.addData(SEvent("h1", "s", "critical", Some(1.0),
+        new Timestamp(1000), None))
+      inB.addData(SEvent("h2", "s", "ok", Some(2.0),
+        new Timestamp(2000), None))
+      core.processAllAvailable()
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        core.activeQueries("crit").explain()
+      }
+      val plan = out.toString
+      val pushed = plan.sliding("EqualTo(state,critical)".length)
+        .count(_ == "EqualTo(state,critical)")
+      assert(pushed >= 2,
+        s"filter not pushed into both union legs' scans ($pushed):\n$plan")
+      import scala.jdk.CollectionConverters._
+      assert(loader.memorySinks("crit").rows.asScala
+        .map(_.getAs[String]("host")).toSeq == Seq("h1"))
+    } finally core.stop()
+  }
+
   test("a source declared `replayable` skips the tee: each subscriber " +
     "consumes the source independently (the kafka shape — at scale the " +
     "durable bus IS the fan-out)") {

@@ -1027,6 +1027,34 @@ class FileConfigSpec extends SparkSpec {
         .map(_.getAs[Long]("event_id")).toSeq.sorted == Seq(1L, 2L))
     } finally core2.stop()
 
+    // editing the trigger restarts EXACTLY that stream (it lives in
+    // the stream's JSON subtree, so the signature changes)
+    val cfgEdit = dir.resolve("edit.json")
+    write(cfgEdit,
+      """{"streams":[
+        | {"name":"paced2","source":"log","pipeline":[],
+        |  "trigger":{"processingTime":"100 milliseconds"},
+        |  "sink":{"kind":"memory"}},
+        | {"name":"steady","source":"log2","pipeline":[],
+        |  "sink":{"kind":"memory"}}]}""".stripMargin)
+    val coreE = new Core(spark)
+    val loaderE = new ConfigFile.Loader(coreE, spark, cfgEdit,
+      sources0 = mkSources + ("log2" -> mkSources("log")))
+    try {
+      loaderE.reload()
+      val steadyId = coreE.activeQueries("steady").id
+      write(cfgEdit,
+        """{"streams":[
+          | {"name":"paced2","source":"log","pipeline":[],
+          |  "trigger":{"processingTime":"200 milliseconds"},
+          |  "sink":{"kind":"memory"}},
+          | {"name":"steady","source":"log2","pipeline":[],
+          |  "sink":{"kind":"memory"}}]}""".stripMargin)
+      assert(loaderE.reload() == Seq("paced2"),
+        "editing a trigger must restart exactly that stream")
+      assert(coreE.activeQueries("steady").id == steadyId)
+    } finally coreE.stop()
+
     // malformed trigger: loud rejection, not a silent default
     val cfg3 = dir.resolve("bad.json")
     write(cfg3,
