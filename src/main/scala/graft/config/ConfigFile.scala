@@ -1092,8 +1092,11 @@ object ConfigFile {
               val target = Path.of(d, fname)
               try { Files.createLink(target, part.toPath); () }
               catch {
-                case _: UnsupportedOperationException =>
-                  // cross-fs fallback: copy to a hidden temp, move in
+                // link-averse filesystems (no hard links, cross-device
+                // mounts) throw FileSystemException subclasses; fall
+                // back to copy + atomic rename, same visibility contract
+                case _: UnsupportedOperationException
+                     | _: java.nio.file.FileSystemException =>
                   val t = Files.createTempFile(Path.of(d), ".copy-", ".tmp")
                   Files.copy(part.toPath, t,
                     java.nio.file.StandardCopyOption.REPLACE_EXISTING)
