@@ -732,8 +732,40 @@ object Main {
     }
   }
 
+  /** `graft.Main jobs <config>` — run the file's batch `jobs` array
+    * once (the corpus planners the streaming firehose cannot express:
+    * cap/pack/sample/mixture) and print one line per job. The exit
+    * code reports failure loudly so schedulers (cron, airflow-style
+    * wrappers) can alert; individual jobs are NOT isolated — a failed
+    * job aborts the run with its cause, because a half-written
+    * planning pass must never look like success. */
+  def runJobsCmd(path: Path, spark: SparkSession): Seq[(String, Long)] = {
+    val results = ConfigFile.runJobs(spark, path)
+    results.foreach { case (name, rows) => println(s"JOB $name: $rows rows") }
+    println(s"== ${results.size} job(s) completed ==")
+    results
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "version" :: _ => println(Version)
+    case "jobs" :: cfg :: _ =>
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+        .appName("graft-jobs")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val code =
+        try { runJobsCmd(Paths.get(cfg), spark); 0 }
+        catch {
+          case NonFatal(e) =>
+            System.err.println(s"[jobs] failed: ${e.getMessage}")
+            1
+        }
+      spark.stop()
+      sys.exit(code)
     case "test" :: cfg :: _ =>
       // bin.clj's "test" command: exit 0 iff every config test passes
       val spark = SparkSession.builder()

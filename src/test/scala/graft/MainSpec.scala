@@ -531,6 +531,37 @@ class MainSpec extends SparkSpec {
     assert(passed == 1 && failedN == 1, s"got $passed passed, $failedN failed")
   }
 
+  test("jobs command: the packaged process runs the config's batch " +
+    "planners (cap -> split -> pack) from the command-line surface, " +
+    "writing the planned corpus and reporting rows per job") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-main-jobs")
+    val in = dir.resolve("corpus.parquet").toString
+    (1 to 200).map(i => (i.toLong, s"src${i % 3}",
+        ("token " * (10 + i % 5)).trim, "en"))
+      .toDF("doc_id", "source", "text", "lang")
+      .write.parquet(in)
+    val outPath = dir.resolve("train.parquet").toString
+    val cfg = dir.resolve("jobs.json")
+    Files.writeString(cfg,
+      s"""{"jobs": [
+         |  {"name": "train-set", "input": "$in",
+         |   "pipeline": [
+         |     {"op": "cap", "maxPerSource": 50},
+         |     {"op": "split", "trainFrac": 0.8, "valFrac": 0.1,
+         |      "keep": "train"},
+         |     {"op": "pack", "budget": 64, "nShards": 2}],
+         |   "output": "$outPath"}
+         |]}""".stripMargin)
+    val results = Main.runJobsCmd(cfg, spark)
+    assert(results.map(_._1) == Seq("train-set"))
+    assert(results.head._2 > 0)
+    val out = spark.read.parquet(outPath)
+    assert(out.count() == results.head._2)
+    assert(out.columns.contains("shard"))
+  }
+
   test("version command prints and exits") {
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(out) { Main.main(Array("version")) }
