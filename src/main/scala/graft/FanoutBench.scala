@@ -124,8 +124,14 @@ object FanoutBench {
         f""""latency_p50_ms":$latP50%.1f,"latency_min_ms":$latMin%.1f}"""
     }.mkString("""{"metric":"fanout","rows":[""", ",", "]}")
     println(json)
+    // APPEND (r19 ADVICE): the file accumulates one JSON line per run,
+    // so cross-round cost-curve comparisons keep their history instead
+    // of each run truncating the prior one
     try Files.write(java.nio.file.Paths.get("bench_fanout.json"),
-      (json + "\n").getBytes("UTF-8"))
+      (json + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
     spark.stop()
   }

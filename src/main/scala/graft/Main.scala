@@ -263,12 +263,14 @@ object Main {
       // `replayable` adds host-known names on top. `dir` is read once
       // at start() (spools + tee checkpoints must stay where a
       // restarted process can find them); retention and the replayable
-      // set re-apply on every reload. Parsed HERE, before any mutation.
+      // set re-apply on every reload. Parsed HERE, before any mutation,
+      // and include-merged like the streams (r19 ADVICE: a fanout block
+      // in an included file was silently ignored).
       val filesNames: Set[String] = blocks.collect {
         case (n, o) if n != "ws" && n != "sse" &&
             strOr(o \ "protocol", n) == "files" => n
       }.toSet
-      val fanoutBlock = obj(doc \ "fanout")
+      val fanoutBlock = obj(ConfigFile.loadKey(path, "fanout"))
       val extraReplayable: Set[String] = fanoutBlock
         .map(o => ConfigFile.strings(o \ "replayable").toSet)
         .getOrElse(Set.empty)
@@ -281,7 +283,11 @@ object Main {
       loader.sources = thunks
       loader.sourceSignature = n => salts.getOrElse(n, "")
       loader.replayableSources = filesNames ++ extraReplayable
-      newRetentionMs.foreach(loader.retentionMs = _)
+      // absent key reverts to the constructor default — without this a
+      // reload that REMOVES retentionHours pins the last applied value
+      // forever (r19 ADVICE)
+      loader.retentionMs =
+        newRetentionMs.getOrElse(loader.fanoutRetentionMs)
       // ws/sse dumps serve the in-memory event snapshot (Spark-free
       // path); restart only on block change so live subscribers of an
       // untouched server keep their connections
@@ -438,9 +444,7 @@ object Main {
     // fanout.dir, when configured, pins the spool/tee-checkpoint area
     // to a stable path — a restarted process resumes its tees from
     // their checkpoints instead of starting over in a fresh temp dir
-    val fanoutDir = (JsonMethods.parse(
-        java.nio.file.Files.readString(path.toRealPath()))
-        \ "fanout" \ "dir") match {
+    val fanoutDir = (ConfigFile.loadKey(path, "fanout") \ "dir") match {
       case JString(d) =>
         val p = Paths.get(d)
         java.nio.file.Files.createDirectories(p)

@@ -244,6 +244,32 @@ object ConfigFile {
     included ++ own
   }
 
+  /** The include-merged value of one top-level `key` — the same walk
+    * and shadowing contract as [[load]]: includes resolve first (in
+    * order), the includer's own definition last, and the LAST file in
+    * that order to define the key wins. `JNothing` when no file in the
+    * tree defines it. r19 ADVICE: the `fanout` block was parsed from
+    * the top-level document only while streams honor include merging,
+    * so a fanout block in an included file was silently ignored. */
+  def loadKey(path: Path, key: String,
+      seen: Set[Path] = Set.empty): JValue = {
+    val real = path.toRealPath()
+    if (seen.contains(real))
+      throw new IllegalArgumentException(s"include cycle at $real")
+    val doc = JsonMethods.parse(Files.readString(real))
+    val included = (doc \ "include") match {
+      case JArray(vs) => vs.map {
+        case JString(rel) =>
+          loadKey(real.getParent.resolve(rel), key, seen + real)
+        case other => throw new IllegalArgumentException(
+          s"include entries must be strings, got $other")
+      }
+      case _ => Nil
+    }
+    (included :+ (doc \ key)).filter(_ != JNothing)
+      .lastOption.getOrElse(JNothing)
+  }
+
   /** Run every batch job in the file: read `input` parquet, fold the
     * job's `pipeline` through [[applyOp]] on the batch frame, write
     * `output` parquet (`mode` defaults to overwrite — a planning pass
@@ -340,32 +366,47 @@ object ConfigFile {
   /** `key` identifies the derivation (op kind, table path, op params);
     * `version` is the table snapshot ([[tableVersion]]). Inserting a
     * NEW version proactively unpersists and drops every entry with the
-    * same key but an older version — a frequently refreshed reference
-    * corpus must not pin its superseded persisted copies until FIFO
-    * displacement (r18 ADVICE). */
+    * same key but a STRICTLY OLDER version — a frequently refreshed
+    * reference corpus must not pin its superseded persisted copies
+    * until FIFO displacement (r18 ADVICE). `version == 0L` is
+    * [[tableVersion]]'s listing-failure sentinel (r19 ADVICE): a
+    * transient FS error at reload must neither unpersist the live
+    * pinned snapshot (running queries would silently fall back to
+    * per-batch recomputation of the reference scan — the exact scale
+    * bug this cache prevents) nor mint a duplicate persisted copy
+    * under 0; on the sentinel, the newest cached snapshot for the key
+    * is served instead. */
   private[graft] def cachedStatic(spark: SparkSession, key: Any,
       version: Long)(mk: => DataFrame): DataFrame = synchronized {
     val k = (spark.sparkContext.applicationId, key, version)
-    staticCache.getOrElse(k, {
-      staticCache.keys.filter(o => o._1 == k._1 && o._2 == k._2 &&
-          o._3 != version).foreach { old =>
-        staticOrder.remove(old)
-        staticCache.remove(old).foreach { df =>
-          try { df.unpersist(); () } catch { case NonFatal(_) => () }
+    staticCache.get(k) match {
+      case Some(df) => df
+      case None =>
+        val sentinelFallback =
+          if (version != 0L) None
+          else staticCache.keys.filter(o => o._1 == k._1 && o._2 == k._2)
+            .toSeq.sortBy(_._3).lastOption.map(staticCache(_))
+        sentinelFallback.getOrElse {
+          staticCache.keys.filter(o => o._1 == k._1 && o._2 == k._2 &&
+              o._3 < version).foreach { old =>
+            staticOrder.remove(old)
+            staticCache.remove(old).foreach { df =>
+              try { df.unpersist(); () } catch { case NonFatal(_) => () }
+            }
+          }
+          while (staticOrder.size >= MaxStatics) {
+            val old = staticOrder.poll()
+            staticCache.remove(old).foreach { df =>
+              try { df.unpersist(); () } catch { case NonFatal(_) => () }
+            }
+          }
+          val df = mk.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          staticCache(k) = df
+          staticOrder.add(k)
+          df
         }
-      }
-      while (staticOrder.size >= MaxStatics) {
-        val old = staticOrder.poll()
-        staticCache.remove(old).foreach { df =>
-          try { df.unpersist(); () } catch { case NonFatal(_) => () }
-        }
-      }
-      val df = mk.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      staticCache(k) = df
-      staticOrder.add(k)
-      df
-    })
+    }
   }
 
   /** Test hook: current static-cache entry count. */
@@ -384,6 +425,31 @@ object ConfigFile {
         !f.getName.startsWith(".") && f.lastModified() < cutoff &&
         f.delete()
     }
+  }
+
+  /** Delete staged-delivery leftovers under a spool dir: `.stage-*`
+    * dirs (a crashed attempt's full batch copy) and `.copy-*.tmp`
+    * files (the link-fallback's temp that never reached its atomic
+    * rename). Callers hold the source's tee lock, which serializes
+    * this with [[Loader]]'s `deliverBatch` — any staged entry present
+    * here is from a crashed attempt, never an in-flight one, so age
+    * checks are unnecessary (r19 ADVICE: `pruneSpool` skips dot
+    * prefixes and only deletes files, so these leaked forever). */
+  private[graft] def sweepStaged(dir: Path): Int = {
+    val files = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+    val stale = files.filter { f =>
+      (f.isDirectory && f.getName.startsWith(".stage-")) ||
+        (f.isFile && f.getName.startsWith(".copy-") &&
+          f.getName.endsWith(".tmp"))
+    }
+    stale.foreach { f =>
+      def rm(g: java.io.File): Unit = {
+        Option(g.listFiles()).getOrElse(Array.empty).foreach(rm)
+        g.delete(); ()
+      }
+      rm(f)
+    }
+    stale.length
   }
 
   /** The tags column if the source carries one, else an empty array —
@@ -982,7 +1048,7 @@ object ConfigFile {
       val fanoutDir: Path =
         Files.createTempDirectory("graft-fanout"),
       replayable: Set[String] = Set.empty,
-      fanoutRetentionMs: Long = 24L * 3600 * 1000) {
+      val fanoutRetentionMs: Long = 24L * 3600 * 1000) {
 
     /** Sources that fan out natively (file/kafka-style: every query
       * tracks its own offsets, so N subscribers need no tee) — LIVE
@@ -1074,8 +1140,14 @@ object ConfigFile {
       try {
         if (b.count() > 0L) {
           val stageRoot = Path.of(pending.head)
-          // clear half-staged leftovers from a crashed attempt
-          pending.foreach { d =>
+          // clear half-staged leftovers from a crashed attempt — across
+          // ALL subscriber dirs, not just pending ones: the original
+          // attempt staged under ITS pending.head, and a crash after
+          // linking into that dir excludes it from this replay's
+          // `pending` (its target file exists), so a pending-only scan
+          // would leak the stage dir (a full batch copy) forever
+          // (r19 ADVICE)
+          dirs.foreach { d =>
             Option(Path.of(d).toFile.listFiles()).getOrElse(Array.empty)
               .filter(f => f.isDirectory &&
                 f.getName.startsWith(s".stage-b$batchId-"))
@@ -1135,7 +1207,15 @@ object ConfigFile {
             // churn grows fanoutDir without bound)
             if (dirs.nonEmpty && batchId % 64 == 0) {
               val cutoff = System.currentTimeMillis() - retentionMs
-              dirs.foreach(d => pruneSpool(java.nio.file.Path.of(d), cutoff))
+              dirs.foreach { d =>
+                pruneSpool(java.nio.file.Path.of(d), cutoff)
+                // crashed-attempt leftovers (.stage-* dirs, .copy-*.tmp
+                // files) are invisible to pruneSpool and can sit in a
+                // dir excluded from a replay's `pending` — sweep them
+                // on the same cadence, serialized with deliverBatch by
+                // the tee lock (r19 ADVICE)
+                sweepStaged(java.nio.file.Path.of(d))
+              }
               pruneOrphanSpools(source)
             }
           }

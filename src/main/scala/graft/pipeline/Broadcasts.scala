@@ -43,13 +43,43 @@ private[graft] object Broadcasts {
   private val listening = TrieMap[String, Unit]()
 
   /** MD5 of the java-serialized key — content identity at O(16 bytes)
-    * retained per entry. The key objects here are immutable standard
-    * collections of primitives/strings (merges, cost tables, grids),
-    * whose serialized form is stable for equal values. */
+    * retained per entry.
+    *
+    * KEY CONTRACT (r19 ADVICE): keys must be `Serializable` values
+    * whose serialized form is CANONICAL for equal content — sequences
+    * (List/Vector/tuples) of primitives and strings, in a
+    * caller-determined order. Iteration-order-sensitive collections
+    * (HashMap/HashSet) are rejected: two equal maps can serialize
+    * differently and would silently mint duplicate broadcasts,
+    * defeating the reference-equality plan-reuse this cache exists
+    * for — callers must pass `.toSeq.sorted` (or similar) instead. A
+    * non-Serializable key fails loudly here rather than as an opaque
+    * NotSerializableException from deep inside ObjectOutputStream. */
   private def digest(key: Any): String = {
+    def reject(v: Any): Unit = v match {
+      case _: scala.collection.Map[_, _] | _: scala.collection.Set[_] |
+           _: java.util.Map[_, _] | _: java.util.Set[_] =>
+        throw new IllegalArgumentException(
+          "Broadcasts key contains a map/set, whose serialized form is " +
+            "iteration-order-sensitive — pass a sorted sequence instead " +
+            s"(got ${v.getClass.getName})")
+      // Iterable BEFORE Product: a List is a Product (`::`) whose
+      // field-wise walk would recurse once per element — foreach is a
+      // loop, so a model-sized list stays stack-safe
+      case i: Iterable[_] => i.foreach(reject)
+      case p: Product => p.productIterator.foreach(reject)
+      case _ => ()
+    }
+    reject(key)
     val bos = new java.io.ByteArrayOutputStream()
     val oos = new java.io.ObjectOutputStream(bos)
-    oos.writeObject(key.asInstanceOf[AnyRef]); oos.close()
+    try { oos.writeObject(key.asInstanceOf[AnyRef]); oos.close() }
+    catch {
+      case e: java.io.NotSerializableException =>
+        throw new IllegalArgumentException(
+          "Broadcasts keys must be Serializable (canonical-form " +
+            s"sequences of primitives/strings); ${e.getMessage} is not", e)
+    }
     java.security.MessageDigest.getInstance("MD5").digest(bos.toByteArray)
       .map("%02x".format(_)).mkString
   }

@@ -18,6 +18,26 @@ class BroadcastsSpec extends SparkSpec {
     assert(!(other eq b1))
   }
 
+  test("key contract: iteration-order-sensitive collections (maps/sets) " +
+    "are rejected loudly — two equal maps can serialize differently and " +
+    "would silently mint duplicate broadcasts (r19 ADVICE)") {
+    val e1 = intercept[IllegalArgumentException] {
+      graft.pipeline.Broadcasts.of(spark,
+        ("k", Map("a" -> 1, "b" -> 2)))(42)
+    }
+    assert(e1.getMessage.contains("sorted sequence"))
+    // nested inside a tuple/list is caught too
+    val e2 = intercept[IllegalArgumentException] {
+      graft.pipeline.Broadcasts.of(spark,
+        ("k", List(Set("x", "y"))))(42)
+    }
+    assert(e2.getMessage.contains("sorted sequence"))
+    // the canonical form the contract asks for works
+    val b = graft.pipeline.Broadcasts.of(spark,
+      ("k", Map("a" -> 1, "b" -> 2).toList.sorted))(42)
+    assert(b.value == 42)
+  }
+
   test("two independently built identical BPE queries canonicalize " +
     "equal (cached-plan reuse works across separate builds)") {
     val spark0 = spark

@@ -28,6 +28,28 @@ class FanoutSpec extends SparkSpec {
 
   private def write(p: Path, s: String): Unit = { Files.writeString(p, s); () }
 
+  test("sweepStaged removes crashed-attempt leftovers (.stage-* dirs, " +
+    ".copy-*.tmp files) and nothing else — the pruneSpool blind spot " +
+    "that leaked full batch copies forever (r19 ADVICE)") {
+    val dir = Files.createTempDirectory("graft-sweep-staged")
+    // a crashed attempt's stage dir, with the staged part file inside
+    val stage = dir.resolve(".stage-b00000000000000000007-abc123")
+    Files.createDirectories(stage)
+    Files.writeString(stage.resolve("part-00000.parquet"), "x")
+    // a link-fallback temp that never reached its atomic rename
+    Files.writeString(dir.resolve(".copy-42.tmp"), "x")
+    // survivors: delivered data, spool metadata, an unrelated dotfile
+    Files.writeString(dir.resolve("b00000000000000000006.parquet"), "x")
+    Files.writeString(dir.resolve("_spark_metadata"), "x")
+    Files.writeString(dir.resolve(".hidden-other"), "x")
+    assert(ConfigFile.sweepStaged(dir) == 2)
+    val left = Option(dir.toFile.listFiles()).get.map(_.getName).toSet
+    assert(left == Set("b00000000000000000006.parquet",
+      "_spark_metadata", ".hidden-other"), s"left: $left")
+    // idempotent
+    assert(ConfigFile.sweepStaged(dir) == 0)
+  }
+
   test("fan-out: three sinks x two rounds, every subscriber sees every " +
     "event exactly once (core.clj:15-20)") {
     val spark0 = spark

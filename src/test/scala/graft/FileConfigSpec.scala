@@ -398,6 +398,44 @@ class FileConfigSpec extends SparkSpec {
       "the nested refresh must SUPERSEDE the old version, not add beside it")
   }
 
+  test("cachedStatic: the version-0 listing-failure sentinel serves the " +
+    "newest cached snapshot instead of unpersisting it, and a stale older " +
+    "version arriving late cannot evict a newer one (r19 ADVICE)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val key = "sentinel-test-" + System.nanoTime()
+    val before = ConfigFile.staticCacheSize
+    val v1 = ConfigFile.cachedStatic(spark0, key, 5L)(Seq(1).toDF("a"))
+    assert(ConfigFile.staticCacheSize == before + 1)
+    // transient FS error at reload: tableVersion returns the 0L
+    // sentinel — the live pinned snapshot must be SERVED, not
+    // unpersisted (running queries would silently recompute the
+    // reference scan per batch), and no duplicate minted under 0
+    var built = false
+    val v0 = ConfigFile.cachedStatic(spark0, key, 0L) {
+      built = true; Seq(2).toDF("a")
+    }
+    assert(!built, "the sentinel lookup must not build a duplicate static")
+    assert(v0 eq v1, "the sentinel must serve the pinned snapshot")
+    assert(ConfigFile.staticCacheSize == before + 1)
+    assert(v1.storageLevel.useMemory || v1.storageLevel.useDisk,
+      "the pinned snapshot must stay persisted through the sentinel")
+    // a genuinely newer version still supersedes (strictly-older evict)
+    val v2 = ConfigFile.cachedStatic(spark0, key, 9L)(Seq(3).toDF("a"))
+    assert(ConfigFile.staticCacheSize == before + 1)
+    assert(!(v2 eq v1))
+    // an OLDER version arriving late (mtime regression, racing reload)
+    // caches beside the newer snapshot instead of evicting it — the
+    // old `!= version` invalidation thrashed the current copy out
+    ConfigFile.cachedStatic(spark0, key, 7L)(Seq(4).toDF("a"))
+    assert(ConfigFile.staticCacheSize == before + 2)
+    assert(v2.storageLevel.useMemory || v2.storageLevel.useDisk,
+      "a late older version must not unpersist the newer snapshot")
+    // and the sentinel now picks the NEWEST of the coexisting versions
+    val v0b = ConfigFile.cachedStatic(spark0, key, 0L)(Seq(5).toDF("a"))
+    assert(v0b eq v2)
+  }
+
   test("quality + langid ops: the curation firehose stages through the " +
     "config surface (gopher gate, artifact-trained classifier, streaming)") {
     val spark0 = spark

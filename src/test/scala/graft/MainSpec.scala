@@ -370,6 +370,44 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("the fanout block is include-merged like the streams, and a " +
+    "reload that removes retentionHours reverts to the constructor " +
+    "default instead of pinning the last applied value (r19 ADVICE)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-main-fanout-inc")
+    val zone = dir.resolve("zone")
+    Files.createDirectories(zone)
+    Seq((1L, "doc", 100L)).toDF("doc_id", "text", "time_s")
+      .selectExpr("doc_id", "text", "timestamp_seconds(time_s) AS time")
+      .write.mode("append").parquet(zone.toString)
+    val inc = dir.resolve("fanout.json")
+    Files.writeString(inc, """{"fanout": {"retentionHours": 3}}""")
+    val cfg = dir.resolve("graft.json")
+    def writeCfg(withInclude: Boolean): Unit = Files.writeString(cfg,
+      s"""{${if (withInclude) "\"include\": [\"fanout.json\"]," else ""}
+         | "servers": {"docs": {"protocol": "files", "path": "$zone",
+         |             "format": "parquet"}},
+         | "streams": [{"name": "raw", "source": "docs", "pipeline": [],
+         |   "sink": {"kind": "memory"}}]}""".stripMargin)
+    writeCfg(withInclude = true)
+    val running = Main.start(cfg, Some(spark))
+    try {
+      assert(running.loader.retentionMs == 3L * 3600 * 1000,
+        "a fanout block in an INCLUDED file must be honored")
+      // drop the include: retentionHours is now absent everywhere, so
+      // retention reverts to the constructor default
+      writeCfg(withInclude = false)
+      running.reload()
+      assert(running.loader.retentionMs ==
+        running.loader.fanoutRetentionMs)
+      assert(running.loader.retentionMs == 24L * 3600 * 1000)
+    } finally {
+      running.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("Running.reload rebinds an edited ingest server socket: the " +
     "non-equiv service restart (core.clj:105-161), traffic continuing " +
     "into the same sink") {
