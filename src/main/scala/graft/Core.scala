@@ -16,6 +16,17 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Streami
   */
 class Core(spark: SparkSession) {
 
+  // local checkpoint metadata writes through Hadoop's FileContext cost
+  // ~50 ms EACH (three-plus per micro-batch: offset WAL, commit log,
+  // file-source log) and were the measured majority of the fan-out
+  // hop's latency — serve file: checkpoints with java.nio instead
+  // (graft.streaming.LocalCheckpointFileManager; remote schemes
+  // delegate to stock). Session-scoped and only a DEFAULT: a user who
+  // set their own manager keeps it.
+  if (spark.conf.getOption(Core.CheckpointFileManagerKey).isEmpty)
+    spark.conf.set(Core.CheckpointFileManagerKey,
+      classOf[graft.streaming.LocalCheckpointFileManager].getName)
+
   /** A named topology: `signature` is the config's own version stamp —
     * two defs with equal (name, signature) are `equiv?` and survive a
     * reload without restart. */
@@ -129,4 +140,11 @@ class Instrumentation extends StreamingQueryListener {
       name -> (rates.getOrDefault(name, 0.0), qs)
     }.toMap
   }
+}
+
+object Core {
+  /** The Spark conf key [[Core]] defaults to
+    * [[graft.streaming.LocalCheckpointFileManager]] when unset. */
+  val CheckpointFileManagerKey =
+    "spark.sql.streaming.checkpointFileManagerClass"
 }

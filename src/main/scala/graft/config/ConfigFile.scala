@@ -427,6 +427,52 @@ object ConfigFile {
     }
   }
 
+  /** Timestamp format for the JSON spool, used on BOTH the tee's
+    * `to_json` write and the subscriber's json read — micros precision
+    * with zone offset so event times round-trip exactly (the json
+    * datasource's default pattern truncates to millis). */
+  private[graft] val SpoolTimestampFormat =
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  /** Above this many rows a JSON spool batch is written by a Spark
+    * task instead of collected to the driver. The driver fast path
+    * exists for LATENCY (one job, no committer); past this bound the
+    * collect's driver-heap cost outweighs the saved job round-trip. */
+  private[graft] val SpoolDriverWriteRows = 20000
+
+  /** One spool batch past this size is outside the single-file spool's
+    * design point (r19 VERDICT #8): the message tells the operator to
+    * move the source onto a durable bus BEFORE the local tee becomes
+    * an OOM, not after. */
+  private[graft] val SpoolBatchWarnBytes: Long = 512L * 1024 * 1024
+
+  private[graft] def spoolSizeWarning(bytes: Long): Option[String] =
+    if (bytes <= SpoolBatchWarnBytes) None
+    else Some(f"fan-out spool batch is ${bytes / (1024.0 * 1024)}%.0f MB " +
+      f"(threshold ${SpoolBatchWarnBytes / (1024 * 1024)} MB): the " +
+      "single-file spool is the local-mode stand-in for a durable bus " +
+      "and this batch is past its design point — route the source " +
+      "through kafka or a `files` landing zone (fanout `replayable`), " +
+      "or shorten the tee's trigger interval (docs/config.md)")
+
+  /** Whether JSON lines can represent `dt` EXACTLY: no binary, no
+    * interval, no local (zoneless) timestamps, map keys strings.
+    * Decides the spool format per source — a pure function of the
+    * source schema, so replays and restarts agree on file names. */
+  private[graft] def jsonSafeSchema(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BinaryType | CalendarIntervalType | TimestampNTZType => false
+      case s: StructType => s.fields.forall(f => jsonSafeSchema(f.dataType))
+      case a: ArrayType => jsonSafeSchema(a.elementType)
+      case m: MapType =>
+        m.keyType == StringType && jsonSafeSchema(m.valueType)
+      case _: UserDefinedType[_] => false
+      case _ => true
+    }
+  }
+
   /** Delete staged-delivery leftovers under a spool dir: `.stage-*`
     * dirs (a crashed attempt's full batch copy) and `.copy-*.tmp`
     * files (the link-fallback's temp that never reached its atomic
@@ -438,7 +484,9 @@ object ConfigFile {
   private[graft] def sweepStaged(dir: Path): Int = {
     val files = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
     val stale = files.filter { f =>
-      (f.isDirectory && f.getName.startsWith(".stage-")) ||
+      // .stage-* may be a DIR (Spark-written staged part) or a FILE
+      // (the driver-side JSON fast path's staged temp)
+      f.getName.startsWith(".stage-") ||
         (f.isFile && f.getName.startsWith(".copy-") &&
           f.getName.endsWith(".tmp"))
     }
@@ -1116,71 +1164,136 @@ object ConfigFile {
       f.delete(); ()
     }
 
+    /** Link `part` into `d` as `fname` — hard link when the filesystem
+      * allows (subscriber count adds links, not write amplification),
+      * else copy + atomic rename, same visibility contract. */
+    private def linkInto(part: Path, d: String, fname: String): Unit = {
+      val target = Path.of(d, fname)
+      try { Files.createLink(target, part); () }
+      catch {
+        // link-averse filesystems (no hard links, cross-device mounts)
+        // throw FileSystemException subclasses
+        case _: UnsupportedOperationException
+             | _: java.nio.file.FileSystemException =>
+          val t = Files.createTempFile(Path.of(d), ".copy-", ".tmp")
+          Files.copy(part, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          Files.move(t, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          ()
+      }
+    }
+
     /** Exactly-once spool delivery (r18 VERDICT #6): each micro-batch
       * lands in a subscriber's spool as ONE deterministically-named
-      * file, `b<batchId>.parquet`, staged in a hidden dir and moved in
+      * file, `b<batchId>.<ext>`, staged hidden and linked in
       * atomically. A tee crash between spool writes and its checkpoint
       * commit replays the batch with the SAME batchId — the existing
       * target file makes the replay a no-op, so the subscriber's file
-      * source (which tracks seen paths) never sees a duplicate. The
-      * single-file form is what makes the rename atomic; at 100 TB the
-      * durable bus (`replayable`) is the tee and this path is the
-      * local-mode stand-in, so the coalesce(1) is not the scale path. */
+      * source (which tracks seen paths) never sees a duplicate.
+      *
+      * Format (r19 VERDICT #2 — the tee hop cost 2.7× throughput and
+      * +290 ms p50): binary-free schemas spool as JSON LINES, written
+      * DRIVER-SIDE for small batches — ONE Spark job (a limit-probed
+      * `to_json` collect) replaces the old persist + count + coalesced
+      * parquet-write job chain and its commit protocol. Batches past
+      * [[SpoolDriverWriteRows]] fall back to a single-task Spark text
+      * write of the same JSON (the probe's persist makes the fallback
+      * re-scan cheap). Schemas carrying binary (or other
+      * JSON-unrepresentable types) keep the parquet path. The format
+      * is a pure function of the source schema, so it is stable across
+      * replays and restarts — exactly-once's deterministic-name check
+      * stays sound. At 100 TB the durable bus (`replayable`) is the
+      * tee and this whole path is the local-mode stand-in, so the
+      * single-file form is not the scale path — [[spoolSizeWarning]]
+      * says so loudly when a batch outgrows it. */
     private def deliverBatch(batch: org.apache.spark.sql.Dataset[
         org.apache.spark.sql.Row], batchId: Long,
-        dirs: Seq[String]): Unit = {
-      val fname = f"b$batchId%020d.parquet"
+        dirs: Seq[String], ext: String): Unit = {
+      val fname = f"b$batchId%020d.$ext"
       val pending = dirs.filterNot(d => Files.exists(Path.of(d, fname)))
       if (pending.isEmpty) return
-      // one source read, ONE staged write: persist-count short-circuits
-      // empty batches; the staged part file is hard-linked into each
-      // pending spool (same filesystem by construction), so subscriber
-      // count adds links, not write amplification
-      val b = batch.persist()
-      try {
-        if (b.count() > 0L) {
-          val stageRoot = Path.of(pending.head)
-          // clear half-staged leftovers from a crashed attempt — across
-          // ALL subscriber dirs, not just pending ones: the original
-          // attempt staged under ITS pending.head, and a crash after
-          // linking into that dir excludes it from this replay's
-          // `pending` (its target file exists), so a pending-only scan
-          // would leak the stage dir (a full batch copy) forever
-          // (r19 ADVICE)
-          dirs.foreach { d =>
-            Option(Path.of(d).toFile.listFiles()).getOrElse(Array.empty)
-              .filter(f => f.isDirectory &&
-                f.getName.startsWith(s".stage-b$batchId-"))
-              .foreach(deleteRecursively)
+      val stageRoot = Path.of(pending.head)
+      // clear half-staged leftovers from a crashed attempt — across
+      // ALL subscriber dirs, not just pending ones: the original
+      // attempt staged under ITS pending.head, and a crash after
+      // linking into that dir excludes it from this replay's
+      // `pending` (its target file exists), so a pending-only scan
+      // would leak the stage dir (a full batch copy) forever
+      // (r19 ADVICE)
+      dirs.foreach { d =>
+        Option(Path.of(d).toFile.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(s".stage-b$batchId-"))
+          .foreach(deleteRecursively)
+      }
+      if (ext == "json") {
+        val cols = batch.columns.map(org.apache.spark.sql.functions.col)
+        val js = batch.select(org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.struct(cols.toSeq: _*),
+          java.util.Map.of("timestampFormat", SpoolTimestampFormat))
+          .as("j"))
+        // no persist: the common case (small batch) is fully served
+        // by this ONE limit-probed collect; only a batch past the
+        // driver-write bound pays a second scan, and there the
+        // single-task text write dominates anyway
+        val probe = js.limit(SpoolDriverWriteRows + 1).collect()
+        if (probe.nonEmpty) {
+          if (probe.length <= SpoolDriverWriteRows) {
+            // fast path: the probe IS the batch — write it on the
+            // driver (no write job, no committer), link N times
+            val tmp = Files.createTempFile(stageRoot,
+              s".stage-b$batchId-", ".json")
+            try {
+              Files.write(tmp, probe.map(_.getString(0))
+                .mkString("", "\n", "\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              spoolSizeWarning(Files.size(tmp)).foreach(log.warn)
+              pending.foreach(linkInto(tmp, _, fname))
+            } finally { Files.deleteIfExists(tmp); () }
+          } else {
+            val tmp = Files.createTempDirectory(stageRoot,
+              s".stage-b$batchId-")
+            try {
+              js.coalesce(1).write.mode("overwrite").text(tmp.toString)
+              val part = Option(tmp.toFile.listFiles())
+                .getOrElse(Array.empty)
+                .find(_.getName.startsWith("part-"))
+                .getOrElse(throw new IllegalStateException(
+                  s"no part file staged under $tmp"))
+              spoolSizeWarning(part.length()).foreach(log.warn)
+              pending.foreach(linkInto(part.toPath, _, fname))
+            } finally deleteRecursively(tmp.toFile)
           }
-          val tmp = Files.createTempDirectory(stageRoot, s".stage-b$batchId-")
-          try {
-            b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-            val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
-              .find(_.getName.startsWith("part-"))
-              .getOrElse(throw new IllegalStateException(
-                s"no part file staged under $tmp"))
-            pending.foreach { d =>
-              val target = Path.of(d, fname)
-              try { Files.createLink(target, part.toPath); () }
-              catch {
-                // link-averse filesystems (no hard links, cross-device
-                // mounts) throw FileSystemException subclasses; fall
-                // back to copy + atomic rename, same visibility contract
-                case _: UnsupportedOperationException
-                     | _: java.nio.file.FileSystemException =>
-                  val t = Files.createTempFile(Path.of(d), ".copy-", ".tmp")
-                  Files.copy(part.toPath, t,
-                    java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-                  Files.move(t, target,
-                    java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                  ()
-              }
-            }
-          } finally deleteRecursively(tmp.toFile)
         }
-      } finally { b.unpersist(); () }
+      } else {
+        // parquet path (binary-carrying schemas): one source read, ONE
+        // staged write; persist-count short-circuits empty batches
+        val b = batch.persist()
+        try {
+          if (b.count() > 0L) {
+            val tmp =
+              Files.createTempDirectory(stageRoot, s".stage-b$batchId-")
+            try {
+              b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+              val part = Option(tmp.toFile.listFiles())
+                .getOrElse(Array.empty)
+                .find(_.getName.startsWith("part-"))
+                .getOrElse(throw new IllegalStateException(
+                  s"no part file staged under $tmp"))
+              spoolSizeWarning(part.length()).foreach(log.warn)
+              pending.foreach(linkInto(part.toPath, _, fname))
+            } finally deleteRecursively(tmp.toFile)
+          }
+        } finally { b.unpersist(); () }
+      }
     }
+
+    /** Spool file format for `source` — JSON lines when the schema is
+      * exactly JSON-representable (the latency fast path), parquet
+      * otherwise. Derived from the schema only, so every tee replay
+      * and process restart picks the same extension. */
+    private def spoolExt(source: String): String =
+      if (jsonSafeSchema(fanoutSchemas(source))) "json" else "parquet"
 
     private def buildTee(source: String): DataStreamWriter[_] = {
       val src = sources.getOrElse(source,
@@ -1188,13 +1301,14 @@ object ConfigFile {
           s"fan-out tee: unknown source '$source'"))
       val df = src()
       fanoutSchemas(source) = df.schema
+      val ext = spoolExt(source)
       df.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], batchId: Long) =>
           teeLocks.getOrElseUpdate(source, new Object).synchronized {
             val subs = fanoutSubs.getOrElse(source, Map.empty)
             val dirs = subs.values.toSeq
-            if (dirs.nonEmpty) deliverBatch(batch, batchId, dirs)
+            if (dirs.nonEmpty) deliverBatch(batch, batchId, dirs, ext)
             // spool retention: subscribers drain files within a
             // trigger, so anything older than the retention window is
             // long-consumed — without this a long-running firehose
@@ -1400,12 +1514,20 @@ object ConfigFile {
         val srcs = sourcesOf(s)
         val legs: Seq[() => DataFrame] = srcs.map { src =>
           spools.get(src).flatMap(_.get(name)) match {
-            case Some(dir) => () =>
-              // nullability loosened: parquet round-trips non-nullable
-              // encoder schemas as optional fields
-              spark.readStream.schema(org.apache.spark.sql.types.StructType(
-                  fanoutSchemas(src).fields.map(_.copy(nullable = true))))
-                .parquet(dir)
+            case Some(dir) => () => {
+              // nullability loosened: both spool formats round-trip
+              // non-nullable encoder schemas as optional fields
+              val schema = org.apache.spark.sql.types.StructType(
+                fanoutSchemas(src).fields.map(_.copy(nullable = true)))
+              val ext = spoolExt(src)
+              // only tee-delivered batch files: a stray foreign file
+              // dropped into the spool dir must never poison the stream
+              val r = spark.readStream.schema(schema)
+                .option("pathGlobFilter", s"b*.$ext")
+              if (ext == "json")
+                r.option("timestampFormat", SpoolTimestampFormat).json(dir)
+              else r.parquet(dir)
+            }
             case None => sources.getOrElse(src,
               throw new IllegalArgumentException(
                 s"$name: unknown source '$src'"))

@@ -38,11 +38,13 @@ class FanoutSpec extends SparkSpec {
     Files.writeString(stage.resolve("part-00000.parquet"), "x")
     // a link-fallback temp that never reached its atomic rename
     Files.writeString(dir.resolve(".copy-42.tmp"), "x")
+    // the driver-side JSON fast path stages a FILE, not a dir
+    Files.writeString(dir.resolve(".stage-b00000000000000000008-x.json"), "x")
     // survivors: delivered data, spool metadata, an unrelated dotfile
     Files.writeString(dir.resolve("b00000000000000000006.parquet"), "x")
     Files.writeString(dir.resolve("_spark_metadata"), "x")
     Files.writeString(dir.resolve(".hidden-other"), "x")
-    assert(ConfigFile.sweepStaged(dir) == 2)
+    assert(ConfigFile.sweepStaged(dir) == 3)
     val left = Option(dir.toFile.listFiles()).get.map(_.getName).toSet
     assert(left == Set("b00000000000000000006.parquet",
       "_spark_metadata", ".hidden-other"), s"left: $left")
@@ -504,7 +506,7 @@ class FanoutSpec extends SparkSpec {
       spark.readStream.schema(schema).parquet(srcDir.toString)))
 
     import scala.jdk.CollectionConverters._
-    // run 1: tee consumes the file source, spools land b*.parquet
+    // run 1: tee consumes the file source, spools land b*.json
     val core1 = new Core(spark)
     val loader1 = new ConfigFile.Loader(core1, spark, cfg,
       sources0 = mkSources, fanoutDir = fdir)
@@ -547,8 +549,126 @@ class FanoutSpec extends SparkSpec {
           .filter(p => !p.getFileName.toString.startsWith("_") &&
             !p.getFileName.toString.startsWith(".")).toSeq
         assert(data.size == 1 &&
-          data.head.getFileName.toString.matches("b\\d+\\.parquet"),
+          data.head.getFileName.toString.matches("b\\d+\\.json"),
           s"unexpected spool contents: ${data.map(_.getFileName)}")
+      }
+    } finally core2.stop()
+  }
+
+  test("JSON spool fidelity: micros timestamps, NaN metrics, nulls, " +
+    "tags and attributes round-trip the tee hop exactly; a binary-" +
+    "carrying schema keeps the parquet spool; oversized batches warn " +
+    "(r19 VERDICT #2 + #8)") {
+    // format selection is a pure function of the schema
+    import org.apache.spark.sql.types._
+    assert(ConfigFile.jsonSafeSchema(StructType(Seq(
+      StructField("s", StringType), StructField("m", DoubleType),
+      StructField("t", TimestampType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("attrs", MapType(StringType, StringType))))))
+    assert(!ConfigFile.jsonSafeSchema(StructType(Seq(
+      StructField("payload", BinaryType)))))
+    assert(!ConfigFile.jsonSafeSchema(StructType(Seq(
+      StructField("m", MapType(IntegerType, StringType))))),
+      "non-string map keys do not round-trip JSON")
+    // the oversized-batch warning (r19 VERDICT #8)
+    assert(ConfigFile.spoolSizeWarning(512L * 1024 * 1024).isEmpty)
+    assert(ConfigFile.spoolSizeWarning(513L * 1024 * 1024)
+      .exists(_.contains("durable bus")))
+
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // e2e: a WireEvent source (tags + attributes) through a
+    // 2-subscriber tee — values must survive the JSON hop bit-exactly
+    val dir = Files.createTempDirectory("graft-fanout-json")
+    val cfg = dir.resolve("c.json")
+    write(cfg,
+      """{"streams":[
+        | {"name":"a","source":"in","pipeline":[],"sink":{"kind":"memory"}},
+        | {"name":"b","source":"in","pipeline":[],"sink":{"kind":"memory"}}]}"""
+        .stripMargin)
+    val in = MemoryStream[graft.streaming.WireEvent]
+    val core = new Core(spark)
+    val loader = new ConfigFile.Loader(core, spark, cfg,
+      sources0 = Map("in" -> (() => in.toDF())))
+    import scala.jdk.CollectionConverters._
+    try {
+      loader.reload()
+      val tMicros = java.sql.Timestamp.valueOf("2024-01-29 08:38:55.123456")
+      in.addData(
+        graft.streaming.WireEvent("h1", "cpu", "ok", Some(0.25), tMicros,
+          Some(60.0), Seq("prod", "edge"), Map("dc" -> "ams", "rack" -> "7")),
+        graft.streaming.WireEvent("h2", "cpu", "ok", Some(Double.NaN),
+          tMicros, None, Seq.empty, Map.empty),
+        graft.streaming.WireEvent(null, "cpu", null, None, tMicros,
+          None, null, null))
+      core.processAllAvailable()
+      for (n <- Seq("a", "b")) {
+        val rows = loader.memorySinks(n).rows.asScala.toSeq
+        assert(rows.size == 3, s"$n: ${rows.size} rows")
+        val h1 = rows.find(_.getAs[String]("host") == "h1").get
+        assert(h1.getAs[java.sql.Timestamp]("time") == tMicros,
+          "micros timestamp must round-trip exactly")
+        assert(h1.getAs[Double]("metric") == 0.25)
+        assert(h1.getSeq[String](h1.fieldIndex("tags")).toList ==
+          List("prod", "edge"))
+        assert(h1.getAs[Map[String, String]]("attributes") ==
+          Map("dc" -> "ams", "rack" -> "7"))
+        val h2 = rows.find(_.getAs[String]("host") == "h2").get
+        assert(h2.getAs[Double]("metric").isNaN)
+        val hn = rows.find(_.getAs[String]("host") == null).get
+        assert(hn.isNullAt(hn.fieldIndex("metric")) &&
+          hn.getAs[String]("state") == null)
+      }
+      // and the spool files are JSON lines
+      val subDirs = Files.list(loader.fanoutDir.resolve("in")).iterator()
+        .asScala.filter(_.getFileName.toString.startsWith("sub-")).toSeq
+      assert(subDirs.nonEmpty)
+      subDirs.foreach { d =>
+        val data = Files.list(d).iterator().asScala
+          .filter(p => !p.getFileName.toString.startsWith("_") &&
+            !p.getFileName.toString.startsWith(".")).toSeq
+        assert(data.nonEmpty && data.forall(
+          _.getFileName.toString.matches("b\\d+\\.json")),
+          s"expected JSON spool files, got ${data.map(_.getFileName)}")
+      }
+    } finally core.stop()
+
+    // e2e: binary payloads force the parquet spool and round-trip
+    val dir2 = Files.createTempDirectory("graft-fanout-bin")
+    val cfg2 = dir2.resolve("c.json")
+    write(cfg2,
+      """{"streams":[
+        | {"name":"p","source":"blobs","pipeline":[],"sink":{"kind":"memory"}},
+        | {"name":"q","source":"blobs","pipeline":[],"sink":{"kind":"memory"}}]}"""
+        .stripMargin)
+    val inB = MemoryStream[(Long, Array[Byte])]
+    val core2 = new Core(spark)
+    val loader2 = new ConfigFile.Loader(core2, spark, cfg2,
+      sources0 = Map("blobs" ->
+        (() => inB.toDF().toDF("media_id", "payload"))))
+    try {
+      loader2.reload()
+      inB.addData((7L, Array[Byte](0, 1, 2, -1)))
+      core2.processAllAvailable()
+      for (n <- Seq("p", "q")) {
+        val rows = loader2.memorySinks(n).rows.asScala.toSeq
+        assert(rows.size == 1)
+        assert(rows.head.getAs[Array[Byte]]("payload").toSeq ==
+          Seq[Byte](0, 1, 2, -1))
+      }
+      val subDirs2 = Files.list(loader2.fanoutDir.resolve("blobs"))
+        .iterator().asScala
+        .filter(_.getFileName.toString.startsWith("sub-")).toSeq
+      subDirs2.foreach { d =>
+        val data = Files.list(d).iterator().asScala
+          .filter(p => !p.getFileName.toString.startsWith("_") &&
+            !p.getFileName.toString.startsWith(".")).toSeq
+        assert(data.nonEmpty && data.forall(
+          _.getFileName.toString.matches("b\\d+\\.parquet")),
+          s"expected parquet spool files, got ${data.map(_.getFileName)}")
       }
     } finally core2.stop()
   }

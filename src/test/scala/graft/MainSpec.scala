@@ -370,6 +370,72 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("landing-zone atomic-arrival contract: a dot-prefixed in-flight " +
+    "file dropped into the zone mid-stream is never read; renaming it " +
+    "in atomically makes exactly its rows visible (docs/config.md " +
+    "producer contract, r19 VERDICT #5)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-main-atomic")
+    val zone = dir.resolve("zone")
+    val staging = dir.resolve("staging")
+    Files.createDirectories(zone)
+    Files.createDirectories(staging)
+    def mkParquet(into: java.nio.file.Path, rows: (Long, String, Long)*)
+        : java.nio.file.Path = {
+      val tmp = Files.createTempDirectory(dir, "w")
+      rows.toSeq.toDF("doc_id", "text", "time_s")
+        .selectExpr("doc_id", "text", "timestamp_seconds(time_s) AS time")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val out = into.resolve(part.getFileName)
+      Files.move(part, out)
+      out
+    }
+    mkParquet(zone, (1L, "first", 100L))
+    val cfg = dir.resolve("graft.json")
+    Files.writeString(cfg,
+      s"""{"servers": {
+         |   "docs": {"protocol": "files", "path": "$zone",
+         |            "format": "parquet"} },
+         | "streams": [
+         |   {"name": "raw", "source": "docs", "pipeline": [],
+         |    "sink": {"kind": "memory"}}]}""".stripMargin)
+    val running = Main.start(cfg, Some(spark))
+    try {
+      def drain(): Unit = running.core.processAllAvailable()
+      drain()
+      import scala.jdk.CollectionConverters._
+      def ids(): Seq[Long] = running.loader.memorySinks("raw")
+        .rows.asScala.map(_.getAs[Long]("doc_id")).toSeq.sorted
+      assert(ids() == Seq(1L))
+      // a producer staging IN the zone under a dot-prefixed name: the
+      // listing must never surface it, however many triggers run
+      val staged = mkParquet(staging, (2L, "second", 200L))
+      val hidden = zone.resolve("." + staged.getFileName.toString + ".tmp")
+      Files.move(staged, hidden)
+      for (_ <- 1 to 3) { drain(); Thread.sleep(50) }
+      assert(ids() == Seq(1L),
+        "an in-flight dot-prefixed file must be invisible to the zone")
+      // the atomic publish: rename to a visible name — its rows (and
+      // only its rows) arrive
+      Files.move(hidden,
+        zone.resolve(hidden.getFileName.toString.stripPrefix(".")
+          .stripSuffix(".tmp")),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val deadline = System.currentTimeMillis() + 30000
+      while (ids().size < 2 && System.currentTimeMillis() < deadline) {
+        drain(); Thread.sleep(100)
+      }
+      assert(ids() == Seq(1L, 2L))
+    } finally {
+      running.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("the fanout block is include-merged like the streams, and a " +
     "reload that removes retentionHours reverts to the constructor " +
     "default instead of pinning the last applied value (r19 ADVICE)") {
