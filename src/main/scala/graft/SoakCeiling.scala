@@ -110,6 +110,15 @@ object SoakCeiling {
               "fields":["deploy_id"],"bin":60}""").asInstanceOf[JObject]
         graft.config.ConfigFile.applyOp(events(r).toDF(), op)
       }),
+      // r19 VERDICT #3: the multi-source union path — two rate legs at
+      // r/2 each, unioned by name into ONE changed-state store. NOTE:
+      // the end_lag_s column reads the FIRST leg's source only; both
+      // rate legs advance on the same clock, so it remains the
+      // backlog signal
+      ("union", startRate, (r: Int) =>
+        graft.streaming.StatefulOps.changedState(
+          events(math.max(1, r / 2))
+            .unionByName(events(math.max(1, r - r / 2)))).toDF()),
       ("neardup", startNeardup, (r: Int) => {
         val docs = spark.readStream.format("rate")
           .option("rowsPerSecond", r)

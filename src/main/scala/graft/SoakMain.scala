@@ -48,6 +48,7 @@ object SoakMain {
     val rateQuantiles = familyRate("quantiles", rowsPerSec)
     val rateEnrich = familyRate("enrich", rowsPerSec)
     val rateNeardup = familyRate("neardup", math.max(1, rowsPerSec / 10))
+    val rateUnion = familyRate("union", rowsPerSec)
     val nKeys = sys.env.getOrElse("SOAK_KEYS", "20000").toInt
     val out = Paths.get(sys.env.getOrElse("SOAK_OUT", "soak_state.jsonl"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -176,6 +177,21 @@ object SoakMain {
             .observe("enrich_obs", count(lit(1)).as("n"),
               count(col("asof_deploy_id")).as("matched")))
       }
+      // r19 VERDICT #3: the multi-source union shape under chaos — ONE
+      // stateful stream (changed-state, flatMapGroupsWithState) fed by
+      // TWO independent rate sources unioned by name, sharing ONE
+      // state store across legs (the r19 config semantics: the same
+      // event key arriving on either transport hits the same state).
+      // Both legs draw from the same (host, service) universe, so
+      // state rows stay bounded by nKeys x 3 exactly like the index
+      // leg; a per-leg split would double the store and fork the
+      // changed-state answer.
+      core.stream("soak-union", signature = "v1") {
+        writerFor("union")(graft.streaming.StatefulOps.changedState(
+          events(math.max(1, rateUnion / 2))
+            .unionByName(events(math.max(1, rateUnion - rateUnion / 2))))
+          .toDF())
+      }
       core.stream("soak-neardup", signature = "v1") {
         val docs = spark.readStream.format("rate")
           .option("rowsPerSecond", rateNeardup)
@@ -290,7 +306,8 @@ object SoakMain {
       s"""{"minutes":$minutes,"rows_per_sec":$rowsPerSec,""" +
         s""""rates":{"index":$rateIndex,"window":$rateWindow,""" +
         s""""session":$rateSession,"quantiles":$rateQuantiles,""" +
-        s""""enrich":$rateEnrich,"neardup":$rateNeardup},""" +
+        s""""enrich":$rateEnrich,"neardup":$rateNeardup,""" +
+        s""""union":$rateUnion},""" +
         s""""keys":${nKeys * 3},""" +
         s""""restarts":$nRestarts,"samples":${series.length},""" +
         s""""state_rows_max_third1":${thirdMax(_._2, 0)},""" +

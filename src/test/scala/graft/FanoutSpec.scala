@@ -394,6 +394,54 @@ class FanoutSpec extends SparkSpec {
     } finally core.stop()
   }
 
+  test("union watermark liveness: a QUIET leg does not stall the " +
+    "unioned stream — the watermark node sits ABOVE the unionByName, " +
+    "so append-mode windows close from whichever leg feeds; the " +
+    "per-leg min-watermark stall shape cannot occur in this topology " +
+    "(r19 VERDICT #3)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-union-quiet")
+    val cfg = dir.resolve("c.json")
+    // append-mode windowed count: rows surface ONLY when the watermark
+    // passes the window end — the strictest liveness probe available
+    write(cfg,
+      """{"streams":[
+        | {"name":"win","source":["a","b"],
+        |  "pipeline":[{"op":"window","seconds":10,
+        |               "watermark":"0 seconds","agg":"count"}],
+        |  "sink":{"kind":"memory"}}]}""".stripMargin)
+    val inA = MemoryStream[SEvent]
+    val inB = MemoryStream[SEvent]   // never fed: the quiet leg
+    val core = new Core(spark)
+    val loader = new ConfigFile.Loader(core, spark, cfg,
+      sources0 = Map("a" -> (() => inA.toDF()), "b" -> (() => inB.toDF())))
+    import scala.jdk.CollectionConverters._
+    try {
+      loader.reload()
+      def ev(s: Long) = SEvent("h1", "svc", "ok", Some(1.0),
+        new Timestamp(s * 1000), None)
+      inA.addData(ev(105))
+      core.processAllAvailable()
+      // event time 125 on the ACTIVE leg advances the single post-union
+      // watermark past 110 and must close window [100, 110) even
+      // though leg b has never produced a row
+      inA.addData(ev(125))
+      val deadline = System.currentTimeMillis() + 30000
+      def rows() = loader.memorySinks("win").rows.asScala.toSeq
+      while (rows().isEmpty && System.currentTimeMillis() < deadline) {
+        core.processAllAvailable(); Thread.sleep(50)
+      }
+      val closed = rows()
+      assert(closed.nonEmpty,
+        "the quiet leg stalled the union watermark: no window ever closed")
+      assert(closed.exists(r =>
+        r.getAs[java.sql.Timestamp]("time").getTime == 100000L &&
+          r.getAs[Double]("metric") == 1.0), s"got $closed")
+    } finally core.stop()
+  }
+
   test("multi-source x fan-out mix: a source shared with another stream " +
     "is teed; the multi-source stream unions its spool leg with its " +
     "still-direct leg; duplicate source names in one stream are rejected") {

@@ -25,23 +25,36 @@ def main():
             results[m.group(1)] = {"status": "pass",
                                    "rows": int(m.group(2))}
             continue
+        m = re.match(r"STAGEWISE (\S+): (.*)", line)
+        if m:
+            # composite oracle infeasible at this scale, every stage
+            # green in the same run (compare_oracle.py STAGEWISE) —
+            # recorded as its own status, counted neither pass nor fail
+            results[m.group(1)] = {"status": "oracle_infeasible",
+                                   "detail": m.group(2)[:300]}
+            continue
         m = re.match(r"FAIL (\S+): (.*)", line)
         if m:
             results[m.group(1)] = {"status": "fail",
                                    "detail": m.group(2)[:300]}
     n_pass = sum(1 for r in results.values() if r["status"] == "pass")
+    n_inf = sum(1 for r in results.values()
+                if r["status"] == "oracle_infeasible")
+    n_fail = len(results) - n_pass - n_inf
     doc = {
         "sf_dir": sf_dir,
         "queries_requested": len(queries) if queries else len(results),
         "pass": n_pass,
-        "fail": len(results) - n_pass,
+        "fail": n_fail,
+        "oracle_infeasible": n_inf,
         "results": results,
     }
     with open(artifact, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
-    print(f"{artifact}: {n_pass} pass / {len(results) - n_pass} fail")
+    print(f"{artifact}: {n_pass} pass / {n_fail} fail / "
+          f"{n_inf} oracle-infeasible")
     sys.stdout.write(proc.stdout[-2000:])
-    return 0 if n_pass == len(results) and results else 1
+    return 0 if n_fail == 0 and results else 1
 
 
 if __name__ == "__main__":
