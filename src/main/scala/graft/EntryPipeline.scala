@@ -40,7 +40,7 @@ private[graft] object EntryPipeline {
       val spark0 = s
       import spark0.implicits._
       graft.pipeline.Multimodal.decodeImages(
-        graft.pipeline.Multimodal.syntheticImages(docs(s, d)))
+        graft.pipeline.Multimodal.syntheticImages(docsS(s, d)))
         .toDF().select("media_id", "format", "width", "height",
           "channels", "ok")
         .orderBy("media_id")
@@ -53,7 +53,7 @@ private[graft] object EntryPipeline {
       val spark0 = s
       import spark0.implicits._
       graft.pipeline.Multimodal.decodeAudio(
-        graft.pipeline.Multimodal.syntheticAudio(docs(s, d)))
+        graft.pipeline.Multimodal.syntheticAudio(docsS(s, d)))
         .toDF().select("media_id", "format", "sample_rate", "channels",
           "frames", "duration_ms", "ok")
         .orderBy("media_id")
@@ -66,7 +66,7 @@ private[graft] object EntryPipeline {
       val spark0 = s
       import spark0.implicits._
       graft.pipeline.Multimodal.decodeVideo(
-        graft.pipeline.Multimodal.syntheticVideos(docs(s, d)))
+        graft.pipeline.Multimodal.syntheticVideos(docsS(s, d)))
         .toDF().select("media_id", "format", "width", "height",
           "duration_ms", "n_tracks", "ok")
         .orderBy("media_id")
@@ -79,7 +79,7 @@ private[graft] object EntryPipeline {
       val spark0 = s
       import spark0.implicits._
       graft.pipeline.Multimodal.decodeVideoFrames(
-        graft.pipeline.Multimodal.syntheticAviVideos(docs(s, d)))
+        graft.pipeline.Multimodal.syntheticAviVideos(docsS(s, d)))
         .toDF().select("media_id", "stream", "frame_idx", "codec",
           "width", "height", "ok")
         .orderBy("media_id", "frame_idx")
@@ -91,7 +91,7 @@ private[graft] object EntryPipeline {
       val spark0 = s
       import spark0.implicits._
       graft.pipeline.Multimodal.decodeGifFrames(
-        graft.pipeline.Multimodal.syntheticAnimatedGifs(docs(s, d)))
+        graft.pipeline.Multimodal.syntheticAnimatedGifs(docsS(s, d)))
         .toDF().select("media_id", "frame_idx", "codec", "width",
           "height", "ok")
         .orderBy("media_id", "frame_idx")
@@ -102,7 +102,7 @@ private[graft] object EntryPipeline {
       val spark0 = s
       import spark0.implicits._
       graft.pipeline.Multimodal.decodeVideoFrames(
-        graft.pipeline.Multimodal.syntheticAviVideos(docs(s, d)), 2)
+        graft.pipeline.Multimodal.syntheticAviVideos(docsS(s, d)), 2)
         .toDF().select("media_id", "stream", "frame_idx", "codec",
           "width", "height", "ok")
         .orderBy("media_id", "frame_idx")
@@ -118,7 +118,7 @@ private[graft] object EntryPipeline {
     // corpus, model broadcast back; fixed-point-log2 scores so the
     // oracle replays the longs exactly)
     "q_langid_ngram" -> ((s, d) =>
-      TextAnalysis.langIdNgram(docs(s, d)).orderBy("doc_id")),
+      TextAnalysis.langIdNgram(docsS(s, d)).orderBy("doc_id")),
     // deterministic BPE merge training (Sennrich et al. 2016): the
     // word-frequency sufficient statistic distributed, the merge loop
     // on the driver, argmax tie-broken by pair string
@@ -130,8 +130,8 @@ private[graft] object EntryPipeline {
     // by q_bpe_tokens and any later invocation; the manifest's corpus
     // fingerprint forces a retrain when the corpus changes)
     "q_bpe_encode" -> ((s, d) =>
-      graft.pipeline.Bpe.encode(docs(s, d),
-        graft.pipeline.Models.loadOrTrainBpe(docs(s, d),
+      graft.pipeline.Bpe.encode(docsS(s, d),
+        graft.pipeline.Models.loadOrTrainBpe(docsS(s, d),
           graft.pipeline.Models.defaultRoot(d) + "/bpe_merges"))
         .orderBy("doc_id")),
     // the materialized token sequences themselves (the training-data
@@ -139,8 +139,8 @@ private[graft] object EntryPipeline {
     // separator, so the oracle pins every token byte in order — same
     // persisted merge list as q_bpe_encode (shared artifact)
     "q_bpe_tokens" -> ((s, d) =>
-      graft.pipeline.Bpe.encodeTokens(docs(s, d),
-        graft.pipeline.Models.loadOrTrainBpe(docs(s, d),
+      graft.pipeline.Bpe.encodeTokens(docsS(s, d),
+        graft.pipeline.Models.loadOrTrainBpe(docsS(s, d),
           graft.pipeline.Models.defaultRoot(d) + "/bpe_merges"))
         // null-text docs: (0, '') like the oracle's COALESCE, not
         // (size(null) = -1, null)
@@ -152,28 +152,28 @@ private[graft] object EntryPipeline {
     // corpus-trained bigram LM likelihood (the CCNet-style LM quality
     // filter shape, deterministic long/floor arithmetic)
     "q_lm_likelihood" -> ((s, d) =>
-      TextAnalysis.bigramLikelihood(docs(s, d)).orderBy("doc_id")),
+      TextAnalysis.bigramLikelihood(docsS(s, d)).orderBy("doc_id")),
     // DSIR importance weights toward the English slice as the target
     // domain (hashed-bigram likelihood ratios)
     "q_importance" -> ((s, d) =>
-      TextAnalysis.importanceWeights(docs(s, d),
-          docs(s, d).filter(col("lang") === "en"))
+      TextAnalysis.importanceWeights(docsS(s, d),
+          docsS(s, d).filter(col("lang") === "en"))
         .orderBy("doc_id")),
     // the full curation recipe with auditable per-stage attrition
     "q_curation_funnel" -> ((s, d) =>
-      graft.pipeline.Curation.curationFunnel(docs(s, d))),
+      graft.pipeline.Curation.curationFunnel(docsS(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))
       .orderBy("doc_id")),
     // winnowing fingerprints (Schleimer et al. 2003): codegen'd kernel,
     // fingerprint set serialized for the comparator
-    "q_winnow" -> ((s, d) => TextAnalysis.winnow(docs(s, d))
+    "q_winnow" -> ((s, d) => TextAnalysis.winnow(docsS(s, d))
       .select(col("doc_id"), concat_ws(",",
         expr("transform(fps, h -> CAST(h AS STRING))")).as("fps"))
       .orderBy("doc_id")),
     // span-level overlap pairs via shared winnowed fingerprints: the
     // partial-verbatim-copy detector (one hash exchange on fp, capped)
     "q_winnow_overlap" -> ((s, d) =>
-      graft.pipeline.Dedup.winnowOverlapPairs(docs(s, d))
+      graft.pipeline.Dedup.winnowOverlapPairs(docsS(s, d))
         .orderBy("doc_a", "doc_b")),
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(docs(s, d)).orderBy("doc_id")),
@@ -190,18 +190,18 @@ private[graft] object EntryPipeline {
           .otherwise(lit(""))))
       TextAnalysis.piiScan(planted, "text2").orderBy("doc_id")
     }),
-    "q_tfidf" -> ((s, d) => TextAnalysis.tfIdf(docs(s, d), 5)
+    "q_tfidf" -> ((s, d) => TextAnalysis.tfIdf(docsS(s, d), 5)
       .orderBy("doc_id", "rk")),
     // Okapi BM25 ranked retrieval over a fixed query — the "find
     // documents about X" curation primitive; per-term scores rounded
     // then DECIMAL-summed so the total is addition-order independent
     "q_bm25" -> ((s, d) =>
-      TextAnalysis.bm25(docs(s, d),
+      TextAnalysis.bm25(docsS(s, d),
         Seq("hash", "join", "spark", "window"), topK = 20)
         .orderBy("rk")),
     // decontamination: every 10th doc plays the held-out benchmark set
     "q_contamination" -> ((s, d) => {
-      val all = docs(s, d)
+      val all = docsS(s, d)
       TextAnalysis.contamination(all.filter(col("doc_id") % 10 =!= 0),
         all.filter(col("doc_id") % 10 === 0), 3)
         .orderBy("doc_id")
@@ -247,9 +247,9 @@ private[graft] object EntryPipeline {
     // the manifest's corpus fingerprint forces a retrain whenever the
     // corpus changes, so the cache can never serve stale predictions
     "q_temp_sample_lang" -> ((s, d) => {
-      val m = graft.pipeline.Models.loadOrTrainLangId(docs(s, d),
+      val m = graft.pipeline.Models.loadOrTrainLangId(docsS(s, d),
         graft.pipeline.Models.defaultRoot(d) + "/langid_ngram")
-      val pred = TextAnalysis.langIdApply(docs(s, d), m)
+      val pred = TextAnalysis.langIdApply(docsS(s, d), m)
         .select(col("doc_id"), col("predicted_lang").as("lang"))
       Curation.temperatureSample(pred, 0.3, 0.5, byCol = "lang")
         .select(col("doc_id"), col("lang"), col("n_source"),
@@ -272,16 +272,16 @@ private[graft] object EntryPipeline {
     // ... encoding under the PERSISTED vocab artifact (train-once,
     // shared with q_unigram_tokens; corpus-fingerprint-guarded)
     "q_unigram_encode" -> ((s, d) =>
-      Unigram.encode(docs(s, d),
-        graft.pipeline.Models.loadOrTrainUnigram(docs(s, d),
+      Unigram.encode(docsS(s, d),
+        graft.pipeline.Models.loadOrTrainUnigram(docsS(s, d),
           graft.pipeline.Models.defaultRoot(d) + "/unigram_vocab"))
         .orderBy("doc_id")),
     // the materialized unigram token sequences — every token byte and
     // boundary pinned in document order (the q_bpe_tokens contract
     // for the second tokenizer)
     "q_unigram_tokens" -> ((s, d) =>
-      Unigram.encodeTokensDf(docs(s, d),
-        graft.pipeline.Models.loadOrTrainUnigram(docs(s, d),
+      Unigram.encodeTokensDf(docsS(s, d),
+        graft.pipeline.Models.loadOrTrainUnigram(docsS(s, d),
           graft.pipeline.Models.defaultRoot(d) + "/unigram_vocab"))
         // null-text docs: (0, '') like the oracle's COALESCE, not
         // (size(null) = -1, null)
@@ -293,7 +293,7 @@ private[graft] object EntryPipeline {
     // the mixture planner budgeted in REAL tokenizer units: unigram
     // token counts joined per doc, then the same temperature math
     "q_mixture_plan_unigram" -> ((s, d) => {
-      val base = docs(s, d)
+      val base = docsS(s, d)
       val enc = Unigram.encode(base,
         graft.pipeline.Models.loadOrTrainUnigram(base,
           graft.pipeline.Models.defaultRoot(d) + "/unigram_vocab"))
@@ -308,8 +308,8 @@ private[graft] object EntryPipeline {
     // per side, never all-pairs
     "q_crosscorpus_neardup" -> ((s, d) =>
       Dedup.crossCorpusNearDups(
-        docs(s, d).filter(col("doc_id") % 4 === 0),
-        docs(s, d).filter(col("doc_id") % 4 =!= 0))
+        docsS(s, d).filter(col("doc_id") % 4 === 0),
+        docsS(s, d).filter(col("doc_id") % 4 =!= 0))
         .orderBy("new_id", "ref_id")),
     // cluster-balanced sampling: the temperature mixture rule over
     // embedding-space cells (topic rebalancing without labels)
@@ -366,9 +366,9 @@ private[graft] object EntryPipeline {
         .orderBy("event_id")),
     // email formatter (common.clj subject/body, email.clj mailer)
     "q_email_subject" -> ((s, d) =>
-      graft.sinks.Email.subject(ev(s, d), Seq("service"))
+      graft.sinks.Email.subject(evs(s, d), Seq("service"))
         .orderBy("service")),
-    "q_email_body" -> ((s, d) => ev(s, d)
+    "q_email_body" -> ((s, d) => evs(s, d)
       .select(col("event_id"),
         md5(graft.sinks.Email.bodyBlock()).as("body_hash"))
       .orderBy("event_id")),
@@ -381,13 +381,13 @@ private[graft] object EntryPipeline {
         .orderBy("host", "service")
     }),
     // prometheus exposition datapoint (name sanitize + labels + float)
-    "q_prometheus_line" -> ((s, d) => ev(s, d)
+    "q_prometheus_line" -> ((s, d) => evs(s, d)
       .filter(col("metric").isNotNull && col("service").isNotNull)
       .select(col("event_id"), graft.sinks.Metrics.prometheusLine.as("line"))
       .orderBy("event_id")),
     // graphite path rendering: reversed fqdn + dotted service with the
     // percentile-suffix collapse
-    "q_graphite_path" -> ((s, d) => ev(s, d)
+    "q_graphite_path" -> ((s, d) => evs(s, d)
       .withColumn("host", concat(col("host"), lit(".node.example.com")))
       .withColumn("service", concat(col("service"), lit(" latency 0.95")))
       .select(col("event_id"),
@@ -395,13 +395,13 @@ private[graft] object EntryPipeline {
       .orderBy("event_id")),
     // opentsdb put-line encode (the decode counterpart is
     // q_opentsdb_decode): round-trip-able through decodeOpenTsdb
-    "q_opentsdb_encode" -> ((s, d) => ev(s, d)
+    "q_opentsdb_encode" -> ((s, d) => evs(s, d)
       .filter(col("metric").isNotNull && col("service").isNotNull)
       .withColumn("service", concat(col("service"), lit(" p99")))
       .select(col("event_id"), graft.sinks.Metrics.opentsdbLine.as("line"))
       .orderBy("event_id")),
     // datadog series entry: byte-exact gauge JSON per event
-    "q_datadog_event" -> ((s, d) => ev(s, d)
+    "q_datadog_event" -> ((s, d) => evs(s, d)
       .filter(col("metric").isNotNull && col("service").isNotNull)
       .select(col("event_id"), graft.sinks.Metrics.datadogEvent.as("entry"))
       .orderBy("event_id")),
@@ -411,13 +411,13 @@ private[graft] object EntryPipeline {
       TextAnalysis.gopherFilter(docs(s, d), minWords = 20)
         .orderBy("doc_id")),
     // librato gauge JSON with the safe-name sanitizer exercised
-    "q_librato_gauge" -> ((s, d) => ev(s, d)
+    "q_librato_gauge" -> ((s, d) => evs(s, d)
       .filter(col("metric").isNotNull)
       .withColumn("service", concat(col("service"), lit(" p99!!")))
       .select(col("event_id"), graft.sinks.Metrics.libratoGauge.as("entry"))
       .orderBy("event_id")),
     // kairosdb telnet metric (millisecond timestamps)
-    "q_kairosdb_line" -> ((s, d) => ev(s, d)
+    "q_kairosdb_line" -> ((s, d) => evs(s, d)
       .filter(col("metric").isNotNull && col("service").isNotNull)
       .withColumn("service", concat(col("service"), lit(" p50")))
       .select(col("event_id"), graft.sinks.Metrics.kairosdbLine.as("line"))
@@ -426,14 +426,14 @@ private[graft] object EntryPipeline {
     // oracle-gated (slack.clj / boundary.clj / cloudwatch.clj /
     // zabbix.clj / nagios.clj / xymon.clj). Derived null columns
     // exercise the nil-rendering paths the oracle can now pin.
-    "q_slack_message" -> ((s, d) => withDerivedDesc(ev(s, d))
+    "q_slack_message" -> ((s, d) => withDerivedDesc(evs(s, d))
       .select(col("event_id"),
         graft.sinks.Alerting.slackMessage("riemann", "#ops", ":fire:")
           .as("body"))
       .orderBy("event_id")),
     // the 4-tuple stays aligned with explicit nulls (the boundary.clj
     // contract) — null host AND null metric rows included
-    "q_boundary_tuple" -> ((s, d) => ev(s, d)
+    "q_boundary_tuple" -> ((s, d) => evs(s, d)
       .withColumn("host", when(col("event_id") % 7 === 0,
         lit(null).cast("string")).otherwise(col("host")))
       .withColumn("metric", when(col("event_id") % 11 === 0,
@@ -444,52 +444,52 @@ private[graft] object EntryPipeline {
       .select(col("event_id"), graft.sinks.Forwarders.boundaryTuple.as("t"))
       .orderBy("event_id")),
     // unfiltered: null metric proves cheshire-style explicit-null JSON
-    "q_cloudwatch_datapoint" -> ((s, d) => ev(s, d)
+    "q_cloudwatch_datapoint" -> ((s, d) => evs(s, d)
       .withColumn("metric", when(col("event_id") % 11 === 0,
         lit(null).cast("double")).otherwise(col("metric")))
       .select(col("event_id"),
         graft.sinks.Forwarders.cloudwatchDatapoint.as("dp"))
       .orderBy("event_id")),
-    "q_zabbix_datapoint" -> ((s, d) => ev(s, d)
+    "q_zabbix_datapoint" -> ((s, d) => evs(s, d)
       .withColumn("metric", when(col("event_id") % 11 === 0,
         lit(null).cast("double")).otherwise(col("metric")))
       .select(col("event_id"),
         graft.sinks.Forwarders.zabbixDatapoint.as("dp"))
       .orderBy("event_id")),
     // error folds to critical, null state to unknown, nils render ""
-    "q_nagios_line" -> ((s, d) => withDerivedDesc(ev(s, d))
+    "q_nagios_line" -> ((s, d) => withDerivedDesc(evs(s, d))
       .withColumn("state", when(col("event_id") % 3 === 0, lit("error"))
         .when(col("event_id") % 3 === 1, lit(null).cast("string"))
         .otherwise(col("state")))
       .select(col("event_id") +: graft.sinks.Forwarders.nagiosFields: _*)
       .orderBy("event_id")),
-    "q_xymon_status" -> ((s, d) => withDerivedDesc(ev(s, d))
+    "q_xymon_status" -> ((s, d) => withDerivedDesc(evs(s, d))
       .select(col("event_id"),
         graft.sinks.Forwarders.xymonStatus.as("status"))
       .orderBy("event_id")),
     // blueflood ingest point; null ttl proves the 30-day default
-    "q_blueflood_point" -> ((s, d) => ev(s, d)
+    "q_blueflood_point" -> ((s, d) => evs(s, d)
       .withColumn("ttl", when(col("event_id") % 6 === 0,
         lit(null).cast("double")).otherwise(col("ttl")))
       .filter(col("metric").isNotNull)
       .select(col("event_id"), graft.sinks.Forwarders.bluefloodPoint.as("p"))
       .orderBy("event_id")),
     // druid tranquility event: ISO8601 UTC timestamp, explicit nulls
-    "q_druid_event" -> ((s, d) => withDerivedDesc(ev(s, d))
+    "q_druid_event" -> ((s, d) => withDerivedDesc(evs(s, d))
       .select(col("event_id"), graft.sinks.Forwarders.druidEvent.as("e"))
       .orderBy("event_id")),
     // netuitive element: service-with-spaces exercises the dot mapping
-    "q_netuitive_element" -> ((s, d) => ev(s, d)
+    "q_netuitive_element" -> ((s, d) => evs(s, d)
       .withColumn("service", concat(col("service"), lit(" p95")))
       .select(col("event_id"),
         graft.sinks.Forwarders.netuitiveElement("Riemann").as("e"))
       .orderBy("event_id")),
     // shinken ws-arbiter form fields (nils render "")
-    "q_shinken_form" -> ((s, d) => ev(s, d)
+    "q_shinken_form" -> ((s, d) => evs(s, d)
       .select(col("event_id") +: graft.sinks.Forwarders.shinkenFields: _*)
       .orderBy("event_id")),
     // pushover form fields incl. the full state->priority table
-    "q_pushover_fields" -> ((s, d) => ev(s, d)
+    "q_pushover_fields" -> ((s, d) => evs(s, d)
       .withColumn("state", when(col("event_id") % 4 === 0, lit("emergency"))
         .when(col("event_id") % 4 === 1, lit("info"))
         .otherwise(col("state")))
@@ -500,19 +500,19 @@ private[graft] object EntryPipeline {
         col("time_s").cast("string").as("timestamp"))
       .orderBy("event_id")),
     // logstash wire JSON; null metric proves the explicit-null field
-    "q_logstash_line" -> ((s, d) => ev(s, d)
+    "q_logstash_line" -> ((s, d) => evs(s, d)
       .withColumn("metric", when(col("event_id") % 11 === 0,
         lit(null).cast("double")).otherwise(col("metric")))
       .select(col("event_id"),
         graft.sinks.Notifiers.logstashLine.as("line"))
       .orderBy("event_id")),
     // logentries k='v' line; null description drops the leading clause
-    "q_logentries_line" -> ((s, d) => withDerivedDesc(ev(s, d))
+    "q_logentries_line" -> ((s, d) => withDerivedDesc(evs(s, d))
       .select(col("event_id"),
         graft.sinks.Notifiers.logentriesLine.as("line"))
       .orderBy("event_id")),
     // hipchat block + card color (error folds red, null folds yellow)
-    "q_hipchat_message" -> ((s, d) => withDerivedDesc(ev(s, d))
+    "q_hipchat_message" -> ((s, d) => withDerivedDesc(evs(s, d))
       .withColumn("state", when(col("event_id") % 3 === 0, lit("error"))
         .when(col("event_id") % 3 === 1, lit(null).cast("string"))
         .otherwise(col("state")))
@@ -521,45 +521,45 @@ private[graft] object EntryPipeline {
         graft.sinks.Notifiers.hipchatColor.as("color"))
       .orderBy("event_id")),
     // msteams MessageCard section: explicit-null facts for nil fields
-    "q_msteams_section" -> ((s, d) => withDerivedDesc(ev(s, d))
+    "q_msteams_section" -> ((s, d) => withDerivedDesc(evs(s, d))
       .select(col("event_id"), graft.sinks.Sinks.cheshireJson(
         graft.sinks.Alerting.msteamsSection).as("section"))
       .orderBy("event_id")),
-    "q_telegram_text" -> ((s, d) => withDerivedDesc(ev(s, d))
+    "q_telegram_text" -> ((s, d) => withDerivedDesc(evs(s, d))
       .select(col("event_id"),
         graft.sinks.Alerting.telegramText("Markdown").as("text"))
       .orderBy("event_id")),
     // opsgenie body incl. the deterministic md5 alias over
     // (host, service, sorted tags)
-    "q_opsgenie_body" -> ((s, d) => withDerivedDesc(ev(s, d))
+    "q_opsgenie_body" -> ((s, d) => withDerivedDesc(evs(s, d))
       .select(col("event_id"), graft.sinks.Alerting.opsgenieBody.as("body"))
       .orderBy("event_id")),
-    "q_victorops_body" -> ((s, d) => ev(s, d)
+    "q_victorops_body" -> ((s, d) => evs(s, d)
       .select(col("event_id"),
         graft.sinks.Alerting.victoropsBody("CRITICAL").as("body"))
       .orderBy("event_id")),
-    "q_pagerduty_v1" -> ((s, d) => ev(s, d)
+    "q_pagerduty_v1" -> ((s, d) => evs(s, d)
       .select(col("event_id"),
         graft.sinks.Alerting.pagerdutyV1Body("rk", "trigger").as("body"))
       .orderBy("event_id")),
     // v2 body: derived dedup-key attribute exercises the element_at
     // extraction; the seconds-as-millis 1970-era timestamp quirk is
     // reproduced bit-faithfully on both sides
-    "q_pagerduty_v2" -> ((s, d) => ev(s, d)
+    "q_pagerduty_v2" -> ((s, d) => evs(s, d)
       .withColumn("attributes", map_concat(col("attributes"),
         map(lit("dedup-key"), concat(lit("dk-"), col("host")))))
       .select(col("event_id"),
         graft.sinks.Alerting.pagerdutyV2Body("rk", "trigger").as("body"))
       .orderBy("event_id")),
     // stackdriver point: whitespace runs in the name collapse to dots
-    "q_stackdriver_point" -> ((s, d) => ev(s, d)
+    "q_stackdriver_point" -> ((s, d) => evs(s, d)
       .withColumn("service", concat(col("service"), lit(" x  y")))
       .filter(col("metric").isNotNull)
       .select(col("event_id"),
         graft.sinks.Forwarders.stackdriverPoint.as("p"))
       .orderBy("event_id")),
     // keenio event body; null metric proves the explicit-null field
-    "q_keenio_body" -> ((s, d) => ev(s, d)
+    "q_keenio_body" -> ((s, d) => evs(s, d)
       .withColumn("metric", when(col("event_id") % 11 === 0,
         lit(null).cast("double")).otherwise(col("metric")))
       .select(col("event_id"),

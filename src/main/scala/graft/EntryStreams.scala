@@ -373,7 +373,7 @@ private[graft] object EntryStreams {
 
     // ---- star-schema sanity: decimal-exact pricing summary over lineitem
     "q_tpch_pricing" -> ((s, d) => {
-      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val li = EntryShared.spread(s.read.parquet(s"$d/lineitem.parquet"), col("l_orderkey"))
       li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -411,16 +411,16 @@ private[graft] object EntryStreams {
       .select(col("doc_id"),
         array_join(transform(col("sig"), _.cast("string")), ",").as("sig"))
       .orderBy("doc_id")),
-    "q_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(docs(s, d), 16, 4, 0.5, 3)
+    "q_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(docsS(s, d), 16, 4, 0.5, 3)
       .orderBy("doc_a", "doc_b")),
     "q_dedup_clusters" -> ((s, d) =>
-      Dedup.nearDupComponents(Dedup.minhashPairs(docs(s, d), 16, 4, 0.5, 3))
+      Dedup.nearDupComponents(Dedup.minhashPairs(docsS(s, d), 16, 4, 0.5, 3))
         .orderBy("doc_id")),
     "q_deduped_corpus" -> ((s, d) =>
-      Dedup.dedupedCorpus(docs(s, d), Dedup.minhashPairs(docs(s, d), 16, 4, 0.5, 3))
+      Dedup.dedupedCorpus(docsS(s, d), Dedup.minhashPairs(docsS(s, d), 16, 4, 0.5, 3))
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
     "q_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(docs(s, d), 3, 0.3, 16, 8)
+      Dedup.ngramJaccardPairs(docsS(s, d), 3, 0.3, 16, 8)
         .orderBy("doc_a", "doc_b")),
     "q_simhash" -> ((s, d) => Dedup.simhash(docs(s, d), 64).orderBy("doc_id")),
     "q_simhash_pairs" -> ((s, d) =>
@@ -434,7 +434,7 @@ private[graft] object EntryStreams {
     // exact substring dedup (Lee et al. 2021): duplicated >= 8-token
     // spans stripped corpus-wide, canonical occurrence kept
     "q_substring_dedup" -> ((s, d) =>
-      Dedup.substringDedup(docs(s, d), 8).orderBy("doc_id")),
+      Dedup.substringDedup(docsS(s, d), 8).orderBy("doc_id")),
 
     // ---- LLM pipeline: similarity
     "q_ann_brute" -> ((s, d) =>
@@ -529,7 +529,7 @@ private[graft] object EntryStreams {
     // expected identity directly (the string round-trip is Spark-only,
     // and Double.toString/parse round-trips exactly)
     "q_graphite_decode" -> ((s, d) => {
-      val e = ev(s, d)
+      val e = evs(s, d)
       val lines = e.select(concat_ws(" ",
         concat(col("service"), lit(";host="), col("host"),
           lit(";idx="), col("event_id")),
@@ -541,7 +541,7 @@ private[graft] object EntryStreams {
         .orderBy("event_id")
     }),
     "q_opentsdb_decode" -> ((s, d) => {
-      val e = ev(s, d)
+      val e = evs(s, d)
       val lines = e.select(concat_ws(" ", lit("put"), col("service"),
         col("time_s").cast("string"), col("metric").cast("string"),
         concat(lit("host="), col("host")),
@@ -561,7 +561,7 @@ private[graft] object EntryStreams {
     // attribute map)
     "q_protobuf_roundtrip" -> ((s, d) => {
       import s.implicits._
-      val pes = ev(s, d).select(
+      val pes = evs(s, d).select(
         col("host"), col("service"), col("state"),
         lit(null).cast("string").as("description"),
         col("metric"), col("tags"), col("time_s"), col("ttl"),
@@ -588,13 +588,13 @@ private[graft] object EntryStreams {
     }),
     // §2.2 influxdb sink: the line-protocol encode (shared with
     // InfluxDbSink) gated as text — escaping, value render, ns clock
-    "q_influx_lines" -> ((s, d) => ev(s, d)
+    "q_influx_lines" -> ((s, d) => evs(s, d)
       .filter(col("metric").isNotNull)
       .select(col("event_id"), graft.sinks.Metrics.influxLine.as("line"))
       .orderBy("event_id")),
     // §2.2 influxdb v2 sink: the point encode (shared with Influx2Sink)
     // at ms precision — host-tag drop rule + precision clock scaling
-    "q_influx2_line" -> ((s, d) => ev(s, d)
+    "q_influx2_line" -> ((s, d) => evs(s, d)
       .filter(col("metric").isNotNull)
       .select(col("event_id"),
         graft.sinks.Metrics.influx2Line("ms").as("line"))
@@ -603,7 +603,7 @@ private[graft] object EntryStreams {
     // encoder (to_json), decode through the same Event-schema path the
     // kafka consumer and ws /events ingest use, and state the identity
     "q_json_roundtrip" -> ((s, d) => {
-      val payload = ev(s, d).select(to_json(struct(
+      val payload = evs(s, d).select(to_json(struct(
         col("host"), col("service"), col("state"), col("metric"),
         col("tags"), col("time"), col("ttl"),
         map(lit("idx"), col("event_id").cast("string")).as("attributes")))

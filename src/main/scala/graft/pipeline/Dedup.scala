@@ -562,6 +562,64 @@ object Dedup {
     * Set `unionFindMaxEdges = 0` to force the distributed loop. */
   def nearDupComponents(pairs: DataFrame, maxIter: Int = 20,
       unionFindMaxEdges: Long = 1L << 20): DataFrame = {
+    // the fast path needs integral ids (union-by-min compares longs);
+    // other id types take the type-agnostic distributed loop
+    val idType = pairs.schema("doc_a").dataType
+    val integralIds = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (integralIds && unionFindMaxEdges > 0) {
+      // r21: probe-collect the pairs directly — ONE job runs the whole
+      // (expensive LSH) upstream exactly once, replacing the former
+      // cache + union-both-directions + distinct + count + collect
+      // chain (4 scheduler barriers). Pairs are distinct a<b rows at
+      // every call site, so directed edges = 2·|pairs| and the bound
+      // carries over as maxEdges/2; union(a,b) is symmetric, so the
+      // mirrored direction never needed materializing.
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val cap = (unionFindMaxEdges / 2).toInt
+      // ONE job for the probe: Spark's incremental `take` (limit +
+      // collect) otherwise scans 1, then 4, then 16… result partitions
+      // as separate job waves before concluding the relation is small —
+      // pure barrier cost when the upstream (the LSH pair pipeline) has
+      // already fully run for the first wave's shuffle
+      val prevInit = spark.conf.getOption("spark.sql.limit.initialNumPartitions")
+      spark.conf.set("spark.sql.limit.initialNumPartitions", "100000")
+      val probe = try pairs
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .limit(cap + 1).collect()
+      finally prevInit match {
+        case Some(v) => spark.conf.set("spark.sql.limit.initialNumPartitions", v)
+        case None => spark.conf.unset("spark.sql.limit.initialNumPartitions")
+      }
+      if (probe.length <= cap) {
+        val es = probe.map(r => (r.getLong(0), r.getLong(1)))
+        // union-by-min with path compression: the root of each set is
+        // its minimum id, which is exactly the component label the
+        // distributed loop converges to
+        val parent = scala.collection.mutable.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        for ((a, b) <- es) {
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // preserve the caller's id type so both paths agree on schema
+        return parent.keysIterator.map(k => (k, find(k))).toSeq.sorted
+          .toDF("doc_id", "component")
+          .select(col("doc_id").cast(idType), col("component").cast(idType))
+      }
+      // over the bound: fall through to the distributed loop (the probe
+      // is discarded; the loop re-reads the pair relation with its own
+      // caching — the rare heavy-graph case pays one extra upstream run)
+    }
     // the pair relation feeds both directions of the edge union — cache
     // it so an expensive upstream (the LSH pipeline) runs once, and
     // release it as soon as the edge relation is materialized
@@ -569,41 +627,8 @@ object Dedup {
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
-    val nEdges = edges.count()
+    edges.count()
     p.unpersist()
-    // the fast path needs integral ids (union-by-min compares longs);
-    // other id types take the type-agnostic distributed loop
-    val idType = pairs.schema("doc_a").dataType
-    val integralIds = idType == org.apache.spark.sql.types.LongType ||
-      idType == org.apache.spark.sql.types.IntegerType
-    if (nEdges <= unionFindMaxEdges && integralIds) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      edges.unpersist()
-      // union-by-min with path compression: the root of each set is its
-      // minimum id, which is exactly the component label the
-      // distributed loop converges to
-      val parent = scala.collection.mutable.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-        r
-      }
-      for ((a, b) <- es) {
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      // preserve the caller's id type so both paths agree on schema
-      return parent.keysIterator.map(k => (k, find(k))).toSeq.sorted
-        .toDF("doc_id", "component")
-        .select(col("doc_id").cast(idType), col("component").cast(idType))
-    }
     // labels is referenced twice each iteration (union + join), so the
     // un-truncated logical plan would double per round and Catalyst
     // analysis would dominate on deep components. cache() each round

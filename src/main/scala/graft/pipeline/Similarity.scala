@@ -39,6 +39,108 @@ object Similarity {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
+  // --------------------------------------------------------------------
+  // r21 driver-side small-relation algebra (optimization guide §1.2.1).
+  //
+  // The probe/LUT relations of the ANN family are tiny by construction
+  // (|queries| × nprobe rows, m × ksub codebook entries) yet were
+  // computed as chains of distributed aggregations — under AQE every
+  // exchange and broadcast in those chains materializes as its own
+  // scheduler job, so one ivfPqTopK call paid ~35 sequential barriers
+  // (r21 profile: 3.85 s wall with the 32-core cluster ~95% idle, and
+  // at 100 TB every barrier is a synchronization point). The fix is
+  // the hyperplane-literal move the file already uses: collect the
+  // bounded relations once, do the tiny algebra on the driver THROUGH
+  // THE SAME [[VectorKernels]] the distributed expressions call (so
+  // the arithmetic cannot drift by construction), and hand the result
+  // back as one local relation / literal. Corpus-scale passes
+  // (normalize, assign, encode, score) stay distributed and narrow.
+  // --------------------------------------------------------------------
+
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Driver-side mirror of [[dotScaled]] — delegates to the SAME
+    * kernel ([[VectorKernels.dotScaled]]) the codegen'd expression
+    * calls, so scaled-long scores are bit-identical. */
+  private def dotScaledLocal(a: Array[Double], b: Array[Double],
+      scale: Double = 1e16): java.lang.Long =
+    if (a == null || b == null) null
+    else VectorKernels.dotScaled(new GenericArrayData(a),
+      new GenericArrayData(b), scale)
+
+  /** Collect a bounded (id, vector) relation (query units, centroids)
+    * to driver pairs — the bounded-collect discipline the codebook and
+    * hyperplane literals already follow. */
+  private def collectVecs(df: DataFrame): Array[(Long, Array[Double])] =
+    df.collect().map { r =>
+      val v = if (r.isNullAt(1)) null
+        else r.getSeq[Double](1).toArray
+      (r.getLong(0), v)
+    }
+
+  /** Integer label from a collected row whatever the column's integral
+    * type — label columns ride IntegerType in the driver corpora but
+    * LongType in some spec/caller corpora, and the codegen'd kernels
+    * (which read the low 32 bits of an UnsafeRow slot) accepted both;
+    * the external-Row mirror must too. */
+  private def intAt(r: org.apache.spark.sql.Row, i: Int): Int =
+    r.get(i) match {
+      case n: Int => n
+      case n: Long => n.toInt
+      case n: java.lang.Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"integral label expected at field $i, got $other")
+    }
+
+  /** Re-box an int label to `dt` so locally rebuilt relations keep the
+    * caller's schema. */
+  private def boxLabel(l: Int,
+      dt: org.apache.spark.sql.types.DataType): Any = dt match {
+    case org.apache.spark.sql.types.LongType => l.toLong
+    case _ => l
+  }
+
+  /** array<struct<label int, cvec array<double>>> literal from collected
+    * codebook entries — the same driver-literal move as the hyperplane
+    * matrices; ConstantFolding collapses it to one Literal, so the
+    * argmax kernels run as a pure narrow map with no join at all. */
+  private def centsLit(entries: Seq[(Int, Array[Double])]): Column =
+    array(entries.sortBy(_._1).map { case (l, v) =>
+      struct(lit(l).as("label"),
+        (if (v == null) lit(null).cast("array<double>") else lit(v))
+          .as("cvec"))
+    }: _*)
+
+  /** Driver-side probe ranking: for each collected query unit, the
+    * `nprobe` best cells by scaled dot — the same (score DESC NULLS
+    * LAST, label ASC) order the former `row_number` window
+    * materialized, over a |queries|×|labels| relation that never
+    * needed a distributed sort. Returns (query_id, qunit, cell,
+    * cell_score) tuples. */
+  private def probeRows(qRows: Array[(Long, Array[Double])],
+      centRows: Array[(Int, Array[Double])], nprobe: Int)
+      : Array[(Long, Array[Double], Int, java.lang.Long)] =
+    qRows.flatMap { case (qid, qu) =>
+      centRows
+        .map { case (l, cv) => (l, dotScaledLocal(qu, cv)) }
+        .sortBy { case (l, s) =>
+          (s == null, if (s == null) 0L else -s.longValue, l) }
+        .take(nprobe)
+        .map { case (l, s) => (qid, qu, l, s) }
+    }
+
+  private def probesSchema(withScore: Boolean) = {
+    import org.apache.spark.sql.types._
+    val base = Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("qunit", ArrayType(DoubleType, containsNull = true),
+        nullable = true),
+      StructField("cell", IntegerType, nullable = true))
+    StructType(if (withScore)
+      base :+ StructField("cell_score", LongType, nullable = true)
+    else base)
+  }
+
   /** Evaluate a BOUNDED result now and release the intermediate caches
     * backing it — the funnel's count-and-release discipline for the
     * ANN entry points. The result rides back as a local relation with
@@ -259,15 +361,25 @@ object Similarity {
     val unitsBase = embeddings
       .select(col("vec_id"), normalized(col("embedding")).as("unit"))
     val units = if (iters > 1) unitsBase.cache() else unitsBase
-    var cents = ivfCentroids(embeddings).cache()
+    // r21 barrier cut: the quantizer is tiny (|labels| rows), so it
+    // lives on the DRIVER between rounds and each Lloyd round is
+    // exactly ONE distributed job — the argmax assignment (centroids
+    // embedded as literals, the hyperplane move) feeding the
+    // decimal-exact re-mean, collected. The former per-round
+    // cache/broadcast/count/hold-join chain was 3 scheduler barriers a
+    // round; the hold-position rule (a cell that attracts nothing
+    // keeps its centroid) is the same algebra, now a driver map.
+    val seed = ivfCentroids(embeddings)
+    val schema = seed.schema
+    var cents: Array[(Int, Array[Double])] = seed.collect().map { r =>
+      (intAt(r, 0), r.getSeq[Double](1).toArray)
+    }
     for (_ <- 1 to iters) {
-      val cc = cents
-        .agg(collect_list(struct(col("label"), col("cvec"))).as("cents"))
-      val coded = units.crossJoin(broadcast(cc))
-        .select(col("unit"), ColumnBridge.column(
-          CellArgmaxExpr(ColumnBridge.expression(col("unit")),
-            ColumnBridge.expression(col("cents")))).as("cell"))
-      val newC = coded
+      val cl = centsLit(cents.toSeq)
+      val coded = units.select(col("unit"), ColumnBridge.column(
+        CellArgmaxExpr(ColumnBridge.expression(col("unit")),
+          ColumnBridge.expression(cl))).as("cell"))
+      val newMap = coded
         .select(col("cell"), posexplode(col("unit")).as(Seq("dim", "v")))
         .groupBy("cell", "dim")
         .agg((sum(col("v").cast(DecimalType(38, 18))).cast("double") /
@@ -275,21 +387,16 @@ object Similarity {
         .groupBy("cell")
         .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
           s => s("c")).as("ncvec"))
-      val next = cents.as("p")
-        .join(broadcast(newC.as("n")), col("p.label") === col("n.cell"),
-          "left")
-        .select(col("p.label").as("label"),
-          coalesce(col("n.ncvec"), col("p.cvec")).as("cvec"))
-        .cache()
-      next.count() // materialize before retiring the centroids it reads
-      cents.unpersist()
-      cents = next
+        .collect()
+        .map(r => intAt(r, 0) -> r.getSeq[Double](1).toArray).toMap
+      cents = cents.map { case (l, v) => (l, newMap.getOrElse(l, v)) }
     }
-    // collect the tiny refined quantizer to a local relation and
-    // release every cache this training pass pinned
-    val out = toLocal(cents)
     if (iters > 1) { units.unpersist(); () }
-    out
+    val spark = embeddings.sparkSession
+    spark.createDataFrame(java.util.Arrays.asList(
+      cents.sortBy(_._1).map { case (l, v) =>
+        org.apache.spark.sql.Row(boxLabel(l, schema("label").dataType),
+          v.toSeq) }: _*), schema)
   }
 
   /** Deterministic scaled-long dot used for IVF cell ranking (same
@@ -310,14 +417,19 @@ object Similarity {
     * ([[ivfAssignWindowed]], PipelineSpec). */
   def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val cents = centroids
-      .agg(collect_list(struct(col("label"), col("cvec"))).as("cents"))
+    // r21: the tiny centroid table is collected once and embedded as a
+    // LITERAL (the hyperplane move) instead of an aggregated broadcast
+    // relation — assignment is now a join-free narrow map, dropping the
+    // collect_list job + broadcast build barrier every caller paid.
+    // Bounded by |labels|; same ties-to-smallest-label kernel.
+    val centRows = centroids.select(col("label"), col("cvec")).collect()
+      .map(r => (intAt(r, 0), r.getSeq[Double](1).toArray))
+    val cl = centsLit(centRows.toIndexedSeq)
     embeddings
       .select(col("vec_id"), normalized(col("embedding")).as("unit"))
-      .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("unit"), ColumnBridge.column(
         CellArgmaxExpr(ColumnBridge.expression(col("unit")),
-          ColumnBridge.expression(col("cents")))).as("cell"))
+          ColumnBridge.expression(cl))).as("cell"))
   }
 
   /** The windowed executable spec of [[ivfAssign]] — identical
@@ -350,20 +462,31 @@ object Similarity {
 
   private[graft] def ivfTopKPlan(embeddings: DataFrame, queryIds: Seq[Long],
       k: Int, nprobe: Int = 3): (DataFrame, Seq[DataFrame]) = {
-    // centroid training is a full corpus pass — cache the tiny result
-    // so probe ranking doesn't re-run it
-    val cents = ivfCentroids(embeddings).cache()
-    val assigned = ivfAssign(embeddings, cents).cache()
-    val q = assigned.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("unit").as("qunit"))
-    val probeScored = q.join(broadcast(cents))
-      .select(col("query_id"), col("qunit"), col("label"),
-        dotScaled(col("qunit"), col("cvec")).as("score"))
-    val pw = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("label"))
-    val probes = probeScored.withColumn("rn", row_number().over(pw))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qunit"), col("label").as("cell"))
+    val spark = embeddings.sparkSession
+    // centroid training is a full corpus pass — collect the tiny result
+    // once (r21: a local relation instead of a cache entry, so probe
+    // ranking and assignment read it barrier-free)
+    val centRows = ivfCentroids(embeddings).select(col("label"), col("cvec"))
+      .collect().map(r => (intAt(r, 0), r.getSeq[Double](1).toArray))
+    val centsLocal = spark.createDataFrame(java.util.Arrays.asList(
+      centRows.map { case (l, v) => org.apache.spark.sql.Row(l, v.toSeq) }
+        .toIndexedSeq: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = true))))
+    val assigned = ivfAssign(embeddings, centsLocal).cache()
+    // bounded query collect (|queryIds| rows): probe ranking is driver
+    // algebra through the same kernel — the former windowed form paid a
+    // broadcast build + two stage barriers for a |queries|×C relation
+    val qRows = collectVecs(assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("qunit")))
+    val probes = spark.createDataFrame(java.util.Arrays.asList(
+      probeRows(qRows, centRows, nprobe).map { case (qid, qu, cell, _) =>
+        org.apache.spark.sql.Row(qid, if (qu == null) null else qu.toSeq,
+          cell) }.toIndexedSeq: _*), probesSchema(withScore = false))
     val scored = assigned.join(broadcast(probes),
         assigned("cell") === probes("cell") &&
           col("vec_id") =!= col("query_id"))
@@ -372,7 +495,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     (scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k),
-      Seq(cents, assigned))
+      Seq(assigned))
   }
 
   /** Shared banded-LSH candidate machinery: `bands` independent bucket
@@ -501,39 +624,37 @@ object Similarity {
       .filter(col("query_id").isin(queryIds: _*))
     val blsh = top(score(bcand))
 
-    val cents = base
+    // r21: the quantizer is collected once to a local relation (the
+    // ivf ranker and the ivfpq ranker's residual/encode/scoring passes
+    // then read it barrier-free); assignment embeds it as a literal —
+    // the codegen'd per-row argmax ([[CellArgmaxExpr]], identical
+    // ties-to-smallest-label semantics as the windowed spec) as a pure
+    // narrow map with no join at all.
+    val cents = toLocal(base
       .select(col("label"), posexplode(col("unit")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
       .agg((sum(col("v").cast(DecimalType(38, 18))).cast("double") /
         count(lit(1))).as("c"))
       .groupBy("label")
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
-        s => s("c")).as("cvec")).cache()
-    // cached: the ivf ranker reads it twice and the ivfpq ranker's
-    // residual/encode/scoring passes read it three more times — without
-    // the cache each pass re-runs the assignment. The assignment itself
-    // is the codegen'd per-row argmax ([[CellArgmaxExpr]], identical
-    // ties-to-smallest-label semantics as the windowed spec) — a pure
-    // narrow map, not a corpus-wide window sort.
+        s => s("c")).as("cvec")))
+    val centRows = cents.select(col("label"), col("cvec")).collect()
+      .map(r => (intAt(r, 0), r.getSeq[Double](1).toArray))
     val assigned = {
       import org.apache.spark.sql.graft.ColumnBridge
-      val cc = cents
-        .agg(collect_list(struct(col("label"), col("cvec"))).as("cents"))
-      units.crossJoin(broadcast(cc))
-        .select(col("vec_id"), col("unit"), ColumnBridge.column(
+      units.select(col("vec_id"), col("unit"), ColumnBridge.column(
           CellArgmaxExpr(ColumnBridge.expression(col("unit")),
-            ColumnBridge.expression(col("cents")))).as("cell"))
+            ColumnBridge.expression(centsLit(centRows.toIndexedSeq))))
+          .as("cell"))
         .cache()
     }
-    val pw = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("label"))
-    val probes = assigned.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("unit").as("qunit"))
-      .join(broadcast(cents))
-      .select(col("query_id"), col("qunit"), col("label"),
-        dotScaled(col("qunit"), col("cvec")).as("score"))
-      .withColumn("rn", row_number().over(pw)).filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qunit"), col("label").as("cell"))
+    // bounded query collect: probe ranking is driver algebra (same
+    // kernel, same DESC-NULLS-LAST/label order as the former window)
+    val qRows = collectVecs(q)
+    val probes = base.sparkSession.createDataFrame(java.util.Arrays.asList(
+      probeRows(qRows, centRows, nprobe).map { case (qid, qu, cell, _) =>
+        org.apache.spark.sql.Row(qid, if (qu == null) null else qu.toSeq,
+          cell) }.toIndexedSeq: _*), probesSchema(withScore = false))
     val ivf = top(assigned.join(broadcast(probes),
         assigned("cell") === probes("cell") &&
           col("vec_id") =!= col("query_id"))
@@ -588,7 +709,7 @@ object Similarity {
         round(col("pq_hits").cast("double") / col("k"), 6))
       .withColumn("ivfpq_recall",
         round(col("ivfpq_hits").cast("double") / col("k"), 6))
-    (recall, Seq(base, cents, assigned))
+    (recall, Seq(base, assigned))
   }
 
   /** Scalar int8 quantization with a per-vector absmax scale — the
@@ -823,21 +944,28 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("v")))),
         s => s("v")).as("svec"))
     val svecs = if (iters > 1) svecsBase.cache() else svecsBase
-    // each round references the previous books twice (assignment cents
-    // + the hold-position join); cache every round and retire the
-    // previous one, or the uncached lineage doubles per iteration
-    var cb = pqCodebooks(embeddings, m, dims).cache()
+    // r21 barrier cut (same move as ivfCentroidsRefined): the books
+    // are m × ksub rows — they live on the driver between rounds, each
+    // round is ONE distributed job (argmax assignment against
+    // per-subspace literal books + the decimal-exact re-mean), and the
+    // hold-position rule is a driver map instead of a broadcast join +
+    // cache + count chain (3 barriers a round).
+    val seed = pqCodebooks(embeddings, m, dims)
+    val schema = seed.schema
+    var cb: Array[(Int, Int, Array[Double])] = seed.collect().map { r =>
+      (intAt(r, 0), intAt(r, 1), r.getSeq[Double](2).toArray)
+    }
     for (_ <- 1 to iters) {
-      val cents = cb.groupBy("sub")
-        .agg(sort_array(collect_list(struct(col("label"), col("cvec"))))
-          .as("cents"))
-      val coded = svecs.join(broadcast(cents), "sub")
-        .select(col("sub"),
-          ColumnBridge.column(CellArgmaxExpr(
-            ColumnBridge.expression(col("svec")),
-            ColumnBridge.expression(col("cents")))).as("code"),
-          col("svec"))
-      val newCb = coded
+      val bySub = cb.groupBy(_._1)
+      val cbsL = array((0 until m).map { s =>
+        centsLit(bySub(s).map(t => (t._2, t._3)).toIndexedSeq) }: _*)
+      val coded = svecs.select(col("sub"),
+        ColumnBridge.column(CellArgmaxExpr(
+          ColumnBridge.expression(col("svec")),
+          ColumnBridge.expression(element_at(cbsL, col("sub") + 1))))
+          .as("code"),
+        col("svec"))
+      val newMap = coded
         .select(col("sub"), col("code"),
           posexplode(col("svec")).as(Seq("sd", "v")))
         .groupBy("sub", "code", "sd")
@@ -846,22 +974,17 @@ object Similarity {
         .groupBy("sub", "code")
         .agg(transform(sort_array(collect_list(struct(col("sd"), col("c")))),
           s => s("c")).as("ncvec"))
-      val next = cb.as("p")
-        .join(broadcast(newCb.as("n")),
-          col("p.sub") === col("n.sub") && col("p.label") === col("n.code"),
-          "left")
-        .select(col("p.sub").as("sub"), col("p.label").as("label"),
-          coalesce(col("n.ncvec"), col("p.cvec")).as("cvec"))
-        .cache()
-      next.count() // materialize before retiring the books it reads
-      cb.unpersist()
-      cb = next
+        .collect()
+        .map(r => (intAt(r, 0), intAt(r, 1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      cb = cb.map { case (s, l, v) => (s, l, newMap.getOrElse((s, l), v)) }
     }
-    // collect the tiny refined books to a local relation and release
-    // every cache this training pass pinned
-    val out = toLocal(cb)
     if (iters > 1) { svecs.unpersist(); () }
-    out
+    val spark = embeddings.sparkSession
+    spark.createDataFrame(java.util.Arrays.asList(
+      cb.sortBy(t => (t._1, t._2)).map { case (s, l, v) =>
+        org.apache.spark.sql.Row(boxLabel(s, schema("sub").dataType),
+          boxLabel(l, schema("label").dataType), v.toSeq) }: _*), schema)
   }
 
   /** PQ encode: each corpus vector becomes `m` small codes — the
@@ -877,28 +1000,36 @@ object Similarity {
     encodeUnits(embeddings.select(col("vec_id"),
       normalized(col("embedding")).as("unit")), codebooks, m, dims)
 
+  /** Collect a (sub, label, cvec) codebook relation to driver rows —
+    * free when the books are already a local relation (the refined
+    * trainers return one), a single tiny job otherwise. */
+  private def collectCb(codebooks: DataFrame): Array[(Int, Int, Array[Double])] =
+    codebooks.select(col("sub"), col("label"), col("cvec")).collect()
+      .map(r => (intAt(r, 0), intAt(r, 1), r.getSeq[Double](2).toArray))
+
   /** [[pqEncode]] over an already-normalized (vec_id, unit) relation —
     * shared with [[adcTopK]] so recall paths reuse their one corpus
-    * pass. */
+    * pass. r21: the m × ksub books embed as per-subspace LITERALS (the
+    * hyperplane move), so encoding is a join-free narrow map — the
+    * former collect_list aggregation + broadcast build cost two
+    * scheduler barriers per call. */
   private def encodeUnits(units: DataFrame, codebooks: DataFrame, m: Int,
+      dims: Int): DataFrame =
+    encodeUnitsRows(units, collectCb(codebooks), m, dims)
+
+  private def encodeUnitsRows(units: DataFrame,
+      cbRows: Array[(Int, Int, Array[Double])], m: Int,
       dims: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val dsub = dims / m
-    val cbs = codebooks
-      .groupBy("sub")
-      // struct(sub, entries-array) keeps the collected rows orderable
-      .agg(sort_array(collect_list(struct(col("label"), col("cvec"))))
-        .as("cents"))
-      .agg(transform(
-        sort_array(collect_list(struct(col("sub"), col("cents")))),
-        s => s("cents")).as("cbs"))
-    units.crossJoin(broadcast(cbs))
-      .select(col("vec_id"), col("unit"),
-        array((0 until m).map { s =>
-          ColumnBridge.column(CellArgmaxExpr(
-            ColumnBridge.expression(slice(col("unit"), s * dsub + 1, dsub)),
-            ColumnBridge.expression(element_at(col("cbs"), s + 1))))
-        }: _*).as("codes"))
+    val bySub = cbRows.groupBy(_._1)
+    units.select(col("vec_id"), col("unit"),
+      array((0 until m).map { s =>
+        ColumnBridge.column(CellArgmaxExpr(
+          ColumnBridge.expression(slice(col("unit"), s * dsub + 1, dsub)),
+          ColumnBridge.expression(
+            centsLit(bySub(s).map(t => (t._2, t._3)).toIndexedSeq))))
+      }: _*).as("codes"))
   }
 
   /** Shared ADC scoring pipeline — encode `units` against `cb`, build
@@ -907,30 +1038,55 @@ object Similarity {
     * per-query top-k with `adc` and `rk`. ONE implementation so
     * [[pqTopK]] and [[annRecall]]'s PQ ranker cannot drift apart — the
     * arithmetic here is what the DuckDB oracle replays. */
+  /** Driver-side ADC lookup tables: for each query, per-subspace maps
+    * label → scaled-long dot of the query's subvector against the
+    * codeword — the SAME kernel ([[VectorKernels.dotScaled]]) the
+    * former distributed crossJoin + map_from_entries chain evaluated,
+    * over a |queries| × m × ksub space that never needed two
+    * exchanges. A null dot (degenerate qunit) is not stored:
+    * element_at on a missing key is null exactly like a stored null. */
+  private def lutsFor(qu: Array[Double],
+      bySub: Map[Int, Array[(Int, Int, Array[Double])]], m: Int,
+      dsub: Int): Seq[Map[Int, Long]] =
+    (0 until m).map { s =>
+      bySub(s).flatMap { case (_, l, cv) =>
+        val d = dotScaledLocal(
+          if (qu == null) null
+          else qu.slice(s * dsub, s * dsub + dsub), cv)
+        if (d == null) None else Some(l -> d.longValue)
+      }.toMap
+    }
+
+  private def qlutsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("luts", ArrayType(MapType(IntegerType, LongType)),
+        nullable = true)))
+  }
+
   private def adcTopK(units: DataFrame, q: DataFrame, cb: DataFrame,
       k: Int, m: Int, dims: Int): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val dsub = dims / m
-    val enc = encodeUnits(units, cb, m, dims)
-    val luts = q.crossJoin(broadcast(cb))
-      .select(col("query_id"), col("sub"), col("label"),
-        dotScaled(slice(col("qunit"), col("sub") * dsub + 1, lit(dsub)),
-          col("cvec")).as("d"))
-      .groupBy("query_id", "sub")
-      .agg(sort_array(collect_list(struct(col("label"), col("d"))))
-        .as("entries"))
-      .groupBy("query_id")
-      .agg(transform(
-        sort_array(collect_list(struct(col("sub"), col("entries")))),
-        s => map_from_entries(s("entries"))).as("luts"))
-    val qluts = luts
-      .agg(collect_list(struct(col("query_id"), col("luts"))).as("qs"))
-    val scored = enc.crossJoin(broadcast(qluts))
-      .select(col("vec_id"), col("codes"), explode(col("qs")).as("q"))
-      .filter(col("q.query_id") =!= col("vec_id"))
-      .select(col("q.query_id").as("query_id"), col("vec_id"),
+    val spark = units.sparkSession
+    // r21: books + query units are bounded — collected once; the LUTs
+    // are driver algebra and ride back as ONE local broadcast relation
+    // (the former LUT chain paid 2 exchanges + 2 broadcast builds per
+    // call). The corpus-side encode/score pass is unchanged and narrow.
+    val cbRows = collectCb(cb)
+    val bySub = cbRows.groupBy(_._1)
+    val enc = encodeUnitsRows(units, cbRows, m, dims)
+    val qRows = collectVecs(q)
+    val qluts = spark.createDataFrame(java.util.Arrays.asList(
+      qRows.map { case (qid, qu) =>
+        org.apache.spark.sql.Row(qid, lutsFor(qu, bySub, m, dsub))
+      }.toIndexedSeq: _*), qlutsSchema)
+    val scored = enc.join(broadcast(qluts),
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
         round(aggregate(
-            zip_with(col("codes"), col("q.luts"),
+            zip_with(col("codes"), col("luts"),
               (c, mp) => element_at(mp, c)),
             lit(0L), (acc, x) => acc + x).cast("double") / lit(1e16), 6)
           .as("adc"))
@@ -956,13 +1112,14 @@ object Similarity {
 
   private[graft] def pqTopKPlan(embeddings: DataFrame, queryIds: Seq[Long],
       k: Int, m: Int = 8, dims: Int = 64): (DataFrame, Seq[DataFrame]) = {
-    val cb = pqCodebooks(embeddings, m, dims).cache()
+    // r21: no cache — adcTopK collects the tiny books exactly once
+    val cb = pqCodebooks(embeddings, m, dims)
     val units = embeddings.select(col("vec_id"),
       normalized(col("embedding")).as("unit"))
     val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"),
         normalized(col("embedding")).as("qunit"))
-    (adcTopK(units, q, cb, k, m, dims), Seq(cb))
+    (adcTopK(units, q, cb, k, m, dims), Seq.empty)
   }
 
   /** Two-stage PQ retrieval — the production ANN pattern at scale:
@@ -1035,18 +1192,27 @@ object Similarity {
       }: _*)).as("sc"))
       .select(col("vec_id"), col("sc.sub").as("sub"), col("sc.svec").as("svec"))
     val rsv = if (iters > 1) rsvBase.cache() else rsvBase
-    var cb = rsv.filter(col("vec_id") < ksub)
+    // r21 barrier cut (the ivfCentroidsRefined move): books live on the
+    // driver between rounds; seeding is one bounded collect, each Lloyd
+    // round ONE distributed job (argminL2 against per-subspace literal
+    // books + decimal-exact re-mean), hold-position a driver map — the
+    // former per-round broadcast/cache/count chain was 3 barriers.
+    val seedDf = rsv.filter(col("vec_id") < ksub)
       .select(col("sub"), col("vec_id").cast("int").as("label"),
         col("svec").as("cvec"))
-      .cache()
+    val schema = seedDf.schema
+    var cb: Array[(Int, Int, Array[Double])] = seedDf.collect().map { r =>
+      (intAt(r, 0), intAt(r, 1),
+        if (r.isNullAt(2)) null else r.getSeq[Double](2).toArray)
+    }
     for (_ <- 1 to iters) {
-      val cents = cb.groupBy("sub")
-        .agg(sort_array(collect_list(struct(col("label"), col("cvec"))))
-          .as("cents"))
-      val coded = rsv.join(broadcast(cents), "sub")
-        .select(col("sub"), argminL2(col("svec"), col("cents")).as("code"),
-          col("svec"))
-      val newCb = coded
+      val bySub = cb.groupBy(_._1)
+      val cbsL = array((0 until m).map { s =>
+        centsLit(bySub(s).map(t => (t._2, t._3)).toIndexedSeq) }: _*)
+      val coded = rsv.select(col("sub"),
+        argminL2(col("svec"), element_at(cbsL, col("sub") + 1)).as("code"),
+        col("svec"))
+      val newMap = coded
         .select(col("sub"), col("code"), posexplode(col("svec")).as(Seq("sd", "v")))
         .groupBy("sub", "code", "sd")
         .agg((sum(col("v").cast(DecimalType(38, 18))).cast("double") /
@@ -1054,24 +1220,17 @@ object Similarity {
         .groupBy("sub", "code")
         .agg(transform(sort_array(collect_list(struct(col("sd"), col("c")))),
           s => s("c")).as("ncvec"))
-      // both sides are m × ksub rows — broadcast keeps the round free
-      // of a sort-merge exchange pair
-      val next = cb.as("p")
-        .join(broadcast(newCb.as("n")),
-          col("p.sub") === col("n.sub") && col("p.label") === col("n.code"),
-          "left")
-        .select(col("p.sub").as("sub"), col("p.label").as("label"),
-          coalesce(col("n.ncvec"), col("p.cvec")).as("cvec"))
-        .cache()
-      next.count() // materialize before retiring the books it reads
-      cb.unpersist()
-      cb = next
+        .collect()
+        .map(r => (intAt(r, 0), intAt(r, 1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      cb = cb.map { case (s, l, v) => (s, l, newMap.getOrElse((s, l), v)) }
     }
-    // collect the tiny (m × ksub) books to a local relation and
-    // release every cache this training pass pinned
-    val out = toLocal(cb)
     if (iters > 1) { rsv.unpersist(); () }
-    out
+    val spark = resid.sparkSession
+    spark.createDataFrame(java.util.Arrays.asList(
+      cb.sortBy(t => (t._1, t._2)).map { case (s, l, v) =>
+        org.apache.spark.sql.Row(s, l, if (v == null) null else v.toSeq)
+      }: _*), schema)
   }
 
   /** Shared IVF×PQ scoring pipeline over an assigned corpus: residual
@@ -1084,43 +1243,52 @@ object Similarity {
       q: DataFrame, k: Int, nprobe: Int, m: Int, ksub: Int, iters: Int,
       dims: Int): DataFrame = {
     val dsub = dims / m
-    val resid = ivfResiduals(assigned, cents)
-    val cb = ivfPqResidualCodebooks(resid, m, ksub, iters, dims)
-    val cbs = cb.groupBy("sub")
-      .agg(sort_array(collect_list(struct(col("label"), col("cvec"))))
-        .as("cents"))
-      .agg(transform(
-        sort_array(collect_list(struct(col("sub"), col("cents")))),
-        s => s("cents")).as("cbs"))
-    // encode = pure narrow map: corpus residuals never reshuffle
-    val enc = resid.crossJoin(broadcast(cbs))
+    val spark = assigned.sparkSession
+    // r21 barrier cut: centroids and query units are bounded — collect
+    // them once; probes + LUTs become driver algebra (through the same
+    // [[VectorKernels]] the distributed chains evaluated) and ride back
+    // as ONE local relation broadcast into the ADC join. Before, this
+    // pipeline paid a window + 2 exchanges for probes, 2 exchanges +
+    // 3 broadcast builds for LUTs — ~7 scheduler barriers per call.
+    // Corpus passes (residual map, encode, score) stay distributed.
+    val centRows = cents.select(col("label"), col("cvec")).collect()
+      .map(r => (intAt(r, 0), r.getSeq[Double](1).toArray))
+    val qRows = collectVecs(q)
+    // residuals as a literal-map lookup instead of a broadcast join:
+    // every cell comes from the argmax over these very centroids, so
+    // the inner join matched exactly one row — the isNotNull filter
+    // mirrors its null-cell drop
+    val centMapL = map(centRows.sortBy(_._1).flatMap { case (l, v) =>
+      Seq(lit(l), lit(v)) }.toIndexedSeq: _*)
+    val resid = assigned.filter(col("cell").isNotNull)
       .select(col("vec_id"), col("cell"),
-        array((0 until m).map { s =>
-          argminL2(slice(col("rvec"), s * dsub + 1, dsub),
-            element_at(col("cbs"), s + 1))
-        }: _*).as("codes"))
-    val probeScored = q.join(broadcast(cents))
-      .select(col("query_id"), col("qunit"), col("label"),
-        dotScaled(col("qunit"), col("cvec")).as("score"))
-    val pw = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("label"))
-    // keep the scaled-long q·c_cell — it is the first ADC term
-    val probes = probeScored.withColumn("rn", row_number().over(pw))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qunit"), col("label").as("cell"),
-        col("score").as("cell_score"))
-    val luts = q.crossJoin(broadcast(cb))
-      .select(col("query_id"), col("sub"), col("label"),
-        dotScaled(slice(col("qunit"), col("sub") * dsub + 1, lit(dsub)),
-          col("cvec")).as("d"))
-      .groupBy("query_id", "sub")
-      .agg(sort_array(collect_list(struct(col("label"), col("d"))))
-        .as("entries"))
-      .groupBy("query_id")
-      .agg(transform(
-        sort_array(collect_list(struct(col("sub"), col("entries")))),
-        s => map_from_entries(s("entries"))).as("luts"))
-    val pqSide = probes.join(broadcast(luts), "query_id") // tiny × tiny
+        zip_with(col("unit"), element_at(centMapL, col("cell")),
+          (x, c) => x - c).as("rvec"))
+    val cb = ivfPqResidualCodebooks(resid, m, ksub, iters, dims)
+    val cbRows = collectCb(cb) // free: the trainer returns a local relation
+    val bySub = cbRows.groupBy(_._1)
+    // encode = pure narrow map with per-subspace literal books
+    val enc = resid.select(col("vec_id"), col("cell"),
+      array((0 until m).map { s =>
+        argminL2(slice(col("rvec"), s * dsub + 1, dsub),
+          centsLit(bySub(s).map(t => (t._2, t._3)).toIndexedSeq))
+      }: _*).as("codes"))
+    // probes (keeping the scaled-long q·c_cell — the first ADC term)
+    // and LUTs, driver-side; one row per (query, probed cell)
+    val lutByQ: Map[Long, Seq[Map[Int, Long]]] = qRows.map { case (qid, qu) =>
+      qid -> lutsFor(qu, bySub, m, dsub)
+    }.toMap
+    val pqSchema = {
+      import org.apache.spark.sql.types._
+      StructType(probesSchema(withScore = true)
+        .fields.filterNot(_.name == "qunit") :+
+        StructField("luts", ArrayType(MapType(IntegerType, LongType)),
+          nullable = true))
+    }
+    val pqSide = spark.createDataFrame(java.util.Arrays.asList(
+      probeRows(qRows, centRows, nprobe).map { case (qid, _, cell, score) =>
+        org.apache.spark.sql.Row(qid, cell, score, lutByQ(qid))
+      }.toIndexedSeq: _*), pqSchema)
     val scored = enc.join(broadcast(pqSide),
         enc("cell") === pqSide("cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -1188,14 +1356,17 @@ object Similarity {
         "batch; chunk via ivfPqTopK (auto-splits) or split yourself")
     // ivfIters > 0 trains the coarse quantizer with real Lloyd rounds
     // ([[ivfCentroidsRefined]]) before the residual stage; the default
-    // keeps the label-seeded quantizer the oracle replays
-    val cents = (if (ivfIters == 0) ivfCentroids(embeddings)
-      else ivfCentroidsRefined(embeddings, ivfIters)).cache()
+    // keeps the label-seeded quantizer the oracle replays.
+    // r21: the quantizer is collected to a local relation (toLocal —
+    // refined training already returns one), so every downstream
+    // consumer reads it barrier-free instead of through a cache entry
+    val cents = if (ivfIters == 0) toLocal(ivfCentroids(embeddings))
+      else ivfCentroidsRefined(embeddings, ivfIters)
     val assigned = ivfAssign(embeddings, cents).cache()
     val q = assigned.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("unit").as("qunit"))
     (ivfPqRanked(assigned, cents, q, k, nprobe, m, ksub, iters, dims),
-      Seq(cents, assigned))
+      Seq(assigned))
   }
 
   /** Two-stage IVFADC retrieval — [[pqTopKReranked]]'s shape on the

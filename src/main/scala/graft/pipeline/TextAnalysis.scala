@@ -314,13 +314,17 @@ object TextAnalysis {
       b: Double = 0.75, topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     require(queryTerms.nonEmpty, "need at least one query term")
-    val n = docs.count()
+    val lens = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    // r21: ONE stats pass — count and token total come out of the same
+    // aggregation job (they were two sequential barriers, each a full
+    // corpus scan at scale)
+    val stats = lens.agg(count(lit(1)), sum(col("dl"))).head()
+    val n = stats.getLong(0)
     // an empty corpus would make sum(dl) NULL (opaque NPE at getLong)
     // and avgdl 0/0 — fail with the actual problem instead
     require(n > 0, "bm25: empty corpus (no documents to rank)")
-    val lens = docs.select(col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("dl"))
-    val Seq(totTok) = lens.agg(sum(col("dl"))).collect().map(_.getLong(0)).toSeq
+    val totTok = stats.getLong(1)
     val avgdl = totTok.toDouble / n
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
