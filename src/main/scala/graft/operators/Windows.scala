@@ -85,6 +85,26 @@ object Windows {
     * bucket a null ttl emits nothing (batch has no "now" to run the
     * poller against). One aggregation + one lead() on the same
     * exchange; the fill is a per-row sequence, never a driver loop. */
+  /** Pin a gap-emission window's exchange to the configured shuffle
+    * width (r21, guide §2.2/§2.5): AQE sizes post-shuffle partitions by
+    * the PRE-explode bytes of the tiny bucket relation, so the
+    * per-bucket emission explode — 10-30× the input rows — ran in ONE
+    * coalesced task (q_interpolate's emission stage: 1 task, 1.3 s of
+    * a 2.3 s query at local[32]). An explicit keyed repartition at the
+    * configured width satisfies the window's clustering requirement
+    * (no extra exchange is added — this replaces the implicit one) and
+    * opts exactly that exchange out of AQE coalescing; at cluster
+    * scale the configured width is the properly sized one. */
+  private def emissionSpread(df: DataFrame, keys: Seq[String]): DataFrame =
+    if (keys.isEmpty) df
+    else {
+      val n = try df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable =>
+        df.sparkSession.sparkContext.defaultParallelism }
+      df.repartition(n, keys.map(col): _*)
+    }
+
   def rateExpiring(df: DataFrame, seconds: Long, keys: Seq[String]): DataFrame = {
     val obs = df
       .withColumn("window_start", col("time_s") - (col("time_s") % seconds))
@@ -93,7 +113,8 @@ object Windows {
         // ttl carried forward = the ttl of the newest event in the bucket
         max_by(col("ttl"), struct(col("time_s"), col("event_id"))).as("carry_ttl"))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("window_start"))
-    val withNext = obs.withColumn("next_ws", lead("window_start", 1).over(w))
+    val withNext = emissionSpread(obs, keys)
+      .withColumn("next_ws", lead("window_start", 1).over(w))
     // last fill bucket: strictly before ttl lapse (ws' − ws < ttl) and
     // strictly before the next observed bucket
     val ttlBound = when(col("carry_ttl").isNotNull,
@@ -424,7 +445,8 @@ object Windows {
       .otherwise(array().cast("array<bigint>"))
     val fillEms = transform(gapSeq, f => struct(f.as("window_start"),
       lit(0L).as("n_events"), lit(fillMetric).as("sum_metric")))
-    observed.withColumn("next_ws", lead("window_start", 1).over(w))
+    emissionSpread(observed, keys)
+      .withColumn("next_ws", lead("window_start", 1).over(w))
       .select(keys.map(col) :+
         explode(concat(array(liveEm), fillEms)).as("em"): _*)
       .select(keys.map(col) :+ col("em.window_start").as("window_start") :+
@@ -480,7 +502,8 @@ object Windows {
     val fillEms = transform(gapSeq, f => struct(f.as("window_start"),
       lit(null).cast("long").as("n_events"),
       col("obs_metric").as("m"), col("obs_state").as("st")))
-    latest.withColumn("next_ws", lead("window_start", 1).over(w))
+    emissionSpread(latest, keys)
+      .withColumn("next_ws", lead("window_start", 1).over(w))
       .select(keys.map(col) :+
         explode(concat(array(liveEm), fillEms)).as("em"): _*)
       // expired carries stop the fill (the expiry row itself forwards)
