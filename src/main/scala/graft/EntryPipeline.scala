@@ -53,7 +53,7 @@ private[graft] object EntryPipeline {
       val spark0 = s
       import spark0.implicits._
       graft.pipeline.Multimodal.decodeAudio(
-        graft.pipeline.Multimodal.syntheticAudio(docsS(s, d)))
+        graft.pipeline.Multimodal.syntheticAudio(docs(s, d)))
         .toDF().select("media_id", "format", "sample_rate", "channels",
           "frames", "duration_ms", "ok")
         .orderBy("media_id")
@@ -66,7 +66,7 @@ private[graft] object EntryPipeline {
       val spark0 = s
       import spark0.implicits._
       graft.pipeline.Multimodal.decodeVideo(
-        graft.pipeline.Multimodal.syntheticVideos(docsS(s, d)))
+        graft.pipeline.Multimodal.syntheticVideos(docs(s, d)))
         .toDF().select("media_id", "format", "width", "height",
           "duration_ms", "n_tracks", "ok")
         .orderBy("media_id")
@@ -130,8 +130,8 @@ private[graft] object EntryPipeline {
     // by q_bpe_tokens and any later invocation; the manifest's corpus
     // fingerprint forces a retrain when the corpus changes)
     "q_bpe_encode" -> ((s, d) =>
-      graft.pipeline.Bpe.encode(docsS(s, d),
-        graft.pipeline.Models.loadOrTrainBpe(docsS(s, d),
+      graft.pipeline.Bpe.encode(docs(s, d),
+        graft.pipeline.Models.loadOrTrainBpe(docs(s, d),
           graft.pipeline.Models.defaultRoot(d) + "/bpe_merges"))
         .orderBy("doc_id")),
     // the materialized token sequences themselves (the training-data
@@ -139,8 +139,8 @@ private[graft] object EntryPipeline {
     // separator, so the oracle pins every token byte in order — same
     // persisted merge list as q_bpe_encode (shared artifact)
     "q_bpe_tokens" -> ((s, d) =>
-      graft.pipeline.Bpe.encodeTokens(docsS(s, d),
-        graft.pipeline.Models.loadOrTrainBpe(docsS(s, d),
+      graft.pipeline.Bpe.encodeTokens(docs(s, d),
+        graft.pipeline.Models.loadOrTrainBpe(docs(s, d),
           graft.pipeline.Models.defaultRoot(d) + "/bpe_merges"))
         // null-text docs: (0, '') like the oracle's COALESCE, not
         // (size(null) = -1, null)
@@ -280,8 +280,8 @@ private[graft] object EntryPipeline {
     // boundary pinned in document order (the q_bpe_tokens contract
     // for the second tokenizer)
     "q_unigram_tokens" -> ((s, d) =>
-      Unigram.encodeTokensDf(docsS(s, d),
-        graft.pipeline.Models.loadOrTrainUnigram(docsS(s, d),
+      Unigram.encodeTokensDf(docs(s, d),
+        graft.pipeline.Models.loadOrTrainUnigram(docs(s, d),
           graft.pipeline.Models.defaultRoot(d) + "/unigram_vocab"))
         // null-text docs: (0, '') like the oracle's COALESCE, not
         // (size(null) = -1, null)
@@ -349,9 +349,15 @@ private[graft] object EntryPipeline {
     // key keeps relative frequencies scale-invariant (3 hot values at
     // ~10% each vs a long cold tail), and zero false negatives is the
     // CMS one-sided contract
+    // r22: both CMS passes (4 md5 hashes per row each) ran single-task
+    // over the one-split test scan (job log: 0.44 s + 0.60 s, 1 task
+    // each) — spread on the unique event_id parallelizes them; hh_key
+    // itself is deliberately hot (3 keys ≈ 30%) so it must NOT be the
+    // spread key
     "q_cms_heavy" -> ((s, d) =>
       Sketches.cmsHeavyHitters(
-        s.read.parquet(s"$d/events.parquet")
+        EntryShared.spread(s.read.parquet(s"$d/events.parquet"),
+            col("event_id"))
           .select(when(col("user_id") % 10 < 3,
               concat(lit("hot:"), (col("user_id") % 3).cast("string")))
             .otherwise(concat(lit("cold:"), col("user_id").cast("string")))
@@ -387,7 +393,7 @@ private[graft] object EntryPipeline {
       .orderBy("event_id")),
     // graphite path rendering: reversed fqdn + dotted service with the
     // percentile-suffix collapse
-    "q_graphite_path" -> ((s, d) => evs(s, d)
+    "q_graphite_path" -> ((s, d) => ev(s, d)
       .withColumn("host", concat(col("host"), lit(".node.example.com")))
       .withColumn("service", concat(col("service"), lit(" latency 0.95")))
       .select(col("event_id"),
@@ -395,7 +401,7 @@ private[graft] object EntryPipeline {
       .orderBy("event_id")),
     // opentsdb put-line encode (the decode counterpart is
     // q_opentsdb_decode): round-trip-able through decodeOpenTsdb
-    "q_opentsdb_encode" -> ((s, d) => evs(s, d)
+    "q_opentsdb_encode" -> ((s, d) => ev(s, d)
       .filter(col("metric").isNotNull && col("service").isNotNull)
       .withColumn("service", concat(col("service"), lit(" p99")))
       .select(col("event_id"), graft.sinks.Metrics.opentsdbLine.as("line"))
@@ -417,7 +423,7 @@ private[graft] object EntryPipeline {
       .select(col("event_id"), graft.sinks.Metrics.libratoGauge.as("entry"))
       .orderBy("event_id")),
     // kairosdb telnet metric (millisecond timestamps)
-    "q_kairosdb_line" -> ((s, d) => evs(s, d)
+    "q_kairosdb_line" -> ((s, d) => ev(s, d)
       .filter(col("metric").isNotNull && col("service").isNotNull)
       .withColumn("service", concat(col("service"), lit(" p50")))
       .select(col("event_id"), graft.sinks.Metrics.kairosdbLine.as("line"))
@@ -457,7 +463,7 @@ private[graft] object EntryPipeline {
         graft.sinks.Forwarders.zabbixDatapoint.as("dp"))
       .orderBy("event_id")),
     // error folds to critical, null state to unknown, nils render ""
-    "q_nagios_line" -> ((s, d) => withDerivedDesc(evs(s, d))
+    "q_nagios_line" -> ((s, d) => withDerivedDesc(ev(s, d))
       .withColumn("state", when(col("event_id") % 3 === 0, lit("error"))
         .when(col("event_id") % 3 === 1, lit(null).cast("string"))
         .otherwise(col("state")))
@@ -485,11 +491,11 @@ private[graft] object EntryPipeline {
         graft.sinks.Forwarders.netuitiveElement("Riemann").as("e"))
       .orderBy("event_id")),
     // shinken ws-arbiter form fields (nils render "")
-    "q_shinken_form" -> ((s, d) => evs(s, d)
+    "q_shinken_form" -> ((s, d) => ev(s, d)
       .select(col("event_id") +: graft.sinks.Forwarders.shinkenFields: _*)
       .orderBy("event_id")),
     // pushover form fields incl. the full state->priority table
-    "q_pushover_fields" -> ((s, d) => evs(s, d)
+    "q_pushover_fields" -> ((s, d) => ev(s, d)
       .withColumn("state", when(col("event_id") % 4 === 0, lit("emergency"))
         .when(col("event_id") % 4 === 1, lit("info"))
         .otherwise(col("state")))
@@ -525,7 +531,7 @@ private[graft] object EntryPipeline {
       .select(col("event_id"), graft.sinks.Sinks.cheshireJson(
         graft.sinks.Alerting.msteamsSection).as("section"))
       .orderBy("event_id")),
-    "q_telegram_text" -> ((s, d) => withDerivedDesc(evs(s, d))
+    "q_telegram_text" -> ((s, d) => withDerivedDesc(ev(s, d))
       .select(col("event_id"),
         graft.sinks.Alerting.telegramText("Markdown").as("text"))
       .orderBy("event_id")),

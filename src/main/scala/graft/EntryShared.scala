@@ -47,13 +47,13 @@ private[graft] object EntryShared {
     * eating most of the win), while hash-of-id is retry-deterministic
     * by construction and sorts nothing (guide §2.5's "derive the
     * synthetic key deterministically" rule). Unique ids hash uniformly,
-    * so no partition skew. */
-  private[graft] def spread(df: DataFrame, key: Column): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions * 2 <= target)
-      df.repartition(target, key)
-    else df
-  }
+    * so no partition skew.
+    *
+    * r22: implementation hoisted to [[graft.pipeline.Spread]] so
+    * pipeline internals can use it too; this remains the entry-layer
+    * name. */
+  private[graft] def spread(df: DataFrame, key: Column): DataFrame =
+    graft.pipeline.Spread.spread(df, key)
 
   def ev(s: SparkSession, dir: String): DataFrame = EventView(s, dir)
 

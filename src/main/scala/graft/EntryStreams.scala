@@ -420,7 +420,7 @@ private[graft] object EntryStreams {
       Dedup.dedupedCorpus(docsS(s, d), Dedup.minhashPairs(docsS(s, d), 16, 4, 0.5, 3))
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
     "q_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(docsS(s, d), 3, 0.3, 16, 8)
+      Dedup.ngramJaccardPairs(docs(s, d), 3, 0.3, 16, 8)
         .orderBy("doc_a", "doc_b")),
     "q_simhash" -> ((s, d) => Dedup.simhash(docs(s, d), 64).orderBy("doc_id")),
     "q_simhash_pairs" -> ((s, d) =>

@@ -61,6 +61,12 @@ object PlanDump {
     val (rec, recP) = graft.pipeline.Similarity.annRecallPlan(
       emb, ids, 10, 8, 3)
     dump("ann_recall_internal", rec, recP)
+    // r22: the q_semantic_dedup / q_embedding_neardups pair pipeline —
+    // the declared queries collapse to a LocalTableScan (the components
+    // are computed during construction), so the exact-cosine verification
+    // plan lives here
+    dump("semantic_pairs_internal",
+      graft.pipeline.Dedup.embeddingNearDups(emb, 0.4), Seq.empty)
     spark.stop()
   }
 }

@@ -95,9 +95,13 @@ object Temporal {
           .agg(max(struct(col(timeCol).as("t"),
             col("asof_payload").as("p"))).as("asof_lastr"))
         // every (keys, bucket) a carry could be consumed in or ride
-        // through: buckets present on either side
+        // through: buckets present on either side. ONE distinct over
+        // the union — r22: the former per-side distinct before the
+        // union paid an extra exchange of the left bucket relation for
+        // nothing (the outer distinct already dedups; map-side partial
+        // aggregation bounds what the remaining exchange carries)
         val allb = left
-          .select(keys.map(col) :+ bin: _*).distinct()
+          .select(keys.map(col) :+ bin: _*)
           .unionByName(
             rbuck.select((keys :+ "asof_bucket").map(col): _*))
           .distinct()

@@ -195,17 +195,30 @@ object Curation {
     // uncached, each of the five count aggregations re-executed its
     // whole upstream chain (measured 19 s at sf0.1; the pair stage ran
     // twice, the Gopher kernel four times). The stage caches make the
-    // funnel one forward pass plus five cache-local counts.
-    val corpus = docs.filter(col("doc_id") % 10 =!= 0).cache()
+    // funnel one forward pass plus cache-local counts.
+    //
+    // r22 (guide §1.2.1 — remove passes and barriers): ONE cached
+    // corpus relation carrying the Gopher verdict as a column replaces
+    // the corpus+qdocs cache pair (half the cache memory, one fewer
+    // materialization), and the per-stage counts fuse into ONE action
+    // at the end (below) instead of seven sequential count() barriers.
+    val corpus = TextAnalysis.gopherKeepFlagged(
+      docs.filter(col("doc_id") % 10 =!= 0), "_q", 20, 100000).cache()
     val bench = docs.filter(col("doc_id") % 10 === 0)
-    // quality is a pure per-row predicate — gopherKeep applies it as a
-    // narrow filter over the cached corpus (the gopherFilter-then-join
-    // form paid a full corpus shuffle to rejoin text onto doc_id)
-    val qdocs = TextAnalysis.gopherKeep(corpus, 20, 100000).cache()
-    val exactKeep = qdocs
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val edocs = qdocs.join(exactKeep, "doc_id").cache()
+    // quality is a pure per-row predicate over the cached corpus — the
+    // flag was computed once in the cached pass
+    val qdocs = corpus.filter(col("_q")).drop("_q")
+    // exact dedup (keep the min doc_id per content hash) as ONE window
+    // pass: the former groupBy(md5) + join-back-on-doc_id shape paid a
+    // second exchange and a join probe of the full corpus; the window
+    // clusters on the content hash once and keeps rows in-partition
+    // (doc_id is unique, so doc_id == min-over-hash-group IS the
+    // min-per-group membership test)
+    val hw = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+    val edocs = qdocs
+      .withColumn("_mind", min(col("doc_id")).over(hw))
+      .filter(col("doc_id") === col("_mind")).drop("_mind").cache()
     // substring stage: duplicated-span removal across the exact-dedup
     // survivors (one gram-hash exchange); a doc losing half or more of
     // its tokens drops, the rest continue with their CLEANED text —
@@ -246,10 +259,25 @@ object Curation {
     // eager, like the components machinery it already contains: the
     // result is ONE row of counts, so compute it now and RELEASE the
     // stage caches instead of pinning six corpus-scale relations for
-    // the rest of the session
-    val counts = (corpus.count(), qdocs.count(), edocs.count(),
-      sdocs.count(), ndocs.count(), cdocs.count(), clean.count())
-    Seq(corpus, qdocs, edocs, sdocs, banded0, ndocs, cdocs)
+    // the rest of the session.
+    //
+    // r22: the seven counts run as ONE action over a union of tagged
+    // single-row aggregates — the former seven sequential count()
+    // calls were seven scheduler barriers (each a full cluster sync at
+    // scale even though six of them only scanned a cache); under one
+    // action AQE materializes the independent count branches
+    // concurrently, and the yet-unmaterialized tail stages (ndocs /
+    // cdocs caches, the decontamination pass) overlap with them.
+    def tagged(k: Int, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(k).as("k"), col("n"))
+    val countByK = Seq(tagged(0, corpus), tagged(1, qdocs),
+        tagged(2, edocs), tagged(3, sdocs), tagged(4, ndocs),
+        tagged(5, cdocs), tagged(6, clean))
+      .reduce(_ union _)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = (countByK(0), countByK(1), countByK(2), countByK(3),
+      countByK(4), countByK(5), countByK(6))
+    Seq(corpus, edocs, sdocs, banded0, ndocs, cdocs)
       .foreach { df => df.unpersist(); () }
     val spark = docs.sparkSession
     import spark.implicits._
@@ -280,8 +308,13 @@ object Curation {
     // corpus aggregation — collect it ONCE to a local relation so the
     // two consumers of `assigned` (counts, rates join) re-run only the
     // narrow argmax map, not the centroid explode+groupBy
-    val cents = Similarity.toLocal(Similarity.ivfCentroids(embeddings))
-    val assigned = Similarity.ivfAssign(embeddings, cents)
+    // r22: the centroid aggregation and both argmax passes are narrow
+    // kernels over the scan — a one-split test scan serialized them on
+    // one core (job log: 0.69 s + 0.98 s single-task stages); spread is
+    // a no-op once the scan has real splits
+    val emb = Spread.spread(embeddings, col("vec_id"))
+    val cents = Similarity.toLocal(Similarity.ivfCentroids(emb))
+    val assigned = Similarity.ivfAssign(emb, cents)
       .select(col("vec_id"), col("cell"))
     val counts = assigned.groupBy("cell")
       .agg(count(lit(1)).as("n_cell"))

@@ -582,16 +582,14 @@ object Dedup {
       // collect) otherwise scans 1, then 4, then 16… result partitions
       // as separate job waves before concluding the relation is small —
       // pure barrier cost when the upstream (the LSH pair pipeline) has
-      // already fully run for the first wave's shuffle
-      val prevInit = spark.conf.getOption("spark.sql.limit.initialNumPartitions")
-      spark.conf.set("spark.sql.limit.initialNumPartitions", "100000")
-      val probe = try pairs
-        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-        .limit(cap + 1).collect()
-      finally prevInit match {
-        case Some(v) => spark.conf.set("spark.sql.limit.initialNumPartitions", v)
-        case None => spark.conf.unset("spark.sql.limit.initialNumPartitions")
-      }
+      // already fully run for the first wave's shuffle. r22: the
+      // override rides a CLONED session (SessionBridge) instead of
+      // mutating the shared session conf around the collect — no other
+      // query in the session can ever observe it.
+      val probe = org.apache.spark.sql.graft.SessionBridge.collectWithConf(
+        pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+          .limit(cap + 1),
+        "spark.sql.limit.initialNumPartitions" -> "100000")
       if (probe.length <= cap) {
         val es = probe.map(r => (r.getLong(0), r.getLong(1)))
         // union-by-min with path compression: the root of each set is

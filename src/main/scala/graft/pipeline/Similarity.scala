@@ -526,10 +526,29 @@ object Similarity {
       "banded_lsh")
     val idCond = if (directed) col("a.vec_id") =!= col("b.vec_id")
       else col("a.vec_id") < col("b.vec_id")
+    // r22: the exact-cosine verification the callers put ABOVE this
+    // relation (unit joins + scaled-dot filters) executes in the stage
+    // over the distinct's exchange, and AQE sizes that exchange by the
+    // candidate BYTES (two longs per row) — so the whole verify stage
+    // coalesced to ONE task while the other cores idled (q_semantic_dedup
+    // job log: 1 task, 0.9 of 2.0 s). Same output-compute ≫ input-bytes
+    // AQE blind spot as the gap-emission windows (Windows.emissionSpread):
+    // an explicit repartition at the configured width on the distinct's
+    // own keys satisfies its clustering requirement (replaces the implicit
+    // exchange — none added) and opts it out of coalescing. Map-side
+    // pre-aggregation below the exchange is lost, a ≤`bands`-fold
+    // duplication of two-long rows — noise against the verify
+    // parallelism; at cluster scale the configured width is the properly
+    // sized one.
+    val verifyWidth = try embeddings.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    catch { case _: Throwable =>
+      embeddings.sparkSession.sparkContext.defaultParallelism }
     val cand = capped.as("a")
       .join(capped.as("b"), col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && idCond)
       .select(col("a.vec_id").as(leftIdCol), col("b.vec_id").as(rightIdCol))
+      .repartition(verifyWidth, col(leftIdCol), col(rightIdCol))
       .distinct()
     (cand, e.select(col("vec_id"), col("unit")))
   }
@@ -583,6 +602,11 @@ object Similarity {
     // calling the standalone functions would re-normalize (and pin) the
     // corpus four times over. Each ranker below reproduces its
     // standalone counterpart's arithmetic exactly.
+    // (r22: spreading this cache to session width was A/B'd — interleaved
+    // min-of-3, controls inside 1.2× — and REGRESSED 1.24×: the ranker
+    // kernels are 0.1-0.4 s stages whose 32-way task overhead plus the
+    // added exchange outweighs the parallelism at local[32]; same
+    // verdict as r21's q_ann_brute probe. Left at scan width.)
     val base = embeddings.select(col("vec_id"), col("label"),
       normalized(col("embedding")).as("unit"),
       bucketExpr(dv, planes, dims).as("bucket"), bandCols.as("bb")).cache()
@@ -664,26 +688,29 @@ object Similarity {
     // PQ ranker: subspace codebooks are SLICES of the full-dim label
     // centroids already computed for IVF (the mean commutes with the
     // projection onto a subspace), so PQ costs no extra corpus pass
-    // here; encode + ADC are the [[adcTopK]] shared pipeline, so the
-    // recall measurement cannot drift from the ranker it measures.
+    // here; encode + ADC are the [[adcTopKRows]] shared pipeline, so
+    // the recall measurement cannot drift from the ranker it measures.
+    // r22: the slices are driver algebra over the already-collected
+    // centRows (they were a Generate over the local centroid relation —
+    // one scheduler job per call just to re-collect what the driver
+    // held), and the query rows collected above thread through — the
+    // per-ranker q collects were one barrier each.
     val pq = {
       val m = 8
       val dsub = dims / m
-      val pqcb = cents.select(col("label"),
-          explode(array((0 until m).map { s =>
-            struct(lit(s).as("sub"),
-              slice(col("cvec"), s * dsub + 1, dsub).as("cw"))
-          }: _*)).as("sc"))
-        .select(col("sc.sub").as("sub"), col("label"),
-          col("sc.cw").as("cvec"))
-      adcTopK(units, q, pqcb, k, m, dims).select("query_id", "vec_id")
+      val pqcbRows = centRows.flatMap { case (l, cv) =>
+        (0 until m).map(s => (s, l, cv.slice(s * dsub, (s + 1) * dsub)))
+      }
+      adcTopKRows(units, qRows, pqcbRows, k, m, dims)
+        .select("query_id", "vec_id")
     }
 
-    // IVF×PQ ranker: the shared [[ivfPqRanked]] pipeline over the
+    // IVF×PQ ranker: the shared [[ivfPqRankedRows]] pipeline over the
     // recall probe's own assignment — recall here is capped by the IVF
     // cell restriction but measured against the residual quantizer,
     // the honest cost/quality point of the composed index.
-    val ivfpq = ivfPqRanked(assigned, cents, q, k, nprobe, 8, 16, 1, dims)
+    val ivfpq = ivfPqRankedRows(assigned, centRows, qRows, k, nprobe,
+        8, 16, 1, dims)
       .select("query_id", "vec_id")
 
     val recall = brute
@@ -1066,6 +1093,17 @@ object Similarity {
   }
 
   private def adcTopK(units: DataFrame, q: DataFrame, cb: DataFrame,
+      k: Int, m: Int, dims: Int): DataFrame =
+    adcTopKRows(units, collectVecs(q), collectCb(cb), k, m, dims)
+
+  /** [[adcTopK]] over ALREADY-collected query/codebook rows — r22:
+    * [[annRecall]] collects the bounded query and centroid relations
+    * exactly once and threads the rows through every ranker; the
+    * per-ranker collects were one scheduler barrier each (and a full
+    * corpus pass each at scale when the input wasn't cached). */
+  private def adcTopKRows(units: DataFrame,
+      qRows: Array[(Long, Array[Double])],
+      cbRows: Array[(Int, Int, Array[Double])],
       k: Int, m: Int, dims: Int): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val dsub = dims / m
@@ -1074,10 +1112,8 @@ object Similarity {
     // are driver algebra and ride back as ONE local broadcast relation
     // (the former LUT chain paid 2 exchanges + 2 broadcast builds per
     // call). The corpus-side encode/score pass is unchanged and narrow.
-    val cbRows = collectCb(cb)
     val bySub = cbRows.groupBy(_._1)
     val enc = encodeUnitsRows(units, cbRows, m, dims)
-    val qRows = collectVecs(q)
     val qluts = spark.createDataFrame(java.util.Arrays.asList(
       qRows.map { case (qid, qu) =>
         org.apache.spark.sql.Row(qid, lutsFor(qu, bySub, m, dsub))
@@ -1241,9 +1277,7 @@ object Similarity {
     * feeds [[ivfPqTopK]] and [[annRecall]]'s ivfpq column. */
   private def ivfPqRanked(assigned: DataFrame, cents: DataFrame,
       q: DataFrame, k: Int, nprobe: Int, m: Int, ksub: Int, iters: Int,
-      dims: Int): DataFrame = {
-    val dsub = dims / m
-    val spark = assigned.sparkSession
+      dims: Int): DataFrame =
     // r21 barrier cut: centroids and query units are bounded — collect
     // them once; probes + LUTs become driver algebra (through the same
     // [[VectorKernels]] the distributed chains evaluated) and ride back
@@ -1251,9 +1285,20 @@ object Similarity {
     // pipeline paid a window + 2 exchanges for probes, 2 exchanges +
     // 3 broadcast builds for LUTs — ~7 scheduler barriers per call.
     // Corpus passes (residual map, encode, score) stay distributed.
-    val centRows = cents.select(col("label"), col("cvec")).collect()
-      .map(r => (intAt(r, 0), r.getSeq[Double](1).toArray))
-    val qRows = collectVecs(q)
+    ivfPqRankedRows(assigned,
+      cents.select(col("label"), col("cvec")).collect()
+        .map(r => (intAt(r, 0), r.getSeq[Double](1).toArray)),
+      collectVecs(q), k, nprobe, m, ksub, iters, dims)
+
+  /** [[ivfPqRanked]] over ALREADY-collected centroid/query rows — r22:
+    * callers that hold the bounded rows already ([[annRecall]]) skip
+    * the per-ranker collect barriers. */
+  private def ivfPqRankedRows(assigned: DataFrame,
+      centRows: Array[(Int, Array[Double])],
+      qRows: Array[(Long, Array[Double])], k: Int, nprobe: Int, m: Int,
+      ksub: Int, iters: Int, dims: Int): DataFrame = {
+    val dsub = dims / m
+    val spark = assigned.sparkSession
     // residuals as a literal-map lookup instead of a broadcast join:
     // every cell comes from the argmax over these very centroids, so
     // the inner join matched exactly one row — the isNotNull filter

@@ -387,11 +387,24 @@ object Sketches {
     import org.apache.spark.sql.expressions.Window
     val dom = df.filter(v.isNotNull && v >= 0)
       .select(keys.map(col) :+ v.as("v"): _*)
-    val est = hdrQuantiles(hdrSketch(dom, keys, col("v"), sb), keys,
-      qMillis, sb)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy("v")
-    val vcum = dom.groupBy((keys :+ "v").map(col): _*)
+    // r22: ONE corpus pass feeds both sides. The sketch groups by
+    // (keys, rep) and the exact side by (keys, v); rep is a pure
+    // function of v and the cells are additive, so the sketch is
+    // EXACTLY the per-value count relation re-aggregated by rep —
+    // computing hdrSketch(dom) separately re-scanned the corpus a
+    // second time (a full second scan at any scale; 2 of this query's
+    // 12 scheduler jobs at sf0.1). Values per key are bounded like the
+    // sketch rows are, so the regroup is a tiny-relation aggregation.
+    val perValue = dom.groupBy((keys :+ "v").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
+    val sk = perValue
+      .select(keys.map(col) :+ hdrRep(col("v"), sb).as("rep") :+
+        col("cnt"): _*)
+      .groupBy((keys :+ "rep").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val est = hdrQuantiles(sk, keys, qMillis, sb)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("v")
+    val vcum = perValue
       .withColumn("cum", sum(col("cnt")).over(w))
     val exact = est.select(keys.map(col) :+ col("q_milli") :+
         greatest(expr("(q_milli * n + 999) div 1000"), lit(1L))
@@ -506,8 +519,20 @@ object Sketches {
     val est = least((0 until d).map(r =>
       element_at(element_at(cellLit, r + 1),
         (cmsBucket(valueCol, r, w) + 1).cast("int"))): _*)
+    // r22: est is d md5 chains per row — the dominant per-row cost of
+    // the candidate pass. Materialize it through a one-element Generate
+    // rather than a plain projection: predicate pushdown walks filters
+    // through projections AND RepartitionByExpression, so a caller that
+    // widened a one-split scan with an explicit spread exchange (the
+    // q_cms_heavy entry) found est+filter pushed back BELOW its exchange
+    // into the single scan task (r22 job log: 0.49 s, 1 task). A filter
+    // on generator output cannot cross the Generate, so the est work
+    // stays above the caller's exchange; without such an exchange the
+    // Generate sits in the same narrow map stage as before (still
+    // whole-stage-codegen'd) and the map-side-filter-before-shuffle
+    // scale shape is unchanged.
     df.filter(col(valueCol).isNotNull)
-      .withColumn("cms_est", est)
+      .select(col(valueCol), explode(array(est)).as("cms_est"))
       .filter(col("cms_est") >= thr)
       .groupBy(valueCol)
       .agg(min(col("cms_est")).as("cms_est"),

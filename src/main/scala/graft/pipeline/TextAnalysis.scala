@@ -601,6 +601,18 @@ object TextAnalysis {
     docs.withColumn("_g", gopherStruct).filter(keep).drop("_g")
   }
 
+  /** [[gopherKeep]]'s verdict carried as a boolean COLUMN instead of a
+    * filter — the r22 curation-funnel shape (one cached corpus relation
+    * serves both the corpus count and the quality stage; the verdict
+    * rides along). Same shared kernel + [[gopherRules]], so the flag
+    * cannot drift from gopherKeep/gopherFilter. */
+  def gopherKeepFlagged(docs: DataFrame, flag: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val keep = gopherRules(col("_g"), minWords, maxWords)
+      .map(_._2).reduce(_ && _)
+    docs.withColumn("_g", gopherStruct).withColumn(flag, keep).drop("_g")
+  }
+
   def gopherFilter(docs: DataFrame, minWords: Int = 50,
       maxWords: Int = 100000): DataFrame = {
     val base = docs.select(col("doc_id"), gopherStruct.as("_g"))
