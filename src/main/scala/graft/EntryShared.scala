@@ -65,7 +65,12 @@ private[graft] object EntryShared {
     * be pure cost (measured: ~+0.1-0.2 s on sub-0.3 s queries at
     * local[32], vs 2-3× wins on the renderer/codec family). */
   def evs(s: SparkSession, dir: String): DataFrame =
-    spread(EventView(s, dir), col("event_id"))
+    // r22: spread the RAW read, derive the view ABOVE the exchange —
+    // with the spread outside the whole view, the per-row derivation
+    // (the props JSON parse above all) sat BELOW the exchange in the
+    // one-split scan task (q_protobuf_roundtrip job log: 0.65 s
+    // single-task map stage feeding the spread)
+    EventView.derive(spread(EventView.events(s, dir), col("event_id")))
   /** Shared input for the product/quotient UDAF gates: 5-event batches
     * per host, metric mapped to small integers (incl. zeros and
     * negatives) so products stay exact at the rounded precision. */

@@ -57,8 +57,16 @@ object EventView {
 
   /** The riemann-shaped event relation. Keeps event_id for deterministic
     * ordering. */
-  def apply(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = events(spark, sfDir)
+  def apply(spark: SparkSession, sfDir: String): DataFrame =
+    derive(events(spark, sfDir))
+
+  /** The riemann-shaped derivation over an already-read raw events
+    * relation (r22: split out so the entry layer's input spread can sit
+    * BETWEEN the raw scan and the derivation — the per-row view work
+    * (the props JSON parse above all) then runs at the exchange's width
+    * instead of inside the one-split scan task). */
+  private[graft] def derive(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     val tsType = df.schema("ts").dataType
     val timeS = tsType match {
       case types.LongType => expr("ts div 1000000000") // epoch-ns as long

@@ -306,6 +306,11 @@ object Dedup {
       maxBucket: Int = WinnowMaxFpDocs): DataFrame = {
     val fps = TextAnalysis.winnow(docs, k, w)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
+    // (r22: pinning the fp exchange at the configured width — the
+    // emissionSpread move — was prototyped and REVERTED: the heavy
+    // 2-task pair-explosion stage is bound by a couple of hot
+    // fingerprints, i.e. single-key skew that a wider hash exchange
+    // cannot split (guide §2.5), so the pin only added task overhead.)
     val capped = Caps.cap(fps, Seq("fp"), maxBucket, "winnow_fp")
     // pair generation happens INSIDE each fingerprint's partition: the
     // cap's count-window already hash-partitioned on fp, so collecting
